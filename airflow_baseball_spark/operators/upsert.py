@@ -1,0 +1,179 @@
+"""Idempotent keyed upsert — Spark analog of MySQL
+``INSERT … ON DUPLICATE KEY UPDATE`` (``dags/utils/queries.py:5-261``).
+
+Two layers:
+
+* :func:`upsert_dataframe` — the pure transformation: given the current
+  target rows and an updates batch, return the post-merge state
+  ("latest wins" per key). Deterministic: ordering is by an explicit
+  version column, tie-broken on all non-key columns, so re-running the
+  same batch is a no-op (the reference's ON DUPLICATE KEY contract).
+* :func:`merge_upsert` — the storage operation: read target parquet if
+  present, apply :func:`upsert_dataframe`, overwrite. On a Delta/Iceberg
+  deployment this would be ``MERGE INTO`` (jars not in this image —
+  gated behind an import-try in :func:`_try_delta_merge`); the
+  parquet path is the portable fallback.
+
+Column-wise merge semantics: the reference's metric stages each upsert
+only *their* columns (wOBA, then wRC, then k/bb/babip …) into the same
+row. ``update_cols`` restricts the merge accordingly: unlisted columns
+keep the target's existing value when a key matches.
+
+Scale: the union+window dedup shuffles once on the key. For a 100 TB
+target this is exactly what Delta MERGE does under the hood minus the
+file-level pruning; partition the target (e.g. by game_date) so the
+overwrite touches only affected partitions (``partition_by``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def upsert_dataframe(
+    target: DataFrame | None,
+    updates: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    version_col: str | None = None,
+) -> DataFrame:
+    """Return the merged state of ``target`` after applying ``updates``.
+
+    * rows in ``updates`` whose key exists in ``target`` replace the
+      target values of ``update_cols`` (all non-key columns if None);
+    * new keys are inserted (missing non-updated columns become NULL);
+    * duplicate keys *within* ``updates`` keep the highest
+      ``version_col`` (falling back to "any one, deterministically" via
+      a total order over all columns).
+    """
+    keys = list(keys)
+    if target is None:
+        merged = _dedup_latest(updates, keys, version_col)
+        return merged
+
+    if update_cols is None:
+        update_cols = [c for c in updates.columns if c not in keys]
+    update_cols = list(update_cols)
+
+    upd = _dedup_latest(updates.select(*keys, *update_cols), keys, version_col)
+    # Column-wise merge: matched rows take the update's value per
+    # update_col, keep target's value for everything else; new keys get
+    # NULL for non-updated target columns.
+    upd_aliased = upd.select(
+        *[F.col(k).alias(f"__u_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+        F.lit(True).alias("__matched"),
+    )
+    cond = [target[k] == upd_aliased[f"__u_{k}"] for k in keys]
+    joined = target.join(upd_aliased, cond, "full_outer")
+
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(target[c], upd_aliased[f"__u_{c}"]).alias(c))
+        elif c in update_cols:
+            out_cols.append(
+                F.when(F.col("__matched").isNotNull(), upd_aliased[f"__u_{c}"])
+                .otherwise(target[c])
+                .alias(c)
+            )
+        else:
+            out_cols.append(target[c].alias(c))
+    return joined.select(*out_cols)
+
+
+def _dedup_latest(
+    df: DataFrame, keys: Sequence[str], version_col: str | None
+) -> DataFrame:
+    order = []
+    if version_col is not None:
+        order.append(F.col(version_col).desc_nulls_last())
+    # Deterministic tie-break: total order over remaining columns.
+    order.extend(
+        F.col(c).desc_nulls_last() for c in df.columns if c not in keys and c != version_col
+    )
+    if not order:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    version_col: str | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Merge ``updates`` into the parquet table at ``target_path``."""
+    if _try_delta_merge(spark, updates, target_path, keys, update_cols):
+        return
+    try:
+        target = spark.read.parquet(target_path)
+    except Exception:
+        target = None
+    merged = upsert_dataframe(target, updates, keys, update_cols, version_col)
+    # Parquet cannot overwrite a path that the merged plan still reads
+    # lazily; stage to a sibling path and swap (distributed — no
+    # driver-side collect). Delta MERGE avoids the rewrite entirely.
+    if target is None:
+        writer = merged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_path)
+        return
+    tmp_path = target_path.rstrip("/") + "__staging"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp_path)
+    _swap_paths(spark, tmp_path, target_path)
+
+
+def _swap_paths(spark: SparkSession, src: str, dst: str) -> None:
+    """Replace ``dst`` with ``src`` via the Hadoop FileSystem API (works
+    on local paths and HDFS-compatible stores alike)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = dst_p.getFileSystem(conf)
+    fs.delete(dst_p, True)
+    fs.rename(src_p, dst_p)
+
+
+def _try_delta_merge(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None,
+) -> bool:
+    """Use Delta Lake MERGE when the runtime has it (not in this image)."""
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+    except ImportError:
+        return False
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        return False
+    table = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    update_cols = update_cols or [c for c in updates.columns if c not in keys]
+    (
+        table.alias("t")
+        .merge(updates.alias("u"), cond)
+        .whenMatchedUpdate(set={c: f"u.{c}" for c in update_cols})
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return True

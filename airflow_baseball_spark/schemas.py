@@ -1,0 +1,284 @@
+"""Schema registry — the single source of truth for every table.
+
+Spark analog of the reference's hand-maintained parallel column lists
+(``dags/utils/table_columns.py:2-62``) and DDL
+(``dags/0_init_baseball_table.py:38-479``): one ``StructType`` per table,
+used by the engine, the fixtures, and the tests alike. No schema
+inference anywhere.
+
+Two families:
+
+* **Domain tables** — the 16 baseball tables from the reference DDL,
+  re-typed for Spark (DECIMAL rates kept as DoubleType for arithmetic;
+  innings-pitched kept as StringType at rest per the reference's
+  ``VARCHAR`` choice, parsed by ``functions.scalar.ip_to_float``).
+* **Testdata tables** — the driver-generated TPC-H-ish star schema at
+  ``/root/testdata/sf*/`` (see TESTDATA.md); loaders below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Testdata (TPC-H-ish) tables — TESTDATA.md
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table (columnar scan; Catalyst prunes)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every testdata table; also registers each as a temp view so
+    ``spark.sql`` phrasings can be used interchangeably."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Domain tables — reference DDL dags/0_init_baseball_table.py
+# ---------------------------------------------------------------------------
+
+
+def _struct(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+_S = T.StringType()
+_I = T.IntegerType()
+_D = T.DoubleType()
+_DT = T.DateType()
+_TS = T.TimestampType()
+
+# game_records — one row per finished game (0_init:258-266)
+GAME_RECORDS = _struct(
+    ("game_date", _TS),
+    ("away_team", _S),
+    ("away_score", _I),
+    ("home_team", _S),
+    ("home_score", _I),
+    ("stadium", _S),
+)
+
+# park_factor — one row per stadium (0_init:39-43)
+PARK_FACTOR = _struct(("stadium", _S), ("park_factor", _D))
+
+# hitters — season-to-date totals per hitter (0_init:45-77)
+HITTERS = _struct(
+    ("hitter_id", _I),
+    ("player_name", _S),
+    ("team_name", _S),
+    ("avg", _D),
+    ("games", _I),
+    ("pa", _I),
+    ("ab", _I),
+    ("runs", _I),
+    ("hits", _I),
+    ("doubles", _I),
+    ("triples", _I),
+    ("hr", _I),
+    ("total_bases", _I),
+    ("rbi", _I),
+    ("sb", _I),
+    ("cs", _I),
+    ("sac", _I),
+    ("sf", _I),
+    ("bb", _I),
+    ("ibb", _I),
+    ("hbp", _I),
+    ("so", _I),
+    ("gdp", _I),
+    ("slg", _D),
+    ("obp", _D),
+    ("ops", _D),
+    ("mh", _I),
+    ("risp", _D),
+    ("ph_ba", _D),
+    ("errors", _I),
+    ("sb_percentage", _D),
+    ("updated_at", _TS),
+)
+
+# hitter split tables: × opponent / × stadium (0_init:79-125)
+_HITTER_SPLIT_STATS: tuple[tuple[str, T.DataType], ...] = (
+    ("ab", _I),
+    ("runs", _I),
+    ("hits", _I),
+    ("doubles", _I),
+    ("triples", _I),
+    ("hr", _I),
+    ("rbi", _I),
+    ("sb", _I),
+    ("cs", _I),
+    ("bb", _I),
+    ("hbp", _I),
+    ("so", _I),
+    ("gdp", _I),
+    ("avg", _D),
+    ("obp", _D),
+    ("slg", _D),
+    ("ops", _D),
+)
+
+HITTER_OPPONENTS = _struct(
+    ("hitter_id", _I), ("opponent_team", _S), *_HITTER_SPLIT_STATS
+)
+HITTER_STADIUMS = _struct(("hitter_id", _I), ("stadium", _S), *_HITTER_SPLIT_STATS)
+
+# hitter_games — per-game fact log (0_init:127-149)
+HITTER_GAMES = _struct(
+    ("hitter_id", _I),
+    ("game_date", _DT),
+    ("opponent_team", _S),
+    *_HITTER_SPLIT_STATS,
+)
+
+# pitchers — season-to-date totals (0_init:151-185). era/ip are strings at
+# rest: KBO reports IP as a fraction like "5 2/3" and era can be "-".
+PITCHERS = _struct(
+    ("pitcher_id", _I),
+    ("player_name", _S),
+    ("team_name", _S),
+    ("era", _S),
+    ("games", _I),
+    ("wins", _I),
+    ("losses", _I),
+    ("sv", _I),
+    ("hld", _I),
+    ("wpct", _D),
+    ("ip", _S),
+    ("hits", _I),
+    ("hr", _I),
+    ("bb", _I),
+    ("hbp", _I),
+    ("so", _I),
+    ("runs", _I),
+    ("er", _I),
+    ("whip", _D),
+    ("cg", _I),
+    ("sho", _I),
+    ("qs", _I),
+    ("bsv", _I),
+    ("tbf", _I),
+    ("np", _I),
+    ("avg", _D),
+    ("2b", _I),
+    ("3b", _I),
+    ("sac", _I),
+    ("sf", _I),
+    ("ibb", _I),
+    ("wp", _I),
+    ("bk", _I),
+    ("updated_at", _TS),
+)
+
+_PITCHER_SPLIT_STATS: tuple[tuple[str, T.DataType], ...] = (
+    ("era", _S),
+    ("tbf", _I),
+    ("ip", _S),
+    ("hits", _I),
+    ("hr", _I),
+    ("bb", _I),
+    ("hbp", _I),
+    ("so", _I),
+    ("runs", _I),
+    ("er", _I),
+    ("avg", _D),
+)
+
+PITCHER_GAMES = _struct(
+    ("pitcher_id", _I),
+    ("game_date", _DT),
+    ("opponent_team", _S),
+    ("result", _S),
+    *_PITCHER_SPLIT_STATS,
+)
+PITCHER_OPPONENTS = _struct(
+    ("pitcher_id", _I), ("opponent_team", _S), *_PITCHER_SPLIT_STATS
+)
+PITCHER_STADIUMS = _struct(("pitcher_id", _I), ("stadium", _S), *_PITCHER_SPLIT_STATS)
+
+# game_records_until_5_innings (0_init:268-274)
+GAME_RECORDS_5INN = _struct(
+    ("game_date", _TS),
+    ("away_team", _S),
+    ("home_team", _S),
+    ("away_score_5", _I),
+    ("home_score_5", _I),
+    ("result", _I),  # -1 away leads, 0 tie, 1 home leads (F9)
+)
+
+# today_games (0_init:276-282)
+TODAY_GAMES = _struct(
+    ("game_date", _TS),
+    ("away_team", _S),
+    ("home_team", _S),
+    ("stadium", _S),
+)
+
+# today_lineup (040:44-57); position 0 = starting pitcher
+TODAY_LINEUP = _struct(
+    ("game_date", _TS),
+    ("player", _S),
+    ("team", _S),
+    ("position", _I),
+    ("opponent", _S),
+    ("stadium", _S),
+)
+
+# hitter_metrics / pitcher_metrics (0_init:284-301)
+HITTER_METRICS = _struct(
+    ("hitter_id", _I),
+    ("wOBA", _D),
+    ("wRC", _D),
+    ("k_rate", _D),
+    ("bb_rate", _D),
+    ("babip", _D),
+    ("wRC_plus", _D),
+    ("OPS_plus", _D),
+)
+PITCHER_METRICS = _struct(
+    ("pitcher_id", _I),
+    ("fip", _D),
+    ("k_9", _D),
+    ("bb_9", _D),
+    ("hr_9", _D),
+)
+
+DOMAIN_SCHEMAS: dict[str, T.StructType] = {
+    "game_records": GAME_RECORDS,
+    "park_factor": PARK_FACTOR,
+    "hitters": HITTERS,
+    "hitter_opponents": HITTER_OPPONENTS,
+    "hitter_stadiums": HITTER_STADIUMS,
+    "hitter_games": HITTER_GAMES,
+    "pitchers": PITCHERS,
+    "pitcher_games": PITCHER_GAMES,
+    "pitcher_opponents": PITCHER_OPPONENTS,
+    "pitcher_stadiums": PITCHER_STADIUMS,
+    "game_records_until_5_innings": GAME_RECORDS_5INN,
+    "today_games": TODAY_GAMES,
+    "today_lineup": TODAY_LINEUP,
+    "hitter_metrics": HITTER_METRICS,
+    "pitcher_metrics": PITCHER_METRICS,
+}
