@@ -40,7 +40,20 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata parquet table (columnar scan; Catalyst prunes)."""
+    """Read one testdata parquet table (columnar scan; Catalyst prunes).
+
+    ``events.parquet`` stores nanosecond timestamps, which Spark's
+    vectorized reader rejects by default — read them as longs
+    (runtime-settable legacy flag, works on any provided session) and
+    rebuild a microsecond timestamp (`ts div 1000`, matching DuckDB's
+    ns→µs truncation).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -6,6 +6,7 @@ brief). Used by tests to catch mismatches before the driver does."""
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -40,6 +41,8 @@ def _norm_cell(v):
         return "<null>"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
