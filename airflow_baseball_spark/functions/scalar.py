@@ -47,11 +47,15 @@ def parse_matchup(col: Column) -> tuple[Column, Column]:
 # explicit year (the reference injects datetime.now().year — a latent
 # year-boundary bug we fix by making year a parameter).
 def parse_game_datetime(date_col: Column, time_col: Column, year: Column | int) -> Column:
+    """Total function: an invalid combination (e.g. Feb 29 into a
+    non-leap target year — the reference's ``datetime.now().year``
+    injection would raise here too) yields NULL instead of aborting the
+    job (ANSI-mode to_timestamp throws)."""
     cleaned = F.regexp_replace(date_col, r"\([가-힣]\)", "")
     year_c = F.lit(year) if isinstance(year, int) else year
-    return F.to_timestamp(
+    return F.try_to_timestamp(
         F.concat(year_c.cast("string"), F.lit("."), cleaned, F.lit(" "), time_col),
-        "yyyy.MM.dd HH:mm",
+        F.lit("yyyy.MM.dd HH:mm"),
     )
 
 

@@ -44,6 +44,6 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from airflow_baseball_spark import queries_core  # noqa: F401
+    from airflow_baseball_spark import queries_core, queries_domain  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,64 @@
+"""Upsert contract tests (SURVEY.md §5.3): idempotent re-run, duplicate
+keys keep latest, column-wise partial update (metric stages each merge
+only their own columns), and the storage-level merge round-trip."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark.operators.upsert import merge_upsert, upsert_dataframe
+
+
+def _collect(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_upsert_insert_update_idempotent(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], "id int, name string, v double"
+    )
+    once = upsert_dataframe(target, updates, keys=["id"])
+    assert _collect(once) == {(1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0)}
+    twice = upsert_dataframe(once, updates, keys=["id"])
+    assert _collect(twice) == _collect(once)  # re-run is a no-op
+
+
+def test_upsert_duplicate_keys_latest_wins(spark):
+    updates = spark.createDataFrame(
+        [(1, 1.0, 1), (1, 2.0, 2), (1, 0.5, 3)], "id int, v double, version int"
+    )
+    out = upsert_dataframe(None, updates, keys=["id"], version_col="version")
+    assert _collect(out) == {(1, 0.5, 3)}
+
+
+def test_upsert_columnwise_partial_update(spark):
+    """011 writes wOBA, then 013 writes k_rate into the same row — each
+    stage must not clobber the other's columns."""
+    target = spark.createDataFrame(
+        [(1, 0.35, None), (2, 0.30, None)],
+        "hitter_id int, wOBA double, k_rate double",
+    )
+    stage2 = spark.createDataFrame([(1, 0.21), (3, 0.19)], "hitter_id int, k_rate double")
+    out = upsert_dataframe(target, stage2, keys=["hitter_id"], update_cols=["k_rate"])
+    assert _collect(out) == {
+        (1, 0.35, 0.21),
+        (2, 0.30, None),
+        (3, None, 0.19),  # new key: non-updated columns NULL
+    }
+
+
+def test_merge_upsert_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+        merge_upsert(spark, base, path, keys=["id"])
+        upd = spark.createDataFrame([(2, 9.0), (3, 3.0)], "id int, v double")
+        merge_upsert(spark, upd, path, keys=["id"])
+        merge_upsert(spark, upd, path, keys=["id"])  # idempotent
+        out = _collect(spark.read.parquet(path))
+        assert out == {(1, 1.0), (2, 9.0), (3, 3.0)}
