@@ -1,0 +1,357 @@
+"""LLM-data-pipeline extension queries over ``documents`` /
+``embeddings`` (north-star operators; BASELINE.json), each paired with
+a DuckDB oracle where SQL-expressible.
+
+Engine-parity rules: hashes are md5 (identical in both engines) or
+explicit integer arithmetic; cosine similarities are rounded to 6
+places before ranking/thresholding; per-row int-derived doubles stay
+unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.schemas import load_table
+from airflow_baseball_spark.text import analysis, dedup, similarity
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        analysis.token_count(t).alias("n_tokens"),
+        analysis.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        analysis.punct_ratio(t).alias("punct_ratio"),
+        analysis.mean_token_length(t).alias("mean_tok_len"),
+        analysis.quality_score(t).alias("quality"),
+    )
+
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SW = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in analysis.STOPWORDS.items()
+}
+
+registry.register(
+    "text_stats",
+    q_text_stats,
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len({_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens,
+             CASE WHEN length(text) > 0 THEN
+               (length(text) - length(translate(text, '.,!?;:''"()[]{{}}', '')))
+               / length(text) ELSE 0.0e0 END AS punct_ratio,
+             CASE WHEN len({_TOKS}) > 0 THEN
+               list_sum(list_transform({_TOKS}, t -> length(t))) / len({_TOKS})
+             END AS mean_tok_len,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['en']}, t)))
+               AS sw
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, mean_tok_len,
+           0.25e0 * least(CAST(n_tokens AS DOUBLE), 100.0e0) / 100.0e0
+           + 0.25e0 * (1.0e0 - least(punct_ratio * 5.0e0, 1.0e0))
+           + 0.25e0 * least(CASE WHEN CAST(n_tokens AS DOUBLE) > 0
+                                 THEN CAST(sw AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                 ELSE 0.0e0 END * 5.0e0, 1.0e0)
+           + 0.25e0 * (1.0e0 - least(abs(mean_tok_len - 5.0e0) / 5.0e0, 1.0e0))
+             AS quality
+    FROM base
+    """,
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = analysis.lang_scores(t)
+    return docs.select(
+        "doc_id",
+        analysis.lang_id(t).alias("lang_pred"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        scores["es"].alias("score_es"),
+    )
+
+
+registry.register(
+    "lang_id",
+    q_lang_id,
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['en']}, t))) AS score_en,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['de']}, t))) AS score_de,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['fr']}, t))) AS score_fr,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['es']}, t))) AS score_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0
+                     AND score_es = 0 THEN 'und'
+                WHEN score_en >= score_de AND score_en >= score_fr
+                     AND score_en >= score_es THEN 'en'
+                WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                WHEN score_fr >= score_es THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           score_en, score_de, score_fr, score_es
+    FROM s
+    """,
+)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", analysis.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+registry.register(
+    "doc_fingerprint",
+    q_doc_fingerprint,
+    f"""
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(0, greatest(len({_TOKS}) - 3, 0)),
+             i -> md5(array_to_string(list_slice({_TOKS}, i + 1, i + 3), ' '))
+           )) AS fingerprint
+    FROM documents
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+registry.register(
+    "exact_dedup",
+    q_exact_dedup,
+    """
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sql() -> str:
+    code = "CAST(unicode(substring(sh, 1, 1)) AS BIGINT)"
+    for i in range(2, 6):
+        code = f"({code} * 31 + CAST(unicode(substring(sh, {i}, 1)) AS BIGINT))"
+    sig_exprs = ",\n             ".join(
+        f"MIN(({a} * code + {b}) % {dedup._P}) AS sig_{i}"
+        for i, (a, b) in enumerate(dedup._PERMS)
+    )
+    return f"""
+    WITH sh_rows AS (
+      SELECT DISTINCT doc_id,
+             substring(text, pos, 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 4, 1))) AS pos
+            FROM documents)
+    ),
+    coded AS (SELECT doc_id, {code} AS code FROM sh_rows)
+    SELECT doc_id,
+             {sig_exprs}
+    FROM coded GROUP BY doc_id
+    """
+
+
+registry.register("minhash_signatures", q_minhash_signatures, _minhash_sql())
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+def _lsh_pairs_sql() -> str:
+    rows_per_band = len(dedup._PERMS) // dedup.N_BANDS
+    bands = []
+    for b in range(dedup.N_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(sig_{b * rows_per_band + j} AS VARCHAR)"
+            for j in range(rows_per_band)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_hash FROM sigs")
+    banded = "\n      UNION ALL\n      ".join(bands)
+    return f"""
+    WITH sigs AS ({_minhash_sql()}),
+    banded AS (
+      {banded}
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+    """
+
+
+registry.register("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_pairs_sql())
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    digit = "(strpos('0123456789abcdef', substring(hx, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, substring(md5(t), 29, 4) AS hx FROM tok
+    ),
+    vals AS (SELECT doc_id, {val} AS h FROM hashed),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM vals GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+registry.register("simhash", q_simhash, _simhash_sql())
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, block_col="source", threshold=0.1)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+registry.register(
+    "ngram_jaccard",
+    q_ngram_jaccard,
+    f"""
+    WITH grams AS (
+      SELECT doc_id AS gid, source AS blk,
+             unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len({_TOKS}) - 3, 0)),
+               i -> array_to_string(list_slice({_TOKS}, i + 1, i + 3), ' ')
+             ))) AS gram
+      FROM documents
+    ),
+    sizes AS (SELECT gid, COUNT(*) AS n_grams FROM grams GROUP BY gid),
+    inter AS (
+      SELECT a.gid AS id_a, b.gid AS id_b, COUNT(*) AS n_inter
+      FROM grams a JOIN grams b
+        ON a.blk = b.blk AND a.gram = b.gram AND a.gid < b.gid
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_inter / (sa.n_grams + sb.n_grams - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.gid
+    JOIN sizes sb ON id_b = sb.gid
+    WHERE n_inter / (sa.n_grams + sb.n_grams - n_inter) > 0.1e0
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+      ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+             FROM (SELECT unnest({a}) x, unnest({b}) y))
+            / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM (SELECT unnest({a}) x)))
+               * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                       FROM (SELECT unnest({b}) y)))), 6)
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk(emb, queries, k=3)
+
+
+registry.register(
+    "cosine_topk",
+    q_cosine_topk,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qv", b="e.embedding")} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, block_col="label", threshold=0.3)
+
+
+registry.register(
+    "embedding_neardup",
+    q_embedding_neardup,
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} > 0.3e0
+    """,
+)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (nprobe=1) approximate neighbor search — rows-only check
+    (the oracle would replicate the full two-stage assignment; the
+    exact path is already oracle-verified via cosine_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(emb, queries, centroids, k=3)
+
+
+registry.register("ivf_topk", q_ivf_topk, None)

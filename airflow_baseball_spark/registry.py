@@ -44,6 +44,10 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from airflow_baseball_spark import queries_core, queries_domain  # noqa: F401
+    from airflow_baseball_spark import (  # noqa: F401
+        queries_core,
+        queries_domain,
+        queries_text,
+    )
 
     _LOADED = True

@@ -1,0 +1,134 @@
+"""Text analysis operators: tokenization, counting, quality scoring,
+language ID, document fingerprinting.
+
+All pure column expressions (JVM-side, codegen) — at 100 TB these run
+inside the parquet scan stage with zero shuffles; only per-document
+state, no cross-document dependencies.
+
+Portability note for the DuckDB oracles: every hash used here is either
+``md5`` (bit-identical across engines) or explicit integer arithmetic —
+never an engine's internal ``hash()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small in-expression stopword lists per language (public common words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+_PUNCT = ".,!?;:'\"()[]{}"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer; BPE-ish regex
+    variant in :func:`bpe_ish_token_count`)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate BPE token count: word pieces + digits + punctuation
+    as separate tokens (a common ~4-chars-per-token heuristic is
+    ``n_chars/4``; this regex count is sharper and still pure SQL)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    n = F.length(text)
+    punct = n - F.length(F.translate(text, _PUNCT, ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(
+        f"size(filter(split(trim({_sql(text)}), '\\\\s+'), "
+        f"t -> array_contains(array({words}), t)))"
+    )
+
+
+def _sql(col: Column) -> str:
+    """Render a simple column reference for embedding in F.expr."""
+    # only used with plain named columns in this module
+    return col._jc.toString()  # noqa: SLF001
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Composite quality heuristic in [0, ~1]: rewards moderate length,
+    low punctuation density, presence of stopwords, sane word lengths.
+    Weights are fixed and documented so the oracle can mirror exactly::
+
+        0.25 * min(n_tokens, 100)/100
+      + 0.25 * (1 - min(punct_ratio*5, 1))
+      + 0.25 * min(stopword_ratio*5, 1)
+      + 0.25 * (1 - min(abs(mean_token_len - 5)/5, 1))
+    """
+    n_tok = token_count(text).cast("double")
+    sw = stopword_count(text, lang).cast("double")
+    mtl = mean_token_length(text)
+    return (
+        0.25 * F.least(n_tok, F.lit(100.0)) / 100.0
+        + 0.25 * (1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0)))
+        + 0.25 * F.least(F.when(n_tok > 0, sw / n_tok).otherwise(0.0) * 5.0, F.lit(1.0))
+        + 0.25 * (1.0 - F.least(F.abs(mtl - 5.0) / 5.0, F.lit(1.0)))
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language (n-gram-free heuristic
+    suited to whitespace languages; a char-n-gram profile would slot in
+    the same way)."""
+    return {lang: stopword_count(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language with deterministic tie order en > de > fr > es;
+    all-zero scores → 'und' (undetermined)."""
+    s = lang_scores(text)
+    en, de, fr, es = s["en"], s["de"], s["fr"], s["es"]
+    return (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), F.lit("und"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def doc_fingerprint(text: Column, n: int = 3) -> Column:
+    """Document fingerprint: minimum md5 over word n-gram windows (a
+    rolling-hash winnowing scheme with window = whole doc). Stable
+    across engines (md5 is md5 everywhere); string min is lexicographic
+    byte order in both Spark and DuckDB for hex strings.
+
+    Near-identical docs that share their minimal n-gram collide — the
+    cheap first-pass near-dup key (reference has nothing comparable;
+    this is north-star surface).
+    """
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_min(F.transform(grams, lambda g: F.md5(g)))

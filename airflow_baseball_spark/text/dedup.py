@@ -1,0 +1,242 @@
+"""Deduplication operators for LLM training corpora — exact, MinHash+
+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design (the point of each operator at 100 TB):
+
+* **exact**: one hash-shuffle on a digest of the text, not the text —
+  ``md5(text)`` groups are tiny keys; keep min doc_id per group.
+* **MinHash+LSH**: per-doc signature is an embarrassingly-parallel map
+  (shingle explode + min-agg, combiner-friendly); candidate generation
+  shuffles only (band_id, band_hash) keys — never pairs of documents —
+  so the quadratic blowup is confined to within-bucket joins.
+* **SimHash**: per-doc 16-bit fingerprint via token-hash bit votes;
+  near-dup = same fingerprint bucket (or Hamming-adjacent probes).
+* **n-gram Jaccard**: exact verification for candidate pairs only.
+* **embedding cosine**: blocked self-join (block = label / coarse
+  quantizer) — never an unblocked cross join.
+
+Every hash is engine-portable (md5 or explicit integer arithmetic) so
+the DuckDB oracles replicate results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark.text.analysis import tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text digest; adds
+    ``dup_count``. Shuffles md5 digests, not document bodies."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# k permutations (a*code + b) % P over 5-char shingle codes. Constants
+# fixed so oracles can mirror them.
+_P = 1_000_003
+_PERMS: list[tuple[int, int]] = [
+    (131, 7), (137, 11), (139, 13), (149, 17),
+    (151, 19), (157, 23), (163, 29), (167, 31),
+]
+N_BANDS = 4  # 8 sigs → 4 bands × 2 rows
+
+
+def shingle_code(sh: Column) -> Column:
+    """Deterministic integer code of a 5-char shingle: unrolled
+    polynomial over char codes (no engine-internal hash())."""
+    code = F.ascii(F.substring(sh, 1, 1)).cast("long")
+    for i in range(2, 6):
+        code = code * 31 + F.ascii(F.substring(sh, i, 1)).cast("long")
+    return code
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) rows — distinct character n-grams per document."""
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+    ).alias("pos")
+    return (
+        df.select(F.col(id_col), F.col(text_col), pos)
+        .select(F.col(id_col), F.expr(f"substring({text_col}, pos, {n})").alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per doc: sig_0..sig_{k-1} minhash values. The explode →
+    min aggregation benefits from map-side partial aggregation; no
+    document text crosses the shuffle."""
+    sh = shingles(df, text_col, id_col)
+    code = shingle_code(F.col("sh"))
+    aggs = [
+        F.min((F.lit(a) * code + F.lit(b)) % _P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band of their
+    signature. Shuffle key = (band_id, band_hash) — bucket sizes bound
+    the join; skewed mega-buckets would be salted or truncated at
+    scale (AQE skew-join handles moderate cases)."""
+    rows_per_band = len(_PERMS) // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [f"sig_{b * rows_per_band + j}" for j in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.concat_ws("_", *cols).alias("band_hash"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents to DROP: any doc LSH-paired with a lower-id doc.
+    (Single-link transitive closure would iterate pair → min-id
+    propagation to fixpoint; one round is the standard first pass.)"""
+    pairs = lsh_candidate_pairs(minhash_signatures(df, text_col, id_col), id_col)
+    return pairs.select(F.col("id_b").alias("drop_id")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: per-token md5 → low 4 hex digits → bit votes →
+    sign → fingerprint int. Tokens explode once; the bit dimension is
+    an in-row array (no 16× row blowup)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    # token hash: low 16 bits of md5 via hex digits (portable)
+    hx = F.substring(F.md5(F.col("tok")), 29, 4)
+    val = sum(
+        (
+            (F.instr(F.lit("0123456789abcdef"), F.substring(hx, i + 1, 1)) - 1)
+            * (16 ** (3 - i))
+            for i in range(1, 4)
+        ),
+        (F.instr(F.lit("0123456789abcdef"), F.substring(hx, 1, 1)) - 1) * (16**3),
+    )
+    tok = tok.select(F.col(id_col), val.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    fp = sum(
+        (
+            F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+            for b in range(1, SIMHASH_BITS)
+        ),
+        F.when(F.col("v0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for all pairs *within a block*
+    (block = LSH bucket, source, language …). Never call unblocked.
+    """
+    toks = tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("gid"),
+        F.col(block_col).alias("blk"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("gid").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .groupBy(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("gid").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("gid").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
