@@ -1,0 +1,94 @@
+"""Streaming + event-time queries over ``events``, each drained via
+Trigger.AvailableNow so the driver receives a static DataFrame it can
+hash against the DuckDB oracle (the streaming result must equal the
+batch SQL over the same input — the strongest check a streaming op can
+get).
+
+Event-time surface parity: the reference schedules work by event time
+(game_time − 15 min, `dags/031_schedule_dag_for_get_today_line_up.py:36-57`)
+and keys facts by game_date; here that becomes watermarked windows and
+stateful sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.operators.sessionize import sessionize
+from airflow_baseball_spark.schemas import load_table
+from airflow_baseball_spark.streaming import jobs
+
+_SESSION_SQL = """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sess
+"""
+
+_WINDOWED_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_windowed_counts_available_now(spark, sf_dir)
+
+
+registry.register("stream_windowed_counts", q_stream_windowed_counts, _WINDOWED_SQL)
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_sessionize_available_now(spark, sf_dir)
+
+
+registry.register("stream_sessionize", q_stream_sessionize, _SESSION_SQL)
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+registry.register("sessionize_batch", q_sessionize_batch, _SESSION_SQL)
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: pull a typed field out of the JSON
+    ``props`` column (JVM-side ``get_json_object`` — no Python UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+registry.register(
+    "events_json_extract",
+    q_events_json_extract,
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)

@@ -1,0 +1,212 @@
+"""Streaming jobs over the ``events`` table.
+
+Scale design: a file-source stream on a 1000-executor cluster reads new
+parquet files incrementally (`maxFilesPerTrigger` bounds batch size);
+the windowed aggregation is a streaming state-store agg keyed on
+(window, event_type) — state size is bounded by the watermark, which
+evicts windows older than the lateness budget. Sessionization keys the
+state store by ``user_id``; skewed users would be capped by a
+max-events-per-session guard at scale.
+
+Each job has a ``run_*_available_now`` wrapper that drains the full
+input as a bounded stream (Trigger.AvailableNow) into an in-memory sink
+and returns the final static result — this is what the driver-facing
+queries call, making the streaming path oracle-checkable against plain
+SQL over the same events.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Events parquet stores nanosecond timestamps; the streaming reader gets
+# them as longs (schema below) and rebuilds microsecond timestamps just
+# like the batch reader (schemas.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (new files would be
+    picked up incrementally on a live directory)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-source streams take a directory; pathGlobFilter scopes it to
+    # the events table (new matching files would stream in incrementally)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _drain_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DF to completion (AvailableNow) into a memory
+    sink; return the final static table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregation with watermark
+# ---------------------------------------------------------------------------
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          lateness: str = "1 hour") -> DataFrame:
+    """Tumbling-window count + sum per event_type with an event-time
+    watermark evicting state older than ``lateness``."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_counts_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    # complete mode: emit every window's final state when the bounded
+    # stream drains (append mode would hold back windows newer than the
+    # final watermark — correct for unbounded streams, not for a drain).
+    return _drain_to_memory(windowed_event_counts(ev), "complete")
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+
+def sessionize_stream(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
+    """Per-user session builder. State carries the open session across
+    micro-batches; a gap > SESSION_GAP_MIN minutes closes it. Batch-end
+    (stream drain) flushes the open session so a bounded AvailableNow
+    run returns complete results (a 24/7 deployment would keep it in
+    state with an event-time timeout instead).
+
+    The state function is deliberately a *closure*: cloudpickle ships
+    closures by value, so Python workers never need this package on
+    their PYTHONPATH (the driver may run us from any cwd).
+    """
+
+    def sessionize_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (user_id,) = key
+        if state.exists:
+            start_us, end_us, n, total = state.get
+        else:
+            start_us = end_us = None
+            n, total = 0, 0.0
+
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t_us = int(ts.value // 1_000)  # pandas ns → µs
+                v = float(value) if value == value else 0.0
+                if start_us is None:
+                    start_us, end_us, n, total = t_us, t_us, 1, v
+                elif t_us - end_us > gap_us:
+                    out.append((user_id, start_us, end_us, n, total))
+                    start_us, end_us, n, total = t_us, t_us, 1, v
+                else:
+                    end_us, n, total = t_us, n + 1, total + v
+
+        if start_us is not None:
+            out.append((user_id, start_us, end_us, n, total))
+        state.remove()
+
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                "n_events": [r[3] for r in out],
+                "total_value": [r[4] for r in out],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize_group,
+            SESSION_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    out = _drain_to_memory(sessionize_stream(ev), "append")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round(F.col("total_value"), 2).alias("total_value"),
+    )
