@@ -30,6 +30,11 @@ def media_assets(docs: DataFrame) -> DataFrame:
     """documents → media-asset table: opaque binary payload + typed
     metadata struct. media_type cycles deterministically by doc_id;
     fake dimensions derive from payload length (SQL-mirrorable)."""
+    # NOTE: deliberately NOT spread(): the downstream Pandas stages are
+    # numpy-vectorized and cheap per row, so at local scale the shuffle
+    # + per-partition python-worker spin-up costs more than it saves
+    # (measured 0.4s vs 1.0s at sf0.1); at real scale the scan itself
+    # yields many splits.
     byte_len = F.length("text")  # ASCII: chars == bytes
     return docs.select(
         F.col("doc_id").alias("asset_id"),
@@ -72,18 +77,20 @@ def decode_media(assets: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     )
 
     def decode(batches):
+        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
             payloads = pdf["payload"]
+            arrs = [np.frombuffer(b, dtype=np.uint8) for b in payloads]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(b) for b in payloads],
-                    "first_byte": [b[0] if len(b) else None for b in payloads],
-                    "last_byte": [b[-1] if len(b) else None for b in payloads],
-                    "byte_sum": [sum(b) for b in payloads],
+                    "n_bytes": [len(a) for a in arrs],
+                    "first_byte": [int(a[0]) if len(a) else None for a in arrs],
+                    "last_byte": [int(a[-1]) if len(a) else None for a in arrs],
+                    "byte_sum": [int(a.sum()) for a in arrs],
                 }
             )
 

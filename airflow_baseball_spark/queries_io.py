@@ -1,0 +1,92 @@
+"""I/O driver queries: round-trips through the engine's sinks/readers,
+verified against oracles that never leave the source parquet — if the
+round-trip corrupts anything (types, partition values, row loss), the
+hash breaks.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.io import readers, writers
+from airflow_baseball_spark.schemas import load_table
+
+_CSV_BACK_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderstatus", T.StringType()),  # partition col
+    ]
+)
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV partitioned by o_orderstatus → read back with an
+    explicit schema → aggregate. The oracle aggregates the original
+    parquet directly, so every row must survive the round-trip with
+    types intact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    writers.export_csv_partitioned(orders, out, ["o_orderstatus"])
+    back = readers.read_csv(spark, out, _CSV_BACK_SCHEMA)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+registry.register(
+    "csv_roundtrip",
+    q_csv_roundtrip,
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → JSON lines → read back (FAILFAST, explicit schema) →
+    per-nation count."""
+    cust = load_table(spark, sf_dir, "customer")
+    keep = [c for c in ("c_custkey", "c_nationkey", "c_acctbal") if c in cust.columns]
+    out = tempfile.mkdtemp(prefix="json_rt_")
+    cust.select(*keep).write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_nationkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = readers.read_json(spark, out, schema)
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("acctbal_sum"),
+    )
+
+
+registry.register(
+    "json_roundtrip",
+    q_json_roundtrip,
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum
+    FROM customer GROUP BY c_nationkey
+    """,
+)

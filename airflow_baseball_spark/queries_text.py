@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.partitioning import spread
 from airflow_baseball_spark.schemas import load_table
 from airflow_baseball_spark.text import analysis, dedup, similarity
 
@@ -23,7 +24,7 @@ from airflow_baseball_spark.text import analysis, dedup, similarity
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -74,7 +75,7 @@ registry.register(
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     scores = analysis.lang_scores(t)
     return docs.select(
@@ -114,9 +115,11 @@ registry.register(
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", analysis.doc_fingerprint(F.col("text")).alias("fingerprint")
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", analysis.tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id",
+        analysis.doc_fingerprint_from_tokens(F.col("toks")).alias("fingerprint"),
     )
 
 

@@ -47,6 +47,7 @@ def _load() -> None:
     from airflow_baseball_spark import (  # noqa: F401
         queries_core,
         queries_domain,
+        queries_io,
         queries_multimodal,
         queries_streaming,
         queries_text,

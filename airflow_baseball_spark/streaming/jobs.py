@@ -150,40 +150,62 @@ def sessionize_stream(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
     def sessionize_group(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import pandas as pd  # noqa: PLC0415 — worker-side import
+        import numpy as np  # noqa: PLC0415 — worker-side imports
+        import pandas as pd  # noqa: PLC0415
 
         (user_id,) = key
-        if state.exists:
-            start_us, end_us, n, total = state.get
-        else:
-            start_us = end_us = None
-            n, total = 0, 0.0
+        carried = state.get if state.exists else None
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            out = [carried] if carried else []
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start": pd.to_datetime([r[0] for r in out], unit="us"),
+                    "session_end": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "n_events": [r[2] for r in out],
+                    "total_value": [r[3] for r in out],
+                }
+            )
+            return
+
+        pdf = pdf.sort_values("ts")
+        ts_us = pdf["ts"].to_numpy("datetime64[ns]").astype("int64") // 1_000
+        vals = np.nan_to_num(pdf["value"].to_numpy("float64"))
+
+        prev_end = carried[1] if carried else np.iinfo("int64").min // 2
+        prev = np.concatenate(([prev_end], ts_us[:-1]))
+        sess = np.cumsum(ts_us - prev > gap_us)  # 0 joins the carried session
+        bounds = np.flatnonzero(np.diff(sess, prepend=sess[0] - 1))
+
+        starts = ts_us[bounds]
+        ends = np.append(ts_us[bounds[1:] - 1], ts_us[-1])
+        counts = np.diff(np.append(bounds, len(ts_us)))
+        totals = np.add.reduceat(vals, bounds)
 
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                t_us = int(ts.value // 1_000)  # pandas ns → µs
-                v = float(value) if value == value else 0.0
-                if start_us is None:
-                    start_us, end_us, n, total = t_us, t_us, 1, v
-                elif t_us - end_us > gap_us:
-                    out.append((user_id, start_us, end_us, n, total))
-                    start_us, end_us, n, total = t_us, t_us, 1, v
-                else:
-                    end_us, n, total = t_us, n + 1, total + v
+        if carried is not None:
+            if sess[0] == 0:  # first batch event continues the carried session
+                starts[0] = carried[0]
+                counts[0] += carried[2]
+                totals[0] += carried[3]
+            else:
+                out.append(carried)
+        out.extend(zip(starts, ends, counts, totals))
 
-        if start_us is not None:
-            out.append((user_id, start_us, end_us, n, total))
+        # Flush everything: AvailableNow drains mean end-of-input is
+        # end-of-stream (a 24/7 deployment would keep the last session
+        # in state with an event-time timeout instead).
         state.remove()
-
         yield pd.DataFrame(
             {
-                "user_id": [r[0] for r in out],
-                "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
-                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
-                "n_events": [r[3] for r in out],
-                "total_value": [r[4] for r in out],
+                "user_id": [user_id] * len(out),
+                "session_start": pd.to_datetime([r[0] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[1] for r in out], unit="us"),
+                "n_events": [int(r[2]) for r in out],
+                "total_value": [float(r[3]) for r in out],
             }
         )
 

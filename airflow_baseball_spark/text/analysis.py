@@ -116,19 +116,31 @@ def lang_id(text: Column) -> Column:
     )
 
 
-def doc_fingerprint(text: Column, n: int = 3) -> Column:
-    """Document fingerprint: minimum md5 over word n-gram windows (a
-    rolling-hash winnowing scheme with window = whole doc). Stable
-    across engines (md5 is md5 everywhere); string min is lexicographic
-    byte order in both Spark and DuckDB for hex strings.
+def doc_fingerprint_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Document fingerprint from a *materialized* token-array column:
+    minimum md5 over word n-gram windows (a rolling-hash winnowing
+    scheme with window = whole doc). Stable across engines (md5 is md5
+    everywhere); string min is lexicographic byte order in both Spark
+    and DuckDB for hex strings.
 
     Near-identical docs that share their minimal n-gram collide — the
     cheap first-pass near-dup key (reference has nothing comparable;
     this is north-star surface).
+
+    Take the tokens as a bound column, not an inline ``split``:
+    Spark does not common-subexpression-eliminate across higher-order
+    lambda bodies, so an inline tokenizer would re-split the text once
+    per window (O(len²) per doc — measured 4× slower at sf0.1).
     """
-    toks = tokens(text)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.array_min(F.transform(grams, lambda g: F.md5(g)))
+
+
+def doc_fingerprint(text: Column, n: int = 3) -> Column:
+    """Convenience form over raw text — prefer projecting
+    ``tokens(text)`` into a column first and calling
+    :func:`doc_fingerprint_from_tokens` (see its note on lambda CSE)."""
+    return doc_fingerprint_from_tokens(tokens(text), n)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from airflow_baseball_spark.partitioning import spread
 from airflow_baseball_spark.text.analysis import tokens
 
 # ---------------------------------------------------------------------------
@@ -73,7 +74,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
         F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
     ).alias("pos")
     return (
-        df.select(F.col(id_col), F.col(text_col), pos)
+        spread(df).select(F.col(id_col), F.col(text_col), pos)
         .select(F.col(id_col), F.expr(f"substring({text_col}, pos, {n})").alias("sh"))
         .distinct()
     )
@@ -102,19 +103,25 @@ def lsh_candidate_pairs(
     the join; skewed mega-buckets would be salted or truncated at
     scale (AQE skew-join handles moderate cases)."""
     rows_per_band = len(_PERMS) // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [f"sig_{b * rows_per_band + j}" for j in range(rows_per_band)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
+    # one pass: explode an in-row array of (band_id, band_hash) structs
+    # instead of a union of n_bands re-computations of the signature
+    # pipeline; the l/r join sides then share one canonical plan so the
+    # shuffle exchange is computed once and reused (ReuseExchange).
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_id"),
-                F.concat_ws("_", *cols).alias("band_hash"),
+                F.concat_ws(
+                    "_",
+                    *[f"sig_{b * rows_per_band + j}" for j in range(rows_per_band)],
+                ).alias("band_hash"),
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+        id_col, F.col("bs.band_id").alias("band_id"), F.col("bs.band_hash").alias("band_hash")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -152,7 +159,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """16-bit SimHash: per-token md5 → low 4 hex digits → bit votes →
     sign → fingerprint int. Tokens explode once; the bit dimension is
     an in-row array (no 16× row blowup)."""
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     # token hash: low 16 bits of md5 via hex digits (portable)
@@ -199,10 +206,17 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard for all pairs *within a block*
     (block = LSH bucket, source, language …). Never call unblocked.
     """
-    toks = tokens(F.col(text_col))
-    grams = df.select(
+    # materialize the token array first: higher-order lambdas get no CSE,
+    # so an inline split would re-tokenize once per n-gram window
+    toked = spread(df).select(
         F.col(id_col).alias("gid"),
         F.col(block_col).alias("blk"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    toks = F.col("toks")
+    grams = toked.select(
+        "gid",
+        "blk",
         F.explode(
             F.array_distinct(
                 F.transform(

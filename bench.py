@@ -29,8 +29,10 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark(app_name="bench")
-    # one tiny warmup action so JVM/codegen startup isn't billed to q1
+    # warmup actions so JVM/codegen + hadoop/parquet-reader init isn't
+    # billed to q1 (region is the smallest table — 5 rows)
     spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     total = 0.0
