@@ -1,0 +1,282 @@
+"""Relational breadth beyond the reference's surface: as-of / range
+joins, multi-dimensional aggregation (rollup / cube), distinct and
+approximate aggregates, exact percentiles, frame-spec windows, and
+semi / anti joins. Everything the reference *could* need next, phrased
+Spark-first with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.operators.asof import asof_join
+from airflow_baseball_spark.schemas import load_table
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the user's most recent prior error
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"), F.col("value").alias("err_value")
+    )
+    out = asof_join(purchases, errors, on=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("err_id_asof").alias("err_id"),
+        F.round("err_value_asof", 2).alias("err_value"),
+    )
+
+
+registry.register(
+    "asof_join",
+    q_asof_join,
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS err_id,
+           ROUND(r.value, 2) AS err_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Range join: views within the hour before each purchase
+# ---------------------------------------------------------------------------
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + time-range join: Catalyst plans a sort-merge join on
+    user_id with the range predicate as a post-join filter — the range
+    never explodes beyond the user's own events."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    joined = p.join(
+        v,
+        (p["user_id"] == v["user_id"])
+        & (v["v_ts"] < p["p_ts"])
+        & (v["v_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("v_ts").alias("n_views_before")
+    )
+
+
+registry.register(
+    "range_join",
+    q_range_join,
+    """
+    SELECT p.event_id AS purchase_id, COUNT(v.ts) AS n_views_before
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube
+# ---------------------------------------------------------------------------
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+registry.register(
+    "rollup_agg",
+    q_rollup,
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    )
+
+
+registry.register(
+    "cube_agg",
+    q_cube,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Distinct + approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+registry.register(
+    "count_distinct",
+    q_count_distinct,
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — rows-only check (sketches are
+    engine-specific); the accuracy bound vs exact counts is asserted in
+    tests/test_relational.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+registry.register("approx_distinct", q_approx_distinct, None)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, both NIST R-7)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+registry.register(
+    "percentiles",
+    q_percentiles,
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Frame-spec windows: lag/lead, moving average, cumulative sum
+# ---------------------------------------------------------------------------
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-3, -1)), 6).alias("mavg3"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("cum_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+registry.register(
+    "window_frames",
+    q_window_frames,
+    """
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           ROUND(AVG(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6)
+             AS mavg3,
+           ROUND(SUM(value) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
+           ROW_NUMBER() OVER w AS rn
+    FROM events WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+    without = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    return (
+        with_orders.select("c_nationkey").groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("with_orders"))
+        .unionByName(
+            without.select("c_nationkey").groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"))
+            .withColumn("kind", F.lit("without_orders"))
+        )
+    )
+
+
+registry.register(
+    "semi_anti_join",
+    q_semi_anti,
+    """
+    SELECT c_nationkey, COUNT(*) AS n, 'with_orders' AS kind
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    UNION ALL
+    SELECT c_nationkey, COUNT(*) AS n, 'without_orders' AS kind
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)

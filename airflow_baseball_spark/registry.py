@@ -49,6 +49,7 @@ def _load() -> None:
         queries_domain,
         queries_io,
         queries_multimodal,
+        queries_relational,
         queries_streaming,
         queries_text,
     )

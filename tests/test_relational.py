@@ -1,0 +1,71 @@
+"""Relational-breadth tests: approx-distinct accuracy bound and as-of
+join golden edge cases (equal timestamps, missing right partner, NULL
+fields inside the matched right row)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark.operators.asof import asof_join
+from airflow_baseball_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_within_rsd(spark):
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, n_exact in exact.items():
+        assert abs(approx[k] - n_exact) <= 0.1 * n_exact, (k, approx[k], n_exact)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),  # matches r2 (equal ts)
+            (1, _ts("2024-01-01T09:00:00"), "b"),  # matches r1
+            (1, _ts("2024-01-01T07:00:00"), "c"),  # before all right rows
+            (2, _ts("2024-01-01T12:00:00"), "d"),  # key with no right rows
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T08:00:00"), 100, None),  # r1: NULL field
+            (1, _ts("2024-01-01T10:00:00"), 200, "ok"),  # r2
+        ],
+        "user_id long, ts timestamp, code long, note string",
+    )
+    out = {
+        r["tag"]: (r["code_asof"], r["note_asof"])
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out["a"] == (200, "ok")  # equal ts matches
+    # NULL note must come from r1 itself, not be back-filled from r2
+    assert out["b"] == (100, None)
+    assert out["c"] == (None, None)
+    assert out["d"] == (None, None)
+
+
+def test_asof_join_row_count_preserved(spark):
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    e = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    assert asof_join(p, e, on=["user_id"]).count() == p.count()
