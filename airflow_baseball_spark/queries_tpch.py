@@ -1,0 +1,213 @@
+"""TPC-H-style macro queries over the driver testdata — the classic
+scan-heavy / join-heavy / selective shapes, used as the engine's
+headline perf probes (BENCH) with exact oracles. Plus the salted-agg
+skew demonstration whose oracle is the *unsalted* SQL — salting must
+change the plan, never the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.operators.salt import replicate_broadcast_join, salted_agg
+from airflow_baseball_spark.schemas import load_table
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: one scan, map-side-combinable aggregates,
+    selective date filter pushed to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).alias("sum_qty"),
+            F.sum(d("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast(
+                    "decimal(22,6)"
+                )
+            ).alias("sum_disc_price"),
+            F.round(F.avg(d("l_quantity")), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q1",
+    q_tpch_q1,
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+             AS sum_disc_price,
+           ROUND(AVG(CAST(l_quantity AS DECIMAL(18,2))), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped shipping priority: selective dim filter, fact join,
+    top-10 revenue. customer/orders broadcast-join into lineitem."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+                .select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(22,6)")
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+    return rev
+
+
+registry.register(
+    "tpch_q3ish",
+    q_tpch_q3ish,
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped local-supplier revenue: 4-way broadcast-join chain up
+    the region→nation→supplier dim hierarchy into the fact."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(22,6)")
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q5ish",
+    q_tpch_q5ish,
+    """
+    SELECT r.r_name, n.n_name,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key aggregation through the salted two-phase path; the
+    oracle is the plain GROUP BY — identical result, skew-proof plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "max_value": ("value", "max"),
+            "min_ts": ("ts", "min"),
+        },
+        salt_col="event_id",
+    )
+
+
+registry.register(
+    "salted_agg",
+    q_salted_agg,
+    """
+    SELECT event_type, COUNT(event_id) AS n_events,
+           MAX(value) AS max_value, MIN(ts) AS min_ts
+    FROM events GROUP BY 1
+    """,
+)
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof replicated join of the events fact against a derived
+    per-type dim; oracle is the plain join."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("type_avg")
+    )
+    joined = replicate_broadcast_join(
+        ev.select("event_id", "event_type", "value"),
+        dim,
+        on=["event_type"],
+        salt_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        (F.col("value") > F.col("type_avg")).cast("int").alias("above_avg"),
+    )
+
+
+registry.register(
+    "salted_join",
+    q_salted_join,
+    """
+    WITH dim AS (
+      SELECT event_type, ROUND(AVG(value), 6) AS type_avg
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(e.value > d.type_avg AS INT) AS above_avg
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)

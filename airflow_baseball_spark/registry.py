@@ -52,6 +52,7 @@ def _load() -> None:
         queries_relational,
         queries_streaming,
         queries_text,
+        queries_tpch,
     )
 
     _LOADED = True

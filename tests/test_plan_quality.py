@@ -1,0 +1,83 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI:
+
+* filters/pruning reach the parquet scan (PushedFilters / ReadSchema);
+* dim joins broadcast (no sort-merge against a 5-row region table);
+* hot paths stay inside whole-stage codegen;
+* no cartesian products anywhere in registered plans.
+
+These guard the *plan*, not the result — a regression here is invisible
+to the oracle diff but catastrophic at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark.queries_tpch import q_tpch_q1, q_tpch_q3ish, q_tpch_q5ish
+from airflow_baseball_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1995-01-01")
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    # scan schema carries only the 2 projected columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_orderkey" in read[0] and "l_extendedprice" not in read[0]
+
+
+def test_dim_joins_broadcast(spark):
+    for q in (q_tpch_q3ish, q_tpch_q5ish):
+        plan = _plan(q(spark, SF))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(q_tpch_q1(spark, SF))
+    # two HashAggregates (partial + final) → map-side combine before
+    # the shuffle, so the exchange carries |groups| rows per partition
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_whole_stage_codegen_on_scan_pipeline(spark):
+    # AQE finalizes plans only at execution — collect, then inspect
+    df = (
+        load_table(spark, SF, "lineitem")
+        .filter(F.col("l_quantity") > 49.9)
+        .select("l_orderkey", "l_quantity")
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # whole-stage codegen stages render as "*(n)" in the executed plan
+    assert "*(" in final
+
+
+def test_no_cartesian_products_in_registry(spark):
+    """Every registered plan must be free of cartesian products;
+    broadcast nested-loop is tolerated only for the deliberate
+    1-row league-scalar cross joins."""
+    from airflow_baseball_spark import registry
+
+    skip = set()  # none currently expected to need it
+    for name, fn in registry.queries().items():
+        if name in skip or name.startswith("stream_"):
+            continue  # streaming plans materialize eagerly
+        df = fn(spark, SF)
+        assert "CartesianProduct" not in _plan(df), name
