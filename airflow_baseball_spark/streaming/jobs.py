@@ -135,12 +135,27 @@ _STATE_SCHEMA = T.StructType(
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 
-def sessionize_stream(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_us: int = _GAP_US,
+    flush_open_at_batch_end: bool = True,
+) -> DataFrame:
     """Per-user session builder. State carries the open session across
-    micro-batches; a gap > SESSION_GAP_MIN minutes closes it. Batch-end
-    (stream drain) flushes the open session so a bounded AvailableNow
-    run returns complete results (a 24/7 deployment would keep it in
-    state with an event-time timeout instead).
+    micro-batches; a gap > SESSION_GAP_MIN minutes closes it.
+
+    Two modes:
+
+    * ``flush_open_at_batch_end=True`` (bounded drains): end-of-input
+      is end-of-stream, so each batch flushes everything — complete
+      output for AvailableNow runs over a SINGLE batch. (With multiple
+      batches this mode splits sessions that straddle a batch boundary
+      — use the streaming mode below.)
+    * ``flush_open_at_batch_end=False`` (24/7 streaming): closed
+      sessions emit as soon as the gap passes; the open session stays
+      in state with an event-time timeout at ``end + gap``, so it emits
+      once the watermark proves no earlier event can still arrive.
+      Sessions spanning micro-batches merge correctly via the carried
+      state (tests/test_streaming.py drives a 3-batch replay).
 
     The state function is deliberately a *closure*: cloudpickle ships
     closures by value, so Python workers never need this package on
@@ -154,21 +169,30 @@ def sessionize_stream(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
         import pandas as pd  # noqa: PLC0415
 
         (user_id,) = key
-        carried = state.get if state.exists else None
 
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if not len(pdf):
-            out = [carried] if carried else []
-            state.remove()
-            yield pd.DataFrame(
+        def emit(rows):
+            return pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(out),
-                    "session_start": pd.to_datetime([r[0] for r in out], unit="us"),
-                    "session_end": pd.to_datetime([r[1] for r in out], unit="us"),
-                    "n_events": [r[2] for r in out],
-                    "total_value": [r[3] for r in out],
+                    "user_id": [user_id] * len(rows),
+                    "session_start": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "session_end": pd.to_datetime([r[1] for r in rows], unit="us"),
+                    "n_events": [int(r[2]) for r in rows],
+                    "total_value": [float(r[3]) for r in rows],
                 }
             )
+
+        carried = tuple(state.get) if state.exists else None
+
+        if state.hasTimedOut:
+            # watermark passed end+gap: the held session is final
+            state.remove()
+            yield emit([carried] if carried else [])
+            return
+
+        chunks = [c for c in pdfs if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        if pdf is None or not len(pdf):
+            yield emit([])
             return
 
         pdf = pdf.sort_values("ts")
@@ -195,20 +219,24 @@ def sessionize_stream(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
                 out.append(carried)
         out.extend(zip(starts, ends, counts, totals))
 
-        # Flush everything: AvailableNow drains mean end-of-input is
-        # end-of-stream (a 24/7 deployment would keep the last session
-        # in state with an event-time timeout instead).
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(out),
-                "session_start": pd.to_datetime([r[0] for r in out], unit="us"),
-                "session_end": pd.to_datetime([r[1] for r in out], unit="us"),
-                "n_events": [int(r[2]) for r in out],
-                "total_value": [float(r[3]) for r in out],
-            }
-        )
+        if flush_open_at_batch_end:
+            state.remove()
+            yield emit(out)
+        else:
+            *closed, open_sess = out
+            open_sess = tuple(
+                (int(v) if i < 3 else float(v)) for i, v in enumerate(open_sess)
+            )
+            state.update(open_sess)
+            # emit once the watermark passes end+gap (ms for the API)
+            state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1_000)
+            yield emit(closed)
 
+    timeout_mode = (
+        GroupStateTimeout.NoTimeout
+        if flush_open_at_batch_end
+        else GroupStateTimeout.EventTimeTimeout
+    )
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -217,7 +245,7 @@ def sessionize_stream(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
             SESSION_SCHEMA,
             _STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            timeout_mode,
         )
     )
 

@@ -1,0 +1,127 @@
+"""Streaming-mode tests the oracle can't see: cross-batch state carry.
+
+A 4-file replay (maxFilesPerTrigger=1 → 4 micro-batches) drives
+``sessionize_stream(flush_open_at_batch_end=False)``:
+
+* user 100's session straddles the file-1/file-2 boundary → must merge
+  via carried state, not split;
+* a gap inside file 2 closes the first session → emitted immediately;
+* files 3 and 4 carry far-future sentinel events (other users) that
+  advance the GLOBAL watermark past ``end + gap`` of users 100/200's
+  last sessions, so their held sessions flush via event-time timeout in
+  batch 4.
+
+Expected output for users 100/200 == the batch gap-and-islands result.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark.operators.sessionize import sessionize
+from airflow_baseball_spark.streaming import jobs
+
+T0 = pd.Timestamp("2024-01-01 00:00:00").value  # ns epoch
+
+
+def _ns(minutes: float) -> int:
+    return T0 + int(minutes * 60 * 1e9)
+
+
+def _write(path: str, rows: list[tuple], mtime: float) -> None:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+@pytest.fixture(scope="module")
+def replay_dir():
+    d = tempfile.mkdtemp(prefix="stream_replay_")
+    # file 1: user 100 starts a session; user 200 one event
+    _write(f"{d}/01.parquet", [
+        (1, _ns(0), 100, 1.0),
+        (2, _ns(10), 100, 2.0),
+        (3, _ns(5), 200, 5.0),
+    ], mtime=1_700_000_001)
+    # file 2: user 100 continues within gap (25 min after _ns(10)) —
+    # must MERGE with the carried session; then a >30min gap opens a
+    # second session
+    _write(f"{d}/02.parquet", [
+        (4, _ns(35), 100, 3.0),
+        (5, _ns(120), 100, 4.0),
+    ], mtime=1_700_000_002)
+    # files 3+4: sentinel users far in the future push the global
+    # watermark beyond everyone's end+gap; batch 4 fires the timeouts
+    _write(f"{d}/03.parquet", [(6, _ns(60 * 24 * 7), 901, 0.0)], mtime=1_700_000_003)
+    _write(f"{d}/04.parquet", [(7, _ns(60 * 24 * 14), 902, 0.0)], mtime=1_700_000_004)
+    return d
+
+
+def test_cross_batch_sessions_match_batch_oracle(spark, replay_dir):
+    # read_events_stream's pathGlobFilter targets events.parquet; here
+    # we stream the replay files directly
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = jobs._drain_to_memory(
+        jobs.sessionize_stream(stream, flush_open_at_batch_end=False), "append"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 2))
+        for r in out.filter(F.col("user_id") < 900).collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [100, 100, 200, 100, 100],
+                "ts": pd.to_datetime(
+                    [_ns(0), _ns(10), _ns(5), _ns(35), _ns(120)]
+                ),
+                "value": [1.0, 2.0, 5.0, 3.0, 4.0],
+            }
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 2))
+        for r in sessionize(batch_df).collect()
+    }
+    assert got == want
+    # and specifically: the straddling session merged, not split
+    assert (100, pd.Timestamp("2024-01-01 00:00:00"),
+            pd.Timestamp("2024-01-01 00:35:00"), 3, 6.0) in got
+
+
+def test_single_batch_drain_still_flushes_everything(spark, replay_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA).parquet(replay_dir)
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = jobs._drain_to_memory(
+        jobs.sessionize_stream(stream, flush_open_at_batch_end=True), "append"
+    )
+    # every user's sessions emitted, including sentinels
+    assert out.filter(F.col("user_id") < 900).count() == 3
+    assert out.filter(F.col("user_id") >= 900).count() == 2
