@@ -50,6 +50,7 @@ def _load() -> None:
         queries_io,
         queries_multimodal,
         queries_relational,
+        queries_sampling,
         queries_streaming,
         queries_text,
         queries_tpch,
