@@ -216,6 +216,38 @@ def _lsh_pairs_sql() -> str:
 registry.register("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_pairs_sql())
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs → single-link duplicate clusters via iterative
+    min-label propagation (operators/connected_components.py); the
+    oracle closes the same pair graph with a recursive CTE."""
+    from airflow_baseball_spark.operators.connected_components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    return dedup_clusters(docs, pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    edges AS ({_lsh_pairs_sql()}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS root
+             FROM reach GROUP BY u)
+    SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS cluster_root
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+registry.register("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql())
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 

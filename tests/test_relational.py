@@ -69,3 +69,26 @@ def test_asof_join_row_count_preserved(spark):
     p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
     e = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
     assert asof_join(p, e, on=["user_id"]).count() == p.count()
+
+
+def test_connected_components_golden(spark):
+    """Two chains and a singleton: {1-2-3-4}, {10-11}, node 20 isolated
+    (only in df, no edges). Roots are component minima."""
+    from airflow_baseball_spark.operators.connected_components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["root"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], ["doc_id"])
+    clustered = {
+        r["doc_id"]: r["cluster_root"] for r in dedup_clusters(docs, edges).collect()
+    }
+    assert clustered == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
