@@ -83,16 +83,31 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """One row per doc: sig_0..sig_{k-1} minhash values. The explode →
-    min aggregation benefits from map-side partial aggregation; no
-    document text crosses the shuffle."""
-    sh = shingles(df, text_col, id_col)
-    code = shingle_code(F.col("sh"))
+    """One row per doc: sig_0..sig_{k-1} minhash values.
+
+    ``min`` is insensitive to duplicate shingles, so no distinct (and
+    its full (id, shingle-string) shuffle) is needed: integer shingle
+    codes are computed straight off the text (no shingle strings ever
+    materialize), exploded, and min-aggregated — map-side partial
+    aggregation collapses each partition to one row per doc before the
+    (tiny: id + k longs) shuffle."""
+    text = F.col(text_col)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - 4, F.lit(1)))
+    ).alias("pos")
+    code = F.ascii(F.substring(text, F.col("pos"), F.lit(1))).cast("long")
+    for i in range(1, 5):
+        code = code * 31 + F.ascii(
+            F.substring(text, F.col("pos") + i, F.lit(1))
+        ).cast("long")
+    coded = spread(df).select(F.col(id_col), text, pos).select(
+        F.col(id_col), code.alias("code")
+    )
     aggs = [
-        F.min((F.lit(a) * code + F.lit(b)) % _P).alias(f"sig_{i}")
+        F.min((F.lit(a) * F.col("code") + F.lit(b)) % _P).alias(f"sig_{i}")
         for i, (a, b) in enumerate(_PERMS)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return coded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
