@@ -90,3 +90,35 @@ registry.register(
     FROM customer GROUP BY c_nationkey
     """,
 )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC → read back → per-nation aggregate. ORC is the
+    second columnar format large estates standardize on; the oracle
+    aggregates the source parquet, so types and rows must survive."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    sup.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("acctbal_sum"),
+        F.min("s_suppkey").alias("min_key"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
+registry.register(
+    "orc_roundtrip",
+    q_orc_roundtrip,
+    """
+    SELECT s_nationkey,
+           COUNT(*) AS n_supp,
+           SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS acctbal_sum,
+           MIN(s_suppkey) AS min_key,
+           MAX(s_suppkey) AS max_key
+    FROM supplier GROUP BY s_nationkey
+    """,
+)

@@ -143,6 +143,108 @@ registry.register(
 )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    detail, per-flag, and grand-total levels in one pass — Spark expands
+    to a single Expand + hash-agg, one scan instead of three."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+registry.register(
+    "grouping_sets",
+    q_grouping_sets,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: one column per l_linestatus value. Pivot values are
+    declared explicitly — without them Spark runs an extra distinct job
+    to discover them (a full scan + shuffle, and a nondeterministic
+    column order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+registry.register(
+    "pivot_agg",
+    q_pivot,
+    """
+    SELECT l_returnflag,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             FILTER (WHERE l_linestatus = 'F') AS qty_f,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             FILTER (WHERE l_linestatus = 'O') AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide measures back to long (measure, value) rows —
+    in-row Expand, no shuffle beyond the feeding aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double").alias("disc"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "price", "disc"], "measure", "value")
+
+
+registry.register(
+    "unpivot_melt",
+    q_unpivot,
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price', price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'disc', disc FROM wide
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Distinct + approximate aggregates
 # ---------------------------------------------------------------------------

@@ -73,6 +73,33 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 registry.register("sessionize_batch", q_sessionize_batch, _SESSION_SQL)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_stream_dedup_available_now(spark, sf_dir)
+
+
+registry.register(
+    "stream_dedup",
+    q_stream_dedup,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_stream_static_join_available_now(spark, sf_dir)
+
+
+registry.register(
+    "stream_static_join",
+    q_stream_static_join,
+    """
+    SELECT n_name, COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured projection: pull a typed field out of the JSON
     ``props`` column. ``from_json`` with an explicit schema parses each

@@ -250,6 +250,58 @@ def sessionize_stream(
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_keys_stream(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Streaming key dedup: first occurrence of each (user_id,
+    event_type) pair passes, repeats within the watermark window are
+    dropped. State holds one entry per distinct key and is evicted once
+    the watermark passes — bounded memory on an unbounded stream (plain
+    ``dropDuplicates`` would grow state forever). Only the key columns
+    are emitted so the result is the deterministic distinct-key set
+    regardless of which physical row arrived first."""
+    return (
+        events.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def run_stream_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(dedup_keys_stream(ev), "append")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join
+# ---------------------------------------------------------------------------
+
+
+def stream_static_enrich(events: DataFrame, nation: DataFrame) -> DataFrame:
+    """Enrich a stream against a static dimension (broadcast — the dim
+    never shuffles and is re-read per micro-batch, so slowly-changing
+    dims pick up updates), then aggregate per dim attribute."""
+    joined = events.join(
+        F.broadcast(nation),
+        (F.col("user_id") % 25) == F.col("n_nationkey"),
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+
+
+def run_stream_static_join_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_baseball_spark.schemas import load_table  # noqa: PLC0415 — cycle guard
+
+    ev = read_events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return _drain_to_memory(stream_static_enrich(ev, nation), "complete")
+
+
 def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     out = _drain_to_memory(sessionize_stream(ev), "append")

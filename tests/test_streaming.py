@@ -125,3 +125,19 @@ def test_single_batch_drain_still_flushes_everything(spark, replay_dir):
     # every user's sessions emitted, including sentinels
     assert out.filter(F.col("user_id") < 900).count() == 3
     assert out.filter(F.col("user_id") >= 900).count() == 2
+
+
+def test_stream_dedup_dedups_across_batches(spark, replay_dir):
+    """A key seen in batch 1 and again in batch 2 (within the watermark)
+    must emit exactly once; distinct keys all appear."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = jobs._drain_to_memory(jobs.dedup_keys_stream(stream), "append")
+    rows = [(r["user_id"], r["event_type"]) for r in out.collect()]
+    # user 100 appears in files 1 AND 2 — state must swallow the repeat
+    assert sorted(rows) == [(100, "x"), (200, "x"), (901, "x"), (902, "x")]
