@@ -382,3 +382,126 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Set operators
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as physical aggregates, not sorts: customers
+    ordering in both 1994 and 1995, and in 1994 but never after. Each
+    branch reduces to custkey sets before the set op, so only distinct
+    keys shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year(F.to_date("o_orderdate"))
+    y94 = orders.filter(year == 1994).select("o_custkey")
+    y95 = orders.filter(year == 1995).select("o_custkey")
+    both = y94.intersect(y95).withColumn("kind", F.lit("both_years"))
+    only94 = y94.exceptAll(y95.distinct()).distinct().withColumn(
+        "kind", F.lit("only_1994")
+    )
+    return both.unionByName(only94)
+
+
+registry.register(
+    "set_ops",
+    q_set_ops,
+    """
+    SELECT o_custkey, 'both_years' AS kind FROM (
+      SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+    )
+    UNION ALL
+    SELECT o_custkey, 'only_1994' FROM (
+      SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+    )
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function suite
+# ---------------------------------------------------------------------------
+
+
+def q_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / cume_dist in one
+    window pass per partition key (all share one sort — one shuffle,
+    one per-partition sort at any scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+registry.register(
+    "ranking_suite",
+    q_ranking_suite,
+    """
+    SELECT c_nationkey, c_custkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Array functions over the embedding column
+# ---------------------------------------------------------------------------
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column algebra entirely in-row with higher-order
+    functions (zero shuffle, zero Python): dims, L2 norm, max element,
+    and the normalized first component."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    sq_sum = F.aggregate(
+        v,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dims"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_elem"),
+        F.round(v[0].cast("double") / F.sqrt(sq_sum), 6).alias("first_unit"),
+    )
+
+
+registry.register(
+    "array_ops",
+    q_array_ops,
+    """
+    SELECT vec_id,
+           len(embedding) AS dims,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
+           ROUND(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS first_unit
+    FROM embeddings
+    """,
+)
