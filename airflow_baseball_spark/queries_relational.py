@@ -505,3 +505,50 @@ registry.register(
     FROM embeddings
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both join sides bucketed on the key, then join + aggregate
+    reading the buckets — the join itself runs with no Exchange (see
+    tests/test_bucketing.py for the plan assertion). At 100 TB the
+    bucketed write is paid once and every downstream key-join rides
+    free."""
+    import tempfile  # noqa: PLC0415 — stdlib, query-local
+
+    from airflow_baseball_spark.operators.bucketing import (  # noqa: PLC0415
+        ensure_temp_database,
+        write_bucketed,
+    )
+
+    ensure_temp_database(spark, "bkt_q", tempfile.mkdtemp(prefix="bkt_q_"))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    write_bucketed(orders, "bkt_q.orders_b", ["o_custkey"], n_buckets=8)
+    write_bucketed(cust, "bkt_q.customer_b", ["c_custkey"], n_buckets=8)
+    o = spark.table("bkt_q.orders_b")
+    c = spark.table("bkt_q.customer_b")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
+registry.register(
+    "bucketed_join",
+    q_bucketed_join,
+    """
+    SELECT c_nationkey, COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
