@@ -390,3 +390,121 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 registry.register("ivf_topk", q_ivf_topk, None)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, two shuffles total: (doc, term)-count groupBy,
+    then term document-frequency groupBy broadcast back onto the term
+    rows (df table ≈ vocabulary size — broadcastable even at corpus
+    scale after a min-df cut). N comes from a 1-row agg cross join, not
+    a collect. idf = ln((N+1)/(df+1)) + 1 (smoothed)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(analysis.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= 2)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+registry.register(
+    "tfidf",
+    q_tfidf,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, tf.term, tf, df,
+           ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN dft ON tf.term = dft.term, n
+    WHERE df >= 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# K-means assignment (IVF coarse-quantizer step, oracle-verified)
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step: nearest of 8 fixed centroids by
+    squared L2, computed in-row against broadcast centroids (the
+    oracle-checked version of ivf_topk's coarse quantizer; a full Lloyd
+    iteration re-averages members per cluster — a groupBy away)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc + d,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.round(dist, 6).alias("d2")
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("centroid_id"), F.col("d2").alias("dist_sq"))
+    )
+
+
+registry.register(
+    "kmeans_assign",
+    q_kmeans_assign,
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))),
+                   6) AS d2
+      FROM embeddings e, c
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM scored
+    )
+    SELECT vec_id, cid AS centroid_id, d2 AS dist_sq FROM ranked WHERE rn = 1
+    """,
+)
