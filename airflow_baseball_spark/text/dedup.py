@@ -55,8 +55,15 @@ _P = 1_000_003
 _PERMS: list[tuple[int, int]] = [
     (131, 7), (137, 11), (139, 13), (149, 17),
     (151, 19), (157, 23), (163, 29), (167, 31),
+    (173, 37), (179, 41), (181, 43), (191, 47),
+    (193, 53), (197, 59), (199, 61), (211, 67),
 ]
-N_BANDS = 4  # 8 sigs → 4 bands × 2 rows
+# 16 sigs → 4 bands × 4 rows: the banding s-curve sits at
+# (1/b)^(1/r) ≈ 0.71 Jaccard — r=2 (threshold 0.5) floods candidate
+# generation with false-positive pairs (measured 392k pairs from 5k
+# docs at sf0.1; the within-bucket join is THE quadratic risk at
+# 100 TB). r=4 keeps recall ≈0.99 at J=0.9 while buckets stay tiny.
+N_BANDS = 4
 
 
 def shingle_code(sh: Column) -> Column:
