@@ -32,10 +32,13 @@ def connected_components(
 ) -> DataFrame:
     """(node, root) for every node appearing in ``edges``; root is the
     minimum node id reachable in the undirected graph."""
+    # no distinct: duplicate edges cannot change a min-aggregate, and
+    # (u,v)⊎(v,u) cannot collide when pairs arrive ordered (id_a <
+    # id_b, as LSH emits them) — so deduping here would be one full
+    # extra shuffle of the edge list for nothing.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
         .localCheckpoint()
     )
     labels = (
@@ -51,14 +54,32 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_min") < F.col("label")).alias("__changed"),
+                ).alias("mid"),
+            )
+            .localCheckpoint()
+        )
+        # pointer jump (path halving): label ← label's label. Labels
+        # are monotone (label(x) ≤ x), so label(mid) ≤ mid and the
+        # jump only improves. Halves remaining component diameter each
+        # round → O(log d) rounds instead of O(d).
+        jump = stepped.select(
+            F.col("node").alias("jn"), F.col("mid").alias("jl")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["mid"] == jump["jn"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("jl"), F.col("mid")).alias("label"),
+                (F.coalesce(F.col("jl"), F.col("mid")) < F.col("old")).alias(
+                    "__changed"
+                ),
             )
             .localCheckpoint()
         )

@@ -217,14 +217,17 @@ registry.register("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_pairs_sql())
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH pairs → single-link duplicate clusters via iterative
-    min-label propagation (operators/connected_components.py); the
-    oracle closes the same pair graph with a recursive CTE."""
+    """LSH buckets → single-link duplicate clusters via iterative
+    min-label propagation (operators/connected_components.py) over
+    star-contracted bucket edges (same components as the all-pairs
+    graph, O(bucket) not O(bucket²) edges); the oracle closes the
+    all-pairs graph with a recursive CTE — components are identical by
+    construction."""
     from airflow_baseball_spark.operators.connected_components import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
-    return dedup_clusters(docs, pairs)
+    edges = dedup.lsh_candidate_edges(dedup.minhash_signatures(docs))
+    return dedup_clusters(docs, edges)
 
 
 def _dedup_clusters_sql() -> str:

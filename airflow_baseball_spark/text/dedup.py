@@ -92,43 +92,58 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: sig_0..sig_{k-1} minhash values.
 
-    ``min`` is insensitive to duplicate shingles, so no distinct (and
-    its full (id, shingle-string) shuffle) is needed: integer shingle
-    codes are computed straight off the text (no shingle strings ever
-    materialize), exploded, and min-aggregated — map-side partial
-    aggregation collapses each partition to one row per doc before the
-    (tiny: id + k longs) shuffle."""
+    Fully in-row — ZERO shuffle, ZERO row blowup. ``min`` is
+    insensitive to duplicate shingles, so instead of exploding one row
+    per character position and min-aggregating (a ~100× row blowup plus
+    a groupBy exchange), the whole signature is computed with
+    higher-order functions: char-code array once (each char converted
+    once, not 5×), rolling-polynomial shingle codes, then k
+    ``array_min`` permutation scans. At 100 TB this is a pure map
+    stage — signatures stream out of the scan with no exchange at all.
+
+    Staged as three projections (chars → codes → sigs); Catalyst's
+    CollapseProject keeps multi-referenced non-cheap expressions
+    materialized per stage rather than inlining the code array into
+    all k permutation scans."""
     text = F.col(text_col)
-    pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length(text) - 4, F.lit(1)))
-    ).alias("pos")
-    code = F.ascii(F.substring(text, F.col("pos"), F.lit(1))).cast("long")
-    for i in range(1, 5):
-        code = code * 31 + F.ascii(
-            F.substring(text, F.col("pos") + i, F.lit(1))
-        ).cast("long")
-    coded = spread(df).select(F.col(id_col), text, pos).select(
-        F.col(id_col), code.alias("code")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1))),
+        lambda p: F.ascii(F.substring(text, p, F.lit(1))).cast("long"),
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("code") + F.lit(b)) % _P).alias(f"sig_{i}")
+    staged = spread(df).select(F.col(id_col), chars.alias("__chars"))
+
+    def shingle(p: Column) -> Column:
+        # chars beyond end → ascii('') = 0, matching substring overrun
+        code = F.coalesce(F.get(F.col("__chars"), p - 1), F.lit(0))
+        for i in range(1, 5):
+            code = code * 31 + F.coalesce(
+                F.get(F.col("__chars"), p + (i - 1)), F.lit(0)
+            )
+        return code
+
+    codes = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("__chars") - 4, F.lit(1))
+        ),
+        shingle,
+    )
+    coded = staged.select(F.col(id_col), codes.alias("__codes"))
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("__codes"), lambda c: (F.lit(a) * c + F.lit(b)) % _P
+            )
+        ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(_PERMS)
     ]
-    return coded.groupBy(id_col).agg(*aggs)
+    return coded.select(F.col(id_col), *sigs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
-) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any band of their
-    signature. Shuffle key = (band_id, band_hash) — bucket sizes bound
-    the join; skewed mega-buckets would be salted or truncated at
-    scale (AQE skew-join handles moderate cases)."""
+def _banded(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """(id, band_id, band_hash) — one row per signature band, via one
+    in-row array explode (not a union of n_bands re-computations of
+    the signature pipeline)."""
     rows_per_band = len(_PERMS) // n_bands
-    # one pass: explode an in-row array of (band_id, band_hash) structs
-    # instead of a union of n_bands re-computations of the signature
-    # pipeline; the l/r join sides then share one canonical plan so the
-    # shuffle exchange is computed once and reused (ReuseExchange).
     band_structs = F.array(
         *[
             F.struct(
@@ -141,9 +156,21 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
         id_col, F.col("bs.band_id").alias("band_id"), F.col("bs.band_hash").alias("band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band of their
+    signature. Shuffle key = (band_id, band_hash) — bucket sizes bound
+    the join; skewed mega-buckets would be salted or truncated at
+    scale (AQE skew-join handles moderate cases). The l/r join sides
+    share one canonical plan so the shuffle exchange is computed once
+    and reused (ReuseExchange)."""
+    banded = _banded(sigs, id_col, n_bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -156,6 +183,31 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+
+
+def lsh_candidate_edges(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
+) -> DataFrame:
+    """Star-contracted candidate edges for CLUSTERING: within each
+    (band_id, band_hash) bucket, connect every doc to the bucket's
+    min-id doc instead of to every other doc. Connectivity (and thus
+    the connected components) is identical to ``lsh_candidate_pairs``,
+    but a bucket of m near-identical docs yields m−1 edges instead of
+    m(m−1)/2 — the quadratic bucket blowup, THE failure mode of
+    LSH-dedup on a 100 TB corpus full of boilerplate, never happens.
+    Star edges also collapse component diameter, so label propagation
+    converges in a couple of rounds. One window-min shuffle, no
+    self-join."""
+    from pyspark.sql import Window
+
+    banded = _banded(sigs, id_col, n_bands)
+    w = Window.partitionBy("band_id", "band_hash")
+    return (
+        banded.withColumn("hub", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
 
