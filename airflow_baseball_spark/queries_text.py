@@ -256,9 +256,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
+    hd = dedup.SIMHASH_BITS // 4
     digit = "(strpos('0123456789abcdef', substring(hx, {i}, 1)) - 1)"
     val = " + ".join(
-        f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+        f"{digit.format(i=i + 1)} * {16 ** (hd - 1 - i)}" for i in range(hd)
     )
     votes = ",\n             ".join(
         f"SUM(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -273,7 +274,7 @@ def _simhash_sql() -> str:
       SELECT doc_id, unnest({_TOKS}) AS t FROM documents
     ),
     hashed AS (
-      SELECT doc_id, substring(md5(t), 29, 4) AS hx FROM tok
+      SELECT doc_id, substring(md5(t), {33 - hd}, {hd}) AS hx FROM tok
     ),
     vals AS (SELECT doc_id, {val} AS h FROM hashed),
     votes AS (
@@ -511,3 +512,174 @@ registry.register(
     SELECT vec_id, cid AS centroid_id, d2 AS dist_sq FROM ranked WHERE rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SimHash candidate pairs (Hamming-bucketed)
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(fps)
+
+
+def _simhash_pairs_sql() -> str:
+    bits = dedup.SIMHASH_BITS // 4
+    mask = (1 << bits) - 1
+    blocks = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS block_id,"
+        f" (simhash >> {b * 4}) & 15 AS block_val FROM fps"
+        for b in range(4)
+    )
+    return f"""
+    WITH fps AS ({_simhash_sql()}),
+    blocks AS (
+      {blocks}
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           bit_count(xor(l.simhash, r.simhash)) AS hamming
+    FROM blocks l JOIN blocks r
+      ON l.block_id = r.block_id AND l.block_val = r.block_val
+     AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """
+
+
+registry.register("simhash_pairs", q_simhash_pairs, _simhash_pairs_sql())
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality rules
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analysis.gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+registry.register(
+    "gopher_quality",
+    q_gopher_quality,
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    in_row AS (
+      SELECT doc_id, len(toks) AS n_words,
+             ROUND(CASE WHEN len(toks) > 0
+                   THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS dup_word_frac
+      FROM toked
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')
+             )) AS gram
+      FROM toked
+    ),
+    counts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+    per_doc AS (SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS total_grams
+                FROM counts GROUP BY 1)
+    SELECT i.doc_id, i.n_words, i.dup_word_frac,
+           ROUND(COALESCE(p.top_cnt / CAST(p.total_grams AS DOUBLE), 0.0), 6)
+             AS top_bigram_share,
+           (i.dup_word_frac <= 0.3 AND
+            ROUND(COALESCE(p.top_cnt / CAST(p.total_grams AS DOUBLE), 0.0), 6)
+              <= 0.2) AS keep
+    FROM in_row i LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# n-gram benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.ngram_decontam(corpus, bench)
+
+
+registry.register(
+    "ngram_decontam",
+    q_ngram_decontam,
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(toks) - 8, 0)),
+               i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             ))) AS gram
+      FROM toked
+    ),
+    bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+    FROM grams g JOIN bg USING (gram)
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hyperplane_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def _hyperplane_sql() -> str:
+    hp_bits = similarity._HP_PLANES // similarity._HP_BANDS
+    hp_mask = (1 << hp_bits) - 1
+    bit_terms = []
+    for p in range(similarity._HP_PLANES):
+        w = "[" + ", ".join(str(v) for v in similarity.HP_WEIGHTS[p]) + "]"
+        bit_terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(q, {w}), "
+            f"z -> z[1] * z[2])) >= 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    fp = "\n           + ".join(bit_terms)
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {b} AS band_id,"
+        f" (hp_fp >> {b * hp_bits}) & {hp_mask} AS band_val FROM fps"
+        for b in range(similarity._HP_BANDS)
+    )
+    cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    fps AS (
+      SELECT vec_id,
+           {fp}
+           AS hp_fp
+      FROM qv
+    ),
+    banded AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_val = r.band_val
+       AND l.vec_id < r.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {cos} > 0.3e0
+    """
+
+
+registry.register("hyperplane_lsh_pairs", q_hyperplane_lsh_pairs, _hyperplane_sql())

@@ -144,3 +144,81 @@ def doc_fingerprint(text: Column, n: int = 3) -> Column:
     ``tokens(text)`` into a column first and calling
     :func:`doc_fingerprint_from_tokens` (see its note on lambda CSE)."""
     return doc_fingerprint_from_tokens(tokens(text), n)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality rules
+# ---------------------------------------------------------------------------
+
+
+def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition metrics in the style of the Gopher /
+    MassiveText quality rules (Rae et al. 2021, table A1): fraction of
+    duplicate words and the share of the single most frequent word
+    bigram, plus a composite keep flag.
+
+    ``dup_word_frac`` is fully in-row (``array_distinct`` — zero
+    shuffle). ``top_bigram_share`` needs the per-doc mode, which is an
+    explode → count → window-max keyed BY DOC — the groupBy key is
+    (doc_id, gram) so map-side partial aggregation collapses each
+    partition's repeats before the shuffle, and no key ever exceeds a
+    single document's gram count: embarrassingly scalable, skew-free.
+
+    Thresholds (keep if dup_word_frac ≤ 0.3 and top_bigram_share ≤
+    0.2) follow the published MassiveText cuts.
+    """
+    from pyspark.sql import DataFrame, Window  # local: keep module header light
+    from airflow_baseball_spark.partitioning import spread
+
+    toks_col = tokens(F.col(text_col))
+    base = spread(df).select(
+        F.col(id_col),
+        toks_col.alias("__toks"),
+    )
+    in_row = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_words"),
+        F.round(
+            F.when(
+                F.size("__toks") > 0,
+                1.0
+                - F.size(F.array_distinct("__toks"))
+                / F.size("__toks").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_word_frac"),
+        F.col("__toks"),
+    )
+    bigrams = in_row.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("__toks") - 2, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
+            )
+        ).alias("gram"),
+    )
+    counts = bigrams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("total_grams")
+    )
+    return (
+        in_row.drop("__toks")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_frac",
+            F.round(
+                F.coalesce(
+                    F.col("top_cnt") / F.col("total_grams").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_share"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_word_frac") <= 0.3) & (F.col("top_bigram_share") <= 0.2),
+        )
+    )

@@ -226,25 +226,33 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+# 32 bits so Hamming blocks are 8-bit (256-value buckets): 4-bit
+# blocks cap the bucket keyspace at 16 values, mega-bucketing any
+# real corpus (measured 3M+ candidate pairs from 5k docs) — the
+# bucket join must never be quadratic in corpus size.
+SIMHASH_BITS = 32
+_HEX_DIGITS = SIMHASH_BITS // 4
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash: per-token md5 → low 4 hex digits → bit votes →
-    sign → fingerprint int. Tokens explode once; the bit dimension is
-    an in-row array (no 16× row blowup)."""
+    """SimHash fingerprint: per-token md5 → low hex digits → bit votes
+    → sign → fingerprint int. Tokens explode once; the bit dimension is
+    an in-row array (no per-bit row blowup)."""
     tok = spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    # token hash: low 16 bits of md5 via hex digits (portable)
-    hx = F.substring(F.md5(F.col("tok")), 29, 4)
+    # token hash: low SIMHASH_BITS of md5 via hex digits (portable)
+    hx = F.substring(F.md5(F.col("tok")), 33 - _HEX_DIGITS, _HEX_DIGITS)
     val = sum(
         (
             (F.instr(F.lit("0123456789abcdef"), F.substring(hx, i + 1, 1)) - 1)
-            * (16 ** (3 - i))
-            for i in range(1, 4)
+            .cast("long")
+            * F.lit(16 ** (_HEX_DIGITS - 1 - i)).cast("long")
+            for i in range(1, _HEX_DIGITS)
         ),
-        (F.instr(F.lit("0123456789abcdef"), F.substring(hx, 1, 1)) - 1) * (16**3),
+        (F.instr(F.lit("0123456789abcdef"), F.substring(hx, 1, 1)) - 1)
+        .cast("long")
+        * F.lit(16 ** (_HEX_DIGITS - 1)).cast("long"),
     )
     tok = tok.select(F.col(id_col), val.alias("h"))
     votes = [
@@ -256,12 +264,116 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     per_doc = tok.groupBy(id_col).agg(*votes)
     fp = sum(
         (
-            F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+            F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
             for b in range(1, SIMHASH_BITS)
         ),
-        F.when(F.col("v0") > 0, F.lit(1)).otherwise(F.lit(0)),
+        F.when(F.col("v0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs from SimHash fingerprints at Hamming
+    distance ≤ ``max_hamming``.
+
+    Pigeonhole bucketing: the fingerprint splits into ``n_blocks``
+    equal blocks; any pair within distance d < n_blocks agrees exactly
+    on ≥ 1 block, so bucketing on (block_id, block_val) finds every
+    qualifying pair without an all-pairs scan. The shuffle key is the
+    small block value — the quadratic work is confined to
+    within-bucket joins, then an exact one-expression
+    ``bit_count(xor)`` verify filters false candidates. Block width
+    (SIMHASH_BITS / n_blocks) sets the bucket keyspace; production
+    systems run 64-bit simhash with 16-bit blocks for the same
+    reason."""
+    bits_per = SIMHASH_BITS // n_blocks
+    mask = (1 << bits_per) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftright(F.col(fp_col), b * bits_per)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    bl = fps.select(F.col(id_col), F.col(fp_col), F.explode(blocks).alias("bs")).select(
+        id_col, fp_col, F.col("bs.block_id").alias("block_id"), F.col("bs.block_val").alias("block_val")
+    )
+    l = bl.alias("l")
+    r = bl.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"l.{fp_col}").bitwiseXOR(F.col(f"r.{fp_col}"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Training-set decontamination: corpus docs sharing any word
+    ``n``-gram with a benchmark/eval document, with the count of
+    distinct shared grams. The join key is ``md5(gram)`` — fixed-width
+    digests shuffle, never gram text — and the benchmark side (small
+    by construction: eval sets are thousands of docs, the corpus is
+    billions) arrives distinct so each gram is probed once.
+
+    Mirrors the n-gram-overlap decontamination procedure published
+    with GPT-3/PaLM-style corpus construction."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        g = F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+                    ),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+                )
+            )
+        )
+        return spread(df).select(F.col(id_col), g.alias("gram"))
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
 
 
 # ---------------------------------------------------------------------------

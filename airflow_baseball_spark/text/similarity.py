@@ -227,3 +227,143 @@ def embedding_neardup_pairs(
         .groupBy(block_col)
         .applyInPandas(block_pairs, "id_a long, id_b long, cos double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (cosine) — the bucketed ANN scale path
+# ---------------------------------------------------------------------------
+
+# 32 hyperplanes over 64 dims, integer weights in [-2^15, 2^15) from a
+# fixed LCG so Spark and the DuckDB oracle share byte-identical planes.
+# 32 planes → 4 bands × 8 bits: 8-bit band values give a 256-value
+# bucket keyspace; 4-bit bands mega-bucket (16 values) and the
+# within-bucket join goes quadratic in corpus size.
+_HP_PLANES = 32
+_HP_DIM = 64
+_HP_BANDS = 4
+
+
+def _hp_weight(p: int, j: int) -> int:
+    x = (1103515245 * (p * _HP_DIM + j + 1) + 12345) % 2147483648
+    return (x % 65536) - 32768
+
+
+HP_WEIGHTS: list[list[int]] = [
+    [_hp_weight(p, j) for j in range(_HP_DIM)] for p in range(_HP_PLANES)
+]
+
+
+def hyperplane_fingerprints(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Sign fingerprint (one bit per hyperplane) of each vector against
+    the fixed random hyperplanes. *Integer-exact*: vectors quantize to
+    1e-6 BIGINTs (round-half-away-from-zero — bit-identical to Spark's
+    and DuckDB's ``round``), then all plane dot products are ONE int64
+    matmul per Arrow batch — no float summation anywhere, so a sign
+    bit can never flip with partitioning, batch order, or engine. A
+    pure map stage: zero shuffle at any scale.
+
+    (A column-expression form via ``zip_with``/``aggregate`` was 25×
+    slower — higher-order lambdas are interpreted per element; 32
+    planes × 64 dims is exactly the 'vectorization demands a Pandas
+    UDF' case.)"""
+    import numpy as np
+
+    w_t = np.array(HP_WEIGHTS, dtype=np.int64).T  # (dim, planes)
+    shifts = np.arange(_HP_PLANES, dtype=np.uint64)
+
+    def fingerprint(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[vec_col]), dtype="float64") * 1e6
+            q = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+            dots = q @ w_t  # exact int64
+            bits = (dots >= 0).astype(np.uint64)
+            fp = (bits << shifts).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "hp_fp": fp})
+
+    return spread(emb.select(id_col, vec_col)).mapInPandas(
+        fingerprint, f"{id_col} long, hp_fp long"
+    )
+
+
+def hyperplane_lsh_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Approximate cosine near-neighbor pairs: vectors whose
+    fingerprints agree on any 4-bit band become candidates (bucket
+    join on the tiny (band, value) key — the corpus never self-joins
+    unblocked); candidates get an exact cosine verify and a threshold
+    filter. Cosine is rounded to 6 before thresholding so float order
+    cannot flip membership (matches the neardup/topk convention)."""
+    # checkpoint: the l/r sides of the bucket self-join would otherwise
+    # run the fingerprint UDF stage twice (AQE breaks exchange reuse
+    # across Python-eval stages); fps is (id, long) — tiny at any scale
+    fps = hyperplane_fingerprints(emb, id_col, vec_col).localCheckpoint()
+    bits_per = _HP_PLANES // _HP_BANDS
+    mask = (1 << bits_per) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("hp_fp"), b * bits_per)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(_HP_BANDS)
+        ]
+    )
+    banded = fps.select(F.col(id_col), F.explode(bands).alias("bs")).select(
+        id_col,
+        F.col("bs.band_id").alias("band_id"),
+        F.col("bs.band_val").alias("band_val"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    joined = cand.join(ea, "id_a").join(eb, "id_b")
+
+    # vectorized exact-cosine verify: candidate volume is skew-prone
+    # (clustered corpora concentrate band values), so the verify must
+    # be batch matmul work, not per-row expression trees
+    def verify(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["__va"]), dtype="float64")
+            b = np.array(list(pdf["__vb"]), dtype="float64")
+            cos = np.round(
+                (a * b).sum(axis=1)
+                / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)),
+                6,
+            )
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
+            )
+            yield out[out["cos"] > threshold]
+
+    return joined.mapInPandas(verify, "id_a long, id_b long, cos double")
