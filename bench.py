@@ -29,10 +29,14 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark(app_name="bench")
-    # warmup actions so JVM/codegen + hadoop/parquet-reader init isn't
-    # billed to q1 (region is the smallest table — 5 rows)
+    # warmup actions so JVM/codegen + hadoop/parquet-reader init +
+    # Python-worker (Arrow) startup isn't billed to the first queries
+    # that happen to need them (region is the smallest table — 5 rows)
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(100).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
