@@ -683,3 +683,18 @@ def _hyperplane_sql() -> str:
 
 
 registry.register("hyperplane_lsh_pairs", q_hyperplane_lsh_pairs, _hyperplane_sql())
+
+
+# ---------------------------------------------------------------------------
+# k-means training (Lloyd's) — rows-only (iterative; not SQL-expressible
+# without unrolling every iteration into the oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8)
+    return similarity.kmeans_fit(emb, init, n_iter=3)
+
+
+registry.register("kmeans_fit", q_kmeans_fit, None)

@@ -367,3 +367,91 @@ def hyperplane_lsh_pairs(
             yield out[out["cos"] > threshold]
 
     return joined.mapInPandas(verify, "id_a long, id_b long, cos double")
+
+
+# ---------------------------------------------------------------------------
+# k-means training (Lloyd's iterations)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    init_centroids: DataFrame,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's algorithm over a distributed corpus; returns the final
+    (cluster_id, centroid array<double>, n_members) table.
+
+    Scale shape per iteration: one numpy pass per Arrow batch assigns
+    vectors to their nearest centroid (broadcast k×dim matrix — the
+    classic bounded-state iterate) and emits ONE partial row per
+    (cluster) per batch: (cluster_id, sum_vector, count). Partials are
+    k·n_partitions rows regardless of corpus size, so the reduce is a
+    constant-size shuffle; centroid update happens driver-side on k·dim
+    doubles (same bounded-collect policy as league scalars). No row of
+    corpus data is ever collected or re-shuffled.
+    """
+    import numpy as np
+
+    c_rows = init_centroids.select(id_col, vec_col).collect()
+    order = np.argsort([r[0] for r in c_rows])
+    cent = np.array([c_rows[i][1] for i in order], dtype="float64")
+    cent_ids = np.array([c_rows[i][0] for i in order], dtype="int64")
+    k = len(cent_ids)
+
+    data = spread(corpus.select(vec_col)).localCheckpoint()
+
+    for _ in range(n_iter):
+        c = cent  # rebind for closure capture of this round's matrix
+
+        def partials(batches, c=c):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf[vec_col]), dtype="float64")
+                # squared L2 via expansion; argmin ties -> lowest index
+                d2 = (v * v).sum(1, keepdims=True) - 2 * v @ c.T + (c * c).sum(1)
+                a = np.argmin(d2, axis=1)
+                rows = [
+                    (int(j), (v[a == j]).sum(0).tolist(), int((a == j).sum()))
+                    for j in range(len(c))
+                    if (a == j).any()
+                ]
+                yield pd.DataFrame(rows, columns=["cid", "vsum", "n"])
+
+        agg = (
+            data.mapInPandas(partials, "cid int, vsum array<double>, n long")
+            .select("cid", "n", F.posexplode("vsum").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("val"), F.sum("n").alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "val"))
+                ).alias("pv"),
+                F.first("n").alias("n"),
+            )
+            .select(
+                "cid",
+                F.transform("pv", lambda s: s["val"]).alias("vsum"),
+                "n",
+            )
+            .collect()
+        )
+        for r in agg:
+            cent[r["cid"]] = np.array(r["vsum"]) / r["n"]
+        counts = {r["cid"]: r["n"] for r in agg}
+
+    spark = corpus.sparkSession
+    out = [
+        (int(cent_ids[j]), [float(x) for x in cent[j]], int(counts.get(j, 0)))
+        for j in range(k)
+    ]
+    return spark.createDataFrame(
+        out, "cluster_id long, centroid array<double>, n_members long"
+    )

@@ -106,3 +106,24 @@ def test_lsh_candidate_edges_same_components_as_pairs(spark):
     ]
     assert len(edges) <= len(pairs)
     assert components(pairs) == components(edges)
+
+
+def test_kmeans_fit_monotone_inertia(spark):
+    """Lloyd's invariant: total within-cluster squared distance is
+    non-increasing over iterations; memberships partition the corpus."""
+    emb_df = load_table(spark, SF, "embeddings")
+    init = emb_df.filter(F.col("vec_id") < 8)
+    rows = emb_df.select("embedding").collect()
+    v = np.array([r[0] for r in rows], dtype="float64")
+    n_total = len(v)
+
+    def inertia(fit_df):
+        out = fit_df.collect()
+        c = np.array([r["centroid"] for r in out], dtype="float64")
+        assert sum(r["n_members"] for r in out) == n_total
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return d2.min(axis=1).sum()
+
+    i1 = inertia(similarity.kmeans_fit(emb_df, init, n_iter=1))
+    i3 = inertia(similarity.kmeans_fit(emb_df, init, n_iter=3))
+    assert i3 <= i1 + 1e-9
