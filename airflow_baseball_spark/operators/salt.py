@@ -56,7 +56,10 @@ def salted_agg(
         part_fn, comb_fn = _COMBINERS[fn]
         partials.append(part_fn(col).alias(f"__p_{alias}"))
         finals.append(comb_fn(f"__p_{alias}").alias(alias))
-    phase1 = df.select(*keys, salt, *{c for c, _ in aggs.values()}).groupBy(
+    # agg inputs already projected as keys must not repeat (duplicate
+    # column names make the groupBy reference ambiguous)
+    agg_inputs = sorted({c for c, _ in aggs.values()} - set(keys))
+    phase1 = df.select(*keys, salt, *agg_inputs).groupBy(
         *keys, "__salt"
     ).agg(*partials)
     return phase1.groupBy(*keys).agg(*finals)

@@ -141,15 +141,29 @@ def merge_upsert(
 
 def _swap_paths(spark: SparkSession, src: str, dst: str) -> None:
     """Replace ``dst`` with ``src`` via the Hadoop FileSystem API (works
-    on local paths and HDFS-compatible stores alike)."""
+    on local paths and HDFS-compatible stores alike).
+
+    Crash-safe ordering: rename ``dst`` aside to a backup first, then
+    rename ``src`` into place, then drop the backup — a failure at any
+    step leaves either the old or the new table fully intact (the
+    reference's ON DUPLICATE KEY upsert is transactional; delete-then-
+    rename would lose the table if the process died in between)."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     src_p = jvm.org.apache.hadoop.fs.Path(src)
     dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    bak_p = jvm.org.apache.hadoop.fs.Path(dst.rstrip("/") + "__backup")
     fs = dst_p.getFileSystem(conf)
-    fs.delete(dst_p, True)
-    fs.rename(src_p, dst_p)
+    fs.delete(bak_p, True)  # clear any stale backup from a prior crash
+    if fs.exists(dst_p):
+        if not fs.rename(dst_p, bak_p):
+            raise OSError(f"could not move {dst} aside to {bak_p}")
+    if not fs.rename(src_p, dst_p):
+        # roll back: restore the backup so dst is never left missing
+        fs.rename(bak_p, dst_p)
+        raise OSError(f"could not rename staging {src} into {dst}")
+    fs.delete(bak_p, True)
 
 
 def _try_delta_merge(

@@ -708,6 +708,99 @@ registry.register(
 )
 
 
+# --- F16: OPS+ with park-factor default-0.0 → NULL deviation -----------------
+
+
+def q_ops_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPS+ (dags/041_calculate_hitter_metrics_with_park_factor.py:149-151)
+    over hitters shaped from ``customer``: a park-factor dim that covers
+    only SOME teams exercises C5's default-0.0-on-miss, and the 0.0
+    factor flows into the documented NULL deviation (the reference keeps
+    the previous loop iteration's value on ZeroDivisionError; we emit
+    NULL instead — SURVEY.md §7)."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    h = c.select(
+        k.alias("hitter_id"),
+        F.col("c_mktsegment").alias("team"),
+        F.when(k % 13 == 0, None).otherwise((k % 40) / 100.0).alias("obp"),
+        F.when(k % 17 == 0, None).otherwise((k % 60) / 100.0).alias("slg"),
+    )
+    # dim covers only teams sorting below 'H' — the rest hit the C5
+    # default (0.0) and OPS+ goes NULL for them
+    pf = (
+        c.select(F.col("c_mktsegment").alias("team"))
+        .distinct()
+        .filter(F.col("team") < "H")
+        .select(
+            "team",
+            (0.8 + (F.length("team") % 5) * 0.1).alias("park_factor"),
+        )
+    )
+    league = h.agg(
+        (
+            F.sum(F.col("obp").cast("decimal(18,6)")).cast("double")
+            / F.count("obp")
+        ).alias("lg_obp"),
+        (
+            F.sum(F.col("slg").cast("decimal(18,6)")).cast("double")
+            / F.count("slg")
+        ).alias("lg_slg"),
+    )
+    joined = (
+        h.join(F.broadcast(pf), "team", "left")
+        .withColumn("park_factor", F.coalesce("park_factor", F.lit(0.0)))
+        .crossJoin(F.broadcast(league))
+    )
+    return joined.select(
+        "hitter_id",
+        "team",
+        F.round(
+            hitting.ops_plus(
+                F.col("obp"),
+                F.col("slg"),
+                F.col("lg_obp"),
+                F.col("lg_slg"),
+                F.col("park_factor"),
+            ),
+            6,
+        ).alias("ops_plus"),
+    )
+
+
+registry.register(
+    "ops_plus",
+    q_ops_plus,
+    """
+    WITH h AS (
+      SELECT c_custkey AS hitter_id, c_mktsegment AS team,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL
+                  ELSE (c_custkey % 40) / 100.0 END AS obp,
+             CASE WHEN c_custkey % 17 = 0 THEN NULL
+                  ELSE (c_custkey % 60) / 100.0 END AS slg
+      FROM customer
+    ),
+    pf AS (
+      SELECT DISTINCT c_mktsegment AS team,
+             0.8e0 + (length(c_mktsegment) % 5) * 0.1e0 AS park_factor
+      FROM customer WHERE c_mktsegment < 'H'
+    ),
+    league AS (
+      SELECT CAST(SUM(CAST(obp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(obp)
+               AS lg_obp,
+             CAST(SUM(CAST(slg AS DECIMAL(18,6))) AS DOUBLE) / COUNT(slg)
+               AS lg_slg
+      FROM h
+    )
+    SELECT hitter_id, h.team,
+           ROUND(CASE WHEN COALESCE(pf.park_factor, 0.0e0) <> 0 THEN
+             (100.0e0 / pf.park_factor)
+             * (obp / lg_obp + slg / lg_slg - 1.0e0) END, 6) AS ops_plus
+    FROM h LEFT JOIN pf USING (team) CROSS JOIN league
+    """,
+)
+
+
 # --- A8: idempotent keyed upsert (queries.py:5-261) ---------------------------
 
 
@@ -751,14 +844,17 @@ registry.register(
 )
 
 
-# --- A10: partitioned file sink (050:124-127) — rows-only check --------------
+# --- A10: partitioned file sink (050:124-127) — value-verified round trip ----
 
 
 def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recent-5-games CSV export analog: one partitioned write replaces
-    the reference's per-player CSV loop; the check reads the files back.
-    Partition column count is bounded (mod 16) — at 100 TB you partition
-    by a bounded derived key, never by raw player id (small-files)."""
+    the reference's per-player CSV loop; the check reads the files back
+    and aggregates VALUES (not just counts) against an oracle over the
+    source parquet — any row loss, type corruption, or partition-value
+    mangling in the round trip breaks the hash. Partition column count
+    is bounded (mod 16) — at 100 TB you partition by a bounded derived
+    key, never by raw player id (small-files)."""
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
@@ -776,7 +872,34 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="abs_csv_sink_")
     top5.write.mode("overwrite").partitionBy("bucket").csv(out, header=True)
     back = spark.read.csv(out, header=True, inferSchema=True)
-    return back.groupBy("bucket").agg(F.count("*").alias("n"))
+    return back.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_price"
+        ),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
 
 
-registry.register("partitioned_sink", q_partitioned_sink, None)
+registry.register(
+    "partitioned_sink",
+    q_partitioned_sink,
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey % 16 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM ranked WHERE rn <= 5
+    GROUP BY 1
+    """,
+)

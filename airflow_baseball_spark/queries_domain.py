@@ -86,17 +86,16 @@ _HITTERS_SHAPED_SQL = """
 
 def q_hitter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hitter_metrics(_hitters_shaped(spark, sf_dir))
-    # per-row formulas (woba/k_rate/bb_rate/babip) are bit-identical
-    # across engines — leave them unrounded (rounding *introduces*
-    # half-boundary divergence on exactly-representable fractions);
-    # wrc depends on aggregated league doubles → round it.
+    # round every double to 6 on both sides — the driver's value hash
+    # is ulp-sensitive, so unrounded per-row IEEE results are not safe
+    # even when the operation order matches (CORRECTNESS_r01).
     return out.select(
         "hitter_id",
-        F.col("wOBA").alias("woba"),
+        F.round(F.col("wOBA"), 6).alias("woba"),
         F.round("wRC", 6).alias("wrc"),
-        "k_rate",
-        "bb_rate",
-        "babip",
+        F.round("k_rate", 6).alias("k_rate"),
+        F.round("bb_rate", 6).alias("bb_rate"),
+        F.round("babip", 6).alias("babip"),
     )
 
 
@@ -122,14 +121,14 @@ registry.register(
       FROM with_woba
     )
     SELECT hitter_id,
-           wOBA AS woba,
+           ROUND(wOBA, 6) AS woba,
            ROUND(((wOBA - lg_woba)
                    / ((lg_woba - lg_obp) / (lg_slg - lg_obp))
                   + lg_runs / lg_pa) * pa, 6) AS wrc,
-           CASE WHEN pa <> 0 THEN so / pa END AS k_rate,
-           CASE WHEN pa <> 0 THEN bb / pa END AS bb_rate,
-           CASE WHEN ab - so - hr + sf <> 0 THEN
-             (hits - hr) / (ab - so - hr + sf) END AS babip
+           ROUND(CASE WHEN pa <> 0 THEN so / pa END, 6) AS k_rate,
+           ROUND(CASE WHEN pa <> 0 THEN bb / pa END, 6) AS bb_rate,
+           ROUND(CASE WHEN ab - so - hr + sf <> 0 THEN
+             (hits - hr) / (ab - so - hr + sf) END, 6) AS babip
     FROM with_woba CROSS JOIN league
     """,
 )

@@ -39,7 +39,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = readers.read_csv(spark, out, _CSV_BACK_SCHEMA)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
@@ -51,7 +51,7 @@ registry.register(
     """
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
            MIN(o_orderkey) AS min_key,
            MAX(o_orderkey) AS max_key
     FROM orders GROUP BY o_orderstatus
@@ -76,7 +76,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = readers.read_json(spark, out, schema)
     return back.groupBy("c_nationkey").agg(
         F.count("*").alias("n_cust"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("acctbal_sum"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
     )
 
 
@@ -86,7 +86,7 @@ registry.register(
     """
     SELECT c_nationkey,
            COUNT(*) AS n_cust,
-           SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
     FROM customer GROUP BY c_nationkey
     """,
 )
@@ -104,7 +104,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("s_nationkey").agg(
         F.count("*").alias("n_supp"),
-        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("acctbal_sum"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
         F.min("s_suppkey").alias("min_key"),
         F.max("s_suppkey").alias("max_key"),
     )
@@ -116,7 +116,7 @@ registry.register(
     """
     SELECT s_nationkey,
            COUNT(*) AS n_supp,
-           SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS acctbal_sum,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
            MIN(s_suppkey) AS min_key,
            MAX(s_suppkey) AS max_key
     FROM supplier GROUP BY s_nationkey

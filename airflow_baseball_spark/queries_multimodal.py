@@ -68,9 +68,9 @@ registry.register(
                 THEN unicode(substring(text, 1, 1)) END AS first_byte,
            CASE WHEN length(text) > 0
                 THEN unicode(substring(text, length(text), 1)) END AS last_byte,
-           COALESCE(list_sum(list_transform(
+           CAST(COALESCE(list_sum(list_transform(
              generate_series(1, length(text)),
-             i -> unicode(substring(text, i, 1)))), 0) AS byte_sum
+             i -> unicode(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum
     FROM documents
     """,
 )
@@ -82,7 +82,7 @@ def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hist_sql() -> str:
     buckets = ",\n           ".join(
-        f"COALESCE(SUM(CASE WHEN bkt = {i} THEN 1 END), 0) AS h{i}"
+        f"CAST(COALESCE(SUM(CASE WHEN bkt = {i} THEN 1 END), 0) AS BIGINT) AS h{i}"
         for i in range(mm.N_BUCKETS)
     )
     return f"""

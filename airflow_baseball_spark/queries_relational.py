@@ -103,7 +103,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
 
@@ -114,7 +114,7 @@ registry.register(
     """
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -126,7 +126,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
 
 
@@ -137,7 +137,7 @@ registry.register(
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -153,7 +153,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS INT) AS g_flag,
                CAST(grouping(l_linestatus) AS INT) AS g_status,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -168,7 +168,7 @@ registry.register(
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -193,8 +193,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
         .select(
             "l_returnflag",
-            F.col("F").alias("qty_f"),
-            F.col("O").alias("qty_o"),
+            F.col("F").cast("double").alias("qty_f"),
+            F.col("O").cast("double").alias("qty_o"),
         )
     )
 
@@ -204,10 +204,10 @@ registry.register(
     q_pivot,
     """
     SELECT l_returnflag,
-           SUM(CAST(l_quantity AS DECIMAL(18,2)))
-             FILTER (WHERE l_linestatus = 'F') AS qty_f,
-           SUM(CAST(l_quantity AS DECIMAL(18,2)))
-             FILTER (WHERE l_linestatus = 'O') AS qty_o
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -271,16 +271,36 @@ registry.register(
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts — rows-only check (sketches are
-    engine-specific); the accuracy bound vs exact counts is asserted in
-    tests/test_relational.py."""
+    """HyperLogLog++ distinct counts, surfaced as an oracle-checkable
+    bound: the estimate itself is engine-specific, so the query returns
+    the exact count plus a ``within_bounds`` flag (|approx − exact| ≤
+    3·rsd·exact). The oracle asserts the flag is TRUE for every group —
+    an HLL regression that drifts past 3σ breaks the hash."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("approx_parts") - F.col("n_parts_exact"))
+            <= F.col("n_parts_exact") * (3 * 0.02)
+        ).alias("within_bounds"),
     )
 
 
-registry.register("approx_distinct", q_approx_distinct, None)
+registry.register(
+    "approx_distinct",
+    q_approx_distinct,
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           TRUE AS within_bounds
+    FROM lineitem GROUP BY 1
+    """,
+)
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,7 +557,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )
 
@@ -547,7 +567,7 @@ registry.register(
     q_bucketed_join,
     """
     SELECT c_nationkey, COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
     """,

@@ -47,7 +47,7 @@ _WINDOWED_SQL = """
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
 """
 
@@ -93,7 +93,7 @@ registry.register(
     q_stream_static_join,
     """
     SELECT n_name, COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events JOIN nation ON user_id % 25 = n_nationkey
     GROUP BY n_name
     """,

@@ -302,7 +302,8 @@ registry.register(
     WITH grams AS (
       SELECT doc_id AS gid, source AS blk,
              unnest(list_distinct(list_transform(
-               generate_series(0, greatest(len({_TOKS}) - 3, 0)),
+               CASE WHEN len({_TOKS}) >= 3
+                    THEN generate_series(0, len({_TOKS}) - 3) END,
                i -> array_to_string(list_slice({_TOKS}, i + 1, i + 3), ' ')
              ))) AS gram
       FROM documents
@@ -340,7 +341,9 @@ _COS_SQL = """
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    # the query set must be O(1) w.r.t. the corpus (it collects to the
+    # driver): vec_id < 2500 caps it at 100 queries at any sf
+    queries = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500))
     return similarity.cosine_topk(emb, queries, k=3)
 
 
@@ -349,7 +352,7 @@ registry.register(
     q_cosine_topk,
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id % 25 = 0),
+               FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
              {_COS_SQL.format(a="q.qv", b="e.embedding")} AS cos
@@ -573,7 +576,8 @@ registry.register(
     grams AS (
       SELECT doc_id,
              unnest(list_transform(
-               generate_series(0, greatest(len(toks) - 2, 0)),
+               CASE WHEN len(toks) >= 2
+                    THEN generate_series(0, len(toks) - 2) END,
                i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')
              )) AS gram
       FROM toked
@@ -612,7 +616,8 @@ registry.register(
     grams AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
-               generate_series(0, greatest(len(toks) - 8, 0)),
+               CASE WHEN len(toks) >= 8
+                    THEN generate_series(0, len(toks) - 8) END,
                i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))
              ))) AS gram
       FROM toked

@@ -24,13 +24,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).alias("sum_qty"),
-            F.sum(d("l_extendedprice")).alias("sum_base_price"),
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast(
                     "decimal(22,6)"
                 )
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg(d("l_quantity")), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -42,11 +42,12 @@ registry.register(
     q_tpch_q1,
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
-             AS sum_disc_price,
+             AS DOUBLE) AS sum_disc_price,
            ROUND(AVG(CAST(l_quantity AS DECIMAL(18,2))), 6) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -79,7 +80,7 @@ def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
                 ).cast("decimal(22,6)")
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -92,9 +93,9 @@ registry.register(
     q_tpch_q3ish,
     """
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
-             AS revenue
+             AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -127,7 +128,7 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
                 ).cast("decimal(22,6)")
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -138,9 +139,9 @@ registry.register(
     q_tpch_q5ish,
     """
     SELECT r.r_name, n.n_name,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
-             AS revenue,
+             AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey

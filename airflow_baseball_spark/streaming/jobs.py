@@ -88,7 +88,11 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            # decimal accumulate (exact) → double out: raw SUM(DECIMAL)
+            # widens differently per engine and breaks the driver hash
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -290,7 +294,9 @@ def stream_static_enrich(events: DataFrame, nation: DataFrame) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
     )
 
 

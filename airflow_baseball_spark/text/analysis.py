@@ -53,17 +53,11 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_count(text: Column, lang: str = "en") -> Column:
-    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return F.expr(
-        f"size(filter(split(trim({_sql(text)}), '\\\\s+'), "
-        f"t -> array_contains(array({words}), t)))"
-    )
-
-
-def _sql(col: Column) -> str:
-    """Render a simple column reference for embedding in F.expr."""
-    # only used with plain named columns in this module
-    return col._jc.toString()  # noqa: SLF001
+    """Count of stopword tokens — native higher-order functions (no
+    SQL-string round trip), so ``text`` may be ANY column expression,
+    not just a bare column reference."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
 
 
 def mean_token_length(text: Column) -> Column:
@@ -193,7 +187,12 @@ def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
         F.col(id_col),
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("__toks") - 2, F.lit(0))),
+                # size guard: a 1-token doc has no bigram (a truncated
+                # window would count the lone word as one)
+                F.when(
+                    F.size("__toks") >= 2,
+                    F.sequence(F.lit(0), F.size("__toks") - 2),
+                ),
                 lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
             )
         ).alias("gram"),

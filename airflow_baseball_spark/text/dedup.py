@@ -355,12 +355,16 @@ def ngram_decontam(
 
     def grams(df: DataFrame) -> DataFrame:
         toks = tokens(F.col(text_col))
+        # docs shorter than n emit NO grams (a truncated window would
+        # let a short doc spuriously "share an n-gram"); explode drops
+        # the NULL the when() leaves for them
+        windows = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        )
         g = F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
-                    ),
+                    windows,
                     lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
                 )
             )
@@ -406,7 +410,11 @@ def ngram_jaccard_pairs(
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    # size guard: docs shorter than n contribute no
+                    # (truncated) grams — they simply pair with nothing
+                    F.when(
+                        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+                    ),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
                 )
             )

@@ -57,11 +57,31 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
-    """Driver-side (bounded) id list + float64 matrix."""
+MAX_DRIVER_MATRIX_ROWS = 4096
+"""Hard cap on driver-collected id+vector matrices.
+
+The brute-force/centroid paths collect the *query* (or centroid) side
+to the driver; that is only scale-safe when the collected set is "the
+ask" — O(1) w.r.t. the corpus. Enforcing the cap here makes the
+contract explicit: a corpus-derived query set that grows past the cap
+fails fast instead of silently OOMing the driver at 100 TB. Large
+query sets belong on the bucketed paths (hyperplane_lsh_pairs /
+ivf_topk with a distributed query side)."""
+
+
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_DRIVER_MATRIX_ROWS
+):
+    """Driver-side (bounded) id list + float64 matrix; raises if the
+    set exceeds ``max_rows`` (see MAX_DRIVER_MATRIX_ROWS)."""
     import numpy as np
 
-    rows = df.select(id_col, vec_col).collect()
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"refusing to collect >{max_rows} vectors to the driver; "
+            "bound the query/centroid set or use the LSH/IVF paths"
+        )
     ids = [r[0] for r in rows]
     mat = np.array([r[1] for r in rows], dtype="float64")
     return ids, mat
@@ -166,8 +186,14 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k searching only the query's own cluster
-    (nprobe=1). Output schema matches :func:`cosine_topk`."""
-    assign = assign_clusters(corpus, centroids, id_col, vec_col)
+    (nprobe=1). Output schema matches :func:`cosine_topk`.
+
+    The nearest-centroid assignment runs ONCE (localCheckpoint pins the
+    (id, cluster) table — 2 longs/row — so the corpus and query sides
+    share it instead of re-running the Python assignment stage; on a
+    cluster prefer storing the corpus partitioned by cluster_id so the
+    assignment is free at query time)."""
+    assign = assign_clusters(corpus, centroids, id_col, vec_col).localCheckpoint()
     blocked = corpus.select(id_col, vec_col).join(assign, id_col)
     q_blocked = queries.select(id_col, vec_col).join(assign, id_col)
     scored = (

@@ -37,6 +37,14 @@ def main() -> None:
     spark.range(100).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # JSON-codegen + wide events-scan init (r01 billed ~17s of one-off
+    # init to whichever query first parsed JSON after the streaming runs)
+    spark.range(10).selectExpr(
+        "from_json('{\"k\": 1}', 'k BIGINT') AS j"
+    ).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
