@@ -156,12 +156,18 @@ def _swap_paths(spark: SparkSession, src: str, dst: str) -> None:
     bak_p = jvm.org.apache.hadoop.fs.Path(dst.rstrip("/") + "__backup")
     fs = dst_p.getFileSystem(conf)
     fs.delete(bak_p, True)  # clear any stale backup from a prior crash
-    if fs.exists(dst_p):
-        if not fs.rename(dst_p, bak_p):
-            raise OSError(f"could not move {dst} aside to {bak_p}")
-    if not fs.rename(src_p, dst_p):
-        # roll back: restore the backup so dst is never left missing
-        fs.rename(bak_p, dst_p)
+    had_target = fs.exists(dst_p)
+    if had_target and not fs.rename(dst_p, bak_p):
+        raise OSError(f"could not move {dst} aside to {bak_p}")
+    try:
+        # rename either returns false or raises (LocalFS raises on a
+        # missing source) — treat both as failure and roll back
+        ok = fs.rename(src_p, dst_p)
+    except Exception:
+        ok = False
+    if not ok:
+        if had_target:
+            fs.rename(bak_p, dst_p)  # restore: dst is never left missing
         raise OSError(f"could not rename staging {src} into {dst}")
     fs.delete(bak_p, True)
 

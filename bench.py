@@ -42,9 +42,11 @@ def main() -> None:
     spark.range(10).selectExpr(
         "from_json('{\"k\": 1}', 'k BIGINT') AS j"
     ).write.format("noop").mode("overwrite").save()
-    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    from airflow_baseball_spark.schemas import load_table  # noqa: PLC0415
+
+    load_table(spark, sf_dir, "events").limit(1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
