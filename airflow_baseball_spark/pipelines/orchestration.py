@@ -33,6 +33,7 @@ from collections.abc import Callable, Mapping
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from airflow_baseball_spark.pipelines.hitter_metrics import (
     hitter_metrics,
@@ -121,6 +122,46 @@ def run_chain(
             tables["today_lineup"], tables["hitters"], hm, out["park_factor"]
         )
     return out
+
+
+def event_time_triggers(
+    today_games: DataFrame,
+    run_ts: str,
+    lead_minutes: int = 15,
+    already_scheduled: DataFrame | None = None,
+) -> DataFrame:
+    """G3 — the reference's dynamic event-time trigger as an engine
+    operator (`dags/031_schedule_dag_for_get_today_line_up.py:30-58`):
+    for every game in ``today_games`` (columns ``game_time`` timestamp,
+    ``away_team``), the lineup scrape fires ``lead_minutes`` before
+    game time. Returns one row per distinct trigger time with a ``due``
+    flag against the run timestamp.
+
+    Idempotency mirrors the reference's ``DagRun.find`` guard (:52-55):
+    triggers are de-duplicated on ``trigger_time`` and, when
+    ``already_scheduled`` (a frame with a ``trigger_time`` column) is
+    given, previously-scheduled times are anti-joined away.
+
+    Scale: ``today_games`` is one day's schedule (tiny); the distinct
+    and anti-join are broadcast-sized. ``run_ts`` is an explicit
+    parameter — no wall-clock reads inside the engine (same convention
+    as ``run_date`` in :func:`run_chain`)."""
+    trig = (
+        today_games.select(
+            (
+                F.col("game_time") - F.expr(f"INTERVAL {int(lead_minutes)} MINUTES")
+            ).alias("trigger_time"),
+        )
+        .distinct()
+        .withColumn("due", F.col("trigger_time") <= F.lit(run_ts).cast("timestamp"))
+    )
+    if already_scheduled is not None:
+        trig = trig.join(
+            F.broadcast(already_scheduled.select("trigger_time").distinct()),
+            "trigger_time",
+            "left_anti",
+        )
+    return trig
 
 
 def build_airflow_dag(dag_id: str = "airflow_baseball_spark"):

@@ -1,0 +1,256 @@
+"""Round-2 LLM-pipeline + lifecycle queries: PII redaction, SCD2
+history build, GPT-style sequence packing, int8 embedding
+quantization, and the G3 event-time trigger analog — each with a
+DuckDB oracle twin over the driver testdata.
+
+Type alignment notes (driver hashes values with columns sorted by
+name): Spark ``size``/``length`` return INT while DuckDB ``len``/
+``length`` return BIGINT, and DuckDB ``SUM(BIGINT)`` widens to
+HUGEINT — every such column is cast explicitly on the oracle side so
+schemas agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.operators.scd import scd2
+from airflow_baseball_spark.pipelines.orchestration import event_time_triggers
+from airflow_baseball_spark.schemas import load_table
+from airflow_baseball_spark.text import pii
+from airflow_baseball_spark.text.packing import pack_blocks
+from airflow_baseball_spark.text.quantize import quantize_summary
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrub pass)
+# ---------------------------------------------------------------------------
+
+# Deterministic PII injection: the synthetic documents contain no real
+# PII, so both engines append identical synthetic markers from doc_id
+# arithmetic before detecting/redacting them — the differential test
+# then exercises real patterns on non-trivial positions.
+_SPARK_INJECT = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact u', CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN ' call 010-1234-5678' ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' see https://ex.org/d/', CAST(doc_id AS STRING)) ELSE '' END)"
+)
+_DUCK_INJECT = (
+    "text ||"
+    " CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||"
+    " CASE WHEN doc_id % 5 = 0 THEN ' call 010-1234-5678' ELSE '' END ||"
+    " CASE WHEN doc_id % 7 = 0 THEN ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub pass over documents: per-class match counts + fingerprint
+    of the redacted text. In-row regex only — the 100 TB cost is the
+    scan (see text/pii.py)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_INJECT).alias("t")
+    )
+    return docs.select(
+        "doc_id",
+        pii.pii_count(F.col("t"), "url").alias("n_url"),
+        pii.pii_count(F.col("t"), "email").alias("n_email"),
+        pii.pii_count(F.col("t"), "phone").alias("n_phone"),
+        F.md5(pii.redact(F.col("t"))).alias("redacted_md5"),
+        F.length(pii.redact(F.col("t"))).alias("redacted_len"),
+    )
+
+
+registry.register(
+    "pii_redact",
+    q_pii_redact,
+    f"""
+    WITH d AS (SELECT doc_id, {_DUCK_INJECT} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{pii.PII_PATTERNS["url"]}')) AS INT) AS n_url,
+           CAST(len(regexp_extract_all(t, '{pii.PII_PATTERNS["email"]}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{pii.PII_PATTERNS["phone"]}')) AS INT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{pii.PII_PATTERNS["url"]}', '[PII]', 'g'),
+               '{pii.PII_PATTERNS["email"]}', '[PII]', 'g'),
+               '{pii.PII_PATTERNS["phone"]}', '[PII]', 'g')) AS redacted_md5,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+               '{pii.PII_PATTERNS["url"]}', '[PII]', 'g'),
+               '{pii.PII_PATTERNS["email"]}', '[PII]', 'g'),
+               '{pii.PII_PATTERNS["phone"]}', '[PII]', 'g')) AS INT) AS redacted_len
+    FROM d
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build (the history the reference's upserts destroy)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension from the event log: per user, runs of equal
+    event_type become versioned validity intervals (operators/scd.py).
+    Bounded to user_id < 50 to keep the driver collect small; the
+    operator itself is key-partitioned and unbounded."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return scd2(ev, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+
+
+registry.register(
+    "scd2_build",
+    q_scd2_build,
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id < 50
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version_n
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n) AS valid_to,
+           version_n
+    FROM starts
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing (concat-then-chunk block assignment)
+# ---------------------------------------------------------------------------
+
+
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_blocks(docs, block_tokens=256, shards=8)
+
+
+registry.register(
+    "token_pack",
+    q_token_pack,
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, start_offset,
+           CAST(floor(start_offset / 256.0) AS BIGINT) AS first_block,
+           CAST(floor((start_offset + n_tokens - 1) / 256.0) AS BIGINT) AS last_block,
+           CAST(floor((start_offset + n_tokens - 1) / 256.0)
+                - floor(start_offset / 256.0) + 1 AS BIGINT) AS blocks_spanned
+    FROM o
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_summary(emb)
+
+
+registry.register(
+    "embedding_quantize",
+    q_embedding_quantize,
+    """
+    WITH b AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS amax
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN amax > 0
+                  THEN CAST(127.0 AS DOUBLE) / CAST(amax AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS scale
+      FROM b
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                            x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(qv, x -> x <> 0)) AS INT) AS nnz
+    FROM q
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# G3 — dynamic event-time trigger (031_schedule_dag analog)
+# ---------------------------------------------------------------------------
+
+_RUN_TS = "2024-01-15 12:00:00"
+
+
+def q_event_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """today_games derived from events (per-day, per-team first event
+    = game time); triggers fire 15 min earlier; times already
+    scheduled before Jan 5 are anti-joined away (the DagRun.find
+    idempotency guard). See pipelines/orchestration.py
+    ``event_time_triggers``."""
+    ev = load_table(spark, sf_dir, "events")
+    today = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            (F.col("user_id") % 10).alias("away_team"),
+            "ts",
+        )
+        .groupBy("d", "away_team")
+        .agg(F.min("ts").alias("game_time"))
+    )
+    already = today.filter(
+        F.col("game_time") < F.lit("2024-01-05").cast("timestamp")
+    ).select(
+        (F.col("game_time") - F.expr("INTERVAL 15 MINUTES")).alias("trigger_time")
+    )
+    return event_time_triggers(
+        today, run_ts=_RUN_TS, lead_minutes=15, already_scheduled=already
+    )
+
+
+registry.register(
+    "event_triggers",
+    q_event_triggers,
+    f"""
+    WITH games AS (
+      SELECT date_trunc('day', ts) AS d, user_id % 10 AS away_team,
+             min(ts) AS game_time
+      FROM events GROUP BY 1, 2
+    ),
+    trig AS (
+      SELECT DISTINCT game_time - INTERVAL 15 MINUTE AS trigger_time FROM games
+    ),
+    already AS (
+      SELECT DISTINCT game_time - INTERVAL 15 MINUTE AS trigger_time
+      FROM games WHERE game_time < TIMESTAMP '2024-01-05'
+    )
+    SELECT t.trigger_time,
+           t.trigger_time <= TIMESTAMP '{_RUN_TS}' AS due
+    FROM trig t
+    WHERE NOT EXISTS (SELECT 1 FROM already a WHERE a.trigger_time = t.trigger_time)
+    """,
+)

@@ -303,6 +303,75 @@ registry.register(
 )
 
 
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches): build one sketch
+    per group, then union the *sketches* — not the rows — and estimate
+    the global distinct. This is the re-aggregation pattern 100 TB
+    pipelines rely on (store per-partition/day sketches, merge at
+    query time instead of rescanning); the bounded check follows
+    ``approx_distinct``: |estimate − exact| ≤ 5% breaks the hash if
+    violated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_all")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("n_exact"))
+    return merged.crossJoin(exact).select(
+        "n_exact",
+        (
+            F.abs(F.col("approx_all") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("within_bounds"),
+    )
+
+
+registry.register(
+    "hll_sketch_union",
+    q_hll_sketch_union,
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS within_bounds
+    FROM lineitem
+    """,
+)
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (KLL-style sketch) checked by *rank
+    error*, the sketch's actual contract: the estimated p50's true CDF
+    position must sit in [0.5 − ε, 0.5 + ε]. Value-space deltas are
+    distribution-dependent, rank position is not — so the bound is
+    engine-portable and the oracle just asserts TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_a")
+    )
+    return (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("p50_a")).cast("double")).alias("frac")
+        )
+        .select(
+            "event_type",
+            ((F.col("frac") >= 0.49) & (F.col("frac") <= 0.51)).alias(
+                "rank_ok"
+            ),
+        )
+    )
+
+
+registry.register(
+    "approx_quantiles",
+    q_approx_quantiles,
+    """
+    SELECT DISTINCT event_type, TRUE AS rank_ok FROM events
+    """,
+)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
     ``quantile_cont``, both NIST R-7)."""

@@ -62,6 +62,13 @@ _PRIORITY = [
     "pivot_agg",
     "bucketed_join",
     # -- tier 2: never driver-checked (past the round-1 cutoff) or new
+    "pii_redact",
+    "scd2_build",
+    "token_pack",
+    "embedding_quantize",
+    "event_triggers",
+    "hll_sketch_union",
+    "approx_quantiles",
     "ops_plus",
     "partitioned_sink",
     "approx_distinct",
@@ -116,6 +123,7 @@ def _load() -> None:
         queries_core,
         queries_domain,
         queries_io,
+        queries_llm,
         queries_multimodal,
         queries_relational,
         queries_sampling,

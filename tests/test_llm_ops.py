@@ -1,0 +1,101 @@
+"""Unit tests for the round-2 LLM-pipeline / lifecycle operators:
+PII redaction, SCD2, sequence packing, int8 quantization, and the G3
+event-time trigger."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark.operators.scd import scd2
+from airflow_baseball_spark.pipelines.orchestration import event_time_triggers
+from airflow_baseball_spark.text import pii
+from airflow_baseball_spark.text.packing import pack_blocks
+from airflow_baseball_spark.text.quantize import quantize_int8
+
+
+def test_pii_redact_classes(spark):
+    df = spark.createDataFrame(
+        [Row(t="mail a@b.io or call 010-1234-5678 via https://x.io/p?u=c@d.com")]
+    )
+    out = df.select(
+        pii.redact(F.col("t")).alias("r"),
+        pii.pii_count(F.col("t"), "email").alias("ne"),
+        pii.pii_count(F.col("t"), "phone").alias("np"),
+        pii.pii_count(F.col("t"), "url").alias("nu"),
+    ).first()
+    assert out.r == "mail [PII] or call [PII] via [PII]"
+    # the URL swallows its embedded address only in redaction order;
+    # counts are per-class on the raw text
+    assert (out.ne, out.np, out.nu) == (2, 1, 1)
+
+
+def test_scd2_runs_and_intervals(spark):
+    rows = [
+        (1, "a", 10, 1),
+        (1, "a", 20, 2),
+        (1, "b", 30, 3),
+        (1, "a", 40, 4),
+        (2, "x", 10, 5),
+    ]
+    df = spark.createDataFrame(rows, "k INT, v STRING, ts INT, id INT")
+    out = {
+        (r.k, r.version_n): (r.v, r.valid_from, r.valid_to)
+        for r in scd2(df, "k", "v", "ts", "id").collect()
+    }
+    assert out[(1, 1)] == ("a", 10, 30)
+    assert out[(1, 2)] == ("b", 30, 40)
+    assert out[(1, 3)] == ("a", 40, None)  # open current version
+    assert out[(2, 1)] == ("x", 10, None)
+
+
+def test_pack_blocks_offsets_and_spans(spark):
+    # one shard (shards=1): stream is doc_id order; block=4 tokens
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g"), (3, "h i j k l")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.start_offset, r.first_block, r.last_block, r.blocks_spanned)
+        for r in pack_blocks(docs, block_tokens=4, shards=1).collect()
+    }
+    assert got[0] == (0, 0, 0, 1)  # tokens 0-2
+    assert got[1] == (3, 0, 1, 2)  # tokens 3-5 straddles block edge
+    assert got[2] == (6, 1, 1, 1)
+    assert got[3] == (7, 1, 2, 2)  # tokens 7-11
+    # sharding keeps ids deterministic: same doc -> same shard always
+    two = pack_blocks(docs, block_tokens=4, shards=2)
+    assert {r.shard for r in two.filter("doc_id = 3").collect()} == {1}
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert out[0].q == [64, -127, 32]  # floor(x*63.5+0.5)
+    assert max(abs(v) for v in out[0].q) <= 127
+    assert out[1].scale == 0.0 and out[1].q == [0, 0, 0]
+
+
+def test_event_triggers_due_and_idempotent(spark):
+    games = spark.createDataFrame(
+        [
+            ("2024-01-01 18:00:00", "A"),
+            ("2024-01-01 18:00:00", "B"),  # same time -> one trigger
+            ("2024-01-02 18:00:00", "A"),
+        ],
+        "game_time STRING, away_team STRING",
+    ).withColumn("game_time", F.col("game_time").cast("timestamp"))
+    trig = event_time_triggers(games, run_ts="2024-01-01 18:00:00")
+    rows = trig.collect()
+    assert len(rows) == 2  # deduped on trigger_time
+    due = {str(r.trigger_time): r.due for r in rows}
+    assert due["2024-01-01 17:45:00"] is True
+    assert due["2024-01-02 17:45:00"] is False
+    # DagRun.find analog: already-scheduled times drop out
+    again = event_time_triggers(
+        games, run_ts="2024-01-01 18:00:00", already_scheduled=trig
+    )
+    assert again.count() == 0
