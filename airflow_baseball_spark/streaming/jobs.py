@@ -57,20 +57,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def _drain_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+def _drain_to_memory(
+    sdf: DataFrame, output_mode: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Run a streaming DF to completion (AvailableNow) into a memory
-    sink; return the final static table."""
+    sink; return the final static table.
+
+    ``state_partitions`` sizes the stateful-operator shuffle (each
+    shuffle partition owns one state-store instance, fixed at the
+    query's FIRST start by the checkpoint). The right value tracks the
+    stream's keyed volume, not the batch default: these driver-scale
+    streams carry a handful of keys, where 32 state stores are pure
+    per-batch setup overhead (measured 5.2s → 1.5s on the windowed
+    count at sf0.1); a production deployment over a firehose sizes it
+    up like any shuffle. ``None`` leaves the session config untouched."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
