@@ -139,6 +139,56 @@ def merge_upsert(
     _swap_paths(spark, tmp_path, target_path)
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    partition_col: str,
+    update_cols: Sequence[str] | None = None,
+    version_col: str | None = None,
+) -> list:
+    """Partition-pruned upsert — the 100 TB shape of :func:`merge_upsert`.
+
+    A daily batch touches a handful of partitions of a huge target
+    (the reference's per-run upserts always land on "today":
+    `dags/030_scrape_today_games_time.py:44-56`). Rewriting the whole
+    table for that is the scale-killer; this variant:
+
+    1. lists the partitions present in ``updates`` (one tiny distinct
+       — bounded by the batch, never the target),
+    2. reads ONLY those partitions of the target (the ``isin`` filter
+       prunes directories at the source),
+    3. merges, and dynamically overwrites just those partitions
+       (``partitionOverwriteMode=dynamic`` leaves all other partition
+       directories untouched on disk).
+
+    The merged frame is ``localCheckpoint``-ed before the overwrite:
+    it is bounded (batch-sized), and materializing it breaks the
+    self-read the overwrite would otherwise reject. Returns the list
+    of partition values rewritten."""
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    try:
+        target = spark.read.parquet(target_path).filter(
+            F.col(partition_col).isin(parts)
+        )
+        target.first()
+    except Exception:
+        target = None
+    merged = upsert_dataframe(
+        target, updates, keys, update_cols, version_col
+    ).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts
+
+
 def _swap_paths(spark: SparkSession, src: str, dst: str) -> None:
     """Replace ``dst`` with ``src`` via the Hadoop FileSystem API (works
     on local paths and HDFS-compatible stores alike).

@@ -122,3 +122,66 @@ registry.register(
     FROM supplier GROUP BY s_nationkey
     """,
 )
+
+
+def q_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE (operators/upsert.py
+    ``merge_upsert_partitioned``): orders landed partitioned by order
+    year; a batch touching only 1995 keys is merged with dynamic
+    partition overwrite, so every other year's files are never
+    rewritten. The read-back aggregate must equal the oracle's
+    whole-table merge — pruning may change WHAT is rewritten, never
+    the result."""
+    from airflow_baseball_spark.operators.upsert import (
+        merge_upsert_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+    )
+    tgt = tempfile.mkdtemp(prefix="abs_upsert_part_") + "/tbl"
+    base.write.partitionBy("yr").parquet(tgt)
+    updates = base.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("yr") == 1995)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        "yr",
+    )
+    merge_upsert_partitioned(
+        spark, updates, tgt, keys=["o_orderkey"], partition_col="yr"
+    )
+    back = spark.read.parquet(tgt)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+registry.register(
+    "upsert_partitioned",
+    q_upsert_partitioned,
+    """
+    WITH merged AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1995
+                  THEN o_totalprice + 500.0 ELSE o_totalprice
+             END AS o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1995
+                  THEN 'U' ELSE o_orderstatus
+             END AS o_orderstatus
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)

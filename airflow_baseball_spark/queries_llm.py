@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.operators.gapfill import gap_fill
 from airflow_baseball_spark.operators.scd import scd2
 from airflow_baseball_spark.pipelines.orchestration import event_time_triggers
 from airflow_baseball_spark.schemas import load_table
@@ -195,6 +196,60 @@ registry.register(
            CAST(list_sum(qv) AS BIGINT) AS sum_q,
            CAST(len(list_filter(qv, x -> x <> 0)) AS INT) AS nnz
     FROM q
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill + forward fill (time-series densification)
+# ---------------------------------------------------------------------------
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user value totals densified to every day in each
+    user's active range, gaps forward-filled
+    (operators/gapfill.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id", F.to_date(F.col("ts")).alias("d"), F.col("value")
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return gap_fill(daily, key="user_id", date_col="d", value_cols=["v"])
+
+
+registry.register(
+    "gap_fill",
+    q_gap_fill,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.d, daily.v
+      FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    )
+    SELECT user_id, d,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           v IS NOT NULL AS was_present
+    FROM j
     """,
 )
 

@@ -57,6 +57,47 @@ registry.register(
 )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast-revenue: the maximally selective scan — every
+    predicate pushes to parquet (date range, discount band, quantity
+    cap), one global agg, no shuffle beyond the 1-row final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").cast("decimal(18,2)").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (d("l_extendedprice") * d("l_discount")).cast("decimal(22,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q6",
+    q_tpch_q6,
+    """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(22,6)))
+             AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+
 def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3-shaped shipping priority: selective dim filter, fact join,
     top-10 revenue. customer/orders broadcast-join into lineitem."""

@@ -69,6 +69,8 @@ _PRIORITY = [
     "event_triggers",
     "hll_sketch_union",
     "approx_quantiles",
+    "gap_fill",
+    "upsert_partitioned",
     "ops_plus",
     "partitioned_sink",
     "approx_distinct",
@@ -99,6 +101,7 @@ _PRIORITY = [
     "stream_static_join",
     "events_json_extract",
     "tpch_q1",
+    "tpch_q6",
     "tpch_q3ish",
     "tpch_q5ish",
     "salted_agg",

@@ -99,3 +99,21 @@ def test_event_triggers_due_and_idempotent(spark):
         games, run_ts="2024-01-01 18:00:00", already_scheduled=trig
     )
     assert again.count() == 0
+
+
+def test_gap_fill_densifies_and_carries_forward(spark):
+    from airflow_baseball_spark.operators.gapfill import gap_fill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 5.0), (1, "2024-01-04", 7.0), (2, "2024-01-02", 1.0)],
+        "k INT, d STRING, v DOUBLE",
+    ).withColumn("d", F.col("d").cast("date"))
+    out = {
+        (r.k, str(r.d)): (r.v, r.was_present)
+        for r in gap_fill(df, "k", "d", ["v"]).collect()
+    }
+    assert len(out) == 5  # key 1: 4 days, key 2: 1 day
+    assert out[(1, "2024-01-01")] == (5.0, True)
+    assert out[(1, "2024-01-02")] == (5.0, False)  # carried forward
+    assert out[(1, "2024-01-03")] == (5.0, False)
+    assert out[(1, "2024-01-04")] == (7.0, True)

@@ -81,3 +81,27 @@ def test_no_cartesian_products_in_registry(spark):
             continue  # streaming plans materialize eagerly
         df = fn(spark, SF)
         assert "CartesianProduct" not in _plan(df), name
+
+
+def test_map_only_ops_have_zero_exchanges(spark):
+    """PII redaction and int8 quantization are in-row transforms — any
+    Exchange in their plans means a regression added a shuffle."""
+    from airflow_baseball_spark import registry
+
+    qs = registry.queries()
+    for name in ("pii_redact", "embedding_quantize"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name  # pure column expressions
+
+
+def test_single_shuffle_window_ops(spark):
+    """Sequence packing and SCD2 are one key-partitioned shuffle each
+    (their windows share the partitioning, so Spark reuses it)."""
+    from airflow_baseball_spark import registry
+
+    qs = registry.queries()
+    for name, max_exchanges in (("token_pack", 1), ("scd2_build", 1)):
+        plan = _plan(qs[name](spark, SF))
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= max_exchanges, f"{name}: {n} hash exchanges"
