@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.operators.cdc import snapshot_diff
 from airflow_baseball_spark.operators.gapfill import gap_fill
 from airflow_baseball_spark.operators.scd import scd2
 from airflow_baseball_spark.pipelines.orchestration import event_time_triggers
@@ -307,5 +308,131 @@ registry.register(
            t.trigger_time <= TIMESTAMP '{_RUN_TS}' AS due
     FROM trig t
     WHERE NOT EXISTS (SELECT 1 FROM already a WHERE a.trigger_time = t.trigger_time)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC extract between two table versions)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic snapshots of orders (keys %11==0 exist only
+    in the new version, %13==0 only in the old, %7==0 changed price)
+    diffed by operators/cdc.py; output is per-class counts + value
+    checksum, which pins the classification of every key."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(old, new, keys=["o_orderkey"])
+    return diff.groupBy("change_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+registry.register(
+    "snapshot_diff",
+    q_snapshot_diff,
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    diff AS (
+      SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+             CASE WHEN old.o_orderkey IS NULL THEN 'inserted'
+                  WHEN new.o_orderkey IS NULL THEN 'deleted'
+                  WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                    OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                  THEN 'updated'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(new.o_totalprice, old.o_totalprice) AS o_totalprice
+      FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    SELECT change_type, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM diff GROUP BY change_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered event-sequence progression)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase progression: per user, the first
+    qualifying event of each stage must come strictly after the
+    previous stage's. Three key-partitioned aggregations, each joined
+    forward — no windows over the full log, no per-user state."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+registry.register(
+    "funnel",
+    q_funnel,
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
     """,
 )

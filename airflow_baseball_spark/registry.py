@@ -71,6 +71,8 @@ _PRIORITY = [
     "approx_quantiles",
     "gap_fill",
     "upsert_partitioned",
+    "snapshot_diff",
+    "funnel",
     "ops_plus",
     "partitioned_sink",
     "approx_distinct",

@@ -117,3 +117,19 @@ def test_gap_fill_densifies_and_carries_forward(spark):
     assert out[(1, "2024-01-02")] == (5.0, False)  # carried forward
     assert out[(1, "2024-01-03")] == (5.0, False)
     assert out[(1, "2024-01-04")] == (7.0, True)
+
+
+def test_snapshot_diff_classifies(spark):
+    from airflow_baseball_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k INT, v DOUBLE"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0)], "k INT, v DOUBLE"
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "updated", 3: "deleted", 4: "inserted"}
+    # values come from the surviving side
+    vals = {r.k: r.v for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert vals[2] == 25.0 and vals[3] == 30.0 and vals[4] == 40.0
