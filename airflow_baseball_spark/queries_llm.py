@@ -436,3 +436,51 @@ registry.register(
            (SELECT COUNT(*) FROM p) AS n_purchase_after_click
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (weekly cohort x week-offset active users)
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active week,
+    counted distinct per week offset. Two key-partitioned aggs and a
+    broadcast-sized cohort join — at 100 TB the per-user first-week
+    table is |users| rows, the only state that persists."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    first = active.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+registry.register(
+    "retention_cohorts",
+    q_retention_cohorts,
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, min(wk) AS cohort_week FROM active GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST((wk - cohort_week) // 7 AS INT) AS week_offset,
+           COUNT(DISTINCT active.user_id) AS n_active
+    FROM active JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
