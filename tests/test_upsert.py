@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark.operators.upsert import merge_upsert, upsert_dataframe
@@ -61,4 +63,37 @@ def test_merge_upsert_roundtrip(spark):
         merge_upsert(spark, upd, path, keys=["id"])
         merge_upsert(spark, upd, path, keys=["id"])  # idempotent
         out = _collect(spark.read.parquet(path))
+        assert out == {(1, 1.0), (2, 9.0), (3, 3.0)}
+
+
+def test_delta_gate_falls_back_cleanly_when_absent(spark):
+    """The MERGE fast path is gated on delta-spark; without it the
+    gate must return False (parquet fallback takes over) rather than
+    raise."""
+    import importlib.util
+
+    from airflow_baseball_spark.operators.upsert import _try_delta_merge
+
+    upd = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    if importlib.util.find_spec("delta") is None:
+        assert _try_delta_merge(spark, upd, "/tmp/nonexistent_delta", ["id"], None) is False
+    else:  # pragma: no cover - image-dependent
+        pytest.skip("delta-spark present: MERGE path exercised via merge_upsert")
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("delta") is None,
+    reason="delta-spark jars not in this image; Delta MERGE verified via "
+    "the same upsert_idempotent oracle when available",
+)
+def test_delta_merge_matches_parquet_fallback(spark):  # pragma: no cover
+    """When delta IS available, MERGE must satisfy the identical
+    contract the parquet fallback passes above."""
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+        base.write.format("delta").save(path)
+        upd = spark.createDataFrame([(2, 9.0), (3, 3.0)], "id int, v double")
+        merge_upsert(spark, upd, path, keys=["id"])
+        out = _collect(spark.read.format("delta").load(path))
         assert out == {(1, 1.0), (2, 9.0), (3, 3.0)}
