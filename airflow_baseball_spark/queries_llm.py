@@ -1,7 +1,8 @@
-"""Round-2 LLM-pipeline + lifecycle queries: PII redaction, SCD2
-history build, GPT-style sequence packing, int8 embedding
-quantization, and the G3 event-time trigger analog — each with a
-DuckDB oracle twin over the driver testdata.
+"""LLM-pipeline + lifecycle queries: PII redaction, SCD2 history
+build, GPT-style sequence packing, int8 embedding quantization, the
+G3 event-time trigger analog, calendar gap-fill, snapshot-diff CDC,
+funnel analysis, and retention cohorts — each with a DuckDB oracle
+twin over the driver testdata.
 
 Type alignment notes (driver hashes values with columns sorted by
 name): Spark ``size``/``length`` return INT while DuckDB ``len``/
