@@ -485,3 +485,48 @@ registry.register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style column stats, one scan)
+# ---------------------------------------------------------------------------
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column stats for orders in a single pass
+    (operators/profile.py); columns chosen for cross-engine-stable
+    string forms (int, string, date)."""
+    from airflow_baseball_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.to_date("o_orderdate")
+    )
+    return profile_table(
+        orders, ["o_custkey", "o_orderstatus", "o_orderdate"]
+    )
+
+
+registry.register(
+    "table_profile",
+    q_table_profile,
+    """
+    SELECT 'o_custkey' AS column_name,
+           COUNT(o_custkey) AS n_nonnull,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+    FROM orders
+    """,
+)

@@ -133,3 +133,17 @@ def test_snapshot_diff_classifies(spark):
     # values come from the surviving side
     vals = {r.k: r.v for r in snapshot_diff(old, new, ["k"]).collect()}
     assert vals[2] == 25.0 and vals[3] == 30.0 and vals[4] == 40.0
+
+
+def test_profile_table_native_type_minmax(spark):
+    from airflow_baseball_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(9, "b"), (10, None), (100, "a")], "n INT, s STRING"
+    )
+    out = {r.column_name: r for r in profile_table(df, ["n", "s"]).collect()}
+    # numeric min/max, not lexicographic ('10' < '9' as strings)
+    assert (out["n"].min_val, out["n"].max_val) == ("9", "100")
+    assert out["n"].n_nonnull == 3 and out["n"].n_distinct == 3
+    assert out["s"].n_nonnull == 2 and out["s"].n_distinct == 2
+    assert (out["s"].min_val, out["s"].max_val) == ("a", "b")
