@@ -147,3 +147,53 @@ def test_profile_table_native_type_minmax(spark):
     assert out["n"].n_nonnull == 3 and out["n"].n_distinct == 3
     assert out["s"].n_nonnull == 2 and out["s"].n_distinct == 2
     assert (out["s"].min_val, out["s"].max_val) == ("a", "b")
+
+
+def test_quantize_dequantize_error_bound(spark):
+    """|q/scale − x| ≤ 0.5/scale for every element (the int8 contract)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-5, 5) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = quantize_int8(df).collect()
+    orig = {r[0]: r[1] for r in rows}
+    for r in out:
+        if r.scale == 0.0:
+            continue
+        for q, x in zip(r.q, orig[r.vec_id]):
+            assert abs(q / r.scale - x) <= 0.5 / r.scale + 1e-6
+            assert abs(q) <= 127
+
+
+def test_pack_blocks_offsets_contiguous_per_shard(spark):
+    """Within a shard, offsets tile the token stream exactly: each
+    doc starts where the previous one ended."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 17))) for i in range(200)],
+        "doc_id LONG, text STRING",
+    )
+    rows = pack_blocks(docs, block_tokens=64, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in shard_rows:
+            assert r.start_offset == expect
+            expect += r.n_tokens
+
+
+def test_pii_redact_idempotent(spark):
+    """Redacting already-redacted text is a no-op — the token never
+    matches any PII pattern."""
+    df = spark.createDataFrame(
+        [Row(t="a@b.io and https://x.io and 010-1234-5678 end")]
+    )
+    once = df.select(pii.redact(F.col("t")).alias("r"))
+    twice = once.select(pii.redact(F.col("r")).alias("r"))
+    assert once.first().r == twice.first().r
