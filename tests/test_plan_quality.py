@@ -105,3 +105,17 @@ def test_single_shuffle_window_ops(spark):
         plan = _plan(qs[name](spark, SF))
         n = plan.count("Exchange hashpartitioning")
         assert n <= max_exchanges, f"{name}: {n} hash exchanges"
+
+
+def test_no_row_at_a_time_python_in_registry(spark):
+    """Python is allowed only as Arrow-batched stages (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas). BatchEvalPython — pickled
+    row-at-a-time UDF execution, the ~100x slow path — must never
+    appear in a registered plan."""
+    from airflow_baseball_spark import registry
+
+    for name, fn in registry.queries().items():
+        if name.startswith("stream_"):
+            continue  # streaming plans materialize eagerly
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
