@@ -703,3 +703,64 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 registry.register("kmeans_fit", q_kmeans_fit, None)
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling (CCNet-style: keep probability = quality)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: each document is kept with
+    probability equal to its quality score — the CCNet-style move that
+    upsamples clean text without a hard cutoff. The coin flip is the
+    identity-hash unit value (operators/sampling.py), so the sample is
+    reproducible across runs, engines, and repartitioning; in-row,
+    zero shuffle at any corpus size."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    q = analysis.quality_score(t)
+    return (
+        docs.select("doc_id", q.alias("quality"), hash_unit("doc_id", "w").alias("u"))
+        .filter(F.col("u") < F.col("quality"))
+        .select("doc_id", F.round("quality", 6).alias("quality"))
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             CASE WHEN length(text) > 0 THEN
+               (length(text) - length(translate(text, '.,!?;:''"()[]{{}}', '')))
+               / length(text) ELSE 0.0e0 END AS punct_ratio,
+             CASE WHEN len({_TOKS}) > 0 THEN
+               list_sum(list_transform({_TOKS}, t -> length(t))) / len({_TOKS})
+             END AS mean_tok_len,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['en']}, t)))
+               AS sw
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             0.25e0 * least(CAST(n_tokens AS DOUBLE), 100.0e0) / 100.0e0
+             + 0.25e0 * (1.0e0 - least(punct_ratio * 5.0e0, 1.0e0))
+             + 0.25e0 * least(CASE WHEN CAST(n_tokens AS DOUBLE) > 0
+                                   THEN CAST(sw AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                   ELSE 0.0e0 END * 5.0e0, 1.0e0)
+             + 0.25e0 * (1.0e0 - least(abs(mean_tok_len - 5.0e0) / 5.0e0, 1.0e0))
+               AS quality
+      FROM base
+    )
+    SELECT doc_id, ROUND(quality, 6) AS quality
+    FROM scored
+    WHERE {hash_unit_sql("doc_id", "w")} < quality
+    """
+
+
+registry.register("weighted_sample", q_weighted_sample, _weighted_sample_sql())
