@@ -100,8 +100,9 @@ def connected_components(
 
     # Final resolve: non-representative nodes can lag the rep chain by
     # a few hops; jump until fixed (label trees are shallow after the
-    # per-round halving, so this exits in 1-2 iterations).
-    for _ in range(5):
+    # per-round halving, so this exits in 1-2 iterations; each pass
+    # halves any remaining depth, so the cap covers depth 2^10).
+    for _ in range(10):
         j = labels.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
         resolved = (
             labels.join(j, labels["label"] == j["jn"], "left")

@@ -29,7 +29,10 @@ def gap_fill(
 ) -> DataFrame:
     """Densify ``df`` to one row per (key, day) between each key's
     min and max date; forward-fill ``value_cols`` across the gaps.
-    ``flag_col`` marks rows that existed in the input."""
+    ``flag_col`` marks rows that existed in the input — detected via
+    ``value_cols[0]``, which therefore must be non-null on every input
+    row (true for any aggregate-derived frame; pass a literal marker
+    column first if your values can be legitimately null)."""
     spine = (
         df.groupBy(key)
         .agg(F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1"))
