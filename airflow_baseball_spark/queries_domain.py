@@ -84,6 +84,16 @@ _HITTERS_SHAPED_SQL = """
 """
 
 
+def _r6(c) -> F.Column:
+    """Portable round-to-6: floor(x*1e6 + 0.5)/1e6 — the same three
+    IEEE ops in both engines, so results agree bit-for-bit at ANY
+    scale. Spark's round() converts through Java's shortest-string
+    BigDecimal, which can disagree with DuckDB's exact-double ROUND by
+    one ulp at .xxxxxx5 boundaries (observed at sf0.1)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+
+
 def q_hitter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hitter_metrics(_hitters_shaped(spark, sf_dir))
     # round every double to 6 on both sides — the driver's value hash
@@ -91,11 +101,11 @@ def q_hitter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # even when the operation order matches (CORRECTNESS_r01).
     return out.select(
         "hitter_id",
-        F.round(F.col("wOBA"), 6).alias("woba"),
-        F.round("wRC", 6).alias("wrc"),
-        F.round("k_rate", 6).alias("k_rate"),
-        F.round("bb_rate", 6).alias("bb_rate"),
-        F.round("babip", 6).alias("babip"),
+        _r6("wOBA").alias("woba"),
+        _r6("wRC").alias("wrc"),
+        _r6("k_rate").alias("k_rate"),
+        _r6("bb_rate").alias("bb_rate"),
+        _r6("babip").alias("babip"),
     )
 
 
@@ -120,15 +130,21 @@ registry.register(
              SUM(pa) AS lg_pa, SUM(runs) AS lg_runs
       FROM with_woba
     )
+    -- floor(x*1e6 + 0.5)/1e6 everywhere: the same IEEE ops as the
+    -- Spark side (_r6), agreeing bit-for-bit at any scale — ROUND()
+    -- tie handling differs between engines at .xxxxxx5 boundaries
     SELECT hitter_id,
-           ROUND(wOBA, 6) AS woba,
-           ROUND(((wOBA - lg_woba)
+           floor(wOBA * 1.0e6 + 0.5e0) / 1.0e6 AS woba,
+           floor((((wOBA - lg_woba)
                    / ((lg_woba - lg_obp) / (lg_slg - lg_obp))
-                  + lg_runs / lg_pa) * pa, 6) AS wrc,
-           ROUND(CASE WHEN pa <> 0 THEN so / pa END, 6) AS k_rate,
-           ROUND(CASE WHEN pa <> 0 THEN bb / pa END, 6) AS bb_rate,
-           ROUND(CASE WHEN ab - so - hr + sf <> 0 THEN
-             (hits - hr) / (ab - so - hr + sf) END, 6) AS babip
+                  + lg_runs / lg_pa) * pa) * 1.0e6 + 0.5e0) / 1.0e6 AS wrc,
+           floor((CASE WHEN pa <> 0 THEN so / pa END) * 1.0e6 + 0.5e0)
+             / 1.0e6 AS k_rate,
+           floor((CASE WHEN pa <> 0 THEN bb / pa END) * 1.0e6 + 0.5e0)
+             / 1.0e6 AS bb_rate,
+           floor((CASE WHEN ab - so - hr + sf <> 0 THEN
+             (hits - hr) / (ab - so - hr + sf) END) * 1.0e6 + 0.5e0)
+             / 1.0e6 AS babip
     FROM with_woba CROSS JOIN league
     """,
 )
