@@ -8,7 +8,12 @@ value hash, sorting columns by name):
 * floating-point aggregates are computed over ``DECIMAL(18,2)`` casts
   (exact, engine-independent) wherever possible, and final
   double-valued expressions are ``round(x, 6)`` on both sides so
-  summation-order ulp noise cannot flip the hash.
+  summation-order ulp noise cannot flip the hash;
+* when a rounded value can land on a .xxxxxx5 boundary, use
+  ``floor(x*1e6 + 0.5)/1e6`` on BOTH sides instead (see
+  ``queries_domain._r6``): Spark's ``round()`` goes through Java's
+  shortest-string BigDecimal while DuckDB rounds the exact double,
+  and they disagree by 1e-6 exactly at ties.
 """
 
 from __future__ import annotations
