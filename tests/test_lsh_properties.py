@@ -127,3 +127,19 @@ def test_kmeans_fit_monotone_inertia(spark):
     i1 = inertia(similarity.kmeans_fit(emb_df, init, n_iter=1))
     i3 = inertia(similarity.kmeans_fit(emb_df, init, n_iter=3))
     assert i3 <= i1 + 1e-9
+
+
+def test_kmeans_reduce_paths_agree(spark):
+    """driver-merge and spark-reduce partial strategies must produce
+    identical centroids and membership counts."""
+    emb_df = load_table(spark, SF, "embeddings")
+    init = emb_df.filter(F.col("vec_id") < 8)
+    a = {r.cluster_id: r for r in
+         similarity.kmeans_fit(emb_df, init, n_iter=2, reduce_partials="driver").collect()}
+    b = {r.cluster_id: r for r in
+         similarity.kmeans_fit(emb_df, init, n_iter=2, reduce_partials="spark").collect()}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert a[cid].n_members == b[cid].n_members
+        assert max(abs(x - y) for x, y in
+                   zip(a[cid].centroid, b[cid].centroid)) < 1e-9
