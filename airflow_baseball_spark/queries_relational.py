@@ -275,12 +275,26 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound: the estimate itself is engine-specific, so the query returns
     the exact count plus a ``within_bounds`` flag (|approx − exact| ≤
     3·rsd·exact). The oracle asserts the flag is TRUE for every group —
-    an HLL regression that drifts past 3σ breaks the hash."""
+    an HLL regression that drifts past 3σ breaks the hash.
+
+    The exact arm runs as a TWO-STAGE distinct (groupBy(flag, partkey)
+    then count per flag) instead of ``countDistinct`` inside the same
+    agg as the HLL: countDistinct next to another aggregate compiles to
+    an expand (row duplication) and carries every distinct key through
+    one shuffle, while the two-stage form partial-aggregates map-side —
+    the shape that survives 100 TB. (Round-2 bench: the expand form
+    regressed 0.71s → 1.97s; this recovers it.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
     )
+    exact = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_parts_exact"))
+    )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "n_parts_exact",

@@ -58,14 +58,22 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # headline numbers lead AND trail the line: the driver's artifact
+    # capture has truncated from the head before (BENCH_r02 lost the
+    # first ~14 timings), so `total_sec`/`n_queries`/`sf_echo` repeat
+    # the headline at the very end — whichever side survives a cut
+    # still carries the total.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "queries": timings,
+                "total_sec": round(total, 3),
+                "n_queries": len(timings),
+                "sf_echo": sf_val,
             }
         )
     )
