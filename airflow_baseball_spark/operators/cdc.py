@@ -44,8 +44,18 @@ def snapshot_diff(
     # often share lineage (same table filtered two ways), where aliased
     # self-join attribute resolution is ambiguous
     cols = keys + compare_cols
-    o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
-    n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
+    # presence comes from per-side literal markers, NOT key null-ness:
+    # the join is null-safe on the keys, so a row whose keys are all
+    # NULL can legitimately exist on either side — key-null presence
+    # tests would misclassify it as inserted/deleted
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+        F.lit(True).alias("__in_new"),
+    )
     ocol = lambda c: F.col(f"__o_{c}")  # noqa: E731
     ncol = lambda c: F.col(f"__n_{c}")  # noqa: E731
     cond = reduce(
@@ -53,8 +63,8 @@ def snapshot_diff(
     )
     joined = o.join(n, cond, "full_outer")
 
-    in_old = reduce(lambda a, b: a | b, (ocol(k).isNotNull() for k in keys))
-    in_new = reduce(lambda a, b: a | b, (ncol(k).isNotNull() for k in keys))
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     differs = reduce(
         lambda a, b: a | b,
         (~ocol(c).eqNullSafe(ncol(c)) for c in compare_cols),

@@ -117,9 +117,14 @@ def merge_upsert(
     """Merge ``updates`` into the parquet table at ``target_path``."""
     if _try_delta_merge(spark, updates, target_path, keys, update_cols):
         return
-    try:
+    _recover_backup(spark, target_path)
+    # Existence is decided by the filesystem, not by catching read
+    # errors: a blanket except would treat a corrupt footer or a
+    # transient FS fault as "table missing" and silently rebuild the
+    # target from the batch alone.
+    if _path_exists(spark, target_path):
         target = spark.read.parquet(target_path)
-    except Exception:
+    else:
         target = None
     merged = upsert_dataframe(target, updates, keys, update_cols, version_col)
     # Parquet cannot overwrite a path that the merged plan still reads
@@ -168,12 +173,16 @@ def merge_upsert_partitioned(
     self-read the overwrite would otherwise reject. Returns the list
     of partition values rewritten."""
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    try:
+    # fs-existence check, not try/except around the read: any real read
+    # error (corrupt file, permissions, transient FS fault) must
+    # propagate — swallowing it here would dynamic-overwrite the
+    # touched partitions with batch-only rows, dropping every
+    # pre-existing row whose key is not in the batch.
+    if _path_exists(spark, target_path):
         target = spark.read.parquet(target_path).filter(
             F.col(partition_col).isin(parts)
         )
-        target.first()
-    except Exception:
+    else:
         target = None
     merged = upsert_dataframe(
         target, updates, keys, update_cols, version_col
@@ -189,6 +198,37 @@ def merge_upsert_partitioned(
     return parts
 
 
+def _fs_paths(spark: SparkSession, *paths: str):
+    """(FileSystem, Path...) for HDFS-compatible stores and local FS."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    ps = [jvm.org.apache.hadoop.fs.Path(p) for p in paths]
+    return (ps[0].getFileSystem(conf), *ps)
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_paths(spark, path)
+    return bool(fs.exists(p))
+
+
+def _backup_path(dst: str) -> str:
+    return dst.rstrip("/") + "__backup"
+
+
+def _recover_backup(spark: SparkSession, dst: str) -> None:
+    """Roll forward from a crash between :func:`_swap_paths`' two
+    renames: if ``dst`` is missing but its backup exists, the backup is
+    the ONLY copy of the table — restore it before anything reads (and
+    then rewrites) the target. Deleting it instead would permanently
+    lose every pre-existing row."""
+    fs, dst_p, bak_p = _fs_paths(spark, dst, _backup_path(dst))
+    if fs.exists(bak_p) and not fs.exists(dst_p):
+        if not fs.rename(bak_p, dst_p):
+            raise OSError(
+                f"could not restore backup {_backup_path(dst)} to {dst}"
+            )
+
+
 def _swap_paths(spark: SparkSession, src: str, dst: str) -> None:
     """Replace ``dst`` with ``src`` via the Hadoop FileSystem API (works
     on local paths and HDFS-compatible stores alike).
@@ -198,14 +238,19 @@ def _swap_paths(spark: SparkSession, src: str, dst: str) -> None:
     step leaves either the old or the new table fully intact (the
     reference's ON DUPLICATE KEY upsert is transactional; delete-then-
     rename would lose the table if the process died in between)."""
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    conf = jsc.hadoopConfiguration()
-    src_p = jvm.org.apache.hadoop.fs.Path(src)
-    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
-    bak_p = jvm.org.apache.hadoop.fs.Path(dst.rstrip("/") + "__backup")
-    fs = dst_p.getFileSystem(conf)
-    fs.delete(bak_p, True)  # clear any stale backup from a prior crash
+    fs, src_p, dst_p, bak_p = _fs_paths(spark, src, dst, _backup_path(dst))
+    if fs.exists(bak_p):
+        if not fs.exists(dst_p):
+            # prior swap crashed between its two renames: the backup is
+            # the only copy — refuse rather than delete it (callers run
+            # _recover_backup before reading, so a well-formed merge
+            # never reaches this state)
+            raise OSError(
+                f"backup {_backup_path(dst)} exists but target {dst} is "
+                "missing — restore the backup (see _recover_backup) "
+                "before swapping"
+            )
+        fs.delete(bak_p, True)  # stale backup from a crash after the swap
     had_target = fs.exists(dst_p)
     if had_target and not fs.rename(dst_p, bak_p):
         raise OSError(f"could not move {dst} aside to {bak_p}")

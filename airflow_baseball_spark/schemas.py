@@ -42,18 +42,23 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table (columnar scan; Catalyst prunes).
 
-    ``events.parquet`` stores nanosecond timestamps, which Spark's
-    vectorized reader rejects by default — read them as longs
-    (runtime-settable legacy flag, works on any provided session) and
-    rebuild a microsecond timestamp (`ts div 1000`, matching DuckDB's
-    ns→µs truncation).
+    ``events.parquet`` has shipped ``ts`` two ways across testdata
+    generations: nanosecond-precision (which Spark's vectorized reader
+    rejects unless read as longs via the legacy flag, then rebuilt as a
+    µs timestamp — `ts div 1000` matches DuckDB's ns→µs truncation) and
+    native µs (reads as TIMESTAMP_NTZ directly). Handle both; the NTZ
+    form is cast to session-local TIMESTAMP (session tz is pinned UTC,
+    session.py:41, so wall-clock values are identical either way).
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

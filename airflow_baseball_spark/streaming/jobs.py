@@ -27,34 +27,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Events parquet stores nanosecond timestamps; the streaming reader gets
-# them as longs (schema below) and rebuilds microsecond timestamps just
-# like the batch reader (schemas.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (new files would be
-    picked up incrementally on a live directory)."""
+    picked up incrementally on a live directory).
+
+    The events table has shipped ``ts`` as nanosecond longs in some
+    testdata generations and native µs timestamps in others (see
+    schemas.load_table); a one-file batch footer probe picks the
+    streaming schema, and both forms normalize to a session-local µs
+    TIMESTAMP so every downstream watermark/window sees one type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
     # file-source streams take a directory; pathGlobFilter scopes it to
     # the events table (new matching files would stream in incrementally)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _drain_to_memory(

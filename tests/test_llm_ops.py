@@ -135,6 +135,18 @@ def test_snapshot_diff_classifies(spark):
     assert vals[2] == 25.0 and vals[3] == 30.0 and vals[4] == 40.0
 
 
+def test_snapshot_diff_all_null_keys(spark):
+    """A row whose keys are all NULL matches null-safely across
+    snapshots — presence must come from side markers, not key
+    null-ness, or it misclassifies as inserted+deleted."""
+    from airflow_baseball_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(None, 10.0), (1, 1.0)], "k INT, v DOUBLE")
+    new = spark.createDataFrame([(None, 11.0), (1, 1.0)], "k INT, v DOUBLE")
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {None: "updated", 1: "unchanged"}
+
+
 def test_profile_table_native_type_minmax(spark):
     from airflow_baseball_spark.operators.profile import profile_table
 

@@ -66,6 +66,44 @@ def test_merge_upsert_roundtrip(spark):
         assert out == {(1, 1.0), (2, 9.0), (3, 3.0)}
 
 
+def test_merge_upsert_recovers_orphaned_backup(spark):
+    """Crash between _swap_paths' two renames leaves dst missing and
+    the backup holding the only copy. The next merge must restore the
+    backup and merge against it — not rebuild the table from the batch
+    alone (which would permanently drop every pre-existing row)."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+        merge_upsert(spark, base, path, keys=["id"])
+        # simulate the mid-swap crash: dst moved aside, staging never in
+        os.rename(path, f"{path}__backup")
+        upd = spark.createDataFrame([(2, 9.0), (3, 3.0)], "id int, v double")
+        merge_upsert(spark, upd, path, keys=["id"])
+        out = _collect(spark.read.parquet(path))
+        assert out == {(1, 1.0), (2, 9.0), (3, 3.0)}  # row 1 survived
+        assert not os.path.exists(f"{path}__backup")
+
+
+def test_merge_upsert_read_errors_propagate(spark):
+    """A target that EXISTS but cannot be read must fail the merge —
+    not be silently treated as missing and overwritten with batch-only
+    rows."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        os.makedirs(path)
+        with open(f"{path}/part-00000.parquet", "wb") as f:
+            f.write(b"not a parquet footer")
+        upd = spark.createDataFrame([(1, 1.0)], "id int, v double")
+        with pytest.raises(Exception):
+            merge_upsert(spark, upd, path, keys=["id"])
+        # the corrupt target was not clobbered
+        assert open(f"{path}/part-00000.parquet", "rb").read().startswith(b"not a")
+
+
 def test_delta_gate_falls_back_cleanly_when_absent(spark):
     """The MERGE fast path is gated on delta-spark; without it the
     gate must return False (parquet fallback takes over) rather than
