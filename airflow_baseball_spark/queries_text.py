@@ -387,16 +387,51 @@ registry.register(
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (nprobe=1) approximate neighbor search — rows-only check
-    (the oracle would replicate the full two-stage assignment; the
-    exact path is already oracle-verified via cosine_topk)."""
+    """IVF (nprobe=1) approximate neighbor search, fully
+    oracle-checked: IVF is deterministic and non-iterative, so the
+    oracle replicates both stages in SQL — nearest-centroid assignment
+    (rounded cosine, ties to the lower centroid id, exactly
+    assign_clusters' np.argmax rule) and the within-cluster top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     centroids = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(emb, queries, centroids, k=3)
 
 
-registry.register("ivf_topk", q_ivf_topk, None)
+def _ivf_topk_sql() -> str:
+    assign_cos = _COS_SQL.format(a="e.embedding", b="c.cv")
+    pair_cos = _COS_SQL.format(a="q.v", b="ca.v")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT e.vec_id, c.cid, e.embedding AS v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {assign_cos} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             {pair_cos} AS cos
+      FROM assign q
+      JOIN assign ca ON ca.cid = q.cid AND ca.vec_id <> q.vec_id
+      WHERE q.vec_id % 25 = 0
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+registry.register("ivf_topk", q_ivf_topk, _ivf_topk_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -691,18 +726,90 @@ registry.register("hyperplane_lsh_pairs", q_hyperplane_lsh_pairs, _hyperplane_sq
 
 
 # ---------------------------------------------------------------------------
-# k-means training (Lloyd's) — rows-only (iterative; not SQL-expressible
-# without unrolling every iteration into the oracle)
+# k-means training (Lloyd's) — checked via a scalar projection of the
+# fitted model (cid, n_members, rounded centroid norm: all hashable
+# types) against a DuckDB oracle that unrolls the 3 fixed Lloyd
+# iterations as chained CTEs. The array-returning kmeans_fit stays the
+# library API; only the projection is driver-compared.
 # ---------------------------------------------------------------------------
 
 
 def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     init = emb.filter(F.col("vec_id") < 8)
-    return similarity.kmeans_fit(emb, init, n_iter=3)
+    fit = similarity.kmeans_fit(emb, init, n_iter=3)
+    sumsq = F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x)
+    # floor-trick round-to-6 (queries_domain._r6): same IEEE ops as the
+    # oracle so boundary averages can't diverge between engines
+    return fit.select(
+        F.col("cluster_id").alias("cid"),
+        "n_members",
+        (F.floor(F.sqrt(sumsq) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "centroid_norm"
+        ),
+    )
 
 
-registry.register("kmeans_fit", q_kmeans_fit, None)
+def _kmeans_fit_sql(n_iter: int = 3) -> str:
+    """Unrolled Lloyd's in pure SQL: per iteration, (1) assign every
+    vector to its nearest centroid (Euclidean; ties -> lowest cluster
+    id, matching np.argmin's first-index rule), (2) recompute centroids
+    as element-wise member means via unnest + positional regroup.
+    Clusters that lose all members keep their previous centroid and
+    report 0 members — the same empty-cluster rule as kmeans_fit."""
+    parts = [
+        """
+    emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cent, CAST(0 AS BIGINT) AS n
+      FROM emb WHERE vec_id < 8
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cent), c.cid
+               ) AS rn
+        FROM emb e CROSS JOIN c{i - 1} c
+      ) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cid, list(mval ORDER BY pos) AS cent, any_value(nm) AS n
+      FROM (
+        SELECT cid, pos, sum(val) / count(*) AS mval,
+               count(*) AS nm
+        FROM (
+          SELECT a.cid, unnest(e.v) AS val,
+                 generate_subscripts(e.v, 1) AS pos
+          FROM a{i} a JOIN emb e ON a.vec_id = e.vec_id
+        )
+        GROUP BY cid, pos
+      )
+      GROUP BY cid
+    ),
+    c{i} AS (
+      SELECT p.cid, COALESCE(m.cent, p.cent) AS cent,
+             COALESCE(m.n, 0) AS n
+      FROM c{i - 1} p LEFT JOIN m{i} m USING (cid)
+    )""")
+    return f"""
+    WITH {",".join(parts)}
+    SELECT cid, n AS n_members,
+           FLOOR(sqrt(list_sum(list_transform(cent, x -> x * x)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS centroid_norm
+    FROM c{n_iter}
+    """
+
+
+registry.register("kmeans_fit", q_kmeans_fit, _kmeans_fit_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "decimal(22,6)"
                 )
             ).cast("double").alias("sum_disc_price"),
-            F.round(F.avg(d("l_quantity")), 6).alias("avg_qty"),
+            # floor(x*1e6+0.5)/1e6, not ROUND(): identical IEEE ops on
+            # both engines, so .xxxxxx5-boundary averages can't diverge
+            # (same fix as queries_domain._r6, commit 507dc20)
+            (F.floor(F.avg(d("l_quantity")) * 1000000.0 + 0.5) / 1000000.0).alias(
+                "avg_qty"
+            ),
             F.count("*").alias("count_order"),
         )
     )
@@ -48,7 +53,8 @@ registry.register(
            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
              AS DOUBLE) AS sum_disc_price,
-           ROUND(AVG(CAST(l_quantity AS DECIMAL(18,2))), 6) AS avg_qty,
+           FLOOR(AVG(CAST(l_quantity AS DECIMAL(18,2))) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'

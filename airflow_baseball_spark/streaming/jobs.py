@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# Raw layout of the events parquet as the legacy testdata generations
+# ship it: nanosecond-long ``ts`` that the reader rebuilds into a µs
+# timestamp (mirrors schemas.load_table). This is both the documented
+# raw schema and the fallback used when no probe file exists yet.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (new files would be
     picked up incrementally on a live directory).
@@ -35,9 +51,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata generations and native µs timestamps in others (see
     schemas.load_table); a one-file batch footer probe picks the
     streaming schema, and both forms normalize to a session-local µs
-    TIMESTAMP so every downstream watermark/window sees one type."""
+    TIMESTAMP so every downstream watermark/window sees one type.
+    On a live directory where the stream starts before the first file
+    lands, the probe falls back to ``EVENTS_RAW_SCHEMA`` (legacy ns
+    longs) instead of failing at setup."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:  # probe file absent: stream not yet fed
+        schema = EVENTS_RAW_SCHEMA
     ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
     # file-source streams take a directory; pathGlobFilter scopes it to
     # the events table (new matching files would stream in incrementally)
