@@ -207,8 +207,25 @@ def _fs_paths(spark: SparkSession, *paths: str):
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds a readable table: a file, or a directory
+    containing at least one visible data file (recursively, so
+    partitioned layouts count). A leftover EMPTY directory — e.g. from
+    an interrupted first write — is "missing", not "unreadable": a
+    bare ``fs.exists`` would send it down the read path and fail
+    schema inference forever until someone removed the dir by hand.
+    Genuinely unreadable data (corrupt footer, FS fault) still fails
+    loudly in the subsequent read."""
     fs, p = _fs_paths(spark, path)
-    return bool(fs.exists(p))
+    if not fs.exists(p):
+        return False
+    if fs.getFileStatus(p).isFile():
+        return True
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
 
 
 def _backup_path(dst: str) -> str:

@@ -55,3 +55,17 @@ def test_airflow_factory_gated():
         pass
     with pytest.raises(NotImplementedError):
         orch.build_airflow_dag()
+
+
+def test_airflow_dag_graph_matches_stages():
+    """When Airflow IS importable, the generated DAG must reproduce the
+    reference chain topology exactly: one task per stage, edge set ==
+    STAGES' `after` edges (dags/000_scrape_games_result.py:147-153)."""
+    pytest.importorskip("airflow")
+    dag = orch.build_airflow_dag()
+    assert {t.task_id for t in dag.tasks} == {s.name for s in orch.STAGES}
+    want_edges = {(up, s.name) for s in orch.STAGES for up in s.after}
+    got_edges = {
+        (t.task_id, down) for t in dag.tasks for down in t.downstream_task_ids
+    }
+    assert got_edges == want_edges

@@ -135,3 +135,22 @@ def test_delta_merge_matches_parquet_fallback(spark):  # pragma: no cover
         merge_upsert(spark, upd, path, keys=["id"])
         out = _collect(spark.read.format("delta").load(path))
         assert out == {(1, 1.0), (2, 9.0), (3, 3.0)}
+
+
+def test_empty_dir_target_treated_as_missing(spark):
+    """A leftover empty directory (e.g. an interrupted first write)
+    must count as "table missing" — the merge proceeds from the batch
+    alone instead of dying on schema inference forever (ADVICE r3)."""
+    from airflow_baseball_spark.operators.upsert import _path_exists
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        import os
+
+        os.makedirs(path)
+        assert _path_exists(spark, path) is False
+        upd = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+        merge_upsert(spark, upd, path, keys=["id"])
+        assert _collect(spark.read.parquet(path)) == {(1, 1.0), (2, 2.0)}
+        # and a real (partitioned-layout) table still counts as present
+        assert _path_exists(spark, path) is True
