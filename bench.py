@@ -50,13 +50,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in registry.queries().items():
+    for i, (name, fn) in enumerate(registry.queries().items()):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        if (i + 1) % 20 == 0:
+            # session hygiene for a ~100-query single session: Spark's
+            # ContextCleaner frees localCheckpoint/broadcast blocks only
+            # after their driver-side handles are GC'd; trigger both GCs
+            # periodically (outside any timing window) so storage from
+            # iterative ops (CC rounds, k-means) can't accumulate and
+            # tax whichever queries happen to run late in the session
+            import gc  # noqa: PLC0415
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
     # headline numbers lead AND trail the line: the driver's artifact
     # capture has truncated from the head before (BENCH_r02 lost the
