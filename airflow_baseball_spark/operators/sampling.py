@@ -83,3 +83,36 @@ def stratified_sample(
     for k, f in fractions.items():
         thr = F.when(F.col(strata_col) == k, F.lit(f)).otherwise(thr)
     return df.filter(u < thr)
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str,
+    seed: str = "0",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain (source / host / shard) —
+    the CCNet/C4-style guard against a handful of boilerplate-heavy
+    domains dominating a crawl-scale corpus.
+
+    Rows within a domain are ranked by their identity hash (so the
+    survivors are a uniform, run- and engine-stable sample of the
+    domain, not "whatever arrived first"), ties broken by id. Adds
+    ``domain_rank`` (1-based) to the kept rows.
+
+    Scale: one shuffle on ``domain_col`` for the ranking window. A
+    mega-domain is exactly the skew case the identity hash defuses at
+    the *output* (cap bounds what survives); the transient window over
+    the raw domain would be salted with a two-phase per-(domain, salt)
+    pre-rank at 100 TB — same move as operators/salt.py."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        hash_unit(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+        .withColumn("domain_rank", F.col("domain_rank").cast("long"))
+    )

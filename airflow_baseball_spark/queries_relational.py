@@ -667,3 +667,36 @@ registry.register(
     GROUP BY c_nationkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) value — the multi-dimensional data-skipping layout
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value over (o_custkey, order epoch-day): the sort key
+    operators/zorder.write_zordered lays files out by, so min/max
+    footer stats prune on EITHER column. The interleave is plain
+    shifts/masks — whole-stage codegen, engine-portable, checked here
+    term-for-term against the DuckDB mirror."""
+    from airflow_baseball_spark.operators.zorder import zorder_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        zorder_value(F.col("o_custkey"), epoch_day).alias("zval"),
+    )
+
+
+def _zorder_sql() -> str:
+    from airflow_baseball_spark.operators.zorder import zorder_sql
+
+    z = zorder_sql(
+        "o_custkey", "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    )
+    return f"SELECT o_orderkey, {z} AS zval FROM orders"
+
+
+registry.register("zorder_value", q_zorder_value, _zorder_sql())

@@ -85,3 +85,31 @@ registry.register(
                       ELSE 0.05 END
     """,
 )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (CCNet/C4-style): at most 15 docs per source,
+    survivors chosen by identity hash so the cap is a uniform stable
+    sample of each domain, not arrival order."""
+    from airflow_baseball_spark.operators.sampling import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap(docs, "source", 15, id_col="doc_id", seed="11").select(
+        "doc_id", "source", "domain_rank"
+    )
+
+
+registry.register(
+    "domain_cap",
+    q_domain_cap,
+    f"""
+    SELECT doc_id, source, domain_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {hash_unit_sql("doc_id", "11")}, doc_id
+             ) AS BIGINT) AS domain_rank
+      FROM documents
+    ) WHERE domain_rank <= 15
+    """,
+)

@@ -871,3 +871,95 @@ def _weighted_sample_sql() -> str:
 
 
 registry.register("weighted_sample", q_weighted_sample, _weighted_sample_sql())
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char chunks, stride 150 (50-char overlap) — the
+    retrieval-style pre-tokenization split; in-row explode, no
+    shuffle."""
+    from airflow_baseball_spark.text.chunking import doc_chunk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_chunk(docs, chunk_size=200, stride=150)
+
+
+registry.register(
+    "doc_chunk",
+    q_doc_chunk,
+    """
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text), 150)) AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           (start - 1) // 150 AS chunk_id,
+           CAST(start AS BIGINT) AS chunk_start,
+           substring(text, CAST(start AS INT), 200) AS chunk
+    FROM starts
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (batch vs precomputed store)
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest shape: docs with doc_id % 10 == 0 play the new
+    batch; the rest play the historical corpus, represented ONLY by
+    its precomputed signature + digest tables (built here for the
+    check; persisted artifacts in production)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store = docs.filter(F.col("doc_id") % 10 != 0)
+    store_sigs = dedup.minhash_signatures(store)
+    store_digests = store.select(F.md5(F.col("text")).alias("digest"))
+    return dedup.incremental_dedup(batch, store_sigs, store_digests)
+
+
+def _incremental_dedup_sql() -> str:
+    rows_per_band = len(dedup._PERMS) // dedup.N_BANDS
+    bands = []
+    for b in range(dedup.N_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(sig_{b * rows_per_band + j} AS VARCHAR)"
+            for j in range(rows_per_band)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_hash FROM sigs")
+    banded = "\n      UNION ALL\n      ".join(bands)
+    return f"""
+    WITH sigs AS ({_minhash_sql()}),
+    banded AS (
+      {banded}
+    ),
+    cand AS (
+      SELECT b.doc_id, COUNT(DISTINCT s.doc_id) AS n_candidates
+      FROM banded b JOIN banded s
+        ON b.band_id = s.band_id AND b.band_hash = s.band_hash
+      WHERE b.doc_id % 10 = 0 AND s.doc_id % 10 != 0
+      GROUP BY 1
+    ),
+    dig AS (SELECT doc_id, md5(text) AS d FROM documents),
+    ex AS (
+      SELECT b.doc_id, 1 AS exact_dup FROM dig b
+      WHERE b.doc_id % 10 = 0
+        AND EXISTS (SELECT 1 FROM dig s
+                    WHERE s.doc_id % 10 != 0 AND s.d = b.d)
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(e.exact_dup, 0) AS INT) AS exact_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN cand c USING (doc_id)
+    LEFT JOIN ex e USING (doc_id)
+    """
+
+
+registry.register("incremental_dedup", q_incremental_dedup, _incremental_dedup_sql())

@@ -66,6 +66,11 @@ _PRIORITY = [
                     # top-k, queries_text.py)
     "tpch_q1",      # was hash-red: avg_qty now floor(x*1e6+0.5)/1e6 on
                     # both sides (queries_tpch.py)
+    # -- tier 1b: added in round 4 (never driver-checked)
+    "doc_chunk",
+    "domain_cap",
+    "zorder_value",
+    "incremental_dedup",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

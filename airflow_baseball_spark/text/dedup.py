@@ -448,3 +448,67 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") > threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a precomputed signature store
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store_sigs: DataFrame,
+    store_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Probe a NEW batch of documents against an EXISTING corpus using
+    only the corpus's precomputed artifacts — its minhash signature
+    table (16 ints/doc) and exact-digest table — never the corpus text.
+
+    This is how dedup actually runs at 100 TB: the historical corpus
+    is not re-shingled per ingest; each daily batch computes its own
+    signatures (map-only, O(batch)), then (1) band-joins against the
+    stored signature bands for near-dup candidates and (2) semi-joins
+    its md5 digests against the stored digest set for exact dups. Both
+    joins key on small fixed-width values; the batch side is tiny, so
+    at scale both sides of (1) shuffle only band keys and (2) is a
+    broadcast semi-join of the batch digests.
+
+    Returns one row per batch doc: ``n_candidates`` (distinct store
+    docs sharing >= 1 LSH band) and ``exact_dup`` (0/1)."""
+    b_sigs = minhash_signatures(batch, text_col, id_col)
+    bb = _banded(b_sigs, id_col, n_bands).alias("b")
+    sb = _banded(store_sigs, id_col, n_bands).alias("s")
+    cand = (
+        bb.join(
+            sb,
+            (F.col("b.band_id") == F.col("s.band_id"))
+            & (F.col("b.band_hash") == F.col("s.band_hash")),
+        )
+        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .agg(F.count_distinct(F.col(f"s.{id_col}")).alias("n_candidates"))
+    )
+    exact = (
+        batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .join(
+            F.broadcast(store_digests.select("digest").distinct()),
+            "digest",
+            "left_semi",
+        )
+        .select(id_col)
+        .withColumn("exact_dup", F.lit(1))
+    )
+    return (
+        batch.select(id_col)
+        .join(cand, id_col, "left")
+        .join(exact, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("exact_dup"), F.lit(0)).cast("int").alias("exact_dup"),
+        )
+    )

@@ -48,6 +48,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    def calibrate() -> float:
+        """Fixed reference workload (hash-agg over lineitem) timed at
+        bench start and end: PERF_NOTES.md documents multi-minute
+        windows where the shared host runs 3-20x slow; the two calib
+        numbers let a reader detect a contended run and normalize the
+        per-query timings instead of mistaking noise for regressions."""
+        t0 = time.perf_counter()
+        load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+            {"l_quantity": "sum", "l_extendedprice": "avg"}
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    calib_start = calibrate()
+
     timings: dict[str, float] = {}
     total = 0.0
     for i, (name, fn) in enumerate(registry.queries().items()):
@@ -84,6 +98,8 @@ def main() -> None:
                 "queries": timings,
                 "total_sec": round(total, 3),
                 "n_queries": len(timings),
+                "calib_start_sec": calib_start,
+                "calib_end_sec": calibrate(),
                 "sf_echo": sf_val,
             }
         )

@@ -209,3 +209,34 @@ def test_pii_redact_idempotent(spark):
     once = df.select(pii.redact(F.col("t")).alias("r"))
     twice = once.select(pii.redact(F.col("r")).alias("r"))
     assert once.first().r == twice.first().r
+
+
+def test_incremental_dedup_flags_known_dups(spark):
+    """A batch doc that exactly matches a store doc must flag
+    exact_dup AND collide on every band; an unrelated doc matches
+    nothing; batch docs never probe each other."""
+    from airflow_baseball_spark.text.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+    )
+
+    store = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "entirely different corpus content here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+         (11, "zzz qqq completely novel text www")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_candidates, r.exact_dup)
+        for r in incremental_dedup(
+            batch,
+            minhash_signatures(store),
+            store.select(F.md5("text").alias("digest")),
+        ).collect()
+    }
+    assert out[10] == (1, 1)
+    assert out[11] == (0, 0)

@@ -119,3 +119,34 @@ def test_no_row_at_a_time_python_in_registry(spark):
             continue  # streaming plans materialize eagerly
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_doc_chunk_is_map_only(spark):
+    """Chunking must stay a zero-exchange map stage (the 100 TB claim
+    in text/chunking.py) — explode + substring only, no Python."""
+    from airflow_baseball_spark import registry
+
+    plan = _plan(registry.queries()["doc_chunk"](spark, SF))
+    # spread() may add one round-robin repartition at local scale; a
+    # HASH exchange or Python stage is the regression being guarded
+    assert "Exchange hashpartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_domain_cap_single_key_shuffle(spark):
+    from airflow_baseball_spark import registry
+
+    plan = _plan(registry.queries()["domain_cap"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Python" not in plan
+
+
+def test_zorder_value_in_codegen(spark):
+    """The Morton interleave must stay a pure projected expression —
+    in whole-stage codegen, no exchange, no Python."""
+    from airflow_baseball_spark import registry
+
+    plan = _plan(registry.queries()["zorder_value"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "codegen id" in plan  # formatted-mode codegen marker
