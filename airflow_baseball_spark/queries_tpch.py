@@ -259,3 +259,148 @@ registry.register(
     FROM events e JOIN dim d USING (event_type)
     """,
 )
+
+
+def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped promo-revenue ratio: fact scan with a pushed date
+    band, broadcast join to part (dim), one conditional-sum global agg
+    — the classic 'percentage of revenue from one product class'
+    probe. At scale part is a few GB and still broadcastable after
+    pruning to (p_partkey, p_type)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("decimal(22,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q14ish",
+    q_tpch_q14ish,
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6))
+                 ELSE 0.0 END) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+             AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+
+
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped large-volume orders: aggregate the fact by order,
+    HAVING over the aggregate, then join the qualifying keys back to
+    orders+customer dims. The having-filter runs BEFORE the dim joins
+    (qualifying set is tiny), so the expensive side is one map-side
+    combinable agg — never a join of the raw fact to customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q18ish",
+    q_tpch_q18ish,
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+
+
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped returned-item revenue: selective flag filter on the
+    fact, revenue agg per customer, broadcast customer+nation name
+    lookup, top 20 — the 'who returned the most' report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev_per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast(
+                    "decimal(22,6)"
+                )
+            ).cast("double").alias("revenue"),
+        )
+    )
+    dims = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    return (
+        rev_per_cust.join(
+            F.broadcast(dims.select("c_custkey", "c_name", "n_name")),
+            rev_per_cust["o_custkey"] == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+registry.register(
+    "tpch_q10ish",
+    q_tpch_q10ish,
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+             AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)

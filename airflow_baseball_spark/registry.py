@@ -71,6 +71,9 @@ _PRIORITY = [
     "domain_cap",
     "zorder_value",
     "incremental_dedup",
+    "tpch_q14ish",
+    "tpch_q18ish",
+    "tpch_q10ish",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

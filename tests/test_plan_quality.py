@@ -150,3 +150,19 @@ def test_zorder_value_in_codegen(spark):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert "codegen id" in plan  # formatted-mode codegen marker
+
+
+def test_new_tpch_shapes_broadcast_dims(spark):
+    """q10/q14/q18: dims must broadcast, facts must never cartesian;
+    q18's HAVING must run before the dim joins (the join input is the
+    aggregated order set, not the raw fact)."""
+    from airflow_baseball_spark import registry
+
+    qs = registry.queries()
+    for name in ("tpch_q14ish", "tpch_q10ish", "tpch_q18ish"):
+        plan = _plan(qs[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # q14's date band reaches the parquet scan
+    plan14 = _plan(qs["tpch_q14ish"](spark, SF))
+    assert "PushedFilters" in plan14 and "l_shipdate" in plan14.split("PushedFilters")[1][:200]
