@@ -164,10 +164,13 @@ def event_time_triggers(
     return trig
 
 
-def build_airflow_dag(dag_id: str = "airflow_baseball_spark"):
-    """Thin Airflow DAG mirroring the reference topology: one
-    spark-submit task per stage, same edges, cron on the roots. Gated:
-    Airflow is not installed in this container."""
+def build_airflow_dag(
+    dag_id: str = "airflow_baseball_spark", data_dir: str = "/data/tables"
+):
+    """Thin Airflow DAG mirroring the reference topology: one stage-
+    runner task per stage (``airflow_baseball_spark.jobs`` CLI), same
+    edges, cron on the roots. Gated: Airflow is not installed in this
+    container (the jobs CLI itself is exercised by tests/test_jobs.py)."""
     try:
         from airflow import DAG  # noqa: PLC0415
         from airflow.operators.bash import BashOperator  # noqa: PLC0415
@@ -184,9 +187,13 @@ def build_airflow_dag(dag_id: str = "airflow_baseball_spark"):
     for s in STAGES:
         tasks[s.name] = BashOperator(
             task_id=s.name,
+            # plain python entry point: a PySpark app needs spark-submit
+            # only for cluster deploy-modes; swap the prefix for
+            # `spark-submit --master yarn ...` in that deployment
             bash_command=(
-                "spark-submit -m airflow_baseball_spark.jobs "
-                f"--stage {s.name} --run-date {{{{ ds }}}}"
+                "python -m airflow_baseball_spark.jobs "
+                f"--stage {s.name} --data-dir {data_dir} "
+                "--run-date {{ ds }}"
             ),
             dag=dag,
         )
