@@ -700,3 +700,61 @@ def _zorder_sql() -> str:
 
 
 registry.register("zorder_value", q_zorder_value, _zorder_sql())
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier filter — per-group robust data cleaning
+# ---------------------------------------------------------------------------
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per event_type: rows outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR] of their group. The per-group
+    quantile table is tiny (|groups| rows) and broadcasts back onto
+    the fact — one agg shuffle plus a map-side probe; the fact is
+    never sorted. Exact interpolated percentiles keep the fences
+    engine-identical (rounded via the _r6 floor trick before
+    comparison)."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    j = ev.join(F.broadcast(fences), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return (
+        j.filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            r6(F.col("q1") - 1.5 * iqr).alias("lo_fence"),
+            r6(F.col("q3") + 1.5 * iqr).alias("hi_fence"),
+        )
+    )
+
+
+registry.register(
+    "iqr_outliers",
+    q_iqr_outliers,
+    """
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           FLOOR((q1 - 1.5 * (q3 - q1)) * 1000000.0 + 0.5) / 1000000.0
+             AS lo_fence,
+           FLOOR((q3 + 1.5 * (q3 - q1)) * 1000000.0 + 0.5) / 1000000.0
+             AS hi_fence
+    FROM events e JOIN fences f USING (event_type)
+    WHERE e.value < q1 - 1.5 * (q3 - q1)
+       OR e.value > q3 + 1.5 * (q3 - q1)
+    """,
+)

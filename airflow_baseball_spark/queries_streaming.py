@@ -124,3 +124,28 @@ registry.register(
     FROM events
     """,
 )
+
+
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_stream_upsert_available_now(spark, sf_dir)
+
+
+# oracle = batch "latest event per user"; ORDER BY mirrors
+# upsert_dataframe's deterministic total order exactly (version col
+# first, then the remaining non-key columns in frame order, all
+# DESC NULLS LAST)
+registry.register(
+    "stream_upsert",
+    q_stream_upsert,
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                 event_type DESC NULLS LAST, value DESC NULLS LAST,
+                 props DESC NULLS LAST
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)

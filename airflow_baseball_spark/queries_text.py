@@ -963,3 +963,48 @@ def _incremental_dedup_sql() -> str:
 
 
 registry.register("incremental_dedup", q_incremental_dedup, _incremental_dedup_sql())
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary extraction (global top-K terms)
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms by document frequency — the
+    first pass of BPE/WordPiece corpus prep. One (term) groupBy with
+    map-side combine, then a global top-k; the ORDER BY runs on the
+    aggregated term table (vocabulary-sized, not corpus-sized), so at
+    100 TB the sort input is millions of rows regardless of corpus
+    size. Ties break lexicographically for engine determinism."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(analysis.tokens(F.col("text"))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    # orderBy+limit plans as TakeOrderedAndProject: each partition
+    # keeps its own top-100, the driver merges — never a global sort
+    # or single-partition window over the full vocabulary
+    top = counts.orderBy(F.col("n").desc(), "term").limit(100)
+    w = Window.orderBy(F.col("n").desc(), "term")  # <=100 rows by now
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("term", "n", "rank")
+
+
+registry.register(
+    "vocab_topk",
+    q_vocab_topk,
+    f"""
+    WITH counts AS (
+      SELECT term, COUNT(*) AS n
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      GROUP BY 1
+    )
+    SELECT term, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+    FROM counts
+    ORDER BY n DESC, term
+    LIMIT 100
+    """,
+)

@@ -74,6 +74,9 @@ _PRIORITY = [
     "tpch_q14ish",
     "tpch_q18ish",
     "tpch_q10ish",
+    "vocab_topk",
+    "iqr_outliers",
+    "stream_upsert",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

@@ -353,3 +353,42 @@ def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("total_value"), 2).alias("total_value"),
     )
+
+
+def run_stream_upsert_available_now(
+    spark: SparkSession, sf_dir: str, target_path: str | None = None
+) -> DataFrame:
+    """CDC-apply sink: each micro-batch MERGEs into a keyed target via
+    ``foreachBatch`` + :func:`operators.upsert.merge_upsert` — the
+    streaming form of the reference's ON DUPLICATE KEY UPDATE loop
+    (`dags/utils/queries.py:5-261`), keeping the LATEST event per
+    ``user_id`` (version = event time).
+
+    Correctness does not depend on batching: keep-latest under a total
+    order is associative, so any micro-batch slicing converges to the
+    same final table — which is why the AvailableNow drain can be
+    oracle-checked against plain batch SQL. At scale the inner merge
+    is the partition-pruned variant (X61) and the target is Delta, so
+    per-batch work tracks batch size, not table size."""
+    from airflow_baseball_spark.operators.upsert import merge_upsert
+
+    target = target_path or tempfile.mkdtemp(prefix="stream_upsert_") + "/t"
+    stream = read_events_stream(spark, sf_dir)
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession,
+            batch_df,
+            target,
+            keys=["user_id"],
+            version_col="ts",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)

@@ -141,3 +141,44 @@ def test_stream_dedup_dedups_across_batches(spark, replay_dir):
     rows = [(r["user_id"], r["event_type"]) for r in out.collect()]
     # user 100 appears in files 1 AND 2 — state must swallow the repeat
     assert sorted(rows) == [(100, "x"), (200, "x"), (901, "x"), (902, "x")]
+
+
+def test_stream_upsert_converges_across_batches(spark, replay_dir, tmp_path):
+    """foreachBatch CDC-apply over 4 micro-batches must land the same
+    final table as one global keep-latest — associativity of the merge
+    under its total order, the property the oracle check relies on."""
+    from airflow_baseball_spark.operators.upsert import merge_upsert, upsert_dataframe
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    target = str(tmp_path / "t")
+
+    def apply_batch(batch_df, _bid):
+        merge_upsert(
+            batch_df.sparkSession, batch_df, target, keys=["user_id"], version_col="ts"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    batch = spark.read.schema(jobs.EVENTS_RAW_SCHEMA).parquet(replay_dir).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    want = {
+        tuple(r)
+        for r in upsert_dataframe(None, batch, keys=["user_id"], version_col="ts")
+        .select(*spark.read.parquet(target).columns)
+        .collect()
+    }
+    assert got == want and len(got) == 4  # users 100, 200, 901, 902
