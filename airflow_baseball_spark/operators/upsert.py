@@ -113,9 +113,28 @@ def merge_upsert(
     update_cols: Sequence[str] | None = None,
     version_col: str | None = None,
     partition_by: Sequence[str] | None = None,
+    version_wins: bool = False,
 ) -> None:
-    """Merge ``updates`` into the parquet table at ``target_path``."""
-    if _try_delta_merge(spark, updates, target_path, keys, update_cols):
+    """Merge ``updates`` into the parquet table at ``target_path``.
+
+    Two matched-key semantics:
+
+    * ``version_wins=False`` (default): the updates batch replaces the
+      stored row unconditionally — MySQL ON DUPLICATE KEY UPDATE
+      parity (`dags/utils/queries.py:5-261`), where "latest" means
+      "the batch being applied".
+    * ``version_wins=True``: keep the row with the highest
+      ``version_col`` across BOTH the stored table and the batch (same
+      total order as :func:`_dedup_latest`). This is the CDC-apply
+      contract: out-of-order batches cannot regress a newer stored
+      row, and the merge is associative across any batch slicing.
+      Requires ``updates`` to carry the full row schema
+      (``update_cols`` unsupported)."""
+    if version_wins and update_cols is not None:
+        raise ValueError("version_wins merges full rows; update_cols unsupported")
+    if not version_wins and _try_delta_merge(
+        spark, updates, target_path, keys, update_cols
+    ):
         return
     _recover_backup(spark, target_path)
     # Existence is decided by the filesystem, not by catching read
@@ -126,7 +145,11 @@ def merge_upsert(
         target = spark.read.parquet(target_path)
     else:
         target = None
-    merged = upsert_dataframe(target, updates, keys, update_cols, version_col)
+    if version_wins:
+        both = updates if target is None else target.unionByName(updates)
+        merged = _dedup_latest(both, list(keys), version_col)
+    else:
+        merged = upsert_dataframe(target, updates, keys, update_cols, version_col)
     # Parquet cannot overwrite a path that the merged plan still reads
     # lazily; stage to a sibling path and swap (distributed — no
     # driver-side collect). Delta MERGE avoids the rewrite entirely.
@@ -220,10 +243,15 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
         return False
     if fs.getFileStatus(p).isFile():
         return True
+    base = p.toUri().getPath().rstrip("/")
     it = fs.listFiles(p, True)
     while it.hasNext():
-        name = it.next().getPath().getName()
-        if not name.startswith(("_", ".")):
+        f = it.next().getPath().toUri().getPath()
+        # every path SEGMENT below the base must be visible: a part
+        # file under an interrupted write's _temporary/ subtree is
+        # invisible to spark.read and must not count as data
+        rel = f[len(base) :].lstrip("/")
+        if all(not seg.startswith(("_", ".")) for seg in rel.split("/")):
             return True
     return False
 

@@ -723,18 +723,19 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(fences), "event_type")
     iqr = F.col("q3") - F.col("q1")
     r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    # membership is decided on the ROUNDED fences: Spark percentile and
+    # DuckDB quantile_cont interpolate with different FP op order, so a
+    # raw-fence comparison could flip a boundary row between engines
+    lo = r6(F.col("q1") - 1.5 * iqr)
+    hi = r6(F.col("q3") + 1.5 * iqr)
     return (
-        j.filter(
-            (F.col("value") < F.col("q1") - 1.5 * iqr)
-            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        j.withColumn("lo_fence", lo)
+        .withColumn("hi_fence", hi)
+        .filter(
+            (F.col("value") < F.col("lo_fence"))
+            | (F.col("value") > F.col("hi_fence"))
         )
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            r6(F.col("q1") - 1.5 * iqr).alias("lo_fence"),
-            r6(F.col("q3") + 1.5 * iqr).alias("hi_fence"),
-        )
+        .select("event_id", "event_type", "value", "lo_fence", "hi_fence")
     )
 
 
@@ -748,13 +749,14 @@ registry.register(
              quantile_cont(value, 0.75) AS q3
       FROM events GROUP BY 1
     )
-    SELECT e.event_id, e.event_type, e.value,
-           FLOOR((q1 - 1.5 * (q3 - q1)) * 1000000.0 + 0.5) / 1000000.0
-             AS lo_fence,
-           FLOOR((q3 + 1.5 * (q3 - q1)) * 1000000.0 + 0.5) / 1000000.0
-             AS hi_fence
-    FROM events e JOIN fences f USING (event_type)
-    WHERE e.value < q1 - 1.5 * (q3 - q1)
-       OR e.value > q3 + 1.5 * (q3 - q1)
+    SELECT event_id, event_type, value, lo_fence, hi_fence FROM (
+      SELECT e.event_id, e.event_type, e.value,
+             FLOOR((q1 - 1.5 * (q3 - q1)) * 1000000.0 + 0.5) / 1000000.0
+               AS lo_fence,
+             FLOOR((q3 + 1.5 * (q3 - q1)) * 1000000.0 + 0.5) / 1000000.0
+               AS hi_fence
+      FROM events e JOIN fences f USING (event_type)
+    )
+    WHERE value < lo_fence OR value > hi_fence
     """,
 )

@@ -278,11 +278,23 @@ def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .agg(
+            # the otherwise() zero must be DECIMAL: a double zero would
+            # silently widen the whole branch to double and make the
+            # numerator an order-dependent FP sum. The final ratio is
+            # floor-trick rounded on both sides (registry convention).
             (
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                .cast("double")
-                / F.sum(rev).cast("double")
+                F.floor(
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                            F.lit(0).cast("decimal(22,6)")
+                        )
+                    ).cast("double")
+                    / F.sum(rev).cast("double")
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_rows"),
         )
@@ -293,13 +305,13 @@ registry.register(
     "tpch_q14ish",
     q_tpch_q14ish,
     """
-    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT FLOOR(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6))
-                 ELSE 0.0 END) AS DOUBLE)
+                 ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
            / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
-             AS DOUBLE) AS promo_revenue_pct,
+             AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct,
            COUNT(*) AS n_rows
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -364,7 +376,9 @@ def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     rev_per_cust = (
         li.filter(F.col("l_returnflag") == "R")
-        .join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        # orders is a FACT, not a dim: no broadcast hint — a shuffle
+        # join (or AQE's choice) is the only shape that survives scale
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_custkey")
         .agg(
             F.sum(

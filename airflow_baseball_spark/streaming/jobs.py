@@ -54,11 +54,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP so every downstream watermark/window sees one type.
     On a live directory where the stream starts before the first file
     lands, the probe falls back to ``EVENTS_RAW_SCHEMA`` (legacy ns
-    longs) instead of failing at setup."""
+    longs) instead of failing at setup. Absence is decided by a
+    filesystem check, not by catching read errors — a corrupt footer
+    or FS fault must fail loudly here, not silently misparse the whole
+    stream under the wrong schema (same rule as operators/upsert.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    except Exception:  # probe file absent: stream not yet fed
+    probe = f"{sf_dir}/events.parquet"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(probe)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if fs.exists(jvm_path):
+        schema = spark.read.parquet(probe).schema
+    else:  # stream not yet fed
         schema = EVENTS_RAW_SCHEMA
     ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
     # file-source streams take a directory; pathGlobFilter scopes it to
@@ -364,12 +370,14 @@ def run_stream_upsert_available_now(
     (`dags/utils/queries.py:5-261`), keeping the LATEST event per
     ``user_id`` (version = event time).
 
-    Correctness does not depend on batching: keep-latest under a total
-    order is associative, so any micro-batch slicing converges to the
-    same final table — which is why the AvailableNow drain can be
-    oracle-checked against plain batch SQL. At scale the inner merge
-    is the partition-pruned variant (X61) and the target is Delta, so
-    per-batch work tracks batch size, not table size."""
+    ``version_wins=True`` is what makes batching irrelevant: the merge
+    keeps the highest-``ts`` row across the STORED table and the batch
+    (not "the batch wins"), so keep-latest is associative and an
+    out-of-order micro-batch can never regress a newer stored row —
+    which is why the AvailableNow drain can be oracle-checked against
+    plain batch SQL. At scale the inner merge is the partition-pruned
+    variant (X61) and the target is Delta, so per-batch work tracks
+    batch size, not table size."""
     from airflow_baseball_spark.operators.upsert import merge_upsert
 
     target = target_path or tempfile.mkdtemp(prefix="stream_upsert_") + "/t"
@@ -382,6 +390,7 @@ def run_stream_upsert_available_now(
             target,
             keys=["user_id"],
             version_col="ts",
+            version_wins=True,
         )
 
     q = (

@@ -490,13 +490,18 @@ def incremental_dedup(
         .groupBy(F.col(f"b.{id_col}").alias(id_col))
         .agg(F.count_distinct(F.col(f"s.{id_col}")).alias("n_candidates"))
     )
+    # The STORE digest table is corpus-sized — never broadcast it. The
+    # batch is the small side: broadcast ITS digests into a semi-join
+    # that reduces the store to "digests the batch also has" (bounded
+    # by the batch), then probe the batch against that tiny hit set.
+    batch_digests = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    hit_digests = (
+        store_digests.select("digest")
+        .join(F.broadcast(batch_digests.select("digest").distinct()), "digest", "left_semi")
+        .distinct()
+    )
     exact = (
-        batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
-        .join(
-            F.broadcast(store_digests.select("digest").distinct()),
-            "digest",
-            "left_semi",
-        )
+        batch_digests.join(F.broadcast(hit_digests), "digest", "left_semi")
         .select(id_col)
         .withColumn("exact_dup", F.lit(1))
     )

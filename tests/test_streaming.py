@@ -144,23 +144,39 @@ def test_stream_dedup_dedups_across_batches(spark, replay_dir):
 
 
 def test_stream_upsert_converges_across_batches(spark, replay_dir, tmp_path):
-    """foreachBatch CDC-apply over 4 micro-batches must land the same
-    final table as one global keep-latest — associativity of the merge
-    under its total order, the property the oracle check relies on."""
+    """foreachBatch CDC-apply over micro-batches must land the same
+    final table as one global keep-latest — associativity of the
+    version_wins merge, the property the oracle check relies on.
+    The replay deliberately delivers an OUT-OF-ORDER batch (user 100's
+    oldest event arrives last): batch-wins semantics would regress the
+    stored row; version_wins must not."""
+    import shutil
+
     from airflow_baseball_spark.operators.upsert import merge_upsert, upsert_dataframe
+
+    ooo_dir = str(tmp_path / "replay")
+    shutil.copytree(replay_dir, ooo_dir)
+    # file 5 (newest mtime → last micro-batch): a STALE event for user
+    # 100, older than everything already merged for that user
+    _write(f"{ooo_dir}/05.parquet", [(8, _ns(-60), 100, 99.0)], mtime=1_700_000_005)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
+        .parquet(ooo_dir)
     )
     stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     target = str(tmp_path / "t")
 
     def apply_batch(batch_df, _bid):
         merge_upsert(
-            batch_df.sparkSession, batch_df, target, keys=["user_id"], version_col="ts"
+            batch_df.sparkSession,
+            batch_df,
+            target,
+            keys=["user_id"],
+            version_col="ts",
+            version_wins=True,
         )
 
     q = (
@@ -172,7 +188,7 @@ def test_stream_upsert_converges_across_batches(spark, replay_dir, tmp_path):
     q.awaitTermination()
 
     got = {tuple(r) for r in spark.read.parquet(target).collect()}
-    batch = spark.read.schema(jobs.EVENTS_RAW_SCHEMA).parquet(replay_dir).withColumn(
+    batch = spark.read.schema(jobs.EVENTS_RAW_SCHEMA).parquet(ooo_dir).withColumn(
         "ts", F.expr("timestamp_micros(ts div 1000)")
     )
     want = {
@@ -182,3 +198,6 @@ def test_stream_upsert_converges_across_batches(spark, replay_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 4  # users 100, 200, 901, 902
+    # the stale out-of-order event must NOT have replaced user 100's row
+    u100 = next(r for r in spark.read.parquet(target).collect() if r.user_id == 100)
+    assert u100.event_id == 5  # ts(120min) event, not the late ts(-60min) one
