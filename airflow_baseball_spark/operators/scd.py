@@ -59,3 +59,40 @@ def scd2(
         F.lead("valid_from").over(w2).alias("valid_to"),
         "version_n",
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Feature-store-style point-in-time (as-of) join against an SCD2
+    dimension: each fact row picks the version whose half-open
+    ``[valid_from, valid_to)`` interval contains ``fact_ts`` (open
+    current version = NULL ``valid_to``). The leakage-free way to
+    attach entity state to training labels — a plain latest-state join
+    would leak future attribute values into past examples.
+
+    Scale: one co-partitioned equi-join on ``key`` with the interval
+    bound as a residual predicate — version counts per key are small
+    (runs, not events), so the residual scan per matched key is cheap
+    and the shuffle is the same one any keyed enrich pays. Intervals
+    are disjoint per key, so each fact matches at most one version (no
+    row multiplication)."""
+    vcols = [c for c in dim.columns if c != key]
+    d = dim.select(
+        F.col(key).alias("__pit_key"),
+        *[F.col(c).alias(f"__pit_{c}") for c in vcols],
+    )
+    vf, vt = f"__pit_{valid_from}", f"__pit_{valid_to}"
+    joined = facts.join(
+        d,
+        (facts[key] == F.col("__pit_key"))
+        & (F.col(vf) <= facts[fact_ts])
+        & (F.col(vt).isNull() | (facts[fact_ts] < F.col(vt))),
+    )
+    out = [F.col(f"__pit_{c}").alias(c) for c in vcols if c not in (valid_from, valid_to)]
+    return joined.select(*facts.columns, *out)

@@ -530,3 +530,62 @@ registry.register(
     FROM orders
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (feature-store) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free label enrichment: every purchase event picks the
+    user's event_type-run version valid AT its timestamp from the SCD2
+    history — the feature-store as-of pattern (operators/scd.py).
+    Same user_id < 50 bound as scd2_build."""
+    from airflow_baseball_spark.operators.scd import point_in_time_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    dim = scd2(ev, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = point_in_time_join(facts, dim, key="user_id", fact_ts="ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type").alias("state_at_ts"),
+        F.col("version_n").cast("long").alias("version_n"),
+    )
+
+
+registry.register(
+    "pit_join",
+    q_pit_join,
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+    ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM ev
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_n
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_n) AS valid_to,
+             version_n
+      FROM starts
+    )
+    SELECT f.user_id, f.event_id, f.ts,
+           d.event_type AS state_at_ts,
+           CAST(d.version_n AS BIGINT) AS version_n
+    FROM (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase') f
+    JOIN dim d ON f.user_id = d.user_id
+              AND d.valid_from <= f.ts
+              AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)

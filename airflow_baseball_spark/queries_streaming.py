@@ -149,3 +149,23 @@ registry.register(
     ) WHERE rn = 1
     """,
 )
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase within
+    30 min, per user), drained via AvailableNow; oracle is the plain
+    batch interval join over the same events."""
+    return jobs.run_stream_stream_join_available_now(spark, sf_dir)
+
+
+registry.register(
+    "stream_stream_join",
+    q_stream_stream_join,
+    """
+    SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      USING (user_id)
+    WHERE p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)

@@ -1008,3 +1008,59 @@ registry.register(
     LIMIT 100
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (CCNet-style) dedup
+# ---------------------------------------------------------------------------
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: drop every repeat of a 16-word segment seen
+    anywhere in the corpus, rebuild surviving text per doc. Bodies
+    never shuffle (digests + id lists only) — see text/dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.segment_dedup(docs, seg_words=16)
+
+
+registry.register(
+    "segment_dedup",
+    q_segment_dedup,
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    meta0 AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS seg_idx
+      FROM base
+    ),
+    meta AS (
+      SELECT doc_id, seg_idx,
+             md5(array_to_string(w[(seg_idx*16+1):(seg_idx*16+16)], ' ')) AS digest
+      FROM meta0
+    ),
+    marked AS (
+      SELECT doc_id, seg_idx,
+             ROW_NUMBER() OVER (PARTITION BY digest
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM meta
+    ),
+    kept AS (
+      SELECT m.doc_id, m.seg_idx,
+             array_to_string(b.w[(m.seg_idx*16+1):(m.seg_idx*16+16)], ' ') AS seg
+      FROM marked m JOIN base b USING (doc_id)
+      WHERE m.rn = 1
+    ),
+    folded AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+      FROM kept GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(ceil(len(b.w) / 16.0) AS BIGINT) AS n_segs,
+           CAST(COALESCE(f.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(f.kept_text, '') AS kept_text
+    FROM base b LEFT JOIN folded f USING (doc_id)
+    """,
+)

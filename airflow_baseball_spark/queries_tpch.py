@@ -418,3 +418,167 @@ registry.register(
     LIMIT 20
     """,
 )
+
+
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped order-priority check: EXISTS semi-join of two FACTS
+    (orders against its late lineitems), then a tiny agg by priority.
+
+    Shape notes for scale: the date band prunes orders at the scan; the
+    semi-join shuffles both facts on orderkey but emits each order at
+    most once (left_semi — no row multiplication, no dedup needed,
+    roughly half the output of the equivalent inner-join+distinct).
+    The correlated ``l_shipdate > o_orderdate + 90 days`` predicate
+    rides the join as a residual condition — identical timestamp
+    arithmetic on both engines, so the oracle is exact."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+registry.register(
+    "tpch_q4ish",
+    q_tpch_q4ish,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+)
+
+
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped cross-nation volume: the fact joins BOTH dim chains
+    (supplier→nation and orders→customer→nation), keeps only the two
+    ordered nation pairs, and aggregates by (supp_nation, cust_nation,
+    ship year).
+
+    Scale shape: supplier/customer/nation are broadcast after pruning
+    to key+name; orders is a fact, so lineitem⋈orders is the one real
+    shuffle (AQE may still pick broadcast at small SF). The disjunctive
+    nation-pair filter runs after both lookups resolve — it cannot push
+    below either join, but it prunes before the agg so the grouped set
+    is pair-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast(
+                    "decimal(22,6)"
+                )
+            ).cast("double").alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q7ish",
+    q_tpch_q7ish,
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           YEAR(l.l_shipdate) AS l_year,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+             AS DOUBLE) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped discounted revenue: OR-of-ANDs predicate spanning the
+    fact AND the dim — the classic disjunctive-pushdown probe.
+
+    Scale shape: each disjunct's dim-only half (brand+size) prunes the
+    broadcast part table and its fact-only half (quantity band) pushes
+    to the lineitem scan as the OR-union of the bands; Catalyst derives
+    both from the CNF of the filter, so the scan reads only rows that
+    can satisfy SOME disjunct. One broadcast join, one 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    q = F.col("l_quantity")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.sum(
+            (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("decimal(22,6)")
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+registry.register(
+    "tpch_q19ish",
+    q_tpch_q19ish,
+    """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+             AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)

@@ -77,6 +77,12 @@ _PRIORITY = [
     "vocab_topk",
     "iqr_outliers",
     "stream_upsert",
+    "tpch_q4ish",
+    "tpch_q7ish",
+    "tpch_q19ish",
+    "segment_dedup",
+    "stream_stream_join",
+    "pit_join",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

@@ -401,3 +401,44 @@ def run_stream_upsert_available_now(
     )
     q.awaitTermination()
     return spark.read.parquet(target)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+def stream_stream_pairs(events: DataFrame, max_lag: str = "30 minutes") -> DataFrame:
+    """Watermarked stream-stream INNER join: click events matched to
+    purchase events of the same user within ``max_lag`` after the
+    click (attribution-window shape).
+
+    Both sides are branches of the same source stream; each carries
+    its own event-time watermark, and the join condition bounds
+    ``purchase_ts`` to ``[click_ts, click_ts + max_lag]``, which is
+    what lets Spark evict buffered state: a click older than
+    watermark−max_lag can never match a future purchase, so the state
+    store holds only the trailing window on each side — bounded memory
+    on an unbounded stream. Without the time-range condition Spark
+    would (rightly) have to buffer both sides forever."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag}")),
+    ).select("user_id", "click_ts", "purchase_ts")
+
+
+def run_stream_stream_join_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(stream_stream_pairs(ev), "append")

@@ -166,3 +166,55 @@ def test_new_tpch_shapes_broadcast_dims(spark):
     # q14's date band reaches the parquet scan
     plan14 = _plan(qs["tpch_q14ish"](spark, SF))
     assert "PushedFilters" in plan14 and "l_shipdate" in plan14.split("PushedFilters")[1][:200]
+
+
+def test_round4b_tpch_shapes(spark):
+    """q4ish must plan a left-semi (no row multiplication) with the
+    order-date band pushed to the scan; q7ish/q19ish broadcast their
+    dims and never cartesian."""
+    from airflow_baseball_spark import registry
+
+    qs = registry.queries()
+    plan4 = _plan(qs["tpch_q4ish"](spark, SF))
+    assert "LeftSemi" in plan4
+    assert "PushedFilters" in plan4 and "o_orderdate" in plan4.split("PushedFilters")[1][:300]
+    for name in ("tpch_q7ish", "tpch_q19ish"):
+        plan = _plan(qs[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # q19's disjunctive predicate must not block column pruning: the
+    # lineitem scan reads only the joined/filtered/aggregated columns
+    plan19 = _plan(qs["tpch_q19ish"](spark, SF))
+    read = [ln for ln in plan19.splitlines() if "ReadSchema" in ln and "l_partkey" in ln]
+    assert read and "l_shipdate" not in read[0]
+
+
+def test_segment_dedup_never_shuffles_bodies(spark):
+    """The scale claim in text/dedup.segment_dedup: every Exchange in
+    the plan carries digests/ids only — the document body (w / text)
+    must not appear in any exchanged schema. Formatted mode prints
+    each exchange's input columns; we check the simpler invariant that
+    no Python stage exists and the raw text column is re-read (joined)
+    rather than windowed: the row_number window input must be the
+    3-column digest frame."""
+    from airflow_baseball_spark import registry
+
+    df = registry.queries()["segment_dedup"](spark, SF)
+    plan = _plan(df)
+    assert "Python" not in plan
+    # the window operator's required child ordering is on (digest-side)
+    # columns, never on the body column
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines and all("text#" not in ln and " w#" not in ln for ln in win_lines)
+
+
+def test_pit_join_no_row_multiplication(spark):
+    """Disjoint SCD2 intervals: the PIT join emits exactly one row per
+    fact that has a covering version — count equals fact count here
+    (every purchase postdates the user's first event)."""
+    from airflow_baseball_spark import registry
+
+    out = registry.queries()["pit_join"](spark, SF)
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 50)
+    n_facts = ev.filter(F.col("event_type") == "purchase").count()
+    assert out.count() == n_facts
