@@ -760,3 +760,78 @@ registry.register(
     WHERE value < lo_fence OR value > hi_fence
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (Deequ/dbt-tests style)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over a deterministically-dirtied orders table
+    (the clean testdata has zero violations, so both engines inject
+    the same synthetic defects from o_orderkey arithmetic): null FKs,
+    orphan FKs, duplicate keys, negative prices
+    (operators/quality.dq_report)."""
+    from airflow_baseball_spark.operators.quality import dq_report
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("long"))
+        .when(F.col("o_orderkey") % 73 == 0, F.lit(9999999).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 89 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    dirty = dirty.unionByName(dirty.filter(F.col("o_orderkey") % 101 == 0))
+    return dq_report(
+        dirty,
+        key_cols=["o_orderkey"],
+        not_null=["o_custkey"],
+        ranges={"o_totalprice": (0.0, 1000000.0)},
+        refs=[("o_custkey", cust, "c_custkey")],
+    )
+
+
+registry.register(
+    "dq_report",
+    q_dq_report,
+    """
+    WITH dirty0 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  WHEN o_orderkey % 73 = 0 THEN 9999999
+                  ELSE o_custkey END AS o_custkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    ),
+    dirty AS (
+      SELECT * FROM dirty0
+      UNION ALL
+      SELECT * FROM dirty0 WHERE o_orderkey % 101 = 0
+    )
+    SELECT 'null_o_custkey' AS check_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM dirty
+    UNION ALL
+    SELECT 'range_o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM dirty
+    UNION ALL
+    SELECT 'dup_o_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM dirty
+    UNION ALL
+    SELECT 'orphan_o_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM dirty d
+    WHERE d.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey)
+    """,
+)

@@ -1064,3 +1064,71 @@ registry.register(
     FROM base b LEFT JOIN folded f USING (doc_id)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC top-k
+# ---------------------------------------------------------------------------
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN scan (4 subspaces × 8 codewords, codebook =
+    first 8 embeddings), exactly oracle-checked: every distance is an
+    integer micro-unit sum, so encode and ADC replicate bit-for-bit in
+    SQL (text/similarity.pq_adc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    codewords = emb.filter(F.col("vec_id") < 8)
+    return similarity.pq_adc_topk(emb, queries, codewords, n_subspaces=4, k=3)
+
+
+def _pq_adc_sql() -> str:
+    micro = (
+        "(SELECT SUM(CAST(FLOOR((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))"
+        " FROM (SELECT unnest({a}) x, unnest({b}) y))"
+    )
+    return f"""
+    WITH ms AS (SELECT unnest(range(0, 4)) AS m),
+    cw AS (
+      SELECT ms.m, e.vec_id AS cid,
+             e.embedding[(ms.m*16+1):(ms.m*16+16)] AS cv
+      FROM embeddings e CROSS JOIN ms
+      WHERE e.vec_id < 8
+    ),
+    sub AS (
+      SELECT e.vec_id, ms.m,
+             e.embedding[(ms.m*16+1):(ms.m*16+16)] AS v
+      FROM embeddings e CROSS JOIN ms
+    ),
+    dmat AS (
+      SELECT s.vec_id, s.m, c.cid,
+             {micro.format(a="s.v", b="c.cv")} AS dm
+      FROM sub s JOIN cw c USING (m)
+    ),
+    enc AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dm, cid) AS rn
+        FROM dmat
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT l.vec_id AS query_id, e.vec_id AS neighbor_id,
+             SUM(l.dm) AS adc_micro
+      FROM enc e JOIN dmat l ON l.m = e.m AND l.cid = e.cid
+      WHERE l.vec_id % 25 = 0 AND e.vec_id <> l.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_micro, neighbor_id) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+    """
+
+
+registry.register("pq_adc_topk", q_pq_adc_topk, _pq_adc_sql())

@@ -83,6 +83,8 @@ _PRIORITY = [
     "segment_dedup",
     "stream_stream_join",
     "pit_join",
+    "pq_adc_topk",
+    "dq_report",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

@@ -129,3 +129,61 @@ def test_stream_stream_pairs_matches_batch_interval_join(spark, tmp_path):
         "user_id", "click_ts", "purchase_ts",
     )
     assert got == want and len(want) > 0
+
+
+def test_pq_adc_topk_hand_derivable(spark):
+    """PQ with 2 subspaces over hand-built 4-d vectors: codes, the ADC
+    lookup sums, and both tie-break rules are derivable on paper.
+
+    corpus: c0=[0,0,0,0] (id 0), c1=[1,1,1,1] (id 1), v2=[1,1,0,0]
+    (id 2, codes (c1, c0) -> ADC 40000); query q=[.9,.9,.1,.1] ranks
+    v2 first, then the c0/c1 tie (both 1640000) breaks to the lower id.
+    """
+    from airflow_baseball_spark.text.similarity import pq_adc_topk
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0]), (2, [1.0, 1.0, 0.0, 0.0])],
+        schema,
+    )
+    queries = spark.createDataFrame([(10, [0.9, 0.9, 0.1, 0.1])], schema)
+    codewords = corpus.filter("vec_id < 2")
+    out = pq_adc_topk(corpus, queries, codewords, n_subspaces=2, k=3).collect()
+    got = [(r["rank"], r["neighbor_id"], r["adc_micro"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 2, 40000), (2, 0, 1640000), (3, 1, 1640000)]
+
+
+def test_dq_report_counts_each_constraint_kind(spark):
+    from airflow_baseball_spark.operators.quality import dq_report
+
+    fact = spark.createDataFrame(
+        [
+            (1, 10, 5.0),    # clean
+            (1, 10, 5.0),    # duplicate key 1
+            (2, None, 5.0),  # null fk
+            (3, 99, -1.0),   # orphan fk + range violation
+        ],
+        "k long, fk long, x double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "id long")
+    rep = dq_report(
+        fact,
+        key_cols=["k"],
+        not_null=["fk"],
+        ranges={"x": (0.0, 10.0)},
+        refs=[("fk", dim, "id")],
+    )
+    got = {r["check_name"]: r["n_violations"] for r in rep.collect()}
+    assert got == {"null_fk": 1, "range_x": 1, "dup_k": 1, "orphan_fk": 1}
+
+
+def test_dq_report_clean_table_is_all_zero(spark):
+    from airflow_baseball_spark.operators.quality import dq_report
+
+    fact = spark.createDataFrame([(1, 10, 5.0)], "k long, fk long, x double")
+    dim = spark.createDataFrame([(10,)], "id long")
+    rep = dq_report(
+        fact, key_cols=["k"], not_null=["fk"],
+        ranges={"x": (0.0, 10.0)}, refs=[("fk", dim, "id")],
+    )
+    assert {r["n_violations"] for r in rep.collect()} == {0}
