@@ -582,3 +582,289 @@ registry.register(
            AND l.l_quantity BETWEEN 20 AND 30)
     """,
 )
+
+
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped customer order-count distribution: how many customers
+    placed exactly N (non-urgent) orders, INCLUDING the zero bucket.
+
+    Scale shape: canonical Q13 outer-joins raw orders to customer and
+    counts — that ships every order row through the join. Here orders
+    pre-aggregates to one row per customer FIRST (map-side combinable),
+    then a broadcast-sized per-customer count left-joins back and
+    null-fills to zero; the second agg (histogram of counts) is tiny.
+    Result is identical to the outer-join form the oracle states."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_custs"))
+    )
+
+
+registry.register(
+    "tpch_q13ish",
+    q_tpch_q13ish,
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT n_orders, COUNT(*) AS n_custs
+    FROM per_cust GROUP BY 1
+    """,
+)
+
+
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped top supplier: quarterly revenue per supplier, keep the
+    supplier(s) whose revenue equals the global max (scalar subquery on
+    an aggregate), then resolve the name from the dim.
+
+    Scale shape: revenue is one map-combinable agg over the pruned fact
+    scan; the 1-row max cross-joins (broadcast) back onto the per-
+    supplier revenue — never a second fact scan; supplier dim joins
+    broadcast. Equality on the aggregate is safe because revenue is an
+    exact DECIMAL sum — no FP tie ambiguity on either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast(
+                    "decimal(22,6)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q15ish",
+    q_tpch_q15ish,
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+
+
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped small-quantity revenue: average yearly revenue lost if
+    small orders (quantity under 20% of the part's average) stopped —
+    the correlated-subquery-against-own-aggregate probe.
+
+    Scale shape: the brand/size dim filter broadcasts into the fact
+    FIRST, so the per-part average is computed only over lineitems of
+    qualifying parts (identical values — the correlation key is
+    l_partkey and the filter is on part attributes, so every lineitem
+    of a qualifying part survives). Both the per-part agg and the
+    join-back hash on l_partkey, so Spark reuses one exchange instead
+    of shuffling the fact twice. The 0.2x threshold is derived from an
+    exact DECIMAL sum with identical IEEE division/multiplication on
+    both engines — the `<` comparison cannot diverge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li_q = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li_q.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.sum(d("l_quantity")).cast("double") / F.count("*") * F.lit(0.2)
+        ).alias("qty_thresh")
+    )
+    return (
+        li_q.join(pa, li_q["l_partkey"] == pa["pa_partkey"])
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(d("l_extendedprice")).cast("double") / F.lit(7.0) * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q17ish",
+    q_tpch_q17ish,
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) * 0.2 AS qty_thresh
+      FROM lineitem l
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_brand = 'Brand#23' AND p_size < 15)
+      GROUP BY 1
+    )
+    SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 * 1000000.0 + 0.5) / 1000000.0 AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND p.p_brand = 'Brand#23' AND p.p_size < 15
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.qty_thresh
+    """,
+)
+
+
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped waiting-orders: per supplier, how many finished
+    multi-supplier orders it closed (shipped on the order's last ship
+    date) — the reference shape's 'suppliers who kept orders waiting',
+    adapted to this schema (no l_commitdate; last-shipper stands in
+    for 'the late one').
+
+    Scale shape: the per-order profile (distinct-supplier count + max
+    shipdate) is one agg keyed on l_orderkey; the fact joins back on
+    the same key (exchange reuse) with the multi-supplier and
+    last-ship predicates as join residuals; orders prunes to status F
+    before its join; supplier resolves via broadcast. COUNT(DISTINCT
+    l_orderkey) guards against a supplier shipping several lineitems
+    of the same order on the closing date."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    po = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    return (
+        li.join(
+            po,
+            (li["l_orderkey"] == po["po_orderkey"])
+            & (po["n_supp"] > 1)
+            & (li["l_shipdate"] == po["last_ship"]),
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+registry.register(
+    "tpch_q21ish",
+    q_tpch_q21ish,
+    """
+    WITH po AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+             MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(DISTINCT l.l_orderkey) AS numwait
+    FROM lineitem l
+    JOIN po ON l.l_orderkey = po.l_orderkey
+           AND po.n_supp > 1 AND l.l_shipdate = po.last_ship
+    JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+
+
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped global sales opportunity: rich customers (balance
+    above the positive-balance average) who never ordered, bucketed by
+    nation — scalar aggregate subquery + anti-join.
+
+    Scale shape: the threshold is ONE broadcast row (exact DECIMAL sum
+    divided by a count — identical IEEE division on both engines, so
+    the `>` filter cannot diverge at the boundary); the anti-join
+    shuffles customer against orders' distinct custkeys — at scale AQE
+    sees the post-filter customer side shrink and can flip to
+    broadcast; no correlated re-scan of orders per customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    d = F.col("c_acctbal").cast("decimal(18,2)")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .filter(F.col("c_nationkey") <= 10)
+        .agg((F.sum(d).cast("double") / F.count("*")).alias("avg_bal"))
+    )
+    return (
+        cust.filter(F.col("c_nationkey") <= 10)
+        .join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(d).cast("double").alias("total_bal"),
+        )
+    )
+
+
+registry.register(
+    "tpch_q22ish",
+    q_tpch_q22ish,
+    """
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0 AND c_nationkey <= 10
+    )
+    SELECT c.c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, thresh t
+    WHERE c.c_nationkey <= 10
+      AND c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
