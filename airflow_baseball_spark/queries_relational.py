@@ -835,3 +835,184 @@ registry.register(
       AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the supplier→part bipartite graph
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round damped PageRank on distinct supplier→part edges from
+    the lineitem fact (part ids offset into their own namespace). The
+    oracle unrolls the identical power-method rounds as CTEs — same
+    leaky-dangling variant, same IEEE arithmetic — so ranks match to
+    the floor-trick rounding of the mean-normalized value (raw ranks
+    are O(1/N); normalizing by N keeps six decimals meaningful at any
+    graph size)."""
+    from airflow_baseball_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + F.lit(10000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    n = F.lit(ranks.count())  # same scalar the operator used
+    return ranks.select(
+        "node",
+        (F.floor(F.col("rank") * n * 1000000.0 + 0.5) / 1000000.0).alias(
+            "rank_norm"
+        ),
+    )
+
+
+registry.register(
+    "pagerank",
+    q_pagerank,
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+      FROM lineitem
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes),
+    r1 AS (
+      SELECT nd.node,
+             (1 - 0.85) / (SELECT cnt FROM nn)
+               + 0.85 * COALESCE(SUM(r0.r / deg.out_deg), 0.0) AS r
+      FROM nodes nd
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN r0 ON r0.node = e.src
+      GROUP BY 1
+    ),
+    r2 AS (
+      SELECT nd.node,
+             (1 - 0.85) / (SELECT cnt FROM nn)
+               + 0.85 * COALESCE(SUM(r1.r / deg.out_deg), 0.0) AS r
+      FROM nodes nd
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN r1 ON r1.node = e.src
+      GROUP BY 1
+    ),
+    r3 AS (
+      SELECT nd.node,
+             (1 - 0.85) / (SELECT cnt FROM nn)
+               + 0.85 * COALESCE(SUM(r2.r / deg.out_deg), 0.0) AS r
+      FROM nodes nd
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN r2 ON r2.node = e.src
+      GROUP BY 1
+    )
+    SELECT node,
+           FLOOR(r * (SELECT cnt FROM nn) * 1000000.0 + 0.5) / 1000000.0
+             AS rank_norm
+    FROM r3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style two-level time-bucket rollup
+# ---------------------------------------------------------------------------
+
+
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: events roll up to 5-minute
+    buckets (the materialized fine level), then the HOURLY report is
+    re-aggregated FROM THE BUCKETS — never re-scanning raw events.
+    The oracle aggregates the raw table straight to hours, so a green
+    hash proves the partial-aggregate reaggregation is lossless
+    (counts and exact DECIMAL sums are associative; this is the
+    invariant hypertable/materialized-rollup systems rely on).
+
+    Scale shape: level 1 is one map-combinable shuffle keyed on
+    (bucket, type) — at 100 TB this is the only pass over raw data;
+    level 2 shuffles bucket-level rows only (4 orders of magnitude
+    smaller). Buckets are epoch-second BIGINTs: integer flooring is
+    engine-exact, and floor(epoch/300) on Spark's second-truncated
+    unix_timestamp equals DuckDB's fractional epoch() floor for any
+    sub-second offset."""
+    ev = load_table(spark, sf_dir, "events")
+    b5 = (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("bucket5")
+    lvl1 = ev.groupBy(b5, "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+    )
+    return (
+        lvl1.groupBy(
+            (F.floor(F.col("bucket5") / 3600) * 3600).alias("bucket_hr"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_v").cast("double").alias("total_value"),
+        )
+    )
+
+
+registry.register(
+    "time_bucket_rollup",
+    q_time_bucket_rollup,
+    """
+    SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_hr,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-pruned semi-join (explicit runtime filter)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems of high-value urgent orders via the Bloom-pruned
+    semi-join: the urgent-order keys build a bit-position sketch, the
+    fact pre-filters through it JVM-side, and the exact semi-join
+    removes false positives — so the oracle is the plain IN-subquery.
+    Aggregated per returnflag to keep the checked surface compact."""
+    from airflow_baseball_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000.0)
+    )
+    kept = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+registry.register(
+    "bloom_prune_join",
+    q_bloom_prune_join,
+    """
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT'
+                           AND o_totalprice > 200000.0)
+    GROUP BY 1
+    """,
+)

@@ -1,0 +1,68 @@
+"""Unit tests for the round-4c operators: PageRank power method and
+the Bloom-filter pre-pruned semi-join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark.operators.bloom import bloom_positions, bloom_semi_join
+from airflow_baseball_spark.operators.pagerank import pagerank
+
+
+def test_pagerank_two_node_cycle_stays_uniform(spark):
+    # a↔b is symmetric: the uniform vector is the fixed point, every
+    # iteration must return exactly 0.5/0.5 (teleport + damped half).
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    assert got == pytest.approx({1: 0.5, 2: 0.5})
+
+
+def test_pagerank_sink_absorbs_rank(spark):
+    # star into node 9: after one round the sink holds teleport + the
+    # damped mass of all three sources; sources hold teleport only.
+    edges = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    teleport = 0.15 / 4
+    assert got[1] == pytest.approx(teleport)
+    assert got[9] == pytest.approx(teleport + 0.85 * 0.75)
+
+
+def test_pagerank_leaky_mass_bounded(spark):
+    # leaky variant: total mass never exceeds 1 and never drops below
+    # the pure-teleport floor.
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 10) for i in range(10) if i != (i * 7) % 10], ["src", "dst"]
+    )
+    total = (
+        pagerank(edges, iterations=5).agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    )
+    assert 0.15 <= total <= 1.0 + 1e-9
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    big = spark.range(0, 2000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    small = spark.range(0, 2000, 13).select(F.col("id").alias("sk"))
+    got = bloom_semi_join(big, small, "k", "sk").orderBy("k").collect()
+    want = (
+        big.join(small, big["k"] == small["sk"], "left_semi").orderBy("k").collect()
+    )
+    assert got == want
+
+
+def test_bloom_false_positives_removed_under_forced_collisions(spark):
+    # 8 bits for 50 keys: nearly every probe position is set, so the
+    # sketch passes almost everything — the exact verify must still
+    # reduce the result to the true matches.
+    big = spark.range(0, 500).select(F.col("id").alias("k"))
+    small = spark.range(0, 500, 10).select(F.col("id").alias("sk"))
+    got = sorted(
+        r["k"] for r in bloom_semi_join(big, small, "k", "sk", num_bits=8).collect()
+    )
+    assert got == list(range(0, 500, 10))
+
+
+def test_bloom_positions_bounded_by_num_bits(spark):
+    small = spark.range(0, 100000).select(F.col("id").alias("k"))
+    n = bloom_positions(small, "k", num_bits=1024, num_hashes=3).count()
+    assert n <= 1024
