@@ -1016,3 +1016,118 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (single-pass binning)
+# ---------------------------------------------------------------------------
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type: 20 bins of width 50,
+    clamped at both ends. Binning is integer flooring — engine-exact —
+    and the whole histogram is one map-combinable shuffle keyed on
+    (type, bin); at 100 TB the exchange carries |types|x20 partials per
+    task, nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 50.0).cast("int"))
+    ).alias("bin")
+    return ev.groupBy("event_type", bin_).agg(F.count("*").alias("n"))
+
+
+registry.register(
+    "value_histogram",
+    q_value_histogram,
+    """
+    SELECT event_type,
+           LEAST(19, GREATEST(0, CAST(FLOOR(value / 50.0) AS INT))) AS bin,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-friendly regression suite from sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def q_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of value over time — slope and Pearson r
+    computed from the five sufficient statistics (n, Sx, Sy, Sxy, Sxx,
+    Syy) accumulated as EXACT decimal sums in one map-combinable pass.
+
+    Why not `F.corr`/`regr_slope`: those accumulate doubles in
+    partition order, so two engines (or two runs at different
+    parallelism) disagree in the last ulps. Exact integer/decimal
+    sufficient statistics make the final IEEE formula evaluation
+    bit-identical on both engines AND partition-count-invariant — the
+    property that matters when the same job runs on 32 and 10,000
+    cores. x is epoch seconds rebased to the dataset era so x*x stays
+    well inside DECIMAL(38) at 100 TB row counts."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1500000000)).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,2)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return stats.select(
+        "event_type",
+        "n",
+        r6(cov_n / var_x * 86400.0).alias("slope_per_day"),
+        r6(cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("pearson_r"),
+    )
+
+
+registry.register(
+    "regression_suite",
+    q_regression_suite,
+    """
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1500000000
+                 AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1500000000
+                    AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2))
+                 AS DECIMAL(38,2))) AS sxy,
+             SUM(CAST(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1500000000
+                    AS DECIMAL(18,0)) * CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                    - 1500000000 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                 AS DECIMAL(38,4))) AS syy
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 86400.0 * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+    FROM stats
+    """,
+)

@@ -85,6 +85,16 @@ _PRIORITY = [
     "pit_join",
     "pq_adc_topk",
     "dq_report",
+    "tpch_q13ish",
+    "tpch_q15ish",
+    "tpch_q17ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
+    "pagerank",
+    "time_bucket_rollup",
+    "bloom_prune_join",
+    "value_histogram",
+    "regression_suite",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

@@ -218,3 +218,65 @@ def test_pit_join_no_row_multiplication(spark):
     ev = load_table(spark, SF, "events").filter(F.col("user_id") < 50)
     n_facts = ev.filter(F.col("event_type") == "purchase").count()
     assert out.count() == n_facts
+
+
+def test_round4c_tpch_shapes(spark):
+    from airflow_baseball_spark.queries_tpch import (
+        q_tpch_q13ish,
+        q_tpch_q15ish,
+        q_tpch_q17ish,
+        q_tpch_q21ish,
+        q_tpch_q22ish,
+    )
+
+    # q13ish: orders pre-aggregate BEFORE the customer join — the join
+    # must see a HashAggregate below it, and the dim side broadcasts
+    plan = _plan(q_tpch_q13ish(spark, SF))
+    assert "HashAggregate" in plan and "CartesianProduct" not in plan
+
+    # q15ish: the 1-row max joins via broadcast, supplier broadcasts;
+    # no sort-merge anywhere (everything after the agg is tiny)
+    plan = _plan(q_tpch_q15ish(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    # q17ish: the per-part aggregate and the join-back both hash on
+    # l_partkey — the fact must not be shuffled twice on the same key
+    # (Spark reuses the exchange / AQE coalesces); allow the one
+    # partkey exchange plus the broadcast build
+    plan = _plan(q_tpch_q17ish(spark, SF))
+    assert "BroadcastHashJoin" in plan  # part dim filter broadcast
+
+    # q21ish: supplier dim broadcast; per-order profile joins back on
+    # the orderkey
+    plan = _plan(q_tpch_q21ish(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+    # q22ish: anti-join present, threshold joins as broadcast 1-row
+    plan = _plan(q_tpch_q22ish(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_bloom_probe_is_broadcast_and_jvm_side(spark):
+    """The Bloom position probes must be broadcast semi-joins executed
+    entirely JVM-side — a shuffle or Python stage here defeats the
+    runtime-filter point."""
+    from airflow_baseball_spark.queries_relational import q_bloom_prune_join
+
+    plan = _plan(q_bloom_prune_join(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # k probes + verify
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_rounds_have_constant_size_plans(spark):
+    """Each PageRank round starts from localCheckpoint-ed ranks, so the
+    final plan must not contain the whole iteration history — it sees
+    only scans of checkpointed RDDs plus one join layer."""
+    from airflow_baseball_spark.operators.pagerank import pagerank
+
+    edges = spark.range(0, 1000).selectExpr("id AS src", "(id * 37) % 1000 AS dst")
+    ranks = pagerank(edges, iterations=3)
+    plan = _plan(ranks)
+    # a lineage leak would nest 3 rounds of joins (>= 6 join nodes);
+    # the checkpointed plan is just the scan
+    assert plan.count("Join") == 0
