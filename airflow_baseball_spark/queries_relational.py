@@ -1131,3 +1131,54 @@ registry.register(
     FROM stats
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability (bounded-hop closure)
+# ---------------------------------------------------------------------------
+
+
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaboration distance: starting from nation-1 suppliers, walk
+    the supplier↔part supply graph (both directions) up to 4 hops —
+    dist 1 = parts they supply, dist 2 = suppliers sharing a part, and
+    so on. The oracle is a recursive CTE carrying (node, dist) pairs
+    with a MIN(dist) collapse — hop counts are integers, so the match
+    is exact. Part ids are offset into their own namespace."""
+    from airflow_baseball_spark.operators.bfs import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10000000)).alias("dst"),
+    ).distinct()
+    edges = sp.unionByName(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 1)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_distances(edges, sources, max_hops=4)
+
+
+registry.register(
+    "bfs_reachability",
+    q_bfs_reachability,
+    """
+    WITH RECURSIVE sp AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp
+    ),
+    walk(node, dist) AS (
+      SELECT s_suppkey AS node, 0 AS dist FROM supplier WHERE s_nationkey = 1
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < 4
+    )
+    SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1
+    """,
+)

@@ -95,6 +95,7 @@ _PRIORITY = [
     "bloom_prune_join",
     "value_histogram",
     "regression_suite",
+    "bfs_reachability",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

@@ -66,3 +66,34 @@ def test_bloom_positions_bounded_by_num_bits(spark):
     small = spark.range(0, 100000).select(F.col("id").alias("k"))
     n = bloom_positions(small, "k", num_bits=1024, num_hashes=3).count()
     assert n <= 1024
+
+
+def test_bfs_chain_distances_and_early_stop(spark):
+    from airflow_baseball_spark.operators.bfs import bfs_distances
+
+    # 0→1→2→3 chain: distances are the chain positions; max_hops=6
+    # stops early after the frontier empties at hop 4.
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_diamond_takes_min_distance(spark):
+    from airflow_baseball_spark.operators.bfs import bfs_distances
+
+    # 0→3 directly and 0→1→2→3: node 3 must report dist 1, not 3.
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], ["src", "dst"])
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs).collect()}
+    assert got[3] == 1
+
+
+def test_bfs_respects_max_hops(spark):
+    from airflow_baseball_spark.operators.bfs import bfs_distances
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], ["src", "dst"])
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = bfs_distances(edges, srcs, max_hops=3)
+    assert got.agg(F.max("dist")).collect()[0][0] == 3
+    assert got.count() == 4
