@@ -1182,3 +1182,124 @@ registry.register(
     SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (finite-window exponential weights)
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of purchase
+    values (alpha=0.5, 8-lag window, weights renormalized over the
+    lags that exist near series starts).
+
+    Determinism: alpha=0.5 makes every weight an exact power of two,
+    the lag expansion fixes the summation order textually (left-assoc
+    identical IEEE adds on both engines), and the (ts, event_id) sort
+    key totals the order — so the floor-trick rounding is belt and
+    braces, not a crutch. Scale shape: one shuffle on user_id; all 8
+    lags share the single window sort (one Window node, plan-tested
+    elsewhere for the same pattern)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(None).cast("double")
+    den = F.lit(None).cast("double")
+    terms_n = []
+    terms_d = []
+    for j in range(8):
+        x = F.lag("value", j).over(w) if j else F.col("value")
+        wt = F.lit(0.5 ** j)
+        terms_n.append(F.when(x.isNotNull(), x * wt).otherwise(F.lit(0.0)))
+        terms_d.append(F.when(x.isNotNull(), wt).otherwise(F.lit(0.0)))
+    num = terms_n[0]
+    den = terms_d[0]
+    for tn, td in zip(terms_n[1:], terms_d[1:]):
+        num = num + tn
+        den = den + td
+    r6 = F.floor(num / den * 1000000.0 + 0.5) / 1000000.0
+    return ev.select("user_id", "event_id", r6.alias("ewma"))
+
+
+def _ewma_oracle() -> str:
+    # build the same fixed-order lag expansion textually
+    terms_n = ["value * 1.0"]
+    terms_d = ["1.0"]
+    for j in range(1, 8):
+        lag = (
+            f"LAG(value, {j}) OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id)"
+        )
+        wt = repr(0.5 ** j)
+        terms_n.append(f"COALESCE({lag} * {wt}, 0.0)")
+        terms_d.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num = " + ".join(terms_n)
+    den = " + ".join(terms_d)
+    return f"""
+    SELECT user_id, event_id,
+           FLOOR(({num}) / ({den}) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM events
+    WHERE event_type = 'purchase'
+    """
+
+
+registry.register("ewma_smooth", q_ewma_smooth, _ewma_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Skew profiler (heavy-hitter diagnosis)
+# ---------------------------------------------------------------------------
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnosis for a prospective shuffle key: the
+    top-5 heaviest event types with each key's share of rows and the
+    skew factor (key count over mean key count) — the number that
+    decides whether `operators/salt.py` is needed BEFORE the job runs
+    at scale. One combinable count per key plus a 1-row global frame
+    broadcast back; the top-5 is TakeOrdered, never a full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    totals = per_key.agg(
+        F.sum("n").alias("total_n"), F.count("*").alias("n_keys")
+    )
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return (
+        per_key.join(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n",
+            r6(F.col("n") / F.col("total_n")).alias("row_share"),
+            r6(F.col("n") * F.col("n_keys") / F.col("total_n")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(5)
+    )
+
+
+registry.register(
+    "skew_profile",
+    q_skew_profile,
+    """
+    WITH per_key AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    totals AS (
+      SELECT SUM(n) AS total_n, COUNT(*) AS n_keys FROM per_key
+    )
+    SELECT event_type, n,
+           FLOOR(CAST(n AS DOUBLE) / total_n * 1000000.0 + 0.5)
+             / 1000000.0 AS row_share,
+           FLOOR(CAST(n AS DOUBLE) * n_keys / total_n * 1000000.0 + 0.5)
+             / 1000000.0 AS skew_factor
+    FROM per_key, totals
+    ORDER BY n DESC, event_type
+    LIMIT 5
+    """,
+)

@@ -96,6 +96,8 @@ _PRIORITY = [
     "value_histogram",
     "regression_suite",
     "bfs_reachability",
+    "ewma_smooth",
+    "skew_profile",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

@@ -103,8 +103,11 @@ def test_single_shuffle_window_ops(spark):
     qs = registry.queries()
     for name, max_exchanges in (("token_pack", 1), ("scd2_build", 1)):
         plan = _plan(qs[name](spark, SF))
-        n = plan.count("Exchange hashpartitioning")
-        assert n <= max_exchanges, f"{name}: {n} hash exchanges"
+        # "hashpartitioning" sits in the detail Arguments line, so the
+        # old substring matched nothing and made this test vacuous —
+        # count tree node headers ("Exchange (n)") instead
+        n = plan.count("Exchange (")
+        assert n <= max_exchanges, f"{name}: {n} exchanges"
 
 
 def test_no_row_at_a_time_python_in_registry(spark):
@@ -280,3 +283,23 @@ def test_pagerank_rounds_have_constant_size_plans(spark):
     # a lineage leak would nest 3 rounds of joins (>= 6 join nodes);
     # the checkpointed plan is just the scan
     assert plan.count("Join") == 0
+
+
+def test_ewma_lags_share_one_window_sort(spark):
+    """All 8 EWMA lags must ride a single user_id window (one hash
+    exchange, one Window node) — a per-lag re-sort would be 8x the
+    shuffle at scale."""
+    from airflow_baseball_spark.queries_relational import q_ewma_smooth
+
+    # tree lines render as "Exchange (4)"; details as "(4) Exchange" —
+    # counting "Exchange (" counts tree nodes exactly once
+    plan = _plan(q_ewma_smooth(spark, SF))
+    assert plan.count("Exchange (") == 1
+    assert plan.count("Window (") == 1
+
+
+def test_skew_profile_is_takeordered(spark):
+    from airflow_baseball_spark.queries_relational import q_skew_profile
+
+    plan = _plan(q_skew_profile(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # top-5 never global-sorts
