@@ -90,3 +90,15 @@ def ip_to_float(col: Column) -> Column:
 # home leads → 1.
 def game_sign(home_sum: Column, away_sum: Column) -> Column:
     return F.signum(home_sum - away_sum).cast("int")
+
+
+def round6_portable(c: Column | str) -> Column:
+    """Portable round-to-6: floor(x*1e6 + 0.5)/1e6 — the same three
+    IEEE ops in both engines, so results agree bit-for-bit at ANY
+    scale. Spark's round() converts through Java's shortest-string
+    BigDecimal, which can disagree with DuckDB's exact-double ROUND by
+    one ulp at .xxxxxx5 boundaries (observed at sf0.1). The single
+    canonical copy — query modules import this instead of re-deriving
+    the trick."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * 1000000.0 + 0.5) / 1000000.0

@@ -60,12 +60,16 @@ def bloom_semi_join(
     ``small_key`` — semantically a plain left-semi join; physically the
     big side is pre-pruned by the Bloom sketch before the exact join."""
     pos = F.broadcast(bloom_positions(small, small_key, num_bits, num_hashes))
+    # probe-column name must not clobber caller data (public API)
+    h = "_bloom_h"
+    while h in big.columns:
+        h += "_"
     pruned = big
     for i in range(num_hashes):
         pruned = pruned.withColumn(
-            "_bloom_h", F.pmod(F.xxhash64(F.col(big_key), F.lit(i)), F.lit(num_bits))
-        ).join(pos, F.col("_bloom_h") == pos["pos"], "left_semi")
-    pruned = pruned.drop("_bloom_h")
+            h, F.pmod(F.xxhash64(F.col(big_key), F.lit(i)), F.lit(num_bits))
+        ).join(pos, F.col(h) == pos["pos"], "left_semi")
+    pruned = pruned.drop(h)
     # exact verify: false positives die here; the small side's keys
     # join by value (dedup not required — semi-join emits each big row
     # at most once)

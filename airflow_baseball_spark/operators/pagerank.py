@@ -50,6 +50,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # one driver scalar — bounded
+    if n == 0:
+        # empty edge list: no nodes, return the empty frame with the
+        # output schema instead of dividing by zero below
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # src, dst, out_deg: degree rides the edge list so iteration joins
     # never recompute it

@@ -84,14 +84,8 @@ _HITTERS_SHAPED_SQL = """
 """
 
 
-def _r6(c) -> F.Column:
-    """Portable round-to-6: floor(x*1e6 + 0.5)/1e6 — the same three
-    IEEE ops in both engines, so results agree bit-for-bit at ANY
-    scale. Spark's round() converts through Java's shortest-string
-    BigDecimal, which can disagree with DuckDB's exact-double ROUND by
-    one ulp at .xxxxxx5 boundaries (observed at sf0.1)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+# canonical portable rounding lives in functions/scalar.py
+from airflow_baseball_spark.functions.scalar import round6_portable as _r6  # noqa: E402
 
 
 def q_hitter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
 from airflow_baseball_spark.operators.asof import asof_join
+from airflow_baseball_spark.functions.scalar import round6_portable
 from airflow_baseball_spark.schemas import load_table
 
 
@@ -722,7 +723,7 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = ev.join(F.broadcast(fences), "event_type")
     iqr = F.col("q3") - F.col("q1")
-    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    r6 = round6_portable
     # membership is decided on the ROUNDED fences: Spark percentile and
     # DuckDB quantile_cont interpolate with different FP op order, so a
     # raw-fence comparison could flip a boundary row between engines
@@ -861,12 +862,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks = pagerank(edges, iterations=3, damping=0.85)
-    n = F.lit(ranks.count())  # same scalar the operator used
-    return ranks.select(
+    # normalize by the node count via a 1-row broadcast frame — no
+    # second driver count job; the operator already paid the only one
+    nn = ranks.agg(F.count("*").alias("_n"))
+    return ranks.join(F.broadcast(nn)).select(
         "node",
-        (F.floor(F.col("rank") * n * 1000000.0 + 0.5) / 1000000.0).alias(
-            "rank_norm"
-        ),
+        round6_portable(F.col("rank") * F.col("_n")).alias("rank_norm"),
     )
 
 
@@ -1030,9 +1031,14 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, bin); at 100 TB the exchange carries |types|x20 partials per
     task, nothing else."""
     ev = load_table(spark, sf_dir, "events")
-    bin_ = F.least(
-        F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 50.0).cast("int"))
-    ).alias("bin")
+    # clamp on the long BEFORE the int cast: a huge value must land in
+    # bin 19, not overflow the cast (engines disagree on overflow)
+    bin_ = (
+        F.least(F.lit(19).cast("bigint"), F.greatest(F.lit(0).cast("bigint"),
+                F.floor(F.col("value") / 50.0)))
+        .cast("int")
+        .alias("bin")
+    )
     return ev.groupBy("event_type", bin_).agg(F.count("*").alias("n"))
 
 
@@ -1041,7 +1047,7 @@ registry.register(
     q_value_histogram,
     """
     SELECT event_type,
-           LEAST(19, GREATEST(0, CAST(FLOOR(value / 50.0) AS INT))) AS bin,
+           CAST(LEAST(19, GREATEST(0, FLOOR(value / 50.0))) AS INT) AS bin,
            COUNT(*) AS n
     FROM events
     GROUP BY 1, 2
@@ -1087,7 +1093,7 @@ def q_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * sxy - sx * sy
     var_x = n * sxx - sx * sx
     var_y = n * syy - sy * sy
-    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    r6 = round6_portable
     return stats.select(
         "event_type",
         "n",
@@ -1207,8 +1213,6 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "value")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    num = F.lit(None).cast("double")
-    den = F.lit(None).cast("double")
     terms_n = []
     terms_d = []
     for j in range(8):
@@ -1221,14 +1225,15 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tn, td in zip(terms_n[1:], terms_d[1:]):
         num = num + tn
         den = den + td
-    r6 = F.floor(num / den * 1000000.0 + 0.5) / 1000000.0
-    return ev.select("user_id", "event_id", r6.alias("ewma"))
+    return ev.select(
+        "user_id", "event_id", round6_portable(num / den).alias("ewma")
+    )
 
 
 def _ewma_oracle() -> str:
     # build the same fixed-order lag expansion textually
-    terms_n = ["value * 1.0"]
-    terms_d = ["1.0"]
+    terms_n = ["CASE WHEN value IS NOT NULL THEN value * 1.0 ELSE 0.0 END"]
+    terms_d = ["CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END"]
     for j in range(1, 8):
         lag = (
             f"LAG(value, {j}) OVER (PARTITION BY user_id "
@@ -1267,7 +1272,7 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_key.agg(
         F.sum("n").alias("total_n"), F.count("*").alias("n_keys")
     )
-    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    r6 = round6_portable
     return (
         per_key.join(F.broadcast(totals))
         .select(

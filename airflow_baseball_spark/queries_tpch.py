@@ -7,7 +7,7 @@ change the plan, never the result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
@@ -631,11 +631,14 @@ def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier(s) whose revenue equals the global max (scalar subquery on
     an aggregate), then resolve the name from the dim.
 
-    Scale shape: revenue is one map-combinable agg over the pruned fact
-    scan; the 1-row max cross-joins (broadcast) back onto the per-
-    supplier revenue — never a second fact scan; supplier dim joins
-    broadcast. Equality on the aggregate is safe because revenue is an
-    exact DECIMAL sum — no FP tie ambiguity on either engine."""
+    Scale shape: revenue is one map-combinable agg over the pruned
+    fact scan; the max rides an UNPARTITIONED window over the per-
+    supplier aggregate (|suppliers| rows — dim-bounded, the documented
+    single-partition exception, same as total-minus-self), so the fact
+    is scanned ONCE — the agg+self-join form would scan and aggregate
+    it twice since Spark does not dedupe common subplans. Supplier dim
+    joins broadcast. Equality on the aggregate is safe because revenue
+    is an exact DECIMAL sum — no FP tie ambiguity on either engine."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -653,9 +656,9 @@ def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_rev")
         )
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    mx = F.max("total_rev").over(Window.partitionBy())
     return (
-        rev.join(F.broadcast(mx))
+        rev.withColumn("max_rev", mx)
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
         .select(
@@ -696,9 +699,11 @@ def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST, so the per-part average is computed only over lineitems of
     qualifying parts (identical values — the correlation key is
     l_partkey and the filter is on part attributes, so every lineitem
-    of a qualifying part survives). Both the per-part agg and the
-    join-back hash on l_partkey, so Spark reuses one exchange instead
-    of shuffling the fact twice. The 0.2x threshold is derived from an
+    of a qualifying part survives). The canonical self-join against
+    the own-aggregate would scan and shuffle the fact TWICE (Spark
+    does not dedupe the common subplan); phrasing the per-part average
+    as a window over l_partkey does it in one scan, one exchange, one
+    Window node (plan-tested). The 0.2x threshold is derived from an
     exact DECIMAL sum with identical IEEE division/multiplication on
     both engines — the `<` comparison cannot diverge."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -709,13 +714,14 @@ def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_q = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    pa = li_q.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (
-            F.sum(d("l_quantity")).cast("double") / F.count("*") * F.lit(0.2)
-        ).alias("qty_thresh")
+    w = Window.partitionBy("l_partkey")
+    qty_thresh = (
+        F.sum(d("l_quantity")).over(w).cast("double")
+        / F.count("*").over(w)
+        * F.lit(0.2)
     )
     return (
-        li_q.join(pa, li_q["l_partkey"] == pa["pa_partkey"])
+        li_q.withColumn("qty_thresh", qty_thresh)
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             (
@@ -763,10 +769,11 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 'the late one').
 
     Scale shape: the per-order profile (distinct-supplier count + max
-    shipdate) is one agg keyed on l_orderkey; the fact joins back on
-    the same key (exchange reuse) with the multi-supplier and
-    last-ship predicates as join residuals; orders prunes to status F
-    before its join; supplier resolves via broadcast. COUNT(DISTINCT
+    shipdate) rides ONE window over l_orderkey — collect_set is
+    bounded by suppliers-per-order (single digits), and the window
+    shares the one hash exchange; the agg-and-join-back form would
+    scan and shuffle the fact twice. Orders prunes to status F before
+    its join; supplier resolves via broadcast. COUNT(DISTINCT
     l_orderkey) guards against a supplier shipping several lineitems
     of the same order on the closing date."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -776,18 +783,14 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    po = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.max("l_shipdate").alias("last_ship"),
+    w = Window.partitionBy("l_orderkey")
+    closers = (
+        li.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("last_ship", F.max("l_shipdate").over(w))
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("last_ship")))
     )
     return (
-        li.join(
-            po,
-            (li["l_orderkey"] == po["po_orderkey"])
-            & (po["n_supp"] > 1)
-            & (li["l_shipdate"] == po["last_ship"]),
-        )
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        closers.join(orders, closers["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))

@@ -106,8 +106,12 @@ def test_single_shuffle_window_ops(spark):
         # "hashpartitioning" sits in the detail Arguments line, so the
         # old substring matched nothing and made this test vacuous —
         # count tree node headers ("Exchange (n)") instead
-        n = plan.count("Exchange (")
-        assert n <= max_exchanges, f"{name}: {n} exchanges"
+        n = (
+            plan.count("Exchange (")
+            - plan.count("BroadcastExchange (")
+            - plan.count("ReusedExchange (")
+        )
+        assert n <= max_exchanges, f"{name}: {n} shuffle exchanges"
 
 
 def test_no_row_at_a_time_python_in_registry(spark):
@@ -232,31 +236,46 @@ def test_round4c_tpch_shapes(spark):
         q_tpch_q22ish,
     )
 
-    # q13ish: orders pre-aggregate BEFORE the customer join — the join
-    # must see a HashAggregate below it, and the dim side broadcasts
-    plan = _plan(q_tpch_q13ish(spark, SF))
-    assert "HashAggregate" in plan and "CartesianProduct" not in plan
+    def tree(df):
+        return _plan(df).split("\n\n")[0]
 
-    # q15ish: the 1-row max joins via broadcast, supplier broadcasts;
-    # no sort-merge anywhere (everything after the agg is tiny)
-    plan = _plan(q_tpch_q15ish(spark, SF))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    def shuffles(t):
+        return t.count("Exchange (") - t.count("BroadcastExchange (") - t.count(
+            "ReusedExchange ("
+        )
 
-    # q17ish: the per-part aggregate and the join-back both hash on
-    # l_partkey — the fact must not be shuffled twice on the same key
-    # (Spark reuses the exchange / AQE coalesces); allow the one
-    # partkey exchange plus the broadcast build
-    plan = _plan(q_tpch_q17ish(spark, SF))
-    assert "BroadcastHashJoin" in plan  # part dim filter broadcast
+    # q13ish: orders pre-aggregate BELOW the outer join — the naive
+    # form (join raw orders, then count) would show no HashAggregate
+    # under the join node
+    t = tree(q_tpch_q13ish(spark, SF))
+    join_line = next(
+        i for i, ln in enumerate(t.splitlines()) if "LeftOuter" in ln
+    )
+    assert any(
+        "HashAggregate" in ln for ln in t.splitlines()[join_line + 1 :]
+    ), t
 
-    # q21ish: supplier dim broadcast; per-order profile joins back on
-    # the orderkey
-    plan = _plan(q_tpch_q21ish(spark, SF))
-    assert "BroadcastHashJoin" in plan
+    # q15ish: window-max over the per-supplier agg — exactly one scan
+    # of lineitem (+1 for supplier); the agg+self-join form scans twice
+    t = tree(q_tpch_q15ish(spark, SF))
+    assert t.count("Scan parquet") == 2, t
+    assert t.count("Window (") == 1, t
+
+    # q17ish: per-part threshold as a window — one fact scan (+part),
+    # one hash shuffle, one Window; the self-join form pays two of each
+    t = tree(q_tpch_q17ish(spark, SF))
+    assert t.count("Scan parquet") == 2, t
+    assert shuffles(t) <= 2 and t.count("Window (") == 1, t
+
+    # q21ish: per-order profile as a window — lineitem scanned once
+    # (plus orders and supplier), supplier broadcast
+    t = tree(q_tpch_q21ish(spark, SF))
+    assert t.count("Scan parquet") == 3, t
+    assert t.count("Window (") == 1 and "BroadcastHashJoin" in t, t
 
     # q22ish: anti-join present, threshold joins as broadcast 1-row
-    plan = _plan(q_tpch_q22ish(spark, SF))
-    assert "LeftAnti" in plan
+    t = tree(q_tpch_q22ish(spark, SF))
+    assert "LeftAnti" in t, t
 
 
 def test_bloom_probe_is_broadcast_and_jvm_side(spark):
@@ -293,8 +312,8 @@ def test_ewma_lags_share_one_window_sort(spark):
 
     # tree lines render as "Exchange (4)"; details as "(4) Exchange" —
     # counting "Exchange (" counts tree nodes exactly once
-    plan = _plan(q_ewma_smooth(spark, SF))
-    assert plan.count("Exchange (") == 1
+    plan = _plan(q_ewma_smooth(spark, SF)).split("\n\n")[0]
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
     assert plan.count("Window (") == 1
 
 
