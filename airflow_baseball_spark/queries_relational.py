@@ -1308,3 +1308,71 @@ registry.register(
     LIMIT 5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy self-join (deletion-neighborhood blocking) and equi-depth bins
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer names within one edit of each other, found via
+    SymDelete blocking (operators/fuzzy.py) instead of the all-pairs
+    scan the oracle runs — the candidate set is linear in the corpus,
+    the exact Levenshtein verify touches candidates only."""
+    from airflow_baseball_spark.operators.fuzzy import fuzzy_self_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_self_join(cust, "c_custkey", "c_name")
+
+
+registry.register(
+    "fuzzy_name_join",
+    q_fuzzy_name_join,
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+
+
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) equi-depth binning of purchase values per event type,
+    reduced to per-bin (count, exact-decimal sum). The (value,
+    event_id) sort key totals the order, so tile boundaries are
+    deterministic on both engines; one shuffle on the type key, which
+    the window and the downstream agg share."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bin_sum"),
+        )
+    )
+
+
+registry.register(
+    "equi_depth_bins",
+    q_equi_depth_bins,
+    """
+    WITH tiled AS (
+      SELECT event_type, value,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+      FROM events
+    )
+    SELECT event_type, quartile, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
+    FROM tiled
+    GROUP BY 1, 2
+    """,
+)

@@ -98,6 +98,8 @@ _PRIORITY = [
     "bfs_reachability",
     "ewma_smooth",
     "skew_profile",
+    "fuzzy_name_join",
+    "equi_depth_bins",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

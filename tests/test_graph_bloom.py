@@ -97,3 +97,29 @@ def test_bfs_respects_max_hops(spark):
     got = bfs_distances(edges, srcs, max_hops=3)
     assert got.agg(F.max("dist")).collect()[0][0] == 3
     assert got.count() == 4
+
+
+def test_fuzzy_join_finds_all_edit_types(spark):
+    from airflow_baseball_spark.operators.fuzzy import fuzzy_self_join
+
+    # substitution (abc/abd), deletion (abc/ab), insertion (abc/xabc),
+    # and a far pair (abc/xyz) that must NOT match
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "ab"), (4, "xabc"), (5, "xyz")],
+        ["id", "name"],
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in fuzzy_self_join(df, "id", "name").collect()
+    )
+    assert (1, 2) in got and (1, 3) in got and (1, 4) in got
+    assert all(5 not in pair for pair in got)
+
+
+def test_fuzzy_join_no_duplicate_pairs(spark):
+    from airflow_baseball_spark.operators.fuzzy import fuzzy_self_join
+
+    # identical strings share every deletion key — the pair must still
+    # appear exactly once
+    df = spark.createDataFrame([(1, "same"), (2, "same")], ["id", "name"])
+    rows = fuzzy_self_join(df, "id", "name").collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
