@@ -1376,3 +1376,199 @@ registry.register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed table checksum (data-diff / replication reconciliation)
+# ---------------------------------------------------------------------------
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bucket fingerprint of the orders table: count + exact-decimal
+    hash sum + XOR fold per bucket, one combinable aggregation pass.
+    The oracle recomputes the identical md5-derived 60-bit hashes in
+    DuckDB — a green hash here literally IS the cross-engine
+    reconciliation this operator exists for. Every column is rendered
+    to an engine-pinned textual form (explicit decimal scale, fixed
+    timestamp format) before hashing."""
+    from airflow_baseball_spark.operators.checksum import table_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return table_checksum(
+        orders,
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        ],
+    )
+
+
+registry.register(
+    "table_checksum",
+    q_table_checksum,
+    """
+    WITH hashed AS (
+      SELECT CAST(CONCAT('0x', SUBSTRING(MD5(CONCAT_WS('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))), 1, 15))
+             AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT h % 64 AS bucket, COUNT(*) AS n_rows,
+           SUM(CAST(h AS DECIMAL(38,0))) AS hash_sum,
+           BIT_XOR(h) AS hash_xor
+    FROM hashed GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy-hitter estimation
+# ---------------------------------------------------------------------------
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=3 rows x w=256 counters) over event user
+    traffic, evaluated against exact counts for a deterministic probe
+    set (user_id % 97 == 0): the sketch is 768 mergeable cells
+    regardless of user cardinality — the shape that answers "how many
+    events did user X generate" over 100 TB without a per-user table.
+    `overcount = est - exact` is the CMS guarantee surface (always
+    >= 0, bounded by colliding mass). Hashes are md5-derived and
+    engine-portable, so the oracle replicates the sketch exactly."""
+    from airflow_baseball_spark.operators.checksum import portable_hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    # exact per-key counts first: combinable, and the sketch builds
+    # from |keys| rows instead of |events|
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+
+    def cell(i: int) -> F.Column:
+        return F.pmod(
+            portable_hash60(
+                F.concat(F.lit(str(i)), F.lit("#"), F.col("user_id").cast("string"))
+            ),
+            F.lit(256),
+        )
+
+    # build the three cell tables (each <=256 rows) and broadcast
+    # them onto the probe set
+    probes = per_key.filter(F.col("user_id") % 97 == 0)
+    est_cols = []
+    out = probes
+    for i in range(3):
+        tbl = (
+            per_key.groupBy(cell(i).alias(f"cell{i}"))
+            .agg(F.sum("n").alias(f"m{i}"))
+        )
+        out = out.withColumn(f"c{i}", cell(i)).join(
+            F.broadcast(tbl), F.col(f"c{i}") == F.col(f"cell{i}")
+        )
+        est_cols.append(F.col(f"m{i}"))
+    est = F.least(*est_cols)
+    return out.select(
+        "user_id",
+        F.col("n").alias("exact_n"),
+        est.alias("cms_est"),
+        (est - F.col("n")).alias("overcount"),
+    )
+
+
+def _cms_oracle() -> str:
+    hash_expr = (
+        "CAST(CONCAT('0x', SUBSTRING(MD5(CONCAT('{i}', '#', "
+        "CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256"
+    )
+    cells = "\n".join(
+        f"""    cells{i} AS (
+      SELECT {hash_expr.format(i=i)} AS cell{i}, SUM(n) AS m{i}
+      FROM per_key GROUP BY 1
+    ),"""
+        for i in range(3)
+    )
+    joins = "\n".join(
+        f"    JOIN cells{i} ON {hash_expr.format(i=i)} = cells{i}.cell{i}"
+        for i in range(3)
+    )
+    return f"""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+{cells}
+    probes AS (
+      SELECT user_id, n FROM per_key WHERE user_id % 97 = 0
+    )
+    SELECT user_id, n AS exact_n,
+           LEAST(m0, m1, m2) AS cms_est,
+           LEAST(m0, m1, m2) - n AS overcount
+    FROM probes
+{joins}
+    """
+
+
+registry.register("cms_heavy_hitters", q_cms_heavy_hitters, _cms_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Chi-square dependence scoring (feature selection / drift detection)
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type chi-square contribution of the type x hour-of-day
+    contingency table — the counts-only dependence score used for
+    feature selection and distribution-drift alarms. All inputs are
+    exact integer counts; the (observed-expected)^2/expected terms are
+    identical IEEE doubles on both engines, floor-trick rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    cellc = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("o"))
+    row_tot = cellc.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_tot = cellc.groupBy("hr").agg(F.sum("o").alias("ct"))
+    n_tot = cellc.agg(F.sum("o").alias("nt"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("nt")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        cellc.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "hr")
+        .join(F.broadcast(n_tot))
+        .groupBy("event_type")
+        .agg(
+            F.sum("o").alias("n"),
+            round6_portable(F.sum(term)).alias("chi2_contrib"),
+        )
+    )
+
+
+registry.register(
+    "chi2_features",
+    q_chi2_features,
+    """
+    WITH cellc AS (
+      SELECT event_type, HOUR(ts) AS hr, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT event_type, SUM(o) AS rt FROM cellc GROUP BY 1),
+    col_tot AS (SELECT hr, SUM(o) AS ct FROM cellc GROUP BY 1),
+    n_tot AS (SELECT SUM(o) AS nt FROM cellc)
+    SELECT c.event_type, SUM(o) AS n,
+           FLOOR(SUM((o - CAST(rt AS DOUBLE) * ct / nt)
+                     * (o - CAST(rt AS DOUBLE) * ct / nt)
+                     / (CAST(rt AS DOUBLE) * ct / nt)) * 1000000.0 + 0.5)
+             / 1000000.0 AS chi2_contrib
+    FROM cellc c
+    JOIN row_tot r ON c.event_type = r.event_type
+    JOIN col_tot t ON c.hr = t.hr
+    CROSS JOIN n_tot
+    GROUP BY 1
+    """,
+)

@@ -100,6 +100,9 @@ _PRIORITY = [
     "skew_profile",
     "fuzzy_name_join",
     "equi_depth_bins",
+    "table_checksum",
+    "cms_heavy_hitters",
+    "chi2_features",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

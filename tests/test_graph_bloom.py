@@ -123,3 +123,33 @@ def test_fuzzy_join_no_duplicate_pairs(spark):
     df = spark.createDataFrame([(1, "same"), (2, "same")], ["id", "name"])
     rows = fuzzy_self_join(df, "id", "name").collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+
+def test_table_checksum_pinpoints_a_changed_bucket(spark):
+    from airflow_baseball_spark.operators.checksum import table_checksum
+
+    base = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    cols = [F.col("id").cast("string"), F.col("v").cast("string")]
+    a = {r["bucket"]: (r["n_rows"], r["hash_sum"], r["hash_xor"])
+         for r in table_checksum(base, cols).collect()}
+    # mutate ONE row's value
+    mutated = base.withColumn(
+        "v", F.when(F.col("id") == 500, F.lit(-1)).otherwise(F.col("v"))
+    )
+    b = {r["bucket"]: (r["n_rows"], r["hash_sum"], r["hash_xor"])
+         for r in table_checksum(mutated, cols).collect()}
+    diff = {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+    # exactly the bucket(s) holding the old/new row hash differ (1 or 2)
+    assert 1 <= len(diff) <= 2
+    same = set(a) - diff
+    assert all(a[k] == b[k] for k in same)
+
+
+def test_table_checksum_is_order_insensitive(spark):
+    from airflow_baseball_spark.operators.checksum import table_checksum
+
+    base = spark.range(0, 500).select(F.col("id").cast("string").alias("s"))
+    shuffled = base.orderBy(F.md5("s")).repartition(7)
+    a = sorted(table_checksum(base, [F.col("s")]).collect())
+    b = sorted(table_checksum(shuffled, [F.col("s")]).collect())
+    assert a == b
