@@ -14,12 +14,14 @@ need a true probability vector can renormalize the output.
 Scale posture: per round, one join of edges→ranks (both hash-
 partitioned on the join key; the edge list's degree column is
 precomputed once so rounds never re-aggregate it) and one
-map-combinable sum. Ranks are ``localCheckpoint``-ed every round —
-same lineage-truncation requirement as
-``operators/connected_components.py`` (iterative joins otherwise
-re-optimize an exponentially growing plan). The only driver-side
-value is the node count (one scalar). On a production cluster prefer
-reliable ``checkpoint()`` for fault tolerance.
+map-combinable sum. Ranks are ``localCheckpoint``-ed every
+``checkpoint_interval`` rounds — deep runs need the lineage
+truncation of ``operators/connected_components.py`` (iterative joins
+otherwise re-optimize an exponentially growing plan), but shallow
+runs are faster WITHOUT per-round materialization (measured 2x at 3
+iterations). The only driver-side value is the node count (one
+scalar). On a production cluster prefer reliable ``checkpoint()``
+for fault tolerance.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """(node, rank) for every node in ``edges`` after ``iterations``
     synchronous power-method rounds from the uniform start vector.
@@ -60,23 +63,27 @@ def pagerank(
     ew = e.join(deg, "src").localCheckpoint()
 
     teleport = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    for _ in range(iterations):
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
         contribs = (
             ew.join(ranks, ew["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # checkpoint every K rounds, not every round: each eager
+        # localCheckpoint materializes the frame, and for shallow runs
+        # that costs more than re-optimizing a few stacked joins
+        # (measured 2x at 3 iterations, sf0.1); deep runs still get
+        # their lineage truncated before Catalyst re-analysis blows up
+        # (the failure mode measured in connected_components.py)
+        if (i + 1) % checkpoint_interval == 0:
+            ranks = ranks.localCheckpoint()
     return ranks

@@ -1572,3 +1572,65 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequencing reduced to the first-order transition
+    matrix: counts and row-normalized probabilities of event_type →
+    next event_type — the journey-analysis / next-action primitive.
+    One shuffle on user_id for the lead window; the matrix agg and
+    row totals are |types|^2-sized. The (ts, event_id) key totals the
+    order, so successor assignment is engine-deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = trans.groupBy(F.col("event_type").alias("rt_type")).agg(
+        F.sum("n").alias("row_n")
+    )
+    return (
+        trans.join(F.broadcast(row_tot), trans["event_type"] == F.col("rt_type"))
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            round6_portable(F.col("n") / F.col("row_n")).alias("p"),
+        )
+    )
+
+
+registry.register(
+    "event_transitions",
+    q_event_transitions,
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    row_tot AS (
+      SELECT event_type, SUM(n) AS row_n FROM trans GROUP BY 1
+    )
+    SELECT t.event_type, t.next_type, t.n,
+           FLOOR(CAST(t.n AS DOUBLE) / r.row_n * 1000000.0 + 0.5)
+             / 1000000.0 AS p
+    FROM trans t JOIN row_tot r ON t.event_type = r.event_type
+    """,
+)

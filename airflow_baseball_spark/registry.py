@@ -103,6 +103,7 @@ _PRIORITY = [
     "table_checksum",
     "cms_heavy_hitters",
     "chi2_features",
+    "event_transitions",
     # -- tier 2: regression canary
     "park_factor_flagship",
     # -- tier 3: last attested in round 2

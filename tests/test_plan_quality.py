@@ -297,11 +297,16 @@ def test_pagerank_rounds_have_constant_size_plans(spark):
     from airflow_baseball_spark.operators.pagerank import pagerank
 
     edges = spark.range(0, 1000).selectExpr("id AS src", "(id * 37) % 1000 AS dst")
-    ranks = pagerank(edges, iterations=3)
+    # 5 rounds with interval 5: the final ranks are checkpointed, so a
+    # lineage leak (joins stacking across rounds) would show as Join
+    # nodes in the plan — the truncated plan is just the scan
+    ranks = pagerank(edges, iterations=5)
     plan = _plan(ranks)
-    # a lineage leak would nest 3 rounds of joins (>= 6 join nodes);
-    # the checkpointed plan is just the scan
     assert plan.count("Join") == 0
+    # shallow runs skip materialization: 3 rounds of stacked joins are
+    # allowed (and expected) in the un-truncated plan
+    shallow = pagerank(edges, iterations=3)
+    assert _plan(shallow).count("Join") > 0
 
 
 def test_ewma_lags_share_one_window_sort(spark):
