@@ -1,0 +1,418 @@
+"""Data-mining operators: market-basket co-occurrence (support/lift),
+population-stability-index drift, and RFM customer segmentation.
+
+Same engine-exactness rules as queries_stats.py: every reported double
+derives from exact integer counts / decimal sums through an identical
+IEEE expression tree on both engines, `_r6`-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.schemas import load_table
+
+_r6 = round6_portable
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pairs: brand co-occurrence within orders
+# ---------------------------------------------------------------------------
+
+
+def _brand_pair_counts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Per-order distinct brand sets → in-row unordered pair expansion
+    → (brand_a < brand_b, support) counts. Shared by basket_pairs and
+    triangle_count; see q_basket_pairs for the scale rationale."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("brands")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("brands"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("brands"),
+                            lambda b: F.struct(a.alias("brand_a"), b.alias("brand_b")),
+                        ),
+                        lambda s: s["brand_a"] < s["brand_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.brand_a", "p.brand_b")
+    support = pairs.groupBy("brand_a", "brand_b").agg(F.count("*").alias("support"))
+    return baskets, support
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support + lift for brand pairs co-purchased in one order.
+
+    Scale shape: ONE orderkey shuffle builds per-order distinct brand
+    sets (collect_set); the quadratic step — unordered pair expansion —
+    runs IN-ROW over each order's set (bounded by lines-per-order, ~7,
+    never by catalog size), so no self-join of the fact with itself.
+    Pair counts and per-brand counts are combiner-friendly aggs over
+    brand²-bounded keys; the lift denominators come back as one
+    broadcast. A true all-pairs self-join on l_orderkey — the naive
+    form — would shuffle the fact twice and explode skewed orders
+    quadratically ACROSS rows; this form keeps the quadratic work
+    inside a row where Tungsten iterates an array.
+
+    Brand totals and the order count both derive from `baskets`, NOT
+    from another pass over the fact — the orderkey shuffle is paid
+    once and the fact is scanned once (Spark recomputes baskets per
+    consumer at this size, each recompute from the same single-scan
+    plan; at 100 TB you'd .persist() baskets, which is
+    order-count-sized, not fact-sized)."""
+    baskets, support = _brand_pair_counts(spark, sf_dir)
+    brand_n = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_brand"))
+    )
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    na = brand_n.select(
+        F.col("p_brand").alias("ba"), F.col("n_brand").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("bb"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        support.filter(F.col("support") >= 5)
+        .join(F.broadcast(na), F.col("brand_a") == F.col("ba"))
+        .join(F.broadcast(nb), F.col("brand_b") == F.col("bb"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            _r6(
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+registry.register(
+    "basket_pairs",
+    q_basket_pairs,
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    bn AS (SELECT p_brand, COUNT(*) AS n_brand FROM ob GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob)
+    SELECT pr.brand_a, pr.brand_b, pr.support,
+           FLOOR(CAST(pr.support AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+                 / (CAST(na.n_brand AS DOUBLE) * CAST(nb.n_brand AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs pr
+    JOIN bn na ON pr.brand_a = na.p_brand
+    JOIN bn nb ON pr.brand_b = nb.p_brand
+    CROSS JOIN tot t
+    WHERE pr.support >= 5
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift between two periods
+# ---------------------------------------------------------------------------
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index of the quantity distribution, 1997
+    shipments vs 1998. One combinable pass bins BOTH periods
+    (conditional counts per bin); period totals re-aggregate the
+    bin-count table, not the fact. Per-bin PSI terms are reported (the
+    headline PSI is their sum — left to the caller so the projection
+    stays per-bin and hashable); bins empty in either period are
+    excluded, as standard."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    in97 = F.col("l_shipdate") < F.lit("1998-01-01")
+    bins = li.groupBy(
+        F.floor(F.col("l_quantity") / 5.0).cast("int").alias("bin")
+    ).agg(
+        F.sum(in97.cast("long")).alias("n_a"),
+        F.sum((~in97).cast("long")).alias("n_b"),
+    )
+    totals = bins.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    p = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
+    q = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            _r6((p - q) * F.log(p / q)).alias("psi_term"),
+        )
+    )
+
+
+registry.register(
+    "psi_drift",
+    q_psi_drift,
+    """
+    WITH bins AS (
+      SELECT CAST(FLOOR(l_quantity / 5.0) AS INT) AS bin,
+             SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                 THEN 0 ELSE 1 END) AS n_b
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM bins)
+    SELECT b.bin, b.n_a, b.n_b,
+           FLOOR((CAST(b.n_a AS DOUBLE) / CAST(t.tot_a AS DOUBLE)
+                  - CAST(b.n_b AS DOUBLE) / CAST(t.tot_b AS DOUBLE))
+                 * LN((CAST(b.n_a AS DOUBLE) / CAST(t.tot_a AS DOUBLE))
+                      / (CAST(b.n_b AS DOUBLE) / CAST(t.tot_b AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+    FROM bins b CROSS JOIN tot t
+    WHERE b.n_a > 0 AND b.n_b > 0
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via broadcast quartile boundaries (no global NTILE)
+# ---------------------------------------------------------------------------
+
+_RFM_ASOF = "2001-09-01"
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quartile scores per customer.
+
+    Scale design: the textbook global NTILE(4) serializes the whole
+    customer table through ONE window task. Instead the three quartile
+    boundaries per measure (9 scalars) come from one exact-percentile
+    agg and broadcast back, and each score is
+    `1 + (x>q1) + (x>q2) + (x>q3)` — in-row, embarrassingly parallel,
+    and identical arithmetic on both engines. Tile populations are
+    only approximately N/4 (boundary ties all land one side), which is
+    what segmentation wants anyway — equal *thresholds*, not equal
+    counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(_RFM_ASOF).cast("date"), F.max("o_orderdate"))
+        .cast("double")
+        .alias("recency_days"),
+        F.count("*").cast("double").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    qs = per_cust.agg(
+        *[
+            F.expr(f"percentile({m}, {p})").alias(f"{m}_q{i}")
+            for m in ("recency_days", "frequency", "monetary")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(m: str) -> Column:
+        return (
+            F.lit(1)
+            + (F.col(m) > F.col(f"{m}_q1")).cast("int")
+            + (F.col(m) > F.col(f"{m}_q2")).cast("int")
+            + (F.col(m) > F.col(f"{m}_q3")).cast("int")
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(qs)).select(
+        "o_custkey",
+        score("recency_days").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") == 1) & (F.col("f_score") >= 3), F.lit("champion")
+        )
+        .when(
+            (F.col("r_score") >= 3) & (F.col("f_score") <= 2), F.lit("dormant")
+        )
+        .otherwise(F.lit("regular")),
+    )
+
+
+registry.register(
+    "rfm_segments",
+    q_rfm_segments,
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                            DATE '{_RFM_ASOF}') AS DOUBLE) AS recency_days,
+             CAST(COUNT(*) AS DOUBLE) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    qs AS (
+      SELECT QUANTILE_CONT(recency_days, 0.25) AS recency_days_q1,
+             QUANTILE_CONT(recency_days, 0.5) AS recency_days_q2,
+             QUANTILE_CONT(recency_days, 0.75) AS recency_days_q3,
+             QUANTILE_CONT(frequency, 0.25) AS frequency_q1,
+             QUANTILE_CONT(frequency, 0.5) AS frequency_q2,
+             QUANTILE_CONT(frequency, 0.75) AS frequency_q3,
+             QUANTILE_CONT(monetary, 0.25) AS monetary_q1,
+             QUANTILE_CONT(monetary, 0.5) AS monetary_q2,
+             QUANTILE_CONT(monetary, 0.75) AS monetary_q3
+      FROM per_cust
+    ),
+    scored AS (
+      SELECT p.o_custkey,
+             1 + CAST(p.recency_days > q.recency_days_q1 AS INT)
+               + CAST(p.recency_days > q.recency_days_q2 AS INT)
+               + CAST(p.recency_days > q.recency_days_q3 AS INT) AS r_score,
+             1 + CAST(p.frequency > q.frequency_q1 AS INT)
+               + CAST(p.frequency > q.frequency_q2 AS INT)
+               + CAST(p.frequency > q.frequency_q3 AS INT) AS f_score,
+             1 + CAST(p.monetary > q.monetary_q1 AS INT)
+               + CAST(p.monetary > q.monetary_q2 AS INT)
+               + CAST(p.monetary > q.monetary_q3 AS INT) AS m_score
+      FROM per_cust p CROSS JOIN qs q
+    )
+    SELECT o_custkey, r_score, f_score, m_score,
+           CASE WHEN r_score = 1 AND f_score >= 3 THEN 'champion'
+                WHEN r_score >= 3 AND f_score <= 2 THEN 'dormant'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Triangle count + transitivity on the brand co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count and transitivity of the co-purchase graph
+    (edges = brand pairs with support >= 5, oriented brand_a < brand_b).
+
+    The standard 2-shuffle triangle algorithm: wedges form by joining
+    the (already canonically oriented) edge list with itself on the
+    middle vertex, then each wedge probes the edge set once to close.
+    With lexicographic orientation every triangle a<b<c is found
+    exactly once. At scale the orientation should be by DEGREE
+    (low→high), which bounds each vertex's join fanout by sqrt(|E|) —
+    the classic skew fix when a hub vertex would otherwise fan out
+    quadratically; the brand graph here is dense and tiny so the
+    lexicographic orientation is kept for oracle determinism.
+    Wedge totals use Σ deg·(deg−1) (exact integers), halved once at
+    the end."""
+    _, support = _brand_pair_counts(spark, sf_dir)
+    edges = support.filter(F.col("support") >= 5).select("brand_a", "brand_b")
+    deg = (
+        edges.select(F.col("brand_a").alias("v"))
+        .unionAll(edges.select(F.col("brand_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    counts = deg.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    e1 = edges.select(F.col("brand_a").alias("a"), F.col("brand_b").alias("b"))
+    e2 = edges.select(F.col("brand_a").alias("b2"), F.col("brand_b").alias("c"))
+    e3 = edges.select(F.col("brand_a").alias("a3"), F.col("brand_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        counts.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            _r6(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("transitivity"),
+        )
+    )
+
+
+registry.register(
+    "triangle_count",
+    q_triangle_count,
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT brand_a, brand_b FROM pairs WHERE support >= 5),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    ),
+    counts AS (
+      SELECT COUNT(*) AS n_vertices,
+             CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.brand_b = e2.brand_a
+      JOIN edges e3 ON e3.brand_a = e1.brand_a AND e3.brand_b = e2.brand_b
+    ),
+    ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+    SELECT c.n_vertices, ne.n_edges, c.n_wedges, t.n_triangles,
+           FLOOR(3.0 * CAST(t.n_triangles AS DOUBLE)
+                 / CAST(c.n_wedges AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS transitivity
+    FROM counts c, tri t, ne
+    """,
+)

@@ -1,0 +1,451 @@
+"""Statistical profiling + ranking operators: correlation matrix,
+column entropy, group-wise z-score outliers, robust (median/MAD)
+stats, BM25 document ranking, and regex sequence matching.
+
+Engine-independence: every double in a checked projection is derived
+from EXACT integer/decimal aggregates (counts, decimal sums) through
+an identical IEEE expression tree on both engines, then `_r6`
+floor-rounded — the same convention as queries_relational's
+sufficient-statistics regression. No double is ever *summed* in
+partition order on the checked path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.schemas import load_table
+
+_r6 = round6_portable
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix from sufficient statistics
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation across the lineitem measures in
+    ONE map-combinable pass: per-column decimal sums + sums of squares
+    + the 6 cross-product sums land in a single 1-row aggregate, and
+    the 6 (col_a, col_b, r) rows are exploded from that row — the fact
+    is scanned once regardless of how many pairs are requested.
+
+    Why not `F.corr`: it accumulates doubles in partition order, so
+    results drift in the last ulps between engines / parallelism
+    levels. Exact decimal sufficient statistics make the final IEEE
+    division bit-identical on Spark and DuckDB and invariant to
+    partition count — what you want when the same profile job runs on
+    32 and 10,000 cores."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(F.sum((d[c] * d[c]).cast("decimal(38,4)")).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum((d[a] * d[b]).cast("decimal(38,4)")).alias(f"sp_{a}_{b}"))
+    stats = li.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> Column:
+        n = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        return (n * sp - sa * sb) / (
+            F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                _r6(corr_expr(a, b)).alias("pearson_r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return stats.select(F.inline(rows))
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    sums = ",\n             ".join(
+        f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c},\n             "
+        f"SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2)) "
+        f"AS DECIMAL(38,4))) AS ss_{c}"
+        for c in cols
+    )
+    sps = ",\n             ".join(
+        f"SUM(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)) "
+        f"AS DECIMAL(38,4))) AS sp_{a}_{b}"
+        for a, b in pairs
+    )
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+                  - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+    FROM stats"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH stats AS (
+      SELECT COUNT(*) AS n,
+             {sums},
+             {sps}
+      FROM lineitem
+    )
+{selects}
+    """
+
+
+registry.register("corr_matrix", q_corr_matrix, _corr_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy profile of categorical columns
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of categorical columns across two
+    tables, from exact counts via H = ln(N) - (Σ n_i·ln n_i)/N — one
+    count-agg per column, each already tiny after its groupBy, unioned
+    into a 3-row profile. The Σ over ≤25 group terms is the only
+    float sum and is `_r6`-bounded."""
+
+    def col_entropy(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = df.groupBy(col).agg(F.count("*").alias("cnt"))
+        return counts.agg(
+            F.lit(label).alias("column_name"),
+            F.count("*").alias("n_distinct"),
+            _r6(
+                F.log(F.sum("cnt").cast("double"))
+                - F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+                / F.sum("cnt").cast("double")
+            ).alias("entropy_nats"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        col_entropy(ev, "event_type", "events.event_type")
+        .unionAll(col_entropy(docs, "lang", "documents.lang"))
+        .unionAll(col_entropy(docs, "source", "documents.source"))
+    )
+
+
+_ENTROPY_ONE = """
+      SELECT '{label}' AS column_name, COUNT(*) AS n_distinct,
+             FLOOR((LN(CAST(SUM(cnt) AS DOUBLE))
+                    - SUM(CAST(cnt AS DOUBLE) * LN(CAST(cnt AS DOUBLE)))
+                      / CAST(SUM(cnt) AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS entropy_nats
+      FROM (SELECT {col}, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+"""
+
+registry.register(
+    "entropy_profile",
+    q_entropy_profile,
+    "\n    UNION ALL\n".join(
+        _ENTROPY_ONE.format(label=lbl, col=c, table=t)
+        for lbl, c, t in [
+            ("events.event_type", "event_type", "events"),
+            ("documents.lang", "lang", "documents"),
+            ("documents.source", "source", "documents"),
+        ]
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Group-wise z-score outliers
+# ---------------------------------------------------------------------------
+
+
+def q_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type standardization, reporting |z| > 2.5 outliers.
+    Group mean/std come from exact decimal sufficient statistics
+    (n, Σx, Σx²) — one combiner-friendly shuffle to a group-count-sized
+    table that broadcasts back onto the fact, so the events table is
+    scanned twice but shuffled ZERO times for the scoring pass.
+
+    Why not a window: Window.partitionBy(event_type) shuffles the
+    whole fact AND serializes each group through one task; with 5
+    event types on a 100 TB log that's 5 tasks doing all the work.
+    The agg+broadcast-join form keeps scoring embarrassingly
+    parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(12,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    stats = stats.select(
+        F.col("event_type").alias("g_type"),
+        (sx / n).alias("g_mean"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("g_std"),
+    )
+    z = (F.col("value").cast("decimal(12,4)").cast("double") - F.col("g_mean")) / F.col(
+        "g_std"
+    )
+    return (
+        ev.join(F.broadcast(stats), ev["event_type"] == F.col("g_type"))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", _r6(F.col("z")).alias("zscore"))
+    )
+
+
+registry.register(
+    "groupwise_zscore",
+    q_groupwise_zscore,
+    """
+    WITH stats AS (
+      SELECT event_type AS g_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(12,4))) AS sx,
+             SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))
+                 AS DECIMAL(38,8))) AS sxx
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT g_type,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS g_mean,
+             SQRT((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS g_std
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type,
+           FLOOR((CAST(CAST(e.value AS DECIMAL(12,4)) AS DOUBLE) - g.g_mean)
+                 / g.g_std * 1000000.0 + 0.5) / 1000000.0 AS zscore
+    FROM events e JOIN g ON e.event_type = g.g_type
+    WHERE ABS((CAST(CAST(e.value AS DECIMAL(12,4)) AS DOUBLE) - g.g_mean)
+              / g.g_std) > 2.5
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Robust stats: per-group median + MAD
+# ---------------------------------------------------------------------------
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type median and median-absolute-deviation. Two
+    percentile passes (medians can't come from sufficient statistics):
+    pass 1 computes group medians, pass 2 re-scans with the 5-row
+    median table broadcast back and takes the median of |x - med|.
+    Exact `percentile` (not approx) — both engines interpolate even
+    counts as the midpoint average of two identical doubles, so the
+    result is bit-identical without any decimal staging."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    ).select(F.col("event_type").alias("g_type"), "med")
+    dev = ev.join(F.broadcast(med), ev["event_type"] == F.col("g_type")).select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    return dev.groupBy("event_type").agg(
+        _r6(F.first("med")).alias("median_value"),
+        _r6(F.expr("percentile(adev, 0.5)")).alias("mad"),
+        F.count("*").alias("n"),
+    )
+
+
+registry.register(
+    "robust_stats",
+    q_robust_stats,
+    """
+    WITH med AS (
+      SELECT event_type AS g_type,
+             QUANTILE_CONT(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m ON e.event_type = m.g_type
+    )
+    SELECT event_type,
+           FLOOR(ANY_VALUE(med) * 1000000.0 + 0.5) / 1000000.0 AS median_value,
+           FLOOR(QUANTILE_CONT(adev, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS mad,
+           COUNT(*) AS n
+    FROM dev GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking over the documents table
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "window", "hash"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set. Per-doc
+    term frequencies and doc length are in-row array ops (no shuffle);
+    the corpus stats (N, avgdl, per-term document frequency) all come
+    from ONE 1-row aggregate that broadcasts back. Scoring is then a
+    second in-row pass — a 100 TB corpus is scanned twice, shuffled
+    never. Every score input (tf, dl, N, df) is an exact integer, so
+    the idf·tf-saturation arithmetic is bit-identical across engines.
+
+    Returns all docs with their score (no top-k cutoff: a float-ranked
+    LIMIT would make the kept set ulp-sensitive; callers rank on the
+    returned column)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+
+    def tf_of(term: str) -> Column:
+        # NB: the lambda must be unary — pyspark treats a 2-arg lambda
+        # as (element, index), so a `t=t` default-arg capture would
+        # silently bind the array INDEX to t.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [tf_of(t).alias(f"tf_{t}") for t in _BM25_TERMS]
+    with_tf = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    corpus = with_tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = with_tf.crossJoin(F.broadcast(corpus))
+    nd = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    parts = []
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}").cast("double")
+        idf = F.log((nd - df + 0.5) / (df + 0.5) + 1.0)
+        denom = tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / avgdl)
+        parts.append(idf * (tf * (_BM25_K1 + 1.0)) / denom)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return scored.select("doc_id", "dl", _r6(score).alias("bm25"))
+
+
+def _bm25_oracle() -> str:
+    tf_exprs = ",\n             ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_exprs = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score_terms = "\n             + ".join(
+        f"""LN((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)
+                  / (CAST(df_{t} AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf_{t} AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(tf_{t} AS DOUBLE)
+                  + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * CAST(dl AS DOUBLE)
+                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             {tf_exprs}
+      FROM documents
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {df_exprs}
+      FROM tf
+    )
+    SELECT doc_id, dl,
+           FLOOR(({score_terms}) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+    FROM tf, corpus
+    """
+
+
+registry.register("bm25_rank", q_bm25_rank, _bm25_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Regex sequence matching (MATCH_RECOGNIZE-style) over user event streams
+# ---------------------------------------------------------------------------
+
+
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequence, regex-matched for a
+    direct view→purchase adjacency (the MATCH_RECOGNIZE pattern
+    `A B` with no gap — the funnel query's subsequence semantics can't
+    see adjacency). One shuffle on user_id builds the sequence string
+    via sort_array(collect_list(struct)); matching is in-row regex.
+
+    Scale: per-user state is that user's event count — same bound as
+    any sessionization. At 100 TB you'd window the sequence by day
+    first (the time_bucket_rollup pattern) to cap string length; ties
+    are broken by event_id so the sequence is deterministic at any
+    parallelism."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("seq"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    direct = F.size(F.expr("regexp_extract_all(seq, 'view,purchase', 0)"))
+    return seq.select(
+        "user_id",
+        "n_events",
+        (direct > 0).alias("converted_direct"),
+        direct.alias("n_direct_conversions"),
+    )
+
+
+registry.register(
+    "sequence_match",
+    q_sequence_match,
+    """
+    WITH seq AS (
+      SELECT user_id,
+             STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           LEN(regexp_extract_all(seq, 'view,purchase')) > 0
+             AS converted_direct,
+           CAST(LEN(regexp_extract_all(seq, 'view,purchase')) AS INT)
+             AS n_direct_conversions
+    FROM seq
+    """,
+)

@@ -59,6 +59,25 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 registry.register("stream_windowed_counts", q_stream_windowed_counts, _WINDOWED_SQL)
 
 
+# Hopping 2h windows sliding by 1h: every event lands in exactly two
+# windows, which the batch oracle reproduces by unnesting a [0,1] hop
+# offset — streaming overlap semantics checked against plain SQL.
+_HOPPING_SQL = """
+    SELECT date_trunc('hour', ts) - h.k * INTERVAL 1 HOUR AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) h
+    GROUP BY 1, 2
+"""
+
+
+def q_stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_hopping_counts_available_now(spark, sf_dir)
+
+
+registry.register("stream_hopping_counts", q_stream_hopping_counts, _HOPPING_SQL)
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_sessionize_available_now(spark, sf_dir)
 

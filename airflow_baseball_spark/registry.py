@@ -99,10 +99,35 @@ _PRIORITY = [
     "ewma_smooth",
     "skew_profile",
     "fuzzy_name_join",
-    "equi_depth_bins",
     "table_checksum",
     "cms_heavy_hitters",
     "chi2_features",
+    # -- tier 1c: added in round 4c/4d (never driver-checked);
+    #    stateful/iterative/multi-join shapes first, the window is
+    #    ~50 so the trivial in-row tail below may fall outside and
+    #    wait for the r5 window
+    "stream_hopping_counts",
+    "basket_pairs",
+    "triangle_count",
+    "sequence_match",
+    "bm25_rank",
+    "robust_stats",
+    "rfm_segments",
+    "corr_matrix",
+    "groupwise_zscore",
+    "tpch_q2ish",
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "tpch_q11ish",
+    "tpch_q16ish",
+    "tpch_q20ish",
+    "tpch_q12ish",
+    "psi_drift",
+    "entropy_profile",
+    # -- tier 1d: round-4 additions with trivial in-row/count shapes —
+    #    lowest risk of the never-checked set, so they take the
+    #    outside-the-window positions
+    "equi_depth_bins",
     "event_transitions",
     # -- tier 2: regression canary
     "park_factor_flagship",
@@ -174,8 +199,11 @@ def _load() -> None:
         queries_relational,
         queries_sampling,
         queries_streaming,
+        queries_mining,
+        queries_stats,
         queries_text,
         queries_tpch,
+        queries_tpch2,
     )
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}

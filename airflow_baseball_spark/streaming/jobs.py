@@ -152,6 +152,29 @@ def run_windowed_counts_available_now(spark: SparkSession, sf_dir: str) -> DataF
     return _drain_to_memory(windowed_event_counts(ev), "complete")
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Hopping (overlapping) windows: each event contributes to
+    window/slide state rows — 2 here. State per key is still bounded
+    by the watermark exactly as in the tumbling case; the overlap
+    multiplies state-store entries by the hop factor, not by time."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def run_hopping_counts_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(hopping_event_counts(ev), "complete")
+
+
 # ---------------------------------------------------------------------------
 # Stateful sessionization (applyInPandasWithState)
 # ---------------------------------------------------------------------------
