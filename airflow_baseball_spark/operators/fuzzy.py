@@ -28,11 +28,16 @@ from pyspark.sql import functions as F
 
 def deletion_neighborhood(col: str) -> F.Column:
     """Array of the string itself plus every delete-one-char variant
-    (the distance-1 blocking keys)."""
-    return F.expr(
-        f"concat(array({col}), transform(sequence(1, length({col})), "
-        f"i -> concat(substring({col}, 1, i - 1), "
-        f"substring({col}, i + 1, length({col})))))"
+    (the distance-1 blocking keys). array_distinct matters: deleting
+    any character of a same-character run yields ONE variant (e.g. the
+    zero-run in "Customer#000000012" collapses 7 deletions to 1), and
+    duplicate keys inflate the self-join quadratically per pair."""
+    return F.array_distinct(
+        F.expr(
+            f"concat(array({col}), transform(sequence(1, length({col})), "
+            f"i -> concat(substring({col}, 1, i - 1), "
+            f"substring({col}, i + 1, length({col})))))"
+        )
     )
 
 
@@ -58,11 +63,18 @@ def fuzzy_self_join(
     b = keyed.select(
         F.col("_fid").alias("id_b"), F.col("_ftxt").alias("_txt_b"), "_fkey"
     )
+    # Verify BEFORE dedup: levenshtein is in-row and runs in the same
+    # stage as the join, so false candidates die without ever being
+    # shuffled; the distinct then carries only surviving (id, id)
+    # pairs — two longs — instead of every candidate with both text
+    # payloads (measured 6.0s → ~2s at sf0.1, where the blocking join
+    # emits ~2M candidates of which a fraction survive).
     return (
         a.join(b, ["_fkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_txt_a", "_txt_b")
-        .distinct()  # pairs can share several deletion keys
-        .filter(F.levenshtein("_txt_a", "_txt_b") <= max_distance)
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein("_txt_a", "_txt_b") <= max_distance)
+        )
         .select("id_a", "id_b")
+        .distinct()  # pairs can share several deletion keys
     )

@@ -222,16 +222,20 @@ registry.register(
 def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11-shaped HAVING-against-global-scalar: per-part value vs a
     threshold derived from the whole table. One shuffle produces the
-    per-part aggregate; the global total re-aggregates THAT (part-count
-    rows, not fact rows) and comes back as a 1-row broadcast — the
-    fact is scanned exactly once."""
+    per-part aggregate; the global total is an empty-partition window
+    SUM over THAT aggregate, so the fact is scanned exactly once (a
+    crossJoin(total) form would recompute the per-part subtree — and
+    re-scan the fact — for the broadcast branch). The single-partition
+    window moves only the part-count-sized aggregate, the same
+    total-minus-self trade as pipelines/park_factor.py; at larger part
+    cardinality a two-level partial-total tree replaces it."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(_d("l_extendedprice")).alias("part_value_dec")
     )
-    total = per_part.agg(F.sum("part_value_dec").alias("total_dec"))
+    w = Window.partitionBy()
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("total_dec", F.sum("part_value_dec").over(w))
         .filter(
             F.col("part_value_dec").cast("double")
             > F.col("total_dec").cast("double") * 0.001
@@ -248,13 +252,14 @@ registry.register(
     """
     WITH per_part AS (
       SELECT l_partkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value_dec
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value_dec,
+             SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER ()
+               AS total_dec
       FROM lineitem GROUP BY 1
-    ),
-    total AS (SELECT SUM(part_value_dec) AS total_dec FROM per_part)
-    SELECT p.l_partkey, CAST(p.part_value_dec AS DOUBLE) AS part_value
-    FROM per_part p, total t
-    WHERE CAST(p.part_value_dec AS DOUBLE) > CAST(t.total_dec AS DOUBLE) * 0.001
+    )
+    SELECT l_partkey, CAST(part_value_dec AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE CAST(part_value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.001
     """,
 )
 
@@ -278,13 +283,17 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # when/otherwise, NOT crit.cast(long): a NULL priority makes `crit`
+    # NULL, which sum() would silently drop from BOTH counts while the
+    # oracle's CASE...ELSE buckets it into low_line_count — the
+    # when-form sends NULL conditions to otherwise(), matching SQL
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(crit.cast("long")).alias("high_line_count"),
-            F.sum((~crit).cast("long")).alias("low_line_count"),
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
         )
     )
 

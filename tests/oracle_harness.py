@@ -92,3 +92,12 @@ def assert_match(spark_df, con, sql: str, name: str = "") -> None:
     assert rep["columns_match"], f"{name}: column mismatch {rep['spark_cols']} vs {rep['duck_cols']}"
     assert rep["rowcount_match"], f"{name}: rowcount {rep['spark_rows']} vs {rep['duck_rows']}"
     assert rep["values_match"], f"{name}: value mismatch, e.g. {rep.get('first_diffs')}"
+
+
+def plan_str(df) -> str:
+    """Formatted physical plan via the same JVM entry point the CLI's
+    df.explain("formatted") uses — one shared copy because the
+    PythonSQLUtils API is Spark-internal and version-sensitive."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )

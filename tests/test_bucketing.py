@@ -18,10 +18,7 @@ from airflow_baseball_spark.schemas import load_table
 SF = "/root/testdata/sf0.01"
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.oracle_harness import plan_str as _plan  # noqa: E402
 
 
 @pytest.fixture(scope="module")

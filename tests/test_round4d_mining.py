@@ -15,10 +15,7 @@ from airflow_baseball_spark.streaming import jobs
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.oracle_harness import plan_str as _plan  # noqa: E402
 
 
 def test_basket_pairs_no_fact_self_join(spark):
