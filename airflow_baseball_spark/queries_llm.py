@@ -13,7 +13,7 @@ schemas agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
@@ -587,5 +587,140 @@ registry.register(
     JOIN dim d ON f.user_id = d.user_id
               AND d.valid_from <= f.ts
               AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: view → click within 24h → purchase within
+    24h of the click. Same three key-partitioned aggregations as the
+    unbounded funnel (each stage joined forward, no full-log windows);
+    the conversion-window constraint is one extra in-row predicate per
+    stage, so the plan — and its scale behavior — is unchanged.
+
+    Why a separate operator: product funnels are almost always
+    window-bounded ("converted within N days"), and the bound changes
+    the result, not just the filter — a click 3 weeks after the view
+    no longer counts as progression."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_24h")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_24h")))
+    )
+
+
+registry.register(
+    "funnel_windowed",
+    q_funnel_windowed,
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_24h,
+           (SELECT COUNT(*) FROM p) AS n_purchase_24h
+    """,
+)
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent NON-purchase event within the preceding hour. One user-key
+    window with an ignore-nulls running last — the non-purchase
+    carrier rides the same (ts, event_id)-ordered sort every other
+    per-user window op uses, so no self-join of the log against
+    itself and no second shuffle. Purchases with no touch inside the
+    hour report a NULL channel (unattributed), which the aggregation
+    surfaces as its own row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("ts", "event_type"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    hour = F.expr("INTERVAL 1 HOUR")
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "channel",
+            F.when(
+                F.col("touch").isNotNull()
+                & (F.col("touch.ts") >= F.col("ts") - hour),
+                F.col("touch.event_type"),
+            ),
+        )
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+registry.register(
+    "last_touch_attribution",
+    q_last_touch_attribution,
+    """
+    WITH touched AS (
+      SELECT user_id, event_id, event_type, ts,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS touch_ts,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND touch_ts >= ts - INTERVAL 1 HOUR
+                THEN touch_type END AS channel,
+           COUNT(*) AS n_purchases
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
     """,
 )

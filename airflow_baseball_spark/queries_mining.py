@@ -8,7 +8,7 @@ IEEE expression tree on both engines, `_r6`-bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
@@ -414,5 +414,139 @@ registry.register(
                  / CAST(c.n_wedges AS DOUBLE) * 1000000.0 + 0.5)
              / 1000000.0 AS transitivity
     FROM counts c, tri t, ne
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Weighted median per group (cumulative-weight window)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the group total.
+
+    One shuffle+sort per group key serves the cumulative-weight window
+    AND the group total (unbounded-frame sum over the same
+    partitioning — no second exchange). All weights stay exact
+    DECIMAL; the half-total comparison is 2·cum ≥ total so no decimal
+    division ever happens. Ties in price are ordered by (orderkey,
+    linenumber) so the cumulative walk is deterministic at any
+    parallelism on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    order = [F.col("price").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    w_cum = Window.partitionBy("l_returnflag").orderBy(*order)
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(w_cum).alias("cum_wt"),
+        F.sum("wt").over(w_all).alias("tot_wt"),
+    )
+    return (
+        cum.filter(F.col("cum_wt") * 2 >= F.col("tot_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median_price"),
+            F.max(F.col("tot_wt")).cast("double").alias("total_weight"),
+        )
+    )
+
+
+registry.register(
+    "weighted_median",
+    q_weighted_median,
+    """
+    WITH cum AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) ASC,
+                        l_orderkey ASC, l_linenumber ASC) AS cum_wt,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag) AS tot_wt
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price) AS DOUBLE) AS weighted_median_price,
+           CAST(MAX(tot_wt) AS DOUBLE) AS total_weight
+    FROM cum
+    WHERE cum_wt * 2 >= tot_wt
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2D skyline) over customer summaries
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-dominated customers on (account balance, order count): no
+    other customer is ≥ on both measures and > on at least one.
+
+    The sort-scan skyline: group points by the x-value, take each
+    x-group's max y, running-max those group maxima in descending-x
+    order, and a point survives iff it holds its x-group's max y AND
+    strictly beats the running max of every strictly-greater x. Input
+    is the per-customer SUMMARY (dim-sized, one fact shuffle to build);
+    the frontier windows order by the x value with no partition key —
+    fine at dim scale, and at larger cardinality the running max is
+    prefix-computable per range partition (compute partition maxima,
+    broadcast the prefix, the classic parallel-scan split)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pts = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .select("c_custkey", "c_acctbal", "n_orders")
+    )
+    grp = pts.groupBy("c_acctbal").agg(F.max("n_orders").alias("grp_max"))
+    w = Window.orderBy(F.col("c_acctbal").desc())
+    grp = grp.withColumn(
+        "prev_max",
+        F.max("grp_max").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    return (
+        pts.join(grp, "c_acctbal")
+        .filter(
+            (F.col("n_orders") == F.col("grp_max"))
+            & (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("n_orders")))
+        )
+        .select("c_custkey", "c_acctbal", "n_orders")
+    )
+
+
+registry.register(
+    "pareto_frontier",
+    q_pareto_frontier,
+    """
+    WITH pts AS (
+      SELECT c.c_custkey, c.c_acctbal, o.n_orders
+      FROM (SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1) o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    grp AS (
+      SELECT c_acctbal, MAX(n_orders) AS grp_max,
+             MAX(MAX(n_orders)) OVER (
+               ORDER BY c_acctbal DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM pts GROUP BY 1
+    )
+    SELECT p.c_custkey, p.c_acctbal, p.n_orders
+    FROM pts p JOIN grp g ON p.c_acctbal = g.c_acctbal
+    WHERE p.n_orders = g.grp_max
+      AND (g.prev_max IS NULL OR g.prev_max < p.n_orders)
     """,
 )

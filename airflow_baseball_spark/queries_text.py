@@ -10,7 +10,7 @@ unrounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
@@ -1132,3 +1132,73 @@ def _pq_adc_sql() -> str:
 
 
 registry.register("pq_adc_topk", q_pq_adc_topk, _pq_adc_sql())
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (entity-resolution completion) over the near-dup
+    clusters: per cluster, elect the canonical document — longest text,
+    ties to the lowest doc_id — and report the merged-cluster facts.
+
+    Scale shape: everything downstream of the CC labels is ONE shuffle
+    on cluster_root; the election is a row_number window and the
+    merged stats ride the same partitioning. The expensive part is the
+    clustering itself, shared (as a plan, recomputed per run) with
+    dedup_clusters — a production pipeline materializes the label
+    table once and both consumers read it."""
+    from airflow_baseball_spark.operators.connected_components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.lsh_candidate_edges(dedup.minhash_signatures(docs))
+    labeled = dedup_clusters(docs, edges).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_root")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "survivor_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "survivor_chars"
+            ),
+        )
+    )
+
+
+def _golden_record_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    edges AS ({_lsh_pairs_sql()}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS root
+             FROM reach GROUP BY u),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.root, d.doc_id) AS cluster_root,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(c.root, d.doc_id)
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT cluster_root,
+           COUNT(*) AS n_members,
+           SUM(n_chars) AS total_chars,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id,
+           MAX(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars
+    FROM labeled GROUP BY 1
+    """
+
+
+registry.register("golden_record", q_golden_record, _golden_record_sql())

@@ -53,9 +53,9 @@ _LOADED = False
 #   3. the never-driver-checked round-4 additions that fit the
 #      remaining ~42 slots, stateful/iterative/multi-join shapes
 #      first,
-#   4. tier-X: the 14 never-checked round-4 additions with the most
-#      trivial shapes (in-row exprs, simple count aggs) — exiled
-#      outside the window; they wait for the r5 window,
+#   4. tier-X: the 18 never-checked round-4 additions with the most
+#      trivial shapes (in-row exprs, simple joins/count aggs) —
+#      exiled outside the window; they wait for the r5 window,
 #   5. unlisted tail: everything attested green in r2/r3 (module
 #      order).
 _PRIORITY = [
@@ -89,11 +89,16 @@ _PRIORITY = [
     "triangle_count",
     "basket_pairs",
     "sequence_match",
+    "last_touch_attribution",
+    "funnel_windowed",
     "bm25_rank",
     "robust_stats",
     "rfm_segments",
     "corr_matrix",
     "groupwise_zscore",
+    "golden_record",
+    "weighted_median",
+    "pareto_frontier",
     "fuzzy_name_join",
     "table_checksum",
     "cms_heavy_hitters",
@@ -109,17 +114,17 @@ _PRIORITY = [
     "tpch_q20ish",
     "tpch_q18ish",
     "tpch_q10ish",
-    "tpch_q4ish",
     "tpch_q7ish",
-    "tpch_q19ish",
-    "tpch_q13ish",
     "tpch_q15ish",
     "tpch_q17ish",
     "tpch_q21ish",
-    "tpch_q22ish",
-    "tpch_q14ish",
     # -- tier X: never-checked but trivially-shaped — positions 51+,
     #    outside the expected window; first in line for the r5 window
+    "tpch_q19ish",
+    "tpch_q22ish",
+    "tpch_q4ish",
+    "tpch_q13ish",
+    "tpch_q14ish",
     "doc_chunk",
     "domain_cap",
     "zorder_value",

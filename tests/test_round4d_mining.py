@@ -86,3 +86,84 @@ def test_triangle_count_invariants(spark):
     assert 0.0 <= row["transitivity"] <= 1.0
     # handshake bound: wedges consistent with a simple graph
     assert row["n_edges"] <= row["n_vertices"] * (row["n_vertices"] - 1) // 2
+
+
+def test_weighted_median_within_group_range_and_majority_weight(spark):
+    from airflow_baseball_spark.queries_mining import q_weighted_median
+
+    rows = q_weighted_median(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for r in rows:
+        grp = ev.filter(F.col("l_returnflag") == r["l_returnflag"])
+        lo, hi = grp.agg(
+            F.min("l_extendedprice"), F.max("l_extendedprice")
+        ).collect()[0]
+        assert lo <= r["weighted_median_price"] <= hi
+        # defining property: weight at or below the median is >= half
+        below = grp.filter(
+            F.col("l_extendedprice") <= r["weighted_median_price"]
+        ).agg(F.sum("l_quantity")).collect()[0][0]
+        assert 2 * below >= r["total_weight"] - 1e-6
+
+
+def test_pareto_frontier_is_mutually_nondominated_and_complete(spark):
+    from airflow_baseball_spark.queries_mining import q_pareto_frontier
+
+    front = q_pareto_frontier(spark, SF).collect()
+    assert front
+    pts = [(r["c_acctbal"], r["n_orders"]) for r in front]
+    # no frontier point dominates another
+    for a in pts:
+        for b in pts:
+            if a is b:
+                continue
+            dominates = a[0] >= b[0] and a[1] >= b[1] and a != b
+            assert not dominates or (a[0] == b[0] and a[1] == b[1]), (a, b)
+    # the max-balance point and the max-order-count point are always
+    # on the frontier (they cannot be dominated on their own axis
+    # unless tied, in which case the tied dominator is on it)
+    maxbal = max(p[0] for p in pts)
+    assert any(p[0] == maxbal for p in pts)
+
+
+def test_golden_record_partitions_corpus_and_elects_longest(spark):
+    from airflow_baseball_spark.queries_text import q_golden_record
+
+    rows = q_golden_record(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_members"] for r in rows) == n_docs
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert docs[r["survivor_doc_id"]] == r["survivor_chars"]
+        assert r["survivor_chars"] <= r["total_chars"]
+
+
+def test_funnel_windowed_bounded_by_unbounded_funnel(spark):
+    from airflow_baseball_spark.queries_llm import q_funnel, q_funnel_windowed
+
+    unb = q_funnel(spark, SF).collect()[0]
+    bnd = q_funnel_windowed(spark, SF).collect()[0]
+    assert bnd["n_view"] == unb["n_view"]  # stage 1 has no window
+    # windowed progression can only lose converters
+    assert bnd["n_click_24h"] <= unb["n_click_after_view"]
+    assert bnd["n_purchase_24h"] <= unb["n_purchase_after_click"]
+
+
+def test_last_touch_attribution_counts_and_no_self_join(spark):
+    from airflow_baseball_spark.queries_llm import q_last_touch_attribution
+    from tests.oracle_harness import plan_str
+
+    df = q_last_touch_attribution(spark, SF)
+    plan = plan_str(df)
+    assert "Join" not in plan  # single-pass window, no log self-join
+    rows = df.collect()
+    total = sum(r["n_purchases"] for r in rows)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert total == n_purch  # every purchase attributed or NULL-bucketed
+    channels = {r["channel"] for r in rows}
+    assert "purchase" not in channels  # purchases never self-attribute
