@@ -592,41 +592,54 @@ registry.register(
 
 
 def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bounded funnel: view → click within 24h → purchase within
-    24h of the click. Same three key-partitioned aggregations as the
-    unbounded funnel (each stage joined forward, no full-log windows);
-    the conversion-window constraint is one extra in-row predicate per
-    stage, so the plan — and its scale behavior — is unchanged.
+    """Time-bounded funnel with EXISTS-chain semantics: a user reaches
+    stage 2 if ANY click falls within 24h after ANY of their views,
+    and stage 3 if ANY purchase falls within 24h after ANY qualifying
+    click. A greedy first-event anchor (min view, min in-window click)
+    looks simpler but UNDERCOUNTS: a user whose first view converts
+    nothing but whose later view→click→purchase chain qualifies would
+    be dropped. For the unbounded funnel min-anchoring is lossless;
+    with a bound it is not — hence the different construction here.
 
-    Why a separate operator: product funnels are almost always
-    window-bounded ("converted within N days"), and the bound changes
-    the result, not just the filter — a click 3 weeks after the view
-    no longer counts as progression."""
+    Scale shape: two per-user band joins (clicks×views, then
+    purchases×qualifying clicks), each keyed on user_id so the fanout
+    is bounded by one user's activity, never the log; distinct
+    collapses multi-witness chains before counting. At 100 TB the
+    band join buckets by (user, day) first so a bot user can't go
+    quadratic — the asof/range-join playbook."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     day = F.expr("INTERVAL 24 HOURS")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vt")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ct")
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pt")
+    )
+    qual_clicks = (
+        clicks.join(views, "user_id")
+        .filter((F.col("ct") > F.col("vt")) & (F.col("ct") <= F.col("vt") + day))
+        .select("user_id", "ct")
+        .distinct()
+    )
+    qual_purch = (
+        purchases.join(qual_clicks, "user_id")
+        .filter((F.col("pt") > F.col("ct")) & (F.col("pt") <= F.col("ct") + day))
+        .select("user_id")
+        .distinct()
     )
     return (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_24h")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_24h")))
+        views.select("user_id")
+        .distinct()
+        .agg(F.count("*").alias("n_view"))
+        .crossJoin(
+            qual_clicks.select("user_id").distinct().agg(
+                F.count("*").alias("n_click_24h")
+            )
+        )
+        .crossJoin(qual_purch.agg(F.count("*").alias("n_purchase_24h")))
     )
 
 
@@ -634,27 +647,24 @@ registry.register(
     "funnel_windowed",
     q_funnel_windowed,
     """
-    WITH v AS (
-      SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
+    WITH qc AS (
+      SELECT DISTINCT c.user_id, c.ts AS ct
+      FROM events c JOIN events v
+        ON c.user_id = v.user_id
+       AND c.event_type = 'click' AND v.event_type = 'view'
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
     ),
-    c AS (
-      SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.t1
-        AND e.ts <= v.t1 + INTERVAL 24 HOUR
-      GROUP BY e.user_id
-    ),
-    p AS (
-      SELECT e.user_id, min(e.ts) AS t3
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.t2
-        AND e.ts <= c.t2 + INTERVAL 24 HOUR
-      GROUP BY e.user_id
+    qp AS (
+      SELECT DISTINCT p.user_id
+      FROM events p JOIN qc
+        ON p.user_id = qc.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > qc.ct AND p.ts <= qc.ct + INTERVAL 24 HOUR
     )
-    SELECT (SELECT COUNT(*) FROM v) AS n_view,
-           (SELECT COUNT(*) FROM c) AS n_click_24h,
-           (SELECT COUNT(*) FROM p) AS n_purchase_24h
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type = 'view') AS n_view,
+           (SELECT COUNT(DISTINCT user_id) FROM qc) AS n_click_24h,
+           (SELECT COUNT(*) FROM qp) AS n_purchase_24h
     """,
 )
 
@@ -722,5 +732,112 @@ registry.register(
     FROM touched
     WHERE event_type = 'purchase'
     GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) + out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+_FEATHASH_DIM = 64
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens hash into a fixed
+    64-bucket space; the per-doc sparse vector is emitted LONG-format
+    (doc_id, bucket, n) — the representation that shuffles and joins
+    well, and the only one the driver hash can canonicalize (array
+    cells are unhashable, the kmeans_fit lesson).
+
+    Scale: explode + one (doc, bucket) shuffle with map-side combine;
+    dimensionality is fixed at D buckets regardless of vocabulary, the
+    whole point of the trick. The md5-derived bucket is engine-exact:
+    h/2^32*D with h < 2^32 is exact double arithmetic, so Spark and
+    DuckDB floor identical values."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.explode(F.split(F.col("text"), " ")).alias("tok")
+    toks = docs.select("doc_id", tok)
+    bucket = F.floor(
+        hash_unit(F.col("tok"), seed="fh") * _FEATHASH_DIM
+    ).cast("int")
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _feature_hashing_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    unit = hash_unit_sql("tok", "fh")
+    return f"""
+    SELECT doc_id,
+           CAST(FLOOR({unit} * {_FEATHASH_DIM}) AS INT) AS bucket,
+           COUNT(*) AS n
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY 1, 2
+    """
+
+
+registry.register("feature_hashing", q_feature_hashing, _feature_hashing_sql())
+
+
+def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding: each (event_type, fold) cell gets
+    the mean target computed from every OTHER fold — the leakage-safe
+    encoding for categorical features. Total-minus-self across folds:
+    one combinable pass builds (category × fold) exact-decimal sums,
+    category totals re-aggregate that cell table (never the fact), and
+    the OOF mean is (S_cat − S_cell)/(N_cat − N_cell) — all-exact
+    inputs, identical IEEE division on both engines. Folds are
+    identity-hashed (md5) so the assignment is reproducible at any
+    parallelism, not arrival-order dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    fold = (F.col("user_id") % 5).cast("int")
+    y = F.col("value").cast("decimal(12,4)")
+    cells = ev.groupBy(F.col("event_type"), fold.alias("fold")).agg(
+        F.sum(y).alias("s_cell"), F.count("*").alias("n_cell")
+    )
+    cats = cells.groupBy("event_type").agg(
+        F.sum("s_cell").alias("s_cat"), F.sum("n_cell").alias("n_cat")
+    )
+    oof = (
+        (F.col("s_cat") - F.col("s_cell")).cast("double")
+        / (F.col("n_cat") - F.col("n_cell")).cast("double")
+    )
+    from airflow_baseball_spark.functions.scalar import round6_portable
+
+    return cells.join(F.broadcast(cats), "event_type").select(
+        "event_type",
+        "fold",
+        "n_cell",
+        round6_portable(oof).alias("oof_mean"),
+    )
+
+
+registry.register(
+    "target_encode_oof",
+    q_target_encode_oof,
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(user_id % 5 AS INT) AS fold,
+             SUM(CAST(value AS DECIMAL(12,4))) AS s_cell,
+             COUNT(*) AS n_cell
+      FROM events GROUP BY 1, 2
+    ),
+    cats AS (
+      SELECT event_type, SUM(s_cell) AS s_cat, SUM(n_cell) AS n_cat
+      FROM cells GROUP BY 1
+    )
+    SELECT c.event_type, c.fold, c.n_cell,
+           FLOOR(CAST(t.s_cat - c.s_cell AS DOUBLE)
+                 / CAST(t.n_cat - c.n_cell AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS oof_mean
+    FROM cells c JOIN cats t ON c.event_type = t.event_type
     """,
 )

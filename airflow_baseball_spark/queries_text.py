@@ -216,13 +216,10 @@ def _lsh_pairs_sql() -> str:
 registry.register("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_pairs_sql())
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH buckets → single-link duplicate clusters via iterative
-    min-label propagation (operators/connected_components.py) over
-    star-contracted bucket edges (same components as the all-pairs
-    graph, O(bucket) not O(bucket²) edges); the oracle closes the
-    all-pairs graph with a recursive CTE — components are identical by
-    construction."""
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_root) via minhash → LSH edges → CC min-label
+    propagation — the ONE Spark-side construction both dedup_clusters
+    and golden_record run, mirroring the shared _cc_closure_sql()."""
     from airflow_baseball_spark.operators.connected_components import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
@@ -230,9 +227,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, edges)
 
 
-def _dedup_clusters_sql() -> str:
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH buckets → single-link duplicate clusters via iterative
+    min-label propagation (operators/connected_components.py) over
+    star-contracted bucket edges (same components as the all-pairs
+    graph, O(bucket) not O(bucket²) edges); the oracle closes the
+    all-pairs graph with a recursive CTE — components are identical by
+    construction."""
+    return _cluster_labels(spark, sf_dir)
+
+
+def _cc_closure_sql() -> str:
+    """The recursive-CTE connected-components closure over the LSH
+    candidate edges — the ONE copy both cluster oracles build on, so a
+    fix to the closure or edge construction cannot drift between
+    dedup_clusters and golden_record."""
     return f"""
-    WITH RECURSIVE
     edges AS ({_lsh_pairs_sql()}),
     sym AS (SELECT id_a AS u, id_b AS v FROM edges
             UNION SELECT id_b, id_a FROM edges),
@@ -242,7 +252,13 @@ def _dedup_clusters_sql() -> str:
       SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
     ),
     comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS root
-             FROM reach GROUP BY u)
+             FROM reach GROUP BY u)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_cc_closure_sql()}
     SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS cluster_root
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
     """
@@ -1142,14 +1158,11 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything downstream of the CC labels is ONE shuffle
     on cluster_root; the election is a row_number window and the
     merged stats ride the same partitioning. The expensive part is the
-    clustering itself, shared (as a plan, recomputed per run) with
-    dedup_clusters — a production pipeline materializes the label
-    table once and both consumers read it."""
-    from airflow_baseball_spark.operators.connected_components import dedup_clusters
-
+    clustering itself, shared (via _cluster_labels, recomputed per
+    run) with dedup_clusters — a production pipeline materializes the
+    label table once and both consumers read it."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = dedup.lsh_candidate_edges(dedup.minhash_signatures(docs))
-    labeled = dedup_clusters(docs, edges).join(
+    labeled = _cluster_labels(spark, sf_dir).join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
     w = Window.partitionBy("cluster_root").orderBy(
@@ -1174,16 +1187,7 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _golden_record_sql() -> str:
     return f"""
     WITH RECURSIVE
-    edges AS ({_lsh_pairs_sql()}),
-    sym AS (SELECT id_a AS u, id_b AS v FROM edges
-            UNION SELECT id_b, id_a FROM edges),
-    reach(u, v) AS (
-      SELECT u, v FROM sym
-      UNION
-      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-    ),
-    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS root
-             FROM reach GROUP BY u),
+    {_cc_closure_sql()},
     labeled AS (
       SELECT d.doc_id, d.n_chars,
              COALESCE(c.root, d.doc_id) AS cluster_root,
@@ -1202,3 +1206,141 @@ def _golden_record_sql() -> str:
 
 
 registry.register("golden_record", q_golden_record, _golden_record_sql())
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity scoring (quality filtering via corpus LM)
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-likelihood of each document under the
+    corpus's own unigram LM — the classic cheap perplexity filter
+    (CCNet buckets documents exactly this way, just with a 5-gram LM).
+
+    Exactness: per-token log-probs are QUANTIZED to an exact BIGINT
+    (floor(ln p · 1e9)) BEFORE the per-doc sum, so the summation is
+    exact integer arithmetic — order-invariant across engines and
+    partition counts — and the 1e-9 scale is divided back out only in
+    the final double expression. Summing raw double ln(p) would drift
+    in the last ulps per partition order; staging through DECIMAL
+    division would hit the engines' different decimal-quotient scale
+    rules (measured: 1e-6 flips on ~10% of docs).
+
+    Scale: one (doc, token) count shuffle; the vocabulary table (and
+    its total) re-aggregate THAT table, come back as a broadcast, and
+    the per-doc score is a second combinable agg. Two fact-derived
+    shuffles, no joins against the raw log."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = dt.groupBy("tok").agg(F.sum("tf").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    lp9 = F.floor(
+        F.log(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
+        * 1e9
+    ).cast("long")
+    scored = dt.join(
+        F.broadcast(vocab.crossJoin(total).select("tok", lp9.alias("lp9"))), "tok"
+    )
+    from airflow_baseball_spark.functions.scalar import round6_portable
+
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"),
+        round6_portable(
+            -F.sum(F.col("tf") * F.col("lp9")).cast("double")
+            / (F.sum("tf").cast("double") * 1e9)
+        ).alias("mean_nll"),
+    )
+
+
+registry.register(
+    "unigram_perplexity",
+    q_unigram_perplexity,
+    """
+    WITH dt AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, SUM(tf) AS n_tok FROM dt GROUP BY 1),
+    total AS (SELECT SUM(n_tok) AS n_total FROM vocab),
+    lp AS (
+      SELECT v.tok,
+             CAST(FLOOR(LN(CAST(v.n_tok AS DOUBLE)
+                           / CAST(t.n_total AS DOUBLE)) * 1e9) AS BIGINT)
+               AS lp9
+      FROM vocab v CROSS JOIN total t
+    )
+    SELECT d.doc_id, SUM(d.tf) AS dl,
+           FLOOR(-CAST(SUM(d.tf * l.lp9) AS DOUBLE)
+                 / (CAST(SUM(d.tf) AS DOUBLE) * 1e9) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_nll
+    FROM dt d JOIN lp l ON d.tok = l.tok
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding column — the
+    profile that catches dead dimensions and scale drift before they
+    poison an ANN index. posexplode fans each vector into (dim, value)
+    rows; one combinable agg over 64 dim keys carries exact decimal
+    (n, Σx, Σx²); variance is the standard expansion on exact inputs.
+    Elements are widened float→double→DECIMAL identically on both
+    engines so the sums are bit-equal."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    xd = F.col("x").cast("double").cast("decimal(14,6)")
+    stats = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum((xd * xd).cast("decimal(38,12)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    from airflow_baseball_spark.functions.scalar import round6_portable
+
+    return stats.select(
+        (F.col("dim") + 1).alias("dim"),  # 1-based, matches SQL ordinality
+        "n",
+        round6_portable(sx / n).alias("dim_mean"),
+        round6_portable((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("dim_var"),
+    )
+
+
+registry.register(
+    "embedding_dim_stats",
+    q_embedding_dim_stats,
+    """
+    WITH ex AS (
+      SELECT s.i AS dim,
+             CAST(CAST(embedding[s.i] AS DOUBLE) AS DECIMAL(14,6)) AS xd
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS s(i)
+    ),
+    stats AS (
+      SELECT dim, COUNT(*) AS n, SUM(xd) AS sx,
+             SUM(CAST(xd * xd AS DECIMAL(38,12))) AS sxx
+      FROM ex GROUP BY 1
+    )
+    SELECT CAST(dim AS INT) AS dim, n,
+           FLOOR(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS dim_mean,
+           FLOOR((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS dim_var
+    FROM stats
+    """,
+)

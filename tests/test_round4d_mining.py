@@ -120,11 +120,34 @@ def test_pareto_frontier_is_mutually_nondominated_and_complete(spark):
                 continue
             dominates = a[0] >= b[0] and a[1] >= b[1] and a != b
             assert not dominates or (a[0] == b[0] and a[1] == b[1]), (a, b)
-    # the max-balance point and the max-order-count point are always
-    # on the frontier (they cannot be dominated on their own axis
-    # unless tied, in which case the tied dominator is on it)
-    maxbal = max(p[0] for p in pts)
-    assert any(p[0] == maxbal for p in pts)
+    # completeness, checked against the FULL per-customer summary (not
+    # the frontier itself): the best-n point among max-balance holders
+    # and the best-balance point among max-order holders must be on
+    # the frontier — they are undominated by construction
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    summary = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_acctbal", "n_orders")
+        .collect()
+    )
+    allpts = [(r["c_acctbal"], r["n_orders"]) for r in summary]
+    maxbal = max(p[0] for p in allpts)
+    best_at_maxbal = max(p[1] for p in allpts if p[0] == maxbal)
+    assert (maxbal, best_at_maxbal) in pts
+    maxn = max(p[1] for p in allpts)
+    best_at_maxn = max(p[0] for p in allpts if p[1] == maxn)
+    assert (best_at_maxn, maxn) in pts
+    # and the frontier is exhaustive: every undominated summary point
+    # appears
+    for p in allpts:
+        dominated = any(
+            q[0] >= p[0] and q[1] >= p[1] and q != p for q in allpts
+        )
+        if not dominated:
+            assert p in pts, p
 
 
 def test_golden_record_partitions_corpus_and_elects_longest(spark):
@@ -167,3 +190,61 @@ def test_last_touch_attribution_counts_and_no_self_join(spark):
     assert total == n_purch  # every purchase attributed or NULL-bucketed
     channels = {r["channel"] for r in rows}
     assert "purchase" not in channels  # purchases never self-attribute
+
+
+def test_feature_hashing_conserves_tokens_and_bounds_buckets(spark):
+    from airflow_baseball_spark.queries_llm import q_feature_hashing
+
+    rows = q_feature_hashing(spark, SF).collect()
+    assert rows
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+    total = sum(r["n"] for r in rows)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n_tokens = sum(len(d["text"].split(" ")) for d in docs)
+    assert total == n_tokens  # hashing reshapes, never drops tokens
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    from airflow_baseball_spark.queries_llm import q_target_encode_oof
+
+    rows = q_target_encode_oof(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import defaultdict
+
+    by_cell = defaultdict(list)
+    by_cat = defaultdict(list)
+    for e in ev:
+        cell = (e["event_type"], int(e["user_id"] % 5))
+        # mirror the query's decimal(12,4) staging of the target
+        y = round(e["value"], 4)
+        by_cell[cell].append(y)
+        by_cat[e["event_type"]].append(y)
+    for r in rows:
+        cell = (r["event_type"], r["fold"])
+        others = sum(by_cat[r["event_type"]]) - sum(by_cell[cell])
+        n_others = len(by_cat[r["event_type"]]) - len(by_cell[cell])
+        assert abs(r["oof_mean"] - others / n_others) < 1e-4, cell
+
+
+def test_unigram_perplexity_orders_common_vs_rare(spark):
+    from airflow_baseball_spark.queries_text import q_unigram_perplexity
+
+    rows = q_unigram_perplexity(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["mean_nll"] > 0.0  # -ln p is positive for p < 1
+        assert r["dl"] > 0
+
+
+def test_embedding_dim_stats_shape_and_variance(spark):
+    from airflow_baseball_spark.queries_text import q_embedding_dim_stats
+
+    rows = q_embedding_dim_stats(spark, SF).collect()
+    assert len(rows) == 64
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    for r in rows:
+        assert 1 <= r["dim"] <= 64
+        assert r["n"] == n_vecs
+        assert r["dim_var"] >= 0.0
