@@ -630,16 +630,17 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
+    # countDistinct (not distinct().count()) so a NULL user_id is
+    # ignored exactly like the oracle's COUNT(DISTINCT user_id) —
+    # distinct() keeps a NULL row that count(*) would then count
     return (
-        views.select("user_id")
-        .distinct()
-        .agg(F.count("*").alias("n_view"))
+        views.agg(F.countDistinct("user_id").alias("n_view"))
         .crossJoin(
-            qual_clicks.select("user_id").distinct().agg(
-                F.count("*").alias("n_click_24h")
-            )
+            qual_clicks.agg(F.countDistinct("user_id").alias("n_click_24h"))
         )
-        .crossJoin(qual_purch.agg(F.count("*").alias("n_purchase_24h")))
+        .crossJoin(
+            qual_purch.agg(F.countDistinct("user_id").alias("n_purchase_24h"))
+        )
     )
 
 
@@ -794,9 +795,11 @@ def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     one combinable pass builds (category × fold) exact-decimal sums,
     category totals re-aggregate that cell table (never the fact), and
     the OOF mean is (S_cat − S_cell)/(N_cat − N_cell) — all-exact
-    inputs, identical IEEE division on both engines. Folds are
-    identity-hashed (md5) so the assignment is reproducible at any
-    parallelism, not arrival-order dependent."""
+    inputs, identical IEEE division on both engines. Folds are plain
+    ``user_id % 5``: deterministic and parallelism-independent, but
+    striped by id — if ids correlate with assignment order or tenant
+    prefixes, switch to the md5 ``hash_unit`` fold (same shape, one
+    extra in-row expr) to decorrelate."""
     ev = load_table(spark, sf_dir, "events")
     fold = (F.col("user_id") % 5).cast("int")
     y = F.col("value").cast("decimal(12,4)")

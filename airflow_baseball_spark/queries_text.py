@@ -1344,3 +1344,62 @@ registry.register(
     FROM stats
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence pairs (word2vec-style context extraction)
+# ---------------------------------------------------------------------------
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(center, context) token pair counts within a ±2 position
+    window — the extraction pass that feeds word2vec/GloVe-style
+    embedding training.
+
+    Scale shape: pair generation is IN-ROW over each document's token
+    array (index-aware transform + bounded sequence — the window is a
+    constant, so the blowup is ≤ 2·window per token), then ONE
+    combinable (center, context) count shuffle bounded by vocab²,
+    never corpus size. A positional self-join of the exploded token
+    table — the naive form — would shuffle the corpus twice and pay
+    a join for what is a per-row neighborhood."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(split(text, ' '), (x, i) ->
+                  transform(
+                    filter(sequence(greatest(i - 2, 0),
+                                    least(i + 2, size(split(text, ' ')) - 1)),
+                           j -> j != i),
+                    j -> struct(x AS center, split(text, ' ')[j] AS context))))
+                """
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+registry.register(
+    "skipgram_pairs",
+    q_skipgram_pairs,
+    """
+    WITH toked AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    pairs AS (
+      SELECT toks[s.i] AS center, toks[t.j] AS context
+      FROM toked,
+           UNNEST(generate_series(1, len(toks))) AS s(i),
+           UNNEST(generate_series(GREATEST(s.i - 2, 1),
+                                  LEAST(s.i + 2, len(toks)))) AS t(j)
+      WHERE t.j <> s.i
+    )
+    SELECT center, context, COUNT(*) AS n
+    FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    """,
+)

@@ -227,15 +227,28 @@ def test_target_encode_oof_excludes_own_fold(spark):
         assert abs(r["oof_mean"] - others / n_others) < 1e-4, cell
 
 
-def test_unigram_perplexity_orders_common_vs_rare(spark):
+def test_unigram_perplexity_matches_reference_computation(spark):
+    import math
+    from collections import Counter
+
     from airflow_baseball_spark.queries_text import q_unigram_perplexity
 
-    rows = q_unigram_perplexity(spark, SF).collect()
-    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
-    assert len(rows) == n_docs
-    for r in rows:
-        assert r["mean_nll"] > 0.0  # -ln p is positive for p < 1
-        assert r["dl"] > 0
+    rows = {r["doc_id"]: r for r in q_unigram_perplexity(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    # independent reference: corpus unigram LM recomputed in python
+    corpus = Counter()
+    for d in docs:
+        corpus.update(d["text"].split(" "))
+    total = sum(corpus.values())
+    for d in docs:
+        toks = d["text"].split(" ")
+        ref = -sum(math.log(corpus[t] / total) for t in toks) / len(toks)
+        got = rows[d["doc_id"]]
+        assert got["dl"] == len(toks)
+        # query quantizes log-probs at 1e-9; ref is unquantized
+        assert abs(got["mean_nll"] - ref) < 1e-5, d["doc_id"]
+        assert got["mean_nll"] > 0.0
 
 
 def test_embedding_dim_stats_shape_and_variance(spark):
@@ -248,3 +261,38 @@ def test_embedding_dim_stats_shape_and_variance(spark):
         assert 1 <= r["dim"] <= 64
         assert r["n"] == n_vecs
         assert r["dim_var"] >= 0.0
+
+
+def test_skipgram_pairs_window_and_symmetry(spark):
+    from airflow_baseball_spark.queries_text import q_skipgram_pairs
+
+    rows = q_skipgram_pairs(spark, SF).collect()
+    assert rows
+    counts = {(r["center"], r["context"]): r["n"] for r in rows}
+    # the +-2 window is symmetric, so (a,b) and (b,a) raw counts are
+    # equal; both survive the >=5 floor together or not at all
+    for (a, b), n in counts.items():
+        assert counts.get((b, a)) == n, (a, b)
+    # reference check on one document-independent invariant: total
+    # pair mass is bounded by 4 contexts per token position
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n_tokens = sum(len(d["text"].split(" ")) for d in docs)
+    assert sum(counts.values()) <= 4 * n_tokens
+
+
+def test_skipgram_in_row_generation_no_self_join(spark):
+    from airflow_baseball_spark.queries_text import q_skipgram_pairs
+
+    plan = _plan(q_skipgram_pairs(spark, SF))
+    assert "Generate" in plan  # in-row pair explosion
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_unigram_perplexity_two_fact_shuffles_and_broadcast(spark):
+    from airflow_baseball_spark.queries_text import q_unigram_perplexity
+
+    plan = _plan(q_unigram_perplexity(spark, SF))
+    # (doc,tok) counts + per-doc score = 2 hash exchanges; the vocab
+    # log-prob table must come back as a broadcast, not a shuffle join
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan
