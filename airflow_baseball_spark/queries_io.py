@@ -185,3 +185,54 @@ registry.register(
     FROM merged GROUP BY o_orderstatus
     """,
 )
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: generation 1 of the orders extract lacks
+    the o_orderpriority column, generation 2 carries it; a mergeSchema
+    scan unifies both under the widest schema, NULL-filling the column
+    for gen-1 rows. The aggregate proves per-generation row survival
+    AND the NULL semantics of the evolved column.
+
+    Scale note: mergeSchema footer reconciliation costs one extra
+    footer read per file at planning time — on a 100 TB table you pin
+    the merged schema in a metastore instead; the read path exercised
+    here (widest-schema scan over mixed files) is the same either
+    way."""
+    orders = load_table(spark, sf_dir, "orders")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+registry.register(
+    "schema_evolution",
+    q_schema_evolution,
+    """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY 1
+    """,
+)

@@ -57,7 +57,7 @@ _LOADED = False
 #      lowest-novelty shapes (in-row exprs, simple joins/count
 #      aggs, macro shapes whose arithmetic patterns are already
 #      attested via in-window siblings) — outside the window because
-#      65 never-checked entries cannot fit
+#      66 never-checked entries cannot fit
 #      in 50 slots, NOT to hide them: every registered query (window
 #      or not) is run against its DuckDB oracle at sf0.01 by
 #      tests/run_oracle_check.py locally each round, and tier-X is
@@ -106,6 +106,7 @@ _PRIORITY = [
     "target_encode_oof",
     "unigram_perplexity",
     "skipgram_pairs",
+    "schema_evolution",
     "golden_record",
     "weighted_median",
     "pareto_frontier",
@@ -115,7 +116,6 @@ _PRIORITY = [
     "chi2_features",
     "time_bucket_rollup",
     "bloom_prune_join",
-    "regression_suite",
     "tpch_q2ish",
     "tpch_q8ish",
     "tpch_q9ish",
@@ -127,6 +127,7 @@ _PRIORITY = [
     # -- tier X: never-checked, lowest-novelty shapes — positions 51+,
     #    outside the expected window; first in line for the r5 window
     "embedding_dim_stats",
+    "regression_suite",  # exact-sufficient-stats family attested via corr_matrix/zscore
     "tpch_q16ish",  # countDistinct + anti-join, both long-green in siblings
     "tpch_q20ish",
     "tpch_q18ish",
