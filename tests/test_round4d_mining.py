@@ -296,3 +296,17 @@ def test_unigram_perplexity_two_fact_shuffles_and_broadcast(spark):
     # log-prob table must come back as a broadcast, not a shuffle join
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_schema_evolution_nullfills_only_gen1(spark):
+    from airflow_baseball_spark.queries_io import q_schema_evolution
+
+    rows = q_schema_evolution(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_odd = orders.filter(F.col("o_orderkey") % 2 == 1).count()
+    by_priority = {r["priority"]: r["n_orders"] for r in rows}
+    # every gen-1 (even-key) row lands in the NULL-filled bucket, and
+    # every gen-2 row keeps its real priority
+    assert by_priority.pop("<pre-evolution>") == n_even
+    assert sum(by_priority.values()) == n_odd
