@@ -201,3 +201,81 @@ def test_stream_upsert_converges_across_batches(spark, replay_dir, tmp_path):
     # the stale out-of-order event must NOT have replaced user 100's row
     u100 = next(r for r in spark.read.parquet(target).collect() if r.user_id == 100)
     assert u100.event_id == 5  # ts(120min) event, not the late ts(-60min) one
+
+
+def test_windowed_counts_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill-and-resume semantics: drain 1 processes file 1 against a
+    fresh checkpoint; file 2 lands; drain 2 restarts from the SAME
+    checkpoint and must (a) not reprocess file 1 — its offsets are
+    committed — and (b) flush the held hour-windows once the file-2
+    event advances the watermark. The parquet sink output must then
+    contain every flushed (window, type) exactly once, equal to the
+    batch aggregation of file 1."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        raw = (
+            spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        q = (
+            jobs.windowed_event_counts(ev, window="1 hour", lateness="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # file 1: two hour-buckets of ordinary events
+    _write(
+        f"{src}/01.parquet",
+        [
+            (1, _ns(5), 100, 1.0),
+            (2, _ns(20), 100, 2.0),
+            (3, _ns(70), 200, 3.0),
+        ],
+        mtime=1_700_000_001,
+    )
+    drain()
+
+    # file 2: far-future sentinel advances the watermark past file 1's
+    # windows; the restart must resume from the committed offset
+    _write(
+        f"{src}/02.parquet",
+        [(4, _ns(60 * 24 * 30), 901, 0.0)],
+        mtime=1_700_000_002,
+    )
+    drain()
+
+    final = spark.read.parquet(out)
+    rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in final.collect()
+    }
+    # exactly-once across the restart: no duplicated window rows
+    assert len(rows) == final.count()
+    # equals the batch aggregation of file 1 (file 2's own window is
+    # still held behind the final watermark)
+    batch = (
+        spark.read.schema(jobs.EVENTS_RAW_SCHEMA)
+        .parquet(f"{src}/01.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+        .collect()
+    )
+    assert len(batch) == len(rows)
+    for b in batch:
+        assert rows[(b["ws"], b["event_type"])] == (b["n"], b["tv"])
