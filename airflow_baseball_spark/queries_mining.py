@@ -550,3 +550,125 @@ registry.register(
       AND (g.prev_max IS NULL OR g.prev_max < p.n_orders)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV: cumulative revenue per first-order cohort
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve: customers cohorted by first-order
+    year, revenue accumulated across order-year offsets. Complements
+    retention_cohorts (which counts active USERS) with the money view.
+
+    Shape: one custkey agg derives cohorts (min year), broadcast back
+    onto orders (no second fact shuffle for the cohort label), then a
+    (cohort, offset) agg of exact decimal revenue and a running-sum
+    window over the cohort×offset grid — the window input is
+    years²-sized, not fact-sized."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cohorts = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    rev = (
+        orders.join(F.broadcast(cohorts), "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year")).alias("year_offset"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("year_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "cohort_year",
+        "year_offset",
+        "active_customers",
+        F.col("rev_dec").cast("double").alias("period_revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("cumulative_revenue"),
+    )
+
+
+registry.register(
+    "cohort_ltv",
+    q_cohort_ltv,
+    """
+    WITH cohorts AS (
+      SELECT o_custkey, MIN(YEAR(o_orderdate)) AS cohort_year
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT c.cohort_year,
+             YEAR(o.o_orderdate) - c.cohort_year AS year_offset,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+             COUNT(DISTINCT o.o_custkey) AS active_customers
+      FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort_year, year_offset, active_customers,
+           CAST(rev_dec AS DOUBLE) AS period_revenue,
+           CAST(SUM(rev_dec) OVER (
+             PARTITION BY cohort_year ORDER BY year_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cumulative_revenue
+    FROM rev
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the brand co-purchase graph (edges shared
+    with basket_pairs/triangle_count): vertices per degree value —
+    the first thing to look at before any graph algorithm, since a
+    heavy-tailed histogram is what forces the degree-ordered
+    orientation documented in triangle_count. Two tiny aggs over the
+    brand²-bounded edge list."""
+    _, support = _brand_pair_counts(spark, sf_dir)
+    edges = support.filter(F.col("support") >= 5).select("brand_a", "brand_b")
+    deg = (
+        edges.select(F.col("brand_a").alias("v"))
+        .unionAll(edges.select(F.col("brand_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+registry.register(
+    "degree_distribution",
+    q_degree_distribution,
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT brand_a, brand_b FROM pairs WHERE support >= 5),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    )
+    SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY 1
+    """,
+)

@@ -57,7 +57,7 @@ _LOADED = False
 #      lowest-novelty shapes (in-row exprs, simple joins/count
 #      aggs, macro shapes whose arithmetic patterns are already
 #      attested via in-window siblings) — outside the window because
-#      66 never-checked entries cannot fit
+#      68 never-checked entries cannot fit
 #      in 50 slots, NOT to hide them: every registered query (window
 #      or not) is run against its DuckDB oracle at sf0.01 by
 #      tests/run_oracle_check.py locally each round, and tier-X is
@@ -100,6 +100,7 @@ _PRIORITY = [
     "bm25_rank",
     "robust_stats",
     "rfm_segments",
+    "cohort_ltv",
     "corr_matrix",
     "groupwise_zscore",
     "feature_hashing",
@@ -113,7 +114,6 @@ _PRIORITY = [
     "fuzzy_name_join",
     "table_checksum",
     "cms_heavy_hitters",
-    "chi2_features",
     "time_bucket_rollup",
     "bloom_prune_join",
     "tpch_q2ish",
@@ -127,6 +127,8 @@ _PRIORITY = [
     # -- tier X: never-checked, lowest-novelty shapes — positions 51+,
     #    outside the expected window; first in line for the r5 window
     "embedding_dim_stats",
+    "degree_distribution",  # two tiny aggs over the shared edge list
+    "chi2_features",  # counts-only contingency; ratio+r6 pattern attested suite-wide
     "regression_suite",  # exact-sufficient-stats family attested via corr_matrix/zscore
     "tpch_q16ish",  # countDistinct + anti-join, both long-green in siblings
     "tpch_q20ish",

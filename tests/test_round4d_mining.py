@@ -310,3 +310,45 @@ def test_schema_evolution_nullfills_only_gen1(spark):
     # every gen-2 row keeps its real priority
     assert by_priority.pop("<pre-evolution>") == n_even
     assert sum(by_priority.values()) == n_odd
+
+
+def test_cohort_ltv_cumulative_monotone_and_totals(spark):
+    from airflow_baseball_spark.queries_mining import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_year"]].append(r)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    total_rev = float(
+        orders.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        ).collect()[0][0]
+    )
+    grand = 0.0
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["year_offset"])
+        assert rs[0]["year_offset"] == 0  # cohort defined by first order
+        cum = 0.0
+        for r in rs:
+            cum += r["period_revenue"]
+            assert abs(r["cumulative_revenue"] - cum) < 1e-6
+            assert r["active_customers"] > 0
+        grand += cum
+    assert abs(grand - total_rev) < 1e-4  # every order attributed once
+
+
+def test_degree_distribution_handshake(spark):
+    from airflow_baseball_spark.queries_mining import (
+        q_degree_distribution,
+        q_triangle_count,
+    )
+
+    rows = q_degree_distribution(spark, SF).collect()
+    tri = q_triangle_count(spark, SF).collect()[0]
+    # handshake lemma: sum(degree * count) == 2 |E|
+    assert sum(r["degree"] * r["n_vertices"] for r in rows) == 2 * tri["n_edges"]
+    assert sum(r["n_vertices"] for r in rows) == tri["n_vertices"]
