@@ -1634,3 +1634,90 @@ registry.register(
     FROM trans t JOIN row_tot r ON t.event_type = r.event_type
     """,
 )
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lineitem⋈orders output cardinality computed WITHOUT
+    executing the join: |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k). Two
+    combiner-friendly key-count aggs meet in a key-cardinality-sized
+    join — the planning primitive behind join reordering and skew
+    pre-detection (per-key products also expose the hottest keys; the
+    skew_profile operator reports those directly).
+
+    At 100 TB this is the cheap pre-flight you run before committing
+    to a shuffle join strategy: the count tables are |keys| rows, not
+    fact rows, and broadcast when one side's key set is small."""
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").alias("cnt_a")
+    )
+    orders = load_table(spark, sf_dir, "orders").groupBy("o_orderkey").agg(
+        F.count("*").alias("cnt_b")
+    )
+    return li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("est_join_rows"),
+        F.count("*").alias("n_matching_keys"),
+        F.max(F.col("cnt_a") * F.col("cnt_b")).alias("max_key_contribution"),
+    )
+
+
+registry.register(
+    "join_size_estimate",
+    q_join_size_estimate,
+    """
+    WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS cnt_a
+               FROM lineitem GROUP BY 1),
+         b AS (SELECT o_orderkey AS k, COUNT(*) AS cnt_b
+               FROM orders GROUP BY 1)
+    SELECT SUM(a.cnt_a * b.cnt_b) AS est_join_rows,
+           COUNT(*) AS n_matching_keys,
+           MAX(a.cnt_a * b.cnt_b) AS max_key_contribution
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+
+
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users seen TO DATE, per day — the classic operator a
+    window cannot express (COUNT(DISTINCT) OVER a running frame is
+    unsupported and would be quadratic anyway). The scalable identity:
+    cumulative-distinct(day) = running sum of FIRST-SEEN counts. One
+    user-key agg finds each user's first day, one day-key count, and
+    a running sum over the day-cardinality table.
+
+    The running-sum window orders a days-sized table, not the log; at
+    century scale that's still thousands of rows on one partition —
+    nothing. The fact is shuffled once, on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_distinct_users"),
+    )
+
+
+registry.register(
+    "cumulative_distinct_users",
+    q_cumulative_distinct_users,
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1
+    ),
+    per_day AS (
+      SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT first_day AS day, new_users,
+           SUM(new_users) OVER (
+             ORDER BY first_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cumulative_distinct_users
+    FROM per_day
+    """,
+)

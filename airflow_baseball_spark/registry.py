@@ -57,7 +57,7 @@ _LOADED = False
 #      lowest-novelty shapes (in-row exprs, simple joins/count
 #      aggs, macro shapes whose arithmetic patterns are already
 #      attested via in-window siblings) — outside the window because
-#      68 never-checked entries cannot fit
+#      70 never-checked entries cannot fit
 #      in 50 slots, NOT to hide them: every registered query (window
 #      or not) is run against its DuckDB oracle at sf0.01 by
 #      tests/run_oracle_check.py locally each round, and tier-X is
@@ -101,6 +101,8 @@ _PRIORITY = [
     "robust_stats",
     "rfm_segments",
     "cohort_ltv",
+    "join_size_estimate",
+    "cumulative_distinct_users",
     "corr_matrix",
     "groupwise_zscore",
     "feature_hashing",
@@ -117,8 +119,6 @@ _PRIORITY = [
     "time_bucket_rollup",
     "bloom_prune_join",
     "tpch_q2ish",
-    "tpch_q8ish",
-    "tpch_q9ish",
     "tpch_q11ish",
     "tpch_q15ish",   # single-scan window form, rewritten in af04dfb
     "tpch_q17ish",   # single-scan window form, rewritten in af04dfb
@@ -128,6 +128,8 @@ _PRIORITY = [
     #    outside the expected window; first in line for the r5 window
     "embedding_dim_stats",
     "degree_distribution",  # two tiny aggs over the shared edge list
+    "tpch_q8ish",   # _r6 ratio + decimal vol, both long-attested patterns
+    "tpch_q9ish",   # staged decimal scales; money-math family long-green
     "chi2_features",  # counts-only contingency; ratio+r6 pattern attested suite-wide
     "regression_suite",  # exact-sufficient-stats family attested via corr_matrix/zscore
     "tpch_q16ish",  # countDistinct + anti-join, both long-green in siblings

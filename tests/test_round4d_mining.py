@@ -352,3 +352,34 @@ def test_degree_distribution_handshake(spark):
     # handshake lemma: sum(degree * count) == 2 |E|
     assert sum(r["degree"] * r["n_vertices"] for r in rows) == 2 * tri["n_edges"]
     assert sum(r["n_vertices"] for r in rows) == tri["n_vertices"]
+
+
+def test_join_size_estimate_equals_actual_join(spark):
+    from airflow_baseball_spark.queries_relational import q_join_size_estimate
+
+    est = q_join_size_estimate(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    actual = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    # "estimate" is exact by construction: sum of per-key products
+    assert est["est_join_rows"] == actual
+    assert est["max_key_contribution"] <= est["est_join_rows"]
+
+
+def test_cumulative_distinct_users_final_equals_total(spark):
+    from airflow_baseball_spark.queries_relational import (
+        q_cumulative_distinct_users,
+    )
+
+    rows = sorted(
+        q_cumulative_distinct_users(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    total_users = ev.select("user_id").distinct().count()
+    assert rows[-1]["cumulative_distinct_users"] == total_users
+    # strictly increasing by exactly the new-user count each day
+    prev = 0
+    for r in rows:
+        assert r["cumulative_distinct_users"] == prev + r["new_users"]
+        prev = r["cumulative_distinct_users"]
