@@ -1721,3 +1721,85 @@ registry.register(
     FROM per_day
     """,
 )
+
+
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 customers by balance KEEPING ties: RANK (not
+    row_number) so equal balances at the boundary all survive — the
+    semantic difference that silently loses rows when top-k is built
+    with row_number and the measure has duplicates. Same single
+    key-partitioned window sort as topk_per_key; only the rank
+    function and the tie policy differ."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        cust.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+registry.register(
+    "topk_with_ties",
+    q_topk_with_ties,
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(RANK() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC) AS INT) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the DAILY-revenue series per order year:
+    largest drop from any prior day's peak to a later day's value.
+    (The cumulative-revenue curve would be the textbook drawdown
+    input, but with nonnegative daily revenue it is monotone and the
+    drawdown is vacuously zero — the daily series actually falls.)
+    Running-peak window and final agg share ONE (year, date)-ordered
+    sort over the days-per-year-sized aggregate, not the fact;
+    revenue stays exact decimal until the final subtraction so the
+    peak/trough comparison is engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w_run = Window.partitionBy("yr").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curved = daily.select(
+        "yr", "rev", F.max("rev").over(w_run).alias("peak")
+    )
+    return curved.groupBy("yr").agg(
+        F.max(F.col("peak") - F.col("rev")).cast("double").alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_daily_revenue"),
+        F.count("*").alias("n_days"),
+    )
+
+
+registry.register(
+    "max_drawdown",
+    q_max_drawdown,
+    """
+    WITH daily AS (
+      SELECT YEAR(o_orderdate) AS yr, CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    curved AS (
+      SELECT yr, rev,
+             MAX(rev) OVER (PARTITION BY yr ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+      FROM daily
+    )
+    SELECT yr,
+           CAST(MAX(peak - rev) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_daily_revenue,
+           COUNT(*) AS n_days
+    FROM curved GROUP BY 1
+    """,
+)

@@ -57,7 +57,7 @@ _LOADED = False
 #      lowest-novelty shapes (in-row exprs, simple joins/count
 #      aggs, macro shapes whose arithmetic patterns are already
 #      attested via in-window siblings) — outside the window because
-#      70 never-checked entries cannot fit
+#      72 never-checked entries cannot fit
 #      in 50 slots, NOT to hide them: every registered query (window
 #      or not) is run against its DuckDB oracle at sf0.01 by
 #      tests/run_oracle_check.py locally each round, and tier-X is
@@ -103,6 +103,8 @@ _PRIORITY = [
     "cohort_ltv",
     "join_size_estimate",
     "cumulative_distinct_users",
+    "topk_with_ties",
+    "max_drawdown",
     "corr_matrix",
     "groupwise_zscore",
     "feature_hashing",
@@ -116,7 +118,6 @@ _PRIORITY = [
     "fuzzy_name_join",
     "table_checksum",
     "cms_heavy_hitters",
-    "time_bucket_rollup",
     "bloom_prune_join",
     "tpch_q2ish",
     "tpch_q11ish",
@@ -128,6 +129,8 @@ _PRIORITY = [
     #    outside the expected window; first in line for the r5 window
     "embedding_dim_stats",
     "degree_distribution",  # two tiny aggs over the shared edge list
+    "tpch_q2ish",   # decimal window-min; rank/min window family long-attested
+    "time_bucket_rollup",  # partial-agg losslessness; rollup family green
     "tpch_q8ish",   # _r6 ratio + decimal vol, both long-attested patterns
     "tpch_q9ish",   # staged decimal scales; money-math family long-green
     "chi2_features",  # counts-only contingency; ratio+r6 pattern attested suite-wide

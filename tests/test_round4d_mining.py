@@ -383,3 +383,39 @@ def test_cumulative_distinct_users_final_equals_total(spark):
     for r in rows:
         assert r["cumulative_distinct_users"] == prev + r["new_users"]
         prev = r["cumulative_distinct_users"]
+
+
+def test_topk_with_ties_supersets_rowed_topk(spark):
+    from airflow_baseball_spark.queries_relational import q_topk_with_ties
+    from pyspark.sql import Window
+
+    rows = q_topk_with_ties(spark, SF).collect()
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    rn3 = (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .count()
+    )
+    # rank-based keeps at least as many rows as row_number-based, and
+    # per nation at least 3 (ties only ever add)
+    assert len(rows) >= rn3
+    from collections import Counter
+
+    per_nation = Counter(r["c_nationkey"] for r in rows)
+    for n, c in per_nation.items():
+        assert c >= 3 or c == cust.filter(F.col("c_nationkey") == n).count()
+
+
+def test_max_drawdown_nontrivial_and_bounded(spark):
+    from airflow_baseball_spark.queries_relational import q_max_drawdown
+
+    rows = q_max_drawdown(spark, SF).collect()
+    assert rows
+    # the daily series genuinely falls, so at least one year shows a
+    # strictly positive drawdown (a vacuously-zero metric would mean
+    # the operator is being run on a monotone curve)
+    assert any(r["max_drawdown"] > 0.0 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["max_drawdown"] <= r["peak_daily_revenue"]
+        assert r["n_days"] > 0
