@@ -1,0 +1,509 @@
+"""Time-series operators over the events/orders daily series:
+gaps-and-islands streaks, linear interpolation of missing days,
+lag-k autocorrelation, day-of-week seasonality, and centered-window
+anomaly flags.
+
+Same engine-exactness rules as queries_stats.py: every reported
+double derives from exact integer counts / decimal sums through an
+identical IEEE expression tree on both engines, `_r6`-bounded.
+Calendar arithmetic is done on integer day offsets (datediff from a
+fixed epoch) so both engines compare the same INTs — never on
+engine-specific date/dow functions whose conventions differ
+(Spark dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.schemas import load_table
+
+_r6 = round6_portable
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: per-user consecutive-active-day streaks
+# ---------------------------------------------------------------------------
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user streak profile: number of maximal runs of consecutive
+    active days, the longest run, and total active days.
+
+    The classic gaps-and-islands identity: within a user, consecutive
+    days all share the same value of ``day - row_number()`` (each step
+    advances both by one), so one user-keyed window plus one
+    (user, group) count materializes every island without a self-join
+    or an iterative expand. Scale shape: a single user_id shuffle; the
+    window and both group-bys reuse that partitioning (days-per-user
+    rows, never the raw fact, reach the window sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "g").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").cast("long").alias("active_days"),
+        )
+    )
+
+
+registry.register(
+    "activity_streaks",
+    q_activity_streaks,
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS g
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, g, COUNT(*) AS len FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           MAX(len) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of missing days in a sparse per-user series
+# ---------------------------------------------------------------------------
+
+_EPOCH = "2024-01-01"
+
+
+def _day_int(c) -> F.Column:
+    return F.datediff(c, F.lit(_EPOCH).cast("date"))
+
+
+def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase totals densified to the user's active
+    range, with INTERIOR missing days linearly interpolated between
+    the surrounding observed days (gap_fill's forward-fill sibling —
+    this is the resampling a feature pipeline wants for rates).
+
+    Mechanics: one user-day aggregate, a per-user day spine from an
+    in-row ``sequence()`` explode (bounded by the user's span, no
+    cross join), then the previous/next observed value and day via
+    ``last(ignorenulls)`` over forward and backward frames — four
+    window columns sharing ONE user-keyed sort each direction.
+    interp = prev + (next - prev) * (d - d_prev)/(d_next - d_prev),
+    an identical IEEE tree on both engines over exact decimal daily
+    sums and integer day offsets. Spine edges are observed rows by
+    construction, so every interpolated day has both neighbors.
+
+    Scale shape: everything partitions by user_id; the explode output
+    is range-sized (days, not events) and the windows sort days-per-
+    user, so skew is bounded by calendar span, not activity."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        ev.select("user_id", _day_int(F.to_date("ts")).alias("di"), "value")
+        .groupBy("user_id", "di")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("v")
+        )
+    )
+    rng = daily.groupBy("user_id").agg(
+        F.min("di").alias("d0"), F.max("di").alias("d1")
+    )
+    spine = rng.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("di")
+    )
+    j = spine.join(daily, ["user_id", "di"], "left")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("di")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_di = F.when(F.col("v").isNotNull(), F.col("di"))
+    j = j.select(
+        "user_id",
+        "di",
+        "v",
+        F.last("v", ignorenulls=True).over(wf).alias("pv"),
+        F.last(obs_di, ignorenulls=True).over(wf).alias("pd"),
+        F.first("v", ignorenulls=True).over(wb).alias("nv"),
+        F.first(obs_di, ignorenulls=True).over(wb).alias("nd"),
+    )
+    frac = (F.col("di") - F.col("pd")).cast("double") / (
+        F.col("nd") - F.col("pd")
+    ).cast("double")
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return j.select(
+        "user_id",
+        "di",
+        _r6(filled).alias("v_filled"),
+        F.col("v").isNull().alias("is_interp"),
+    )
+
+
+registry.register(
+    "linear_interp",
+    q_linear_interp,
+    f"""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '{_EPOCH}'
+                  AS INTEGER) AS di,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                  AS DOUBLE) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    rng AS (
+      SELECT user_id, MIN(di) AS d0, MAX(di) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1)) AS di FROM rng
+    ),
+    j AS (
+      SELECT s.user_id, s.di, d.v,
+             LAST_VALUE(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.di
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.di END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.di
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             FIRST_VALUE(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.di
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.di END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.di
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM spine s LEFT JOIN daily d USING (user_id, di)
+    )
+    SELECT user_id, di,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                       ELSE pv + (nv - pv) *
+                            (CAST(di - pd AS DOUBLE) /
+                             CAST(nd - pd AS DOUBLE)) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS v_filled,
+           v IS NULL AS is_interp
+    FROM j
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily order-revenue series
+# ---------------------------------------------------------------------------
+
+_AC_LAGS = (1, 2, 3, 7)
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-lag autocorrelation (lags 1,2,3,7 over the sequence of
+    PRESENT days, noted as row- not calendar-lag) of daily order
+    revenue, from exact decimal sufficient statistics — same rationale
+    as corr_matrix: `F.corr`'s double accumulation drifts with
+    partition order, sufficient stats don't.
+
+    One day-keyed aggregate builds the series; ONE unpartitioned
+    window sort (days-sized — thousands of rows at century scale, a
+    single partition by design, documented safe) yields all four lag
+    columns; one 1-row aggregate collects every lag's six sufficient
+    statistics; the 4 result rows explode in-row from that single
+    aggregate row."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v", *[F.lag("v", k).over(w).alias(f"x{k}") for k in _AC_LAGS]
+    )
+    aggs = []
+    for k in _AC_LAGS:
+        x = F.col(f"x{k}")
+        y = F.when(x.isNotNull(), F.col("v"))
+        aggs += [
+            F.count(x).alias(f"n{k}"),
+            F.sum(x).alias(f"sx{k}"),
+            F.sum(y).alias(f"sy{k}"),
+            F.sum((x * y).cast("decimal(38,4)")).alias(f"sxy{k}"),
+            F.sum((x * x).cast("decimal(38,4)")).alias(f"sxx{k}"),
+            F.sum((y * y).cast("decimal(38,4)")).alias(f"syy{k}"),
+        ]
+    stats = lagged.agg(*aggs)
+
+    def r_expr(k: int):
+        n = F.col(f"n{k}").cast("double")
+        sx = F.col(f"sx{k}").cast("double")
+        sy = F.col(f"sy{k}").cast("double")
+        sxy = F.col(f"sxy{k}").cast("double")
+        sxx = F.col(f"sxx{k}").cast("double")
+        syy = F.col(f"syy{k}").cast("double")
+        return (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag_k"),
+                F.col(f"n{k}").alias("n_pairs"),
+                _r6(r_expr(k)).alias("autocorr"),
+            )
+            for k in _AC_LAGS
+        ]
+    )
+    return (
+        stats.select(F.explode(rows).alias("r"))
+        .select("r.lag_k", "r.n_pairs", "r.autocorr")
+    )
+
+
+def _autocorr_sql() -> str:
+    lag_cols = ",\n             ".join(
+        f"LAG(v, {k}) OVER (ORDER BY d) AS x{k}" for k in _AC_LAGS
+    )
+    stat_cols = []
+    for k in _AC_LAGS:
+        stat_cols.append(
+            f"""COUNT(x{k}) AS n{k},
+           SUM(x{k}) AS sx{k},
+           SUM(CASE WHEN x{k} IS NOT NULL THEN v END) AS sy{k},
+           SUM(CAST(x{k} * (CASE WHEN x{k} IS NOT NULL THEN v END)
+                    AS DECIMAL(38,4))) AS sxy{k},
+           SUM(CAST(x{k} * x{k} AS DECIMAL(38,4))) AS sxx{k},
+           SUM(CAST((CASE WHEN x{k} IS NOT NULL THEN v END) *
+                    (CASE WHEN x{k} IS NOT NULL THEN v END)
+                    AS DECIMAL(38,4))) AS syy{k}"""
+        )
+    out_rows = []
+    for k in _AC_LAGS:
+        r = (
+            f"(CAST(n{k} AS DOUBLE) * CAST(sxy{k} AS DOUBLE)"
+            f" - CAST(sx{k} AS DOUBLE) * CAST(sy{k} AS DOUBLE))"
+            f" / (SQRT(CAST(n{k} AS DOUBLE) * CAST(sxx{k} AS DOUBLE)"
+            f" - CAST(sx{k} AS DOUBLE) * CAST(sx{k} AS DOUBLE))"
+            f" * SQRT(CAST(n{k} AS DOUBLE) * CAST(syy{k} AS DOUBLE)"
+            f" - CAST(sy{k} AS DOUBLE) * CAST(sy{k} AS DOUBLE)))"
+        )
+        out_rows.append(
+            f"SELECT {k} AS lag_k, n{k} AS n_pairs,"
+            f" FLOOR(({r}) * 1000000.0 + 0.5) / 1000000.0 AS autocorr"
+            " FROM stats"
+        )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    lagged AS (
+      SELECT v,
+             {lag_cols}
+      FROM daily
+    ),
+    stats AS (
+      SELECT {', '.join(stat_cols)}
+      FROM lagged
+    )
+    {' UNION ALL '.join(out_rows)}
+    """
+
+
+registry.register("autocorr", q_autocorr, _autocorr_sql())
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality index of order revenue
+# ---------------------------------------------------------------------------
+
+_DOW_EPOCH = "1992-01-01"  # a Wednesday; dow 0 below = Wednesday
+
+
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue seasonality by day-of-week: each weekday's average
+    daily revenue and its index against the all-days average.
+
+    Day-of-week is computed as (days since a fixed epoch) mod 7 —
+    pure integer arithmetic, identical on both engines — instead of
+    engine dow functions whose weekday numbering conventions differ.
+    Two aggregates over the days-sized daily table (7-row and 1-row)
+    joined by broadcast; the fact is scanned once."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    daily = daily.withColumn(
+        "dow",
+        F.pmod(
+            F.datediff(F.col("d"), F.lit(_DOW_EPOCH).cast("date")), F.lit(7)
+        ),
+    )
+    by_dow = daily.groupBy("dow").agg(
+        F.count("*").alias("n_days"), F.sum("v").alias("s")
+    )
+    overall = daily.agg(
+        F.count("*").alias("n_all"), F.sum("v").alias("s_all")
+    )
+    avg_dow = F.col("s").cast("double") / F.col("n_days").cast("double")
+    avg_all = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    return (
+        by_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            _r6(avg_dow).alias("avg_rev"),
+            _r6(avg_dow / avg_all).alias("seasonality_index"),
+        )
+    )
+
+
+registry.register(
+    "seasonality_dow",
+    q_seasonality_dow,
+    f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v,
+             CAST((date_diff('day', DATE '{_DOW_EPOCH}', o_orderdate)
+                   % 7 + 7) % 7 AS INTEGER) AS dow
+      FROM orders GROUP BY o_orderdate
+    ),
+    by_dow AS (
+      SELECT dow, COUNT(*) AS n_days, SUM(v) AS s FROM daily GROUP BY dow
+    ),
+    overall AS (
+      SELECT COUNT(*) AS n_all, SUM(v) AS s_all FROM daily
+    )
+    SELECT dow, n_days,
+           FLOOR((CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_rev,
+           FLOOR(((CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+                  (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS seasonality_index
+    FROM by_dow CROSS JOIN overall
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Centered-window anomaly flags on the per-type daily series
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose per-type revenue deviates from the centered 7-day
+    neighborhood: residual = v - MA7(v), flagged when |residual|
+    exceeds 3× the series' mean |residual|.
+
+    Exactness: the residual is carried as the EXACT decimal
+    ``7·v − Σ₇v`` (never the double division) until the final report,
+    and the flag compares ``|resid7| · n > 3 · Σ|resid7|`` — all
+    decimal/integer arithmetic, so the boolean cannot flip on a ulp.
+    Only interior days (full 7-row frame on both sides) are scored,
+    which is what makes the 7· identity exact. Scale shape: one
+    event_type shuffle; window + both aggregates reuse it; the
+    threshold aggregate is types-sized and broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"), "value")
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    scored = daily.select(
+        "event_type",
+        "d",
+        "v",
+        (F.lit(7) * F.col("v") - F.sum("v").over(w))
+        .cast("decimal(28,2)")
+        .alias("resid7"),
+        F.count("*").over(w).alias("c7"),
+    ).filter(F.col("c7") == 7)
+    thr = scored.groupBy(F.col("event_type").alias("et")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.abs(F.col("resid7"))).cast("decimal(38,2)").alias("tot"),
+    )
+    j = scored.join(
+        F.broadcast(thr), F.col("event_type") == F.col("et")
+    )
+    return j.select(
+        "event_type",
+        "d",
+        F.col("v").cast("double").alias("v"),
+        _r6(F.col("resid7").cast("double") / 7.0).alias("residual"),
+        (
+            F.abs(F.col("resid7")).cast("decimal(38,2)") * F.col("n")
+            > F.lit(3) * F.col("tot")
+        ).alias("is_anomaly"),
+    )
+
+
+registry.register(
+    "rolling_anomaly",
+    q_rolling_anomaly,
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, d, v,
+             CAST(7 * v - SUM(v) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS DECIMAL(28,2)) AS resid7,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    interior AS (SELECT * FROM scored WHERE c7 = 7),
+    thr AS (
+      SELECT event_type AS et, COUNT(*) AS n,
+             CAST(SUM(ABS(resid7)) AS DECIMAL(38,2)) AS tot
+      FROM interior GROUP BY event_type
+    )
+    SELECT i.event_type, i.d, CAST(i.v AS DOUBLE) AS v,
+           FLOOR((CAST(i.resid7 AS DOUBLE) / 7.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS residual,
+           CAST(ABS(i.resid7) AS DECIMAL(38,2)) * t.n > 3 * t.tot
+             AS is_anomaly
+    FROM interior i JOIN thr t ON i.event_type = t.et
+    """,
+)

@@ -224,6 +224,7 @@ def _load() -> None:
         queries_mining,
         queries_stats,
         queries_text,
+        queries_timeseries,
         queries_tpch,
         queries_tpch2,
     )
