@@ -672,3 +672,383 @@ registry.register(
     SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Graph metrics on the above-average co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PAIRS_SQL = """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    stats AS (SELECT COUNT(*) AS n_pairs, SUM(support) AS tot FROM pairs),
+    edges AS (
+      SELECT brand_a, brand_b FROM pairs CROSS JOIN stats
+      WHERE support * n_pairs > tot
+    )
+"""
+
+
+def _above_avg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edges with ABOVE-AVERAGE support — the threshold
+    basket_pairs/triangle_count use (support >= 5) keeps the complete
+    brand graph at every SF because supports scale with data volume;
+    `support · n_pairs > Σ support` is the scale-invariant integer
+    comparison (no division, no float) that halves the graph at any
+    SF and gives the metrics below nontrivial structure."""
+    _, support = _brand_pair_counts(spark, sf_dir)
+    stats = support.agg(
+        F.count("*").alias("n_pairs"), F.sum("support").alias("tot")
+    )
+    return (
+        support.crossJoin(F.broadcast(stats))
+        .filter(F.col("support") * F.col("n_pairs") > F.col("tot"))
+        .select("brand_a", "brand_b")
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("brand_a").alias("v"))
+        .unionAll(edges.select(F.col("brand_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for brand pairs sharing at
+    least one co-purchase neighbor: |N(a)∩N(b)| / |N(a)∪N(b)|.
+
+    The scalable shape: bidirectional adjacency self-joined on the
+    MIDDLE vertex (wedge enumeration) — common-neighbor counts arrive
+    grouped without materializing any neighbor set, and degrees join
+    in by broadcast; |union| = da + db - common is integer identity,
+    so the only float op is the final division. At scale the wedge
+    join fans out by degree; the degree-ordered orientation documented
+    in triangle_count bounds that fanout — same remedy applies here."""
+    edges = _above_avg_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("brand_a").alias("c"), F.col("brand_b").alias("x")
+    ).unionAll(
+        edges.select(F.col("brand_b").alias("c"), F.col("brand_a").alias("x"))
+    )
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), F.col("l.c") == F.col("r.c"))
+        .filter(F.col("l.x") < F.col("r.x"))
+        .groupBy(
+            F.col("l.x").alias("brand_a"), F.col("r.x").alias("brand_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    deg = _degrees(edges)
+    da = deg.select(F.col("v").alias("va"), F.col("degree").alias("da"))
+    db = deg.select(F.col("v").alias("vb"), F.col("degree").alias("db"))
+    return (
+        wedges.join(F.broadcast(da), F.col("brand_a") == F.col("va"))
+        .join(F.broadcast(db), F.col("brand_b") == F.col("vb"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "common",
+            _r6(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+registry.register(
+    "node_jaccard",
+    q_node_jaccard,
+    _PAIRS_SQL
+    + """,
+    adj AS (
+      SELECT brand_a AS c, brand_b AS x FROM edges
+      UNION ALL SELECT brand_b AS c, brand_a AS x FROM edges
+    ),
+    wedges AS (
+      SELECT l.x AS brand_a, r.x AS brand_b, COUNT(*) AS common
+      FROM adj l JOIN adj r ON l.c = r.c AND l.x < r.x
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    )
+    SELECT w.brand_a, w.brand_b, w.common,
+           FLOOR((CAST(w.common AS DOUBLE) /
+                  CAST(da.degree + db.degree - w.common AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM wedges w
+    JOIN deg da ON w.brand_a = da.v
+    JOIN deg db ON w.brand_b = db.v
+    """,
+)
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per brand: closed triangles at the
+    vertex over its possible neighbor pairs, 2·tri / (d·(d−1)).
+
+    Triangle enumeration reuses triangle_count's oriented 2-join (each
+    triangle found once as a<b<c), then the 3 member vertices explode
+    IN-ROW and one count per vertex lands against the broadcast degree
+    table. Vertices with degree < 2 report 0.0 (no possible pair), via
+    left join + coalesce so they aren't silently dropped."""
+    edges = _above_avg_edges(spark, sf_dir)
+    e1 = edges.select(F.col("brand_a").alias("a"), F.col("brand_b").alias("b"))
+    e2 = edges.select(F.col("brand_a").alias("b2"), F.col("brand_b").alias("c"))
+    e3 = edges.select(F.col("brand_a").alias("a3"), F.col("brand_b").alias("c3"))
+    tri_v = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = _degrees(edges)
+    return (
+        deg.join(F.broadcast(tri_v), "v", "left")
+        .select(
+            "v",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                _r6(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                    / (
+                        F.col("degree") * (F.col("degree") - 1)
+                    ).cast("double")
+                )
+            )
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+registry.register(
+    "clustering_coeff",
+    q_clustering_coeff,
+    _PAIRS_SQL
+    + """,
+    tri AS (
+      SELECT e1.brand_a AS a, e1.brand_b AS b, e2.brand_b AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.brand_b = e2.brand_a
+      JOIN edges e3 ON e1.brand_a = e3.brand_a AND e2.brand_b = e3.brand_b
+    ),
+    tri_v AS (
+      SELECT v, COUNT(*) AS n_tri FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b AS v FROM tri
+        UNION ALL SELECT c AS v FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    )
+    SELECT d.v, d.degree, COALESCE(t.n_tri, 0) AS n_tri,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE FLOOR((2.0 * CAST(COALESCE(t.n_tri, 0) AS DOUBLE) /
+                            CAST(d.degree * (d.degree - 1) AS DOUBLE))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS clustering_coeff
+    FROM deg d LEFT JOIN tri_v t ON d.v = t.v
+    """,
+)
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson r between
+    the endpoint degrees over every edge taken in BOTH orientations
+    (the standard undirected convention, which also makes Σx = Σy by
+    symmetry). All sufficient statistics are exact integer sums —
+    degrees are small ints — so the only IEEE ops are the final
+    divisions, identical on both engines (same rationale as
+    corr_matrix). One broadcast degree join, one 1-row aggregate."""
+    edges = _above_avg_edges(spark, sf_dir)
+    deg = _degrees(edges)
+    dx = deg.select(F.col("v").alias("vx"), F.col("degree").alias("dx"))
+    dy = deg.select(F.col("v").alias("vy"), F.col("degree").alias("dy"))
+    both = edges.select(
+        F.col("brand_a").alias("s"), F.col("brand_b").alias("t")
+    ).unionAll(
+        edges.select(F.col("brand_b").alias("s"), F.col("brand_a").alias("t"))
+    )
+    j = both.join(F.broadcast(dx), F.col("s") == F.col("vx")).join(
+        F.broadcast(dy), F.col("t") == F.col("vy")
+    )
+    stats = j.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return stats.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        _r6(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("assortativity"),
+    )
+
+
+registry.register(
+    "degree_assortativity",
+    q_degree_assortativity,
+    _PAIRS_SQL
+    + """,
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    ),
+    bi AS (
+      SELECT brand_a AS s, brand_b AS t FROM edges
+      UNION ALL SELECT brand_b AS s, brand_a AS t FROM edges
+    ),
+    st AS (
+      SELECT COUNT(*) AS n, SUM(dx.degree) AS sx, SUM(dy.degree) AS sy,
+             SUM(dx.degree * dy.degree) AS sxy,
+             SUM(dx.degree * dx.degree) AS sxx,
+             SUM(dy.degree * dy.degree) AS syy
+      FROM bi b JOIN deg dx ON b.s = dx.v JOIN deg dy ON b.t = dy.v
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+    FROM st
+    """,
+)
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules antecedent→consequent over the
+    co-purchased brand pairs (support >= 5, same pair base as
+    basket_pairs): confidence = P(consequent | antecedent) and lift.
+    Both directions of each unordered pair are emitted by an IN-ROW
+    union (no second shuffle); per-brand basket counts and the basket
+    total join in by broadcast, so the fact is still scanned once and
+    shuffled once on orderkey."""
+    baskets, support = _brand_pair_counts(spark, sf_dir)
+    brand_n = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_brand"))
+    )
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    rules = support.filter(F.col("support") >= 5).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("brand_a").alias("antecedent"),
+                    F.col("brand_b").alias("consequent"),
+                    F.col("support").alias("support"),
+                ),
+                F.struct(
+                    F.col("brand_b").alias("antecedent"),
+                    F.col("brand_a").alias("consequent"),
+                    F.col("support").alias("support"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.support")
+    na = brand_n.select(
+        F.col("p_brand").alias("ba"), F.col("n_brand").alias("n_ante")
+    )
+    nc = brand_n.select(
+        F.col("p_brand").alias("bc"), F.col("n_brand").alias("n_cons")
+    )
+    return (
+        rules.join(F.broadcast(na), F.col("antecedent") == F.col("ba"))
+        .join(F.broadcast(nc), F.col("consequent") == F.col("bc"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            _r6(
+                F.col("support").cast("double") / F.col("n_ante").cast("double")
+            ).alias("confidence"),
+            _r6(
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_ante").cast("double") * F.col("n_cons").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+registry.register(
+    "assoc_rules",
+    q_assoc_rules,
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT brand_a AS antecedent, brand_b AS consequent, support
+      FROM pairs WHERE support >= 5
+      UNION ALL
+      SELECT brand_b AS antecedent, brand_a AS consequent, support
+      FROM pairs WHERE support >= 5
+    ),
+    brand_n AS (
+      SELECT p_brand, COUNT(*) AS n_brand FROM ob GROUP BY p_brand
+    ),
+    n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob
+    )
+    SELECT r.antecedent, r.consequent, r.support,
+           FLOOR((CAST(r.support AS DOUBLE) / CAST(na.n_brand AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+           FLOOR((CAST(r.support AS DOUBLE) * CAST(n_orders.n_orders AS DOUBLE) /
+                  (CAST(na.n_brand AS DOUBLE) * CAST(nc.n_brand AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM rules r
+    JOIN brand_n na ON r.antecedent = na.p_brand
+    JOIN brand_n nc ON r.consequent = nc.p_brand
+    CROSS JOIN n_orders
+    """,
+)
