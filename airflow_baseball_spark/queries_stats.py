@@ -449,3 +449,349 @@ registry.register(
     FROM seq
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: mode per group, ordered string_agg, Welch t-test,
+# Benford digit profile, multi-level percent-of-total
+# ---------------------------------------------------------------------------
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per customer market segment, ties
+    broken by the lexicographically smallest priority — the
+    deterministic tie rule is what makes a mode checkable at all.
+    One (segment, priority) count then a segments-sized window; the
+    heavy shuffle is the count, the window sorts ≤ |priorities| rows
+    per segment."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+registry.register(
+    "mode_per_group",
+    q_mode_per_group,
+    """
+    WITH counts AS (
+      SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_mktsegment
+        ORDER BY n DESC, o_orderpriority ASC) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+
+def q_string_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation comma-joined names of the top-3 customers by account
+    balance (desc, custkey asc tie-break) — ordered LISTAGG, the
+    report-building op warehouses use constantly.
+
+    Determinism: collect_list order is partition-arbitrary, so the
+    names are collected as (rank, name) STRUCTS, array_sort'ed in-row
+    by the rank, then projected — never relying on arrival order. The
+    nation-keyed window ranks; only 3 rows per nation reach the
+    collect, so the agg state is bounded."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_name", "c_acctbal", "c_custkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    top = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    agg = top.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), F.col("c_name")))
+                ),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top3_names")
+    )
+    return (
+        agg.join(F.broadcast(n), agg["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "top3_names")
+    )
+
+
+registry.register(
+    "string_agg_topn",
+    q_string_agg_topn,
+    """
+    WITH ranked AS (
+      SELECT c_nationkey, c_name,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      FROM customer
+    ),
+    agg AS (
+      SELECT c_nationkey,
+             STRING_AGG(c_name, ',' ORDER BY rk) AS top3_names
+      FROM ranked WHERE rk <= 3 GROUP BY c_nationkey
+    )
+    SELECT n.n_name AS nation, a.top3_names
+    FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
+    """,
+)
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between purchase and click
+    event values: t statistic and Welch–Satterthwaite degrees of
+    freedom, from ONE map-combinable pass of exact decimal sufficient
+    statistics (conditional sums per group in a single 1-row
+    aggregate — the A/B-test evaluator at any scale, no per-group
+    collect)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    d = F.col("value").cast("decimal(18,2)")
+    is_a = F.col("event_type") == "purchase"
+    stats = ev.agg(
+        F.count(F.when(is_a, 1)).alias("n1"),
+        F.sum(F.when(is_a, d)).alias("s1"),
+        F.sum(F.when(is_a, (d * d).cast("decimal(38,4)"))).alias("ss1"),
+        F.count(F.when(~is_a, 1)).alias("n2"),
+        F.sum(F.when(~is_a, d)).alias("s2"),
+        F.sum(F.when(~is_a, (d * d).cast("decimal(38,4)"))).alias("ss2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    ss1 = F.col("ss1").cast("double")
+    ss2 = F.col("ss2").cast("double")
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
+    se1 = v1 / n1
+    se2 = v2 / n2
+    t = (s1 / n1 - s2 / n2) / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)
+    )
+    return stats.select(
+        F.col("n1"),
+        F.col("n2"),
+        _r6(t).alias("t_stat"),
+        _r6(df).alias("welch_df"),
+    )
+
+
+registry.register(
+    "welch_ttest",
+    q_welch_ttest,
+    """
+    WITH stats AS (
+      SELECT
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
+        SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+        SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))
+            END) AS ss1,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n2,
+        SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS s2,
+        SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))
+            END) AS ss2
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    dd AS (
+      SELECT n1, n2,
+             CAST(n1 AS DOUBLE) AS dn1, CAST(n2 AS DOUBLE) AS dn2,
+             CAST(s1 AS DOUBLE) AS ds1, CAST(s2 AS DOUBLE) AS ds2,
+             CAST(ss1 AS DOUBLE) AS dss1, CAST(ss2 AS DOUBLE) AS dss2
+      FROM stats
+    ),
+    vv AS (
+      SELECT n1, n2, dn1, dn2, ds1, ds2,
+             ((dss1 - ds1 * ds1 / dn1) / (dn1 - 1.0)) / dn1 AS se1,
+             ((dss2 - ds2 * ds2 / dn2) / (dn2 - 1.0)) / dn2 AS se2
+      FROM dd
+    )
+    SELECT n1, n2,
+           FLOOR(((ds1 / dn1 - ds2 / dn2) / SQRT(se1 + se2))
+                 * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+           FLOOR(((se1 + se2) * (se1 + se2) /
+                  (se1 * se1 / (dn1 - 1.0) + se2 * se2 / (dn2 - 1.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS welch_df
+    FROM vv
+    """,
+)
+
+
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile of order totals vs the Benford
+    expectation — the data-quality fraud screen.
+
+    The digit is NEVER taken from float formatting or log10 (both
+    engine-divergent at powers of ten): the 2-decimal price becomes
+    exact integer cents, and the leading digit of the cents integer's
+    decimal string — an exact int-to-string in both engines — is the
+    leading significant digit of any amount ≥ $0.01. Expected Benford
+    mass is a fixed literal table (log10(1+1/d) pre-rounded), so both
+    engines compare the same constants; one digit-keyed 9-row
+    aggregate does the rest."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("digit")]
+    chi_term = (
+        (F.col("n").cast("double") / F.col("total").cast("double") - expected)
+        * (F.col("n").cast("double") / F.col("total").cast("double") - expected)
+        / expected
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            _r6(F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "observed_p"
+            ),
+            expected.alias("benford_p"),
+            _r6(chi_term).alias("chi_term"),
+        )
+    )
+
+
+def _benford_sql() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+    )
+    return f"""
+    WITH counts AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    total AS (SELECT SUM(n) AS total FROM counts)
+    SELECT digit, n,
+           FLOOR((CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS observed_p,
+           CASE digit {case} END AS benford_p,
+           FLOOR(((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                   - CASE digit {case} END) *
+                  (CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                   - CASE digit {case} END) /
+                  (CASE digit {case} END))
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi_term
+    FROM counts CROSS JOIN total
+    """
+
+
+registry.register("benford_digits", q_benford_digits, _benford_sql())
+
+
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue with its share of the region subtotal AND of the
+    grand total — the two-level ratio-to-report. Both denominators are
+    windows over the 25-row nation aggregate (zero extra scans, zero
+    joins beyond the broadcast dims); revenue stays exact decimal into
+    each division."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.col("rev").cast("double").alias("revenue"),
+        _r6(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_region).cast("double")
+        ).alias("share_of_region"),
+        _r6(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_all).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
+registry.register(
+    "percent_of_total",
+    q_percent_of_total,
+    """
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name AS region, n_name AS nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           FLOOR((CAST(rev AS DOUBLE) /
+                  CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_of_region,
+           FLOOR((CAST(rev AS DOUBLE) /
+                  CAST(SUM(rev) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_of_total
+    FROM rev
+    """,
+)

@@ -1,0 +1,65 @@
+"""Plan + invariant tests for the round-5 stats additions
+(queries_stats): mode, ordered string_agg, Welch t-test, Benford
+profile, percent-of-total."""
+
+from __future__ import annotations
+
+import re
+
+from airflow_baseball_spark.queries_stats import (
+    q_benford_digits,
+    q_mode_per_group,
+    q_percent_of_total,
+    q_string_agg_topn,
+    q_welch_ttest,
+)
+
+SF = "/root/testdata/sf0.001"
+
+from tests.oracle_harness import plan_str as _plan  # noqa: E402
+
+
+def test_mode_unique_per_group(spark):
+    rows = q_mode_per_group(spark, SF).collect()
+    segs = [r.c_mktsegment for r in rows]
+    assert len(segs) == len(set(segs))  # exactly one mode row per segment
+    assert all(r.n > 0 for r in rows)
+
+
+def test_string_agg_order_and_arity(spark):
+    rows = q_string_agg_topn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        names = r.top3_names.split(",")
+        assert 1 <= len(names) <= 3
+        assert all(n.startswith("Customer#") for n in names)
+
+
+def test_welch_single_pass(spark):
+    df = q_welch_ttest(spark, SF)
+    plan = _plan(df)
+    # conditional sufficient stats in ONE aggregate: one scan, no join
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, plan
+    r = df.collect()[0]
+    assert r.n1 > 1 and r.n2 > 1
+    # df is bounded by min(n1,n2)-1 .. n1+n2-2
+    assert min(r.n1, r.n2) - 1 <= r.welch_df <= r.n1 + r.n2 - 2
+
+
+def test_benford_probabilities_sum_to_one(spark):
+    rows = q_benford_digits(spark, SF).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.chi_term >= 0.0
+
+
+def test_percent_of_total_shares(spark):
+    rows = q_percent_of_total(spark, SF).collect()
+    assert abs(sum(r.share_of_total for r in rows) - 1.0) < 1e-4
+    by_region: dict[str, float] = {}
+    for r in rows:
+        by_region[r.region] = by_region.get(r.region, 0.0) + r.share_of_region
+    for tot in by_region.values():
+        assert abs(tot - 1.0) < 1e-4
