@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable as _r6
 from airflow_baseball_spark.partitioning import spread
 from airflow_baseball_spark.schemas import load_table
 from airflow_baseball_spark.text import analysis, dedup, similarity
@@ -1406,5 +1407,147 @@ registry.register(
     SELECT center, context, COUNT(*) AS n
     FROM pairs GROUP BY 1, 2
     HAVING COUNT(*) >= 5
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: repetition profile + n-gram novelty scoring
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    duplicate tokens and duplicate word-bigrams (1 − distinct/total).
+    Everything is IN-ROW array arithmetic over the token split — zero
+    shuffles, linear in corpus bytes, embarrassingly parallel at any
+    scale; the ratios are exact-int divisions `_r6`-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("toks"), i),
+            F.lit(" "),
+            F.element_at(F.col("toks"), i + 1),
+        ),
+    )
+    wb = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    one = F.lit(1.0)
+    return wb.select(
+        "doc_id",
+        "n_tokens",
+        _r6(
+            one
+            - F.col("n_distinct_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+        _r6(
+            one
+            - F.col("n_distinct_bigrams").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+registry.register(
+    "repetition_profile",
+    q_repetition_profile,
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM toked WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_token_frac,
+           FLOOR((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                        / CAST(len(bigrams) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_frac
+    FROM base
+    """,
+)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data novelty score: the fraction of each document's
+    distinct word-3-grams that appear in NO other document. The gram
+    key is an md5 digest (16 bytes shuffle payload, same trick as
+    ngram_decontam), the document-frequency table is one gram-keyed
+    count, and the per-doc rollup is a second bounded agg — no
+    pairwise comparison anywhere, so the plan is two shuffles
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams3 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(3)))),
+        )
+    )
+    dg = base.select("doc_id", F.explode(grams3).alias("gram"))
+    df_counts = dg.groupBy("gram").agg(F.count("*").alias("df"))
+    j = dg.join(df_counts, "gram")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            _r6(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+registry.register(
+    "ngram_novelty",
+    q_ngram_novelty,
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))
+             ))) AS gram
+      FROM toked WHERE len(toks) >= 3
+    ),
+    dfc AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(CASE WHEN d.df = 1 THEN 1 END) AS n_novel,
+           FLOOR((CAST(COUNT(CASE WHEN d.df = 1 THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS novelty
+    FROM grams g JOIN dfc d USING (gram)
+    GROUP BY g.doc_id
     """,
 )

@@ -1,0 +1,52 @@
+"""Invariant tests for the round-5 text additions (queries_text):
+repetition profile and n-gram novelty."""
+
+from __future__ import annotations
+
+import re
+
+from airflow_baseball_spark.queries_text import (
+    q_ngram_novelty,
+    q_repetition_profile,
+)
+
+SF = "/root/testdata/sf0.001"
+
+from tests.oracle_harness import plan_str as _plan  # noqa: E402
+
+
+def test_repetition_in_row_no_shuffle(spark):
+    plan = _plan(q_repetition_profile(spark, SF))
+    # pure per-row array arithmetic: no exchange of any kind
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_bounds(spark):
+    rows = q_repetition_profile(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_token_frac < 1.0 + 1e-9
+        assert 0.0 <= r.dup_bigram_frac < 1.0 + 1e-9
+        # a doc can't have more distinct bigram overlap than token overlap
+        # (strict inequality does not hold in general; bounds only)
+        assert r.n_tokens >= 2
+
+
+def test_novelty_two_shuffles_and_bounds(spark):
+    df = q_ngram_novelty(spark, SF)
+    plan = _plan(df)
+    # gram-df count + per-doc rollup: the gram explode shuffles on the
+    # md5 key, the rollup on doc_id; the df table joins back on gram.
+    # No cartesian, no broadcast of the corpus.
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert 0.0 <= r.novelty <= 1.0 + 1e-9
+
+
+def test_novelty_unique_doc_ids(spark):
+    rows = q_ngram_novelty(spark, SF).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
