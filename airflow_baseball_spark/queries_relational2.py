@@ -1,0 +1,336 @@
+"""Second relational volume (round 5): inter-event gap profiling,
+ship-latency SLA stats, 2-D histogram binning, trailing-window OLS
+slope, and event-type co-occurrence.
+
+Same engine-exactness rules as queries_stats.py: every reported
+double derives from exact integer counts / decimal sums through an
+identical IEEE expression tree on both engines, `_r6`-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.schemas import load_table
+
+_r6 = round6_portable
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap profile per user
+# ---------------------------------------------------------------------------
+
+
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gaps between consecutive events (any type): count,
+    mean, and max gap in seconds. Timestamps are taken as EXACT epoch
+    microseconds (unix_micros / epoch_us — a second-granularity floor
+    would round differently across engines), so every gap is an exact
+    integer and the mean is one final division. One user_id shuffle;
+    the lag window reuses it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        _r6(
+            F.sum("gap").cast("double")
+            / (F.count("*").cast("double") * 1000000.0)
+        ).alias("avg_gap_s"),
+        F.max("gap").alias("max_gap_us"),
+    )
+
+
+registry.register(
+    "inter_event_gaps",
+    q_inter_event_gaps,
+    """
+    WITH us AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             us - LAG(us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS gap
+      FROM us
+    )
+    SELECT user_id, COUNT(*) AS n_gaps,
+           FLOOR((CAST(SUM(gap) AS DOUBLE) /
+                  (CAST(COUNT(*) AS DOUBLE) * 1000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_gap_s,
+           MAX(gap) AS max_gap_us
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ship latency per order priority
+# ---------------------------------------------------------------------------
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class: integer
+    day differences aggregated exactly (sum/count/min/max), the mean
+    divided once at the end. The orderkey join shuffles both sides on
+    the key; at 100 TB this is the bucketed-join candidate
+    (io/bucketing.py) since both facts share l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        _r6(F.sum("lat").cast("double") / F.count("*").cast("double")).alias(
+            "avg_days"
+        ),
+        F.min("lat").alias("min_days"),
+        F.max("lat").alias("max_days"),
+    )
+
+
+registry.register(
+    "ship_latency",
+    q_ship_latency,
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           FLOOR((CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate))
+                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_days,
+           MIN(date_diff('day', o.o_orderdate, l.l_shipdate)) AS min_days,
+           MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS max_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram: quantity × discount heat grid
+# ---------------------------------------------------------------------------
+
+
+def q_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-bucket × discount-cent 2-D histogram with each cell's
+    revenue. Bin keys are exact integers (quantity div 5; discount
+    cents via decimal, never float multiply), so the grid is identical
+    on both engines; one combiner-friendly agg over ≤ 11×11 keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # floor-division, NOT cast(x/5): Spark's long cast truncates the
+    # double quotient while DuckDB's CAST rounds — `//`-semantics on
+    # both sides keeps the bin key integer-exact
+    qbin = F.floor(
+        F.col("l_quantity").cast("decimal(4,0)").cast("long") / F.lit(5)
+    ).cast("long")
+    dbin = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    return (
+        li.select(
+            qbin.alias("qty_bin"),
+            dbin.alias("disc_cents"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("qty_bin", "disc_cents")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p").cast("decimal(28,2)").cast("double").alias("revenue"),
+        )
+    )
+
+
+registry.register(
+    "heatmap_bins",
+    q_heatmap_bins,
+    """
+    SELECT CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT) // 5
+             AS qty_bin,
+           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+             AS disc_cents,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(28,2)) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day OLS slope of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trend: the OLS slope of revenue vs day over each
+    trailing 7-row window of the daily order-revenue series (full
+    windows only). All five sufficient sums are EXACT decimal/integer
+    window sums sharing ONE date-ordered sort; the slope is the only
+    IEEE computation. The unpartitioned window sorts the days-sized
+    aggregate, not the fact (same documented-safe shape as
+    autocorr)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    daily = daily.withColumn(
+        "x", F.datediff(F.col("d"), F.lit("1992-01-01").cast("date"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    xy = (F.col("y") * F.col("x")).cast("decimal(38,4)")
+    sums = daily.select(
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum("y").over(w).cast("decimal(38,4)").alias("sy"),
+        F.sum(xy).over(w).cast("decimal(38,4)").alias("sxy"),
+    ).filter(F.col("n") == 7)
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return sums.select(
+        "d",
+        _r6((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope7"),
+    )
+
+
+registry.register(
+    "rolling_slope",
+    q_rolling_slope,
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS y,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS x
+      FROM orders GROUP BY o_orderdate
+    ),
+    sums AS (
+      SELECT d,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx,
+             SUM(x * x) OVER w AS sxx,
+             CAST(SUM(y) OVER w AS DECIMAL(38,4)) AS sy,
+             CAST(SUM(CAST(y * x AS DECIMAL(38,4))) OVER w
+                  AS DECIMAL(38,4)) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope7
+    FROM sums WHERE n = 7
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence across users
+# ---------------------------------------------------------------------------
+
+
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many users perform BOTH of each event-type pair, with the
+    Jaccard share both/(nA+nB−both). Per-user distinct type sets
+    build in one user shuffle; the quadratic pair expansion runs
+    IN-ROW over each ≤5-element set (same basket trick as
+    basket_pairs — never a self-join of the fact); per-type totals
+    broadcast back."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    sets = (
+        ev.distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("types"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("types"),
+                            lambda b: F.struct(
+                                a.alias("type_a"), b.alias("type_b")
+                            ),
+                        ),
+                        lambda s: s["type_a"] < s["type_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    both = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_both")
+    )
+    totals = (
+        sets.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_t"))
+    )
+    ta = totals.select(F.col("t").alias("ta"), F.col("n_t").alias("n_a"))
+    tb = totals.select(F.col("t").alias("tb"), F.col("n_t").alias("n_b"))
+    return (
+        both.join(F.broadcast(ta), F.col("type_a") == F.col("ta"))
+        .join(F.broadcast(tb), F.col("type_b") == F.col("tb"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            _r6(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                )
+            ).alias("user_jaccard"),
+        )
+    )
+
+
+registry.register(
+    "event_cooccurrence",
+    q_event_cooccurrence,
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type AS t, COUNT(*) AS n_t FROM ut GROUP BY event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           FLOOR((CAST(p.n_both AS DOUBLE) /
+                  CAST(ta.n_t + tb.n_t - p.n_both AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS user_jaccard
+    FROM pairs p
+    JOIN totals ta ON p.type_a = ta.t
+    JOIN totals tb ON p.type_b = tb.t
+    """,
+)

@@ -219,6 +219,7 @@ def _load() -> None:
         queries_llm,
         queries_multimodal,
         queries_relational,
+        queries_relational2,
         queries_sampling,
         queries_streaming,
         queries_mining,

@@ -1,0 +1,67 @@
+"""Plan + invariant tests for queries_relational2 (round 5)."""
+
+from __future__ import annotations
+
+import re
+
+from airflow_baseball_spark.queries_relational2 import (
+    q_event_cooccurrence,
+    q_heatmap_bins,
+    q_inter_event_gaps,
+    q_rolling_slope,
+    q_ship_latency,
+)
+
+SF = "/root/testdata/sf0.001"
+
+from tests.oracle_harness import plan_str as _plan  # noqa: E402
+
+
+def test_gaps_single_user_shuffle(spark):
+    plan = _plan(q_inter_event_gaps(spark, SF))
+    # lag window + groupBy share ONE user_id hash partitioning
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1, plan
+
+
+def test_gaps_invariants(spark):
+    rows = q_inter_event_gaps(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 1
+        assert 0 <= r.avg_gap_s <= r.max_gap_us / 1e6 + 1e-6
+
+
+def test_ship_latency_groups(spark):
+    rows = q_ship_latency(spark, SF).collect()
+    assert len(rows) == 5  # TPC-H priority classes
+    for r in rows:
+        assert r.min_days <= r.avg_days <= r.max_days
+
+
+def test_heatmap_grid_bounds(spark):
+    rows = q_heatmap_bins(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.qty_bin <= 10  # quantity 1..50 → bins 0..10
+        assert 0 <= r.disc_cents <= 10
+        assert r.revenue > 0
+
+
+def test_rolling_slope_full_windows_only(spark):
+    df = q_rolling_slope(spark, SF)
+    plan = _plan(df)
+    # all five sufficient sums share one unpartitioned date sort over
+    # the daily aggregate: single scan, single window node
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 1, plan
+    assert df.count() > 0
+
+
+def test_cooccurrence_pairs_bounded(spark):
+    rows = q_event_cooccurrence(spark, SF).collect()
+    # 5 event types → at most C(5,2)=10 unordered pairs
+    assert 1 <= len(rows) <= 10
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0.0 < r.user_jaccard <= 1.0 + 1e-9
