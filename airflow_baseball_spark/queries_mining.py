@@ -1052,3 +1052,92 @@ registry.register(
     CROSS JOIN n_orders
     """,
 )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling of the co-purchase graph: 3 synchronized
+    rounds of "drop every vertex with degree < k", k chosen
+    scale-invariantly as HALF the floored mean degree ⌊⌊2|E|/|V|⌋/2⌋
+    — the sparse fringe peels while a non-empty dense core survives
+    at every SF (the full mean empties this graph: its degree spread
+    is narrow enough that one peel cascades).
+    Output: surviving vertices with their residual degree.
+
+    The FIXED round count is what makes an iterative algorithm
+    oracle-checkable — the DuckDB twin unrolls the same 3 rounds as
+    chained CTEs (same pattern as kmeans_fit's unrolled Lloyd
+    iterations). True peeling runs to fixpoint; at scale each round
+    is a degree-agg + semi-join pair on the shrinking edge list (the
+    connected-components playbook: O(rounds) bounded shuffles).
+    k travels as a broadcast 1-row frame — no driver-side collect.
+
+    The base edge list is localCheckpoint'ed before the loop: it is
+    brand²-bounded (tiny), but its LINEAGE contains the full fact
+    scan + orderkey shuffle, and three rounds of self-referencing
+    joins would re-derive that subtree once per degree computation —
+    measured 45 s → sub-second at sf0.1. (Same lineage-truncation
+    rationale, and the same driver-restart FT caveat, as
+    operators/connected_components.py.)"""
+    edges = _above_avg_edges(spark, sf_dir).localCheckpoint()
+    # `div`, not cast(x/y): both engines must FLOOR the mean degree
+    # (Spark's long cast truncates the double quotient, DuckDB's CAST
+    # rounds — integer division sidesteps the divergence)
+    kdf = _degrees(edges).agg(
+        F.expr("(sum(degree) div count(*)) div 2").alias("k")
+    )
+    for _ in range(3):
+        deg = _degrees(edges)
+        keep = (
+            deg.crossJoin(F.broadcast(kdf))
+            .filter(F.col("degree") >= F.col("k"))
+            .select("v")
+        )
+        edges = edges.join(
+            keep.withColumnRenamed("v", "brand_a"), "brand_a"
+        ).join(keep.withColumnRenamed("v", "brand_b"), "brand_b")
+    return _degrees(edges).select("v", "degree")
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(3):
+        rounds.append(
+            f"""d{r} AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT brand_a AS v FROM {prev}
+        UNION ALL SELECT brand_b AS v FROM {prev}
+      ) GROUP BY 1
+    ),
+    keep{r} AS (SELECT v FROM d{r} CROSS JOIN kv WHERE degree >= k),
+    e{r + 1} AS (
+      SELECT e.brand_a, e.brand_b FROM {prev} e
+      JOIN keep{r} ka ON e.brand_a = ka.v
+      JOIN keep{r} kb ON e.brand_b = kb.v
+    )"""
+        )
+        prev = f"e{r + 1}"
+    return (
+        _PAIRS_SQL
+        + """,
+    e0 AS (SELECT brand_a, brand_b FROM edges),
+    kv AS (
+      SELECT (SUM(degree) // COUNT(*)) // 2 AS k FROM (
+        SELECT v, COUNT(*) AS degree FROM (
+          SELECT brand_a AS v FROM e0
+          UNION ALL SELECT brand_b AS v FROM e0
+        ) GROUP BY 1
+      )
+    ),
+    """
+        + ",\n    ".join(rounds)
+        + """
+    SELECT v, COUNT(*) AS degree FROM (
+      SELECT brand_a AS v FROM e3
+      UNION ALL SELECT brand_b AS v FROM e3
+    ) GROUP BY 1
+    """
+    )
+
+
+registry.register("kcore", q_kcore, _kcore_sql())

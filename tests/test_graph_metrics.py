@@ -64,3 +64,18 @@ def test_assoc_rules_symmetry_and_bounds(spark):
         # lift is symmetric, support identical, confidence generally not
         assert rev.support == r.support
         assert abs(rev.lift - r.lift) < 1e-9
+
+
+def test_kcore_monotone_subgraph(spark):
+    from airflow_baseball_spark.queries_mining import q_kcore
+
+    rows = q_kcore(spark, SF).collect()
+    full = _above_avg_edges(spark, SF).collect()
+    deg0: dict[str, int] = {}
+    for e in full:
+        deg0[e.brand_a] = deg0.get(e.brand_a, 0) + 1
+        deg0[e.brand_b] = deg0.get(e.brand_b, 0) + 1
+    for r in rows:
+        # peeling only removes edges: residual degree <= original
+        assert r.degree <= deg0[r.v]
+        assert r.degree >= 1
