@@ -334,3 +334,89 @@ registry.register(
     JOIN totals tb ON p.type_b = tb.t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Distributed sparse matrix multiply
+# ---------------------------------------------------------------------------
+
+
+def q_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C = A·B in COO form — the distributed sparse-matmul kernel
+    (the embedding-projection / graph-walk primitive): A is the
+    nation×brand quantity matrix, B the brand×returnflag mix, C the
+    nation×returnflag composition implied by brand mix.
+
+    The canonical two-shuffle plan: join A and B on the CONTRACTED
+    index j (brand), multiply in-row, re-aggregate on (i, k). Every
+    product is exact decimal; sums stay decimal until the checked
+    projection. At scale the j-join is the skew point (a hub j fans
+    out |A_j|·|B_j|) — the same salting/AQE-skew remedies as
+    salted_join apply, and B (brands×flags, dimension-bounded) is
+    broadcast here so the contraction costs ZERO shuffles of A."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    a = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("i"), F.col("p_brand").alias("j"))
+        .agg(F.sum(q).cast("decimal(18,2)").alias("a_ij"))
+    )
+    b = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("j2"), F.col("l_returnflag").alias("k"))
+        .agg(F.sum(q).cast("decimal(18,2)").alias("b_jk"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("j") == F.col("j2"))
+        .groupBy(F.col("i").alias("nation"), F.col("k").alias("returnflag"))
+        .agg(
+            F.sum((F.col("a_ij") * F.col("b_jk")).cast("decimal(38,4)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("c_ik")
+        )
+    )
+
+
+registry.register(
+    "sparse_matmul",
+    q_sparse_matmul,
+    """
+    WITH a AS (
+      SELECT n.n_name AS i, p.p_brand AS j,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS a_ij
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT p.p_brand AS j, l.l_returnflag AS k,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS b_jk
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT a.i AS nation, b.k AS returnflag,
+           CAST(CAST(SUM(CAST(a.a_ij * b.b_jk AS DECIMAL(38,4)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS c_ik
+    FROM a JOIN b ON a.j = b.j
+    GROUP BY 1, 2
+    """,
+)

@@ -65,3 +65,26 @@ def test_cooccurrence_pairs_bounded(spark):
     for r in rows:
         assert r.type_a < r.type_b
         assert 0.0 < r.user_jaccard <= 1.0 + 1e-9
+
+
+def test_sparse_matmul_dims_and_positivity(spark):
+    from airflow_baseball_spark.queries_relational2 import q_sparse_matmul
+
+    rows = q_sparse_matmul(spark, SF).collect()
+    assert rows
+    nations = {r.nation for r in rows}
+    flags = {r.returnflag for r in rows}
+    # C is |nations| × |returnflags| dense here (every nation buys
+    # every flag class at any SF)
+    assert len(rows) == len(nations) * len(flags)
+    assert all(r.c_ik > 0 for r in rows)
+
+
+def test_sparse_matmul_broadcasts_contraction(spark):
+    from airflow_baseball_spark.queries_relational2 import q_sparse_matmul
+
+    plan = _plan(q_sparse_matmul(spark, SF))
+    # B (brand × flag) must broadcast: the contraction join adds no
+    # shuffle of A
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
