@@ -28,13 +28,16 @@ def _brand_pair_counts(
 ) -> tuple[DataFrame, DataFrame]:
     """Per-order distinct brand sets → in-row unordered pair expansion
     → (brand_a < brand_b, support) counts. Shared by basket_pairs and
-    triangle_count; see q_basket_pairs for the scale rationale."""
+    triangle_count; see q_basket_pairs for the scale rationale.
+
+    collect_set IS the dedup — a separate .distinct() first would add
+    a full (orderkey, brand) shuffle of the fact for nothing (the set
+    agg dedups in its partial state map-side). One shuffle, on
+    l_orderkey only."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    ob = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
     )
     baskets = ob.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("p_brand")).alias("brands")
@@ -703,7 +706,14 @@ def _above_avg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand graph at every SF because supports scale with data volume;
     `support · n_pairs > Σ support` is the scale-invariant integer
     comparison (no division, no float) that halves the graph at any
-    SF and gives the metrics below nontrivial structure."""
+    SF and gives the metrics below nontrivial structure.
+
+    The brand²-bounded result is localCheckpoint'ed: every consumer
+    (wedge join, triangle join, degree table, peel rounds) references
+    it 2-4× in one plan, and each reference would otherwise re-derive
+    the fact scan + orderkey shuffle — measured ~1 s per extra
+    reference at sf0.1. (Same lineage-truncation rationale and FT
+    caveat as operators/connected_components.py.)"""
     _, support = _brand_pair_counts(spark, sf_dir)
     stats = support.agg(
         F.count("*").alias("n_pairs"), F.sum("support").alias("tot")
@@ -712,6 +722,7 @@ def _above_avg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         support.crossJoin(F.broadcast(stats))
         .filter(F.col("support") * F.col("n_pairs") > F.col("tot"))
         .select("brand_a", "brand_b")
+        .localCheckpoint()
     )
 
 
@@ -1071,14 +1082,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components playbook: O(rounds) bounded shuffles).
     k travels as a broadcast 1-row frame — no driver-side collect.
 
-    The base edge list is localCheckpoint'ed before the loop: it is
-    brand²-bounded (tiny), but its LINEAGE contains the full fact
-    scan + orderkey shuffle, and three rounds of self-referencing
-    joins would re-derive that subtree once per degree computation —
-    measured 45 s → sub-second at sf0.1. (Same lineage-truncation
-    rationale, and the same driver-restart FT caveat, as
-    operators/connected_components.py.)"""
-    edges = _above_avg_edges(spark, sf_dir).localCheckpoint()
+    The base edge list arrives localCheckpoint'ed (_above_avg_edges):
+    without that, three rounds of self-referencing joins re-derive
+    the fact scan + orderkey shuffle once per degree computation —
+    measured 45 s → ~2 s at sf0.1."""
+    edges = _above_avg_edges(spark, sf_dir)
     # `div`, not cast(x/y): both engines must FLOOR the mean degree
     # (Spark's long cast truncates the double quotient, DuckDB's CAST
     # rounds — integer division sidesteps the divergence)
@@ -1092,9 +1100,15 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("degree") >= F.col("k"))
             .select("v")
         )
-        edges = edges.join(
-            keep.withColumnRenamed("v", "brand_a"), "brand_a"
-        ).join(keep.withColumnRenamed("v", "brand_b"), "brand_b")
+        # per-round checkpoint: keep is referenced twice and edges
+        # feeds the next round twice more — without truncation the
+        # plan grows ~3^r subtrees (stage-scheduling overhead, not
+        # data, is what compounds on a 150-row frame)
+        edges = (
+            edges.join(keep.withColumnRenamed("v", "brand_a"), "brand_a")
+            .join(keep.withColumnRenamed("v", "brand_b"), "brand_b")
+            .localCheckpoint()
+        )
     return _degrees(edges).select("v", "degree")
 
 

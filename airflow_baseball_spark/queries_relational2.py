@@ -258,10 +258,10 @@ def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket_pairs — never a self-join of the fact); per-type totals
     broadcast back."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    sets = (
-        ev.distinct()
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    # collect_set IS the dedup — no .distinct() first (it would add a
+    # second fact shuffle; the set agg dedups map-side)
+    sets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
     )
     pairs = sets.select(
         F.explode(
