@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable as _r6
 from airflow_baseball_spark.operators.cdc import snapshot_diff
 from airflow_baseball_spark.operators.gapfill import gap_fill
 from airflow_baseball_spark.operators.scd import scd2
@@ -844,3 +845,72 @@ registry.register(
     FROM cells c JOIN cats t ON c.event_type = t.event_type
     """,
 )
+
+
+def q_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score feature scaling of three lineitem measures on a
+    deterministic 1-in-97 key sample — the train-time featurization
+    kernel. μ and σ come from ONE map-combinable pass of exact
+    decimal sufficient statistics over the FULL fact (never the
+    sample: scaling params must describe the population) and return
+    as a broadcast 1-row frame; the scaled projection is in-row.
+    Sample membership is key arithmetic (hash_sample's convention),
+    so the output is stable at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    d = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((d[c] * d[c]).cast("decimal(38,4)")).alias(f"ss_{c}")
+        )
+    stats = li.agg(*aggs)
+    sample = li.filter((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 97 == 0)
+    out = [
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ]
+    proj = sample.crossJoin(F.broadcast(stats))
+    for c in cols:
+        n = F.col("n").cast("double")
+        s = F.col(f"s_{c}").cast("double")
+        ss = F.col(f"ss_{c}").cast("double")
+        mean = s / n
+        # population σ: sqrt(E[x²] − E[x]²) with the exact-sum form
+        sd = F.sqrt((ss - s * s / n) / n)
+        out.append(
+            _r6((F.col(c).cast("decimal(18,2)").cast("double") - mean) / sd).alias(
+                f"z_{c}"
+            )
+        )
+    return proj.select(*out)
+
+
+def _standard_scaler_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stat_cols = ["COUNT(*) AS n"]
+    for c in cols:
+        stat_cols.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}")
+        stat_cols.append(
+            f"SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))"
+            f" AS DECIMAL(38,4))) AS ss_{c}"
+        )
+    z = []
+    for c in cols:
+        z.append(
+            f"FLOOR(((CAST(CAST(l.{c} AS DECIMAL(18,2)) AS DOUBLE)"
+            f" - CAST(s_{c} AS DOUBLE) / CAST(n AS DOUBLE)) /"
+            f" SQRT((CAST(ss_{c} AS DOUBLE) - CAST(s_{c} AS DOUBLE)"
+            f" * CAST(s_{c} AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))"
+            f" * 1000000.0 + 0.5) / 1000000.0 AS z_{c}"
+        )
+    return f"""
+    WITH stats AS (SELECT {', '.join(stat_cols)} FROM lineitem)
+    SELECT l.l_orderkey, l.l_linenumber, {', '.join(z)}
+    FROM lineitem l CROSS JOIN stats
+    WHERE (l.l_orderkey * 31 + l.l_linenumber) % 97 = 0
+    """
+
+
+registry.register("standard_scaler", q_standard_scaler, _standard_scaler_sql())

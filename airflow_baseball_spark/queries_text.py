@@ -1551,3 +1551,204 @@ registry.register(
     GROUP BY g.doc_id
     """,
 )
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication health per ingestion source: how many of a source's
+    documents share an exact body digest with ANY document in the
+    corpus (cross-source duplicates count for both sides). The md5
+    digest-frequency table is corpus-wide (one 16-byte-key shuffle,
+    exact_dedup's plan) and joins back onto the doc rows; bodies never
+    shuffle. This is the per-feed rollup an ingestion pipeline alerts
+    on — a feed whose dup_rate jumps is re-sending its archive."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    freq = docs.groupBy("digest").agg(F.count("*").alias("n_digest"))
+    j = docs.join(freq, "digest")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("n_digest") > 1, 1)).alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup",
+            _r6(
+                F.col("n_dup").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+registry.register(
+    "dup_rate_by_source",
+    q_dup_rate_by_source,
+    """
+    WITH d AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+    freq AS (SELECT digest, COUNT(*) AS n_digest FROM d GROUP BY digest)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN f.n_digest > 1 THEN 1 END) AS n_dup,
+           FLOOR((CAST(COUNT(CASE WHEN f.n_digest > 1 THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+    FROM d JOIN freq f USING (digest)
+    GROUP BY d.source
+    """,
+)
+
+
+def q_data_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep funnel — the integration query
+    that chains the pipeline a pretraining corpus actually runs, and
+    reports how much data each stage costs:
+
+      0_raw      → every document
+      1_quality  → Gopher repetition keep-flag survivors
+      2_dedup    → one representative (min doc_id) per exact digest
+                   among quality survivors
+      3_decontam → drop benchmark docs (doc_id%50==0, the eval split
+                   convention of ngram_decontam) and any survivor
+                   sharing an 8-gram with that benchmark
+
+    All four counts land in ONE 1-row aggregate over per-doc flags
+    (the flag joins are digest-keyed and benchmark-bounded — no stage
+    re-scans the corpus), and the 4 report rows explode in-row.
+    Retention fractions are exact-int divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_q = analysis.gopher_repetition(docs).select("doc_id", "keep")
+    flagged = docs.join(keep_q, "doc_id").select(
+        "doc_id", "text", F.col("keep").alias("q_keep")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flagged = flagged.withColumn(
+        "is_rep", F.row_number().over(w) == 1
+    )
+    corpus = flagged.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = dedup.ngram_decontam(corpus, bench).select(
+        "doc_id", F.lit(True).alias("is_contam")
+    )
+    scored = flagged.join(contaminated, "doc_id", "left").select(
+        "doc_id",
+        "q_keep",
+        "is_rep",
+        (F.col("doc_id") % 50 != 0).alias("is_corpus"),
+        F.coalesce(F.col("is_contam"), F.lit(False)).alias("is_contam"),
+    )
+    s1 = F.col("q_keep")
+    s2 = s1 & F.col("is_rep")
+    s3 = s2 & F.col("is_corpus") & ~F.col("is_contam")
+    agg = scored.agg(
+        F.count("*").alias("n0"),
+        F.count(F.when(s1, 1)).alias("n1"),
+        F.count(F.when(s2, 1)).alias("n2"),
+        F.count(F.when(s3, 1)).alias("n3"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(stage).alias("stage"),
+                F.col(f"n{i}").alias("n_docs"),
+                _r6(
+                    F.col(f"n{i}").cast("double") / F.col("n0").cast("double")
+                ).alias("retained_frac"),
+            )
+            for i, stage in enumerate(
+                ["0_raw", "1_quality", "2_dedup", "3_decontam"]
+            )
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.stage", "r.n_docs", "r.retained_frac"
+    )
+
+
+registry.register(
+    "data_prep_funnel",
+    q_data_prep_funnel,
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    in_row AS (
+      SELECT doc_id, len(toks) AS n_words,
+             ROUND(CASE WHEN len(toks) > 0
+                   THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS dup_word_frac
+      FROM toked
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               CASE WHEN len(toks) >= 2
+                    THEN generate_series(0, len(toks) - 2) END,
+               i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')
+             )) AS gram
+      FROM toked
+    ),
+    bcounts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2),
+    per_doc AS (SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS total_grams
+                FROM bcounts GROUP BY 1),
+    quality AS (
+      SELECT i.doc_id,
+             (i.dup_word_frac <= 0.3 AND
+              ROUND(COALESCE(p.top_cnt / CAST(p.total_grams AS DOUBLE), 0.0), 6)
+                <= 0.2) AS q_keep
+      FROM in_row i LEFT JOIN per_doc p USING (doc_id)
+    ),
+    rep AS (
+      SELECT d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text)
+                                ORDER BY d.doc_id) = 1 AS is_rep
+      FROM documents d
+    ),
+    grams8 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               CASE WHEN len(toks) >= 8
+                    THEN generate_series(0, len(toks) - 8) END,
+               i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+             ))) AS gram
+      FROM toked
+    ),
+    bg AS (SELECT DISTINCT gram FROM grams8 WHERE doc_id % 50 = 0),
+    contam AS (
+      SELECT DISTINCT g.doc_id FROM grams8 g JOIN bg USING (gram)
+      WHERE g.doc_id % 50 <> 0
+    ),
+    scored AS (
+      SELECT d.doc_id, q.q_keep, r.is_rep,
+             d.doc_id % 50 <> 0 AS is_corpus,
+             c.doc_id IS NOT NULL AS is_contam
+      FROM documents d
+      JOIN quality q USING (doc_id)
+      JOIN rep r USING (doc_id)
+      LEFT JOIN contam c USING (doc_id)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             COUNT(CASE WHEN q_keep THEN 1 END) AS n1,
+             COUNT(CASE WHEN q_keep AND is_rep THEN 1 END) AS n2,
+             COUNT(CASE WHEN q_keep AND is_rep AND is_corpus
+                        AND NOT is_contam THEN 1 END) AS n3
+      FROM scored
+    )
+    SELECT '0_raw' AS stage, n0 AS n_docs,
+           FLOOR((CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS retained_frac FROM agg
+    UNION ALL
+    SELECT '1_quality', n1,
+           FLOOR((CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 FROM agg
+    UNION ALL
+    SELECT '2_dedup', n2,
+           FLOOR((CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 FROM agg
+    UNION ALL
+    SELECT '3_decontam', n3,
+           FLOOR((CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 FROM agg
+    """,
+)

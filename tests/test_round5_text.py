@@ -50,3 +50,40 @@ def test_novelty_unique_doc_ids(spark):
     rows = q_ngram_novelty(spark, SF).collect()
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_dup_rate_bounds(spark):
+    from airflow_baseball_spark.queries_text import q_dup_rate_by_source
+
+    rows = q_dup_rate_by_source(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_docs
+        assert 0.0 <= r.dup_rate <= 1.0 + 1e-9
+
+
+def test_funnel_monotone(spark):
+    from airflow_baseball_spark.queries_text import q_data_prep_funnel
+
+    rows = {r.stage: r for r in q_data_prep_funnel(spark, SF).collect()}
+    assert set(rows) == {"0_raw", "1_quality", "2_dedup", "3_decontam"}
+    # each stage can only remove documents
+    assert (
+        rows["0_raw"].n_docs
+        >= rows["1_quality"].n_docs
+        >= rows["2_dedup"].n_docs
+        >= rows["3_decontam"].n_docs
+    )
+    assert rows["0_raw"].retained_frac == 1.0
+    assert rows["3_decontam"].n_docs > 0  # pipeline keeps something
+
+
+def test_standard_scaler_population_stats(spark):
+    from airflow_baseball_spark.queries_llm import q_standard_scaler
+
+    rows = q_standard_scaler(spark, SF).collect()
+    assert rows
+    # z-scores of a 2-decimal bounded measure stay in a sane band
+    for r in rows:
+        assert abs(r.z_l_quantity) < 10
+        assert abs(r.z_l_discount) < 10
