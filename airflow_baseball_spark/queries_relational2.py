@@ -420,3 +420,258 @@ registry.register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Top event paths (3-step sequence mining)
+# ---------------------------------------------------------------------------
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event-type sequences across users (count of
+    occurrences, every user ordered by (ts, event_id) — the total
+    order that makes a sequence query deterministic at all).
+
+    The user's ordered type list builds from ONE user-keyed sort
+    (struct collect + in-row array_sort — never relying on arrival
+    order), and trigram expansion is in-row over that list, so the
+    quadratic-in-session work never crosses rows. One count shuffle
+    over |types|³-bounded keys. Paths below 1% of the top count are
+    not truncated — the full distribution returns (it is ≤125 rows)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ),
+            lambda s: s["et"],
+        ).alias("types")
+    )
+    n = F.size("types")
+    paths = seqs.filter(n >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at(F.col("types"), i),
+                    F.element_at(F.col("types"), i + 1),
+                    F.element_at(F.col("types"), i + 2),
+                ),
+            )
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_occurrences"))
+
+
+registry.register(
+    "top_event_paths",
+    q_top_event_paths,
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             array_agg(event_type ORDER BY epoch_us(ts), event_id) AS types
+      FROM events GROUP BY user_id
+    ),
+    paths AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(types) - 2),
+               i -> types[i] || '>' || types[i + 1] || '>' || types[i + 2]
+             )) AS path
+      FROM seqs WHERE len(types) >= 3
+    )
+    SELECT path, COUNT(*) AS n_occurrences FROM paths GROUP BY path
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period brand share shift
+# ---------------------------------------------------------------------------
+
+
+def q_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue share in 1997 vs 1998 and the share delta — the
+    period-over-period mover report. Both periods come from ONE scan
+    via conditional decimal sums (no second pass, no self-join);
+    period totals are window sums over the brands-sized aggregate.
+    Every division is exact-decimal → double, identical both ways."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year(F.col("l_shipdate"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_brand = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(yr == 1997, rev)).cast("decimal(28,2)").alias("r97"),
+            F.sum(F.when(yr == 1998, rev)).cast("decimal(28,2)").alias("r98"),
+        )
+        .filter(F.col("r97").isNotNull() & F.col("r98").isNotNull())
+    )
+    w = Window.partitionBy()
+    s97 = F.col("r97").cast("double") / F.sum("r97").over(w).cast("double")
+    s98 = F.col("r98").cast("double") / F.sum("r98").over(w).cast("double")
+    return per_brand.select(
+        "p_brand",
+        _r6(s97).alias("share_1997"),
+        _r6(s98).alias("share_1998"),
+        _r6(s98 - s97).alias("share_delta"),
+    )
+
+
+registry.register(
+    "share_shift",
+    q_share_shift,
+    """
+    WITH per_brand AS (
+      SELECT p.p_brand,
+             CAST(SUM(CASE WHEN year(l.l_shipdate) = 1997
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                  AS DECIMAL(28,2)) AS r97,
+             CAST(SUM(CASE WHEN year(l.l_shipdate) = 1998
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                  AS DECIMAL(28,2)) AS r98
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    f AS (SELECT * FROM per_brand WHERE r97 IS NOT NULL AND r98 IS NOT NULL)
+    SELECT p_brand,
+           FLOOR((CAST(r97 AS DOUBLE) /
+                  CAST(SUM(r97) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_1997,
+           FLOOR((CAST(r98 AS DOUBLE) /
+                  CAST(SUM(r98) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_1998,
+           FLOOR(((CAST(r98 AS DOUBLE) / CAST(SUM(r98) OVER () AS DOUBLE))
+                  - (CAST(r97 AS DOUBLE) / CAST(SUM(r97) OVER () AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_delta
+    FROM f
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# New vs returning customers per order month
+# ---------------------------------------------------------------------------
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order month: orders from first-time vs returning customers.
+    The first-order date per customer is one custkey aggregate joined
+    back (broadcast at dim scale, shuffle at fact scale — Spark picks
+    by stats); 'new' = the order lands in the customer's first month.
+    Month keys are exact (year·100+month integers)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_d"))
+    month = F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    first_month = F.year("first_d") * 100 + F.month("first_d")
+    j = o.join(first, "o_custkey").select(
+        month.alias("ym"), (month == first_month).alias("is_new")
+    )
+    return j.groupBy("ym").agg(
+        F.count(F.when(F.col("is_new"), 1)).alias("new_orders"),
+        F.count(F.when(~F.col("is_new"), 1)).alias("returning_orders"),
+    )
+
+
+registry.register(
+    "new_vs_returning",
+    q_new_vs_returning,
+    """
+    WITH first AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_d FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+           COUNT(CASE WHEN year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                        = year(f.first_d) * 100 + month(f.first_d)
+                 THEN 1 END) AS new_orders,
+           COUNT(CASE WHEN year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                       <> year(f.first_d) * 100 + month(f.first_d)
+                 THEN 1 END) AS returning_orders
+    FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification by cumulative revenue share
+# ---------------------------------------------------------------------------
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classes per brand: cumulative revenue share over
+    brands sorted by revenue desc (tie-break brand asc), A ≤ 80 %,
+    B ≤ 95 %, C above. The running sum and the grand total share one
+    window sort over the brands-sized aggregate (25 rows — at real
+    scale still SKU-bounded, never the fact); revenue stays exact
+    decimal into the single share division, so the class boundaries
+    compare identical doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    w_cum = (
+        Window.orderBy(F.col("rev").desc(), F.col("p_brand").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    cum_share = (
+        F.sum("rev").over(w_cum).cast("double")
+        / F.sum("rev").over(w_all).cast("double")
+    )
+    return rev.select(
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        _r6(cum_share).alias("cum_share"),
+        F.when(cum_share <= 0.80, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+registry.register(
+    "abc_classification",
+    q_abc_classification,
+    """
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    c AS (
+      SELECT p_brand, rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, p_brand ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) /
+             CAST(SUM(rev) OVER () AS DOUBLE) AS cum_share
+      FROM rev
+    )
+    SELECT p_brand, CAST(rev AS DOUBLE) AS revenue,
+           FLOOR(cum_share * 1000000.0 + 0.5) / 1000000.0 AS cum_share,
+           CASE WHEN cum_share <= 0.80 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)

@@ -88,3 +88,46 @@ def test_sparse_matmul_broadcasts_contraction(spark):
     # shuffle of A
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_top_event_paths_arity(spark):
+    from airflow_baseball_spark.queries_relational2 import q_top_event_paths
+
+    rows = q_top_event_paths(spark, SF).collect()
+    assert rows
+    # 5 event types → at most 125 trigram paths
+    assert len(rows) <= 125
+    for r in rows:
+        assert len(r.path.split(">")) == 3
+        assert r.n_occurrences >= 1
+
+
+def test_share_shift_sums_to_zero(spark):
+    from airflow_baseball_spark.queries_relational2 import q_share_shift
+
+    rows = q_share_shift(spark, SF).collect()
+    assert rows
+    # shares each sum to ~1 so deltas sum to ~0 (over surviving brands)
+    assert abs(sum(r.share_delta for r in rows)) < 1e-3
+
+
+def test_new_vs_returning_first_month(spark):
+    from airflow_baseball_spark.queries_relational2 import q_new_vs_returning
+
+    rows = sorted(q_new_vs_returning(spark, SF).collect(), key=lambda r: r.ym)
+    assert rows
+    # the earliest month has no possible returning orders
+    assert rows[0].returning_orders == 0
+    assert rows[0].new_orders > 0
+
+
+def test_abc_classes_ordered(spark):
+    from airflow_baseball_spark.queries_relational2 import q_abc_classification
+
+    rows = sorted(
+        q_abc_classification(spark, SF).collect(), key=lambda r: r.cum_share
+    )
+    assert {r.abc_class for r in rows} <= {"A", "B", "C"}
+    # classes are monotone along cumulative share
+    joined = "".join(r.abc_class for r in rows)
+    assert joined == "".join(sorted(joined))
