@@ -1752,3 +1752,136 @@ registry.register(
                  * 1000000.0 + 0.5) / 1000000.0 FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration top principal direction of the embedding Gram matrix
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 3
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix XᵀX by 3 power iterations — the PCA/spectral-init kernel,
+    distributed: each iteration is one matvec expressed as an
+    embarrassingly-parallel per-row dot product plus ONE dim-keyed
+    (64-row) aggregation. X is never collected; the iterate v is a
+    1-row broadcast array, localCheckpoint'ed per round so the plan
+    stays linear in iterations.
+
+    Engine-exact iteration (the reason this is oracle-checkable at
+    all): (1) the in-row dot x·v is an EXPLICIT 64-term left-chained
+    add — both engines evaluate the identical IEEE tree, no
+    summation-algorithm freedom; (2) per-row contributions quantize
+    to integers (floor(x_d·dot·1e6)) BEFORE the cross-row sum, so the
+    only order-sensitive reduction in the algorithm is a sum of
+    EXACT BIGINTs; (3) the norm uses decimal Σs² (s² overflows
+    int64); (4) v re-quantizes to the 1e-6 grid after normalizing,
+    so every iteration starts from bit-identical inputs. Same
+    quantize-before-reduce trick as unigram_perplexity."""
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(0.125)] * _PCA_DIM).alias("v")  # 1/√64, exact binary
+    )
+    for _ in range(_PCA_ITERS):
+        j = emb.crossJoin(F.broadcast(vdf))
+        dot = reduce(
+            lambda acc, d: acc
+            + F.element_at("embedding", d).cast("double")
+            * F.element_at("v", d),
+            range(2, _PCA_DIM + 1),
+            F.element_at("embedding", 1).cast("double") * F.element_at("v", 1),
+        )
+        q = j.select(
+            F.posexplode(
+                F.transform(
+                    F.col("embedding"),
+                    lambda e: F.floor(
+                        e.cast("double") * dot * 1000000.0
+                    ).cast("long"),
+                )
+            ).alias("pos", "qv")
+        )
+        wrows = q.groupBy("pos").agg(F.sum("qv").alias("s"))
+        normdf = wrows.agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("s").cast("decimal(38,0)") * F.col("s")).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+            ).alias("nrm")  # = 1e6 · ‖w‖, the 1e6 cancels in v_d below
+        )
+        vdf = (
+            wrows.crossJoin(F.broadcast(normdf))
+            .select(
+                "pos",
+                (
+                    F.floor(
+                        F.col("s").cast("double") / F.col("nrm") * 1000000.0
+                    )
+                    / 1000000.0
+                ).alias("vd"),
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("vd")))
+                    ),
+                    lambda st: st["vd"],
+                ).alias("v")
+            )
+            .localCheckpoint()
+        )
+    return vdf.select(F.posexplode("v").alias("dim", "loading"))
+
+
+def _pca_power_sql() -> str:
+    v0 = "[" + ", ".join(["0.125"] * _PCA_DIM) + "]::DOUBLE[]"
+    sql = [f"WITH v0 AS (SELECT {v0} AS v)"]
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        dot = " + ".join(
+            f"CAST(e.embedding[{d}] AS DOUBLE) * p.v[{d}]"
+            for d in range(1, _PCA_DIM + 1)
+        )
+        sql.append(
+            f""", j{t} AS (
+      SELECT e.embedding, ({dot}) AS dot
+      FROM embeddings e CROSS JOIN {prev} p
+    ),
+    q{t} AS (
+      SELECT u.pos,
+             SUM(CAST(FLOOR(CAST(j.embedding[u.pos] AS DOUBLE) * j.dot
+                            * 1000000.0) AS BIGINT)) AS s
+      FROM j{t} j CROSS JOIN
+           (SELECT UNNEST(generate_series(1, {_PCA_DIM})) AS pos) u
+      GROUP BY u.pos
+    ),
+    n{t} AS (
+      SELECT SQRT(CAST(SUM(CAST(CAST(s AS DECIMAL(38,0)) * s
+                                AS DECIMAL(38,0))) AS DOUBLE)) AS nrm
+      FROM q{t}
+    ),
+    v{t} AS (
+      SELECT list(FLOOR(CAST(s AS DOUBLE) / nrm * 1000000.0) / 1000000.0
+                  ORDER BY pos) AS v
+      FROM q{t} CROSS JOIN n{t}
+    )"""
+        )
+        prev = f"v{t}"
+    sql.append(
+        f"""
+    SELECT CAST(u.pos - 1 AS INTEGER) AS dim, v.v[u.pos] AS loading
+    FROM v{_PCA_ITERS} v CROSS JOIN
+         (SELECT UNNEST(generate_series(1, {_PCA_DIM})) AS pos) u
+    """
+    )
+    return "".join(sql)
+
+
+registry.register("pca_power", q_pca_power, _pca_power_sql())

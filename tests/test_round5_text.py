@@ -87,3 +87,15 @@ def test_standard_scaler_population_stats(spark):
     for r in rows:
         assert abs(r.z_l_quantity) < 10
         assert abs(r.z_l_discount) < 10
+
+
+def test_pca_power_unit_norm_and_dominance(spark):
+    import math
+
+    from airflow_baseball_spark.queries_text import q_pca_power
+
+    rows = q_pca_power(spark, SF).collect()
+    assert len(rows) == 64
+    v = [r.loading for r in sorted(rows, key=lambda r: r.dim)]
+    # quantized-normalized: ‖v‖ = 1 up to the 1e-6 grid
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
