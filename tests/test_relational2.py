@@ -131,3 +131,35 @@ def test_abc_classes_ordered(spark):
     # classes are monotone along cumulative share
     joined = "".join(r.abc_class for r in rows)
     assert joined == "".join(sorted(joined))
+
+
+def test_interval_union_bounds(spark):
+    from airflow_baseball_spark.queries_relational2 import q_interval_union_time
+
+    rows = q_interval_union_time(spark, SF).collect()
+    assert rows
+    win = 5 * 60 * 1000000
+    for r in rows:
+        # union length is at least one window and at most n_events windows
+        assert win <= r.active_us <= r.n_events * win
+
+
+def test_mom_growth_first_month_null(spark):
+    from airflow_baseball_spark.queries_relational2 import q_mom_growth
+
+    rows = q_mom_growth(spark, SF).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg_rows in by_seg.values():
+        seg_rows.sort(key=lambda r: r.ym)
+        assert seg_rows[0].mom_growth is None  # no prior month
+        assert all(r.mom_growth is not None for r in seg_rows[1:])
+
+
+def test_time_to_conversion_sane(spark):
+    from airflow_baseball_spark.queries_relational2 import q_time_to_conversion
+
+    r = q_time_to_conversion(spark, SF).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.min_hours <= r.mean_hours <= r.max_hours

@@ -58,8 +58,21 @@ def test_dup_rate_bounds(spark):
     rows = q_dup_rate_by_source(spark, SF).collect()
     assert rows
     for r in rows:
-        assert 0 <= r.n_dup <= r.n_docs
-        assert 0.0 <= r.dup_rate <= 1.0 + 1e-9
+        assert 0 <= r.n_suspect <= r.n_docs
+        assert 0.0 <= r.suspect_rate <= 1.0 + 1e-9
+    # the 5-gram grain actually fires on this corpus (the exact-digest
+    # version was vacuously zero everywhere)
+    assert any(r.n_suspect > 0 for r in rows)
+
+
+def test_source_overlap_nonvacuous_and_canonical(spark):
+    from airflow_baseball_spark.queries_text import q_source_overlap
+
+    rows = q_source_overlap(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.shared_digests >= 1
 
 
 def test_funnel_monotone(spark):
