@@ -5,10 +5,11 @@ is the whole point of hash-based (vs rand-based) splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable as _r6
 from airflow_baseball_spark.operators.sampling import (
     hash_sample,
     hash_unit_sql,
@@ -111,5 +112,92 @@ registry.register(
              ) AS BIGINT) AS domain_rank
       FROM documents
     ) WHERE domain_rank <= 15
+    """,
+)
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling of the labeled embeddings: every
+    label keeps exactly min-class-count rows, chosen by a
+    DETERMINISTIC hash order (md5 of the id — no RNG, so the sample
+    is reproducible at any parallelism and any engine). The rank
+    window partitions by label; the min count is a labels-sized
+    aggregate broadcast back. Output: per-label kept counts plus the
+    hash-order checksum of the kept ids, so the oracle attests WHICH
+    rows were kept, not just how many."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    kept = (
+        emb.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .filter(F.col("rk") <= F.col("min_n"))
+    )
+    return kept.groupBy("label").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("vec_id").cast("long").alias("kept_id_sum"),
+    )
+
+
+registry.register(
+    "class_balance",
+    q_class_balance,
+    """
+    WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    mn AS (SELECT MIN(n) AS min_n FROM counts),
+    ranked AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_kept,
+           CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+    FROM ranked CROSS JOIN mn
+    WHERE rk <= min_n
+    GROUP BY label
+    """,
+)
+
+
+def q_churn_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn screen: users whose LAST event is more than 7 days before
+    the corpus horizon (max ts), with their inactivity gap in hours.
+    Horizon and per-user last-seen come from the same scan (the
+    horizon is a 1-row broadcast); all arithmetic is exact epoch-µs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    last = ev.groupBy("user_id").agg(F.max("us").alias("last_us"))
+    horizon = ev.agg(F.max("us").alias("h"))
+    seven_d = 7 * 24 * 3600 * 1000000
+    j = last.crossJoin(F.broadcast(horizon))
+    return j.select(
+        "user_id",
+        _r6(
+            (F.col("h") - F.col("last_us")).cast("double") / 3600000000.0
+        ).alias("idle_hours"),
+        (F.col("h") - F.col("last_us") > F.lit(seven_d)).alias("churned"),
+    )
+
+
+registry.register(
+    "churn_flag",
+    q_churn_flag,
+    f"""
+    WITH l AS (
+      SELECT user_id, MAX(epoch_us(ts)) AS last_us FROM events
+      GROUP BY user_id
+    ),
+    h AS (SELECT MAX(epoch_us(ts)) AS h FROM events)
+    SELECT user_id,
+           FLOOR((CAST(h.h - l.last_us AS DOUBLE) / 3600000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS idle_hours,
+           h.h - l.last_us > {7 * 24 * 3600 * 1000000} AS churned
+    FROM l CROSS JOIN h
     """,
 )

@@ -188,3 +188,63 @@ registry.register(
     WHERE p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     """,
 )
+
+
+def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine: the events feed is
+    deterministically corrupted (every event_id % 37 == 0 loses its
+    JSON suffix — the same mangle on both engines, so the defect set
+    is identical), parsed PERMISSIVE-ly, and rolled up per event_type
+    into parsed/quarantined counts plus the sum of the extracted
+    field over GOOD rows only. This is the ingest-boundary pattern:
+    never drop rows silently — route unparseable ones to a counted
+    quarantine while typed extraction proceeds on the rest.
+    ``from_json`` yields NULL for invalid documents (JVM-side parse,
+    no Python UDF); the oracle's json_valid() reproduces the split."""
+    ev = load_table(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 37 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        mangled, StructType([StructField("k", LongType())])
+    )
+    return (
+        ev.select("event_type", parsed["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("k").alias("n_parsed"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_quarantined"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )
+
+
+registry.register(
+    "corrupt_quarantine",
+    q_corrupt_quarantine,
+    """
+    WITH m AS (
+      SELECT event_type,
+             CASE WHEN event_id % 37 = 0
+                  THEN SUBSTRING(props, 1, LENGTH(props) - 2)
+                  ELSE props END AS mp
+      FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             CASE WHEN json_valid(mp)
+                  THEN CAST(json_extract_string(mp, '$.k') AS BIGINT)
+             END AS k
+      FROM m
+    )
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           COUNT(k) AS n_parsed,
+           COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_quarantined,
+           CAST(SUM(k) AS BIGINT) AS k_sum
+    FROM p
+    GROUP BY event_type
+    """,
+)

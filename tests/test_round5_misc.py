@@ -1,0 +1,36 @@
+"""Invariant tests for the round-5 sampling/quarantine additions."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_class_balance_equal_counts(spark):
+    from airflow_baseball_spark.queries_sampling import q_class_balance
+
+    rows = q_class_balance(spark, SF).collect()
+    assert rows
+    kept = {r.n_kept for r in rows}
+    assert len(kept) == 1  # every label keeps exactly min-class-count
+
+
+def test_churn_flag_threshold(spark):
+    from airflow_baseball_spark.queries_sampling import q_churn_flag
+
+    rows = q_churn_flag(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.idle_hours >= 0.0
+        assert r.churned == (r.idle_hours > 7 * 24)
+
+
+def test_quarantine_partitions_rows(spark):
+    from airflow_baseball_spark.queries_streaming import q_corrupt_quarantine
+
+    rows = q_corrupt_quarantine(spark, SF).collect()
+    assert rows
+    total_quarantined = 0
+    for r in rows:
+        assert r.n_parsed + r.n_quarantined == r.n_total
+        total_quarantined += r.n_quarantined
+    assert total_quarantined > 0  # the mangle actually fires
