@@ -142,3 +142,92 @@ registry.register(
     FROM documents WHERE doc_id % 3 = 0
     """,
 )
+
+
+def q_media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard planner: assign assets (ordered by
+    asset_id) to contiguous shards of ~64 KB of payload, then report
+    each shard's asset count and byte total. shard_id = cumulative
+    bytes BEFORE the asset, integer-divided by the target — pure
+    integer window arithmetic, so the plan is identical on both
+    engines and any parallelism. At scale the single global
+    cumulative sort is the cost; a two-level form (per-partition
+    cumsum + broadcast partition offsets — token_pack's plan) removes
+    it, kept simple here because the oracle needs the exact global
+    order anyway."""
+    target = 64 * 1024
+    a = _assets(spark, sf_dir).select(
+        "asset_id", F.col("meta.byte_len").alias("byte_len")
+    )
+    sharded = a.withColumn(
+        "shard_id",
+        F.expr(f"coalesce(sum(byte_len) over (order by asset_id rows between unbounded preceding and 1 preceding), 0) div {target}"),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("byte_len").cast("long").alias("shard_bytes"),
+    )
+
+
+registry.register(
+    "media_shard_plan",
+    q_media_shard_plan,
+    f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id, length(text) AS byte_len FROM documents
+    ),
+    s AS (
+      SELECT asset_id, byte_len,
+             COALESCE(SUM(byte_len) OVER (
+               ORDER BY asset_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {64 * 1024} AS shard_id
+      FROM a
+    )
+    SELECT shard_id, COUNT(*) AS n_assets,
+           CAST(SUM(byte_len) AS BIGINT) AS shard_bytes
+    FROM s GROUP BY shard_id
+    """,
+)
+
+
+def q_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image batch assembly (the
+    variable-aspect training trick: batches must share a bucket so
+    tensors stack): bucket key = (10·width) div height — integer
+    arithmetic only, identical on both engines. Per bucket: image
+    count and total pixels. One image-filtered scan, one small-key
+    agg."""
+    a = _assets(spark, sf_dir).filter(F.col("media_type") == "image")
+    width = F.col("meta.width").cast("long")
+    height = F.col("meta.height").cast("long")
+    return (
+        a.select(
+            F.expr("(10 * meta.width) div meta.height").alias("aspect_bucket"),
+            (width * height).alias("pixels"),
+        )
+        .groupBy("aspect_bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("pixels").cast("long").alias("total_pixels"),
+        )
+    )
+
+
+registry.register(
+    "aspect_bucket",
+    q_aspect_bucket,
+    """
+    WITH img AS (
+      SELECT doc_id,
+             16 * (1 + length(text) % 64) AS width,
+             16 * (1 + length(text) % 48) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT (10 * width) // height AS aspect_bucket,
+           COUNT(*) AS n_images,
+           CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT)
+             AS total_pixels
+    FROM img GROUP BY 1
+    """,
+)

@@ -34,3 +34,29 @@ def test_quarantine_partitions_rows(spark):
         assert r.n_parsed + r.n_quarantined == r.n_total
         total_quarantined += r.n_quarantined
     assert total_quarantined > 0  # the mangle actually fires
+
+
+def test_shard_plan_partitions_all_assets(spark):
+    from airflow_baseball_spark.queries_multimodal import q_media_shard_plan
+
+    rows = sorted(
+        q_media_shard_plan(spark, SF).collect(), key=lambda r: r.shard_id
+    )
+    assert rows
+    # shard ids are contiguous from 0 and every asset lands somewhere
+    assert rows[0].shard_id == 0
+    assert [r.shard_id for r in rows] == list(range(len(rows)))
+    # every full shard crosses the target only via its LAST asset:
+    # bytes-before < target ⇒ shard_bytes < target + max_asset
+    assert all(r.n_assets > 0 for r in rows)
+
+
+def test_aspect_buckets_sane(spark):
+    from airflow_baseball_spark.queries_multimodal import q_aspect_bucket
+
+    rows = q_aspect_bucket(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # width 16..1024, height 16..768 → 10w//h in [0, 640]
+        assert 0 <= r.aspect_bucket <= 640
+        assert r.total_pixels > 0
