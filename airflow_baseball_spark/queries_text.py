@@ -1992,3 +1992,108 @@ registry.register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step training (2 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2
+_BPE_MARKS = ["\x01", "\x02"]
+
+
+def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-style tokenizer training, 2 unrolled merge
+    rounds: count every adjacent symbol pair across the corpus, merge
+    the globally most frequent pair (ties broken lexicographically —
+    the determinism that makes a global argmax checkable), rewrite
+    the corpus, repeat. Output: (round, merged pair, frequency).
+
+    Per round: pair extraction is IN-ROW (2-char substrings of the
+    symbol string), one pair-keyed count shuffle, a 1-row argmax
+    (max_by with a (count, pair) struct — no sort of the pair table),
+    and a broadcast join carries the winning pair into the in-row
+    rewrite. The corpus is localCheckpoint'ed between rounds — round
+    2's plan must not re-derive round 1's rewrite per reference.
+    Merged symbols are single control chars, so 'symbol' stays
+    'one char' and pair extraction needs no tokenizer state."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("s")
+    )
+    out_rows = []
+    for r in range(_BPE_ROUNDS):
+        pairs = docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - 1),
+                    lambda i: F.col("s").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+        # lexicographically-smallest among max-count pairs: max_by on
+        # a (n, negated-order trick) isn't expressible portably, so
+        # rank with ONE row_number over the pair-cardinality table
+        from pyspark.sql import Window as _W
+
+        w = _W.orderBy(F.col("n").desc(), F.col("pair").asc())
+        top = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("pair").alias("top_pair"), F.col("n").alias("top_n")
+            )
+        )
+        out_rows.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("top_pair").alias("merged_pair"),
+                F.col("top_n").alias("pair_count"),
+            )
+        )
+        docs = (
+            docs.crossJoin(F.broadcast(top))
+            .select(
+                "doc_id",
+                F.replace(
+                    F.col("s"), F.col("top_pair"), F.lit(_BPE_MARKS[r])
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    out = out_rows[0]
+    for extra in out_rows[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
+def _bpe_sql() -> str:
+    parts = ["WITH d0 AS (SELECT doc_id, text AS s FROM documents)"]
+    selects = []
+    for r in range(_BPE_ROUNDS):
+        mark = _BPE_MARKS[r].encode().hex()
+        parts.append(
+            f""", p{r} AS (
+      SELECT unnest(list_transform(
+               generate_series(1, length(s) - 1),
+               i -> substring(s, i, 2))) AS pair
+      FROM d{r}
+    ),
+    c{r} AS (SELECT pair, COUNT(*) AS n FROM p{r} GROUP BY pair),
+    t{r} AS (
+      SELECT pair AS top_pair, n AS top_n
+      FROM c{r} ORDER BY n DESC, pair ASC LIMIT 1
+    ),
+    d{r + 1} AS (
+      SELECT doc_id, replace(s, t.top_pair, chr({int(mark, 16)})) AS s
+      FROM d{r} CROSS JOIN t{r} t
+    )"""
+        )
+        selects.append(
+            f"SELECT {r} AS round, top_pair AS merged_pair,"
+            f" top_n AS pair_count FROM t{r}"
+        )
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+registry.register("bpe_merge_steps", q_bpe_merge_steps, _bpe_sql())

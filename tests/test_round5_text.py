@@ -112,3 +112,15 @@ def test_pca_power_unit_norm_and_dominance(spark):
     v = [r.loading for r in sorted(rows, key=lambda r: r.dim)]
     # quantized-normalized: ‖v‖ = 1 up to the 1e-6 grid
     assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
+
+
+def test_bpe_rounds_monotone(spark):
+    from airflow_baseball_spark.queries_text import q_bpe_merge_steps
+
+    rows = sorted(q_bpe_merge_steps(spark, SF).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == [0, 1]
+    for r in rows:
+        assert len(r.merged_pair) == 2
+        assert r.pair_count >= 1
+    # merging the top pair can only reduce (or tie) the next round's max
+    assert rows[1].pair_count <= rows[0].pair_count
