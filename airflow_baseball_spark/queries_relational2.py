@@ -883,3 +883,91 @@ registry.register(
     FROM conv
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table (model-evaluation gains chart)
+# ---------------------------------------------------------------------------
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for a scoring model: users ranked by a score
+    (here: click count as the predictor of purchase), split into
+    score deciles, each reporting conversion rate and CUMULATIVE
+    lift over the base rate — the standard campaign-targeting eval.
+
+    Score and label come from ONE conditional user aggregate;
+    NTILE(10) over (score desc, user_id) is deterministic by the
+    total order; the cumulative window and base-rate broadcast act on
+    the 10-row decile frame, never the users. All rates divide exact
+    integers."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("score"),
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) > 0
+        ).alias("converted"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
+    deciled = users.withColumn("decile", F.ntile(10).over(w))
+    per_decile = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("converted"), 1)).alias("n_converted"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    cum_rate = (
+        F.sum("n_converted").over(wc).cast("double")
+        / F.sum("n_users").over(wc).cast("double")
+    )
+    base_rate = (
+        F.sum("n_converted").over(wa).cast("double")
+        / F.sum("n_users").over(wa).cast("double")
+    )
+    return per_decile.select(
+        "decile",
+        "n_users",
+        "n_converted",
+        _r6(
+            F.col("n_converted").cast("double")
+            / F.col("n_users").cast("double")
+        ).alias("conv_rate"),
+        _r6(cum_rate / base_rate).alias("cum_lift"),
+    )
+
+
+registry.register(
+    "decile_lift",
+    q_decile_lift,
+    """
+    WITH users AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS score,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    deciled AS (
+      SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+      FROM users
+    ),
+    per_decile AS (
+      SELECT decile, COUNT(*) AS n_users,
+             COUNT(CASE WHEN converted THEN 1 END) AS n_converted
+      FROM deciled GROUP BY decile
+    )
+    SELECT decile, n_users, n_converted,
+           FLOOR((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS conv_rate,
+           FLOOR(((CAST(SUM(n_converted) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) /
+                   CAST(SUM(n_users) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE)) /
+                  (CAST(SUM(n_converted) OVER () AS DOUBLE) /
+                   CAST(SUM(n_users) OVER () AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cum_lift
+    FROM per_decile
+    """,
+)

@@ -163,3 +163,14 @@ def test_time_to_conversion_sane(spark):
     r = q_time_to_conversion(spark, SF).collect()[0]
     assert r.n_converted > 0
     assert 0 <= r.min_hours <= r.mean_hours <= r.max_hours
+
+
+def test_decile_lift_monotone_cum_lift(spark):
+    from airflow_baseball_spark.queries_relational2 import q_decile_lift
+
+    rows = sorted(q_decile_lift(spark, SF).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    # cumulative lift ends at exactly the base rate ratio = 1
+    assert abs(rows[-1].cum_lift - 1.0) < 1e-6
+    for r in rows:
+        assert 0.0 <= r.conv_rate <= 1.0 + 1e-9
