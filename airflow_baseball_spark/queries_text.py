@@ -2097,3 +2097,135 @@ def _bpe_sql() -> str:
 
 
 registry.register("bpe_merge_steps", q_bpe_merge_steps, _bpe_sql())
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stopword
+    classifier's prediction against the corpus's labeled ``lang``
+    column, with each cell's share of its actual-language row — the
+    eval harness every heuristic component needs next to it.
+    Prediction is the same in-row expression lang_id checks; one
+    (actual, predicted) count shuffle over a languages²-bounded key
+    space; row totals broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        docs.select(
+            F.col("lang").alias("actual"),
+            analysis.lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = cm.groupBy(F.col("actual").alias("a")).agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return (
+        cm.join(F.broadcast(totals), F.col("actual") == F.col("a"))
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            _r6(
+                F.col("n").cast("double") / F.col("row_total").cast("double")
+            ).alias("row_share"),
+        )
+    )
+
+
+registry.register(
+    "langid_confusion",
+    q_langid_confusion,
+    f"""
+    WITH s AS (
+      SELECT lang AS actual,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['en']}, t))) AS score_en,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['de']}, t))) AS score_de,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['fr']}, t))) AS score_fr,
+             len(list_filter({_TOKS}, t -> list_contains({_SW['es']}, t))) AS score_es
+      FROM documents
+    ),
+    p AS (
+      SELECT actual,
+             CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0
+                       AND score_es = 0 THEN 'und'
+                  WHEN score_en >= score_de AND score_en >= score_fr
+                       AND score_en >= score_es THEN 'en'
+                  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                  WHEN score_fr >= score_es THEN 'fr'
+                  ELSE 'es' END AS predicted
+      FROM s
+    ),
+    cm AS (
+      SELECT actual, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT actual AS a, CAST(SUM(n) AS BIGINT) AS row_total
+      FROM cm GROUP BY actual
+    )
+    SELECT cm.actual, cm.predicted, cm.n,
+           FLOOR((CAST(cm.n AS DOUBLE) / CAST(t.row_total AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS row_share
+    FROM cm JOIN totals t ON cm.actual = t.a
+    """,
+)
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus: the
+    pre-indexing drift check next to embedding_dim_stats (a label
+    whose norm band shifts signals a broken encoder). The squared
+    norm is an in-row EXPLICIT 64-term chained add (pca_power's
+    determinism rule — no summation-algorithm freedom), quantized to
+    the 1e-6 grid per row, then min/max/mean aggregate over exact
+    quantized values (sum of grid values is exact in int terms)."""
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = reduce(
+        lambda acc, d: acc
+        + F.element_at("embedding", d).cast("double")
+        * F.element_at("embedding", d).cast("double"),
+        range(2, 65),
+        F.element_at("embedding", 1).cast("double")
+        * F.element_at("embedding", 1).cast("double"),
+    )
+    qnorm = F.floor(F.sqrt(sq) * 1000000.0).cast("long")
+    per = emb.select("label", qnorm.alias("qn"))
+    return per.groupBy("label").agg(
+        F.count("*").alias("n"),
+        _r6(F.min("qn").cast("double") / 1000000.0).alias("min_norm"),
+        _r6(F.max("qn").cast("double") / 1000000.0).alias("max_norm"),
+        _r6(
+            F.sum("qn").cast("double")
+            / (F.count("*").cast("double") * 1000000.0)
+        ).alias("mean_norm"),
+    )
+
+
+def _norm_profile_sql() -> str:
+    sq = " + ".join(
+        f"CAST(embedding[{d}] AS DOUBLE) * CAST(embedding[{d}] AS DOUBLE)"
+        for d in range(1, 65)
+    )
+    return f"""
+    WITH per AS (
+      SELECT label,
+             CAST(FLOOR(SQRT({sq}) * 1000000.0) AS BIGINT) AS qn
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           FLOOR((CAST(MIN(qn) AS DOUBLE) / 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS min_norm,
+           FLOOR((CAST(MAX(qn) AS DOUBLE) / 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS max_norm,
+           FLOOR((CAST(SUM(qn) AS DOUBLE) /
+                  (CAST(COUNT(*) AS DOUBLE) * 1000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_norm
+    FROM per
+    GROUP BY label
+    """
+
+
+registry.register(
+    "embedding_norm_profile", q_embedding_norm_profile, _norm_profile_sql()
+)

@@ -124,3 +124,24 @@ def test_bpe_rounds_monotone(spark):
         assert r.pair_count >= 1
     # merging the top pair can only reduce (or tie) the next round's max
     assert rows[1].pair_count <= rows[0].pair_count
+
+
+def test_langid_confusion_rows_sum_to_one(spark):
+    from airflow_baseball_spark.queries_text import q_langid_confusion
+
+    rows = q_langid_confusion(spark, SF).collect()
+    assert rows
+    by_actual: dict[str, float] = {}
+    for r in rows:
+        by_actual[r.actual] = by_actual.get(r.actual, 0.0) + r.row_share
+    for share in by_actual.values():
+        assert abs(share - 1.0) < 1e-4
+
+
+def test_embedding_norm_profile_order(spark):
+    from airflow_baseball_spark.queries_text import q_embedding_norm_profile
+
+    rows = q_embedding_norm_profile(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
