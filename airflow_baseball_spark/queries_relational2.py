@@ -971,3 +971,114 @@ registry.register(
     FROM per_decile
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface: the q1 aggregate through spark.sql on temp views
+# ---------------------------------------------------------------------------
+
+
+def q_sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing-summary aggregate executed through the SQL STRING
+    interface (temp view + spark.sql) rather than the DataFrame DSL —
+    surface-parity proof that both fronts compile to the same Catalyst
+    plan, so a SQL-first user of this engine loses nothing. The view
+    name is namespaced per sf_dir; the statement is the portable
+    dialect shared with the oracle (decimal sums, floor-trick
+    rounding)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    view = "li_sql_api"
+    li.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_base_price,
+               COUNT(*) AS count_order,
+               FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                           AS DOUBLE) / COUNT(*))
+                     * 1000000.0 + 0.5) / 1000000.0 AS avg_disc
+        FROM {view}
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+registry.register(
+    "sql_api_pricing",
+    q_sql_api_pricing,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_base_price,
+           COUNT(*) AS count_order,
+           FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Generated calendar dimension (no source table)
+# ---------------------------------------------------------------------------
+
+
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generated in-engine (sequence explode, no
+    input table): one row per day across the order-date span, with
+    integer-derived fields only — dow as epoch-day mod 7 (the
+    engine-neutral convention of seasonality_dow), quarter from the
+    month integer. The date span comes from the orders table so the
+    dim always covers the facts; generation is an in-row explode of
+    one (min,max) row, trivially parallel via spread at real scale."""
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate ships as TIMESTAMP in the testdata parquet; the dim
+    # is day-grained, so normalize to DATE before the spine explode
+    rng = o.agg(
+        F.to_date(F.min("o_orderdate")).alias("d0"),
+        F.to_date(F.max("o_orderdate")).alias("d1"),
+    )
+    days = rng.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    dow = F.pmod(
+        F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")), F.lit(7)
+    )
+    return days.select(
+        "d",
+        F.year("d").alias("yr"),
+        F.month("d").alias("mo"),
+        F.dayofmonth("d").alias("dom"),
+        ((F.month("d") - 1) / 3).cast("int").alias("quarter0"),
+        dow.alias("dow_wed0"),
+        (dow >= 3).alias("is_weekend_ish"),
+    )
+
+
+registry.register(
+    "calendar_dim",
+    q_calendar_dim,
+    """
+    WITH rng AS (
+      SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+    ),
+    days AS (
+      SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      FROM rng
+    )
+    SELECT d,
+           year(d) AS yr, month(d) AS mo, day(d) AS dom,
+           CAST((month(d) - 1) // 3 AS INTEGER) AS quarter0,
+           CAST((date_diff('day', DATE '1992-01-01', d) % 7 + 7) % 7
+                AS INTEGER) AS dow_wed0,
+           ((date_diff('day', DATE '1992-01-01', d) % 7 + 7) % 7) >= 3
+             AS is_weekend_ish
+    FROM days
+    """,
+)

@@ -60,3 +60,25 @@ def test_aspect_buckets_sane(spark):
         # width 16..1024, height 16..768 → 10w//h in [0, 640]
         assert 0 <= r.aspect_bucket <= 640
         assert r.total_pixels > 0
+
+
+def test_sql_api_matches_dsl_plan(spark):
+    from airflow_baseball_spark.queries_relational2 import q_sql_api_pricing
+
+    rows = q_sql_api_pricing(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.count_order > 0
+        assert 0.0 <= r.avg_disc <= 0.2
+
+
+def test_calendar_dim_dense_and_consistent(spark):
+    from airflow_baseball_spark.queries_relational2 import q_calendar_dim
+
+    rows = sorted(q_calendar_dim(spark, SF).collect(), key=lambda r: r.d)
+    assert rows
+    # dense daily spine
+    assert (rows[-1].d - rows[0].d).days + 1 == len(rows)
+    for r in rows[:50]:
+        assert r.quarter0 == (r.mo - 1) // 3
+        assert 0 <= r.dow_wed0 <= 6
