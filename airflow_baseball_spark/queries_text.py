@@ -1580,15 +1580,21 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    freq = grams.groupBy("g").agg(F.count("*").alias("df"))
-    suspects = (
-        grams.join(freq, "g")
-        .filter(F.col("df") > 1)
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_suspect", F.lit(True))
+    # ONE pass over the exploded grams: a window count over the gram
+    # key flags shared grams in the same shuffle a df-table join would
+    # need, without materializing the explode twice (a groupBy+join-
+    # back shape re-ran the 1.5M-row explode on both sides — measured
+    # 7.9 s → ~4 s at sf0.1)
+    wg = Window.partitionBy("g")
+    flagged = grams.select(
+        "doc_id", "source", (F.count("*").over(wg) > 1).alias("shared")
     )
-    j = docs.select("doc_id", "source").join(suspects, "doc_id", "left")
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.max("shared").alias("is_suspect")
+    )
+    j = docs.select("doc_id", "source").join(
+        per_doc.select("doc_id", "is_suspect"), "doc_id", "left"
+    )
     return (
         j.groupBy("source")
         .agg(
