@@ -145,3 +145,18 @@ def test_embedding_norm_profile_order(spark):
     assert rows
     for r in rows:
         assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
+
+
+def test_ann_recall_eval_shape(spark):
+    from airflow_baseball_spark.queries_text import q_ann_recall_eval
+
+    rows = q_ann_recall_eval(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.qid % 125 == 0
+        assert r.nn_id != r.qid
+        assert -1.0 - 1e-6 <= r.nn_cos <= 1.0 + 1e-6
+        assert r.n_candidates >= 0
+        # found implies the NN is in a non-empty candidate set
+        if r.nn_found:
+            assert r.n_candidates >= 1
