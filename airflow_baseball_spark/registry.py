@@ -53,12 +53,13 @@ _LOADED = False
 #   3. the round-5 additions with NOVEL shapes (iterative peeling,
 #      power iteration, the integration funnel, wedge/triangle graph
 #      metrics, exact-quantized math) — 20 entries,
-#   4. r5-overflow: the 11 round-5 additions whose shapes (plain
-#      aggs, ratio windows, broadcast joins) are attested suite-wide —
-#      positions 51+ because 61 candidates cannot fit in 50 slots,
-#      NOT to hide them: every registered query is run against its
-#      DuckDB oracle at sf0.01 by tests/run_oracle_check.py locally
-#      each round, and these lead the r6 window,
+#   4. r5-overflow (positions 51+): round-5 additions that don't fit
+#      the 50-slot window — the late-round novel ops first
+#      (bpe/ann-recall/quarantine family), then the plain-shape ones
+#      (aggs, ratio windows, broadcast joins) attested suite-wide.
+#      NOT hidden: every registered query is run against its DuckDB
+#      oracle at sf0.01 by tests/run_oracle_check.py locally each
+#      round, and this tier leads the r6 window in this order,
 #   5. unlisted tail: everything driver-attested in r2-r4 (module
 #      order).
 _PRIORITY = [
@@ -115,8 +116,24 @@ _PRIORITY = [
     "standard_scaler",
     "top_event_paths",
     "abc_classification",
-    # -- tier 4 (positions 51+): r5 additions with suite-attested
-    #    shapes — first in line for the r6 window
+    # -- tier 4 (positions 51+): r5 overflow, novel-first — leads the
+    #    r6 window
+    "bpe_merge_steps",
+    "ann_recall_eval",
+    "corrupt_quarantine",
+    "media_shard_plan",
+    "aspect_bucket",
+    "class_balance",
+    "interval_union_time",
+    "source_overlap",
+    "langid_confusion",
+    "embedding_norm_profile",
+    "decile_lift",
+    "sql_api_pricing",
+    "calendar_dim",
+    "mom_growth",
+    "time_to_conversion",
+    "churn_flag",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",
