@@ -1082,3 +1082,124 @@ registry.register(
     FROM days
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-join semantics audit on a deterministically-dirtied FK
+    (dq_report's convention: o_orderkey % 97 == 0 nulls the custkey):
+    how many order rows match under standard equality (NULLs never
+    match), under null-safe equality against real keys (same — no
+    customer has a NULL key), and how many NULL-FK rows exist. The
+    point is the SEMANTIC difference made countable: a pipeline that
+    switches join operators must see these numbers move, not guess.
+    One conditional aggregate after a left join — the NULL keys hash
+    to one partition, which is exactly the skew a real cleanup would
+    pre-filter (documented here, harmless at dim scale)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("fk"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    j = o.join(c, o["fk"] == c["ck"], "left")
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.count("ck").alias("n_matched_eq"),
+        F.count(F.when(F.col("fk").isNull(), 1)).alias("n_null_fk"),
+        F.count(F.when(F.col("fk").isNotNull() & F.col("ck").isNull(), 1)).alias(
+            "n_orphan_fk"
+        ),
+    )
+
+
+registry.register(
+    "null_safe_join",
+    q_null_safe_join,
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_custkey END AS fk
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_orders,
+           COUNT(c.c_custkey) AS n_matched_eq,
+           COUNT(CASE WHEN o.fk IS NULL THEN 1 END) AS n_null_fk,
+           COUNT(CASE WHEN o.fk IS NOT NULL AND c.c_custkey IS NULL
+                 THEN 1 END) AS n_orphan_fk
+    FROM o LEFT JOIN customer c ON o.fk = c.c_custkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles (no interpolation)
+# ---------------------------------------------------------------------------
+
+
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete p50/p90 of ship latency per priority — the
+    percentile that must return an OBSERVED value (SLA reporting
+    contract), not an interpolated one. Both engines pick the element
+    at rank ceil(p·n) of the (value, tie-break) total order via an
+    explicit row_number — never each engine's own quantile_disc,
+    whose boundary conventions differ. One priority-keyed sort serves
+    both percentiles and the count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lat")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = lat.select(
+        "o_orderpriority",
+        "lat",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("lat"))
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.5).alias("p50_disc"),
+        pick(0.9).alias("p90_disc"),
+    )
+
+
+registry.register(
+    "percentile_disc",
+    q_percentile_disc,
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lat
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, lat,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY lat) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM lat
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = CEIL(0.5 * n) THEN lat END) AS p50_disc,
+           MAX(CASE WHEN rn = CEIL(0.9 * n) THEN lat END) AS p90_disc
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)

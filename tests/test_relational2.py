@@ -174,3 +174,26 @@ def test_decile_lift_monotone_cum_lift(spark):
     assert abs(rows[-1].cum_lift - 1.0) < 1e-6
     for r in rows:
         assert 0.0 <= r.conv_rate <= 1.0 + 1e-9
+
+
+def test_null_safe_join_partitions(spark):
+    from airflow_baseball_spark.queries_relational2 import q_null_safe_join
+
+    r = q_null_safe_join(spark, SF).collect()[0]
+    # NULLed FKs never match under equality; counts partition the fact
+    assert r.n_matched_eq + r.n_null_fk + r.n_orphan_fk == r.n_orders
+    assert r.n_null_fk > 0
+
+
+def test_percentile_disc_observed_values(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_percentile_disc,
+        q_ship_latency,
+    )
+
+    disc = {r.o_orderpriority: r for r in q_percentile_disc(spark, SF).collect()}
+    rng = {r.o_orderpriority: r for r in q_ship_latency(spark, SF).collect()}
+    assert set(disc) == set(rng)
+    for pr, r in disc.items():
+        # discrete percentiles are observed values inside the range
+        assert rng[pr].min_days <= r.p50_disc <= r.p90_disc <= rng[pr].max_days
