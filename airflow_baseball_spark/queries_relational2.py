@@ -1203,3 +1203,117 @@ registry.register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (value-based frame, not row-based)
+# ---------------------------------------------------------------------------
+
+
+def q_range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-CALENDAR-DAY revenue per day via a RANGE frame over
+    integer day offsets — the value-based frame ROWS cannot emulate
+    when days are missing (a ROWS 6-preceding window would reach back
+    across gaps and silently widen the time span; rolling_slope's
+    ROWS form is correct only because it *defines* its window in
+    rows). Exact decimal sums over the days-sized aggregate; one
+    unpartitioned range sort (documented safe, as autocorr)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    daily = daily.withColumn(
+        "di", F.datediff(F.to_date("d"), F.lit("1992-01-01").cast("date"))
+    )
+    w = Window.orderBy("di").rangeBetween(-6, 0)
+    return daily.select(
+        F.to_date("d").alias("d"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("decimal(28,2)").cast("double").alias(
+            "rev_7cal_days"
+        ),
+        F.count("*").over(w).alias("days_present_in_window"),
+    )
+
+
+registry.register(
+    "range_frame_agg",
+    q_range_frame_agg,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) AS di
+      FROM orders GROUP BY 1, 3
+    )
+    SELECT d, CAST(rev AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(rev) OVER (ORDER BY di
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(28,2)) AS DOUBLE) AS rev_7cal_days,
+           COUNT(*) OVER (ORDER BY di
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS days_present_in_window
+    FROM daily
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pivot with multiple aggregates per cell
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with TWO aggregates per pivoted value (count AND exact
+    decimal sum per event type, one row per user bucket) — the shape
+    BI tools emit constantly and naive pivots redo per metric. Pivot
+    values are EXPLICIT (no discovery scan — pivot_agg's rule); both
+    metrics come from the single pivot pass."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    types = ["click", "purchase", "view"]
+    pv = (
+        ev.filter(F.col("event_type").isin(*types))
+        .groupBy(bucket)
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    cols = [F.col("user_bucket")]
+    for t in types:
+        cols.append(F.col(f"{t}_n").cast("long").alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_v").alias(f"{t}_v"))
+    return pv.select(*cols)
+
+
+registry.register(
+    "pivot_multi_agg",
+    q_pivot_multi_agg,
+    """
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+           CAST(CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DECIMAL(28,2)) AS DOUBLE) AS click_v,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+           CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DECIMAL(28,2)) AS DOUBLE) AS purchase_v,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+           CAST(CAST(SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DECIMAL(28,2)) AS DOUBLE) AS view_v
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'view')
+    GROUP BY 1
+    """,
+)

@@ -197,3 +197,25 @@ def test_percentile_disc_observed_values(spark):
     for pr, r in disc.items():
         # discrete percentiles are observed values inside the range
         assert rng[pr].min_days <= r.p50_disc <= r.p90_disc <= rng[pr].max_days
+
+
+def test_range_frame_narrower_than_rows(spark):
+    from airflow_baseball_spark.queries_relational2 import q_range_frame_agg
+
+    rows = q_range_frame_agg(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # a 7-calendar-day RANGE window holds at most 7 present days
+        assert 1 <= r.days_present_in_window <= 7
+        assert r.rev_7cal_days >= r.revenue - 1e-6
+
+
+def test_pivot_multi_agg_consistency(spark):
+    from airflow_baseball_spark.queries_relational2 import q_pivot_multi_agg
+
+    rows = q_pivot_multi_agg(spark, SF).collect()
+    assert len(rows) == 10  # user_id % 10 buckets
+    for r in rows:
+        for t in ("click", "purchase", "view"):
+            n, v = getattr(r, f"{t}_n"), getattr(r, f"{t}_v")
+            assert (n == 0) == (v is None)  # sum NULL iff no rows
