@@ -795,3 +795,74 @@ registry.register(
     FROM rev
     """,
 )
+
+
+def q_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS: slope and intercept of event value over the day
+    index, one model PER event_type from a single pass of exact
+    decimal/integer sufficient statistics (regression_suite's global
+    form made per-key — the segmented-trend detector). One shuffle on
+    the group key; the five sums are map-combinable; the only IEEE
+    math is the final two divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    y = F.col("value").cast("decimal(18,2)")
+    stats = ev.select(
+        "event_type", x.alias("x"), y.alias("y")
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("y") * F.col("x")).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _r6(slope).alias("slope"),
+        _r6((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+registry.register(
+    "groupwise_regression",
+    q_groupwise_regression,
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(date_diff('day', DATE '2024-01-01',
+                           CAST(date_trunc('day', ts) AS DATE))) AS sx,
+             SUM(date_diff('day', DATE '2024-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) *
+                 date_diff('day', DATE '2024-01-01',
+                           CAST(date_trunc('day', ts) AS DATE))) AS sxx,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+                      date_diff('day', DATE '2024-01-01',
+                                CAST(date_trunc('day', ts) AS DATE))
+                      AS DECIMAL(38,4))) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           FLOOR(((CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept
+    FROM s
+    """,
+)
