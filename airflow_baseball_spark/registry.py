@@ -134,6 +134,11 @@ _PRIORITY = [
     "mom_growth",
     "time_to_conversion",
     "churn_flag",
+    "null_safe_join",
+    "percentile_disc",
+    "range_frame_agg",
+    "pivot_multi_agg",
+    "groupwise_regression",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",
