@@ -689,7 +689,10 @@ def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     user, clamp each interval's start to the running max end of all
     PRIOR intervals, and sum the positive remainders. Overlaps never
     double-count, and everything is exact epoch-µs integer arithmetic
-    on ONE user-keyed window sort."""
+    on ONE user-keyed window sort (operators/intervals.py — the
+    reusable form, property-tested against a brute-force oracle)."""
+    from airflow_baseball_spark.operators.intervals import interval_union
+
     win_us = 5 * 60 * 1000000
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -699,19 +702,9 @@ def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = ev.select(
         "user_id", "s", (F.col("s") + F.lit(win_us)).alias("e"), "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    clamped = iv.withColumn("prior_max_e", F.max("e").over(w))
-    contrib = F.greatest(
-        F.lit(0).cast("long"),
-        F.col("e") - F.greatest(F.col("s"), F.coalesce("prior_max_e", F.col("s"))),
-    )
     return (
-        clamped.groupBy("user_id")
-        .agg(F.sum(contrib).alias("active_us"), F.count("*").alias("n_events"))
+        interval_union(iv, key="user_id", start="s", end="e", order_tiebreak="event_id")
+        .withColumnsRenamed({"covered": "active_us", "n_intervals": "n_events"})
         .select(
             "user_id",
             "n_events",
