@@ -324,3 +324,23 @@ def test_skew_profile_is_takeordered(spark):
 
     plan = _plan(q_skew_profile(spark, SF))
     assert "TakeOrderedAndProject" in plan  # top-5 never global-sorts
+
+
+def test_join_hints_respected(spark):
+    """The engine honors explicit join-strategy hints — the escape
+    hatch when stats mislead the planner at 100 TB (a hinted plan is
+    a contract, not a suggestion). Same join, three hints, three
+    distinct physical operators."""
+    from airflow_baseball_spark.schemas import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey")
+    cond = li["l_orderkey"] == o["o_orderkey"]
+
+    plans = {
+        hint: _plan(li.join(o.hint(hint), cond))
+        for hint in ("broadcast", "merge", "shuffle_hash")
+    }
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    assert "SortMergeJoin" in plans["merge"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"]
