@@ -2435,3 +2435,40 @@ def _ann_recall_sql() -> str:
 
 
 registry.register("ann_recall_eval", q_ann_recall_eval, _ann_recall_sql())
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset datasheet for the document corpus: doc/source/
+    language cardinalities, exact token and character totals, and the
+    mean document length — the header numbers every dataset card
+    leads with, producible in ONE map-combinable pass (token counts
+    are in-row; the distincts are the only extra aggregates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        _r6(
+            F.sum(toks).cast("double") / F.count("*").cast("double")
+        ).alias("mean_doc_tokens"),
+    )
+
+
+registry.register(
+    "dataset_card",
+    q_dataset_card,
+    f"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           FLOOR((CAST(SUM(len({_TOKS})) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_doc_tokens
+    FROM documents
+    """,
+)

@@ -507,3 +507,96 @@ registry.register(
     FROM interior i JOIN thr t ON i.event_type = t.et
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan: the running sum of deviations from the
+    series mean peaks (in absolute value) at the most likely level
+    shift. Exactness: the cumulative statistic is carried as
+    ``n·Σ_prefix(v) − i·Σ_total(v)`` — pure decimal/integer products,
+    NEVER the running sum of float deviations — so the argmax is
+    bit-deterministic; only the reported magnitude divides at the
+    end. One window sort over the days-sized aggregate plus a 1-row
+    broadcast of (n, total); the argmax is a second tiny window."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("decimal(28,2)").alias("s"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        F.sum("v").over(w).cast("decimal(28,2)").alias("prefix"),
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    # cusum_i = prefix_i − (i/n)·s, scaled by n to stay exact:
+    scaled = j.select(
+        "d",
+        "i",
+        "n",
+        (
+            F.col("prefix") * F.col("n") - F.col("s") * F.col("i")
+        ).cast("decimal(38,2)").alias("c_scaled"),
+    )
+    wmax = Window.orderBy(
+        F.abs(F.col("c_scaled")).desc(), F.col("d").asc()
+    )
+    return (
+        scaled.withColumn("rk", F.row_number().over(wmax))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("d").alias("changepoint_day"),
+            F.col("i").alias("day_index"),
+            _r6(
+                F.abs(F.col("c_scaled")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("max_abs_cusum"),
+        )
+    )
+
+
+registry.register(
+    "cusum_changepoint",
+    q_cusum_changepoint,
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(v) AS DECIMAL(28,2)) AS s FROM daily
+    ),
+    pre AS (
+      SELECT d,
+             CAST(SUM(v) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(28,2)) AS prefix,
+             ROW_NUMBER() OVER (ORDER BY d) AS i
+      FROM daily
+    ),
+    scaled AS (
+      SELECT d, i, n,
+             CAST(prefix * n - s * i AS DECIMAL(38,2)) AS c_scaled
+      FROM pre CROSS JOIN tot
+    )
+    SELECT d AS changepoint_day, i AS day_index,
+           FLOOR((CAST(ABS(c_scaled) AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS max_abs_cusum
+    FROM scaled
+    ORDER BY ABS(c_scaled) DESC, d ASC
+    LIMIT 1
+    """,
+)

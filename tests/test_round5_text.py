@@ -160,3 +160,12 @@ def test_ann_recall_eval_shape(spark):
         # found implies the NN is in a non-empty candidate set
         if r.nn_found:
             assert r.n_candidates >= 1
+
+
+def test_dataset_card_consistency(spark):
+    from airflow_baseball_spark.queries_text import q_dataset_card
+
+    r = q_dataset_card(spark, SF).collect()[0]
+    assert r.n_docs > 0 and r.n_sources > 0 and r.n_langs > 0
+    assert r.total_tokens >= r.n_docs  # every doc has >= 1 token
+    assert abs(r.mean_doc_tokens - r.total_tokens / r.n_docs) < 1e-3

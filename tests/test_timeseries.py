@@ -105,3 +105,13 @@ def test_rolling_anomaly_interior_only_and_threshold(spark):
             # away from the boundary
             if abs(abs(r.residual) - thr) > 1e-6:
                 assert r.is_anomaly == flagged
+
+
+def test_cusum_changepoint_is_argmax(spark):
+    from airflow_baseball_spark.queries_timeseries import q_cusum_changepoint
+
+    rows = q_cusum_changepoint(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.day_index >= 1
+    assert r.max_abs_cusum >= 0.0
