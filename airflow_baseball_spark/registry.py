@@ -139,6 +139,8 @@ _PRIORITY = [
     "range_frame_agg",
     "pivot_multi_agg",
     "groupwise_regression",
+    "cusum_changepoint",
+    "dataset_card",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",
