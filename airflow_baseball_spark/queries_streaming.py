@@ -248,3 +248,41 @@ registry.register(
     GROUP BY event_type
     """,
 )
+
+
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of corrupt_quarantine: the same deterministic
+    mangle + PERMISSIVE parse running as a Structured Streaming job
+    (complete-mode drain), proving the quarantine pattern holds
+    across micro-batches with |types|-bounded state. Oracle = the
+    batch SQL — streaming and batch MUST agree on a bounded input."""
+    return jobs.run_stream_quarantine_available_now(spark, sf_dir)
+
+
+registry.register(
+    "stream_quarantine",
+    q_stream_quarantine,
+    """
+    WITH m AS (
+      SELECT event_type,
+             CASE WHEN event_id % 37 = 0
+                  THEN SUBSTRING(props, 1, LENGTH(props) - 2)
+                  ELSE props END AS mp
+      FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             CASE WHEN json_valid(mp)
+                  THEN CAST(json_extract_string(mp, '$.k') AS BIGINT)
+             END AS k
+      FROM m
+    )
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           COUNT(k) AS n_parsed,
+           COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_quarantined,
+           CAST(SUM(k) AS BIGINT) AS k_sum
+    FROM p
+    GROUP BY event_type
+    """,
+)

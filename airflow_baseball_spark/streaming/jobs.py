@@ -465,3 +465,34 @@ def stream_stream_pairs(events: DataFrame, max_lag: str = "30 minutes") -> DataF
 def run_stream_stream_join_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return _drain_to_memory(stream_stream_pairs(ev), "append")
+
+
+def quarantine_counts(events: DataFrame) -> DataFrame:
+    """Streaming ingest-boundary quarantine: per event_type, parsed vs
+    unparseable JSON payloads under the SAME deterministic mangle as
+    the batch corrupt_quarantine query (event_id % 37 drops the JSON
+    suffix). A stateless per-row parse + a global aggregate — no
+    watermark needed (the counts are keyed by type, not time), state
+    is |types|-bounded forever."""
+    mangled = F.when(
+        F.col("event_id") % 37 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(mangled, T.StructType([T.StructField("k", T.LongType())]))
+    return (
+        events.select("event_type", parsed["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("k").alias("n_parsed"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_quarantined"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )
+
+
+def run_stream_quarantine_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(quarantine_counts(ev), "complete")

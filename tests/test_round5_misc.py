@@ -82,3 +82,18 @@ def test_calendar_dim_dense_and_consistent(spark):
     for r in rows[:50]:
         assert r.quarter0 == (r.mo - 1) // 3
         assert 0 <= r.dow_wed0 <= 6
+
+
+def test_stream_quarantine_matches_batch(spark):
+    from airflow_baseball_spark.queries_streaming import (
+        q_corrupt_quarantine,
+        q_stream_quarantine,
+    )
+
+    batch = {r.event_type: r for r in q_corrupt_quarantine(spark, SF).collect()}
+    stream = {r.event_type: r for r in q_stream_quarantine(spark, SF).collect()}
+    assert batch.keys() == stream.keys()
+    for t in batch:
+        assert batch[t].n_parsed == stream[t].n_parsed
+        assert batch[t].n_quarantined == stream[t].n_quarantined
+        assert batch[t].k_sum == stream[t].k_sum
