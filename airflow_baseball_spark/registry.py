@@ -141,6 +141,7 @@ _PRIORITY = [
     "groupwise_regression",
     "cusum_changepoint",
     "dataset_card",
+    "stream_quarantine",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",
