@@ -77,3 +77,84 @@ def test_topk_with_ties_rank_semantics(spark, vals):
     cutoff = s[min(k, len(s)) - 1]
     expected = sorted(v for v in vals if v >= cutoff)
     assert got == expected, (vals, got, expected)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    days=st.lists(
+        st.integers(min_value=0, max_value=60), min_size=1, max_size=30
+    )
+)
+def test_streak_islands_match_brute_force(spark, days):
+    """day − row_number islands == brute-force consecutive-run scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    uniq = sorted(set(days))
+    df = spark.createDataFrame([(0, d) for d in uniq], "u long, d long")
+    w = Window.partitionBy("u").orderBy("d")
+    grp = df.withColumn("g", F.col("d") - F.row_number().over(w))
+    got = sorted(
+        r.n
+        for r in grp.groupBy("u", "g").agg(F.count("*").alias("n")).collect()
+    )
+    # brute force: split the sorted days into consecutive runs
+    runs, cur = [], 1
+    for a, b in zip(uniq, uniq[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    assert got == sorted(runs), (uniq, got, runs)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # value
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_weighted_median_2cum_rule(spark, pairs):
+    """smallest value with 2·cumweight ≥ total == brute-force scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(v, wt, i) for i, (v, wt) in enumerate(pairs)], "v long, wt long, i long"
+    )
+    w = Window.orderBy("v", "i").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    got = (
+        df.select(
+            "v",
+            F.sum("wt").over(w).alias("cum"),
+            F.sum("wt").over(wa).alias("tot"),
+        )
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("v"))
+        .collect()[0][0]
+    )
+    total = sum(wt for _, wt in pairs)
+    acc = 0
+    expected = None
+    for v, wt in sorted(pairs, key=lambda p: (p[0],)):
+        acc += wt
+        if 2 * acc >= total:
+            expected = v
+            break
+    assert got == expected, (pairs, got, expected)
