@@ -1,6 +1,10 @@
-"""Second relational volume (round 5): inter-event gap profiling,
-ship-latency SLA stats, 2-D histogram binning, trailing-window OLS
-slope, and event-type co-occurrence.
+"""Second relational volume (round 5): inter-event gaps, ship-latency
+SLA stats, 2-D histograms, rolling OLS slope, event co-occurrence,
+sparse matrix multiply, sequence mining, share shift, new-vs-returning,
+ABC classification, interval union, MoM growth, time-to-conversion,
+decile lift, the SQL-string-API surface proof, a generated calendar
+dimension, null-safe join semantics, discrete percentiles, RANGE-frame
+windows, and multi-aggregate pivot.
 
 Same engine-exactness rules as queries_stats.py: every reported
 double derives from exact integer counts / decimal sums through an

@@ -1,7 +1,7 @@
 """Time-series operators over the events/orders daily series:
 gaps-and-islands streaks, linear interpolation of missing days,
-lag-k autocorrelation, day-of-week seasonality, and centered-window
-anomaly flags.
+lag-k autocorrelation, day-of-week seasonality, centered-window
+anomaly flags, and CUSUM changepoint scanning.
 
 Same engine-exactness rules as queries_stats.py: every reported
 double derives from exact integer counts / decimal sums through an
