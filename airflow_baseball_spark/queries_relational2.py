@@ -1314,3 +1314,129 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Market-concentration measures: Gini coefficient and HHI
+# ---------------------------------------------------------------------------
+
+
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality number on
+    every marketplace dashboard. Identity used:
+    G = (2·Σ i·x_i)/(n·Σ x) − (n+1)/n with x sorted ascending and
+    i the 1-based rank; Σ i·x_i is a decimal·integer product summed
+    EXACTLY, so the two final divisions are the only IEEE ops. One
+    custkey aggregate, one global sort of the customers-sized spend
+    table (rank window), one 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum((F.col("x") * F.col("i")).cast("decimal(38,2)"))
+        .cast("decimal(38,2)")
+        .alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    return stats.select(
+        F.col("n").cast("long").alias("n_customers"),
+        _r6(2.0 * six / (n * sx) - (n + 1.0) / n).alias("gini"),
+    )
+
+
+registry.register(
+    "gini_coefficient",
+    q_gini_coefficient,
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS i
+      FROM spend
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(CAST(x * i AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS six
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           FLOOR((2.0 * CAST(six AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS gini
+    FROM stats
+    """,
+)
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of brand revenue:
+    HHI = Σ rev_i² / (Σ rev)² — both sums are EXACT decimal
+    aggregates over the brand-bounded revenue table, so the single
+    division is the only float op. The antitrust-style market-share
+    screen, one brand aggregate + one 1-row reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("r")
+        )
+    )
+    stats = rev.agg(
+        F.count("*").alias("n_brands"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+        F.sum("r").cast("decimal(38,2)").alias("s"),
+    )
+    return stats.select(
+        F.col("n_brands").cast("long").alias("n_brands"),
+        _r6(
+            F.col("ssq").cast("double")
+            / (F.col("s").cast("double") * F.col("s").cast("double"))
+        ).alias("hhi"),
+    )
+
+
+registry.register(
+    "hhi_concentration",
+    q_hhi_concentration,
+    """
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_brands,
+             CAST(SUM(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ssq,
+             CAST(SUM(r) AS DECIMAL(38,2)) AS s
+      FROM rev
+    )
+    SELECT CAST(n_brands AS BIGINT) AS n_brands,
+           FLOOR((CAST(ssq AS DOUBLE) /
+                  (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS hhi
+    FROM stats
+    """,
+)

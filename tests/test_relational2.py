@@ -219,3 +219,19 @@ def test_pivot_multi_agg_consistency(spark):
         for t in ("click", "purchase", "view"):
             n, v = getattr(r, f"{t}_n"), getattr(r, f"{t}_v")
             assert (n == 0) == (v is None)  # sum NULL iff no rows
+
+
+def test_gini_bounds(spark):
+    from airflow_baseball_spark.queries_relational2 import q_gini_coefficient
+
+    r = q_gini_coefficient(spark, SF).collect()[0]
+    assert r.n_customers > 0
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_hhi_bounds(spark):
+    from airflow_baseball_spark.queries_relational2 import q_hhi_concentration
+
+    r = q_hhi_concentration(spark, SF).collect()[0]
+    # HHI of n near-equal shares ≈ 1/n; always in [1/n, 1]
+    assert 1.0 / r.n_brands - 1e-9 <= r.hhi <= 1.0
