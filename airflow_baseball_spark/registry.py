@@ -142,6 +142,8 @@ _PRIORITY = [
     "cusum_changepoint",
     "dataset_card",
     "stream_quarantine",
+    "gini_coefficient",
+    "hhi_concentration",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",
