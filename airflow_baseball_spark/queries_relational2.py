@@ -1440,3 +1440,120 @@ registry.register(
     FROM stats
     """,
 )
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve companion to gini_coefficient: customer spend
+    deciles (NTILE over the ascending spend total order) with each
+    decile's share of total spend and the cumulative share — the
+    curve the Gini integrates. Spend stays exact decimal through both
+    window sums; the two share divisions are the only IEEE ops."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    deciled = spend.withColumn("decile", F.ntile(10).over(w))
+    per = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").cast("decimal(38,2)").alias("s"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_customers",
+        _r6(
+            F.col("s").cast("double") / F.sum("s").over(wa).cast("double")
+        ).alias("spend_share"),
+        _r6(
+            F.sum("s").over(wc).cast("double")
+            / F.sum("s").over(wa).cast("double")
+        ).alias("cum_spend_share"),
+    )
+
+
+registry.register(
+    "lorenz_curve",
+    q_lorenz_curve,
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+      SELECT x, NTILE(10) OVER (ORDER BY x ASC, o_custkey ASC) AS decile
+      FROM spend
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS s
+      FROM deciled GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           FLOOR((CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS spend_share,
+           FLOOR((CAST(SUM(s) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cum_spend_share
+    FROM per
+    """,
+)
+
+
+def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima of the daily revenue series (spike-day
+    detector): v > both calendar-sequence neighbors, interior days
+    only. The comparison is between EXACT decimals (never the float
+    projection), so peak membership cannot flip on a ulp; one
+    unpartitioned lag/lead window over the days-sized aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    w = Window.orderBy("d")
+    flagged = daily.select(
+        "d",
+        "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    return (
+        flagged.filter(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("v") > F.col("pv"))
+            & (F.col("v") > F.col("nv"))
+        )
+        .select("d", F.col("v").cast("double").alias("revenue"))
+    )
+
+
+registry.register(
+    "local_peaks",
+    q_local_peaks,
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
+      FROM orders GROUP BY o_orderdate
+    ),
+    f AS (
+      SELECT d, v,
+             LAG(v) OVER (ORDER BY d) AS pv,
+             LEAD(v) OVER (ORDER BY d) AS nv
+      FROM daily
+    )
+    SELECT d, CAST(v AS DOUBLE) AS revenue
+    FROM f
+    WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+    """,
+)

@@ -235,3 +235,22 @@ def test_hhi_bounds(spark):
     r = q_hhi_concentration(spark, SF).collect()[0]
     # HHI of n near-equal shares ≈ 1/n; always in [1/n, 1]
     assert 1.0 / r.n_brands - 1e-9 <= r.hhi <= 1.0
+
+
+def test_lorenz_curve_convex(spark):
+    from airflow_baseball_spark.queries_relational2 import q_lorenz_curve
+
+    rows = sorted(q_lorenz_curve(spark, SF).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # ascending-sort deciles → shares nondecreasing, cum ends at 1
+    shares = [r.spend_share for r in rows]
+    assert shares == sorted(shares)
+    assert abs(rows[-1].cum_spend_share - 1.0) < 1e-4
+
+
+def test_local_peaks_are_maxima(spark):
+    from airflow_baseball_spark.queries_relational2 import q_local_peaks
+
+    rows = q_local_peaks(spark, SF).collect()
+    assert rows  # multi-year daily series has interior spikes
+    assert all(r.revenue > 0 for r in rows)
