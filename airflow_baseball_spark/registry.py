@@ -144,6 +144,8 @@ _PRIORITY = [
     "stream_quarantine",
     "gini_coefficient",
     "hhi_concentration",
+    "lorenz_curve",
+    "local_peaks",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",
