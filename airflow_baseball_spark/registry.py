@@ -53,13 +53,14 @@ _LOADED = False
 #   3. the round-5 additions with NOVEL shapes (iterative peeling,
 #      power iteration, the integration funnel, wedge/triangle graph
 #      metrics, exact-quantized math) — 20 entries,
-#   4. r5-overflow (positions 51+): round-5 additions that don't fit
-#      the 50-slot window — the late-round novel ops first
-#      (bpe/ann-recall/quarantine family), then the plain-shape ones
-#      (aggs, ratio windows, broadcast joins) attested suite-wide.
-#      NOT hidden: every registered query is run against its DuckDB
-#      oracle at sf0.01 by tests/run_oracle_check.py locally each
-#      round, and this tier leads the r6 window in this order,
+#   4. r5-overflow (positions 51+): the 39 round-5 additions that
+#      don't fit the 50-slot window (59 were added this round; 20 fit
+#      in tier 3) — the late-round novel ops first (bpe/ann-recall/
+#      quarantine family), then the plain-shape ones (aggs, ratio
+#      windows, broadcast joins) attested suite-wide. NOT hidden:
+#      every registered query is run against its DuckDB oracle at
+#      sf0.01 by tests/run_oracle_check.py locally each round, and
+#      this tier leads the r6 window in this order,
 #   5. unlisted tail: everything driver-attested in r2-r4 (module
 #      order).
 _PRIORITY = [
