@@ -1557,3 +1557,115 @@ registry.register(
     WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
     """,
 )
+
+
+def q_order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size profile: how many orders have k line items — the
+    fact-shape histogram that sizes basket-style in-row expansions
+    (basket_pairs' per-order quadratic work is bounded by this
+    distribution's tail). Two combinable count aggs, integers only."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return per_order.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
+
+
+registry.register(
+    "order_lines_histogram",
+    q_order_lines_histogram,
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT n_lines, COUNT(*) AS n_orders FROM per_order GROUP BY n_lines
+    """,
+)
+
+
+def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of brand revenue between 1997 and
+    1998 — "did the brand league table hold?". Ranks are integer
+    row_numbers over each year's EXACT decimal revenue (tie-break
+    brand), so the Pearson-over-ranks sufficient sums are pure
+    integers and the final division is the only IEEE op. One scan
+    builds both years via conditional sums; two brand-bounded rank
+    windows; one 1-row reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year(F.col("l_shipdate"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_brand = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(yr == 1997, rev)).cast("decimal(28,2)").alias("r97"),
+            F.sum(F.when(yr == 1998, rev)).cast("decimal(28,2)").alias("r98"),
+        )
+        .filter(F.col("r97").isNotNull() & F.col("r98").isNotNull())
+    )
+    w97 = Window.orderBy(F.col("r97").desc(), F.col("p_brand").asc())
+    w98 = Window.orderBy(F.col("r98").desc(), F.col("p_brand").asc())
+    ranked = per_brand.select(
+        F.row_number().over(w97).alias("ra"),
+        F.row_number().over(w98).alias("rb"),
+    )
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    return stats.select(
+        F.col("n").cast("long").alias("n_brands"),
+        _r6(
+            (n * sab - sa * sb)
+            / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb))
+        ).alias("spearman_rho"),
+    )
+
+
+registry.register(
+    "spearman_rank_corr",
+    q_spearman_rank_corr,
+    """
+    WITH per_brand AS (
+      SELECT p.p_brand,
+             CAST(SUM(CASE WHEN year(l.l_shipdate) = 1997
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                  AS DECIMAL(28,2)) AS r97,
+             CAST(SUM(CASE WHEN year(l.l_shipdate) = 1998
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                  AS DECIMAL(28,2)) AS r98
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    f AS (SELECT * FROM per_brand WHERE r97 IS NOT NULL AND r98 IS NOT NULL),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY r97 DESC, p_brand ASC) AS ra,
+             ROW_NUMBER() OVER (ORDER BY r98 DESC, p_brand ASC) AS rb
+      FROM f
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(ra) AS sa, SUM(rb) AS sb,
+             SUM(ra * rb) AS sab, SUM(ra * ra) AS saa, SUM(rb * rb) AS sbb
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_brands,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+                  (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+                   SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+    FROM s
+    """,
+)

@@ -254,3 +254,22 @@ def test_local_peaks_are_maxima(spark):
     rows = q_local_peaks(spark, SF).collect()
     assert rows  # multi-year daily series has interior spikes
     assert all(r.revenue > 0 for r in rows)
+
+
+def test_order_lines_histogram_mass(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_order_lines_histogram,
+    )
+    from airflow_baseball_spark.schemas import load_table
+
+    rows = q_order_lines_histogram(spark, SF).collect()
+    total_lines = sum(r.n_lines * r.n_orders for r in rows)
+    assert total_lines == load_table(spark, SF, "lineitem").count()
+
+
+def test_spearman_in_range(spark):
+    from airflow_baseball_spark.queries_relational2 import q_spearman_rank_corr
+
+    r = q_spearman_rank_corr(spark, SF).collect()[0]
+    assert r.n_brands > 2
+    assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
