@@ -286,3 +286,24 @@ registry.register(
     GROUP BY event_type
     """,
 )
+
+
+def q_stream_windowed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct active users per day window as a streaming job:
+    watermarked dropDuplicates on (window, user) + ordinary count —
+    the bounded-state streaming distinct (COUNT(DISTINCT) is
+    unsupported in streaming aggs and HLL is approximate). Oracle =
+    plain batch COUNT(DISTINCT) per day."""
+    return jobs.run_windowed_users_available_now(spark, sf_dir)
+
+
+registry.register(
+    "stream_windowed_users",
+    q_stream_windowed_users,
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           COUNT(DISTINCT user_id) AS n_active_users
+    FROM events
+    GROUP BY 1
+    """,
+)

@@ -496,3 +496,32 @@ def run_stream_quarantine_available_now(
 ) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return _drain_to_memory(quarantine_counts(ev), "complete")
+
+
+def windowed_distinct_users(
+    events: DataFrame, window: str = "1 day", lateness: str = "1 hour"
+) -> DataFrame:
+    """Distinct active users per tumbling window — the streaming
+    distinct done the bounded-state way: a watermarked
+    dropDuplicates on (window, user) keeps one state row per
+    user-window (evicted at the watermark) and the downstream count
+    is an ordinary streaming agg. A COUNT(DISTINCT) inside the agg is
+    unsupported in streaming, and approx_count_distinct trades
+    exactness away — this two-step form is the exact, state-bounded
+    pattern."""
+    w = F.window("ts", window).alias("w")
+    return (
+        events.withWatermark("ts", lateness)
+        .select(w, "user_id", "ts")
+        .dropDuplicates(["w", "user_id"])
+        .groupBy("w")
+        .agg(F.count("*").alias("n_active_users"))
+        .select(F.col("w.start").alias("window_start"), "n_active_users")
+    )
+
+
+def run_windowed_users_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(windowed_distinct_users(ev), "complete")

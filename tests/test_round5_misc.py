@@ -97,3 +97,22 @@ def test_stream_quarantine_matches_batch(spark):
         assert batch[t].n_parsed == stream[t].n_parsed
         assert batch[t].n_quarantined == stream[t].n_quarantined
         assert batch[t].k_sum == stream[t].k_sum
+
+
+def test_stream_windowed_users_exact(spark):
+    from airflow_baseball_spark.queries_streaming import q_stream_windowed_users
+    from airflow_baseball_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    stream = {
+        r.window_start: r.n_active_users
+        for r in q_stream_windowed_users(spark, SF).collect()
+    }
+    batch = {
+        r.d: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert stream == batch
