@@ -1669,3 +1669,101 @@ registry.register(
     FROM s
     """,
 )
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices 1997→1998 over the
+    parts traded in BOTH years — the canonical basket-weighted
+    inflation measures.
+
+    Exactness: per-part unit prices are INTEGER micro-units,
+    floor((cents·10⁴) div qty) — integer division on both engines
+    (never a decimal divide, whose result scale differs per engine) —
+    so every index numerator/denominator is an exact Σ int·int and
+    the two divisions (plus Fisher's sqrt) are the only IEEE ops.
+    One scan builds both years via conditional sums; the part-level
+    table is the only shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year(F.col("l_shipdate"))
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    qty = F.col("l_quantity").cast("decimal(4,0)").cast("long")
+    per_part = (
+        li.filter(yr.isin(1997, 1998))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(yr == 1997, cents)).alias("c0"),
+            F.sum(F.when(yr == 1997, qty)).alias("q0"),
+            F.sum(F.when(yr == 1998, cents)).alias("c1"),
+            F.sum(F.when(yr == 1998, qty)).alias("q1"),
+        )
+        .filter(
+            F.col("q0").isNotNull()
+            & (F.col("q0") > 0)
+            & F.col("q1").isNotNull()
+            & (F.col("q1") > 0)
+        )
+    )
+    p0 = F.expr("(c0 * 10000) div q0")
+    p1 = F.expr("(c1 * 10000) div q1")
+    sums = per_part.agg(
+        F.count("*").alias("n_parts"),
+        F.sum(p1 * F.col("q0")).alias("l_num"),
+        F.sum(p0 * F.col("q0")).alias("l_den"),
+        F.sum(p1 * F.col("q1")).alias("p_num"),
+        F.sum(p0 * F.col("q1")).alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return sums.select(
+        F.col("n_parts").cast("long").alias("n_parts"),
+        _r6(lasp).alias("laspeyres"),
+        _r6(paas).alias("paasche"),
+        _r6(F.sqrt(lasp * paas)).alias("fisher"),
+    )
+
+
+registry.register(
+    "price_index",
+    q_price_index,
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CASE WHEN year(l_shipdate) = 1997
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) END) AS c0,
+             SUM(CASE WHEN year(l_shipdate) = 1997
+                 THEN CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT)
+                 END) AS q0,
+             SUM(CASE WHEN year(l_shipdate) = 1998
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) END) AS c1,
+             SUM(CASE WHEN year(l_shipdate) = 1998
+                 THEN CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT)
+                 END) AS q1
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1997, 1998)
+      GROUP BY l_partkey
+    ),
+    f AS (
+      SELECT * FROM per_part
+      WHERE q0 IS NOT NULL AND q0 > 0 AND q1 IS NOT NULL AND q1 > 0
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n_parts,
+             SUM(((c1 * 10000) // q1) * q0) AS l_num,
+             SUM(((c0 * 10000) // q0) * q0) AS l_den,
+             SUM(((c1 * 10000) // q1) * q1) AS p_num,
+             SUM(((c0 * 10000) // q0) * q1) AS p_den
+      FROM f
+    )
+    SELECT CAST(n_parts AS BIGINT) AS n_parts,
+           FLOOR((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS laspeyres,
+           FLOOR((CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS paasche,
+           FLOOR(SQRT((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)) *
+                      (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS fisher
+    FROM sums
+    """,
+)

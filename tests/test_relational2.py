@@ -273,3 +273,14 @@ def test_spearman_in_range(spark):
     r = q_spearman_rank_corr(spark, SF).collect()[0]
     assert r.n_brands > 2
     assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
+
+
+def test_price_index_fisher_between(spark):
+    from airflow_baseball_spark.queries_relational2 import q_price_index
+
+    r = q_price_index(spark, SF).collect()[0]
+    assert r.n_parts > 0
+    lo, hi = sorted((r.laspeyres, r.paasche))
+    # Fisher is the geometric mean: always between the two
+    assert lo - 1e-6 <= r.fisher <= hi + 1e-6
+    assert 0.5 < r.fisher < 2.0  # sane index band for this data
