@@ -600,3 +600,87 @@ registry.register(
     LIMIT 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Day-k retention curve
+# ---------------------------------------------------------------------------
+
+
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic day-k retention: of the users ELIGIBLE at k (first
+    event at least k days before the corpus horizon), what share was
+    active exactly k days after their first day, for k = 1..14.
+
+    One user-day distinct + a first-day aggregate joined back; the
+    k-expansion is an IN-ROW sequence explode on the users-sized
+    table (14 rows per user, never per event); both the eligible and
+    retained counts are exact integers from one (k)-keyed agg. The
+    horizon travels as a broadcast 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    horizon = days.agg(F.max("d").alias("h"))
+    ks = first.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "d0",
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("k"),
+        "h",
+    ).filter(F.date_add(F.col("d0"), F.col("k")) <= F.col("h"))
+    active = days.select(
+        F.col("user_id").alias("u2"), F.col("d").alias("d2")
+    )
+    j = ks.join(
+        active,
+        (F.col("user_id") == F.col("u2"))
+        & (F.date_add(F.col("d0"), F.col("k")) == F.col("d2")),
+        "left",
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.count("*").alias("n_eligible"),
+            F.count("d2").alias("n_retained"),
+        )
+        .select(
+            "k",
+            "n_eligible",
+            "n_retained",
+            _r6(
+                F.col("n_retained").cast("double")
+                / F.col("n_eligible").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+registry.register(
+    "retention_curve",
+    q_retention_curve,
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(d) AS h FROM days),
+    ks AS (
+      SELECT f.user_id, f.d0, u.k
+      FROM first f
+      CROSS JOIN horizon
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 14)) AS k) u
+      WHERE f.d0 + CAST(u.k AS INTEGER) <= h
+    )
+    SELECT ks.k,
+           COUNT(*) AS n_eligible,
+           COUNT(a.d) AS n_retained,
+           FLOOR((CAST(COUNT(a.d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS retention
+    FROM ks
+    LEFT JOIN days a
+      ON a.user_id = ks.user_id AND a.d = ks.d0 + CAST(ks.k AS INTEGER)
+    GROUP BY ks.k
+    """,
+)

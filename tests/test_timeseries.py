@@ -115,3 +115,16 @@ def test_cusum_changepoint_is_argmax(spark):
     r = rows[0]
     assert r.day_index >= 1
     assert r.max_abs_cusum >= 0.0
+
+
+def test_retention_curve_shape(spark):
+    from airflow_baseball_spark.queries_timeseries import q_retention_curve
+
+    rows = sorted(q_retention_curve(spark, SF).collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == list(range(1, 15))
+    for r in rows:
+        assert 0 <= r.n_retained <= r.n_eligible
+        assert 0.0 <= r.retention <= 1.0 + 1e-9
+    # eligibility shrinks as k grows (horizon cut)
+    elig = [r.n_eligible for r in rows]
+    assert elig == sorted(elig, reverse=True)
