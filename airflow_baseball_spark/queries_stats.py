@@ -866,3 +866,95 @@ registry.register(
     FROM s
     """,
 )
+
+
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the purchase
+    and click value distributions — the distribution-shift test
+    behind drift monitors (psi_drift's nonparametric sibling).
+
+    Exactness: values become exact cents; per distinct value the two
+    groups' counts aggregate once, ONE value-ordered window builds
+    both empirical CDFs as integer running counts, and the sup
+    statistic maximizes the INTEGER |ca·nb − cb·na| (equivalent to
+    |ca/na − cb/nb| without ever dividing), tie-broken by the
+    smallest value — a bit-deterministic argmax. The one division
+    happens on the single winning row."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_v = ev.select(
+        cents.alias("v"), (F.col("event_type") == "purchase").alias("is_a")
+    ).groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("na_v"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    cum = per_v.select(
+        "v",
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+        F.sum("na_v").over(wa).alias("na"),
+        F.sum("nb_v").over(wa).alias("nb"),
+    )
+    scored = cum.select(
+        "v",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias(
+            "d_scaled"
+        ),
+    )
+    wmax = Window.orderBy(F.col("d_scaled").desc(), F.col("v").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wmax))
+        .filter(F.col("rk") == 1)
+        .select(
+            (F.col("v").cast("double") / 100.0).alias("at_value"),
+            F.col("na").cast("long").alias("n_purchase"),
+            F.col("nb").cast("long").alias("n_click"),
+            _r6(
+                F.col("d_scaled").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+registry.register(
+    "ks_statistic",
+    q_ks_statistic,
+    """
+    WITH per_v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS na_v,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nb_v
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             SUM(na_v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb_v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(na_v) OVER () AS na,
+             SUM(nb_v) OVER () AS nb
+      FROM per_v
+    ),
+    scored AS (
+      SELECT v, na, nb, ABS(ca * nb - cb * na) AS d_scaled FROM cum
+    )
+    SELECT CAST(v AS DOUBLE) / 100.0 AS at_value,
+           CAST(na AS BIGINT) AS n_purchase,
+           CAST(nb AS BIGINT) AS n_click,
+           FLOOR((CAST(d_scaled AS DOUBLE) /
+                  (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+    FROM scored
+    ORDER BY d_scaled DESC, v ASC
+    LIMIT 1
+    """,
+)

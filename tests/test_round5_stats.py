@@ -77,3 +77,11 @@ def test_groupwise_regression_per_type(spark):
         # fitted mean must equal observed mean: intercept + slope·x̄ ≈ ȳ,
         # loosely bounded here (exact check is the oracle's job)
         assert abs(r.slope) < 100
+
+
+def test_ks_statistic_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_ks_statistic
+
+    r = q_ks_statistic(spark, SF).collect()[0]
+    assert r.n_purchase > 0 and r.n_click > 0
+    assert 0.0 <= r.ks_stat <= 1.0 + 1e-9
