@@ -1,0 +1,727 @@
+"""Model/data evaluation statistics: rank-based ROC-AUC (with the
+Mann-Whitney U it is equivalent to), categorical mutual information,
+and a Kaplan-Meier survival curve for time-to-conversion — the
+evaluation layer a training-data pipeline runs between dataset builds.
+
+Engine-independence convention (same as queries_stats): every checked
+double is derived from EXACT integer aggregates through an identical
+IEEE expression tree on both engines, then `_r6` floor-rounded. Where
+``ln``/``exp`` appear, their arguments are exact integer ratios and
+the surrounding float sums are either ORDERED cumulative windows
+(deterministic summation order on both engines) or bounded to a few
+dozen terms — the entropy_profile precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.schemas import load_table
+
+_r6 = round6_portable
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC / Mann-Whitney U via rank statistics
+# ---------------------------------------------------------------------------
+
+
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of ``value`` as a score separating purchase (positive)
+    from click (negative) events — the classifier-free feature-quality
+    probe: AUC = P(score_pos > score_neg) + ½·P(=), identically the
+    Mann-Whitney U statistic scaled by 1/(n₁n₀).
+
+    Exactness: values quantize to exact cents; per distinct cent the
+    two class counts aggregate once (map-side combinable), and ONE
+    value-ordered window yields, for every distinct value, the count
+    of negatives strictly below. The doubled pair count
+    ``Σ na_v·(2·cb_below + nb_v)`` is an INTEGER (wins counted twice,
+    ties once), so the only float op is the single final division —
+    the same never-divide-until-the-end trick as ks_statistic, which
+    this query complements (KS asks "do the distributions differ",
+    AUC asks "how well does the value rank the classes").
+
+    Scale: the window runs on the distinct-value table (bounded by
+    price granularity, not event volume); the fact table contributes
+    one combinable groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_v = (
+        ev.select(
+            cents.alias("v"),
+            (F.col("event_type") == "purchase").alias("is_pos"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("is_pos"), 1)).alias("na_v"),
+            F.count(F.when(~F.col("is_pos"), 1)).alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "na_v",
+        "nb_v",
+        F.coalesce(F.sum("nb_v").over(w), F.lit(0)).alias("cb_below"),
+    )
+    agg = cum.agg(
+        F.sum("na_v").alias("n_pos"),
+        F.sum("nb_v").alias("n_neg"),
+        F.sum(
+            F.col("na_v") * (F.lit(2) * F.col("cb_below") + F.col("nb_v"))
+        ).alias("num2"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (F.col("num2").cast("double") / F.lit(2.0)).alias("u_stat"),
+        _r6(
+            F.col("num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+registry.register(
+    "auc_roc",
+    q_auc_roc,
+    """
+    WITH per_v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS na_v,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nb_v
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT na_v, nb_v,
+             COALESCE(SUM(nb_v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb_below
+      FROM per_v
+    )
+    SELECT CAST(SUM(na_v) AS BIGINT) AS n_pos,
+           CAST(SUM(nb_v) AS BIGINT) AS n_neg,
+           CAST(SUM(na_v * (2 * cb_below + nb_v)) AS DOUBLE) / 2.0 AS u_stat,
+           FLOOR((CAST(SUM(na_v * (2 * cb_below + nb_v)) AS DOUBLE)
+                  / (2.0 * CAST(SUM(na_v) AS DOUBLE)
+                         * CAST(SUM(nb_v) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS auc
+    FROM cum
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical columns
+# ---------------------------------------------------------------------------
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over documents in nats —
+    the dependence probe behind feature selection and dataset-mixture
+    audits (does language leak the source, i.e. is a per-source
+    language balance needed before training?).
+
+    One joint groupBy on the fact, then BOTH marginals and the grand
+    total come from windows over the joint-count table (cells ≤
+    |lang|·|source|, never corpus-sized) — the fact is scanned once.
+    Each term (c/N)·ln(c·N / (cx·cy)) has an exact integer ratio
+    inside the ln and is written as the IDENTICAL expression tree on
+    both engines; the final Σ spans ≤ a few dozen cells (`_r6`).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    wx = Window.partitionBy("lang")
+    wy = Window.partitionBy("source")
+    wn = Window.partitionBy()
+    cells = joint.select(
+        "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    term = (F.col("c").cast("double") / F.col("n").cast("double")) * F.log(
+        (F.col("c").cast("double") * F.col("n").cast("double"))
+        / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+    )
+    return cells.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_cells"),
+        _r6(F.sum(term)).alias("mi_nats"),
+    )
+
+
+registry.register(
+    "mutual_information",
+    q_mutual_information,
+    """
+    WITH joint AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT c,
+             SUM(c) OVER (PARTITION BY lang) AS cx,
+             SUM(c) OVER (PARTITION BY source) AS cy,
+             SUM(c) OVER () AS n
+      FROM joint
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           FLOOR(SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * LN((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mi_nats
+    FROM cells
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (signup -> purchase, right-censored)
+# ---------------------------------------------------------------------------
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of "days from first signup to first
+    purchase": users who never purchase are right-censored at their
+    last observed event — the survival-analysis complement of
+    time_to_conversion (which reports raw durations for converters
+    only; KM uses the censored users' partial information too).
+
+    S(t) = Π_{event days d ≤ t} (1 − deaths_d / at_risk_d), computed
+    as exp of an ORDERED cumulative sum of ln((n−d)/n) terms — the
+    window order fixes the float summation order on both engines, and
+    every ln argument is an exact integer ratio. A cumulative max
+    flag handles the at-risk-set-exhausted boundary (S = 0 exactly,
+    never ln(0)). The windows run on the distinct-duration-day table
+    (≤ observation span in days), not on users or events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tlast"),
+    )
+    cohort = per_user.filter(F.col("t0").isNotNull()).select(
+        F.when(
+            F.col("tp") >= F.col("t0"),
+            F.datediff(F.to_date("tp"), F.to_date("t0")),
+        )
+        .otherwise(F.datediff(F.to_date("tlast"), F.to_date("t0")))
+        .alias("d"),
+        ((F.col("tp") >= F.col("t0")).cast("int")).alias("is_event"),
+    )
+    per_d = cohort.groupBy("d").agg(
+        F.sum("is_event").alias("n_ev"),
+        F.sum(F.lit(1) - F.col("is_event")).alias("n_cens"),
+        F.count("*").alias("n_all"),
+    )
+    w_before = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    risk = per_d.select(
+        "d",
+        "n_ev",
+        (
+            F.sum("n_all").over(w_tot)
+            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0))
+        ).alias("n_risk"),
+    )
+    ln_term = F.when(
+        (F.col("n_ev") > 0) & (F.col("n_risk") > F.col("n_ev")),
+        F.log(
+            (F.col("n_risk") - F.col("n_ev")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    dead = F.when(
+        (F.col("n_ev") > 0) & (F.col("n_risk") == F.col("n_ev")), 1
+    ).otherwise(0)
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = risk.select(
+        "d",
+        "n_ev",
+        "n_risk",
+        F.sum(ln_term).over(w_cum).alias("lnS"),
+        F.max(dead).over(w_cum).alias("exhausted"),
+    )
+    return curve.filter(F.col("n_ev") > 0).select(
+        F.col("d").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_ev").cast("long").alias("n_event"),
+        _r6(
+            F.when(F.col("exhausted") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.col("lnS"))
+            )
+        ).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index
+# ---------------------------------------------------------------------------
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of order values — the decomposable sibling
+    of gini_coefficient/lorenz_curve: T = (Σ x·ln x)/(N·μ) − ln μ.
+
+    The one float sum (Σ c·x·ln x over distinct cent values) runs as
+    an ORDERED cumulative window and the final row is taken — both
+    engines then add the identical terms in the identical ascending-v
+    order, so the sum is bit-deterministic even over ~N distinct
+    prices (the plain-agg ≤-few-dozen-terms allowance doesn't stretch
+    that far). N and Σ x stay integer cents; μ and ln μ derive from
+    them through one shared expression. The window runs single-
+    partition but on the distinct-price table, not the fact — at
+    100 TB that's bounded by price granularity; if it ever isn't,
+    the same two-level trick as ks_statistic's argmax applies."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_v = orders.select(cents.alias("v")).groupBy("v").agg(
+        F.count("*").alias("c")
+    )
+    xd = F.col("v").cast("double") / F.lit(100.0)
+    term = F.col("c").cast("double") * xd * F.log(xd)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy()
+    cum = per_v.select(
+        "v",
+        F.sum(term).over(w).alias("s_xlnx"),
+        F.sum("c").over(wn).alias("n"),
+        F.sum(F.col("c") * F.col("v")).over(wn).alias("cents_tot"),
+        F.max("v").over(wn).alias("v_max"),
+    ).filter(F.col("v") == F.col("v_max"))
+    mu = F.col("cents_tot").cast("double") / (
+        F.lit(100.0) * F.col("n").cast("double")
+    )
+    return cum.select(
+        F.col("n").cast("long").alias("n_orders"),
+        _r6(mu).alias("mean_price"),
+        _r6(
+            F.col("s_xlnx") / (F.col("n").cast("double") * mu) - F.log(mu)
+        ).alias("theil_t"),
+    )
+
+
+registry.register(
+    "theil_index",
+    q_theil_index,
+    """
+    WITH per_v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             SUM(CAST(c AS DOUBLE) * (CAST(v AS DOUBLE) / 100.0)
+                 * LN(CAST(v AS DOUBLE) / 100.0))
+               OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s_xlnx,
+             SUM(c) OVER () AS n,
+             SUM(c * v) OVER () AS cents_tot,
+             MAX(v) OVER () AS v_max
+      FROM per_v
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           FLOOR((CAST(cents_tot AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_price,
+           FLOOR((s_xlnx / (CAST(n AS DOUBLE)
+                            * (CAST(cents_tot AS DOUBLE)
+                               / (100.0 * CAST(n AS DOUBLE))))
+                  - LN(CAST(cents_tot AS DOUBLE)
+                       / (100.0 * CAST(n AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS theil_t
+    FROM cum WHERE v = v_max
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association strength
+# ---------------------------------------------------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between market segment and nation over customers —
+    the [0,1]-normalized effect size on top of chi2_features' raw
+    statistic: V = sqrt(χ² / (N·min(r−1, c−1))).
+
+    χ² sums (o−e)²/e over the r×c contingency cells; the cells table
+    comes from ONE fact groupBy with marginals as windows over it
+    (never a second fact scan), and the float sum runs as an ordered
+    cumulative window over (segment, nation) for bit-deterministic
+    summation. r, c, N are exact integers from the same pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    joint = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("o")
+    )
+    wx = Window.partitionBy("c_mktsegment")
+    wy = Window.partitionBy("c_nationkey")
+    wn = Window.partitionBy()
+    e = (F.col("rx").cast("double") * F.col("cy").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    cells = joint.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "o",
+        F.sum("o").over(wx).alias("rx"),
+        F.sum("o").over(wy).alias("cy"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    w_cum = Window.orderBy("c_mktsegment", "c_nationkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_last = Window.orderBy(
+        F.col("c_mktsegment").desc(), F.col("c_nationkey").desc()
+    )
+    scored = cells.select(
+        F.sum(term).over(w_cum).alias("chi2"),
+        F.col("n"),
+        F.row_number().over(w_last).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    dims = cust.agg(
+        F.countDistinct("c_mktsegment").alias("r"),
+        F.countDistinct("c_nationkey").alias("c"),
+    )
+    out = scored.crossJoin(F.broadcast(dims))
+    return out.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("r").cast("long").alias("n_segments"),
+        F.col("c").cast("long").alias("n_nations"),
+        _r6(F.col("chi2")).alias("chi2"),
+        _r6(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            )
+        ).alias("cramers_v"),
+    )
+
+
+registry.register(
+    "cramers_v",
+    q_cramers_v,
+    """
+    WITH joint AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS o
+      FROM customer GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT c_mktsegment, c_nationkey, o,
+             SUM(o) OVER (PARTITION BY c_mktsegment) AS rx,
+             SUM(o) OVER (PARTITION BY c_nationkey) AS cy,
+             SUM(o) OVER () AS n
+      FROM joint
+    ),
+    scored AS (
+      SELECT SUM((CAST(o AS DOUBLE)
+                  - (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE))
+                    / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                    - (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE))
+                      / CAST(n AS DOUBLE))
+                 / ((CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE))
+                    / CAST(n AS DOUBLE)))
+               OVER (ORDER BY c_mktsegment, c_nationkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chi2,
+             n,
+             ROW_NUMBER() OVER (ORDER BY c_mktsegment DESC,
+                                         c_nationkey DESC) AS rk
+      FROM cells
+    ),
+    dims AS (
+      SELECT COUNT(DISTINCT c_mktsegment) AS r,
+             COUNT(DISTINCT c_nationkey) AS c
+      FROM customer
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(r AS BIGINT) AS n_segments,
+           CAST(c AS BIGINT) AS n_nations,
+           FLOOR(chi2 * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+           FLOOR(SQRT(chi2 / (CAST(n AS DOUBLE)
+                              * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+    FROM scored, dims WHERE rk = 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean per group
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorized mean of account balances: clamp to the
+    exact [p05, p95] discrete percentiles, then average — the
+    outlier-robust aggregate between robust_stats' median/MAD and the
+    raw mean.
+
+    Exact rank rule on both engines: k = ⌈q·n⌉ computed in INTEGER
+    arithmetic ((n+19) div 20 — never 0.05·n in floats, whose
+    representation error flips ⌈⌉ at exact multiples), boundary =
+    value at row_number k of the segment-ordered cents. Clamped sums
+    stay integer cents, so the means are single exact divisions.
+    Scale: one rank window per segment (parallel across segments) +
+    one broadcast of the 5-row boundary table back onto the fact."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    base = cust.select(F.col("c_mktsegment").alias("seg"), cents.alias("v"))
+    wseg = Window.partitionBy("seg").orderBy("v")
+    wn = Window.partitionBy("seg")
+    ranked = base.select(
+        "seg",
+        "v",
+        F.row_number().over(wseg).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rk") == F.expr("(n + 19) div 20"))
+            | (F.col("rk") == F.expr("(19 * n + 19) div 20"))
+        )
+        .groupBy("seg")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    clamped = base.join(F.broadcast(bounds), "seg").select(
+        "seg",
+        "v",
+        F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")).alias("cv"),
+        "lo",
+        "hi",
+    )
+    return (
+        clamped.groupBy("seg")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.sum("v").alias("sv"),
+            F.sum("cv").alias("scv"),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("lo").cast("double") / 100.0).alias("p05"),
+            (F.col("hi").cast("double") / 100.0).alias("p95"),
+            _r6(
+                F.col("sv").cast("double")
+                / (F.lit(100.0) * F.col("n").cast("double"))
+            ).alias("mean_raw"),
+            _r6(
+                F.col("scv").cast("double")
+                / (F.lit(100.0) * F.col("n").cast("double"))
+            ).alias("mean_winsor"),
+        )
+    )
+
+
+registry.register(
+    "winsorized_mean",
+    q_winsorized_mean,
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM customer
+    ),
+    ranked AS (
+      SELECT seg, v,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM base
+    ),
+    bounds AS (
+      SELECT seg, MIN(v) AS lo, MAX(v) AS hi
+      FROM ranked
+      WHERE rk = (n + 19) // 20 OR rk = (19 * n + 19) // 20
+      GROUP BY 1
+    )
+    SELECT b.seg AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(bd.lo) AS DOUBLE) / 100.0 AS p05,
+           CAST(MIN(bd.hi) AS DOUBLE) / 100.0 AS p95,
+           FLOOR((CAST(SUM(b.v) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_raw,
+           FLOOR((CAST(SUM(LEAST(GREATEST(b.v, bd.lo), bd.hi)) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_winsor
+    FROM base b JOIN bounds bd ON b.seg = bd.seg
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit over the term-frequency distribution
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(frequency) on ln(rank) over the top-100 corpus
+    terms — the Zipf power-law exponent, a standard corpus-health
+    probe (natural text slopes ≈ −1; synthetic/templated corpora
+    flatten or steepen it). Builds on vocab_topk's term table.
+
+    The four OLS sums run as ordered cumulative windows over rank and
+    the rank-100 row is taken, so the 100-term float sums add in one
+    fixed order on both engines; slope and intercept then derive from
+    those five exact doubles through one shared closed form."""
+    from airflow_baseball_spark.text import analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(analysis.tokens(F.col("text"))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "term").limit(100)
+    w_rank = Window.orderBy(F.col("n").desc(), "term")
+    ranked = top.select(
+        "n", F.row_number().over(w_rank).cast("long").alias("rank")
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    sums = ranked.select(
+        "rank",
+        F.sum(x).over(w_cum).alias("sx"),
+        F.sum(y).over(w_cum).alias("sy"),
+        F.sum(x * y).over(w_cum).alias("sxy"),
+        F.sum(x * x).over(w_cum).alias("sxx"),
+        F.max("rank").over(w_all).alias("kk"),
+    ).filter(F.col("rank") == F.col("kk"))  # last row = full ordered sums
+    k = F.col("kk").cast("double")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("rank").alias("n_terms"),
+        _r6(slope).alias("zipf_slope"),
+        _r6((F.col("sy") - slope * F.col("sx")) / k).alias("intercept"),
+    )
+
+
+registry.register(
+    "zipf_slope",
+    q_zipf_slope,
+    """
+    WITH counts AS (
+      SELECT term, COUNT(*) AS n
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT)
+               AS rank
+      FROM counts ORDER BY n DESC, term LIMIT 100
+    ),
+    sums AS (
+      SELECT rank,
+             SUM(LN(CAST(rank AS DOUBLE)))
+               OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sx,
+             SUM(LN(CAST(n AS DOUBLE)))
+               OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sy,
+             SUM(LN(CAST(rank AS DOUBLE)) * LN(CAST(n AS DOUBLE)))
+               OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sxy,
+             SUM(LN(CAST(rank AS DOUBLE)) * LN(CAST(rank AS DOUBLE)))
+               OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sxx,
+             MAX(rank) OVER () AS kk
+      FROM top
+    )
+    SELECT rank AS n_terms,
+           FLOOR(((CAST(kk AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(kk AS DOUBLE) * sxx - sx * sx))
+                 * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+           FLOOR(((sy - ((CAST(kk AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(kk AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(kk AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept
+    FROM sums WHERE rank = kk
+    """,
+)
+
+
+registry.register(
+    "kaplan_meier",
+    q_kaplan_meier,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             MAX(ts) AS tlast
+      FROM events GROUP BY 1
+    ),
+    cohort AS (
+      SELECT CASE WHEN tp >= t0
+                  THEN datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                  ELSE datediff('day', CAST(t0 AS DATE), CAST(tlast AS DATE))
+             END AS d,
+             CASE WHEN tp >= t0 THEN 1 ELSE 0 END AS is_event
+      FROM per_user WHERE t0 IS NOT NULL
+    ),
+    per_d AS (
+      SELECT d, SUM(is_event) AS n_ev, COUNT(*) AS n_all
+      FROM cohort GROUP BY 1
+    ),
+    risk AS (
+      SELECT d, n_ev,
+             SUM(n_all) OVER ()
+               - COALESCE(SUM(n_all) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_d
+    ),
+    curve AS (
+      SELECT d, n_ev, n_risk,
+             SUM(CASE WHEN n_ev > 0 AND n_risk > n_ev
+                      THEN LN(CAST(n_risk - n_ev AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+               OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnS,
+             MAX(CASE WHEN n_ev > 0 AND n_risk = n_ev THEN 1 ELSE 0 END)
+               OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS exhausted
+      FROM risk
+    )
+    SELECT CAST(d AS BIGINT) AS day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_ev AS BIGINT) AS n_event,
+           FLOOR((CASE WHEN exhausted = 1 THEN 0.0 ELSE EXP(lnS) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS survival
+    FROM curve WHERE n_ev > 0
+    """,
+)

@@ -176,6 +176,7 @@ def _load() -> None:
     from airflow_baseball_spark import (  # noqa: F401
         queries_core,
         queries_domain,
+        queries_eval,
         queries_io,
         queries_llm,
         queries_multimodal,

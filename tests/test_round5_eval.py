@@ -1,0 +1,82 @@
+"""Invariant tests for the evaluation-statistics operators
+(queries_eval): rank-based ROC-AUC, mutual information, Kaplan-Meier
+survival curve."""
+
+from __future__ import annotations
+
+from airflow_baseball_spark.queries_eval import (
+    q_auc_roc,
+    q_cramers_v,
+    q_kaplan_meier,
+    q_mutual_information,
+    q_theil_index,
+    q_winsorized_mean,
+    q_zipf_slope,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_auc_roc_bounds_and_u_consistency(spark):
+    r = q_auc_roc(spark, SF).collect()[0]
+    assert 0.0 <= r.auc <= 1.0
+    # AUC is U/(n1*n0) by construction — verify the identity to 1e-6
+    assert abs(r.auc - r.u_stat / (r.n_pos * r.n_neg)) < 1e-6
+    # U is a half-integer (pair wins + half-ties)
+    assert (2 * r.u_stat) == int(2 * r.u_stat)
+
+
+def test_mutual_information_nonneg_and_bounded(spark):
+    r = q_mutual_information(spark, SF).collect()[0]
+    # MI >= 0 (rounding can only move it by 1e-6)
+    assert r.mi_nats >= -1e-6
+    # MI <= min(H(X), H(Y)) <= ln(n_cells)
+    import math
+
+    assert r.mi_nats <= math.log(max(r.n_cells, 2))
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    rows = q_kaplan_meier(spark, SF).orderBy("day").collect()
+    assert rows, "cohort must be non-empty"
+    surv = [r.survival for r in rows]
+    # survival is a nonincreasing step function in [0, 1]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+    # risk set shrinks as days advance
+    risks = [r.n_risk for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+    # first step: survival = 1 - d1/n1 exactly (to rounding)
+    r0 = rows[0]
+    assert abs(r0.survival - (1.0 - r0.n_event / r0.n_risk)) < 2e-6
+
+
+def test_theil_index_nonneg(spark):
+    r = q_theil_index(spark, SF).collect()[0]
+    assert r.n_orders > 0 and r.mean_price > 0
+    # Theil T >= 0 with equality iff all values equal
+    assert r.theil_t >= -1e-6
+
+
+def test_cramers_v_bounds(spark):
+    r = q_cramers_v(spark, SF).collect()[0]
+    assert r.chi2 >= 0
+    assert -1e-6 <= r.cramers_v <= 1.0 + 1e-6
+    assert r.n_segments > 1 and r.n_nations > 1
+
+
+def test_winsorized_mean_clamps_toward_center(spark):
+    rows = q_winsorized_mean(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.p05 <= r.p95
+        # winsorized mean lies within the clamp bounds
+        assert r.p05 - 1e-9 <= r.mean_winsor <= r.p95 + 1e-9
+
+
+def test_zipf_slope_negative(spark):
+    r = q_zipf_slope(spark, SF).collect()[0]
+    # sf0.001's vocabulary can be smaller than the 100-term cap
+    assert 2 <= r.n_terms <= 100
+    # frequency decreases with rank => negative slope
+    assert r.zipf_slope < 0
