@@ -725,3 +725,87 @@ registry.register(
     FROM curve WHERE n_ev > 0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score confidence interval per group
+# ---------------------------------------------------------------------------
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of English documents with a Wilson 95% score
+    interval — the proportion CI that stays inside [0,1] and behaves
+    at small n (what a dataset card should quote instead of ±1.96·SE).
+
+    One combinable groupBy yields exact (k, n) per source; every
+    reported double derives from those two integers through one
+    shared closed-form expression tree (z = 1.96 literal), `_r6`."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("k"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z * z / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        _r6(p).alias("p_hat"),
+        _r6(center - half).alias("ci_lo"),
+        _r6(center + half).alias("ci_hi"),
+    )
+
+
+registry.register(
+    "wilson_ci",
+    q_wilson_ci,
+    """
+    WITH agg AS (
+      SELECT source, COUNT(*) AS n,
+             COUNT(CASE WHEN lang = 'en' THEN 1 END) AS k
+      FROM documents GROUP BY 1
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           FLOOR((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS p_hat,
+           FLOOR((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+                  / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+                  - (1.96 * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (1.0 - CAST(k AS DOUBLE)
+                                          / CAST(n AS DOUBLE))
+                                 / CAST(n AS DOUBLE)
+                                 + 1.96 * 1.96
+                                   / (4.0 * CAST(n AS DOUBLE)
+                                          * CAST(n AS DOUBLE)))
+                     / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+           FLOOR((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+                  / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+                  + (1.96 * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (1.0 - CAST(k AS DOUBLE)
+                                          / CAST(n AS DOUBLE))
+                                 / CAST(n AS DOUBLE)
+                                 + 1.96 * 1.96
+                                   / (4.0 * CAST(n AS DOUBLE)
+                                          * CAST(n AS DOUBLE)))
+                     / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+    FROM agg
+    """,
+)

@@ -1155,3 +1155,207 @@ def _kcore_sql() -> str:
 
 
 registry.register("kcore", q_kcore, _kcore_sql())
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction score for brand pairs with at least
+    one common co-purchase neighbor: AA(a,b) = Σ_{z∈N(a)∩N(b)}
+    1/ln(deg z) — node_jaccard's degree-weighted sibling (rare shared
+    neighbors count more), plus an is_existing_edge flag so the
+    non-edge rows are the ranked link predictions.
+
+    Exactness: the per-VERTEX weight 1/ln(deg z) quantizes to an
+    exact BIGINT (floor(1e9/ln deg)) BEFORE the per-pair sum — the
+    unigram_perplexity trick — so the wedge-grouped Σ is pure integer
+    arithmetic, order-invariant across engines; deg z ≥ 2 for any
+    common neighbor, so ln never sees 1. Shape: the same middle-vertex
+    wedge join as node_jaccard with the degree table broadcast onto
+    the adjacency BEFORE wedging — common-neighbor weights arrive
+    grouped, no neighbor sets materialize."""
+    edges = _above_avg_edges(spark, sf_dir)
+    # degree-1 vertices can never be a wedge middle (they have one
+    # neighbor) — prune BEFORE the eager w9 computation or ln(1)=0
+    # divides by zero
+    deg = _degrees(edges).filter(F.col("degree") >= 2)
+    w9 = F.floor(
+        F.lit(1e9) / F.log(F.col("degree").cast("double"))
+    ).cast("long")
+    adj = (
+        edges.select(F.col("brand_a").alias("c"), F.col("brand_b").alias("x"))
+        .unionAll(
+            edges.select(
+                F.col("brand_b").alias("c"), F.col("brand_a").alias("x")
+            )
+        )
+        .join(F.broadcast(deg.select(F.col("v").alias("c"), w9.alias("w9"))), "c")
+    )
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), F.col("l.c") == F.col("r.c"))
+        .filter(F.col("l.x") < F.col("r.x"))
+        .groupBy(
+            F.col("l.x").alias("brand_a"), F.col("r.x").alias("brand_b")
+        )
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.col("l.w9")).alias("aa9"),
+        )
+    )
+    flagged = wedges.join(
+        edges.withColumn("is_e", F.lit(1)),
+        ["brand_a", "brand_b"],
+        "left",
+    )
+    return flagged.select(
+        "brand_a",
+        "brand_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.coalesce(F.col("is_e"), F.lit(0)).cast("long").alias(
+            "is_existing_edge"
+        ),
+        _r6(F.col("aa9").cast("double") / F.lit(1e9)).alias("adamic_adar"),
+    )
+
+
+registry.register(
+    "adamic_adar",
+    q_adamic_adar,
+    _PAIRS_SQL
+    + """,
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    ),
+    adj AS (
+      SELECT a.c, a.x,
+             CAST(FLOOR(1e9 / LN(CAST(d.degree AS DOUBLE))) AS BIGINT) AS w9
+      FROM (SELECT brand_a AS c, brand_b AS x FROM edges
+            UNION ALL SELECT brand_b AS c, brand_a AS x FROM edges) a
+      JOIN deg d ON a.c = d.v AND d.degree >= 2
+    ),
+    wedges AS (
+      SELECT l.x AS brand_a, r.x AS brand_b,
+             COUNT(*) AS n_common, SUM(l.w9) AS aa9
+      FROM adj l JOIN adj r ON l.c = r.c AND l.x < r.x
+      GROUP BY 1, 2
+    )
+    SELECT w.brand_a, w.brand_b,
+           CAST(w.n_common AS BIGINT) AS n_common,
+           CAST(CASE WHEN e.brand_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_existing_edge,
+           FLOOR((CAST(w.aa9 AS DOUBLE) / 1e9) * 1000000.0 + 0.5)
+             / 1000000.0 AS adamic_adar
+    FROM wedges w
+    LEFT JOIN edges e
+      ON w.brand_a = e.brand_a AND w.brand_b = e.brand_b
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN-style grid-density clustering
+# ---------------------------------------------------------------------------
+
+_GRID_R = 0.1
+_GRID_MINPTS = 5
+
+
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering of the embedding cloud's first two
+    dimensions: cells of side 0.1 with ≥5 points are dense, and
+    8-neighbor-adjacent dense cells merge into clusters (the
+    GriDBSCAN/density-grid family — DBSCAN's scalable approximation
+    that replaces the ε-neighborhood query with a grid histogram).
+
+    Scale shape: the fact contributes ONE combinable cell-count
+    groupBy; everything after (adjacency self-join, iterative CC via
+    operators/connected_components.py) runs on the dense-cell table,
+    bounded by the grid, not the data. Cell ids are exact integers
+    (floor of float/const division — identical IEEE on both engines);
+    the oracle closes the same adjacency with a recursive CTE, so
+    components match by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            F.floor(
+                F.col("embedding").getItem(0).cast("double") / F.lit(_GRID_R)
+            ).alias("cx"),
+            F.floor(
+                F.col("embedding").getItem(1).cast("double") / F.lit(_GRID_R)
+            ).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_points"))
+        .filter(F.col("n_points") >= _GRID_MINPTS)
+    )
+    nid = ((F.col("cx") + 100) * 1000 + (F.col("cy") + 100)).cast("long")
+    dense = cells.select("cx", "cy", "n_points", nid.alias("nid"))
+    a, b = dense.alias("a"), dense.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+            & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+            & (F.col("a.nid") < F.col("b.nid")),
+        )
+        .select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
+    )
+    from airflow_baseball_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    comp = connected_components(edges)
+    return dense.join(
+        comp, dense["nid"] == comp["node"], "left"
+    ).select(
+        F.col("cx").cast("long").alias("cx"),
+        F.col("cy").cast("long").alias("cy"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.coalesce(F.col("root"), F.col("nid")).cast("long").alias(
+            "cluster_root"
+        ),
+    )
+
+
+registry.register(
+    "dbscan_grid",
+    q_dbscan_grid,
+    f"""
+    WITH RECURSIVE
+    dense AS (
+      SELECT cx, cy, COUNT(*) AS n_points,
+             (cx + 100) * 1000 + (cy + 100) AS nid
+      FROM (
+        SELECT FLOOR(CAST(embedding[1] AS DOUBLE) / {_GRID_R}) AS cx,
+               FLOOR(CAST(embedding[2] AS DOUBLE) / {_GRID_R}) AS cy
+        FROM embeddings
+      )
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_GRID_MINPTS}
+    ),
+    sym AS (
+      SELECT a.nid AS u, b.nid AS v
+      FROM dense a JOIN dense b
+        ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+       AND a.nid <> b.nid
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS root
+             FROM reach GROUP BY u)
+    SELECT CAST(d.cx AS BIGINT) AS cx, CAST(d.cy AS BIGINT) AS cy,
+           CAST(d.n_points AS BIGINT) AS n_points,
+           CAST(COALESCE(c.root, d.nid) AS BIGINT) AS cluster_root
+    FROM dense d LEFT JOIN comp c ON d.nid = c.node
+    """,
+)

@@ -1767,3 +1767,128 @@ registry.register(
     FROM sums
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join via day-bucket equi-join
+# ---------------------------------------------------------------------------
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user activity sessions overlap the corpus's
+    above-average-traffic days — the interval×interval overlap join,
+    expressed Spark-first: sessions EXPLODE into the day buckets they
+    touch (bounded by session length) and equi-join the hot-day table
+    on the bucket key, so Catalyst plans a plain shuffled hash join
+    instead of an unboundable theta join. The general recipe for
+    overlap joins at 100 TB: pick a bucket granularity ≥ typical
+    interval length, explode the shorter-interval side, equi-join,
+    dedup — never `ON a.s <= b.e AND b.s <= a.e` (BNL, corpus²).
+
+    Sessions are 30-min-gap sessionize over integer epoch-µs (the
+    sessionize_batch rule); hot days use the scale-invariant integer
+    threshold c·n_days > Σc (no float mean). All outputs are counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.col("ts"), F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = base.select(
+        "user_id",
+        "ts",
+        "us",
+        F.when(gap > 30 * 60 * 1000000, 1).otherwise(0).alias("new_s"),
+    )
+    sid = (
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid")
+    )
+    sess = (
+        flagged.select("user_id", "ts", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        )
+    )
+    sess_days = sess.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    stats = daily.agg(
+        F.count("*").alias("n_days"), F.sum("c").alias("tot")
+    )
+    hot = (
+        daily.crossJoin(F.broadcast(stats))
+        .filter(F.col("c") * F.col("n_days") > F.col("tot"))
+        .select("d", "c")
+    )
+    return (
+        sess_days.join(hot, "d")
+        .groupBy("d", "c")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            "d",
+            F.col("c").cast("long").alias("day_events"),
+            "n_sessions",
+            "n_users",
+        )
+    )
+
+
+registry.register(
+    "interval_overlap_join",
+    q_interval_overlap_join,
+    """
+    WITH base AS (
+      SELECT user_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, us,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM base
+    ),
+    sids AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM sids GROUP BY 1, 2
+    ),
+    sess_days AS (
+      SELECT user_id, CAST(dd AS DATE) AS d
+      FROM sess, LATERAL unnest(generate_series(d0, d1,
+                                                INTERVAL 1 DAY)) AS g(dd)
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    stats AS (SELECT COUNT(*) AS n_days, SUM(c) AS tot FROM daily),
+    hot AS (
+      SELECT d, c FROM daily CROSS JOIN stats WHERE c * n_days > tot
+    )
+    SELECT s.d, CAST(h.c AS BIGINT) AS day_events,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM sess_days s JOIN hot h ON s.d = h.d
+    GROUP BY 1, 2
+    """,
+)

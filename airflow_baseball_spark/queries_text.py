@@ -2472,3 +2472,128 @@ registry.register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Add-one-smoothed bigram language model, per-source cross-entropy
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy under the corpus's own add-one
+    bigram LM — unigram_perplexity's order-sensitive sibling (a
+    shuffled corpus keeps its unigram score but not this one), the
+    next-cheapest LM-quality filter after unigram.
+
+    p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V): counts over observed
+    bigrams, V = unigram vocabulary. Per-pair log-probs QUANTIZE to
+    BIGINT (floor(ln p · 1e9)) before every sum — the
+    unigram_perplexity trick — so all aggregates are order-invariant
+    integer arithmetic and perplexity = exp of one exact ratio.
+
+    Scale: bigrams come from a per-doc LEAD window (doc-partitioned,
+    parallel); pair stats re-aggregate the (doc,pair) table; the
+    pair-LM table joins back by pair key (keyed shuffle, never
+    broadcast — pair vocab grows with corpus); the source rollup is
+    sources-sized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        "source",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    doc_pairs = big.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count("*").alias("tf")
+    )
+    c12 = doc_pairs.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    lp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("lp9"),
+        )
+    )
+    scored = doc_pairs.join(lp, ["w1", "w2"])
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (
+                -F.sum(F.col("tf") * F.col("lp9")).cast("double")
+                / (F.sum("tf").cast("double") * F.lit(1e9))
+            ).alias("nll"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            _r6(F.col("nll")).alias("mean_nll"),
+            _r6(F.exp(F.col("nll"))).alias("perplexity"),
+        )
+    )
+
+
+registry.register(
+    "bigram_lm",
+    q_bigram_lm,
+    """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source, arr[i] AS w1, arr[i + 1] AS w2
+      FROM t, LATERAL unnest(generate_series(1, len(arr) - 1)) AS g(i)
+    ),
+    doc_pairs AS (
+      SELECT doc_id, source, w1, w2, COUNT(*) AS tf
+      FROM big GROUP BY 1, 2, 3, 4
+    ),
+    c12 AS (SELECT w1, w2, SUM(tf) AS c12 FROM doc_pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(arr) AS tok FROM t)
+    ),
+    lp AS (
+      SELECT a.w1, a.w2,
+             CAST(FLOOR(LN(CAST(a.c12 + 1 AS DOUBLE)
+                           / CAST(b.c1 + vv.v AS DOUBLE)) * 1e9) AS BIGINT)
+               AS lp9
+      FROM c12 a JOIN c1 b ON a.w1 = b.w1 CROSS JOIN vocab vv
+    ),
+    scored AS (
+      SELECT d.source, d.tf, l.lp9
+      FROM doc_pairs d JOIN lp l ON d.w1 = l.w1 AND d.w2 = l.w2
+    )
+    SELECT source,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           FLOOR((-CAST(SUM(tf * lp9) AS DOUBLE)
+                  / (CAST(SUM(tf) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_nll,
+           FLOOR(EXP(-CAST(SUM(tf * lp9) AS DOUBLE)
+                     / (CAST(SUM(tf) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+    FROM scored
+    GROUP BY 1
+    """,
+)

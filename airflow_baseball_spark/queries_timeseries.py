@@ -684,3 +684,251 @@ registry.register(
     GROUP BY ks.k
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median (order-statistic window)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median of daily per-type revenue — the robust
+    rolling level estimate (rolling_anomaly's mean-based sibling);
+    medians don't decompose into partial aggregates, so the window
+    collects its ≤7 values in-row and takes the exact lower-median
+    order statistic.
+
+    Exactness: values are integer cents; the median is element
+    (n+1) div 2 of the in-row sorted array — pure integer selection,
+    no interpolation, engine-identical. Scale: the array is bounded
+    by the FRAME (7), not the data; the window sorts the days-sized
+    daily aggregate within each type, never the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"), "value")
+        .groupBy("event_type", "d")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("v").over(w))
+    with_arr = daily.select("event_type", "d", arr.alias("a"))
+    med = F.element_at(
+        F.col("a"), F.expr("(size(a) + 1) div 2").cast("int")
+    )
+    return with_arr.select(
+        "event_type",
+        "d",
+        F.size("a").cast("long").alias("n_in_window"),
+        (med.cast("double") / F.lit(100.0)).alias("rolling_median"),
+    )
+
+
+registry.register(
+    "rolling_median",
+    q_rolling_median,
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+      SELECT event_type, d,
+             list(v) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS a
+      FROM daily
+    )
+    SELECT event_type, d,
+           CAST(len(a) AS BIGINT) AS n_in_window,
+           CAST(list_extract(list_sort(a), (len(a) + 1) // 2) AS DOUBLE)
+             / 100.0 AS rolling_median
+    FROM arrs
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict today =
+    same weekday last week, LAG 7 over the daily revenue series) —
+    the baseline every real forecast must beat, and the cheap
+    drift/seasonality health check on a pipeline's volume series.
+
+    Exactness: daily revenue is integer cents; MAE and mean error are
+    pure integer Σ|f−a| and Σ(f−a); the per-day sMAPE ratio quantizes
+    to BIGINT (floor(2e9·|f−a|/(f+a))) before its sum, so every
+    aggregate is order-invariant integer arithmetic (the
+    unigram_perplexity trick). The lag-7 window orders the days-sized
+    aggregate — one single-partition window over ~hundreds of rows,
+    not the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .groupBy("d")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("a")
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d", "a", F.lag("a", 7).over(w).alias("f")
+    ).filter(F.col("f").isNotNull())
+    smape9 = F.floor(
+        F.lit(2e9)
+        * F.abs(F.col("f") - F.col("a")).cast("double")
+        / (F.col("f") + F.col("a")).cast("double")
+    ).cast("long")
+    return lagged.agg(
+        F.count("*").cast("long").alias("n_days"),
+        _r6(
+            F.sum(F.abs(F.col("f") - F.col("a"))).cast("double")
+            / (F.lit(100.0) * F.count("*").cast("double"))
+        ).alias("mae"),
+        _r6(
+            F.sum(F.col("f") - F.col("a")).cast("double")
+            / (F.lit(100.0) * F.count("*").cast("double"))
+        ).alias("mean_err"),
+        _r6(
+            F.sum(smape9).cast("double")
+            / (F.count("*").cast("double") * F.lit(1e9))
+        ).alias("smape"),
+    )
+
+
+registry.register(
+    "seasonal_naive_eval",
+    q_seasonal_naive_eval,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS a
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, a, LAG(a, 7) OVER (ORDER BY d) AS f FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR((CAST(SUM(ABS(f - a)) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mae,
+           FLOOR((CAST(SUM(f - a) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_err,
+           FLOOR((CAST(SUM(CAST(FLOOR(2e9 * CAST(ABS(f - a) AS DOUBLE)
+                                      / CAST(f + a AS DOUBLE)) AS BIGINT))
+                       AS DOUBLE)
+                  / (CAST(COUNT(*) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS smape
+    FROM lagged WHERE f IS NOT NULL
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact sliding-window distinct users via per-user interval merge
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in the trailing 7 days, for every day —
+    the rolling-MAU/WAU curve. COUNT(DISTINCT) over a sliding window
+    doesn't decompose, so the scalable EXACT form inverts it: each
+    (user, active-day) covers windows [d, d+6]; merge each user's
+    overlapping coverage intervals (gaps-and-islands, one user-keyed
+    window sort), explode the DISJOINT merged intervals into days,
+    and a plain COUNT per day is the distinct count — no distinct
+    aggregation ever runs on the exploded table. Explode volume is
+    bounded by 7·active-days (and less after merging), vs the naive
+    day×user range join's unbounded fanout; cumulative_distinct_users
+    is the from-inception sibling."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    iv = pairs.select(
+        "user_id", F.col("d").alias("s"), F.date_add("d", 6).alias("e")
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prior), 1)
+        .otherwise(0)
+        .alias("new_i"),
+    )
+    iid = F.sum("new_i").over(
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        flagged.select("user_id", "s", "e", iid.alias("iid"))
+        .groupBy("user_id", "iid")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    days = merged.select(
+        "user_id", F.explode(F.sequence("ms", "me")).alias("d")
+    )
+    bounds = pairs.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    return (
+        days.crossJoin(F.broadcast(bounds))
+        .filter((F.col("d") >= F.col("dmin")) & (F.col("d") <= F.col("dmax")))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_users_7d"))
+    )
+
+
+registry.register(
+    "sliding_distinct_users",
+    q_sliding_distinct_users,
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    iv AS (
+      SELECT user_id, d AS s, d + INTERVAL 6 DAY AS e FROM pairs
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_i
+      FROM iv
+    ),
+    merged AS (
+      SELECT user_id, iid, MIN(s) AS ms, MAX(e) AS me
+      FROM (
+        SELECT user_id, s, e,
+               SUM(new_i) OVER (PARTITION BY user_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        FROM flagged
+      )
+      GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT user_id, CAST(dd AS DATE) AS d
+      FROM merged,
+           LATERAL unnest(generate_series(CAST(ms AS DATE), CAST(me AS DATE),
+                                          INTERVAL 1 DAY)) AS g(dd)
+    ),
+    bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM pairs)
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_users_7d
+    FROM days CROSS JOIN bounds
+    WHERE d >= dmin AND d <= dmax
+    GROUP BY 1
+    """,
+)

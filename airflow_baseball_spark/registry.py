@@ -53,8 +53,8 @@ _LOADED = False
 #   3. the round-5 additions with NOVEL shapes (iterative peeling,
 #      power iteration, the integration funnel, wedge/triangle graph
 #      metrics, exact-quantized math) — 20 entries,
-#   4. r5-overflow (positions 51+): the 52 round-5 additions that
-#      don't fit the 50-slot window (72 were added this round; 20 fit
+#   4. r5-overflow (positions 51+): the 61 round-5 additions that
+#      don't fit the 50-slot window (81 were added this round; 20 fit
 #      in tier 3) — the late-round novel ops first (bpe/ann-recall/
 #      quarantine family), then the plain-shape ones (aggs, ratio
 #      windows, broadcast joins) attested suite-wide. NOT hidden:
@@ -160,6 +160,14 @@ _PRIORITY = [
     "cramers_v",
     "winsorized_mean",
     "zipf_slope",
+    "adamic_adar",
+    "rolling_median",
+    "seasonal_naive_eval",
+    "interval_overlap_join",
+    "bigram_lm",
+    "dbscan_grid",
+    "sliding_distinct_users",
+    "wilson_ci",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",

@@ -1,0 +1,108 @@
+"""Invariant tests for the late round-5 additions: Adamic-Adar link
+prediction, rolling median, seasonal-naive backtest, interval-overlap
+join, bigram LM."""
+
+from __future__ import annotations
+
+from airflow_baseball_spark.queries_mining import q_adamic_adar
+from airflow_baseball_spark.queries_relational2 import q_interval_overlap_join
+from airflow_baseball_spark.queries_text import q_bigram_lm
+from airflow_baseball_spark.queries_timeseries import (
+    q_rolling_median,
+    q_seasonal_naive_eval,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_adamic_adar_positive_and_flagged(spark):
+    rows = q_adamic_adar(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_common >= 1
+        assert r.adamic_adar > 0
+        assert r.is_existing_edge in (0, 1)
+        # AA of k common neighbors is at most k/ln(2)
+        assert r.adamic_adar <= r.n_common / 0.693 + 1e-6
+    # link prediction must produce at least one NON-edge candidate
+    assert any(r.is_existing_edge == 0 for r in rows)
+
+
+def test_rolling_median_within_window_range(spark):
+    rows = q_rolling_median(spark, SF).collect()
+    assert rows
+    assert all(1 <= r.n_in_window <= 7 for r in rows)
+
+
+def test_seasonal_naive_eval_metric_relations(spark):
+    r = q_seasonal_naive_eval(spark, SF).collect()[0]
+    assert r.n_days > 0
+    assert r.mae >= 0
+    assert 0.0 <= r.smape <= 2.0
+    # |mean error| can never exceed mean absolute error
+    assert abs(r.mean_err) <= r.mae + 1e-6
+
+
+def test_interval_overlap_join_counts(spark):
+    rows = q_interval_overlap_join(spark, SF).collect()
+    assert rows, "some day must be above average"
+    for r in rows:
+        assert r.n_users <= r.n_sessions  # a user has >= 1 session/day
+        assert r.n_sessions <= r.day_events  # sessions need >= 1 event
+
+
+def test_bigram_lm_perplexity_bounds(spark):
+    import math
+
+    rows = q_bigram_lm(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams > 0
+        assert r.mean_nll > 0
+        # perplexity = exp(mean_nll), both reported
+        assert abs(r.perplexity - math.exp(r.mean_nll)) < max(
+            1e-4 * r.perplexity, 1e-4
+        )
+
+
+def test_dbscan_grid_roots_are_members(spark):
+    from airflow_baseball_spark.queries_mining import q_dbscan_grid
+
+    rows = q_dbscan_grid(spark, SF).collect()
+    assert rows, "some cell must be dense"
+    nids = {(r.cx + 100) * 1000 + (r.cy + 100) for r in rows}
+    for r in rows:
+        assert r.n_points >= 5
+        # every cluster root is itself a dense cell's id
+        assert r.cluster_root in nids
+
+
+def test_sliding_distinct_users_dominates_daily(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_sliding_distinct_users,
+    )
+    from pyspark.sql import functions as F
+    from airflow_baseball_spark.schemas import load_table
+
+    out = {r.d: r.n_users_7d for r in q_sliding_distinct_users(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    daily = {
+        r.d: r.n
+        for r in ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out
+    for d, n1 in daily.items():
+        # the 7-day window count dominates the single-day count
+        assert out[d] >= n1
+
+
+def test_wilson_ci_brackets_p_hat(spark):
+    from airflow_baseball_spark.queries_eval import q_wilson_ci
+
+    for r in q_wilson_ci(spark, SF).collect():
+        assert 0.0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1.0
+        assert r.k <= r.n
