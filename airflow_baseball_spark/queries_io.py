@@ -236,3 +236,48 @@ registry.register(
     FROM orders GROUP BY 1
     """,
 )
+
+
+def q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one tab-separated line per doc through the TEXT
+    format (`spark.read/write.text`, the line-oriented source raw
+    corpora usually arrive in) → parse back → per-source fidelity
+    profile. The oracle computes the same profile on the original
+    parquet, so row loss, truncation, or separator corruption breaks
+    the hash. Precondition (asserted in tests, true of the corpus):
+    text contains no tabs/newlines — a real ingest escapes them first.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    out = tempfile.mkdtemp(prefix="text_rt_")
+    docs.select(
+        F.concat_ws("\t", F.col("source"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(
+        F.split(F.col("value"), "\t", 2).alias("parts")
+    )
+    parsed = back.select(
+        F.col("parts").getItem(0).alias("source"),
+        F.col("parts").getItem(1).alias("text"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+    )
+
+
+registry.register(
+    "text_lines_roundtrip",
+    q_text_lines_roundtrip,
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+    FROM documents GROUP BY 1
+    """,
+)

@@ -914,3 +914,107 @@ def _standard_scaler_sql() -> str:
 
 
 registry.register("standard_scaler", q_standard_scaler, _standard_scaler_sql())
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixture weights (temperature sampling) + token quotas
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights w ∝ n_tokens^0.7 (temperature
+    sampling, the standard multilingual/multi-source rebalancing) and
+    an INTEGER token quota per source for a 1M-token budget via
+    largest-remainder apportionment — quotas sum to the budget
+    EXACTLY, which floor-only allocation cannot guarantee.
+
+    n_tokens is an exact integer count; n^0.7 is written EXP(0.7·LN n)
+    on both engines (never POW, whose libm paths differ more); the
+    20-term weight normalizer is the one unordered float sum
+    (`_r6`-bounded, entropy precedent). Apportionment is pure integer
+    + rank arithmetic: floor quotas, then +1 to the top (budget − Σ
+    floors) fractional remainders, source tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    pw = F.exp(F.lit(0.7) * F.log(F.col("n_tokens").cast("double")))
+    wn = Window.partitionBy()
+    staged = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (pw / F.sum(pw).over(wn)).alias("weight"),
+    )
+    budget = 1000000
+    raw = F.col("weight") * F.lit(float(budget))
+    based = staged.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.floor(raw).cast("long").alias("base"),
+        (raw - F.floor(raw)).alias("frac"),
+    )
+    w_rem = Window.orderBy(F.col("frac").desc(), "source")
+    ranked = based.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        "base",
+        F.row_number().over(w_rem).alias("rn"),
+        (F.lit(budget) - F.sum("base").over(wn)).alias("rem"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _r6(F.col("weight")).alias("weight"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("rem"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("token_quota"),
+    )
+
+
+registry.register(
+    "mixture_weights",
+    q_mixture_weights,
+    """
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    staged AS (
+      SELECT source, n_docs, n_tokens,
+             EXP(0.7 * LN(CAST(n_tokens AS DOUBLE)))
+               / SUM(EXP(0.7 * LN(CAST(n_tokens AS DOUBLE)))) OVER ()
+               AS weight
+      FROM per_src
+    ),
+    based AS (
+      SELECT source, n_docs, n_tokens, weight,
+             CAST(FLOOR(weight * 1000000.0) AS BIGINT) AS base,
+             weight * 1000000.0 - FLOOR(weight * 1000000.0) AS frac
+      FROM staged
+    ),
+    ranked AS (
+      SELECT source, n_docs, n_tokens, weight, base,
+             ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rn,
+             1000000 - SUM(base) OVER () AS rem
+      FROM based
+    )
+    SELECT source, n_docs, n_tokens,
+           FLOOR(weight * 1000000.0 + 0.5) / 1000000.0 AS weight,
+           CAST(base + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT)
+             AS token_quota
+    FROM ranked
+    """,
+)

@@ -2597,3 +2597,89 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall eval
+# ---------------------------------------------------------------------------
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does searching on the first 16 of 64 embedding dims still find
+    the true nearest neighbor? Recall@5 of prefix-dim search vs the
+    full-dim exact top-1 — the evaluation behind Matryoshka-style
+    dimension truncation (the cheapest ANN speedup: shrink the
+    vectors, verify the recall envelope; ann_recall_eval is the
+    LSH-variant sibling).
+
+    Both sides reuse cosine_topk's blocked partial-top-k (rank on
+    ROUND(cos,6) with id tie-break, so sub-1e-6 float noise can't
+    reorder); the truncated corpus is an in-row F.slice — no second
+    table. One O(1) query set (vec_id%25=0, capped), counts exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500))
+    full_nn = similarity.cosine_topk(emb, queries, k=1).select(
+        "query_id", "neighbor_id"
+    )
+    pre = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pre_q = queries.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    pre_top5 = (
+        similarity.cosine_topk(pre, pre_q, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = full_nn.join(pre_top5, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+            "n_hits"
+        ),
+        _r6(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("recall_at5"),
+    )
+
+
+registry.register(
+    "matryoshka_recall",
+    q_matryoshka_recall,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500),
+    full_scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qv", b="e.embedding")} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    full_nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM full_scored
+      ) WHERE rank = 1
+    ),
+    pre_scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qv[1:16]", b="e.embedding[1:16]")} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    pre_top5 AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM pre_scored
+      ) WHERE rank <= 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(COALESCE(p.hit, 0)) AS BIGINT) AS n_hits,
+           FLOOR((CAST(SUM(COALESCE(p.hit, 0)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall_at5
+    FROM full_nn f
+    LEFT JOIN pre_top5 p
+      ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+    """,
+)

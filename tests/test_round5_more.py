@@ -106,3 +106,38 @@ def test_wilson_ci_brackets_p_hat(spark):
     for r in q_wilson_ci(spark, SF).collect():
         assert 0.0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1.0
         assert r.k <= r.n
+
+
+def test_matryoshka_recall_bounds(spark):
+    from airflow_baseball_spark.queries_text import q_matryoshka_recall
+
+    r = q_matryoshka_recall(spark, SF).collect()[0]
+    assert r.n_queries > 0
+    assert 0 <= r.n_hits <= r.n_queries
+    assert abs(r.recall_at5 - r.n_hits / r.n_queries) < 1e-6
+
+
+def test_mixture_weights_quota_sums_to_budget(spark):
+    from airflow_baseball_spark.queries_llm import q_mixture_weights
+
+    rows = q_mixture_weights(spark, SF).collect()
+    assert rows
+    # largest-remainder apportionment: quotas sum EXACTLY to budget
+    assert sum(r.token_quota for r in rows) == 1000000
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # monotone: more tokens never gets a smaller weight
+    by_tok = sorted(rows, key=lambda r: r.n_tokens)
+    assert all(
+        a.weight <= b.weight + 1e-9 for a, b in zip(by_tok, by_tok[1:])
+    )
+
+
+def test_text_roundtrip_precondition_no_tabs(spark):
+    from airflow_baseball_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    n_bad = docs.filter(
+        F.col("text").contains("\t") | F.col("text").contains("\n")
+    ).count()
+    assert n_bad == 0, "text-lines roundtrip requires escape-free text"
