@@ -809,3 +809,126 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customers under the quasi-identifier
+    (nation, market segment, balance rounded to $100): how many
+    equivalence classes fall below k=5, and how many rows a
+    suppression pass would drop — the pre-release privacy gate for
+    sharing user-derived training data.
+
+    The balance generalization is integer arithmetic on exact cents
+    (cents div 10000, never float rounding); everything reported is a
+    count. One combinable groupBy on the quasi-identifier, then a
+    segments-sized rollup of the class table."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal_bucket = F.expr(
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
+    )
+    classes = cust.groupBy(
+        "c_mktsegment", "c_nationkey", bal_bucket.alias("bal100")
+    ).agg(F.count("*").alias("n"))
+    return (
+        classes.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.count(F.when(F.col("n") < _KANON_K, 1))
+            .cast("long")
+            .alias("n_violating"),
+            F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_suppressed_rows"),
+            F.min("n").cast("long").alias("min_class_size"),
+        )
+    )
+
+
+registry.register(
+    "k_anonymity",
+    q_k_anonymity,
+    f"""
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000
+               AS bal100,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COUNT(CASE WHEN n < {_KANON_K} THEN 1 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS n_suppressed_rows,
+           CAST(MIN(n) AS BIGINT) AS min_class_size
+    FROM classes GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (deterministic Laplace)
+# ---------------------------------------------------------------------------
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts with ε=1 Laplace noise — the
+    differential-privacy release mechanism, made REPRODUCIBLE by
+    inverting the md5 identity coin (hash_unit on the group key)
+    through the Laplace CDF instead of drawing live randomness: noise
+    = −sign(u−½)·ln(1−2|u−½|)/ε. Deterministic noise is a real
+    pattern (seeded DP for auditable releases); the clamp keeps
+    ln away from 0 at the coin's edge values.
+
+    Exact counts from one combinable groupBy; u and the noise derive
+    from the group NAME, so the expression tree is engine-identical
+    (ln precision per the entropy precedent)."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = hash_unit(F.col("event_type"), seed="dp")
+    half = u - F.lit(0.5)
+    mag = F.greatest(
+        F.lit(1e-12), F.lit(1.0) - F.lit(2.0) * F.abs(half)
+    )
+    noise = -F.signum(half) * F.log(mag)  # eps = 1
+    return counts.select(
+        "event_type",
+        F.col("n").cast("long").alias("true_n"),
+        _r6(F.col("n").cast("double") + noise).alias("noisy_n"),
+    )
+
+
+def _dp_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    u = hash_unit_sql("event_type", "dp")
+    return f"""
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    coin AS (
+      SELECT event_type, n,
+             {u} AS u
+      FROM counts
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS true_n,
+           FLOOR((CAST(n AS DOUBLE)
+                  + (-SIGN(u - 0.5)
+                     * LN(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5)))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS noisy_n
+    FROM coin
+    """
+
+
+registry.register("dp_noisy_counts", q_dp_noisy_counts, _dp_sql())

@@ -1359,3 +1359,113 @@ registry.register(
     FROM dense d LEFT JOIN comp c ON d.nid = c.node
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain stationary distribution (quantized power iteration)
+# ---------------------------------------------------------------------------
+
+_MARKOV_K = 12
+_MARKOV_SCALE = 1000000000
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type transition chain
+    (event_transitions' matrix, iterated): where does a user's
+    session settle in the long run — the journey-level importance
+    score, PageRank's chain-analysis sibling on the states graph.
+
+    Spark does the corpus-sized work (one user-keyed LEAD window +
+    the |types|² count agg); the matrix itself is states²-bounded
+    METADATA, so the 12 power iterations run on collected integers —
+    the league-scalars/k-means-partials precedent for provably
+    bounded driver state. Bit-exactness: probabilities quantize to
+    integers p9 = n·1e9 div row_n and every iteration is
+    x9'_j = Σ_i (x9_i·p9_ij div 1e9) — PURE integer arithmetic with
+    per-term floors, matching the oracle's 12 unrolled CTEs term for
+    term (floor loss drains mass identically on both sides; the
+    leaked ~1e-9/round is far below the `_r6` report)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = trans.collect()  # |types|^2-bounded
+    row_tot: dict[str, int] = {}
+    for r in rows:
+        row_tot[r.event_type] = row_tot.get(r.event_type, 0) + r.n
+    p9 = {
+        (r.event_type, r.next_type): (r.n * _MARKOV_SCALE) // row_tot[r.event_type]
+        for r in rows
+    }
+    states = sorted(row_tot)
+    x9 = {s: _MARKOV_SCALE // len(states) for s in states}
+    for _ in range(_MARKOV_K):
+        nxt: dict[str, int] = {}
+        for (i, j), p in p9.items():
+            if i in x9:
+                nxt[j] = nxt.get(j, 0) + (x9[i] * p) // _MARKOV_SCALE
+        x9 = nxt
+    out = [(s, x9.get(s, 0)) for s in sorted(set(states) | set(x9))]
+    return spark.createDataFrame(out, "event_type string, x9 long").select(
+        "event_type",
+        _r6(F.col("x9").cast("double") / F.lit(float(_MARKOV_SCALE))).alias(
+            "stationary_p"
+        ),
+    )
+
+
+def _markov_sql() -> str:
+    s = _MARKOV_SCALE
+    ctes = []
+    prev = "x0"
+    for k in range(_MARKOV_K):
+        ctes.append(
+            f"""x{k + 1} AS (
+      SELECT p.next_type AS j,
+             CAST(SUM(x.x9 * p.p9 // {s}) AS BIGINT) AS x9
+      FROM {prev} x JOIN p9 p ON x.j = p.event_type
+      GROUP BY 1
+    )"""
+        )
+        prev = f"x{k + 1}"
+    return (
+        f"""
+    WITH trans AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+      ) WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT event_type, SUM(n) AS rn FROM trans GROUP BY 1),
+    p9 AS (
+      SELECT t.event_type, t.next_type,
+             (t.n * {s}) // r.rn AS p9
+      FROM trans t JOIN row_tot r ON t.event_type = r.event_type
+    ),
+    x0 AS (
+      SELECT event_type AS j,
+             CAST({s} // (SELECT COUNT(*) FROM row_tot) AS BIGINT) AS x9
+      FROM row_tot
+    ),
+    """
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT j AS event_type,
+           FLOOR((CAST(x9 AS DOUBLE) / {s}.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS stationary_p
+    FROM {prev}
+    """
+    )
+
+
+registry.register("markov_stationary", q_markov_stationary, _markov_sql())

@@ -201,3 +201,136 @@ registry.register(
     FROM l CROSS JOIN h
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI for the mean
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 40
+# cumulative Poisson(1) probabilities, identical decimal literals on
+# both engines (weights 0..5, remainder -> 6)
+_POIS_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI for the mean order price via the
+    POISSON bootstrap — the resampling scheme that actually
+    distributes: sampling-with-replacement needs global indexing, but
+    Poisson(1) per-row replicate weights are iid, so each partition
+    draws its own weights and the replicate means reduce map-side
+    (this is how bootstrap runs on sharded data at 100 TB).
+
+    Determinism: the Poisson draw inverts the md5 identity hash
+    (hash_unit, the train/test-split coin) against fixed cumulative
+    thresholds — engine-identical weights row-for-row; replicate
+    means are exact integer Σw·cents / Σw; the CI picks rank 1 and
+    B−1 of the B=40 sorted replicate means (B-sized sort)."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("v"))
+    rep = base.select(
+        "k", "v", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
+    )
+    u = hash_unit(
+        F.concat_ws(
+            "-", F.col("k").cast("string"), F.col("b").cast("string")
+        ),
+        seed="boot",
+    )
+    w = F.when(u < _POIS_CUM[0], 0)
+    for i, c in enumerate(_POIS_CUM[1:], start=1):
+        w = w.when(u < c, i)
+    w = w.otherwise(6)
+    means = (
+        rep.select("b", "v", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("v")).cast("double")
+                / (F.lit(100.0) * F.sum("w").cast("double"))
+            ).alias("m")
+        )
+    )
+    w_rank = Window.orderBy("m", "b")
+    ranked = means.select("m", F.row_number().over(w_rank).alias("rn"))
+    point = base.agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum("v").cast("double")
+            / (F.lit(100.0) * F.count("*").cast("double"))
+        ).alias("mean_price"),
+    )
+    ci = ranked.agg(
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        F.min(F.when(F.col("rn") == 1, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))).alias("hi"),
+    )
+    return point.crossJoin(ci).select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        _r6(F.col("mean_price")).alias("mean_price"),
+        "n_replicates",
+        _r6(F.col("lo")).alias("ci_lo"),
+        _r6(F.col("hi")).alias("ci_hi"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    u = hash_unit_sql(
+        "CAST(k AS VARCHAR) || '-' || CAST(b AS VARCHAR)", "boot"
+    )
+    cases = " ".join(
+        f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(_POIS_CUM)
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    ),
+    rep AS (
+      SELECT k, v, CAST(b AS INTEGER) AS b, {u} AS u
+      FROM base, LATERAL unnest(generate_series(1, {_BOOT_B})) AS g(b)
+    ),
+    weighted AS (
+      SELECT b, v, CASE {cases} ELSE 6 END AS w FROM rep
+    ),
+    means AS (
+      SELECT b, CAST(SUM(w * v) AS DOUBLE)
+                / (100.0 * CAST(SUM(w) AS DOUBLE)) AS m
+      FROM weighted GROUP BY 1
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+    ),
+    point AS (
+      SELECT COUNT(*) AS n_orders,
+             CAST(SUM(v) AS DOUBLE) / (100.0 * CAST(COUNT(*) AS DOUBLE))
+               AS mean_price
+      FROM base
+    ),
+    ci AS (
+      SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+             MIN(CASE WHEN rn = 1 THEN m END) AS lo,
+             MIN(CASE WHEN rn = {_BOOT_B - 1} THEN m END) AS hi
+      FROM ranked
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           FLOOR(mean_price * 1000000.0 + 0.5) / 1000000.0 AS mean_price,
+           n_replicates,
+           FLOOR(lo * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+           FLOOR(hi * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+    FROM point CROSS JOIN ci
+    """
+
+
+registry.register("bootstrap_ci", q_bootstrap_ci, _bootstrap_sql())

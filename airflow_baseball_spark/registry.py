@@ -53,8 +53,8 @@ _LOADED = False
 #   3. the round-5 additions with NOVEL shapes (iterative peeling,
 #      power iteration, the integration funnel, wedge/triangle graph
 #      metrics, exact-quantized math) — 20 entries,
-#   4. r5-overflow (positions 51+): the 64 round-5 additions that
-#      don't fit the 50-slot window (84 were added this round; 20 fit
+#   4. r5-overflow (positions 51+): the 68 round-5 additions that
+#      don't fit the 50-slot window (88 were added this round; 20 fit
 #      in tier 3) — the late-round novel ops first (bpe/ann-recall/
 #      quarantine family), then the plain-shape ones (aggs, ratio
 #      windows, broadcast joins) attested suite-wide. NOT hidden:
@@ -171,6 +171,10 @@ _PRIORITY = [
     "matryoshka_recall",
     "mixture_weights",
     "text_lines_roundtrip",
+    "markov_stationary",
+    "bootstrap_ci",
+    "k_anonymity",
+    "dp_noisy_counts",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",

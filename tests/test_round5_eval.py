@@ -80,3 +80,28 @@ def test_zipf_slope_negative(spark):
     assert 2 <= r.n_terms <= 100
     # frequency decreases with rank => negative slope
     assert r.zipf_slope < 0
+
+
+def test_k_anonymity_consistency(spark):
+    from airflow_baseball_spark.queries_eval import q_k_anonymity
+
+    rows = q_k_anonymity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_violating <= r.n_classes
+        # every violating class holds < 5 rows
+        assert r.n_suppressed_rows <= 4 * r.n_violating
+        assert r.min_class_size >= 1
+
+
+def test_dp_noisy_counts_bounded_noise(spark):
+    from airflow_baseball_spark.queries_eval import q_dp_noisy_counts
+
+    rows = q_dp_noisy_counts(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # eps=1 Laplace from a 32-bit coin: |noise| <= ln(2^31) ~ 21.5
+        assert abs(r.noisy_n - r.true_n) <= 22.0
+        # determinism: noise depends only on the group name
+    again = {r.event_type: r.noisy_n for r in q_dp_noisy_counts(spark, SF).collect()}
+    assert all(abs(again[r.event_type] - r.noisy_n) < 1e-9 for r in rows)

@@ -141,3 +141,24 @@ def test_text_roundtrip_precondition_no_tabs(spark):
         F.col("text").contains("\t") | F.col("text").contains("\n")
     ).count()
     assert n_bad == 0, "text-lines roundtrip requires escape-free text"
+
+
+def test_markov_stationary_is_distribution(spark):
+    from airflow_baseball_spark.queries_mining import q_markov_stationary
+
+    rows = q_markov_stationary(spark, SF).collect()
+    assert len(rows) >= 2
+    tot = sum(r.stationary_p for r in rows)
+    # quantized floor loss drains < 1e-6/round over 12 rounds
+    assert 0.99 <= tot <= 1.0 + 1e-6
+    assert all(r.stationary_p >= 0 for r in rows)
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    from airflow_baseball_spark.queries_sampling import q_bootstrap_ci
+
+    r = q_bootstrap_ci(spark, SF).collect()[0]
+    assert r.n_replicates == 40
+    assert r.ci_lo <= r.ci_hi
+    # at n>=1000 the bootstrap CI straddles the sample mean
+    assert r.ci_lo <= r.mean_price <= r.ci_hi
