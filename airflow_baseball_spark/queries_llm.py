@@ -1018,3 +1018,124 @@ registry.register(
     FROM ranked
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-status (count, revenue)
+    materialized view across snapshot_diff's two order snapshots:
+    apply −old/+new contributions for CHANGED keys only, on top of
+    the old MV — the warehouse pattern that turns an O(table) refresh
+    into O(changes). The oracle recomputes the view FROM SCRATCH on
+    the new snapshot, so the incremental path must equal a full
+    recompute to the cent (updates are handled as delete+insert, so
+    group-switching updates move mass between MV rows correctly).
+
+    Scale: the delta join touches the keys only (cents carried as
+    exact integers); the MV combine is |groups|-sized. At 100 TB the
+    changed-key join is the only fact-sized work — exactly what CDC
+    feeds (snapshot_diff / stream_upsert are the producers)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", F.col("o_orderstatus").alias("os"), cents.alias("ov")
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("ns"),
+            cents.alias("nv"),
+        )
+    )
+    mv_old = old.groupBy(F.col("os").alias("o_orderstatus")).agg(
+        F.count("*").alias("n0"), F.sum("ov").alias("v0")
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    changed = j.filter(
+        ~(
+            F.col("ov").eqNullSafe(F.col("nv"))
+            & F.col("os").eqNullSafe(F.col("ns"))
+        )
+    )
+    delta = (
+        changed.filter(F.col("ov").isNotNull())
+        .select(
+            F.col("os").alias("o_orderstatus"),
+            F.lit(-1).alias("dc"),
+            (-F.col("ov")).alias("dv"),
+        )
+        .unionAll(
+            changed.filter(F.col("nv").isNotNull()).select(
+                F.col("ns").alias("o_orderstatus"),
+                F.lit(1).alias("dc"),
+                F.col("nv").alias("dv"),
+            )
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dc").alias("dc"), F.sum("dv").alias("dv"))
+    )
+    n_changed = changed.agg(F.count("*").alias("n_changed_keys"))
+    mv_new = (
+        mv_old.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("n0"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("v0"), F.lit(0))
+                + F.coalesce(F.col("dv"), F.lit(0))
+            ).alias("v"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return mv_new.crossJoin(F.broadcast(n_changed)).select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        _r6(F.col("v").cast("double") / F.lit(100.0)).alias("total_price"),
+        F.col("n_changed_keys").cast("long").alias("n_changed_keys"),
+    )
+
+
+registry.register(
+    "incremental_mv",
+    q_incremental_mv,
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus AS os,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ov
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus AS ns,
+             CAST(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                            ELSE o_totalprice END AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS nv
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    changed AS (
+      SELECT * FROM old FULL OUTER JOIN new USING (o_orderkey)
+      WHERE NOT (ov IS NOT DISTINCT FROM nv AND os IS NOT DISTINCT FROM ns)
+    )
+    SELECT ns AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((CAST(SUM(nv) AS DOUBLE) / 100.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS total_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM changed) AS n_changed_keys
+    FROM new GROUP BY 1
+    """,
+)

@@ -1892,3 +1892,79 @@ registry.register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Run-length structure of per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+def q_rle_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length profile of per-user event-type sequences: how far
+    would RLE compress the stream, and how long is the longest
+    same-type run — the sequence-repetition detector (a bot/replay
+    smell when runs dominate; also the storage model for sorted
+    categorical columns).
+
+    Runs are gaps-and-islands on (type ≠ previous type): one
+    user-keyed window, run ids by cumulative sum, then two combinable
+    aggregates. All outputs are integers except the final ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("brk", brk)
+        .withColumn("rid", F.sum("brk").over(w_cum))
+        .groupBy("user_id", "rid")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.agg(
+        F.sum("run_len").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+        _r6(
+            F.count("*").cast("double") / F.sum("run_len").cast("double")
+        ).alias("rle_ratio"),
+    )
+
+
+registry.register(
+    "rle_compress",
+    q_rle_compress,
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, rid, COUNT(*) AS run_len
+      FROM (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        FROM flagged
+      )
+      GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(run_len) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+           FLOOR((CAST(COUNT(*) AS DOUBLE) / CAST(SUM(run_len) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rle_ratio
+    FROM runs
+    """,
+)

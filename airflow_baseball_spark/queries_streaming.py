@@ -307,3 +307,17 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions via the NATIVE ``session_window`` streaming aggregate
+    — the declarative counterpart of stream_sessionize's custom
+    applyInPandasWithState job. Three implementations (batch islands,
+    custom state, native operator) now check against the ONE session
+    oracle, pinning the gap semantics from three directions."""
+    return jobs.run_session_window_available_now(spark, sf_dir)
+
+
+registry.register(
+    "stream_session_window", q_stream_session_window, _SESSION_SQL
+)

@@ -525,3 +525,45 @@ def run_windowed_users_available_now(
 ) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return _drain_to_memory(windowed_distinct_users(ev), "complete")
+
+
+# ---------------------------------------------------------------------------
+# Native session_window aggregation
+# ---------------------------------------------------------------------------
+
+
+def native_session_windows(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user sessions via Spark's BUILT-IN ``session_window``
+    operator — same semantics as :func:`sessionize_stream`'s custom
+    state function (and the batch gaps-and-islands form), expressed
+    declaratively so the engine owns the state merging. The window's
+    native end is ``last_event + gap``; subtracting the same literal
+    gap recovers MAX(ts), aligning all three implementations on one
+    oracle."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.end") - F.expr(f"INTERVAL {gap}")
+            ).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_window_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(native_session_windows(ev), "complete")

@@ -162,3 +162,65 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
     assert r.ci_lo <= r.ci_hi
     # at n>=1000 the bootstrap CI straddles the sample mean
     assert r.ci_lo <= r.mean_price <= r.ci_hi
+
+
+def test_incremental_mv_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_baseball_spark.queries_llm import q_incremental_mv
+    from airflow_baseball_spark.schemas import load_table
+
+    mv = {
+        r.o_orderstatus: (r.n_orders, round(r.total_price, 2))
+        for r in q_incremental_mv(spark, SF).collect()
+    }
+    orders = load_table(spark, SF, "orders")
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    full = {
+        r.o_orderstatus: (r.n, round(r.t, 2))
+        for r in new.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    )
+                )
+                / 100.0
+            ).alias("t"),
+        )
+        .collect()
+    }
+    assert mv == full
+
+
+def test_stream_session_window_matches_batch(spark):
+    from airflow_baseball_spark.queries_streaming import (
+        q_sessionize_batch,
+        q_stream_session_window,
+    )
+
+    a = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end)
+        for r in q_sessionize_batch(spark, SF).collect()
+    }
+    b = {
+        (r.user_id, r.session_start): (r.n_events, r.session_end)
+        for r in q_stream_session_window(spark, SF).collect()
+    }
+    assert a == b  # native operator == batch islands, key for key
+
+
+def test_rle_compress_invariants(spark):
+    from airflow_baseball_spark.queries_relational2 import q_rle_compress
+
+    r = q_rle_compress(spark, SF).collect()[0]
+    assert 1 <= r.n_runs <= r.n_events
+    assert 1 <= r.max_run_len <= r.n_events
+    assert abs(r.rle_ratio - r.n_runs / r.n_events) < 1e-6
