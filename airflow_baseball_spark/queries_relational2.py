@@ -1968,3 +1968,101 @@ registry.register(
     FROM runs
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated (continuous) percentiles with rational-exact weights
+# ---------------------------------------------------------------------------
+
+
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated p50/p90 of ship latency per priority —
+    percentile_disc's PERCENTILE_CONT twin. The SQL-standard position
+    h = (n−1)p + 1 is carried in INTEGER arithmetic scaled by p's
+    denominator (h·10 = (n−1)·9 + 10 for p=0.9), so the bracket index
+    and the interpolation weight are exact integers — never a float
+    (n−1)·0.9 whose representation error can flip floor() at exact
+    multiples. The blend (v_lo·(10−f) + v_hi·f)/10 stays integer
+    until the single division. Same one sort per group as the disc
+    form; both percentiles and the count share it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lat")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = lat.select(
+        "o_orderpriority",
+        "lat",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def cont(num: int, den: int, alias: str):
+        # scaled position h·den = (n-1)·num + den; bracket = div/mod
+        hd = (F.col("n") - 1) * num + den
+        lo = (hd - hd % den) / den  # exact: multiple of den / den
+        f = hd % den
+        v_lo = F.max(F.when(F.col("rn") == lo.cast("long"), F.col("lat")))
+        v_hi = F.max(
+            F.when(F.col("rn") == (lo.cast("long") + 1), F.col("lat"))
+        )
+        blended = (
+            v_lo.cast("double") * (F.lit(float(den)) - F.max(f).cast("double"))
+            + F.coalesce(v_hi, v_lo).cast("double")
+            * F.max(f).cast("double")
+        ) / F.lit(float(den))
+        return blended.alias(alias)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n"),
+        cont(1, 2, "p50_cont"),
+        cont(9, 10, "p90_cont"),
+    )
+
+
+registry.register(
+    "percentile_cont",
+    q_percentile_cont,
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS lat
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, lat,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY lat) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM lat
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           (CAST(MAX(CASE WHEN rn = ((n - 1) * 1 + 2) // 2
+                          THEN lat END) AS DOUBLE)
+              * (2.0 - CAST(MAX(((n - 1) * 1 + 2) % 2) AS DOUBLE))
+            + CAST(COALESCE(MAX(CASE WHEN rn = ((n - 1) * 1 + 2) // 2 + 1
+                                     THEN lat END),
+                            MAX(CASE WHEN rn = ((n - 1) * 1 + 2) // 2
+                                     THEN lat END)) AS DOUBLE)
+              * CAST(MAX(((n - 1) * 1 + 2) % 2) AS DOUBLE)) / 2.0
+             AS p50_cont,
+           (CAST(MAX(CASE WHEN rn = ((n - 1) * 9 + 10) // 10
+                          THEN lat END) AS DOUBLE)
+              * (10.0 - CAST(MAX(((n - 1) * 9 + 10) % 10) AS DOUBLE))
+            + CAST(COALESCE(MAX(CASE WHEN rn = ((n - 1) * 9 + 10) // 10 + 1
+                                     THEN lat END),
+                            MAX(CASE WHEN rn = ((n - 1) * 9 + 10) // 10
+                                     THEN lat END)) AS DOUBLE)
+              * CAST(MAX(((n - 1) * 9 + 10) % 10) AS DOUBLE)) / 10.0
+             AS p90_cont
+    FROM ranked GROUP BY 1
+    """,
+)

@@ -334,3 +334,75 @@ def _bootstrap_sql() -> str:
 
 
 registry.register("bootstrap_ci", q_bootstrap_ci, _bootstrap_sql())
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders per segment sampled ∝ price WITHOUT replacement
+    via Efraimidis-Spirakis A-ES keys: score = ln(u)/w, keep the k
+    largest — THE distributed weighted-reservoir algorithm (each
+    partition keeps its own top-k of iid keys, merge is another
+    top-k; no global state, no sequential pass). weighted_sample is
+    the with-replacement/Bernoulli sibling.
+
+    Determinism: u is the md5 identity coin, w the exact cent weight;
+    rank orders (score DESC, orderkey) so a sub-ulp score tie cannot
+    flip membership between engines."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    orders = load_table(spark, sf_dir, "orders").join(
+        load_table(spark, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    u = hash_unit(F.col("o_orderkey"), seed="aes")
+    base = orders.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderkey").alias("k"),
+        cents.alias("w"),
+        (F.log(u) / cents.cast("double")).alias("score"),
+    )
+    wr = Window.partitionBy("seg").orderBy(F.col("score").desc(), "k")
+    return (
+        base.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("rk").cast("long").alias("rank"),
+            F.col("k").alias("o_orderkey"),
+            (F.col("w").cast("double") / 100.0).alias("o_totalprice"),
+        )
+    )
+
+
+def _weighted_reservoir_sql() -> str:
+    u = hash_unit_sql("o_orderkey", "aes")
+    return f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderkey AS k,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS w,
+             LN({u})
+               / CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS DOUBLE) AS score
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(rk AS BIGINT) AS rank,
+           k AS o_orderkey,
+           CAST(w AS DOUBLE) / 100.0 AS o_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                                   ORDER BY score DESC, k) AS rk
+      FROM base
+    ) WHERE rk <= 5
+    """
+
+
+registry.register(
+    "weighted_reservoir", q_weighted_reservoir, _weighted_reservoir_sql()
+)

@@ -2683,3 +2683,127 @@ registry.register(
       ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids + nearest-centroid distances
+# ---------------------------------------------------------------------------
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid with the distance to the nearest
+    other centroid — the class-separation probe behind
+    nearest-class-mean classifiers and label-noise audits (labels
+    whose centroids nearly coincide are candidates for merging).
+
+    Exactness: each float32 component QUANTIZES to an integer
+    (floor(x·1e6)) before any sum, so per-(label, dim) sums are exact
+    integers in any order/partitioning; centroid components are exact
+    integer ratios scaled back only inside the final shared distance
+    expression. Shape: one in-row posexplode → (label, dim) combinable
+    agg (labels·dims rows, corpus-independent); the pairwise centroid
+    join is labels²·dims — metadata-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+    c = cent.select(
+        "label",
+        "dim",
+        "n",
+        (F.col("s").cast("double") / (F.col("n").cast("double") * 1e6)).alias(
+            "c"
+        ),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pair_d2 = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label"),
+            F.col("b.label").alias("other"),
+        )
+        .agg(
+            F.sum(
+                (F.col("a.c") - F.col("b.c")) * (F.col("a.c") - F.col("b.c"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        "d2", "other"
+    )  # d2 from identical per-dim terms summed in the 64-dim agg; the
+    # (d2, other) tie-break keeps the argmin engine-deterministic
+    nearest = (
+        pair_d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("label", F.col("other").alias("nearest_label"), "d2")
+    )
+    norm = c.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum(F.col("c") * F.col("c")).alias("norm2"),
+    )
+    return norm.join(nearest, "label").select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        _r6(F.sqrt(F.col("norm2"))).alias("centroid_norm"),
+        F.col("nearest_label").cast("long").alias("nearest_label"),
+        _r6(F.sqrt(F.col("d2"))).alias("nearest_dist"),
+    )
+
+
+registry.register(
+    "label_centroids",
+    q_label_centroids,
+    """
+    WITH comp AS (
+      SELECT label, CAST(i AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    cent AS (
+      SELECT label, dim, SUM(q) AS s, COUNT(*) AS n
+      FROM comp GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT label, dim, n,
+             CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS c
+      FROM cent
+    ),
+    pair_d2 AS (
+      SELECT a.label AS label, b.label AS other,
+             SUM((a.c - b.c) * (a.c - b.c)) AS d2
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY 1, 2
+    ),
+    nearest AS (
+      SELECT label, other AS nearest_label, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY d2, other) AS rk
+        FROM pair_d2
+      ) WHERE rk = 1
+    ),
+    nrm AS (
+      SELECT label, MAX(n) AS n_vecs, SUM(c * c) AS norm2
+      FROM c GROUP BY 1
+    )
+    SELECT CAST(n.label AS BIGINT) AS label,
+           CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           FLOOR(SQRT(n.norm2) * 1000000.0 + 0.5) / 1000000.0
+             AS centroid_norm,
+           CAST(x.nearest_label AS BIGINT) AS nearest_label,
+           FLOOR(SQRT(x.d2) * 1000000.0 + 0.5) / 1000000.0 AS nearest_dist
+    FROM nrm n JOIN nearest x ON n.label = x.label
+    """,
+)

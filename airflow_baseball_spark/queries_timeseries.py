@@ -932,3 +932,74 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# ---------------------------------------------------------------------------
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type time-weighted average value: each observation holds
+    until the next one, weighted by its holding interval — the metric
+    for irregularly-sampled series where the plain mean over-counts
+    bursts (TWAP in trading, time-in-state in ops).
+
+    Exactness: Σ cents·Δµs and Σ Δµs are pure integer sums (one LEAD
+    window for the gap; last observation per type is excluded — no
+    synthetic horizon), so the average is one exact division. The
+    window shuffles on event_type; every aggregate is map-side
+    combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    gaps = ev.select(
+        "event_type",
+        cents.alias("v"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "dt"
+        ),
+    ).filter(F.col("dt").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        # integer div, matching the oracle's `//` — a double divide
+        # then cast can truncate one low at exact-minute boundaries
+        F.expr("CAST((sum(dt) div 60000000) AS LONG)").alias(
+            "span_minutes"
+        ),
+        _r6(
+            F.sum(F.col("v") * F.col("dt")).cast("double")
+            / (F.lit(100.0) * F.sum("dt").cast("double"))
+        ).alias("twap"),
+        _r6(
+            F.sum("v").cast("double")
+            / (F.lit(100.0) * F.count("*").cast("double"))
+        ).alias("plain_mean"),
+    )
+
+
+registry.register(
+    "twap",
+    q_twap,
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt) // 60000000 AS BIGINT) AS span_minutes,
+           FLOOR((CAST(SUM(v * dt) AS DOUBLE)
+                  / (100.0 * CAST(SUM(dt) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS twap,
+           FLOOR((CAST(SUM(v) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS plain_mean
+    FROM gaps WHERE dt IS NOT NULL
+    GROUP BY 1
+    """,
+)

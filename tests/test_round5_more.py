@@ -224,3 +224,59 @@ def test_rle_compress_invariants(spark):
     assert 1 <= r.n_runs <= r.n_events
     assert 1 <= r.max_run_len <= r.n_events
     assert abs(r.rle_ratio - r.n_runs / r.n_events) < 1e-6
+
+
+def test_weighted_reservoir_shape(spark):
+    from airflow_baseball_spark.queries_sampling import q_weighted_reservoir
+
+    rows = q_weighted_reservoir(spark, SF).collect()
+    segs = {}
+    for r in rows:
+        segs.setdefault(r.c_mktsegment, []).append(r.rank)
+    for ranks in segs.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    # without replacement: no duplicate orders within a segment draw
+    keys = [(r.c_mktsegment, r.o_orderkey) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_percentile_cont_brackets_disc(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_percentile_cont,
+        q_percentile_disc,
+    )
+
+    cont = {r.o_orderpriority: r for r in q_percentile_cont(spark, SF).collect()}
+    disc = {r.o_orderpriority: r for r in q_percentile_disc(spark, SF).collect()}
+    assert cont.keys() == disc.keys()
+    for k in cont:
+        # percentiles are monotone in p, for both definitions
+        assert cont[k].p50_cont <= cont[k].p90_cont + 1e-9
+        assert disc[k].p50_disc <= disc[k].p90_disc
+        # (exact-value agreement is the DuckDB oracle's job; neighbor
+        # gaps are data-dependent, so no magnitude bound here)
+
+
+def test_label_centroids_symmetric_nearest(spark):
+    from airflow_baseball_spark.queries_text import q_label_centroids
+
+    rows = q_label_centroids(spark, SF).collect()
+    assert len(rows) >= 2
+    labels = {r.label for r in rows}
+    for r in rows:
+        assert r.nearest_label in labels and r.nearest_label != r.label
+        assert r.nearest_dist >= 0 and r.centroid_norm >= 0
+        assert r.n_vecs > 0
+
+
+def test_twap_between_min_and_max(spark):
+    from airflow_baseball_spark.queries_timeseries import q_twap
+
+    rows = q_twap(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # a weighted average of positive holds stays near the plain
+        # mean's scale; both positive here
+        assert r.twap > 0 and r.plain_mean > 0
+        assert r.n_intervals > 0 and r.span_minutes > 0
