@@ -932,3 +932,193 @@ def _dp_sql() -> str:
 
 
 registry.register("dp_noisy_counts", q_dp_noisy_counts, _dp_sql())
+
+
+# ---------------------------------------------------------------------------
+# IR metrics: MRR and NDCG@5 over session event rankings
+# ---------------------------------------------------------------------------
+
+
+def q_mrr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first purchase within each user's
+    event sequence — the IR ranking metric applied to journeys (how
+    early does the converting action appear). Sessions without a
+    purchase contribute rank ∞ → 0, the standard MRR convention.
+
+    Reciprocals quantize to BIGINT (floor(1e9/pos)) before the mean —
+    order-invariant integer sums; positions come from one user-keyed
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+    )
+    first_p = (
+        pos.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("fp"))
+    )
+    users = pos.select("user_id").distinct()
+    scored = users.join(first_p, "user_id", "left").select(
+        F.when(
+            F.col("fp").isNotNull(),
+            F.floor(F.lit(1000000000) / F.col("fp")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("rr9")
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count(F.when(F.col("rr9") > 0, 1)).cast("long").alias(
+            "n_converting"
+        ),
+        _r6(
+            F.sum("rr9").cast("double")
+            / (F.count("*").cast("double") * F.lit(1e9))
+        ).alias("mrr"),
+    )
+
+
+registry.register(
+    "mrr_metric",
+    q_mrr_metric,
+    """
+    WITH pos AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+      FROM events
+    ),
+    first_p AS (
+      SELECT user_id, MIN(pos) AS fp FROM pos
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    scored AS (
+      SELECT CASE WHEN f.fp IS NOT NULL
+                  THEN CAST(FLOOR(1000000000 / f.fp) AS BIGINT)
+                  ELSE 0 END AS rr9
+      FROM (SELECT DISTINCT user_id FROM pos) u
+      LEFT JOIN first_p f USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN rr9 > 0 THEN 1 END) AS BIGINT)
+             AS n_converting,
+           FLOOR((CAST(SUM(rr9) AS DOUBLE)
+                  / (CAST(COUNT(*) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mrr
+    FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 with value gains
+# ---------------------------------------------------------------------------
+
+
+def q_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean NDCG@5 over users, scoring each user's first five events
+    by their value as graded relevance: DCG = Σ gain/log2(pos+1)
+    against the ideal (value-sorted) ordering of the SAME five gains
+    — how well does arrival order match value order.
+
+    Per-position discounted gains quantize to BIGINT
+    (floor(cents·1e6/log2(pos+1))) before summing, so DCG and IDCG
+    are integer sums; the per-user ratio and the final mean divide
+    exact integers (mean over users ordered-summed via the
+    quantization — each user's ndcg re-quantizes to 1e9)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    top5 = (
+        ev.select(
+            "user_id",
+            cents.alias("g"),
+            F.row_number().over(w).alias("pos"),
+        )
+        .filter(F.col("pos") <= 5)
+    )
+    w_ideal = Window.partitionBy("user_id").orderBy(
+        F.col("g").desc(), "pos"
+    )
+    staged = top5.select(
+        "user_id",
+        "g",
+        "pos",
+        F.row_number().over(w_ideal).alias("ipos"),
+    )
+    disc = lambda p: F.log(F.lit(2.0)) / F.log(  # noqa: E731
+        p.cast("double") + F.lit(1.0)
+    )
+    q = lambda p: F.floor(  # noqa: E731
+        F.col("g").cast("double") * F.lit(1e6) * disc(p)
+    ).cast("long")
+    per_user = staged.groupBy("user_id").agg(
+        F.sum(q(F.col("pos"))).alias("dcg6"),
+        F.sum(q(F.col("ipos"))).alias("idcg6"),
+    )
+    ndcg9 = F.when(
+        F.col("idcg6") > 0,
+        F.floor(
+            F.col("dcg6").cast("double")
+            * F.lit(1e9)
+            / F.col("idcg6").cast("double")
+        ).cast("long"),
+    ).otherwise(F.lit(1000000000))
+    scored = per_user.select(ndcg9.alias("n9"))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_users"),
+        _r6(
+            F.sum("n9").cast("double")
+            / (F.count("*").cast("double") * F.lit(1e9))
+        ).alias("mean_ndcg_at5"),
+    )
+
+
+registry.register(
+    "ndcg_at5",
+    q_ndcg_at5,
+    """
+    WITH top5 AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS g,
+             pos
+      FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos
+        FROM events
+      ) WHERE pos <= 5
+    ),
+    staged AS (
+      SELECT user_id, g, pos,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY g DESC, pos) AS ipos
+      FROM top5
+    ),
+    per_user AS (
+      SELECT user_id,
+             SUM(CAST(FLOOR(CAST(g AS DOUBLE) * 1e6
+                            * (LN(2.0) / LN(CAST(pos AS DOUBLE) + 1.0)))
+                      AS BIGINT)) AS dcg6,
+             SUM(CAST(FLOOR(CAST(g AS DOUBLE) * 1e6
+                            * (LN(2.0) / LN(CAST(ipos AS DOUBLE) + 1.0)))
+                      AS BIGINT)) AS idcg6
+      FROM staged GROUP BY 1
+    ),
+    scored AS (
+      SELECT CASE WHEN idcg6 > 0
+                  THEN CAST(FLOOR(CAST(dcg6 AS DOUBLE) * 1e9
+                                  / CAST(idcg6 AS DOUBLE)) AS BIGINT)
+                  ELSE 1000000000 END AS n9
+      FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR((CAST(SUM(n9) AS DOUBLE)
+                  / (CAST(COUNT(*) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_ndcg_at5
+    FROM scored
+    """,
+)

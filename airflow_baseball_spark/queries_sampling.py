@@ -406,3 +406,47 @@ def _weighted_reservoir_sql() -> str:
 registry.register(
     "weighted_reservoir", q_weighted_reservoir, _weighted_reservoir_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment stratified by language:
+    within each language, docs order by the md5 identity coin and
+    take fold = row_number mod 5 — every fold carries each language's
+    share to within one doc (train_test_split's k-fold sibling;
+    hash-ordering inside the stratum keeps folds random-looking yet
+    reproducible). Output is the (lang, fold) balance table the
+    assignment guarantees; one window per stratum, all counts."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_unit(F.col("doc_id"), seed="fold"), "doc_id"
+    )
+    assigned = docs.select(
+        "lang", ((F.row_number().over(w) - 1) % 5).alias("fold")
+    )
+    return assigned.groupBy("lang", "fold").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def _kfold_sql() -> str:
+    u = hash_unit_sql("doc_id", "fold")
+    return f"""
+    WITH assigned AS (
+      SELECT lang,
+             (ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY {u}, doc_id) - 1) % 5 AS fold
+      FROM documents
+    )
+    SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY 1, 2
+    """
+
+
+registry.register("stratified_kfold", q_stratified_kfold, _kfold_sql())

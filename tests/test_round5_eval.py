@@ -105,3 +105,35 @@ def test_dp_noisy_counts_bounded_noise(spark):
         # determinism: noise depends only on the group name
     again = {r.event_type: r.noisy_n for r in q_dp_noisy_counts(spark, SF).collect()}
     assert all(abs(again[r.event_type] - r.noisy_n) < 1e-9 for r in rows)
+
+
+def test_mrr_bounds(spark):
+    from airflow_baseball_spark.queries_eval import q_mrr_metric
+
+    r = q_mrr_metric(spark, SF).collect()[0]
+    assert 0 < r.n_converting <= r.n_users
+    # MRR in (0, 1]; at least n_converting/n_users * (1/max_pos)
+    assert 0 < r.mrr <= 1.0
+    assert r.mrr >= r.n_converting / r.n_users / 10000
+
+
+def test_ndcg_bounds(spark):
+    from airflow_baseball_spark.queries_eval import q_ndcg_at5
+
+    r = q_ndcg_at5(spark, SF).collect()[0]
+    assert r.n_users > 0
+    # NDCG normalized into (0, 1]
+    assert 0 < r.mean_ndcg_at5 <= 1.0 + 1e-6
+
+
+def test_stratified_kfold_balance(spark):
+    from airflow_baseball_spark.queries_sampling import q_stratified_kfold
+
+    rows = q_stratified_kfold(spark, SF).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {})[r.fold] = r.n_docs
+    for lang, folds in per_lang.items():
+        # stratification: fold sizes within each language differ by <= 1
+        sizes = list(folds.values())
+        assert max(sizes) - min(sizes) <= 1, (lang, folds)
