@@ -1139,3 +1139,133 @@ registry.register(
     FROM new GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketing padding-waste evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_pad_waste_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many pad tokens does length-sorted batching save vs
+    hash-order batching at batch size 32 — the measurement behind
+    every sequence-bucketing dataloader (token_pack is the concat
+    packer; this evaluates the padded-batch alternative).
+
+    Both orderings assign batch = (row_number−1) div 32 from a
+    window (sorted: token count; baseline: the md5 identity coin);
+    waste per batch = Σ(batch_max − len) — all integer arithmetic,
+    one ratio at the end. The global windows run on the docs-sized
+    token-count table, and a production run would batch per
+    partition; the global row_number here makes the oracle exact."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w_sorted = Window.orderBy("n_tok", "doc_id")
+    w_hash = Window.orderBy(hash_unit(F.col("doc_id"), seed="pad"), "doc_id")
+
+    def waste(w: Window, label: str) -> DataFrame:
+        batched = toks.select(
+            "n_tok",
+            ((F.row_number().over(w) - 1) / 32).cast("long").alias("b"),
+        )
+        per_b = batched.groupBy("b").agg(
+            F.count("*").alias("c"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("s"),
+        )
+        return per_b.agg(
+            F.lit(label).alias("ordering"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum(F.col("c") * F.col("mx") - F.col("s"))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.sum("s").cast("long").alias("real_tokens"),
+        )
+
+    return waste(w_sorted, "length_sorted").unionAll(
+        waste(w_hash, "hash_order")
+    )
+
+
+def _pad_waste_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    u = hash_unit_sql("doc_id", "pad")
+    one = """
+      SELECT '{label}' AS ordering,
+             CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(c * mx - s) AS BIGINT) AS pad_tokens,
+             CAST(SUM(s) AS BIGINT) AS real_tokens
+      FROM (
+        SELECT b, COUNT(*) AS c, MAX(n_tok) AS mx, SUM(n_tok) AS s
+        FROM (
+          SELECT n_tok,
+                 (ROW_NUMBER() OVER (ORDER BY {order}) - 1) // 32 AS b
+          FROM toks
+        ) GROUP BY b
+      )"""
+    return (
+        """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    """
+        + one.format(label="length_sorted", order="n_tok, doc_id")
+        + "\n    UNION ALL\n"
+        + one.format(label="hash_order", order=f"{u}, doc_id")
+    )
+
+
+registry.register("pad_waste_eval", q_pad_waste_eval, _pad_waste_sql())
+
+
+# ---------------------------------------------------------------------------
+# Dataloader shard balance
+# ---------------------------------------------------------------------------
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token load per dataloader shard when docs route by identity
+    hash to 8 shards — the skew check before a distributed training
+    read (media_shard_plan is the bin-packing planner; this audits
+    the cheap stateless alternative). floor(u·8) is exact: u = k/2³²,
+    so u·8 = k/2²⁹ has no representation error. All counts."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.floor(hash_unit(F.col("doc_id"), seed="shard") * 8).cast(
+        "long"
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _shard_balance_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    u = hash_unit_sql("doc_id", "shard")
+    return f"""
+    SELECT CAST(FLOOR({u} * 8) AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+    """
+
+
+registry.register("shard_balance", q_shard_balance, _shard_balance_sql())

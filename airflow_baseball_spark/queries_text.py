@@ -2807,3 +2807,104 @@ registry.register(
     FROM nrm n JOIN nearest x ON n.label = x.label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query vector: the most similar SAME-label vector (the
+    positive) and the most similar OTHER-label vector (the hard
+    negative), with the contrastive margin between them — the pair
+    miner behind embedding fine-tuning (small or negative margins
+    mark the pairs worth training on; label_centroids is the
+    class-level view).
+
+    The query set is O(1)-capped (the cosine_topk convention) and
+    broadcast against the corpus, so the scored frame is |queries|·n —
+    one pass, JVM-side zip/dot, no pandas. Ranks order on
+    ROUND(cos,6) with id tie-break (sub-1e-6 noise can't reorder);
+    per-class top-1 needs the class split BEFORE ranking, which is
+    why this isn't a post-filter of global top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("q_label")).alias("same"),
+            F.round(similarity.cosine(F.col("qv"), F.col("embedding")), 6)
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    pos = top.filter(F.col("same")).select(
+        "query_id",
+        "q_label",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = top.filter(~F.col("same")).select(
+        F.col("query_id").alias("nq"),
+        F.col("cand_id").alias("neg_id"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return (
+        pos.join(neg, pos["query_id"] == neg["nq"])
+        .select(
+            "query_id",
+            F.col("q_label").cast("long").alias("label"),
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            _r6(F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        )
+    )
+
+
+registry.register(
+    "hard_negative_mining",
+    q_hard_negative_mining,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500
+    ),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id AS cand_id,
+             e.label = q.q_label AS same,
+             {_COS_SQL.format(a="q.qv", b="e.embedding")} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+                                     ORDER BY cos DESC, cand_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT p.query_id,
+           CAST(p.q_label AS BIGINT) AS label,
+           p.cand_id AS pos_id, p.cos AS pos_cos,
+           n.cand_id AS neg_id, n.cos AS neg_cos,
+           FLOOR((p.cos - n.cos) * 1000000.0 + 0.5) / 1000000.0 AS margin
+    FROM (SELECT * FROM top WHERE same) p
+    JOIN (SELECT * FROM top WHERE NOT same) n USING (query_id)
+    """,
+)

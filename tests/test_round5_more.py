@@ -280,3 +280,36 @@ def test_twap_between_min_and_max(spark):
         # mean's scale; both positive here
         assert r.twap > 0 and r.plain_mean > 0
         assert r.n_intervals > 0 and r.span_minutes > 0
+
+
+def test_pad_waste_sorted_beats_hash(spark):
+    from airflow_baseball_spark.queries_llm import q_pad_waste_eval
+
+    rows = {r.ordering: r for r in q_pad_waste_eval(spark, SF).collect()}
+    assert set(rows) == {"length_sorted", "hash_order"}
+    s, h = rows["length_sorted"], rows["hash_order"]
+    assert s.real_tokens == h.real_tokens  # same corpus either way
+    assert s.n_batches == h.n_batches
+    # length bucketing can only reduce padding
+    assert s.pad_tokens <= h.pad_tokens
+
+
+def test_shard_balance_partitions_corpus(spark):
+    from airflow_baseball_spark.queries_llm import q_shard_balance
+    from airflow_baseball_spark.schemas import load_table
+
+    rows = q_shard_balance(spark, SF).collect()
+    assert all(0 <= r.shard <= 7 for r in rows)
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, SF, "documents").count()
+
+
+def test_hard_negative_margin_consistency(spark):
+    from airflow_baseball_spark.queries_text import q_hard_negative_mining
+
+    rows = q_hard_negative_mining(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.pos_id != r.query_id and r.neg_id != r.query_id
+        assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 2e-6
+        assert -1.0 <= r.pos_cos <= 1.0 and -1.0 <= r.neg_cos <= 1.0
