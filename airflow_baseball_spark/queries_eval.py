@@ -1,7 +1,11 @@
-"""Model/data evaluation statistics: rank-based ROC-AUC (with the
-Mann-Whitney U it is equivalent to), categorical mutual information,
-and a Kaplan-Meier survival curve for time-to-conversion — the
-evaluation layer a training-data pipeline runs between dataset builds.
+"""Model/data evaluation + privacy statistics: rank-based ROC-AUC
+(with the Mann-Whitney U it is equivalent to), categorical mutual
+information, a Kaplan-Meier survival curve, Theil T inequality,
+Cramér's V association, winsorized means, a Zipf power-law fit,
+Wilson score intervals, a k-anonymity audit, deterministic-Laplace
+DP counts, and the IR ranking metrics MRR and NDCG@5 — the
+evaluation layer a training-data pipeline runs between dataset
+builds.
 
 Engine-independence convention (same as queries_stats): every checked
 double is derived from EXACT integer aggregates through an identical
@@ -1120,5 +1124,407 @@ registry.register(
                   / (CAST(COUNT(*) AS DOUBLE) * 1e9))
                  * 1000000.0 + 0.5) / 1000000.0 AS mean_ndcg_at5
     FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Offline policy replay evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline (counterfactual) evaluation by replay: learn a policy
+    "the modal event type per weekday" on the FIRST half of the log,
+    then score it on the second half as the mean value of the events
+    the policy would have chosen — the replay estimator that
+    evaluates a recommender without deploying it.
+
+    Time split at the integer midpoint day (epoch-day arithmetic, the
+    module's calendar rule — never engine dow functions); the modal
+    action per weekday breaks ties lexicographically; all reported
+    values are exact integer ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select(
+        "event_type",
+        cents.alias("v"),
+        epoch_day.alias("d"),
+        (epoch_day % 7).alias("dow"),
+    )
+    bounds = base.agg(
+        ((F.min("d") + F.max("d")) - (F.min("d") + F.max("d")) % 2)
+        .alias("mid2")
+    )  # 2*midpoint, integer
+    with_split = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "is_train", (F.col("d") * 2) < F.col("mid2")
+    )
+    train_counts = (
+        with_split.filter(F.col("is_train"))
+        .groupBy("dow", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dow").orderBy(F.col("n").desc(), "event_type")
+    policy = (
+        train_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("dow", F.col("event_type").alias("action"))
+    )
+    test = with_split.filter(~F.col("is_train"))
+    scored = test.join(F.broadcast(policy), "dow").select(
+        (F.col("event_type") == F.col("action")).alias("match"), "v"
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.count(F.when(F.col("match"), 1)).cast("long").alias("n_matched"),
+        _r6(
+            F.count(F.when(F.col("match"), 1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("match_rate"),
+        _r6(
+            F.sum(F.when(F.col("match"), F.col("v")).otherwise(0)).cast(
+                "double"
+            )
+            / (
+                F.lit(100.0)
+                * F.count(F.when(F.col("match"), 1)).cast("double")
+            )
+        ).alias("matched_mean_value"),
+        _r6(
+            F.sum("v").cast("double")
+            / (F.lit(100.0) * F.count("*").cast("double"))
+        ).alias("overall_mean_value"),
+    )
+
+
+registry.register(
+    "policy_replay_eval",
+    q_policy_replay_eval,
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+               AS dow
+      FROM events
+    ),
+    bounds AS (
+      SELECT (MIN(d) + MAX(d)) - (MIN(d) + MAX(d)) % 2 AS mid2 FROM base
+    ),
+    with_split AS (
+      SELECT b.*, (b.d * 2) < bo.mid2 AS is_train
+      FROM base b CROSS JOIN bounds bo
+    ),
+    policy AS (
+      SELECT dow, event_type AS action FROM (
+        SELECT dow, event_type,
+               ROW_NUMBER() OVER (PARTITION BY dow
+                                  ORDER BY COUNT(*) DESC, event_type) AS rk
+        FROM with_split WHERE is_train GROUP BY dow, event_type
+      ) WHERE rk = 1
+    ),
+    scored AS (
+      SELECT t.event_type = p.action AS match, t.v
+      FROM with_split t JOIN policy p USING (dow)
+      WHERE NOT t.is_train
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(COUNT(CASE WHEN match THEN 1 END) AS BIGINT) AS n_matched,
+           FLOOR((CAST(COUNT(CASE WHEN match THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS match_rate,
+           FLOOR((CAST(SUM(CASE WHEN match THEN v ELSE 0 END) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(CASE WHEN match THEN 1 END)
+                                  AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS matched_mean_value,
+           FLOOR((CAST(SUM(v) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS overall_mean_value
+    FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q-Q quantile comparison table
+# ---------------------------------------------------------------------------
+
+
+def q_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile table of purchase vs click values at deciles
+    1..9 — ks_statistic's diagnostic companion (KS says IF the
+    distributions differ; the Q-Q table says WHERE). Discrete
+    ceil(p·n) ranks in pure integer arithmetic ((k·n + 9) div 10),
+    one value sort per class on the distinct-cent table."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select(F.col("event_type").alias("cls"), cents.alias("v"))
+    w = Window.partitionBy("cls").orderBy("v")
+    wn = Window.partitionBy("cls")
+    ranked = base.select(
+        "cls",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lv = ranked.select(
+        "cls",
+        "v",
+        "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k"),
+    ).filter(
+        F.col("rn") == F.expr("(k * n + 9) div 10")
+    )
+    q = lv.groupBy("k").pivot("cls", ["purchase", "click"]).agg(
+        F.min("v")
+    )
+    return q.select(
+        F.col("k").cast("long").alias("decile"),
+        (F.col("purchase").cast("double") / 100.0).alias("q_purchase"),
+        (F.col("click").cast("double") / 100.0).alias("q_click"),
+        _r6(
+            (F.col("purchase") - F.col("click")).cast("double") / 100.0
+        ).alias("qq_diff"),
+    )
+
+
+registry.register(
+    "qq_table",
+    q_qq_table,
+    """
+    WITH base AS (
+      SELECT event_type AS cls,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    ranked AS (
+      SELECT cls, v,
+             ROW_NUMBER() OVER (PARTITION BY cls ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY cls) AS n
+      FROM base
+    ),
+    lv AS (
+      SELECT cls, v, k
+      FROM ranked, LATERAL unnest(generate_series(1, 9)) AS g(k)
+      WHERE rn = (k * n + 9) // 10
+    )
+    SELECT CAST(k AS BIGINT) AS decile,
+           CAST(MIN(CASE WHEN cls = 'purchase' THEN v END) AS DOUBLE)
+             / 100.0 AS q_purchase,
+           CAST(MIN(CASE WHEN cls = 'click' THEN v END) AS DOUBLE)
+             / 100.0 AS q_click,
+           FLOOR((CAST(MIN(CASE WHEN cls = 'purchase' THEN v END)
+                       - MIN(CASE WHEN cls = 'click' THEN v END) AS DOUBLE)
+                  / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS qq_diff
+    FROM lv GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Distribution overlap coefficient
+# ---------------------------------------------------------------------------
+
+
+def q_overlap_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap coefficient between the purchase and click value
+    distributions: OVL = Σ_v min(p_v, q_v) — the fraction of
+    probability mass the two classes share (1 = identical, 0 =
+    disjoint). Completes the distribution-comparison kit: KS (max
+    gap), Q-Q (where), OVL (how much overlap).
+
+    Exactness: per distinct cent the class counts are integers, and
+    min(na_v/na, nb_v/nb) is computed as the INTEGER cross-product
+    min(na_v·nb, nb_v·na) — the whole sum is one exact BIGINT, one
+    final division. One combinable groupBy on the fact."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_v = (
+        ev.select(
+            cents.alias("v"),
+            (F.col("event_type") == "purchase").alias("is_pos"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("is_pos"), 1)).alias("na_v"),
+            F.count(F.when(~F.col("is_pos"), 1)).alias("nb_v"),
+        )
+    )
+    wn = Window.partitionBy()
+    staged = per_v.select(
+        "na_v",
+        "nb_v",
+        F.sum("na_v").over(wn).alias("na"),
+        F.sum("nb_v").over(wn).alias("nb"),
+    )
+    return staged.agg(
+        F.max("na").cast("long").alias("n_purchase"),
+        F.max("nb").cast("long").alias("n_click"),
+        F.count("*").cast("long").alias("n_distinct_values"),
+        _r6(
+            F.sum(
+                F.least(
+                    F.col("na_v") * F.col("nb"), F.col("nb_v") * F.col("na")
+                )
+            ).cast("double")
+            / (F.max("na") * F.max("nb")).cast("double")
+        ).alias("overlap"),
+    )
+
+
+registry.register(
+    "overlap_coefficient",
+    q_overlap_coefficient,
+    """
+    WITH per_v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS na_v,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nb_v
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    staged AS (
+      SELECT na_v, nb_v,
+             SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb
+      FROM per_v
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_purchase,
+           CAST(MAX(nb) AS BIGINT) AS n_click,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_values,
+           FLOOR((CAST(SUM(LEAST(na_v * nb, nb_v * na)) AS DOUBLE)
+                  / CAST(MAX(na) * MAX(nb) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS overlap
+    FROM staged
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector
+# ---------------------------------------------------------------------------
+
+
+def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the customer-balance health comparison between the two
+    largest market segments REVERSE inside individual nations?
+    Aggregation-reversal (Simpson's paradox) is the classic trap in
+    cohort dashboards; this audit counts the strata that disagree
+    with the pooled conclusion.
+
+    Every rate comparison is an INTEGER cross-product
+    (k₁·n₂ vs k₂·n₁ — never a float division), so winner flags can't
+    flip on a ulp. Shape: one (nation, segment) groupBy; the pooled
+    and per-nation comparisons run on that cells table."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("k"),
+    )
+    seg_tot = cells.groupBy("c_mktsegment").agg(
+        F.sum("n").alias("n"), F.sum("k").alias("k")
+    )
+    w = Window.orderBy(F.col("n").desc(), "c_mktsegment")
+    top2 = seg_tot.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    a = top2.filter(F.col("rk") == 1).select(
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("n").alias("na"),
+        F.col("k").alias("ka"),
+    )
+    b = top2.filter(F.col("rk") == 2).select(
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("n").alias("nb"),
+        F.col("k").alias("kb"),
+    )
+    pooled = a.crossJoin(b).select(
+        "seg_a",
+        "seg_b",
+        (F.col("ka") * F.col("nb") > F.col("kb") * F.col("na")).alias(
+            "a_wins_pooled"
+        ),
+    )
+    pa = cells.alias("x").join(
+        F.broadcast(pooled), F.col("x.c_mktsegment") == F.col("seg_a")
+    ).select(
+        F.col("x.c_nationkey").alias("nat"),
+        F.col("x.n").alias("na_s"),
+        F.col("x.k").alias("ka_s"),
+        "seg_a",
+        "seg_b",
+        "a_wins_pooled",
+    )
+    pb = cells.alias("y").select(
+        F.col("y.c_nationkey").alias("nat_b"),
+        F.col("y.c_mktsegment").alias("seg_b2"),
+        F.col("y.n").alias("nb_s"),
+        F.col("y.k").alias("kb_s"),
+    )
+    strata = pa.join(
+        pb,
+        (F.col("nat") == F.col("nat_b"))
+        & (F.col("seg_b2") == F.col("seg_b")),
+    ).select(
+        "seg_a",
+        "seg_b",
+        "a_wins_pooled",
+        (F.col("ka_s") * F.col("nb_s") > F.col("kb_s") * F.col("na_s")).alias(
+            "a_wins_stratum"
+        ),
+    )
+    return strata.groupBy("seg_a", "seg_b", "a_wins_pooled").agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.count(
+            F.when(F.col("a_wins_stratum") != F.col("a_wins_pooled"), 1)
+        )
+        .cast("long")
+        .alias("n_reversed"),
+    )
+
+
+registry.register(
+    "simpson_paradox",
+    q_simpson_paradox,
+    """
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             COUNT(CASE WHEN c_acctbal > 0 THEN 1 END) AS k
+      FROM customer GROUP BY 1, 2
+    ),
+    seg_tot AS (
+      SELECT c_mktsegment, SUM(n) AS n, SUM(k) AS k
+      FROM cells GROUP BY 1
+    ),
+    top2 AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) AS rk
+      FROM seg_tot
+    ),
+    pooled AS (
+      SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+             a.k * b.n > b.k * a.n AS a_wins_pooled
+      FROM (SELECT * FROM top2 WHERE rk = 1) a
+      CROSS JOIN (SELECT * FROM top2 WHERE rk = 2) b
+    ),
+    strata AS (
+      SELECT p.seg_a, p.seg_b, p.a_wins_pooled,
+             x.k * y.n > y.k * x.n AS a_wins_stratum
+      FROM pooled p
+      JOIN cells x ON x.c_mktsegment = p.seg_a
+      JOIN cells y ON y.c_mktsegment = p.seg_b
+                  AND y.c_nationkey = x.c_nationkey
+    )
+    SELECT seg_a, seg_b, a_wins_pooled,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(COUNT(CASE WHEN a_wins_stratum <> a_wins_pooled THEN 1 END)
+                AS BIGINT) AS n_reversed
+    FROM strata GROUP BY 1, 2, 3
     """,
 )

@@ -1,5 +1,9 @@
-"""Data-mining operators: market-basket co-occurrence (support/lift),
-population-stability-index drift, and RFM customer segmentation.
+"""Data-mining + graph operators: market-basket co-occurrence
+(support/lift), population-stability-index drift, RFM segmentation,
+the brand co-purchase graph family (degrees, wedges/triangles,
+clustering, assortativity, k-core, Jaccard, Adamic-Adar link
+prediction), DBSCAN-style grid-density clustering, and the Markov
+stationary distribution via pure-integer power iteration.
 
 Same engine-exactness rules as queries_stats.py: every reported double
 derives from exact integer counts / decimal sums through an identical
@@ -1469,3 +1473,121 @@ def _markov_sql() -> str:
 
 
 registry.register("markov_stationary", q_markov_stationary, _markov_sql())
+
+
+# ---------------------------------------------------------------------------
+# Popularity-recommender hit rate
+# ---------------------------------------------------------------------------
+
+
+def q_popularity_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-rate@3 of the popularity recommender: the 3 brands with the
+    widest first-half customer reach, scored on second-half orders
+    (hit = the order contains a recommended brand) — the cold-start
+    baseline every recommender must beat, evaluated offline like
+    policy_replay_eval.
+
+    Time split at the integer midpoint epoch-day; popularity ranks by
+    exact distinct-customer counts (brand tie-break); the test-side
+    hit flag is a semi-join against the 3-row broadcast. Counts only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    epoch_day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    o = orders.select(
+        "o_orderkey", "o_custkey", epoch_day.alias("d")
+    )
+    bounds = o.agg(
+        ((F.min("d") + F.max("d")) - (F.min("d") + F.max("d")) % 2).alias(
+            "mid2"
+        )
+    )
+    ob = (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn("is_train", (F.col("d") * 2) < F.col("mid2"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("o_orderkey", "o_custkey", "is_train", "p_brand")
+    )
+    pop = (
+        ob.filter(F.col("is_train"))
+        .groupBy("p_brand")
+        .agg(F.countDistinct("o_custkey").alias("reach"))
+    )
+    w = Window.orderBy(F.col("reach").desc(), "p_brand")
+    top3 = (
+        pop.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("p_brand").alias("rec_brand"))
+    )
+    test_orders = ob.filter(~F.col("is_train"))
+    # one pass over the distinct test orders with the hit flag
+    per_order = (
+        test_orders.join(
+            F.broadcast(top3),
+            F.col("p_brand") == F.col("rec_brand"),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("rec_brand").isNotNull(), 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return per_order.agg(
+        F.count("*").cast("long").alias("n_test_orders"),
+        F.sum("hit").cast("long").alias("n_hit_orders"),
+        _r6(
+            F.sum("hit").cast("double") / F.count("*").cast("double")
+        ).alias("hit_rate_at3"),
+    )
+
+
+registry.register(
+    "popularity_hitrate",
+    q_popularity_hitrate,
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d
+      FROM orders
+    ),
+    bounds AS (
+      SELECT (MIN(d) + MAX(d)) - (MIN(d) + MAX(d)) % 2 AS mid2 FROM o
+    ),
+    ob AS (
+      SELECT o.o_orderkey, o.o_custkey, (o.d * 2) < b.mid2 AS is_train,
+             p.p_brand
+      FROM o CROSS JOIN bounds b
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    top3 AS (
+      SELECT p_brand AS rec_brand FROM (
+        SELECT p_brand,
+               ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT o_custkey) DESC,
+                                           p_brand) AS rk
+        FROM ob WHERE is_train GROUP BY p_brand
+      ) WHERE rk <= 3
+    ),
+    test_orders AS (SELECT * FROM ob WHERE NOT is_train),
+    hit AS (
+      SELECT DISTINCT o_orderkey FROM test_orders
+      WHERE p_brand IN (SELECT rec_brand FROM top3)
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+            FROM test_orders) AS n_test_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit_orders,
+           FLOOR(((SELECT CAST(COUNT(*) AS DOUBLE) FROM hit)
+                  / (SELECT CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                     FROM test_orders))
+                 * 1000000.0 + 0.5) / 1000000.0 AS hit_rate_at3
+    """,
+)

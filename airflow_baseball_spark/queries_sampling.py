@@ -1,6 +1,9 @@
-"""Sampling / splitting driver queries. Oracles recompute the md5 unit
-hash independently in DuckDB — assignments must match row-for-row, which
-is the whole point of hash-based (vs rand-based) splitting.
+"""Sampling / splitting driver queries: hash sampling, train/test
+splits, stratified sampling and k-fold assignment, the Poisson
+bootstrap CI, and Efraimidis-Spirakis weighted reservoir sampling.
+Oracles recompute the md5 unit hash independently in DuckDB —
+assignments must match row-for-row, which is the whole point of
+hash-based (vs rand-based) splitting.
 """
 
 from __future__ import annotations

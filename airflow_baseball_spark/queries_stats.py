@@ -958,3 +958,234 @@ registry.register(
     LIMIT 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator
+# ---------------------------------------------------------------------------
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail exponent over the top
+    k=200 order statistics: α̂ = 1 / (mean of ln(x_(i)/x_(k))) — the
+    heavy-tail diagnostic behind capacity planning and the
+    zipf_slope/pareto_frontier family (α ≈ 1/|zipf slope| for a true
+    power law).
+
+    The top-(k+1) values arrive via TakeOrdered (per-partition
+    top-k + driver merge, never a global sort); each ln ratio has an
+    exact integer-cent argument and QUANTIZES to BIGINT before the
+    k-term sum — order-invariant."""
+    k = 200
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    top = orders.select(cents.alias("v")).orderBy(F.col("v").desc()).limit(
+        k + 1
+    )
+    w = Window.orderBy(F.col("v").desc())
+    ranked = top.select("v", F.row_number().over(w).alias("rn"))
+    vk = ranked.filter(F.col("rn") == k + 1).select(
+        F.col("v").alias("vk")
+    )
+    lq = ranked.filter(F.col("rn") <= k).crossJoin(F.broadcast(vk)).select(
+        F.floor(
+            F.log(F.col("v").cast("double") / F.col("vk").cast("double"))
+            * 1e9
+        )
+        .cast("long")
+        .alias("l9"),
+        "vk",
+    )
+    return lq.agg(
+        F.lit(k).cast("long").alias("k"),
+        (F.max("vk").cast("double") / 100.0).alias("threshold"),
+        _r6(
+            F.lit(float(k))
+            * F.lit(1e9)
+            / F.sum("l9").cast("double")
+        ).alias("hill_alpha"),
+    )
+
+
+registry.register(
+    "hill_tail_index",
+    q_hill_tail_index,
+    """
+    WITH top AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders ORDER BY v DESC LIMIT 201
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top
+    ),
+    vk AS (SELECT v AS vk FROM ranked WHERE rn = 201),
+    lq AS (
+      SELECT CAST(FLOOR(LN(CAST(r.v AS DOUBLE) / CAST(k.vk AS DOUBLE))
+                        * 1e9) AS BIGINT) AS l9,
+             k.vk
+      FROM ranked r CROSS JOIN vk k WHERE r.rn <= 200
+    )
+    SELECT CAST(200 AS BIGINT) AS k,
+           CAST(MAX(vk) AS DOUBLE) / 100.0 AS threshold,
+           FLOOR((200.0 * 1e9 / CAST(SUM(l9) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS hill_alpha
+    FROM lq
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (index of dispersion / Fano factor)
+# ---------------------------------------------------------------------------
+
+
+def q_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean) of the daily event count per type —
+    the burstiness diagnostic (Poisson arrivals ⇒ ≈1; >1 means
+    clumping that capacity plans and rate limiters must absorb).
+
+    Variance from exact integer sufficient statistics per type
+    (n days, Σc, Σc²): F = (n·Σc² − (Σc)²) / (n·Σc) computed as one
+    shared integer-ratio expression — no float accumulations at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    suff = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return suff.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s1").cast("long").alias("n_events"),
+        _r6(
+            (
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("s1").cast("double"))
+        ).alias("fano_factor"),
+    )
+
+
+registry.register(
+    "burstiness_index",
+    q_burstiness_index,
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    suff AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s1 AS BIGINT) AS n_events,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS fano_factor
+    FROM suff
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two daily series
+# ---------------------------------------------------------------------------
+
+
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson cross-correlation of the click and purchase daily
+    REVENUE series at lags −3..+3 days (does click volume lead
+    purchases?) — autocorr's two-series sibling, the lead-lag
+    screen before any causal claim.
+
+    Per lag, the paired days join on d = d' + lag (a keyed equi-join
+    of two days-sized tables after the in-row lag explode), and r
+    comes from exact integer-cent sufficient sums through one shared
+    expression — the corr_matrix convention, per lag."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.sum(cents).alias("v"))
+    )
+    clicks = daily.filter(F.col("event_type") == "click").select(
+        F.col("d").alias("dc"), F.col("v").alias("x")
+    )
+    buys = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("db"), F.col("v").alias("y")
+    )
+    lagged = clicks.select(
+        "dc", "x", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    )
+    pairs = lagged.join(
+        buys, F.expr("date_add(dc, lag) = db")
+    )
+    suff = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("sxy", "sxx", "syy")
+    )
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return suff.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        F.col("n").cast("long").alias("n_pairs"),
+        _r6(r).alias("r"),
+    )
+
+
+registry.register(
+    "cross_correlation",
+    q_cross_correlation,
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    clicks AS (SELECT d AS dc, v AS x FROM daily
+               WHERE event_type = 'click'),
+    buys AS (SELECT d AS db, v AS y FROM daily
+             WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT g.lag, c.x, b.y
+      FROM clicks c,
+           LATERAL unnest(generate_series(-3, 3)) AS g(lag)
+      JOIN buys b ON c.dc + CAST(g.lag AS INTEGER) * INTERVAL 1 DAY = b.db
+    ),
+    suff AS (
+      SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r
+    FROM suff
+    """,
+)

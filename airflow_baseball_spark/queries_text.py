@@ -2908,3 +2908,59 @@ registry.register(
     JOIN (SELECT * FROM top WHERE NOT same) n USING (query_id)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster-size distribution
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of duplicate-cluster sizes from the LSH/CC clustering
+    (dedup_clusters' rollup): how much of the corpus sits in clusters
+    of size 1 (unique), 2, 3… — the dedup-audit number that decides
+    whether near-dup removal is worth its cost, and the removal-rate
+    forecast (docs − clusters = rows a keep-one policy drops).
+
+    Reuses the one Spark-side cluster construction and the one
+    recursive-CTE closure oracle; this query only adds two
+    cluster-table-sized aggregates on top."""
+    labels = _cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_root").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+def _cluster_sizes_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_cc_closure_sql()},
+    labels AS (
+      SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS cluster_root
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    sizes AS (
+      SELECT cluster_root, COUNT(*) AS cluster_size
+      FROM labels GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+registry.register(
+    "dedup_cluster_sizes", q_dedup_cluster_sizes, _cluster_sizes_sql()
+)

@@ -1,7 +1,9 @@
 """Time-series operators over the events/orders daily series:
-gaps-and-islands streaks, linear interpolation of missing days,
-lag-k autocorrelation, day-of-week seasonality, centered-window
-anomaly flags, and CUSUM changepoint scanning.
+gaps-and-islands streaks, linear interpolation, lag-k autocorrelation,
+day-of-week seasonality, centered-window anomaly flags, CUSUM
+changepoint scanning, day-k retention curves, exact rolling medians,
+the seasonal-naive forecast backtest, sliding-window distinct users
+via interval merging, and time-weighted averages (TWAP).
 
 Same engine-exactness rules as queries_stats.py: every reported
 double derives from exact integer counts / decimal sums through an
@@ -1001,5 +1003,91 @@ registry.register(
                  * 1000000.0 + 0.5) / 1000000.0 AS plain_mean
     FROM gaps WHERE dt IS NOT NULL
     GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Floor-at-zero running balance (capped cumulative sum, closed form)
+# ---------------------------------------------------------------------------
+
+
+def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily inventory-style balance per part where returns drain
+    stock but the balance FLOORS at zero — the nonlinear running sum
+    every naive window gets wrong. The closed form makes it a plain
+    window: with prefix p_t, the floored balance is
+    b_t = p_t − min(0, min_{s≤t} p_s) — one cumulative sum + one
+    cumulative min, no recursion, no UDF, exact integers throughout.
+    (The identity holds for a floor-only cap; a two-sided cap has no
+    windowed closed form and would need applyInPandasWithState.)
+
+    Scale: daily net quantities aggregate combinably per (part, day);
+    both windows sort the part's own day series. Output restricted to
+    a fixed O(1) part set so the row count is sf-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 500 == 0
+    )
+    net = (
+        li.select(
+            "l_partkey",
+            F.to_date("l_shipdate").alias("d"),
+            F.when(
+                F.col("l_returnflag") == "R",
+                -F.col("l_quantity").cast("decimal(18,2)"),
+            )
+            .otherwise(F.col("l_quantity").cast("decimal(18,2)"))
+            .alias("q"),
+        )
+        .groupBy("l_partkey", "d")
+        .agg((F.sum("q") * 100).cast("long").alias("net100"))
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = net.select(
+        "l_partkey",
+        "d",
+        "net100",
+        F.sum("net100").over(w).alias("p"),
+    ).withColumn("m", F.min(F.least(F.col("p"), F.lit(0))).over(w))
+    return staged.select(
+        "l_partkey",
+        "d",
+        (F.col("net100").cast("double") / 100.0).alias("net_qty"),
+        ((F.col("p") - F.col("m")).cast("double") / 100.0).alias(
+            "balance"
+        ),
+    )
+
+
+registry.register(
+    "capped_running_balance",
+    q_capped_running_balance,
+    """
+    WITH net AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN -CAST(l_quantity AS DECIMAL(18,2))
+                           ELSE CAST(l_quantity AS DECIMAL(18,2)) END)
+                  * 100 AS BIGINT) AS net100
+      FROM lineitem WHERE l_partkey % 500 = 0
+      GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT l_partkey, d, net100,
+             SUM(net100) OVER (PARTITION BY l_partkey ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM net
+    )
+    SELECT l_partkey, d,
+           CAST(net100 AS DOUBLE) / 100.0 AS net_qty,
+           CAST(p - MIN(LEAST(p, 0))
+                    OVER (PARTITION BY l_partkey ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS balance
+    FROM staged
     """,
 )

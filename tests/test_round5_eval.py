@@ -137,3 +137,36 @@ def test_stratified_kfold_balance(spark):
         # stratification: fold sizes within each language differ by <= 1
         sizes = list(folds.values())
         assert max(sizes) - min(sizes) <= 1, (lang, folds)
+
+
+def test_policy_replay_counts(spark):
+    from airflow_baseball_spark.queries_eval import q_policy_replay_eval
+
+    r = q_policy_replay_eval(spark, SF).collect()[0]
+    assert 0 < r.n_matched <= r.n_eval
+    assert abs(r.match_rate - r.n_matched / r.n_eval) < 1e-6
+    assert r.matched_mean_value > 0 and r.overall_mean_value > 0
+
+
+def test_qq_table_monotone_quantiles(spark):
+    from airflow_baseball_spark.queries_eval import q_qq_table
+
+    rows = sorted(q_qq_table(spark, SF).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 10))
+    qp = [r.q_purchase for r in rows]
+    qc = [r.q_click for r in rows]
+    # quantiles are nondecreasing in the level
+    assert all(a <= b for a, b in zip(qp, qp[1:]))
+    assert all(a <= b for a, b in zip(qc, qc[1:]))
+    for r in rows:
+        assert abs(r.qq_diff - (r.q_purchase - r.q_click)) < 1e-6
+
+
+def test_simpson_paradox_counts(spark):
+    from airflow_baseball_spark.queries_eval import q_simpson_paradox
+
+    rows = q_simpson_paradox(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.seg_a != r.seg_b
+    assert 0 <= r.n_reversed <= r.n_strata

@@ -313,3 +313,52 @@ def test_hard_negative_margin_consistency(spark):
         assert r.pos_id != r.query_id and r.neg_id != r.query_id
         assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 2e-6
         assert -1.0 <= r.pos_cos <= 1.0 and -1.0 <= r.neg_cos <= 1.0
+
+
+def test_overlap_coefficient_bounds(spark):
+    from airflow_baseball_spark.queries_eval import q_overlap_coefficient
+
+    r = q_overlap_coefficient(spark, SF).collect()[0]
+    assert 0.0 <= r.overlap <= 1.0 + 1e-6
+    assert r.n_distinct_values > 0
+
+
+def test_dedup_cluster_sizes_partitions_corpus(spark):
+    from airflow_baseball_spark.queries_text import q_dedup_cluster_sizes
+    from airflow_baseball_spark.schemas import load_table
+
+    rows = q_dedup_cluster_sizes(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, SF, "documents").count()
+
+
+def test_popularity_hitrate_bounds(spark):
+    from airflow_baseball_spark.queries_mining import q_popularity_hitrate
+
+    r = q_popularity_hitrate(spark, SF).collect()[0]
+    assert 0 < r.n_test_orders
+    assert 0 <= r.n_hit_orders <= r.n_test_orders
+    assert abs(r.hit_rate_at3 - r.n_hit_orders / r.n_test_orders) < 1e-6
+
+
+def test_capped_balance_matches_sequential_definition(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_capped_running_balance,
+    )
+
+    rows = q_capped_running_balance(spark, SF).orderBy(
+        "l_partkey", "d"
+    ).collect()
+    assert rows
+    # replay the sequential b_t = max(0, b_{t-1} + x_t) per part and
+    # compare with the windowed closed form
+    state = {}
+    for r in rows:
+        b_prev = state.get(r.l_partkey, 0.0)
+        b = max(0.0, b_prev + r.net_qty)
+        assert abs(r.balance - b) < 1e-6, (r.l_partkey, r.d)
+        state[r.l_partkey] = b
+        assert r.balance >= 0

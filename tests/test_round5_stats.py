@@ -85,3 +85,33 @@ def test_ks_statistic_bounds(spark):
     r = q_ks_statistic(spark, SF).collect()[0]
     assert r.n_purchase > 0 and r.n_click > 0
     assert 0.0 <= r.ks_stat <= 1.0 + 1e-9
+
+
+def test_hill_tail_index_positive(spark):
+    from airflow_baseball_spark.queries_stats import q_hill_tail_index
+
+    r = q_hill_tail_index(spark, SF).collect()[0]
+    assert r.k == 200
+    assert r.threshold > 0
+    assert r.hill_alpha > 0
+
+
+def test_burstiness_nonneg(spark):
+    from airflow_baseball_spark.queries_stats import q_burstiness_index
+
+    rows = q_burstiness_index(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.fano_factor >= 0
+        assert r.n_events >= r.n_days  # at least one event per active day
+
+
+def test_cross_correlation_full_lag_range(spark):
+    from airflow_baseball_spark.queries_stats import q_cross_correlation
+
+    rows = q_cross_correlation(spark, SF).collect()
+    lags = sorted(r.lag_days for r in rows)
+    assert lags == list(range(-3, 4))
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.r <= 1.0 + 1e-6
+        assert r.n_pairs > 2
