@@ -2066,3 +2066,367 @@ registry.register(
     FROM ranked GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: each
+    purchase's value spreads over the user's touches (view/click) in
+    the preceding 24h, weighted exp(−Δt/6h) — last_touch_attribution's
+    fractional-credit sibling, the model marketing actually runs.
+
+    The touch↔purchase pairing is the bounded range join (equi on
+    user, 24h residual — range_join's plan shape). Decay weights
+    QUANTIZE to BIGINT (floor(1e9·exp(−Δt/τ))) so per-purchase weight
+    sums and the final per-channel credit shares are integer
+    arithmetic; credit = value·w/Σw divides exact integers per pair
+    and re-quantizes to micro-cents before the channel rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_micros("ts").alias("pt"),
+        cents.alias("pv"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tt"),
+    )
+    tau_us = 6 * 3600 * 1000000
+    day_us = 24 * 3600 * 1000000
+    pairs = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["tt"] < p["pt"])
+        & (t["tt"] >= p["pt"] - F.lit(day_us)),
+    ).select(
+        "pid",
+        "pv",
+        "channel",
+        F.floor(
+            F.exp(
+                -(F.col("pt") - F.col("tt")).cast("double")
+                / F.lit(float(tau_us))
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("w9"),
+    )
+    wsum = Window.partitionBy("pid")
+    credited = pairs.select(
+        "channel",
+        "pv",
+        "w9",
+        F.sum("w9").over(wsum).alias("wtot"),
+    ).select(
+        "channel",
+        # micro-cent credit: pv·w9·1e3 div wtot keeps integers exact
+        F.expr("CAST((pv * w9 * 1000) div wtot AS LONG)").alias("mc"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        _r6(F.sum("mc").cast("double") / F.lit(1e5)).alias(
+            "credited_value"
+        ),
+    )
+
+
+registry.register(
+    "time_decay_attribution",
+    q_time_decay_attribution,
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS pid, epoch_us(ts) AS pt,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS pv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_type AS channel, epoch_us(ts) AS tt
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT p.pid, p.pv, t.channel,
+             CAST(FLOOR(EXP(-CAST(p.pt - t.tt AS DOUBLE) / 21600000000.0)
+                        * 1e9) AS BIGINT) AS w9
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.tt < p.pt AND t.tt >= p.pt - 86400000000
+    ),
+    credited AS (
+      SELECT channel,
+             (pv * w9 * 1000) // SUM(w9) OVER (PARTITION BY pid) AS mc
+      FROM pairs
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           FLOOR((CAST(SUM(mc) AS DOUBLE) / 1e5) * 1000000.0 + 0.5)
+             / 1000000.0 AS credited_value
+    FROM credited GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Hysteresis episode detection (two-threshold alerting)
+# ---------------------------------------------------------------------------
+
+
+def q_hysteresis_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert episodes over the daily per-type revenue series with
+    HYSTERESIS: an episode starts when the value crosses ABOVE 1.2×
+    the series mean and ends only when it drops BELOW 0.8× — the
+    two-threshold alerting rule that kills flapping (one-threshold
+    flag queries like rolling_anomaly re-fire on every wiggle).
+
+    The sequential state ("was the last crossing hi or lo?") becomes
+    a plain window: signal = 1/0/NULL at hi/lo/neither crossings,
+    forward-filled with last_value IGNORE NULLS; episodes count
+    rising edges. Threshold comparisons are integer cross-products
+    (10·v·n vs 12·Σv), so membership can't flip on a ulp."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(cents).alias("v")
+    )
+    wt = Window.partitionBy("event_type")
+    staged = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.sum("v").over(wt).alias("s"),
+        F.count("*").over(wt).alias("n"),
+    )
+    sig = (
+        F.when(F.col("v") * F.col("n") * 10 > F.col("s") * 12, 1)
+        .when(F.col("v") * F.col("n") * 10 < F.col("s") * 8, 0)
+        .otherwise(F.lit(None).cast("int"))
+    )
+    w_ff = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = staged.select(
+        "event_type",
+        "d",
+        F.coalesce(
+            F.last(sig, ignorenulls=True).over(w_ff), F.lit(0)
+        ).alias("state"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("d")
+    edges = filled.select(
+        "event_type",
+        "state",
+        F.when(
+            (F.col("state") == 1)
+            & (F.coalesce(F.lag("state").over(w_lag), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("rise"),
+    )
+    return edges.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("state").cast("long").alias("days_in_alert"),
+        F.sum("rise").cast("long").alias("n_episodes"),
+    )
+
+
+registry.register(
+    "hysteresis_episodes",
+    q_hysteresis_episodes,
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT event_type, d, v,
+             SUM(v) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    filled AS (
+      SELECT event_type, d,
+             COALESCE(LAST_VALUE(CASE WHEN v * n * 10 > s * 12 THEN 1
+                                      WHEN v * n * 10 < s * 8 THEN 0
+                                 END IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                      0) AS state
+      FROM staged
+    ),
+    edges AS (
+      SELECT event_type, state,
+             CASE WHEN state = 1
+                   AND COALESCE(LAG(state) OVER (PARTITION BY event_type
+                                                 ORDER BY d), 0) = 0
+                  THEN 1 ELSE 0 END AS rise
+      FROM filled
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(state) AS BIGINT) AS days_in_alert,
+           CAST(SUM(rise) AS BIGINT) AS n_episodes
+    FROM edges GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Revenue waterfall (price -> discount -> tax bridge)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finance bridge over lineitem: gross (extended price),
+    discount given, net, tax collected, billed — per return flag, so
+    the returns column reconciles too. Pure decimal arithmetic end to
+    end (the TPC-H revenue expression decomposed instead of
+    collapsed); one combinable aggregate, no floats until the
+    `_r6`-bounded report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(ep).cast("decimal(38,2)").alias("gross"),
+        F.sum((ep * disc).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("discount_given"),
+        F.sum((ep * (1 - disc)).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("net"),
+        F.sum((ep * (1 - disc) * tax).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("tax_collected"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("gross").cast("double").alias("gross"),
+        _r6(F.col("discount_given").cast("double")).alias(
+            "discount_given"
+        ),
+        _r6(F.col("net").cast("double")).alias("net"),
+        _r6(F.col("tax_collected").cast("double")).alias("tax_collected"),
+        _r6(
+            (F.col("net") + F.col("tax_collected")).cast("double")
+        ).alias("billed"),
+    )
+
+
+registry.register(
+    "revenue_waterfall",
+    q_revenue_waterfall,
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS DOUBLE) AS gross,
+           FLOOR(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * CAST(l_discount AS DECIMAL(18,4))
+                                    AS DECIMAL(38,6)))
+                           AS DECIMAL(38,6)) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS discount_given,
+           FLOOR(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount
+                                               AS DECIMAL(18,4)))
+                                    AS DECIMAL(38,6)))
+                           AS DECIMAL(38,6)) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS net,
+           FLOOR(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount
+                                               AS DECIMAL(18,4)))
+                                    * CAST(l_tax AS DECIMAL(18,4))
+                                    AS DECIMAL(38,6)))
+                           AS DECIMAL(38,6)) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS tax_collected,
+           FLOOR(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount
+                                               AS DECIMAL(18,4)))
+                                    AS DECIMAL(38,6)))
+                           AS DECIMAL(38,6))
+                      + CAST(SUM(CAST(CAST(l_extendedprice
+                                           AS DECIMAL(18,2))
+                                      * (1 - CAST(l_discount
+                                                 AS DECIMAL(18,4)))
+                                      * CAST(l_tax AS DECIMAL(18,4))
+                                      AS DECIMAL(38,6)))
+                             AS DECIMAL(38,6)) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS billed
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-charge detection
+# ---------------------------------------------------------------------------
+
+
+def q_double_charge_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected double charges: purchases by the SAME user for the
+    SAME amount within 10 minutes of the previous one — the windowed
+    self-match every payments pipeline runs, expressed as one LAG
+    over (user, amount) (the equi-key absorbs the classic self-join;
+    the residual is a pure integer µs gap compare). All counts; the
+    flagged share is the one division."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select(
+        "user_id", cents.alias("v"), F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id", "v").orderBy("us")
+    flagged = base.select(
+        (
+            (F.col("us") - F.lag("us").over(w)) <= 10 * 60 * 1000000
+        ).alias("dup")
+    )
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.count(F.when(F.col("dup"), 1)).cast("long").alias(
+            "n_suspect_dups"
+        ),
+        _r6(
+            F.count(F.when(F.col("dup"), 1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("suspect_share"),
+    )
+
+
+registry.register(
+    "double_charge_detect",
+    q_double_charge_detect,
+    """
+    WITH base AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+      SELECT (us - LAG(us) OVER (PARTITION BY user_id, v ORDER BY us))
+               <= 10 * 60 * 1000000 AS dup
+      FROM base
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(CASE WHEN dup THEN 1 END) AS BIGINT)
+             AS n_suspect_dups,
+           FLOOR((CAST(COUNT(CASE WHEN dup THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS suspect_share
+    FROM flagged
+    """,
+)

@@ -1189,3 +1189,179 @@ registry.register(
     FROM suff
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mean per-user behavioral entropy
+# ---------------------------------------------------------------------------
+
+
+def q_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Shannon entropy of each user's event-type mix — the
+    behavioral-diversity score (bots and single-purpose accounts sit
+    near 0; engaged users near ln 5). entropy_profile is the
+    corpus-level sibling; this distributes one entropy per user.
+
+    Per user, H = ln n − (Σ c·ln c)/n from that user's exact integer
+    counts (≤5 terms, shared expression tree), then QUANTIZES to
+    BIGINT before the population mean — the order-invariant
+    integer-sum rule. Two combinable aggregates: (user, type) counts,
+    then per-user rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    per_user = ut.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("sclnc"),
+    )
+    h9 = F.floor(
+        (
+            F.log(F.col("n").cast("double"))
+            - F.col("sclnc") / F.col("n").cast("double")
+        )
+        * 1e9
+    ).cast("long")
+    scored = per_user.select(h9.alias("h9"))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_users"),
+        _r6(
+            F.sum("h9").cast("double")
+            / (F.count("*").cast("double") * F.lit(1e9))
+        ).alias("mean_entropy_nats"),
+        _r6(
+            F.count(F.when(F.col("h9") <= 0, 1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("single_type_share"),
+    )
+
+
+registry.register(
+    "session_entropy",
+    q_session_entropy,
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+      SELECT user_id, SUM(c) AS n,
+             SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sclnc
+      FROM ut GROUP BY 1
+    ),
+    scored AS (
+      SELECT CAST(FLOOR((LN(CAST(n AS DOUBLE))
+                         - sclnc / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)
+               AS h9
+      FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR((CAST(SUM(h9) AS DOUBLE)
+                  / (CAST(COUNT(*) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_entropy_nats,
+           FLOOR((CAST(COUNT(CASE WHEN h9 <= 0 THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS single_type_share
+    FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F statistic
+# ---------------------------------------------------------------------------
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily revenue across the 7 weekday groups:
+    F = (SSB/(k−1)) / (SSW/(n−k)) — welch_ttest's k-group
+    generalization, the "is there ANY weekday effect" screen before
+    per-day drilldowns (seasonality_dow reports the effects
+    themselves).
+
+    Weekday = epoch-day mod 7 (integer calendar rule); every sum of
+    squares derives from per-group exact integer-cent sufficient
+    statistics (n_g, Σ, Σ²) through one shared expression — the
+    k-term combination sums are group-count-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy(epoch_day.alias("d")).agg(
+        F.sum(cents).alias("v")
+    )
+    groups = daily.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.count("*").alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).alias("qg"),
+    )
+    wn = Window.partitionBy()
+    tot = groups.select(
+        "dow",
+        "ng",
+        "sg",
+        "qg",
+        F.sum("ng").over(wn).alias("n"),
+        F.sum("sg").over(wn).alias("s"),
+        F.sum("qg").over(wn).alias("q"),
+        F.count("*").over(wn).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    ssb_term = (
+        F.col("sg").cast("double")
+        * F.col("sg").cast("double")
+        / F.col("ng").cast("double")
+    )
+    agg = tot.groupBy("n", "s", "q", "k").agg(
+        F.sum(ssb_term).alias("sum_sg2ng")
+    )
+    ssb = F.col("sum_sg2ng") - sd * sd / nd
+    ssw = qd - F.col("sum_sg2ng")
+    f_stat = (ssb / (F.col("k").cast("double") - 1)) / (
+        ssw / (nd - F.col("k").cast("double"))
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_days"),
+        _r6(f_stat).alias("f_stat"),
+    )
+
+
+registry.register(
+    "anova_f",
+    q_anova_f,
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    groups AS (
+      SELECT d % 7 AS dow, COUNT(*) AS ng, SUM(v) AS sg,
+             SUM(v * v) AS qg
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT dow, ng, sg, qg,
+             SUM(ng) OVER () AS n, SUM(sg) OVER () AS s,
+             SUM(qg) OVER () AS q, COUNT(*) OVER () AS k
+      FROM groups
+    ),
+    agg AS (
+      SELECT n, s, q, k,
+             SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                 / CAST(ng AS DOUBLE)) AS sum_sg2ng
+      FROM tot GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_days,
+           FLOOR((((sum_sg2ng - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                   / (CAST(k AS DOUBLE) - 1))
+                  / ((CAST(q AS DOUBLE) - sum_sg2ng)
+                     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+    FROM agg
+    """,
+)

@@ -362,3 +362,60 @@ def test_capped_balance_matches_sequential_definition(spark):
         assert abs(r.balance - b) < 1e-6, (r.l_partkey, r.d)
         state[r.l_partkey] = b
         assert r.balance >= 0
+
+
+def test_time_decay_attribution_conserves_less_than_total(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_baseball_spark.queries_relational2 import (
+        q_time_decay_attribution,
+    )
+    from airflow_baseball_spark.schemas import load_table
+
+    rows = q_time_decay_attribution(spark, SF).collect()
+    assert {r.channel for r in rows} <= {"view", "click"}
+    credited = sum(r.credited_value for r in rows)
+    total = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    # credit never exceeds purchase value (floor losses + purchases
+    # with no preceding touch keep it below)
+    assert 0 < credited <= total + 1e-6
+
+
+def test_hysteresis_fewer_episodes_than_alert_days(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_hysteresis_episodes,
+    )
+
+    rows = q_hysteresis_episodes(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_episodes <= r.days_in_alert <= r.n_days
+
+
+def test_revenue_waterfall_reconciles(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_revenue_waterfall,
+    )
+
+    rows = q_revenue_waterfall(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # gross - discount = net, net + tax = billed (to rounding)
+        assert abs((r.gross - r.discount_given) - r.net) < 1e-3
+        assert abs((r.net + r.tax_collected) - r.billed) < 1e-3
+        assert r.discount_given >= 0 and r.tax_collected >= 0
+
+
+def test_double_charge_share_bounds(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_double_charge_detect,
+    )
+
+    r = q_double_charge_detect(spark, SF).collect()[0]
+    assert 0 <= r.n_suspect_dups < r.n_purchases
+    assert abs(r.suspect_share - r.n_suspect_dups / r.n_purchases) < 1e-6

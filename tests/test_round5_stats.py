@@ -115,3 +115,24 @@ def test_cross_correlation_full_lag_range(spark):
     for r in rows:
         assert -1.0 - 1e-6 <= r.r <= 1.0 + 1e-6
         assert r.n_pairs > 2
+
+
+def test_session_entropy_bounds(spark):
+    import math
+
+    from airflow_baseball_spark.queries_stats import q_session_entropy
+
+    r = q_session_entropy(spark, SF).collect()[0]
+    assert r.n_users > 0
+    # entropy over 5 event types is bounded by ln 5
+    assert 0 <= r.mean_entropy_nats <= math.log(5) + 1e-6
+    assert 0 <= r.single_type_share <= 1
+
+
+def test_anova_f_nonneg(spark):
+    from airflow_baseball_spark.queries_stats import q_anova_f
+
+    r = q_anova_f(spark, SF).collect()[0]
+    assert r.n_groups == 7
+    assert r.n_days >= r.n_groups
+    assert r.f_stat >= 0
