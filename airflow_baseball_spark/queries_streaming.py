@@ -321,3 +321,24 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 registry.register(
     "stream_session_window", q_stream_session_window, _SESSION_SQL
 )
+
+
+def q_stream_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV through foreachBatch partials + compaction —
+    the object-store sink path (see streaming/jobs.py); oracle is the
+    plain batch aggregate, so every micro-batch's partial must land
+    exactly once."""
+    return jobs.run_foreachbatch_mv(spark, sf_dir)
+
+
+registry.register(
+    "stream_foreachbatch_mv",
+    q_stream_foreachbatch_mv,
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_value
+    FROM events GROUP BY 1
+    """,
+)

@@ -567,3 +567,57 @@ def run_session_window_available_now(
 ) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return _drain_to_memory(native_session_windows(ev), "complete")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch incremental aggregate (partials + compaction)
+# ---------------------------------------------------------------------------
+
+
+def run_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental aggregate via ``foreachBatch`` — the
+    escape hatch pattern the built-in sinks can't express: each
+    micro-batch appends its COMMUTATIVE partial aggregate (exact
+    integer cents) to a partials table; a compaction fold at read
+    time produces the materialized view. Append-only partials make
+    the per-batch write atomic-enough (a replayed batch after a crash
+    re-appends, which a keyed compaction with batch_id dedups — the
+    batch_id lands in the partial exactly for that reason).
+
+    The other streaming jobs drain through memory sinks; this one
+    exercises the foreachBatch + object-store path a production
+    incremental MV actually takes (incremental_mv is the CDC batch
+    sibling)."""
+    out = tempfile.mkdtemp(prefix="fbmv_") + "/partials"
+    ev = read_events_stream(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select("event_type", cents.alias("v"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out).dropDuplicates(
+        ["event_type", "batch_id"]
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("s").cast("double") / 100.0).alias("total_value"),
+        )
+    )

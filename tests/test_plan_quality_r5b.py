@@ -86,3 +86,27 @@ def test_dbscan_fact_contributes_one_groupby(spark):
     # localCheckpoint truncates lineage: the embeddings scan appears
     # at most twice (dense build; CC inputs are checkpointed RDDs)
     assert plan.count("embeddings.parquet") <= 2
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """Joining a partition-column key against a filtered dim must
+    plant a dynamicpruning expression in the fact scan's partition
+    filters — the mechanism that keeps a 100 TB partitioned fact from
+    being fully scanned for a one-partition dim filter."""
+    import tempfile
+
+    from airflow_baseball_spark.schemas import load_table
+
+    out = tempfile.mkdtemp(prefix="dpp_")
+    load_table(spark, SF, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", 1), ("O", 2), ("P", 3)], "status string, rank int"
+    ).filter(F.col("rank") == 1)
+    j = fact.join(dim, fact["o_orderstatus"] == dim["status"]).groupBy(
+        "status"
+    ).count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower()

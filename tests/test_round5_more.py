@@ -419,3 +419,29 @@ def test_double_charge_share_bounds(spark):
     r = q_double_charge_detect(spark, SF).collect()[0]
     assert 0 <= r.n_suspect_dups < r.n_purchases
     assert abs(r.suspect_share - r.n_suspect_dups / r.n_purchases) < 1e-6
+
+
+def test_foreachbatch_mv_equals_batch_agg(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_baseball_spark.queries_streaming import (
+        q_stream_foreachbatch_mv,
+    )
+    from airflow_baseball_spark.schemas import load_table
+
+    mv = {
+        r.event_type: (r.n_events, round(r.total_value, 2))
+        for r in q_stream_foreachbatch_mv(spark, SF).collect()
+    }
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    full = {
+        r.event_type: (r.n, round(r.t, 2))
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents) / 100.0).alias("t"),
+        )
+        .collect()
+    }
+    assert mv == full
