@@ -453,3 +453,68 @@ def _kfold_sql() -> str:
 
 
 registry.register("stratified_kfold", q_stratified_kfold, _kfold_sql())
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check
+# ---------------------------------------------------------------------------
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation-platform guardrail: users hash-assigned
+    50/50 to A/B, then a χ² sample-ratio-mismatch statistic against
+    the declared split — an SRM flags broken assignment plumbing
+    before anyone reads the metric (here the md5 coin is the
+    assignment, so the stat doubles as a uniformity audit of the
+    coin itself).
+
+    Exact group counts from one distinct-users aggregate; χ² =
+    (na−nb)²/(na+nb) for a 50/50 split, one shared expression from
+    two integers. The flag compares the χ² against 3.84 (α=0.05,
+    1 dof) — a constant threshold, so the boolean is as deterministic
+    as the counts."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = F.when(hash_unit(F.col("user_id"), seed="ab") < 0.5, "A").otherwise(
+        "B"
+    )
+    counts = users.select(arm.alias("arm")).groupBy().agg(
+        F.count(F.when(F.col("arm") == "A", 1)).alias("na"),
+        F.count(F.when(F.col("arm") == "B", 1)).alias("nb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    chi2 = (na - nb) * (na - nb) / (na + nb)
+    return counts.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        _r6(chi2).alias("srm_chi2"),
+        (chi2 > 3.841458820694124).alias("srm_detected"),
+    )
+
+
+def _srm_sql() -> str:
+    u = hash_unit_sql("user_id", "ab")
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    counts AS (
+      SELECT COUNT(CASE WHEN {u} < 0.5 THEN 1 END) AS na,
+             COUNT(CASE WHEN {u} >= 0.5 THEN 1 END) AS nb
+      FROM users
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           FLOOR(((CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+                  * (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+                  / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS srm_chi2,
+           ((CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+            * (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+             > 3.841458820694124 AS srm_detected
+    FROM counts
+    """
+
+
+registry.register("srm_check", q_srm_check, _srm_sql())

@@ -1091,3 +1091,99 @@ registry.register(
     FROM staged
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-sided capped balance (warehouse capacity): the genuinely
+# stateful sibling of capped_running_balance
+# ---------------------------------------------------------------------------
+
+_BAND_CAP_100 = 5000  # 50 units in integer centi-units
+
+
+def q_banded_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stock per part clamped to [0, 50] — floor AND ceiling.
+    Unlike the floor-only case (capped_running_balance's reflection
+    identity), a two-sided clamp has NO windowed closed form: each
+    day's balance depends on whether any EARLIER day saturated either
+    bound. This is the honest Pandas-UDF tier of the operator ladder
+    (docstring in capped_running_balance): applyInPandas runs the
+    sequential clamp per part — keys process in parallel, state never
+    leaves the group, and all arithmetic is Python ints (bit-exact vs
+    the oracle's recursive CTE walking rn → rn+1 per part).
+
+    Scale: per-key sequential is irreducible here; the shuffle is one
+    part-keyed exchange and each group is days-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 500 == 0
+    )
+    net = (
+        li.select(
+            "l_partkey",
+            F.to_date("l_shipdate").alias("d"),
+            F.when(
+                F.col("l_returnflag") == "R",
+                -F.col("l_quantity").cast("decimal(18,2)"),
+            )
+            .otherwise(F.col("l_quantity").cast("decimal(18,2)"))
+            .alias("q"),
+        )
+        .groupBy("l_partkey", "d")
+        .agg((F.sum("q") * 100).cast("long").alias("net100"))
+    )
+    cap = _BAND_CAP_100
+
+    def clamp_group(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        b, out = 0, []
+        for x in pdf["net100"]:
+            b = min(cap, max(0, b + int(x)))
+            out.append(b)
+        return pd.DataFrame(
+            {
+                "l_partkey": pdf["l_partkey"],
+                "d": pdf["d"],
+                "net_qty": pdf["net100"] / 100.0,
+                "balance": [v / 100.0 for v in out],
+            }
+        )
+
+    return net.groupBy("l_partkey").applyInPandas(
+        clamp_group,
+        "l_partkey long, d date, net_qty double, balance double",
+    )
+
+
+registry.register(
+    "banded_running_balance",
+    q_banded_running_balance,
+    f"""
+    WITH RECURSIVE net AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN -CAST(l_quantity AS DECIMAL(18,2))
+                           ELSE CAST(l_quantity AS DECIMAL(18,2)) END)
+                  * 100 AS BIGINT) AS net100,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY CAST(l_shipdate AS DATE)) AS rn
+      FROM lineitem WHERE l_partkey % 500 = 0
+      GROUP BY 1, 2
+    ),
+    walk(l_partkey, rn, d, net100, b) AS (
+      SELECT l_partkey, rn, d, net100,
+             LEAST({_BAND_CAP_100}, GREATEST(0, net100))
+      FROM net WHERE rn = 1
+      UNION ALL
+      SELECT n.l_partkey, n.rn, n.d, n.net100,
+             LEAST({_BAND_CAP_100}, GREATEST(0, w.b + n.net100))
+      FROM walk w JOIN net n
+        ON n.l_partkey = w.l_partkey AND n.rn = w.rn + 1
+    )
+    SELECT l_partkey, d,
+           CAST(net100 AS DOUBLE) / 100.0 AS net_qty,
+           CAST(b AS DOUBLE) / 100.0 AS balance
+    FROM walk
+    """,
+)

@@ -445,3 +445,36 @@ def test_foreachbatch_mv_equals_batch_agg(spark):
         .collect()
     }
     assert mv == full
+
+
+def test_banded_balance_sequential_replay(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_banded_running_balance,
+    )
+
+    rows = q_banded_running_balance(spark, SF).orderBy(
+        "l_partkey", "d"
+    ).collect()
+    assert rows
+    state = {}
+    for r in rows:
+        b = min(50.0, max(0.0, state.get(r.l_partkey, 0.0) + r.net_qty))
+        assert abs(r.balance - b) < 1e-6
+        state[r.l_partkey] = b
+        assert 0.0 <= r.balance <= 50.0
+
+
+def test_srm_check_partitions_users(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_baseball_spark.queries_sampling import q_srm_check
+    from airflow_baseball_spark.schemas import load_table
+
+    r = q_srm_check(spark, SF).collect()[0]
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert r.srm_chi2 >= 0
+    # the flag is exactly chi2 > 3.8415 (data-dependent either way)
+    assert r.srm_detected == (r.srm_chi2 > 3.841458820694124)
