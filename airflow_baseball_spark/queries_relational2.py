@@ -2430,3 +2430,213 @@ registry.register(
     FROM flagged
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Entry/exit profile (bowtie analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_entry_exit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types open and close user journeys: each user's
+    FIRST and LAST event by (ts, event_id) total order, rolled up to
+    per-type entry/exit counts — the bowtie view product analytics
+    draws next to the funnel. One user-keyed window pass computes
+    both endpoints (rn asc = 1, rn desc = 1 over the same sort);
+    shares are exact count ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    w_a = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_a) == 1).alias("is_first"),
+        (F.row_number().over(w_d) == 1).alias("is_last"),
+    )
+    per_type = marked.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_first"), 1)).alias("n_entry"),
+        F.count(F.when(F.col("is_last"), 1)).alias("n_exit"),
+    )
+    wn = Window.partitionBy()
+    return per_type.select(
+        "event_type",
+        F.col("n_entry").cast("long").alias("n_entry"),
+        F.col("n_exit").cast("long").alias("n_exit"),
+        _r6(
+            F.col("n_entry").cast("double")
+            / F.sum("n_entry").over(wn).cast("double")
+        ).alias("entry_share"),
+        _r6(
+            F.col("n_exit").cast("double")
+            / F.sum("n_exit").over(wn).cast("double")
+        ).alias("exit_share"),
+    )
+
+
+registry.register(
+    "entry_exit_profile",
+    q_entry_exit_profile,
+    """
+    WITH marked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) = 1 AS is_first,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) = 1
+               AS is_last
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             COUNT(CASE WHEN is_first THEN 1 END) AS n_entry,
+             COUNT(CASE WHEN is_last THEN 1 END) AS n_exit
+      FROM marked GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_entry AS BIGINT) AS n_entry,
+           CAST(n_exit AS BIGINT) AS n_exit,
+           FLOOR((CAST(n_entry AS DOUBLE)
+                  / CAST(SUM(n_entry) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS entry_share,
+           FLOOR((CAST(n_exit AS DOUBLE)
+                  / CAST(SUM(n_exit) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS exit_share
+    FROM per_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Daily percentile bands (monitoring feed)
+# ---------------------------------------------------------------------------
+
+
+def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p10/p50/p90 of event values for every day — the banded series
+    a latency/value monitor charts (percentile_disc is the per-group
+    scalar; this is its dense time-series form). The exact ceil(p·n)
+    ranks come from ONE day-keyed sort via integer arithmetic
+    ((k·n + 9) div 10 at k=1,5,9); days parallelize across the
+    cluster, and the per-day sort is day-volume-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select(F.to_date("ts").alias("d"), cents.alias("v"))
+    w = Window.partitionBy("d").orderBy("v")
+    wn = Window.partitionBy("d")
+    ranked = base.select(
+        "d",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda k: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({k} * n + 9) div 10"), F.col("v"))
+    )
+    return ranked.groupBy("d").agg(
+        F.max("n").cast("long").alias("n_events"),
+        (pick(1).cast("double") / 100.0).alias("p10"),
+        (pick(5).cast("double") / 100.0).alias("p50"),
+        (pick(9).cast("double") / 100.0).alias("p90"),
+    )
+
+
+registry.register(
+    "daily_percentile_bands",
+    q_daily_percentile_bands,
+    """
+    WITH ranked AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY CAST(CAST(value AS DECIMAL(18,2))
+                                              * 100 AS BIGINT)) AS rn,
+             COUNT(*) OVER (PARTITION BY CAST(ts AS DATE)) AS n
+      FROM events
+    )
+    SELECT d,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn = (1 * n + 9) // 10 THEN v END)
+                AS DOUBLE) / 100.0 AS p10,
+           CAST(MAX(CASE WHEN rn = (5 * n + 9) // 10 THEN v END)
+                AS DOUBLE) / 100.0 AS p50,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END)
+                AS DOUBLE) / 100.0 AS p90
+    FROM ranked GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup via in-row ancestor explode
+# ---------------------------------------------------------------------------
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree revenue totals over the implicit part hierarchy
+    parent(k) = k div 10 (a category tree with root 0): every node
+    reports the revenue of its whole subtree — the org-chart /
+    category-tree rollup.
+
+    The 100 TB shape: instead of iterating joins up the tree, each
+    fact row EXPLODES its ancestor chain IN-ROW (depth ≤ ⌈log₁₀ key⌉,
+    a constant) and one combinable groupBy sums per ancestor — no
+    recursion, no per-level shuffle; the oracle walks the same chain
+    with a lateral unnest. Output kept to the top 3 tree levels so
+    the row count is sf-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.select(
+        F.col("l_partkey").alias("k"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        .cast("decimal(38,6)")
+        .alias("r"),
+    )
+    # ancestor chain k, k div 10, k div 100, ... 0 — in-row, bounded
+    # depth 8; integer div (never float /10^i) on both engines
+    chain = F.array_distinct(
+        F.array(*[F.expr(f"k div {10**i}") for i in range(8)])
+    )
+    exploded = rev.select(F.explode(chain).alias("node"), "r")
+    per_node = exploded.groupBy("node").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("r").cast("decimal(38,6)").alias("subtree_rev"),
+    )
+    # top 3 levels: node < 1000 (root 0, level-1 1..99, level-2 ...)
+    return per_node.filter(F.col("node") < 1000).select(
+        F.col("node").cast("long").alias("node"),
+        F.length(F.col("node").cast("string")).cast("long").alias(
+            "approx_level"
+        ),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        _r6(F.col("subtree_rev").cast("double")).alias("subtree_rev"),
+    )
+
+
+registry.register(
+    "hierarchy_rollup",
+    q_hierarchy_rollup,
+    """
+    WITH rev AS (
+      SELECT l_partkey AS k,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(38,6)) AS r
+      FROM lineitem
+    ),
+    exploded AS (
+      SELECT unnest(list_distinct([k // 1, k // 10, k // 100, k // 1000, k // 10000, k // 100000, k // 1000000, k // 10000000])) AS node, r FROM rev
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(LENGTH(CAST(node AS VARCHAR)) AS BIGINT) AS approx_level,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS subtree_rev
+    FROM exploded
+    WHERE node < 1000
+    GROUP BY node
+    """,
+)

@@ -478,3 +478,46 @@ def test_srm_check_partitions_users(spark):
     assert r.srm_chi2 >= 0
     # the flag is exactly chi2 > 3.8415 (data-dependent either way)
     assert r.srm_detected == (r.srm_chi2 > 3.841458820694124)
+
+
+def test_entry_exit_shares_sum_to_one(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_entry_exit_profile,
+    )
+
+    rows = q_entry_exit_profile(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.entry_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.exit_share for r in rows) - 1.0) < 1e-4
+    # every user contributes exactly one entry and one exit
+    assert sum(r.n_entry for r in rows) == sum(r.n_exit for r in rows)
+
+
+def test_daily_bands_ordered(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_daily_percentile_bands,
+    )
+
+    rows = q_daily_percentile_bands(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.p10 <= r.p50 <= r.p90
+        assert r.n_events >= 1
+
+
+def test_hierarchy_rollup_root_holds_everything(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_hierarchy_rollup,
+    )
+    from airflow_baseball_spark.schemas import load_table
+
+    rows = {r.node: r for r in q_hierarchy_rollup(spark, SF).collect()}
+    # root 0 is every line's ancestor
+    total_lines = load_table(spark, SF, "lineitem").count()
+    assert rows[0].n_lines == total_lines
+    # a child's subtree is contained in its parent's
+    for node, r in rows.items():
+        parent = node // 10
+        if node != 0 and parent in rows:
+            assert r.n_lines <= rows[parent].n_lines
+            assert r.subtree_rev <= rows[parent].subtree_rev + 1e-6
