@@ -2640,3 +2640,121 @@ registry.register(
     GROUP BY node
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Freshness SLA report
+# ---------------------------------------------------------------------------
+
+
+def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream staleness against the pipeline's own high-water
+    mark: minutes between each event type's last arrival and the
+    GLOBAL latest event — the freshness panel every ingestion SLA
+    dashboard leads with (self-referential "now", so the report is
+    deterministic at any sf). Pure integer µs arithmetic; the global
+    max is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("n"),
+    )
+    hw = per_type.agg(F.max("last_us").alias("hw_us"))
+    return per_type.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("CAST(((hw_us - last_us) div 60000000) AS LONG)").alias(
+            "staleness_minutes"
+        ),
+        (F.col("last_us") == F.col("hw_us")).alias("is_freshest"),
+    )
+
+
+registry.register(
+    "freshness_report",
+    q_freshness_report,
+    """
+    WITH per_type AS (
+      SELECT event_type, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    hw AS (SELECT MAX(last_us) AS hw_us FROM per_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST((hw_us - last_us) // 60000000 AS BIGINT)
+             AS staleness_minutes,
+           last_us = hw_us AS is_freshest
+    FROM per_type CROSS JOIN hw
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Accumulating-snapshot fact (Kimball milestone row)
+# ---------------------------------------------------------------------------
+
+
+def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kimball accumulating-snapshot fact: one row per order
+    carrying its milestone timeline — order date, first and last line
+    shipment, line counts, and the inter-milestone day lags that
+    process-mining dashboards chart. scd2_build versions dimensions;
+    this is the fact-side lifecycle pattern.
+
+    One keyed aggregate over lineitem joined to the order header;
+    lags are integer datediffs. Output capped to a fixed key slice
+    (o_orderkey % 100 = 0) so row count is sf-stable."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ships = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.count("*").alias("n_lines"),
+    )
+    j = orders.join(
+        ships, orders["o_orderkey"] == ships["l_orderkey"], "left"
+    )
+    od = F.to_date("o_orderdate")
+    return j.select(
+        "o_orderkey",
+        od.alias("order_date"),
+        "first_ship",
+        "last_ship",
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias(
+            "n_lines"
+        ),
+        F.datediff(F.col("first_ship"), od).cast("long").alias(
+            "days_to_first_ship"
+        ),
+        F.datediff(F.col("last_ship"), F.col("first_ship"))
+        .cast("long")
+        .alias("ship_window_days"),
+    )
+
+
+registry.register(
+    "accumulating_snapshot",
+    q_accumulating_snapshot,
+    """
+    WITH ships AS (
+      SELECT l_orderkey,
+             MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+             MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           s.first_ship,
+           s.last_ship,
+           CAST(COALESCE(s.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE), s.first_ship)
+                AS BIGINT) AS days_to_first_ship,
+           CAST(datediff('day', s.first_ship, s.last_ship) AS BIGINT)
+             AS ship_window_days
+    FROM orders o LEFT JOIN ships s ON o.o_orderkey = s.l_orderkey
+    WHERE o.o_orderkey % 100 = 0
+    """,
+)

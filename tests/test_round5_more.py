@@ -521,3 +521,28 @@ def test_hierarchy_rollup_root_holds_everything(spark):
         if node != 0 and parent in rows:
             assert r.n_lines <= rows[parent].n_lines
             assert r.subtree_rev <= rows[parent].subtree_rev + 1e-6
+
+
+def test_freshness_one_freshest_stream(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_freshness_report,
+    )
+
+    rows = q_freshness_report(spark, SF).collect()
+    assert sum(1 for r in rows if r.is_freshest) >= 1
+    for r in rows:
+        assert r.staleness_minutes >= 0
+        assert (r.staleness_minutes == 0) or not r.is_freshest
+
+
+def test_accumulating_snapshot_milestone_order(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_accumulating_snapshot,
+    )
+
+    rows = q_accumulating_snapshot(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.n_lines > 0:
+            assert r.first_ship <= r.last_ship
+            assert r.ship_window_days >= 0
