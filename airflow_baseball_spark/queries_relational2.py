@@ -2758,3 +2758,132 @@ registry.register(
     WHERE o.o_orderkey % 100 = 0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# As-of checkpoint metrics (one scan, all checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order status "as it was known" at three reporting
+    checkpoints (the data's 25/50/75% timeline marks): the
+    backfill-safe reporting pattern — instead of re-running the
+    aggregate per checkpoint, each fact row joins the checkpoint list
+    IN-ROW (explode of an O(1) array) and contributes to every
+    checkpoint it precedes; one scan serves all report dates.
+    Checkpoint dates derive from integer epoch-day quartiles of the
+    data itself, so the query is deterministic at any sf."""
+    orders = load_table(spark, sf_dir, "orders")
+    ed = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(
+        ed.alias("d"), F.col("o_orderstatus").alias("st"), cents.alias("v")
+    )
+    bounds = base.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).select(
+        "lo",
+        "hi",
+        *[
+            (
+                F.col("lo")
+                + F.expr(f"CAST(((hi - lo) * {q}) div 4 AS LONG)")
+            ).alias(f"c{q}")
+            for q in (1, 2, 3)
+        ],
+    )
+    staged = base.crossJoin(F.broadcast(bounds)).select(
+        "st",
+        "v",
+        "d",
+        F.explode(
+            F.array(F.col("c1"), F.col("c2"), F.col("c3"))
+        ).alias("checkpoint_day"),
+    ).filter(F.col("d") <= F.col("checkpoint_day"))
+    return staged.groupBy("checkpoint_day", "st").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        _r6(F.sum("v").cast("double") / 100.0).alias("revenue"),
+    ).select(
+        F.col("checkpoint_day").cast("long").alias("checkpoint_day"),
+        F.col("st").alias("o_orderstatus"),
+        "n_orders",
+        "revenue",
+    )
+
+
+registry.register(
+    "asof_metrics",
+    q_asof_metrics,
+    """
+    WITH base AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi,
+             MIN(d) + ((MAX(d) - MIN(d)) * 1) // 4 AS c1,
+             MIN(d) + ((MAX(d) - MIN(d)) * 2) // 4 AS c2,
+             MIN(d) + ((MAX(d) - MIN(d)) * 3) // 4 AS c3
+      FROM base
+    ),
+    staged AS (
+      SELECT b.st, b.v, b.d, cp.checkpoint_day
+      FROM base b CROSS JOIN bounds bo,
+           LATERAL unnest([bo.c1, bo.c2, bo.c3]) AS cp(checkpoint_day)
+      WHERE b.d <= cp.checkpoint_day
+    )
+    SELECT CAST(checkpoint_day AS BIGINT) AS checkpoint_day,
+           st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((CAST(SUM(v) AS DOUBLE) / 100.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS revenue
+    FROM staged GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Log2-binned length histogram via binary-string length
+# ---------------------------------------------------------------------------
+
+
+def q_log_binned_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc token counts on a log₂ histogram — the long-tail length
+    profile linear bins (value_histogram) wash out. The bin index is
+    ⌊log₂ n⌋ computed as LENGTH(bin(n)) − 1: pure string/integer ops,
+    so no float log can waver at exact powers of two. One combinable
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    binned = docs.select(
+        n_tok.alias("n"),
+        (F.length(F.bin(n_tok)) - 1).cast("long").alias("log2_bin"),
+    )
+    return binned.groupBy("log2_bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n").cast("long").alias("min_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+    )
+
+
+registry.register(
+    "log_binned_lengths",
+    q_log_binned_lengths,
+    """
+    WITH binned AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(LENGTH(bin(len(string_split(text, ' ')))) - 1 AS BIGINT)
+               AS log2_bin
+      FROM documents
+    )
+    SELECT log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n) AS BIGINT) AS min_tokens,
+           CAST(MAX(n) AS BIGINT) AS max_tokens
+    FROM binned GROUP BY 1
+    """,
+)

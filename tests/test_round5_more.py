@@ -546,3 +546,33 @@ def test_accumulating_snapshot_milestone_order(spark):
         if r.n_lines > 0:
             assert r.first_ship <= r.last_ship
             assert r.ship_window_days >= 0
+
+
+def test_asof_metrics_monotone_in_checkpoint(spark):
+    from airflow_baseball_spark.queries_relational2 import q_asof_metrics
+
+    rows = q_asof_metrics(spark, SF).collect()
+    assert rows
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.o_orderstatus, []).append(
+            (r.checkpoint_day, r.n_orders, r.revenue)
+        )
+    for st, seq in by_status.items():
+        seq.sort()
+        # later checkpoints only ever see MORE data
+        for (d1, n1, v1), (d2, n2, v2) in zip(seq, seq[1:]):
+            assert n1 <= n2 and v1 <= v2 + 1e-6, st
+
+
+def test_log_binned_lengths_bins_consistent(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_log_binned_lengths,
+    )
+
+    rows = q_log_binned_lengths(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every member sits inside [2^bin, 2^(bin+1))
+        assert 2**r.log2_bin <= r.min_tokens <= r.max_tokens
+        assert r.max_tokens < 2 ** (r.log2_bin + 1)
