@@ -518,3 +518,88 @@ def _srm_sql() -> str:
 
 
 registry.register("srm_check", q_srm_check, _srm_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cross-fold metric variance
+# ---------------------------------------------------------------------------
+
+
+def q_cv_metric_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a 5-fold split give stable metrics? Per-fold mean doc
+    length plus the across-fold variance of those means — the sanity
+    panel a CV pipeline prints before trusting fold-level eval
+    deltas (stratified_kfold makes the assignment; this closes the
+    loop by measuring it).
+
+    Per-fold sums are exact integers; the 5-term variance of means
+    uses the integer sufficient-statistics identity on the per-fold
+    (n, Σ) pairs through one shared expression."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_unit(F.col("doc_id"), seed="fold"), "doc_id"
+    )
+    assigned = docs.select(
+        ((F.row_number().over(w) - 1) % 5).alias("fold"),
+        F.length("text").cast("long").alias("len"),
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.count("*").alias("n"), F.sum("len").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    wn = Window.partitionBy()
+    staged = per_fold.select(
+        "fold",
+        "n",
+        mean.alias("m"),
+        F.sum(mean).over(wn).alias("sm"),
+        F.sum(mean * mean).over(wn).alias("sm2"),
+        F.count("*").over(wn).alias("k"),
+    )
+    return staged.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").cast("long").alias("n_docs"),
+        _r6(F.col("m")).alias("fold_mean_len"),
+        _r6(
+            (F.col("sm2") - F.col("sm") * F.col("sm") / F.col("k"))
+            / F.col("k")
+        ).alias("var_of_fold_means"),
+    )
+
+
+def _cv_var_sql() -> str:
+    u = hash_unit_sql("doc_id", "fold")
+    return f"""
+    WITH assigned AS (
+      SELECT (ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY {u}, doc_id) - 1) % 5 AS fold,
+             CAST(LENGTH(text) AS BIGINT) AS len
+      FROM documents
+    ),
+    per_fold AS (
+      SELECT fold, COUNT(*) AS n, SUM(len) AS s
+      FROM assigned GROUP BY 1
+    ),
+    staged AS (
+      SELECT fold, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             SUM(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) OVER () AS sm,
+             SUM((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) OVER () AS sm2,
+             COUNT(*) OVER () AS k
+      FROM per_fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(n AS BIGINT) AS n_docs,
+           FLOOR(m * 1000000.0 + 0.5) / 1000000.0 AS fold_mean_len,
+           FLOOR(((sm2 - sm * sm / k) / k) * 1000000.0 + 0.5) / 1000000.0
+             AS var_of_fold_means
+    FROM staged
+    """
+
+
+registry.register(
+    "cv_metric_variance", q_cv_metric_variance, _cv_var_sql()
+)

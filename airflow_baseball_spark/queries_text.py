@@ -2964,3 +2964,93 @@ def _cluster_sizes_sql() -> str:
 registry.register(
     "dedup_cluster_sizes", q_dedup_cluster_sizes, _cluster_sizes_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) successor-set size per context
+# ---------------------------------------------------------------------------
+
+
+def q_nucleus_set_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For the 20 highest-frequency contexts w1: how many successors
+    make up the top-p=0.9 nucleus of p(w2|w1) — the LLM sampling
+    concept (nucleus/top-p truncation) measured on the corpus bigram
+    table; flat successor distributions (big nuclei) mark generic
+    contexts, peaked ones (nucleus of 1-2) mark templated text.
+
+    Membership is decided by the INTEGER cross-product
+    cum_before·10 < 9·total (strictly-before mass under 90%), so the
+    nucleus size is ulp-proof; per-context windows order by (count
+    desc, w2) for a total order. The w1 cap keeps output O(1)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    w1_tot = c12.groupBy("w1").agg(F.sum("c").alias("tot"))
+    w_rank = Window.orderBy(F.col("tot").desc(), "w1")
+    top_w1 = (
+        w1_tot.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 20)
+        .select("w1", "tot")
+    )
+    scoped = c12.join(F.broadcast(top_w1), "w1")
+    w_cum = (
+        Window.partitionBy("w1")
+        .orderBy(F.col("c").desc(), "w2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = scoped.select(
+        "w1",
+        "tot",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cum_before"),
+    )
+    in_nucleus = F.col("cum_before") * 10 < F.col("tot") * 9
+    return staged.groupBy("w1").agg(
+        F.max("tot").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_successors"),
+        F.count(F.when(in_nucleus, 1)).cast("long").alias("nucleus_size"),
+    )
+
+
+registry.register(
+    "nucleus_set_size",
+    q_nucleus_set_size,
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    big AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2
+      FROM t, LATERAL unnest(generate_series(1, len(arr) - 1)) AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    top_w1 AS (
+      SELECT w1, tot FROM (
+        SELECT w1, SUM(c) AS tot,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, w1) AS rk
+        FROM c12 GROUP BY 1
+      ) WHERE rk <= 20
+    ),
+    staged AS (
+      SELECT s.w1, t.tot, s.c,
+             COALESCE(SUM(s.c) OVER (PARTITION BY s.w1
+                 ORDER BY s.c DESC, s.w2
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM c12 s JOIN top_w1 t USING (w1)
+    )
+    SELECT w1,
+           CAST(MAX(tot) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_successors,
+           CAST(COUNT(CASE WHEN cum_before * 10 < tot * 9 THEN 1 END)
+                AS BIGINT) AS nucleus_size
+    FROM staged GROUP BY 1
+    """,
+)

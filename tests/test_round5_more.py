@@ -576,3 +576,28 @@ def test_log_binned_lengths_bins_consistent(spark):
         # every member sits inside [2^bin, 2^(bin+1))
         assert 2**r.log2_bin <= r.min_tokens <= r.max_tokens
         assert r.max_tokens < 2 ** (r.log2_bin + 1)
+
+
+def test_nucleus_bounds(spark):
+    from airflow_baseball_spark.queries_text import q_nucleus_set_size
+
+    rows = q_nucleus_set_size(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 1 <= r.nucleus_size <= r.n_successors
+        assert r.n_successors <= r.n_bigrams
+
+
+def test_cv_variance_folds_balanced(spark):
+    from airflow_baseball_spark.queries_sampling import (
+        q_cv_metric_variance,
+    )
+
+    rows = q_cv_metric_variance(spark, SF).collect()
+    assert len(rows) == 5
+    sizes = [r.n_docs for r in rows]
+    # stratified assignment keeps folds within |langs| docs
+    assert max(sizes) - min(sizes) <= 25
+    v = rows[0].var_of_fold_means
+    assert all(abs(r.var_of_fold_means - v) < 1e-9 for r in rows)
+    assert v >= 0
