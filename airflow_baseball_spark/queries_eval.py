@@ -1528,3 +1528,52 @@ registry.register(
     FROM strata GROUP BY 1, 2, 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Rare-combination detector
+# ---------------------------------------------------------------------------
+
+
+def q_rare_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singleton cells of (lang, source, log₂ length bin): documents
+    whose attribute combination is unique in the corpus — the
+    rare-combo screen that feeds both anomaly review queues and
+    re-identification risk checks (k_anonymity's k=1 corner, on the
+    corpus side). Bins via the integer LENGTH(bin(n))−1 trick; two
+    combinable aggregates, all counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    cells = docs.select(
+        "lang",
+        "source",
+        (F.length(F.bin(n_tok)) - 1).cast("long").alias("len_bin"),
+    ).groupBy("lang", "source", "len_bin").agg(F.count("*").alias("c"))
+    return cells.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_combos"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias(
+            "n_singleton_combos"
+        ),
+        F.sum("c").cast("long").alias("n_docs"),
+    )
+
+
+registry.register(
+    "rare_combos",
+    q_rare_combos,
+    """
+    WITH cells AS (
+      SELECT lang, source,
+             CAST(LENGTH(bin(len(string_split(text, ' ')))) - 1 AS BIGINT)
+               AS len_bin,
+             COUNT(*) AS c
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_combos,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT)
+             AS n_singleton_combos,
+           CAST(SUM(c) AS BIGINT) AS n_docs
+    FROM cells GROUP BY 1
+    """,
+)

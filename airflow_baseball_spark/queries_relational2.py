@@ -2887,3 +2887,60 @@ registry.register(
     FROM binned GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SLA attainment by priority
+# ---------------------------------------------------------------------------
+
+
+def q_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of order lines shipped within 7 days of the order, per
+    priority — the attainment number an SLA report leads with
+    (ship_latency gives the distribution; attainment is the contract
+    view). Pure integer day diffs and counts; one fact join, one
+    combinable aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lat"),
+    )
+    within = (F.col("lat") >= 0) & (F.col("lat") <= 7)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count(F.when(within, 1)).cast("long").alias("n_within_sla"),
+        _r6(
+            F.count(F.when(within, 1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("attainment"),
+    )
+
+
+registry.register(
+    "sla_attainment",
+    q_sla_attainment,
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                         CAST(l.l_shipdate AS DATE))
+                                BETWEEN 0 AND 7 THEN 1 END) AS BIGINT)
+             AS n_within_sla,
+           FLOOR((CAST(COUNT(CASE WHEN datediff('day',
+                                              CAST(o.o_orderdate AS DATE),
+                                              CAST(l.l_shipdate AS DATE))
+                                       BETWEEN 0 AND 7 THEN 1 END)
+                       AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS attainment
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)

@@ -1187,3 +1187,113 @@ registry.register(
     FROM walk
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# EWMA crossover signals with power-of-two integer weights
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast(4-day)/slow(8-day) moving-average crossover count per
+    event type — the classic trend-change signal. Exactness without
+    floats: the exponential weights are POWERS OF TWO over a finite
+    window (2^(W−k)), so numerator and denominator are exact integer
+    window sums, and "fast above slow" compares the integer
+    cross-product num_f·den_s > num_s·den_f — signal flips can't sit
+    on a ulp. Crossings = sign changes of that boolean via one lag.
+    ewma_smooth is the float-weight smoother; this is the
+    signal-grade integer variant."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(cents).alias("v")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    rn = F.row_number().over(w_ord)
+    base = daily.select("event_type", "d", "v", rn.alias("rn"))
+
+    def wsum(width: int, col: str):
+        # Σ v_{t-k}·2^(width-1-k), k=0..width-1, via lag
+        num = None
+        den = 0
+        for k in range(width):
+            wgt = 2 ** (width - 1 - k)
+            term = F.coalesce(
+                F.lag("v", k).over(w_ord), F.lit(0)
+            ) * F.lit(wgt)
+            num = term if num is None else num + term
+            den += wgt
+        return num.alias(f"num_{col}"), den
+
+    num_f, den_f = wsum(4, "f")
+    num_s, den_s = wsum(8, "s")
+    staged = base.select(
+        "event_type", "d", "rn", num_f, num_s
+    ).filter(F.col("rn") >= 8)  # full windows only
+    above = (F.col("num_f") * den_s) > (F.col("num_s") * den_f)
+    w_lag = Window.partitionBy("event_type").orderBy("d")
+    sig = staged.select(
+        "event_type",
+        above.cast("int").alias("fast_above"),
+        F.lag(above.cast("int")).over(w_lag).alias("prev"),
+    )
+    return sig.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days_scored"),
+        F.sum("fast_above").cast("long").alias("days_fast_above"),
+        F.count(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("fast_above") != F.col("prev")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_crossovers"),
+    )
+
+
+def _ewma_cross_sql() -> str:
+    def terms(width):
+        ts = " + ".join(
+            f"COALESCE(LAG(v, {k}) OVER w, 0) * {2 ** (width - 1 - k)}"
+            for k in range(width)
+        )
+        den = sum(2 ** (width - 1 - k) for k in range(width))
+        return ts, den
+
+    tf, den_f = terms(4)
+    ts_, den_s = terms(8)
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER w AS rn,
+             {tf} AS num_f,
+             {ts_} AS num_s
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    sig AS (
+      SELECT event_type,
+             CASE WHEN num_f * {den_s} > num_s * {den_f}
+                  THEN 1 ELSE 0 END AS fast_above,
+             LAG(CASE WHEN num_f * {den_s} > num_s * {den_f}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY d) AS prev
+      FROM staged WHERE rn >= 8
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(fast_above) AS BIGINT) AS days_fast_above,
+           CAST(COUNT(CASE WHEN prev IS NOT NULL AND fast_above <> prev
+                           THEN 1 END) AS BIGINT) AS n_crossovers
+    FROM sig GROUP BY 1
+    """
+
+
+registry.register("ewma_crossover", q_ewma_crossover, _ewma_cross_sql())

@@ -601,3 +601,33 @@ def test_cv_variance_folds_balanced(spark):
     v = rows[0].var_of_fold_means
     assert all(abs(r.var_of_fold_means - v) < 1e-9 for r in rows)
     assert v >= 0
+
+
+def test_ewma_crossover_consistency(spark):
+    from airflow_baseball_spark.queries_timeseries import q_ewma_crossover
+
+    rows = q_ewma_crossover(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.days_fast_above <= r.n_days_scored
+        # a crossover needs at least one scored day on each side
+        assert r.n_crossovers < r.n_days_scored
+
+
+def test_rare_combos_counts(spark):
+    from airflow_baseball_spark.queries_eval import q_rare_combos
+
+    rows = q_rare_combos(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_singleton_combos <= r.n_combos <= r.n_docs
+
+
+def test_sla_attainment_bounds(spark):
+    from airflow_baseball_spark.queries_relational2 import q_sla_attainment
+
+    rows = q_sla_attainment(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_within_sla <= r.n_lines
+        assert abs(r.attainment - r.n_within_sla / r.n_lines) < 1e-6
