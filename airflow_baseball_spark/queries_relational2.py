@@ -2944,3 +2944,152 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew audit (pre-join fanout diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join diagnostic for lineitem⋈part: per-key fanout
+    products (left count × right count) for the 10 heaviest keys,
+    plus each key's share of the total join output — the numbers that
+    decide between a plain shuffle join, salting, or AQE skew
+    handling (salted_join is the remedy; this is the detector).
+
+    Both per-key counts are combinable aggregates; the total join
+    cardinality is Σ products (join_size_estimate's identity), and
+    shares are integer-product ratios. Top-10 via TakeOrdered on the
+    keys table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("nl")
+    )
+    rc = part.groupBy(F.col("p_partkey").alias("k")).agg(
+        F.count("*").alias("nr")
+    )
+    fan = lc.join(rc, "k").select(
+        "k", "nl", "nr", (F.col("nl") * F.col("nr")).alias("fanout")
+    )
+    wn = Window.partitionBy()
+    staged = fan.select(
+        "k", "nl", "nr", "fanout", F.sum("fanout").over(wn).alias("tot")
+    )
+    top = staged.orderBy(F.col("fanout").desc(), "k").limit(10)
+    return top.select(
+        F.col("k").alias("join_key"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.col("fanout").cast("long").alias("fanout"),
+        _r6(
+            F.col("fanout").cast("double") / F.col("tot").cast("double")
+        ).alias("share_of_join"),
+    )
+
+
+registry.register(
+    "join_skew_audit",
+    q_join_skew_audit,
+    """
+    WITH lc AS (
+      SELECT l_partkey AS k, COUNT(*) AS nl FROM lineitem GROUP BY 1
+    ),
+    rc AS (
+      SELECT p_partkey AS k, COUNT(*) AS nr FROM part GROUP BY 1
+    ),
+    fan AS (
+      SELECT lc.k, nl, nr, nl * nr AS fanout
+      FROM lc JOIN rc ON lc.k = rc.k
+    ),
+    staged AS (
+      SELECT k, nl, nr, fanout, SUM(fanout) OVER () AS tot FROM fan
+    )
+    SELECT k AS join_key,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           CAST(fanout AS BIGINT) AS fanout,
+           FLOOR((CAST(fanout AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_of_join
+    FROM staged ORDER BY fanout DESC, k LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Freedman-Diaconis bin recommendation
+# ---------------------------------------------------------------------------
+
+
+def q_fd_bin_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommended histogram binning for order prices by the
+    Freedman-Diaconis rule, width = 2·IQR/n^⅓ — what value_histogram
+    should be configured WITH (the meta-query a profiling UI runs
+    before drawing). IQR from exact integer ceil(p·n) ranks
+    ((n+3) div 4, (3n+3) div 4); n^⅓ as EXP(LN(n)/3) identically on
+    both engines; width and suggested bin count are `_r6`-bounded
+    doubles derived from those exact parts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(cents.alias("v"))
+    w = Window.orderBy("v")
+    wn = Window.partitionBy()
+    ranked = base.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+        F.min("v").over(wn).alias("vmin"),
+        F.max("v").over(wn).alias("vmax"),
+    )
+    picked = ranked.filter(
+        (F.col("rn") == F.expr("(n + 3) div 4"))
+        | (F.col("rn") == F.expr("(3 * n + 3) div 4"))
+    )
+    agg = picked.groupBy("n", "vmin", "vmax").agg(
+        F.min("v").alias("q1"), F.max("v").alias("q3")
+    )
+    nd = F.col("n").cast("double")
+    width = (
+        F.lit(2.0)
+        * (F.col("q3") - F.col("q1")).cast("double")
+        / (F.lit(100.0) * F.exp(F.log(nd) / F.lit(3.0)))
+    )
+    rng = (F.col("vmax") - F.col("vmin")).cast("double") / F.lit(100.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        ((F.col("q3") - F.col("q1")).cast("double") / 100.0).alias("iqr"),
+        _r6(width).alias("fd_bin_width"),
+        _r6(rng / width).alias("suggested_bins"),
+    )
+
+
+registry.register(
+    "fd_bin_width",
+    q_fd_bin_width,
+    """
+    WITH ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n,
+             MIN(v) OVER () AS vmin, MAX(v) OVER () AS vmax
+      FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS v FROM orders)
+    ),
+    agg AS (
+      SELECT n, vmin, vmax, MIN(v) AS q1, MAX(v) AS q3
+      FROM ranked
+      WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(q3 - q1 AS DOUBLE) / 100.0 AS iqr,
+           FLOOR((2.0 * CAST(q3 - q1 AS DOUBLE)
+                  / (100.0 * EXP(LN(CAST(n AS DOUBLE)) / 3.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS fd_bin_width,
+           FLOOR(((CAST(vmax - vmin AS DOUBLE) / 100.0)
+                  / (2.0 * CAST(q3 - q1 AS DOUBLE)
+                     / (100.0 * EXP(LN(CAST(n AS DOUBLE)) / 3.0))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS suggested_bins
+    FROM agg
+    """,
+)

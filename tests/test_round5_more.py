@@ -631,3 +631,25 @@ def test_sla_attainment_bounds(spark):
     for r in rows:
         assert 0 <= r.n_within_sla <= r.n_lines
         assert abs(r.attainment - r.n_within_sla / r.n_lines) < 1e-6
+
+
+def test_join_skew_audit_shares(spark):
+    from airflow_baseball_spark.queries_relational2 import q_join_skew_audit
+
+    rows = q_join_skew_audit(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r.fanout == r.n_left * r.n_right
+        assert 0 < r.share_of_join <= 1
+    # returned in descending fanout order
+    fans = [r.fanout for r in rows]
+    assert fans == sorted(fans, reverse=True)
+
+
+def test_fd_bin_width_sane(spark):
+    from airflow_baseball_spark.queries_relational2 import q_fd_bin_width
+
+    r = q_fd_bin_width(spark, SF).collect()[0]
+    assert r.iqr > 0
+    assert r.fd_bin_width > 0
+    assert r.suggested_bins > 1
