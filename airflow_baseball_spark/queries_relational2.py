@@ -3093,3 +3093,100 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix decomposition
+# ---------------------------------------------------------------------------
+
+
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue change between the first and second half of the data,
+    decomposed per order status into volume effect (count change at
+    old average price) and rate effect (average-price change at new
+    count): ΔR = Δn·p̄₀ + n₁·Δp̄ — the FP&A bridge behind every
+    "why did revenue move" review (revenue_waterfall bridges WITHIN a
+    period; this bridges BETWEEN periods).
+
+    Periods split at the integer midpoint epoch-day; per (period,
+    status) sums are exact integer cents, and both effects derive
+    from the four exact (n, Σ) pairs through one shared expression —
+    the decomposition reconciles to ΔR by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    ed = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(
+        F.col("o_orderstatus").alias("st"), cents.alias("v"), ed.alias("d")
+    )
+    bounds = base.agg(
+        ((F.min("d") + F.max("d")) - (F.min("d") + F.max("d")) % 2).alias(
+            "mid2"
+        )
+    )
+    per = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("p", (F.col("d") * 2 >= F.col("mid2")).cast("int"))
+        .groupBy("st", "p")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    p0 = per.filter(F.col("p") == 0).select(
+        "st", F.col("n").alias("n0"), F.col("s").alias("s0")
+    )
+    p1 = per.filter(F.col("p") == 1).select(
+        F.col("st").alias("st1"), F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+    )
+    j = p0.join(p1, F.col("st") == F.col("st1"))
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    s0, s1 = F.col("s0").cast("double"), F.col("s1").cast("double")
+    avg0 = s0 / n0
+    avg1 = s1 / n1
+    vol = (n1 - n0) * avg0 / F.lit(100.0)
+    rate = n1 * (avg1 - avg0) / F.lit(100.0)
+    return j.select(
+        F.col("st").alias("o_orderstatus"),
+        F.col("n0").cast("long").alias("n_before"),
+        F.col("n1").cast("long").alias("n_after"),
+        _r6((s1 - s0) / F.lit(100.0)).alias("delta_revenue"),
+        _r6(vol).alias("volume_effect"),
+        _r6(rate).alias("rate_effect"),
+    )
+
+
+registry.register(
+    "price_volume_mix",
+    q_price_volume_mix,
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d
+      FROM orders
+    ),
+    bounds AS (
+      SELECT (MIN(d) + MAX(d)) - (MIN(d) + MAX(d)) % 2 AS mid2 FROM base
+    ),
+    per AS (
+      SELECT st, CASE WHEN b.d * 2 >= bo.mid2 THEN 1 ELSE 0 END AS p,
+             COUNT(*) AS n, SUM(v) AS s
+      FROM base b CROSS JOIN bounds bo
+      GROUP BY 1, 2
+    )
+    SELECT p0.st AS o_orderstatus,
+           CAST(p0.n AS BIGINT) AS n_before,
+           CAST(p1.n AS BIGINT) AS n_after,
+           FLOOR(((CAST(p1.s AS DOUBLE) - CAST(p0.s AS DOUBLE)) / 100.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS delta_revenue,
+           FLOOR((((CAST(p1.n AS DOUBLE) - CAST(p0.n AS DOUBLE))
+                   * (CAST(p0.s AS DOUBLE) / CAST(p0.n AS DOUBLE)))
+                  / 100.0) * 1000000.0 + 0.5) / 1000000.0
+             AS volume_effect,
+           FLOOR(((CAST(p1.n AS DOUBLE)
+                   * ((CAST(p1.s AS DOUBLE) / CAST(p1.n AS DOUBLE))
+                      - (CAST(p0.s AS DOUBLE) / CAST(p0.n AS DOUBLE))))
+                  / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS rate_effect
+    FROM (SELECT * FROM per WHERE p = 0) p0
+    JOIN (SELECT * FROM per WHERE p = 1) p1 ON p0.st = p1.st
+    """,
+)

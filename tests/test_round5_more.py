@@ -653,3 +653,17 @@ def test_fd_bin_width_sane(spark):
     assert r.iqr > 0
     assert r.fd_bin_width > 0
     assert r.suggested_bins > 1
+
+
+def test_price_volume_mix_reconciles(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_price_volume_mix,
+    )
+
+    rows = q_price_volume_mix(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the two effects reconcile to the revenue delta exactly
+        assert abs(
+            (r.volume_effect + r.rate_effect) - r.delta_revenue
+        ) < 1e-3, r
