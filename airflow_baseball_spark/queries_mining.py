@@ -1591,3 +1591,83 @@ registry.register(
                  * 1000000.0 + 0.5) / 1000000.0 AS hit_rate_at3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Effective catalog size (diversity indices)
+# ---------------------------------------------------------------------------
+
+
+def q_effective_catalog_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many brands does the revenue REALLY spread over: the
+    Shannon effective number exp(H) and the Simpson/inverse-HHI
+    effective number 1/Σp² of brand revenue shares — the two
+    diversity indices product teams quote next to raw brand counts
+    (hhi_concentration reports Σp²; these convert to head-counts).
+
+    Shares are exact integer-cent ratios; Σp² computes as the integer
+    cross-product Σs²/S² (one exact ratio); H follows entropy_profile
+    (ln over ≤|brands| terms, `_r6`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    rev = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum(cents).alias("s"))
+    )
+    wn = Window.partitionBy()
+    staged = rev.select(
+        "s",
+        F.sum("s").over(wn).alias("tot"),
+        F.count("*").over(wn).alias("k"),
+    )
+    h_term = (
+        F.col("s").cast("double") / F.col("tot").cast("double")
+    ) * F.log(F.col("s").cast("double") / F.col("tot").cast("double"))
+    simpson_num = F.col("s").cast("double") * F.col("s").cast("double")
+    agg = staged.groupBy("tot", "k").agg(
+        F.sum(h_term).alias("negH"),
+        F.sum(simpson_num).alias("ss2"),
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("n_brands"),
+        _r6(F.exp(-F.col("negH"))).alias("shannon_effective"),
+        _r6(
+            (F.col("tot").cast("double") * F.col("tot").cast("double"))
+            / F.col("ss2")
+        ).alias("simpson_effective"),
+    )
+
+
+registry.register(
+    "effective_catalog_size",
+    q_effective_catalog_size,
+    """
+    WITH rev AS (
+      SELECT p.p_brand,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS s
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    staged AS (
+      SELECT s, SUM(s) OVER () AS tot, COUNT(*) OVER () AS k FROM rev
+    ),
+    agg AS (
+      SELECT tot, k,
+             SUM((CAST(s AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * LN(CAST(s AS DOUBLE) / CAST(tot AS DOUBLE))) AS negH,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss2
+      FROM staged GROUP BY 1, 2
+    )
+    SELECT CAST(k AS BIGINT) AS n_brands,
+           FLOOR(EXP(-negH) * 1000000.0 + 0.5) / 1000000.0
+             AS shannon_effective,
+           FLOOR(((CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / ss2)
+                 * 1000000.0 + 0.5) / 1000000.0 AS simpson_effective
+    FROM agg
+    """,
+)

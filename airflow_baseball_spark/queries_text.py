@@ -3054,3 +3054,94 @@ registry.register(
     FROM staged GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+
+def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size at 10%, 20%, … 100% of the corpus (by doc_id
+    order) — the Heaps'-law growth curve that forecasts how much NEW
+    vocabulary more data will buy (vocab_topk is the head; this is
+    the growth law).
+
+    The cumulative-distinct trick: each term contributes at its FIRST
+    decile only (min decile per term — one combinable aggregate on
+    the token table), so the curve is a 10-row cumulative sum of the
+    first-seen histogram — cumulative distinct counting without ever
+    re-scanning prefixes. Deciles from integer doc-rank arithmetic
+    ((rank·10−1) div n)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    wn = Window.partitionBy()
+    ranked = docs.select(
+        "doc_id",
+        "text",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    ).select(
+        "text",
+        F.expr("((rk * 10 - 1) div n) + 1").alias("decile"),
+    )
+    toks = ranked.select(
+        "decile", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("decile").alias("fd"))
+    hist = first_seen.groupBy("fd").agg(F.count("*").alias("new_terms"))
+    tok_per_dec = toks.groupBy("decile").agg(F.count("*").alias("n_tok"))
+    w_cum = Window.orderBy("fd").rowsBetween(Window.unboundedPreceding, 0)
+    curve = hist.select(
+        "fd",
+        "new_terms",
+        F.sum("new_terms").over(w_cum).alias("vocab_cum"),
+    )
+    w_cumt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tokc = tok_per_dec.select(
+        "decile", F.sum("n_tok").over(w_cumt).alias("tokens_cum")
+    )
+    return (
+        curve.join(tokc, curve["fd"] == tokc["decile"])
+        .select(
+            F.col("fd").cast("long").alias("decile"),
+            F.col("tokens_cum").cast("long").alias("tokens_cum"),
+            F.col("new_terms").cast("long").alias("new_terms"),
+            F.col("vocab_cum").cast("long").alias("vocab_cum"),
+        )
+    )
+
+
+registry.register(
+    "heaps_law_curve",
+    q_heaps_law_curve,
+    """
+    WITH ranked AS (
+      SELECT text,
+             ((ROW_NUMBER() OVER (ORDER BY doc_id) * 10 - 1)
+              // COUNT(*) OVER ()) + 1 AS decile
+      FROM documents
+    ),
+    toks AS (
+      SELECT decile, unnest(string_split(text, ' ')) AS tok FROM ranked
+    ),
+    first_seen AS (SELECT tok, MIN(decile) AS fd FROM toks GROUP BY 1),
+    hist AS (SELECT fd, COUNT(*) AS new_terms FROM first_seen GROUP BY 1),
+    tokc AS (
+      SELECT decile,
+             SUM(COUNT(*)) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tokens_cum
+      FROM toks GROUP BY decile
+    )
+    SELECT CAST(h.fd AS BIGINT) AS decile,
+           CAST(t.tokens_cum AS BIGINT) AS tokens_cum,
+           CAST(h.new_terms AS BIGINT) AS new_terms,
+           CAST(SUM(h.new_terms) OVER (ORDER BY h.fd
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_cum
+    FROM hist h JOIN tokc t ON h.fd = t.decile
+    """,
+)

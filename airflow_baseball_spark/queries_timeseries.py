@@ -1297,3 +1297,78 @@ def _ewma_cross_sql() -> str:
 
 
 registry.register("ewma_crossover", q_ewma_crossover, _ewma_cross_sql())
+
+
+# ---------------------------------------------------------------------------
+# Discrete hazard table of inter-event gaps
+# ---------------------------------------------------------------------------
+
+
+def q_gap_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete hazard of returning after k days of silence:
+    h(k) = (gaps = k) / (gaps ≥ k) — the churn-model view of
+    inter_event_gaps (kaplan_meier estimates survival of ONE
+    transition; this tables the hazard over every user gap).
+    Gaps ≥ 8 days pool into one bucket so the table is O(1).
+
+    Exactness: integer day gaps from one user-keyed LEAD window; the
+    at-risk denominator is a REVERSE cumulative integer sum over the
+    9-row gap histogram; one division per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.lead(F.to_date("ts")).over(w), F.to_date("ts")
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(F.least(F.col("g"), F.lit(8)).alias("g"))
+    )
+    hist = gaps.groupBy("g").agg(F.count("*").alias("c"))
+    w_rev = Window.orderBy(F.col("g").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = hist.select(
+        "g", "c", F.sum("c").over(w_rev).alias("at_risk")
+    )
+    return staged.select(
+        F.col("g").cast("long").alias("gap_days"),
+        F.col("c").cast("long").alias("n_gaps"),
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        _r6(
+            F.col("c").cast("double") / F.col("at_risk").cast("double")
+        ).alias("hazard"),
+    )
+
+
+registry.register(
+    "gap_hazard_table",
+    q_gap_hazard_table,
+    """
+    WITH gaps AS (
+      SELECT LEAST(g, 8) AS g FROM (
+        SELECT datediff('day', CAST(ts AS DATE),
+                        LEAD(CAST(ts AS DATE))
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)) AS g
+        FROM events
+      ) WHERE g IS NOT NULL
+    ),
+    hist AS (SELECT g, COUNT(*) AS c FROM gaps GROUP BY 1),
+    staged AS (
+      SELECT g, c,
+             SUM(c) OVER (ORDER BY g DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS at_risk
+      FROM hist
+    )
+    SELECT CAST(g AS BIGINT) AS gap_days,
+           CAST(c AS BIGINT) AS n_gaps,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           FLOOR((CAST(c AS DOUBLE) / CAST(at_risk AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS hazard
+    FROM staged
+    """,
+)

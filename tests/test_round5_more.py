@@ -667,3 +667,43 @@ def test_price_volume_mix_reconciles(spark):
         assert abs(
             (r.volume_effect + r.rate_effect) - r.delta_revenue
         ) < 1e-3, r
+
+
+def test_gap_hazard_last_bucket_certain(spark):
+    from airflow_baseball_spark.queries_timeseries import q_gap_hazard_table
+
+    rows = sorted(
+        q_gap_hazard_table(spark, SF).collect(), key=lambda r: r.gap_days
+    )
+    assert rows
+    # the largest observed bucket has hazard exactly 1 (everyone
+    # still at risk leaves through it)
+    assert abs(rows[-1].hazard - 1.0) < 1e-6
+    for r in rows:
+        assert 0 < r.hazard <= 1.0
+        assert r.n_gaps <= r.n_at_risk
+
+
+def test_effective_sizes_within_brand_count(spark):
+    from airflow_baseball_spark.queries_mining import (
+        q_effective_catalog_size,
+    )
+
+    r = q_effective_catalog_size(spark, SF).collect()[0]
+    # 1 <= simpson <= shannon <= k  (standard diversity ordering)
+    assert 1.0 <= r.simpson_effective <= r.shannon_effective + 1e-6
+    assert r.shannon_effective <= r.n_brands + 1e-6
+
+
+def test_heaps_curve_monotone(spark):
+    from airflow_baseball_spark.queries_text import q_heaps_law_curve
+
+    rows = sorted(
+        q_heaps_law_curve(spark, SF).collect(), key=lambda r: r.decile
+    )
+    assert rows and rows[-1].decile == 10
+    for a, b in zip(rows, rows[1:]):
+        assert a.vocab_cum <= b.vocab_cum
+        assert a.tokens_cum < b.tokens_cum
+    # new vocabulary per decile shrinks toward the tail (Heaps)
+    assert rows[0].new_terms == max(r.new_terms for r in rows)
