@@ -3089,28 +3089,26 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     first_seen = toks.groupBy("tok").agg(F.min("decile").alias("fd"))
-    hist = first_seen.groupBy("fd").agg(F.count("*").alias("new_terms"))
+    hist = first_seen.groupBy("fd").agg(F.count("*").alias("nt"))
     tok_per_dec = toks.groupBy("decile").agg(F.count("*").alias("n_tok"))
-    w_cum = Window.orderBy("fd").rowsBetween(Window.unboundedPreceding, 0)
-    curve = hist.select(
-        "fd",
-        "new_terms",
-        F.sum("new_terms").over(w_cum).alias("vocab_cum"),
+    # drive from the decile axis (always 10 rows) — a saturated small
+    # corpus puts ALL first-sightings in decile 1 and the later
+    # deciles must still report new_terms = 0
+    joined = tok_per_dec.join(
+        hist, tok_per_dec["decile"] == hist["fd"], "left"
+    ).select(
+        "decile",
+        "n_tok",
+        F.coalesce(F.col("nt"), F.lit(0)).alias("new_terms"),
     )
-    w_cumt = Window.orderBy("decile").rowsBetween(
+    w_cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    tokc = tok_per_dec.select(
-        "decile", F.sum("n_tok").over(w_cumt).alias("tokens_cum")
-    )
-    return (
-        curve.join(tokc, curve["fd"] == tokc["decile"])
-        .select(
-            F.col("fd").cast("long").alias("decile"),
-            F.col("tokens_cum").cast("long").alias("tokens_cum"),
-            F.col("new_terms").cast("long").alias("new_terms"),
-            F.col("vocab_cum").cast("long").alias("vocab_cum"),
-        )
+    return joined.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.sum("n_tok").over(w_cum).cast("long").alias("tokens_cum"),
+        F.col("new_terms").cast("long").alias("new_terms"),
+        F.sum("new_terms").over(w_cum).cast("long").alias("vocab_cum"),
     )
 
 
@@ -3128,20 +3126,20 @@ registry.register(
       SELECT decile, unnest(string_split(text, ' ')) AS tok FROM ranked
     ),
     first_seen AS (SELECT tok, MIN(decile) AS fd FROM toks GROUP BY 1),
-    hist AS (SELECT fd, COUNT(*) AS new_terms FROM first_seen GROUP BY 1),
-    tokc AS (
-      SELECT decile,
-             SUM(COUNT(*)) OVER (ORDER BY decile
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS tokens_cum
-      FROM toks GROUP BY decile
+    hist AS (SELECT fd, COUNT(*) AS nt FROM first_seen GROUP BY 1),
+    per_dec AS (SELECT decile, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+    joined AS (
+      SELECT d.decile, d.n_tok, COALESCE(h.nt, 0) AS new_terms
+      FROM per_dec d LEFT JOIN hist h ON d.decile = h.fd
     )
-    SELECT CAST(h.fd AS BIGINT) AS decile,
-           CAST(t.tokens_cum AS BIGINT) AS tokens_cum,
-           CAST(h.new_terms AS BIGINT) AS new_terms,
-           CAST(SUM(h.new_terms) OVER (ORDER BY h.fd
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(n_tok) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS tokens_cum,
+           CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY decile
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS vocab_cum
-    FROM hist h JOIN tokc t ON h.fd = t.decile
+    FROM joined
     """,
 )

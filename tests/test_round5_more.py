@@ -701,9 +701,10 @@ def test_heaps_curve_monotone(spark):
     rows = sorted(
         q_heaps_law_curve(spark, SF).collect(), key=lambda r: r.decile
     )
-    assert rows and rows[-1].decile == 10
+    assert [r.decile for r in rows] == list(range(1, 11))
     for a, b in zip(rows, rows[1:]):
         assert a.vocab_cum <= b.vocab_cum
         assert a.tokens_cum < b.tokens_cum
-    # new vocabulary per decile shrinks toward the tail (Heaps)
+    # sublinear growth: the first decile introduces the most new
+    # vocabulary (ties allowed on a saturated tiny corpus)
     assert rows[0].new_terms == max(r.new_terms for r in rows)
