@@ -3190,3 +3190,108 @@ registry.register(
     JOIN (SELECT * FROM per WHERE p = 1) p1 ON p0.st = p1.st
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency via global sweep-line
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum simultaneous user sessions (30-min-gap sessions,
+    5-min tail) and when the peak happened — the capacity number:
+    +1/−1 boundary events, ONE global time sort, running sum, argmax.
+    interval_union measures per-key coverage; the sweep here is
+    global, which is exactly when the single-partition window is the
+    honest cost (boundary events are 2·sessions, far smaller than
+    raw events; at larger scale the standard fix is a two-level sweep
+    — per-shard sweeps plus offset reconciliation).
+
+    Ties: ends sort BEFORE starts at the same µs (delta ascending),
+    so touching sessions never double-count; argmax tie-breaks to the
+    earliest µs. All integer."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap_flag = F.when(
+        F.col("us") - F.lag("us").over(w) > 30 * 60 * 1000000, 1
+    ).otherwise(0)
+    sid = F.sum(gap_flag).over(
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        base.select("user_id", "us", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("s"),
+            (F.max("us") + 5 * 60 * 1000000).alias("e"),
+        )
+    )
+    deltas = sess.select(
+        F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sess.select(F.col("e").alias("t"), F.lit(-1).alias("d")))
+    agg = deltas.groupBy("t").agg(F.sum("d").alias("d"))
+    w_sweep = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = agg.select("t", F.sum("d").over(w_sweep).alias("load"))
+    w_max = Window.orderBy(F.col("load").desc(), "t")
+    peak = swept.withColumn("rk", F.row_number().over(w_max)).filter(
+        F.col("rk") == 1
+    )
+    n_sess = sess.agg(F.count("*").alias("n_sessions"))
+    return peak.crossJoin(F.broadcast(n_sess)).select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("load").cast("long").alias("peak_concurrency"),
+        F.expr("CAST(t div 1000000 AS LONG)").alias("peak_epoch_s"),
+    )
+
+
+registry.register(
+    "peak_concurrency",
+    q_peak_concurrency,
+    """
+    WITH base AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                          ORDER BY us)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM base
+    ),
+    sids AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(us) AS s,
+             MAX(us) + 5 * 60 * 1000000 AS e
+      FROM sids GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM sess
+      UNION ALL SELECT e AS t, -1 AS d FROM sess
+    ),
+    agg AS (SELECT t, SUM(d) AS d FROM deltas GROUP BY 1),
+    swept AS (
+      SELECT t, SUM(d) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+      FROM agg
+    ),
+    peak AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY load DESC, t) AS rk
+        FROM swept
+      ) WHERE rk = 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+           CAST(load AS BIGINT) AS peak_concurrency,
+           CAST(t // 1000000 AS BIGINT) AS peak_epoch_s
+    FROM peak
+    """,
+)

@@ -1365,3 +1365,125 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-way ANOVA with interaction
+# ---------------------------------------------------------------------------
+
+
+def q_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way factorial decomposition of event values over weekday ×
+    event type: sums of squares for factor A (weekday), factor B
+    (type), the A×B interaction, and the within-cell residual —
+    anova_f's factorial big sibling, the screen for "does the weekday
+    effect DEPEND on the event type". (Type-I-style decomposition on
+    the observed cell counts, documented — the standard caveat for
+    unbalanced designs applies.)
+
+    Every SS derives from per-cell exact integer sufficient stats
+    (n, Σ, Σ²) through marginal windows and one shared expression;
+    the only sums of doubles are over ≤35 cells (`_r6`)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cells = ev.groupBy(
+        (epoch_day % 7).alias("a"), F.col("event_type").alias("b")
+    ).agg(
+        F.count("*").alias("ng"),
+        F.sum(cents).alias("sg"),
+        F.sum(cents * cents).alias("qg"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cell_term = d("sg") * d("sg") / d("ng")
+    agg = cells.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(cell_term).alias("ss_cells_raw"),
+    )
+    marg_a = cells.groupBy("a").agg(
+        F.sum("ng").alias("na"), F.sum("sg").alias("sa")
+    )
+    ssa = marg_a.agg(
+        F.sum(d("sa") * d("sa") / d("na")).alias("ssa_raw"),
+        F.count("*").alias("ka"),
+    )
+    marg_b = cells.groupBy("b").agg(
+        F.sum("ng").alias("nb"), F.sum("sg").alias("sb")
+    )
+    ssb = marg_b.agg(
+        F.sum(d("sb") * d("sb") / d("nb")).alias("ssb_raw"),
+        F.count("*").alias("kb"),
+    )
+    j = agg.crossJoin(F.broadcast(ssa)).crossJoin(F.broadcast(ssb))
+    grand = d("s") * d("s") / d("n")
+    cf = F.lit(1.0) / F.lit(10000.0)  # cents² -> dollars²
+    ss_a = (F.col("ssa_raw") - grand) * cf
+    ss_b = (F.col("ssb_raw") - grand) * cf
+    ss_cells = (F.col("ss_cells_raw") - grand) * cf
+    ss_within = (d("q") - F.col("ss_cells_raw")) * cf
+    return j.select(
+        F.col("ka").cast("long").alias("n_weekdays"),
+        F.col("kb").cast("long").alias("n_types"),
+        F.col("n").cast("long").alias("n_events"),
+        _r6(ss_a).alias("ss_weekday"),
+        _r6(ss_b).alias("ss_type"),
+        _r6(ss_cells - ss_a - ss_b).alias("ss_interaction"),
+        _r6(ss_within).alias("ss_within"),
+    )
+
+
+registry.register(
+    "anova_two_way",
+    q_anova_two_way,
+    """
+    WITH cells AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS a,
+             event_type AS b,
+             COUNT(*) AS ng,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sg,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS qg
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q,
+             SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                 / CAST(ng AS DOUBLE)) AS ss_cells_raw
+      FROM cells
+    ),
+    ma AS (
+      SELECT SUM(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                 / CAST(na AS DOUBLE)) AS ssa_raw,
+             COUNT(*) AS ka
+      FROM (SELECT a, SUM(ng) AS na, SUM(sg) AS sa FROM cells GROUP BY 1)
+    ),
+    mb AS (
+      SELECT SUM(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                 / CAST(nb AS DOUBLE)) AS ssb_raw,
+             COUNT(*) AS kb
+      FROM (SELECT b, SUM(ng) AS nb, SUM(sg) AS sb FROM cells GROUP BY 1)
+    )
+    SELECT CAST(ka AS BIGINT) AS n_weekdays,
+           CAST(kb AS BIGINT) AS n_types,
+           CAST(n AS BIGINT) AS n_events,
+           FLOOR(((ssa_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE)) / 10000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ss_weekday,
+           FLOOR(((ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE)) / 10000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ss_type,
+           FLOOR((((ss_cells_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                   - (ssa_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                   - (ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE))) / 10000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ss_interaction,
+           FLOOR(((CAST(q AS DOUBLE) - ss_cells_raw) / 10000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ss_within
+    FROM tot CROSS JOIN ma CROSS JOIN mb
+    """,
+)

@@ -136,3 +136,25 @@ def test_anova_f_nonneg(spark):
     assert r.n_groups == 7
     assert r.n_days >= r.n_groups
     assert r.f_stat >= 0
+
+
+def test_anova_two_way_decomposition(spark):
+    from airflow_baseball_spark.queries_stats import q_anova_two_way
+
+    r = q_anova_two_way(spark, SF).collect()[0]
+    assert r.n_weekdays == 7 and r.n_types == 5
+    # all SS nonnegative except interaction may wobble near 0 in
+    # the Type-I-style decomposition on unbalanced counts
+    assert r.ss_weekday >= -1e-6
+    assert r.ss_type >= -1e-6
+    assert r.ss_within >= -1e-6
+
+
+def test_peak_concurrency_bounds(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_peak_concurrency,
+    )
+
+    r = q_peak_concurrency(spark, SF).collect()[0]
+    assert 1 <= r.peak_concurrency <= r.n_sessions
+    assert r.peak_epoch_s > 0
