@@ -1577,3 +1577,104 @@ registry.register(
     FROM cells GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Ratio metric with delta-method CI
+# ---------------------------------------------------------------------------
+
+
+def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-per-event as a RATIO-OF-MEANS metric over users, with
+    its delta-method 95% CI: R = Σx/Σy and
+    Var(R) ≈ (Σ of (x − R·y)² over users) / (n·ȳ²·n) — the standard
+    experimentation-platform treatment of ratio metrics, where
+    averaging per-user ratios would mis-weight heavy users and a
+    plain row-level mean ignores user clustering.
+
+    Two-pass exactness: pass 1 computes R from exact integer sums;
+    pass 2's residual sum uses the five exact sufficient statistics
+    (Σx², Σxy, Σy² — all integers) expanded algebraically, so no
+    per-user float residual is ever summed: Σ(x−Ry)² =
+    Σx² − 2RΣxy + R²Σy², one shared expression."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("x"),
+        F.count("*").alias("y"),
+    )
+    suff = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = d("sx") / d("sy")
+    resid2 = d("sxx") - 2 * r * d("sxy") + r * r * d("syy")
+    ybar = d("sy") / d("n")
+    se = F.sqrt(resid2 / d("n")) / (ybar * F.sqrt(d("n")))
+    return suff.select(
+        F.col("n").cast("long").alias("n_users"),
+        _r6(r / F.lit(100.0)).alias("revenue_per_event"),
+        _r6((r - F.lit(1.96) * se) / F.lit(100.0)).alias("ci_lo"),
+        _r6((r + F.lit(1.96) * se) / F.lit(100.0)).alias("ci_hi"),
+    )
+
+
+registry.register(
+    "ratio_metric_delta",
+    q_ratio_metric_delta,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT)
+                      ELSE 0 END) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    suff AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           FLOOR(((CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) / 100.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS revenue_per_event,
+           FLOOR((((CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                   - 1.96 * (SQRT((CAST(sxx AS DOUBLE)
+                                   - 2 * (CAST(sx AS DOUBLE)
+                                          / CAST(sy AS DOUBLE))
+                                     * CAST(sxy AS DOUBLE)
+                                   + (CAST(sx AS DOUBLE)
+                                      / CAST(sy AS DOUBLE))
+                                     * (CAST(sx AS DOUBLE)
+                                        / CAST(sy AS DOUBLE))
+                                     * CAST(syy AS DOUBLE))
+                                  / CAST(n AS DOUBLE))
+                             / ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                * SQRT(CAST(n AS DOUBLE))))) / 100.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+           FLOOR((((CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                   + 1.96 * (SQRT((CAST(sxx AS DOUBLE)
+                                   - 2 * (CAST(sx AS DOUBLE)
+                                          / CAST(sy AS DOUBLE))
+                                     * CAST(sxy AS DOUBLE)
+                                   + (CAST(sx AS DOUBLE)
+                                      / CAST(sy AS DOUBLE))
+                                     * (CAST(sx AS DOUBLE)
+                                        / CAST(sy AS DOUBLE))
+                                     * CAST(syy AS DOUBLE))
+                                  / CAST(n AS DOUBLE))
+                             / ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                * SQRT(CAST(n AS DOUBLE))))) / 100.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+    FROM suff
+    """,
+)

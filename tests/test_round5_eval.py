@@ -170,3 +170,12 @@ def test_simpson_paradox_counts(spark):
     r = rows[0]
     assert r.seg_a != r.seg_b
     assert 0 <= r.n_reversed <= r.n_strata
+
+
+def test_ratio_metric_delta_brackets(spark):
+    from airflow_baseball_spark.queries_eval import q_ratio_metric_delta
+
+    r = q_ratio_metric_delta(spark, SF).collect()[0]
+    assert r.n_users > 0
+    assert r.ci_lo <= r.revenue_per_event <= r.ci_hi
+    assert r.revenue_per_event > 0
