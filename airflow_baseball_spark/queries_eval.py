@@ -1678,3 +1678,180 @@ registry.register(
     FROM suff
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between two hash-assigned arms
+# ---------------------------------------------------------------------------
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing signup→purchase survival between two
+    hash-assigned user arms (the md5 A/B coin, so this doubles as an
+    A/A check: Z should be ordinary-normal noise) — kaplan_meier's
+    inferential partner, THE standard two-group survival comparison.
+
+    At every pooled event day: observed arm-A events d₁, expected
+    E = d·n₁/n, variance V = d·n₁·n₂·(n−d)/(n²·(n−1)). Each E term
+    quantizes via INTEGER division (d·n₁·1e6 div n) and each V term
+    via (d·n₁·n₂·(n−d)·1e2 div (n²·(n−1))) — both engines sum the
+    same integers, so Z is bit-deterministic; the coarse 1e-2 V
+    quantum is far inside statistical noise and chosen to keep the
+    BIGINT product under 2⁶³ for user counts up to ~3·10⁴ (document
+    and rescale for bigger cohorts). The day×arm grid is days-sized;
+    at-risk counts come from per-arm cumulative windows over it."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tlast"),
+    )
+    cohort = per_user.filter(F.col("t0").isNotNull()).select(
+        F.when(
+            F.col("tp") >= F.col("t0"),
+            F.datediff(F.to_date("tp"), F.to_date("t0")),
+        )
+        .otherwise(F.datediff(F.to_date("tlast"), F.to_date("t0")))
+        .alias("d"),
+        ((F.col("tp") >= F.col("t0")).cast("int")).alias("is_event"),
+        F.when(hash_unit(F.col("user_id"), seed="ab") < 0.5, 0)
+        .otherwise(1)
+        .alias("arm"),
+    )
+    per = cohort.groupBy("arm", "d").agg(
+        F.sum("is_event").alias("n_ev"), F.count("*").alias("n_all")
+    )
+    days = cohort.select("d").distinct()
+    arms = spark.range(2).select(F.col("id").cast("int").alias("arm"))
+    grid = days.crossJoin(arms).join(per, ["arm", "d"], "left").select(
+        "arm",
+        "d",
+        F.coalesce(F.col("n_ev"), F.lit(0)).alias("n_ev"),
+        F.coalesce(F.col("n_all"), F.lit(0)).alias("n_all"),
+    )
+    w_b = (
+        Window.partitionBy("arm")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_t = Window.partitionBy("arm")
+    risk = grid.select(
+        "arm",
+        "d",
+        "n_ev",
+        (
+            F.sum("n_all").over(w_t)
+            - F.coalesce(F.sum("n_all").over(w_b), F.lit(0))
+        ).alias("at_risk"),
+    )
+    a0 = risk.filter(F.col("arm") == 0).select(
+        "d", F.col("n_ev").alias("d1"), F.col("at_risk").alias("n1")
+    )
+    a1 = risk.filter(F.col("arm") == 1).select(
+        F.col("d").alias("d_"),
+        F.col("n_ev").alias("d2"),
+        F.col("at_risk").alias("n2"),
+    )
+    j = (
+        a0.join(a1, F.col("d") == F.col("d_"))
+        .withColumn("dt", F.col("d1") + F.col("d2"))
+        .withColumn("n", F.col("n1") + F.col("n2"))
+        .filter((F.col("dt") > 0) & (F.col("n") > 1))
+    )
+    e6 = F.expr("(dt * n1 * 1000000) div n")
+    v2 = F.expr(
+        "(dt * n1 * n2 * (n - dt) * 100) div (n * n * (n - 1))"
+    )
+    agg = j.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(e6).alias("se6"),
+        F.sum(v2).alias("sv2"),
+        F.count("*").alias("n_event_days"),
+    )
+    z = (
+        F.col("o1").cast("double") - F.col("se6").cast("double") / 1e6
+    ) / F.sqrt(F.col("sv2").cast("double") / 1e2)
+    return agg.select(
+        F.col("n_event_days").cast("long").alias("n_event_days"),
+        F.col("o1").cast("long").alias("observed_a"),
+        _r6(F.col("se6").cast("double") / 1e6).alias("expected_a"),
+        _r6(z).alias("logrank_z"),
+    )
+
+
+def _logrank_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    u = hash_unit_sql("user_id", "ab")
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             MAX(ts) AS tlast
+      FROM events GROUP BY 1
+    ),
+    cohort AS (
+      SELECT CASE WHEN tp >= t0
+                  THEN datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                  ELSE datediff('day', CAST(t0 AS DATE),
+                                CAST(tlast AS DATE))
+             END AS d,
+             CASE WHEN tp >= t0 THEN 1 ELSE 0 END AS is_event,
+             CASE WHEN {u} < 0.5 THEN 0 ELSE 1 END AS arm
+      FROM per_user WHERE t0 IS NOT NULL
+    ),
+    per AS (
+      SELECT arm, d, SUM(is_event) AS n_ev, COUNT(*) AS n_all
+      FROM cohort GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT a.arm, dd.d,
+             COALESCE(p.n_ev, 0) AS n_ev, COALESCE(p.n_all, 0) AS n_all
+      FROM (SELECT DISTINCT d FROM cohort) dd
+      CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+      LEFT JOIN per p ON p.arm = a.arm AND p.d = dd.d
+    ),
+    risk AS (
+      SELECT arm, d, n_ev,
+             SUM(n_all) OVER (PARTITION BY arm)
+               - COALESCE(SUM(n_all) OVER (PARTITION BY arm ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM grid
+    ),
+    j AS (
+      SELECT a0.d, a0.n_ev AS d1, a0.at_risk AS n1,
+             a1.n_ev AS d2, a1.at_risk AS n2,
+             a0.n_ev + a1.n_ev AS dt,
+             a0.at_risk + a1.at_risk AS n
+      FROM (SELECT * FROM risk WHERE arm = 0) a0
+      JOIN (SELECT * FROM risk WHERE arm = 1) a1 ON a0.d = a1.d
+      WHERE a0.n_ev + a1.n_ev > 0 AND a0.at_risk + a1.at_risk > 1
+    ),
+    agg AS (
+      SELECT SUM(d1) AS o1,
+             SUM((dt * n1 * 1000000) // n) AS se6,
+             SUM((dt * n1 * n2 * (n - dt) * 100) // (n * n * (n - 1)))
+               AS sv2,
+             COUNT(*) AS n_event_days
+      FROM j
+    )
+    SELECT CAST(n_event_days AS BIGINT) AS n_event_days,
+           CAST(o1 AS BIGINT) AS observed_a,
+           FLOOR((CAST(se6 AS DOUBLE) / 1e6) * 1000000.0 + 0.5)
+             / 1000000.0 AS expected_a,
+           FLOOR(((CAST(o1 AS DOUBLE) - CAST(se6 AS DOUBLE) / 1e6)
+                  / SQRT(CAST(sv2 AS DOUBLE) / 1e2))
+                 * 1000000.0 + 0.5) / 1000000.0 AS logrank_z
+    FROM agg
+    """
+
+
+registry.register("logrank_test", q_logrank_test, _logrank_sql())

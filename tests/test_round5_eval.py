@@ -179,3 +179,13 @@ def test_ratio_metric_delta_brackets(spark):
     assert r.n_users > 0
     assert r.ci_lo <= r.revenue_per_event <= r.ci_hi
     assert r.revenue_per_event > 0
+
+
+def test_logrank_aa_is_noise(spark):
+    from airflow_baseball_spark.queries_eval import q_logrank_test
+
+    r = q_logrank_test(spark, SF).collect()[0]
+    assert r.n_event_days > 0
+    assert r.observed_a >= 0 and r.expected_a > 0
+    # an A/A split should not produce an extreme statistic
+    assert abs(r.logrank_z) < 6.0
