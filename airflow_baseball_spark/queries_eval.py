@@ -1855,3 +1855,107 @@ def _logrank_sql() -> str:
 
 
 registry.register("logrank_test", q_logrank_test, _logrank_sql())
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient at the median threshold
+# ---------------------------------------------------------------------------
+
+
+def q_mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCC of "value above the pooled median" as a purchase-vs-click
+    classifier — the confusion-matrix summary that stays honest under
+    class imbalance (auc_roc ranks; MCC scores one operating point).
+
+    The threshold is the exact pooled lower median (integer rank
+    (n+1) div 2); the four confusion cells are exact counts, and MCC
+    = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is one shared
+    expression — products up to n⁴ run in doubles (exact integers
+    magnitudes ≤ 2⁵³ for n ≤ ~3·10⁵ per class at this formula's
+    pairings; document and widen to DECIMAL beyond)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select(
+        cents.alias("v"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    w = Window.orderBy("v")
+    wn = Window.partitionBy()
+    ranked = base.select(
+        "v",
+        "is_pos",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("v").alias("thr"))
+    scored = base.crossJoin(F.broadcast(med))
+    cells = scored.agg(
+        F.count(
+            F.when(F.col("is_pos") & (F.col("v") > F.col("thr")), 1)
+        ).alias("tp"),
+        F.count(
+            F.when(~F.col("is_pos") & (F.col("v") > F.col("thr")), 1)
+        ).alias("fp"),
+        F.count(
+            F.when(F.col("is_pos") & (F.col("v") <= F.col("thr")), 1)
+        ).alias("fn"),
+        F.count(
+            F.when(~F.col("is_pos") & (F.col("v") <= F.col("thr")), 1)
+        ).alias("tn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("tp") * d("tn") - d("fp") * d("fn")
+    den = F.sqrt(
+        (d("tp") + d("fp"))
+        * (d("tp") + d("fn"))
+        * (d("tn") + d("fp"))
+        * (d("tn") + d("fn"))
+    )
+    return cells.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        _r6(num / den).alias("mcc"),
+    )
+
+
+registry.register(
+    "mcc_score",
+    q_mcc_score,
+    """
+    WITH base AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             event_type = 'purchase' AS is_pos
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    med AS (
+      SELECT v AS thr FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+               COUNT(*) OVER () AS n
+        FROM base
+      ) WHERE rn = (n + 1) // 2
+    ),
+    cells AS (
+      SELECT COUNT(CASE WHEN is_pos AND v > thr THEN 1 END) AS tp,
+             COUNT(CASE WHEN NOT is_pos AND v > thr THEN 1 END) AS fp,
+             COUNT(CASE WHEN is_pos AND v <= thr THEN 1 END) AS fn,
+             COUNT(CASE WHEN NOT is_pos AND v <= thr THEN 1 END) AS tn
+      FROM base CROSS JOIN med
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           FLOOR(((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                   - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                  / SQRT((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                         * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                         * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                         * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mcc
+    FROM cells
+    """,
+)

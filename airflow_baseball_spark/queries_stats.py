@@ -1487,3 +1487,96 @@ registry.register(
     FROM tot CROSS JOIN ma CROSS JOIN mb
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér-von Mises statistic
+# ---------------------------------------------------------------------------
+
+
+def q_cvm_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic between purchase and
+    click values — KS integrates the WORST CDF gap; CvM integrates
+    ALL of them (T = n₁n₂/(n₁+n₂)² · Σ over pooled points of
+    (F₁−F₂)²), catching spread-out distributional drift a single sup
+    misses.
+
+    Full integer exactness one step beyond ks_statistic: each gap
+    (c₁/n₁ − c₂/n₂) has common denominator n₁n₂, so the summand is
+    the INTEGER (c₁n₂ − c₂n₁)², weighted by the point's multiplicity.
+    The sum runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact
+    beyond the 2⁶³ ceiling the squared products break at sf0.1 —
+    and ONE shared float expression scales it at the end."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_v = (
+        ev.select(
+            cents.alias("v"),
+            (F.col("event_type") == "purchase").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).alias("na_v"),
+            F.count(F.when(~F.col("is_a"), 1)).alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy()
+    cum = per_v.select(
+        (F.col("na_v") + F.col("nb_v")).alias("m"),
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+        F.sum("na_v").over(wn).alias("na"),
+        F.sum("nb_v").over(wn).alias("nb"),
+    )
+    gap = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    summand = (F.col("m") * gap * gap).cast("decimal(38,0)")
+    agg = cum.groupBy("na", "nb").agg(F.sum(summand).alias("s"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("na") + d("nb")
+    # T = Σ m·(ca·nb − cb·na)² / (na·nb·(na+nb)²)
+    t = F.col("s").cast("double") / (d("na") * d("nb") * n * n)
+    return agg.select(
+        F.col("na").cast("long").alias("n_purchase"),
+        F.col("nb").cast("long").alias("n_click"),
+        _r6(t).alias("cvm_t"),
+    )
+
+
+registry.register(
+    "cvm_statistic",
+    q_cvm_statistic,
+    """
+    WITH per_v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS na_v,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nb_v
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT na_v + nb_v AS m,
+             SUM(na_v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb_v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb
+      FROM per_v
+    ),
+    agg AS (
+      SELECT na, nb,
+             SUM(m * (ca * nb - cb * na) * (ca * nb - cb * na)) AS s
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT CAST(na AS BIGINT) AS n_purchase,
+           CAST(nb AS BIGINT) AS n_click,
+           FLOOR((CAST(s AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                     * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cvm_t
+    FROM agg
+    """,
+)

@@ -53,8 +53,8 @@ _LOADED = False
 #   3. the round-5 additions with NOVEL shapes (iterative peeling,
 #      power iteration, the integration funnel, wedge/triangle graph
 #      metrics, exact-quantized math) — 20 entries,
-#   4. r5-overflow (positions 51+): the 122 round-5 additions that
-#      don't fit the 50-slot window (142 were added this round; 20 fit
+#   4. r5-overflow (positions 51+): the 124 round-5 additions that
+#      don't fit the 50-slot window (144 were added this round; 20 fit
 #      in tier 3) — the late-round novel ops first (bpe/ann-recall/
 #      quarantine family), then the plain-shape ones (aggs, ratio
 #      windows, broadcast joins) attested suite-wide. NOT hidden:
@@ -229,6 +229,8 @@ _PRIORITY = [
     "anova_two_way",
     "ratio_metric_delta",
     "logrank_test",
+    "cvm_statistic",
+    "mcc_score",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",

@@ -189,3 +189,12 @@ def test_logrank_aa_is_noise(spark):
     assert r.observed_a >= 0 and r.expected_a > 0
     # an A/A split should not produce an extreme statistic
     assert abs(r.logrank_z) < 6.0
+
+
+def test_mcc_cells_partition(spark):
+    from airflow_baseball_spark.queries_eval import q_mcc_score
+
+    r = q_mcc_score(spark, SF).collect()[0]
+    assert -1.0 - 1e-6 <= r.mcc <= 1.0 + 1e-6
+    # the four cells partition the two-class sample
+    assert r.tp + r.fn > 0 and r.tn + r.fp > 0

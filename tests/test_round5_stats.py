@@ -158,3 +158,11 @@ def test_peak_concurrency_bounds(spark):
     r = q_peak_concurrency(spark, SF).collect()[0]
     assert 1 <= r.peak_concurrency <= r.n_sessions
     assert r.peak_epoch_s > 0
+
+
+def test_cvm_nonneg(spark):
+    from airflow_baseball_spark.queries_stats import q_cvm_statistic
+
+    r = q_cvm_statistic(spark, SF).collect()[0]
+    assert r.cvm_t >= 0
+    assert r.n_purchase > 0 and r.n_click > 0
