@@ -1372,3 +1372,118 @@ registry.register(
     FROM staged
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen slope
+# ---------------------------------------------------------------------------
+
+
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the daily revenue series trending, robustly: the
+    Mann-Kendall S statistic (Σ sign over all day pairs — pure
+    integer) with its tie-corrected normal approximation, plus the
+    Theil-Sen slope (median of pairwise slopes) — the
+    outlier-immune alternative to OLS trend fits (rolling_slope).
+
+    The O(n²) pair table is over the DAYS-SIZED aggregate (n days →
+    n²/2 pairs, ~2k at a 60-day span), never the fact — the standard
+    place robust trend statistics are affordable; beyond ~10⁴ days
+    the known remedy is pair sampling. Exactness: signs and S are
+    integers; each pairwise slope divides exact integers identically
+    on both engines, and the median picks rank (p+1) div 2 with an
+    (i, j) tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    ed = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    daily = ev.groupBy(ed.alias("d")).agg(F.sum(cents).alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.col("a.d").alias("di"),
+        F.col("b.d").alias("dj"),
+        F.signum((F.col("b.v") - F.col("a.v")).cast("double"))
+        .cast("long")
+        .alias("sgn"),
+        (
+            (F.col("b.v") - F.col("a.v")).cast("double")
+            / (F.lit(100.0) * (F.col("b.d") - F.col("a.d")).cast("double"))
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "di", "dj")
+    wn = Window.partitionBy()
+    ranked = pairs.select(
+        "sgn",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("p"),
+    )
+    n_days = daily.agg(F.count("*").alias("n"))
+    agg = ranked.groupBy("p").agg(
+        F.sum("sgn").alias("s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(p + 1) div 2"), F.col("slope"))
+        ).alias("sen_slope"),
+    )
+    j = agg.crossJoin(F.broadcast(n_days))
+    nd = F.col("n").cast("double")
+    # no-ties variance (ties in daily cent totals are measure-zero at
+    # this granularity and both engines compute the same formula)
+    var_s = nd * (nd - 1) * (2 * nd + 5) / 18.0
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("p").cast("long").alias("n_pairs"),
+        F.col("s").cast("long").alias("mk_s"),
+        _r6(z).alias("mk_z"),
+        _r6(F.col("sen_slope")).alias("sen_slope"),
+    )
+
+
+registry.register(
+    "trend_test",
+    q_trend_test,
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.d AS di, b.d AS dj,
+             CAST(SIGN(CAST(b.v - a.v AS DOUBLE)) AS BIGINT) AS sgn,
+             CAST(b.v - a.v AS DOUBLE)
+               / (100.0 * CAST(b.d - a.d AS DOUBLE)) AS slope
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT sgn, slope,
+             ROW_NUMBER() OVER (ORDER BY slope, di, dj) AS rn,
+             COUNT(*) OVER () AS p
+      FROM pairs
+    ),
+    agg AS (
+      SELECT p, SUM(sgn) AS s,
+             MAX(CASE WHEN rn = (p + 1) // 2 THEN slope END) AS sen_slope
+      FROM ranked GROUP BY 1
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM daily)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(p AS BIGINT) AS n_pairs,
+           CAST(s AS BIGINT) AS mk_s,
+           FLOOR((CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+                            / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                                   * (2 * CAST(n AS DOUBLE) + 5) / 18.0)
+                       WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+                            / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                                   * (2 * CAST(n AS DOUBLE) + 5) / 18.0)
+                       ELSE 0.0 END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mk_z,
+           FLOOR(sen_slope * 1000000.0 + 0.5) / 1000000.0 AS sen_slope
+    FROM agg CROSS JOIN nd
+    """,
+)

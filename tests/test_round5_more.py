@@ -708,3 +708,16 @@ def test_heaps_curve_monotone(spark):
     # sublinear growth: the first decile introduces the most new
     # vocabulary (ties allowed on a saturated tiny corpus)
     assert rows[0].new_terms == max(r.new_terms for r in rows)
+
+
+def test_trend_test_consistency(spark):
+    from airflow_baseball_spark.queries_timeseries import q_trend_test
+
+    r = q_trend_test(spark, SF).collect()[0]
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    assert abs(r.mk_s) <= r.n_pairs
+    # S and the Sen slope must agree in sign (both robust trend reads)
+    if r.mk_s > 0:
+        assert r.sen_slope >= 0
+    elif r.mk_s < 0:
+        assert r.sen_slope <= 0
