@@ -1959,3 +1959,131 @@ registry.register(
     FROM cells
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Churn-baseline classifier evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_churn_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the recency churn rule "inactive in the last 14
+    train days ⇒ will churn" against the truth "no activity in the
+    test window" — the baseline every churn model must beat, scored
+    with exact confusion counts, precision, recall and F1
+    (churn_flag produces the rule; this closes the loop on a time
+    split like policy_replay_eval).
+
+    Split at the integer midpoint epoch-day; per-user last-train-day
+    and any-test-activity come from ONE conditional aggregate; every
+    reported number is an exact count ratio (F1 = 2TP/(2TP+FP+FN) —
+    never the precision·recall float form)."""
+    ev = load_table(spark, sf_dir, "events")
+    ed = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    base = ev.select("user_id", ed.alias("d"))
+    bounds = base.agg(
+        ((F.min("d") + F.max("d")) - (F.min("d") + F.max("d")) % 2).alias(
+            "mid2"
+        )
+    )
+    per_user = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("d") * 2 < F.col("mid2"), F.col("d"))
+            ).alias("last_train_d"),
+            F.count(
+                F.when(F.col("d") * 2 >= F.col("mid2"), 1)
+            ).alias("n_test"),
+            F.max(F.expr("mid2 div 2")).alias("mid"),
+        )
+        .filter(F.col("last_train_d").isNotNull())  # active in train
+    )
+    scored = per_user.select(
+        (F.col("mid") - F.col("last_train_d") > 14).alias("pred_churn"),
+        (F.col("n_test") == 0).alias("true_churn"),
+    )
+    cells = scored.agg(
+        F.count(F.when(F.col("pred_churn") & F.col("true_churn"), 1)).alias(
+            "tp"
+        ),
+        F.count(
+            F.when(F.col("pred_churn") & ~F.col("true_churn"), 1)
+        ).alias("fp"),
+        F.count(
+            F.when(~F.col("pred_churn") & F.col("true_churn"), 1)
+        ).alias("fn"),
+        F.count(
+            F.when(~F.col("pred_churn") & ~F.col("true_churn"), 1)
+        ).alias("tn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return cells.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        _r6(d("tp") / F.greatest(d("tp") + d("fp"), F.lit(1.0))).alias(
+            "precision"
+        ),
+        _r6(d("tp") / F.greatest(d("tp") + d("fn"), F.lit(1.0))).alias(
+            "recall"
+        ),
+        _r6(
+            2 * d("tp")
+            / F.greatest(2 * d("tp") + d("fp") + d("fn"), F.lit(1.0))
+        ).alias("f1"),
+    )
+
+
+registry.register(
+    "churn_baseline_eval",
+    q_churn_baseline_eval,
+    """
+    WITH base AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    bounds AS (
+      SELECT (MIN(d) + MAX(d)) - (MIN(d) + MAX(d)) % 2 AS mid2 FROM base
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN d * 2 < mid2 THEN d END) AS last_train_d,
+             COUNT(CASE WHEN d * 2 >= mid2 THEN 1 END) AS n_test,
+             MAX(mid2 // 2) AS mid
+      FROM base CROSS JOIN bounds
+      GROUP BY 1
+      HAVING MAX(CASE WHEN d * 2 < mid2 THEN d END) IS NOT NULL
+    ),
+    scored AS (
+      SELECT (mid - last_train_d > 14) AS pred_churn,
+             (n_test = 0) AS true_churn
+      FROM per_user
+    ),
+    cells AS (
+      SELECT COUNT(CASE WHEN pred_churn AND true_churn THEN 1 END) AS tp,
+             COUNT(CASE WHEN pred_churn AND NOT true_churn THEN 1 END)
+               AS fp,
+             COUNT(CASE WHEN NOT pred_churn AND true_churn THEN 1 END)
+               AS fn,
+             COUNT(CASE WHEN NOT pred_churn AND NOT true_churn THEN 1 END)
+               AS tn
+      FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           FLOOR((CAST(tp AS DOUBLE)
+                  / GREATEST(CAST(tp + fp AS DOUBLE), 1.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS precision,
+           FLOOR((CAST(tp AS DOUBLE)
+                  / GREATEST(CAST(tp + fn AS DOUBLE), 1.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall,
+           FLOOR((2 * CAST(tp AS DOUBLE)
+                  / GREATEST(CAST(2 * tp + fp + fn AS DOUBLE), 1.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS f1
+    FROM cells
+    """,
+)

@@ -3143,3 +3143,61 @@ registry.register(
     FROM joined
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Template/boilerplate detection via prefix grouping
+# ---------------------------------------------------------------------------
+
+
+def q_template_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: documents sharing their first 8 tokens
+    are treated as instances of one TEMPLATE (form letters, scraped
+    page furniture) — segment_dedup removes repeated interiors; this
+    finds repeated OPENINGS, the cheapest template signal.
+
+    The prefix key is the md5 of the 8-token join (digests shuffle,
+    not text); per-source rollup reports how template-bound each
+    source is. Groups of one are not templates and are counted only
+    in the denominator."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 8)
+        )
+    )
+    grouped = docs.select("source", prefix.alias("pk")).groupBy(
+        "source", "pk"
+    ).agg(F.count("*").alias("c"))
+    return grouped.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.when(F.col("c") >= 2, 1)).cast("long").alias(
+            "n_templates"
+        ),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("docs_in_templates"),
+        F.max("c").cast("long").alias("max_template_size"),
+    )
+
+
+registry.register(
+    "template_prefix_groups",
+    q_template_prefix_groups,
+    """
+    WITH grouped AS (
+      SELECT source,
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pk,
+             COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN c >= 2 THEN 1 END) AS BIGINT)
+             AS n_templates,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS docs_in_templates,
+           CAST(MAX(c) AS BIGINT) AS max_template_size
+    FROM grouped GROUP BY 1
+    """,
+)

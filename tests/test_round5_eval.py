@@ -198,3 +198,13 @@ def test_mcc_cells_partition(spark):
     assert -1.0 - 1e-6 <= r.mcc <= 1.0 + 1e-6
     # the four cells partition the two-class sample
     assert r.tp + r.fn > 0 and r.tn + r.fp > 0
+
+
+def test_churn_baseline_cells(spark):
+    from airflow_baseball_spark.queries_eval import q_churn_baseline_eval
+
+    r = q_churn_baseline_eval(spark, SF).collect()[0]
+    assert r.tp + r.fp + r.fn + r.tn > 0
+    assert 0.0 <= r.precision <= 1.0
+    assert 0.0 <= r.recall <= 1.0
+    assert 0.0 <= r.f1 <= 1.0

@@ -721,3 +721,17 @@ def test_trend_test_consistency(spark):
         assert r.sen_slope >= 0
     elif r.mk_s < 0:
         assert r.sen_slope <= 0
+
+
+def test_template_groups_counts(spark):
+    from airflow_baseball_spark.queries_text import (
+        q_template_prefix_groups,
+    )
+
+    rows = q_template_prefix_groups(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.docs_in_templates <= r.n_docs
+        assert r.max_template_size <= r.n_docs
+        if r.n_templates == 0:
+            assert r.docs_in_templates == 0
