@@ -1671,3 +1671,129 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ inventory matrix
+# ---------------------------------------------------------------------------
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC×XYZ planning matrix: parts classed by revenue share
+    (A/B/C via cumulative 80/95% cuts — abc_classification's rule)
+    crossed with demand variability (X/Y/Z via the coefficient of
+    variation of weekly quantities) — the 9-cell grid that sets
+    service levels and safety stock.
+
+    Exactness: revenue cuts compare integer cumulative cross-products
+    (cum·100 ≤ tot·80); CV classes compare VARIANCE to mean² in pure
+    integers (n·Σq² − S² vs thresh²·S²/… rearranged to integer
+    products: X iff n·(nΣq²−S²) ≤ thresh²·S² with thresh scaled by
+    10) — no float enters any class boundary. Output is the 9-cell
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    week = F.expr(
+        "datediff(to_date(l_shipdate), to_date('1970-01-01')) div 7"
+    )
+    weekly = li.groupBy("l_partkey", week.alias("w")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("q"),
+        F.sum(cents).alias("r"),
+    )
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.count("*").alias("nw"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+        F.sum("r").alias("rev"),
+    )
+    w_rev = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy()
+    staged = per_part.select(
+        "l_partkey",
+        "nw",
+        "sq",
+        "qq",
+        "rev",
+        F.sum("rev").over(w_rev).alias("cum"),
+        F.sum("rev").over(wn).alias("tot"),
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    # CV² = (n·Σq² − S²)/S²;  X: CV ≤ 0.5, Y: ≤ 1.0, else Z — in
+    # integers: n·Σq²−S² vs (thresh·10)²·S² / 100
+    var_num = (
+        F.col("nw").cast("decimal(38,0)") * F.col("qq").cast("decimal(38,0)")
+        - F.col("sq").cast("decimal(38,0)") * F.col("sq").cast("decimal(38,0)")
+    )
+    s2 = F.col("sq").cast("decimal(38,0)") * F.col("sq").cast("decimal(38,0)")
+    xyz = (
+        F.when(var_num * 100 <= s2 * 25, "X")
+        .when(var_num * 100 <= s2 * 100, "Y")
+        .otherwise("Z")
+    )
+    return (
+        staged.select(abc.alias("abc"), xyz.alias("xyz"), "rev")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            _r6(F.sum("rev").cast("double") / 100.0).alias("revenue"),
+        )
+    )
+
+
+registry.register(
+    "abc_xyz_matrix",
+    q_abc_xyz_matrix,
+    """
+    WITH weekly AS (
+      SELECT l_partkey,
+             datediff('day', DATE '1970-01-01',
+                      CAST(l_shipdate AS DATE)) // 7 AS w,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS q,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS r
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey, COUNT(*) AS nw, SUM(q) AS sq,
+             SUM(q * q) AS qq, SUM(r) AS rev
+      FROM weekly GROUP BY 1
+    ),
+    staged AS (
+      SELECT l_partkey, nw, sq, qq, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM per_part
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN (CAST(nw AS HUGEINT) * qq
+                        - CAST(sq AS HUGEINT) * sq) * 100
+                       <= CAST(sq AS HUGEINT) * sq * 25 THEN 'X'
+                  WHEN (CAST(nw AS HUGEINT) * qq
+                        - CAST(sq AS HUGEINT) * sq) * 100
+                       <= CAST(sq AS HUGEINT) * sq * 100 THEN 'Y'
+                  ELSE 'Z' END AS xyz,
+             rev
+      FROM staged
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           FLOOR((CAST(SUM(rev) AS DOUBLE) / 100.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS revenue
+    FROM classed GROUP BY 1, 2
+    """,
+)

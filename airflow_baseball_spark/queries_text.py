@@ -3201,3 +3201,95 @@ registry.register(
     FROM grouped GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining by PMI
+# ---------------------------------------------------------------------------
+
+
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 strongest collocations: adjacent word pairs ranked by
+    pointwise mutual information PMI = ln(c₁₂·N/(c₁·c₂)), minimum
+    pair count 20 — the phrase-mining primitive (multi-word-entity
+    candidates for tokenizer merges and stopword-phrase filters).
+
+    Reuses the bigram machinery; the ln argument is an exact integer
+    ratio per pair, ranking orders by the `_r6`-rounded PMI with a
+    (w1, w2) tie-break so rank membership can't flip inside the
+    rounding quantum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    n_tot = big.agg(F.count("*").alias("n"))
+    scored = (
+        c12.filter(F.col("c") >= 20)
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("cu", "c1"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("cu", "c2"), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("pair_count"),
+            _r6(
+                F.log(
+                    (F.col("c").cast("double") * F.col("n").cast("double"))
+                    / (
+                        F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                )
+            ).alias("pmi"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+registry.register(
+    "collocation_pmi",
+    q_collocation_pmi,
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    big AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2
+      FROM t, LATERAL unnest(generate_series(1, len(arr) - 1)) AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    uni AS (
+      SELECT tok, COUNT(*) AS cu
+      FROM (SELECT unnest(arr) AS tok FROM t) GROUP BY 1
+    ),
+    n_tot AS (SELECT COUNT(*) AS n FROM big),
+    scored AS (
+      SELECT p.w1, p.w2, CAST(p.c AS BIGINT) AS pair_count,
+             FLOOR(LN((CAST(p.c AS DOUBLE) * CAST(nt.n AS DOUBLE))
+                      / (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS pmi
+      FROM c12 p
+      JOIN uni u1 ON p.w1 = u1.tok
+      JOIN uni u2 ON p.w2 = u2.tok
+      CROSS JOIN n_tot nt
+      WHERE p.c >= 20
+    )
+    SELECT w1, w2, pair_count, pmi,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)

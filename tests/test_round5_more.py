@@ -735,3 +735,33 @@ def test_template_groups_counts(spark):
         assert r.max_template_size <= r.n_docs
         if r.n_templates == 0:
             assert r.docs_in_templates == 0
+
+
+def test_abc_xyz_cells_partition_parts(spark):
+    from airflow_baseball_spark.queries_mining import q_abc_xyz_matrix
+    from airflow_baseball_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    rows = q_abc_xyz_matrix(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.abc in "ABC" and r.xyz in "XYZ"
+    total_parts = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in rows) == total_parts
+
+
+def test_collocation_pmi_ranked(spark):
+    from airflow_baseball_spark.queries_text import q_collocation_pmi
+
+    rows = sorted(
+        q_collocation_pmi(spark, SF).collect(), key=lambda r: r.rank
+    )
+    assert 0 < len(rows) <= 20
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r.pair_count >= 20 for r in rows)
