@@ -3295,3 +3295,92 @@ registry.register(
     FROM peak
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact median (no global sort)
+# ---------------------------------------------------------------------------
+
+
+def q_two_pass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of line prices WITHOUT ever globally sorting the
+    fact — the way an exact order statistic is actually computed at
+    100 TB: pass 1 histograms the fact into 1024 integer bins and
+    locates the bin holding the target rank (combinable agg +
+    1024-row cumsum); pass 2 sorts ONLY that bin's rows (≈ n/1024 of
+    the fact) and picks the residual rank. The other exact-median
+    queries here sort aggregated tables; this is the raw-fact form.
+    Every step is integer arithmetic — bin ids, ranks, residuals —
+    and the oracle computes the same value by plain rank, proving
+    the two-pass refinement is lossless."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    base = li.select(cents.alias("v"))
+    rng = base.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        "v",
+        "lo",
+        "n",
+        F.expr(
+            "((v - lo) * 1024) div (hi - lo + 1)"
+        ).alias("b"),
+    )
+    hist = binned.groupBy("b").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        hist.crossJoin(F.broadcast(rng.select("n")))
+        .select(
+            "b",
+            "c",
+            F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias(
+                "cum_before"
+            ),
+            F.expr("(n + 1) div 2").alias("k"),
+        )
+        .filter(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("cum_before") + F.col("c") >= F.col("k"))
+        )
+        .select(
+            F.col("b").alias("target_b"),
+            (F.col("k") - F.col("cum_before")).alias("resid"),
+        )
+    )
+    w_in = Window.orderBy("v")
+    pass2 = (
+        binned.join(F.broadcast(staged), F.col("b") == F.col("target_b"))
+        .select("v", "resid", "n")
+        .withColumn("rn", F.row_number().over(w_in))
+        .filter(F.col("rn") == F.col("resid"))
+    )
+    return pass2.select(
+        F.col("n").cast("long").alias("n_lines"),
+        (F.col("v").cast("double") / 100.0).alias("median_price"),
+    )
+
+
+registry.register(
+    "two_pass_median",
+    q_two_pass_median,
+    """
+    WITH base AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n
+      FROM base
+    )
+    SELECT CAST(n AS BIGINT) AS n_lines,
+           CAST(v AS DOUBLE) / 100.0 AS median_price
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)

@@ -765,3 +765,27 @@ def test_collocation_pmi_ranked(spark):
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r.pair_count >= 20 for r in rows)
+
+
+def test_two_pass_median_pass2_is_small(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_baseball_spark.queries_relational2 import q_two_pass_median
+    from airflow_baseball_spark.schemas import load_table
+
+    r = q_two_pass_median(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem")
+    assert r.n_lines == li.count()
+    # the refined bin really is ~n/1024: the target bin's population
+    # must be far below the fact size (here: under 5%)
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    vals = li.select(cents.alias("v"))
+    lo, hi = vals.agg(F.min("v"), F.max("v")).collect()[0]
+    med_cents = int(round(r.median_price * 100))
+    b = (med_cents - lo) * 1024 // (hi - lo + 1)
+    in_bin = vals.filter(
+        F.expr(f"((v - {lo}) * 1024) div ({hi} - {lo} + 1) = {b}")
+    ).count()
+    assert in_bin <= max(64, r.n_lines // 20)
