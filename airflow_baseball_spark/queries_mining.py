@@ -1797,3 +1797,80 @@ registry.register(
     FROM classed GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# One-row graph summary (global transitivity)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase graph's one-row card: nodes, edges, wedges,
+    triangles, and global transitivity 3·△/wedges — the summary the
+    per-vertex metrics (clustering_coeff, degree_distribution) roll
+    up to. Wedges = Σ d·(d−1)/2 from the degree table (integer);
+    triangles reuse the oriented 2-join; transitivity is ONE exact
+    integer ratio."""
+    edges = _above_avg_edges(spark, sf_dir)
+    deg = _degrees(edges)
+    e1 = edges.select(F.col("brand_a").alias("a"), F.col("brand_b").alias("b"))
+    e2 = edges.select(F.col("brand_a").alias("b2"), F.col("brand_b").alias("c"))
+    e3 = edges.select(F.col("brand_a").alias("a3"), F.col("brand_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .count()
+    )
+    summ = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2)
+        .cast("long")
+        .alias("wedges"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+    )
+    return summ.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "n_edges",
+        "wedges",
+        F.lit(tri).cast("long").alias("triangles"),
+        _r6(
+            F.lit(3.0)
+            * F.lit(float(tri))
+            / F.col("wedges").cast("double")
+        ).alias("transitivity"),
+    )
+
+
+registry.register(
+    "graph_summary",
+    q_graph_summary,
+    _PAIRS_SQL
+    + """,
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e1.brand_b = e2.brand_a
+      JOIN edges e3 ON e1.brand_a = e3.brand_a
+                   AND e2.brand_b = e3.brand_b
+    ),
+    summ AS (
+      SELECT COUNT(*) AS n_nodes,
+             SUM(degree * (degree - 1)) // 2 AS wedges,
+             SUM(degree) // 2 AS n_edges
+      FROM deg
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(wedges AS BIGINT) AS wedges,
+           CAST(t AS BIGINT) AS triangles,
+           FLOOR((3.0 * CAST(t AS DOUBLE) / CAST(wedges AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS transitivity
+    FROM summ CROSS JOIN tri
+    """,
+)

@@ -3384,3 +3384,70 @@ registry.register(
     FROM ranked WHERE rn = (n + 1) // 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-cell median heatmap (weekday × 6h block)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_median_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median event value per (weekday × 6-hour block) cell — the
+    robust companion to heatmap_bins' count grid (means hide the
+    skew the heatmap exists to show). Cell keys are pure integer
+    epoch arithmetic (µs div, never engine dow/hour functions);
+    each cell's exact lower median comes from a cell-keyed rank —
+    28 parallel cell sorts, none global."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    day = F.expr("CAST(unix_micros(ts) div 86400000000 AS LONG)")
+    base = ev.select(
+        (day % 7).alias("dow"),
+        F.expr(
+            "CAST((unix_micros(ts) div 21600000000) % 4 AS LONG)"
+        ).alias("h6"),
+        cents.alias("v"),
+    )
+    w = Window.partitionBy("dow", "h6").orderBy("v")
+    wn = Window.partitionBy("dow", "h6")
+    ranked = base.select(
+        "dow",
+        "h6",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("h6").cast("long").alias("h6_block"),
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("v").cast("double") / 100.0).alias("median_value"),
+        )
+    )
+
+
+registry.register(
+    "cell_median_heatmap",
+    q_cell_median_heatmap,
+    """
+    WITH base AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+             (epoch_us(ts) // 21600000000) % 4 AS h6,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT dow, h6, v,
+             ROW_NUMBER() OVER (PARTITION BY dow, h6 ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY dow, h6) AS n
+      FROM base
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(h6 AS BIGINT) AS h6_block,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(v AS DOUBLE) / 100.0 AS median_value
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)

@@ -789,3 +789,25 @@ def test_two_pass_median_pass2_is_small(spark):
         F.expr(f"((v - {lo}) * 1024) div ({hi} - {lo} + 1) = {b}")
     ).count()
     assert in_bin <= max(64, r.n_lines // 20)
+
+
+def test_graph_summary_identities(spark):
+    from airflow_baseball_spark.queries_mining import q_graph_summary
+
+    r = q_graph_summary(spark, SF).collect()[0]
+    assert r.n_edges >= r.n_nodes - 1 or r.n_edges >= 0
+    assert 0 <= r.transitivity <= 1.0 + 1e-6
+    # each triangle closes 3 wedges
+    assert 3 * r.triangles <= r.wedges
+
+
+def test_cell_median_heatmap_grid(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_cell_median_heatmap,
+    )
+
+    rows = q_cell_median_heatmap(spark, SF).collect()
+    cells = {(r.dow, r.h6_block) for r in rows}
+    assert len(cells) == len(rows)  # one median per cell
+    assert all(0 <= d <= 6 and 0 <= h <= 3 for d, h in cells)
+    assert all(r.median_value > 0 for r in rows)
