@@ -3451,3 +3451,155 @@ registry.register(
     FROM ranked WHERE rn = (n + 1) // 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Order-line inversion count (sortedness audit)
+# ---------------------------------------------------------------------------
+
+
+def q_order_line_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do lines ship in their line-number order? Inversions =
+    within-order pairs where the later line number shipped EARLIER —
+    the sortedness audit (a Kendall-tau reading of physical vs
+    logical order) that decides whether a sort-on-write is worth it
+    (zorder_value's decision input).
+
+    The pair join is keyed on l_orderkey, so fanout is bounded by a
+    single order's lines (≤7), never the fact; ties in ship date
+    count as concordant. All integers; tau = 1 − 2·inv/pairs is the
+    one division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("sd")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        (F.col("a.sd") > F.col("b.sd")).cast("int").alias("inv")
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("inv").cast("long").alias("n_inversions"),
+        _r6(
+            F.lit(1.0)
+            - F.lit(2.0)
+            * F.sum("inv").cast("double")
+            / F.count("*").cast("double")
+        ).alias("tau_like"),
+    )
+
+
+registry.register(
+    "order_line_inversions",
+    q_order_line_inversions,
+    """
+    WITH pairs AS (
+      SELECT CASE WHEN CAST(a.l_shipdate AS DATE)
+                       > CAST(b.l_shipdate AS DATE)
+                  THEN 1 ELSE 0 END AS inv
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_linenumber < b.l_linenumber
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(inv) AS BIGINT) AS n_inversions,
+           FLOOR((1.0 - 2.0 * CAST(SUM(inv) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tau_like
+    FROM pairs
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity proxy (log-log slope per brand)
+# ---------------------------------------------------------------------------
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand elasticity proxy: OLS slope of ln(quantity) on
+    ln(unit price) across the brand's line items — the log-log
+    regression whose slope economists read as elasticity (the
+    groupwise_regression machinery pointed at the classic economic
+    question; synthetic data, real shape).
+
+    Both ln values QUANTIZE to BIGINT (floor(ln·1e9)) per row before
+    the sufficient-statistic sums, so Σx, Σy, Σxy, Σx² are exact
+    integers in any order (the unigram_perplexity rule at regression
+    scale) and the slope is one shared closed form. Output limited
+    to the 10 highest-volume brands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_brand",
+        F.floor(F.log((price / qty).cast("double")) * 1e9)
+        .cast("long")
+        .alias("x9"),
+        F.floor(F.log(qty.cast("double")) * 1e9).cast("long").alias("y9"),
+    )
+    suff = base.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum(
+            (F.col("x9").cast("decimal(38,0)") * F.col("y9").cast("decimal(38,0)"))
+        ).alias("sxy"),
+        F.sum(
+            (F.col("x9").cast("decimal(38,0)") * F.col("x9").cast("decimal(38,0)"))
+        ).alias("sxx"),
+    )
+    w_top = Window.orderBy(F.col("n").desc(), "p_brand")
+    top = suff.withColumn("rk", F.row_number().over(w_top)).filter(
+        F.col("rk") <= 10
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return top.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        _r6(slope).alias("elasticity_slope"),
+    )
+
+
+registry.register(
+    "price_elasticity",
+    q_price_elasticity,
+    """
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(FLOOR(LN(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                / CAST(l.l_quantity AS DECIMAL(18,2))
+                                AS DOUBLE)) * 1e9) AS BIGINT) AS x9,
+             CAST(FLOOR(LN(CAST(CAST(l.l_quantity AS DECIMAL(18,2))
+                                AS DOUBLE)) * 1e9) AS BIGINT) AS y9
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    suff AS (
+      SELECT p_brand, COUNT(*) AS n, SUM(x9) AS sx, SUM(y9) AS sy,
+             SUM(CAST(x9 AS HUGEINT) * y9) AS sxy,
+             SUM(CAST(x9 AS HUGEINT) * x9) AS sxx
+      FROM base GROUP BY 1
+    ),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, p_brand) AS rk
+      FROM suff
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_lines,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS elasticity_slope
+    FROM top WHERE rk <= 10
+    """,
+)

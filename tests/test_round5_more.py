@@ -811,3 +811,24 @@ def test_cell_median_heatmap_grid(spark):
     assert len(cells) == len(rows)  # one median per cell
     assert all(0 <= d <= 6 and 0 <= h <= 3 for d, h in cells)
     assert all(r.median_value > 0 for r in rows)
+
+
+def test_order_line_inversions_bounds(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_order_line_inversions,
+    )
+
+    r = q_order_line_inversions(spark, SF).collect()[0]
+    assert 0 <= r.n_inversions <= r.n_pairs
+    assert -1.0 - 1e-6 <= r.tau_like <= 1.0 + 1e-6
+
+
+def test_price_elasticity_rows(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_price_elasticity,
+    )
+
+    rows = q_price_elasticity(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r.n_lines > 10
