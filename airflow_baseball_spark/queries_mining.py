@@ -1874,3 +1874,61 @@ registry.register(
     FROM summ CROSS JOIN tri
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Single-source supply risk
+# ---------------------------------------------------------------------------
+
+
+def q_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose entire shipped volume comes from ONE supplier, per
+    brand — the procurement risk screen (hhi_concentration measures
+    revenue concentration; this flags the hard single-point-of-
+    failure corner). One (part, supplier) distinct pass, a part-level
+    rollup, a brand-level rollup — all counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count("*").alias("n_suppliers")
+    )
+    j = per_part.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    out = j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.count(F.when(F.col("n_suppliers") == 1, 1))
+        .cast("long")
+        .alias("n_single_sourced"),
+    )
+    return out.select(
+        "p_brand",
+        "n_parts",
+        "n_single_sourced",
+        _r6(
+            F.col("n_single_sourced").cast("double")
+            / F.col("n_parts").cast("double")
+        ).alias("single_source_share"),
+    )
+
+
+registry.register(
+    "single_source_risk",
+    q_single_source_risk,
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    per_part AS (
+      SELECT l_partkey, COUNT(*) AS n_suppliers FROM ps GROUP BY 1
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(CASE WHEN pp.n_suppliers = 1 THEN 1 END) AS BIGINT)
+             AS n_single_sourced,
+           FLOOR((CAST(COUNT(CASE WHEN pp.n_suppliers = 1 THEN 1 END)
+                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS single_source_share
+    FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)

@@ -1580,3 +1580,78 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Empirical copula grid (rank-rank dependence)
+# ---------------------------------------------------------------------------
+
+
+def q_copula_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical copula of (quantity, unit price) as a decile×decile
+    rank grid — spearman_rank_corr compresses dependence to one
+    number; the copula grid shows WHERE it lives (corner mass = tail
+    dependence, the thing correlation misses).
+
+    Ranks are integer row_numbers on (value, tie-break) total orders;
+    decile cells by the integer (rank·10−1) div n rule; output is the
+    100-cell count grid plus the uniform-expected count for
+    reference. One fact pass, two rank sorts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        qty.alias("q"),
+        (price / qty).cast("double").alias("u"),
+    )
+    wq = Window.orderBy("q", "k", "ln")
+    wu = Window.orderBy("u", "k", "ln")
+    wn = Window.partitionBy()
+    ranked = base.select(
+        F.row_number().over(wq).alias("rq"),
+        F.row_number().over(wu).alias("ru"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cells = ranked.select(
+        F.expr("(rq * 10 - 1) div n").alias("q_dec"),
+        F.expr("(ru * 10 - 1) div n").alias("u_dec"),
+        "n",
+    )
+    return cells.groupBy("q_dec", "u_dec").agg(
+        F.count("*").cast("long").alias("n_cell"),
+        _r6(F.max("n").cast("double") / 100.0).alias("expected_uniform"),
+    ).select(
+        F.col("q_dec").cast("long").alias("q_decile"),
+        F.col("u_dec").cast("long").alias("price_decile"),
+        "n_cell",
+        "expected_uniform",
+    )
+
+
+registry.register(
+    "copula_grid",
+    q_copula_grid,
+    """
+    WITH base AS (
+      SELECT l_orderkey AS k, l_linenumber AS ln,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  / CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS u
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY q, k, ln) AS rq,
+             ROW_NUMBER() OVER (ORDER BY u, k, ln) AS ru,
+             COUNT(*) OVER () AS n
+      FROM base
+    )
+    SELECT CAST((rq * 10 - 1) // n AS BIGINT) AS q_decile,
+           CAST((ru * 10 - 1) // n AS BIGINT) AS price_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_cell,
+           FLOOR((CAST(MAX(n) AS DOUBLE) / 100.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS expected_uniform
+    FROM ranked GROUP BY 1, 2
+    """,
+)

@@ -53,8 +53,8 @@ _LOADED = False
 #   3. the round-5 additions with NOVEL shapes (iterative peeling,
 #      power iteration, the integration funnel, wedge/triangle graph
 #      metrics, exact-quantized math) — 20 entries,
-#   4. r5-overflow (positions 51+): the 134 round-5 additions that
-#      don't fit the 50-slot window (154 were added this round; 20 fit
+#   4. r5-overflow (positions 51+): the 136 round-5 additions that
+#      don't fit the 50-slot window (156 were added this round; 20 fit
 #      in tier 3) — the late-round novel ops first (bpe/ann-recall/
 #      quarantine family), then the plain-shape ones (aggs, ratio
 #      windows, broadcast joins) attested suite-wide. NOT hidden:
@@ -241,6 +241,8 @@ _PRIORITY = [
     "cell_median_heatmap",
     "order_line_inversions",
     "price_elasticity",
+    "copula_grid",
+    "single_source_risk",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",

@@ -832,3 +832,26 @@ def test_price_elasticity_rows(spark):
     assert 0 < len(rows) <= 10
     for r in rows:
         assert r.n_lines > 10
+
+
+def test_copula_grid_marginals_uniform(spark):
+    from airflow_baseball_spark.queries_stats import q_copula_grid
+
+    rows = q_copula_grid(spark, SF).collect()
+    total = sum(r.n_cell for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q[r.q_decile] = by_q.get(r.q_decile, 0) + r.n_cell
+    # rank marginals are uniform by construction (each decile ~n/10)
+    sizes = list(by_q.values())
+    assert max(sizes) - min(sizes) <= max(2, total // 100)
+
+
+def test_single_source_share_bounds(spark):
+    from airflow_baseball_spark.queries_mining import q_single_source_risk
+
+    rows = q_single_source_risk(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_single_sourced <= r.n_parts
+        assert 0.0 <= r.single_source_share <= 1.0
