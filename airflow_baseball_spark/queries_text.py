@@ -3293,3 +3293,118 @@ registry.register(
     ) WHERE rank <= 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep (operating curve)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating curve for near-dup removal: candidate pairs kept
+    at Jaccard cutoffs 0.1…0.9 — the table that picks ngram_jaccard's
+    production threshold (too low removes paraphrases, too high keeps
+    templates; the knee is a data-driven choice, not a constant).
+
+    One blocked pair computation (ngram_jaccard's shape with the raw
+    intersection/union counts kept), nine in-row threshold explodes
+    on the PAIRS table; membership compares the integer cross-product
+    n_inter·10 > t·union — never the float jaccard — so the curve
+    can't flip on a ulp."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("gid"),
+        F.col("source").alias("blk"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("tk"),
+    ).filter(F.size("tk") >= 3)
+    grams = base.select(
+        "gid",
+        "blk",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(tk) - 2), "
+                "i -> array_join(slice(tk, i, 3), ' ')))"
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("gid").agg(F.count("*").alias("n_grams"))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        ga.join(
+            gb,
+            (F.col("ga.blk") == F.col("gb.blk"))
+            & (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col("ga.gid") < F.col("gb.gid")),
+        )
+        .groupBy(F.col("ga.gid").alias("id_a"), F.col("gb.gid").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(
+        F.col("gid").alias("id_a"), F.col("n_grams").alias("na")
+    )
+    sz_b = sizes.select(
+        F.col("gid").alias("id_b"), F.col("n_grams").alias("nb")
+    )
+    pairs = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    lv = pairs.select(
+        "n_inter",
+        "n_union",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("t"),
+    )
+    kept = lv.filter(F.col("n_inter") * 10 > F.col("t") * F.col("n_union"))
+    n_pairs = pairs.count()
+    return (
+        kept.groupBy("t")
+        .agg(F.count("*").alias("n_kept"))
+        .select(
+            _r6(F.col("t").cast("double") / 10.0).alias("threshold"),
+            F.col("n_kept").cast("long").alias("n_pairs_over"),
+            F.lit(n_pairs).cast("long").alias("n_candidate_pairs"),
+        )
+    )
+
+
+registry.register(
+    "dedup_threshold_sweep",
+    q_dedup_threshold_sweep,
+    f"""
+    WITH grams AS (
+      SELECT doc_id AS gid, source AS blk,
+             unnest(list_distinct(list_transform(
+               CASE WHEN len({_TOKS}) >= 3
+                    THEN generate_series(0, len({_TOKS}) - 3) END,
+               i -> array_to_string(list_slice({_TOKS}, i + 1, i + 3), ' ')
+             ))) AS gram
+      FROM documents
+    ),
+    sizes AS (SELECT gid, COUNT(*) AS n_grams FROM grams GROUP BY gid),
+    inter AS (
+      SELECT a.gid AS id_a, b.gid AS id_b, COUNT(*) AS n_inter
+      FROM grams a JOIN grams b
+        ON a.blk = b.blk AND a.gram = b.gram AND a.gid < b.gid
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT n_inter,
+             sa.n_grams + sb.n_grams - n_inter AS n_union
+      FROM inter
+      JOIN sizes sa ON id_a = sa.gid
+      JOIN sizes sb ON id_b = sb.gid
+    ),
+    tot AS (SELECT COUNT(*) AS np FROM pairs)
+    SELECT FLOOR((CAST(t AS DOUBLE) / 10.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs_over,
+           (SELECT CAST(np AS BIGINT) FROM tot) AS n_candidate_pairs
+    FROM pairs, LATERAL unnest(generate_series(1, 9)) AS g(t)
+    WHERE n_inter * 10 > t * n_union
+    GROUP BY t
+    """,
+)

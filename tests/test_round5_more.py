@@ -855,3 +855,17 @@ def test_single_source_share_bounds(spark):
     for r in rows:
         assert 0 <= r.n_single_sourced <= r.n_parts
         assert 0.0 <= r.single_source_share <= 1.0
+
+
+def test_dedup_sweep_monotone_in_threshold(spark):
+    from airflow_baseball_spark.queries_text import q_dedup_threshold_sweep
+
+    rows = sorted(
+        q_dedup_threshold_sweep(spark, SF).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert rows
+    # higher cutoff can only keep fewer pairs
+    kept = [r.n_pairs_over for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    assert all(r.n_pairs_over <= r.n_candidate_pairs for r in rows)
