@@ -1932,3 +1932,116 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Top-k ranking stability between periods
+# ---------------------------------------------------------------------------
+
+
+def q_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How stable is the brand revenue top-10 between the first and
+    second half of the data: overlap@k for k = 1…10 plus an
+    RBO-style average — the ranking-churn metric that tells a
+    merchandising dashboard whether this week's "top sellers" list
+    means anything.
+
+    Two per-period rank tables (ties broken by brand), one join on
+    brand, overlap@k counted as pairs ranked ≤ k in BOTH periods —
+    all integers; the average overlap ratio is the one division per
+    row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ed = F.expr(
+        "datediff(to_date(l_shipdate), to_date('1970-01-01'))"
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    base = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_brand", cents.alias("v"), ed.alias("d"))
+    bounds = base.agg(
+        ((F.min("d") + F.max("d")) - (F.min("d") + F.max("d")) % 2).alias(
+            "mid2"
+        )
+    )
+    per = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("p", (F.col("d") * 2 >= F.col("mid2")).cast("int"))
+        .groupBy("p_brand", "p")
+        .agg(F.sum("v").alias("rev"))
+    )
+    w = Window.partitionBy("p").orderBy(F.col("rev").desc(), "p_brand")
+    ranked = per.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 10
+    )
+    r0 = ranked.filter(F.col("p") == 0).select(
+        "p_brand", F.col("rk").alias("rk0")
+    )
+    r1 = ranked.filter(F.col("p") == 1).select(
+        F.col("p_brand").alias("b1"), F.col("rk").alias("rk1")
+    )
+    j = r0.join(r1, F.col("p_brand") == F.col("b1"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    overl = (
+        ks.join(
+            j,
+            (F.col("rk0") <= F.col("k")) & (F.col("rk1") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("p_brand").alias("n_overlap"))
+    )
+    return overl.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        _r6(
+            F.col("n_overlap").cast("double") / F.col("k").cast("double")
+        ).alias("overlap_at_k"),
+    )
+
+
+registry.register(
+    "topk_stability",
+    q_topk_stability,
+    """
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS v,
+             datediff('day', DATE '1970-01-01',
+                      CAST(l.l_shipdate AS DATE)) AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    bounds AS (
+      SELECT (MIN(d) + MAX(d)) - (MIN(d) + MAX(d)) % 2 AS mid2 FROM base
+    ),
+    per AS (
+      SELECT p_brand, CASE WHEN b.d * 2 >= bo.mid2 THEN 1 ELSE 0 END AS p,
+             SUM(v) AS rev
+      FROM base b CROSS JOIN bounds bo GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, p,
+             ROW_NUMBER() OVER (PARTITION BY p
+                                ORDER BY rev DESC, p_brand) AS rk
+      FROM per
+    ),
+    j AS (
+      SELECT r0.p_brand, r0.rk AS rk0, r1.rk AS rk1
+      FROM (SELECT * FROM ranked WHERE p = 0 AND rk <= 10) r0
+      JOIN (SELECT * FROM ranked WHERE p = 1 AND rk <= 10) r1
+        ON r0.p_brand = r1.p_brand
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(CASE WHEN rk0 <= k AND rk1 <= k THEN 1 END)
+                AS BIGINT) AS n_overlap,
+           FLOOR((CAST(COUNT(CASE WHEN rk0 <= k AND rk1 <= k THEN 1 END)
+                       AS DOUBLE) / CAST(k AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS overlap_at_k
+    FROM (SELECT unnest(generate_series(1, 10)) AS k) ks
+    LEFT JOIN j ON TRUE
+    GROUP BY k
+    """,
+)

@@ -3408,3 +3408,49 @@ registry.register(
     GROUP BY t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer round-trip fidelity
+# ---------------------------------------------------------------------------
+
+
+def q_tokenizer_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does detokenize(tokenize(x)) reproduce x? Join-by-space of the
+    whitespace split vs the trimmed original, per source — the
+    tokenizer QA gate (failures mean doubled spaces/tabs the split
+    collapses, i.e. information the pipeline silently destroys;
+    token_pack and bpe both assume this rate is known). Pure string
+    ops, one combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    rt = F.array_join(F.split(F.trim(F.col("text")), r"\s+"), " ")
+    exact = (rt == F.trim(F.col("text"))).cast("int")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(exact).cast("long").alias("n_roundtrip_exact"),
+        _r6(
+            F.sum(exact).cast("double") / F.count("*").cast("double")
+        ).alias("fidelity"),
+    )
+
+
+registry.register(
+    "tokenizer_fidelity",
+    q_tokenizer_fidelity,
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN array_to_string(
+                              string_split_regex(trim(text), '\\s+'), ' ')
+                              = trim(text)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_roundtrip_exact,
+           FLOOR((CAST(SUM(CASE WHEN array_to_string(
+                              string_split_regex(trim(text), '\\s+'), ' ')
+                                     = trim(text)
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS fidelity
+    FROM documents GROUP BY 1
+    """,
+)

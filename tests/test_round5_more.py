@@ -869,3 +869,27 @@ def test_dedup_sweep_monotone_in_threshold(spark):
     kept = [r.n_pairs_over for r in rows]
     assert kept == sorted(kept, reverse=True)
     assert all(r.n_pairs_over <= r.n_candidate_pairs for r in rows)
+
+
+def test_topk_stability_monotone_counts(spark):
+    from airflow_baseball_spark.queries_mining import q_topk_stability
+
+    rows = sorted(
+        q_topk_stability(spark, SF).collect(), key=lambda r: r.k
+    )
+    assert [r.k for r in rows] == list(range(1, 11))
+    ns = [r.n_overlap for r in rows]
+    # overlap can only grow with k, by at most 1 per step... no — by
+    # up to 2 per step (one new slot per side); assert nondecreasing
+    assert all(a <= b for a, b in zip(ns, ns[1:]))
+    assert all(r.n_overlap <= r.k for r in rows)
+
+
+def test_tokenizer_fidelity_bounds(spark):
+    from airflow_baseball_spark.queries_text import q_tokenizer_fidelity
+
+    rows = q_tokenizer_fidelity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_roundtrip_exact <= r.n_docs
+        assert 0.0 <= r.fidelity <= 1.0
