@@ -3603,3 +3603,61 @@ registry.register(
     FROM top WHERE rk <= 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Price-ending profile (psychological pricing detector)
+# ---------------------------------------------------------------------------
+
+
+def q_price_ending_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of price cent-endings (.00, .99, .50, other) —
+    benford_digits' retail sibling: human-set prices pile up on
+    charm endings, machine-generated ones don't, so the profile is
+    both a pricing-strategy read and a synthetic-data fingerprint.
+    One integer mod, one combinable aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    ending = cents % 100
+    bucket = (
+        F.when(ending == 0, "00")
+        .when(ending == 99, "99")
+        .when(ending == 50, "50")
+        .otherwise("other")
+    )
+    wn = Window.partitionBy()
+    agg = orders.select(bucket.alias("ending")).groupBy("ending").agg(
+        F.count("*").alias("n")
+    )
+    return agg.select(
+        "ending",
+        F.col("n").cast("long").alias("n_orders"),
+        _r6(
+            F.col("n").cast("double")
+            / F.sum("n").over(wn).cast("double")
+        ).alias("share"),
+    )
+
+
+registry.register(
+    "price_ending_profile",
+    q_price_ending_profile,
+    """
+    WITH agg AS (
+      SELECT CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) % 100 = 0 THEN '00'
+                  WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) % 100 = 99 THEN '99'
+                  WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) % 100 = 50 THEN '50'
+                  ELSE 'other' END AS ending,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT ending,
+           CAST(n AS BIGINT) AS n_orders,
+           FLOOR((CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share
+    FROM agg
+    """,
+)

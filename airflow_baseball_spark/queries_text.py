@@ -3454,3 +3454,106 @@ registry.register(
     FROM documents GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding split-drift (A/A centroid-shift baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance between the even-id and odd-id
+    halves of the embedding table — an A/A DRIFT BASELINE: any real
+    before/after model comparison should exceed this sampling-noise
+    floor before anyone calls it drift (label_centroids measures
+    between-class separation; this calibrates within-class noise).
+
+    Same quantize-before-sum exactness (floor(x·1e6) ints per
+    component); per (label, half, dim) sums are order-invariant and
+    the half-vs-half distance is one shared per-dim expression summed
+    over 64 dims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "h",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    cent = comp.groupBy("label", "h", "dim").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+    c = cent.select(
+        "label",
+        "h",
+        "dim",
+        "n",
+        (F.col("s").cast("double") / (F.col("n").cast("double") * 1e6)).alias(
+            "c"
+        ),
+    )
+    e0 = c.filter(F.col("h") == 0).select(
+        "label", "dim", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    e1 = c.filter(F.col("h") == 1).select(
+        F.col("label").alias("l1"),
+        F.col("dim").alias("d1"),
+        F.col("c").alias("c1"),
+        F.col("n").alias("n1"),
+    )
+    j = e0.join(
+        e1, (F.col("label") == F.col("l1")) & (F.col("dim") == F.col("d1"))
+    )
+    return j.groupBy("label").agg(
+        F.max("n0").cast("long").alias("n_even"),
+        F.max("n1").cast("long").alias("n_odd"),
+        _r6(
+            F.sqrt(
+                F.sum(
+                    (F.col("c0") - F.col("c1"))
+                    * (F.col("c0") - F.col("c1"))
+                )
+            )
+        ).alias("aa_centroid_dist"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        "n_even",
+        "n_odd",
+        "aa_centroid_dist",
+    )
+
+
+registry.register(
+    "embedding_split_drift",
+    q_embedding_split_drift,
+    """
+    WITH comp AS (
+      SELECT label, vec_id % 2 AS h, CAST(i AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    cent AS (
+      SELECT label, h, dim, SUM(q) AS s, COUNT(*) AS n
+      FROM comp GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT label, h, dim, n,
+             CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS c
+      FROM cent
+    )
+    SELECT CAST(e0.label AS BIGINT) AS label,
+           CAST(MAX(e0.n) AS BIGINT) AS n_even,
+           CAST(MAX(e1.n) AS BIGINT) AS n_odd,
+           FLOOR(SQRT(SUM((e0.c - e1.c) * (e0.c - e1.c)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS aa_centroid_dist
+    FROM (SELECT * FROM c WHERE h = 0) e0
+    JOIN (SELECT * FROM c WHERE h = 1) e1
+      ON e0.label = e1.label AND e0.dim = e1.dim
+    GROUP BY 1
+    """,
+)

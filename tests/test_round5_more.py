@@ -893,3 +893,27 @@ def test_tokenizer_fidelity_bounds(spark):
     for r in rows:
         assert 0 <= r.n_roundtrip_exact <= r.n_docs
         assert 0.0 <= r.fidelity <= 1.0
+
+
+def test_price_endings_share_sums(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_price_ending_profile,
+    )
+
+    rows = q_price_ending_profile(spark, SF).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert {r.ending for r in rows} <= {"00", "99", "50", "other"}
+
+
+def test_embedding_aa_drift_small(spark):
+    from airflow_baseball_spark.queries_text import (
+        q_embedding_split_drift,
+    )
+
+    rows = q_embedding_split_drift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_even > 0 and r.n_odd > 0
+        # A/A split of the same label: centroid shift stays small
+        # relative to unit-ish vectors
+        assert 0 <= r.aa_centroid_dist < 1.0
