@@ -1487,3 +1487,190 @@ registry.register(
     FROM agg CROSS JOIN nd
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Expected shortfall (CVaR) of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% expected shortfall of daily revenue: the mean of the worst
+    ⌈n/20⌉ days — the tail-risk number max_drawdown (path risk) and
+    percentiles (single quantile) don't give: "when it's bad, HOW
+    bad on average".
+
+    Integer ranks pick the tail set (⌈n/20⌉ = (n+19) div 20 — the
+    winsorized_mean rule); the tail mean divides exact integer cents.
+    One sort of the days-sized series."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(cents).alias("v")
+    )
+    w = Window.orderBy("v")
+    wn = Window.partitionBy()
+    ranked = daily.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    tail = ranked.filter(F.col("rn") <= F.expr("(n + 19) div 20"))
+    return tail.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("n_tail_days"),
+        _r6(
+            F.sum("v").cast("double")
+            / (F.lit(100.0) * F.count("*").cast("double"))
+        ).alias("cvar_5pct"),
+    )
+
+
+registry.register(
+    "cvar_daily",
+    q_cvar_daily,
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_tail_days,
+           FLOOR((CAST(SUM(v) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cvar_5pct
+    FROM ranked WHERE rn <= (n + 19) // 20
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Little's law consistency check (L = lambda * W)
+# ---------------------------------------------------------------------------
+
+
+def q_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law over the session system: time-averaged concurrent
+    sessions L vs arrival rate λ times mean session duration W —
+    the queueing identity every capacity model assumes; on a closed
+    window L = λW holds exactly up to edge effects, so the reported
+    ratio doubles as an instrumentation health check
+    (peak_concurrency reads the max of the same sweep; this is the
+    mean).
+
+    L comes from the boundary sweep as Σ(load·Δt)/T (integer µs·count
+    sums — load is piecewise constant between boundaries); λ and W
+    from session counts and integer duration sums; one shared
+    expression per output."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap_flag = F.when(
+        F.col("us") - F.lag("us").over(w) > 30 * 60 * 1000000, 1
+    ).otherwise(0)
+    sid = F.sum(gap_flag).over(
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        base.select("user_id", "us", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("s"),
+            (F.max("us") + 5 * 60 * 1000000).alias("e"),
+        )
+    )
+    deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    agg_t = deltas.groupBy("t").agg(F.sum("d").alias("d"))
+    w_sweep = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_lead = Window.orderBy("t")
+    swept = agg_t.select(
+        "t",
+        F.sum("d").over(w_sweep).alias("load"),
+        (F.lead("t").over(w_lead) - F.col("t")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    l_num = swept.agg(
+        F.sum(F.col("load").cast("decimal(38,0)") * F.col("dt")).alias(
+            "ldt"
+        ),
+        F.sum("dt").alias("tspan"),
+    )
+    s_agg = sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("e") - F.col("s")).alias("dur_sum"),
+    )
+    j = l_num.crossJoin(F.broadcast(s_agg))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    big_l = d("ldt") / d("tspan")
+    lam_w = d("dur_sum") / d("tspan")  # (n/T)·(dur_sum/n) = dur_sum/T
+    return j.select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        _r6(big_l).alias("avg_concurrency_L"),
+        _r6(lam_w).alias("lambda_times_W"),
+        _r6(big_l / lam_w).alias("littles_ratio"),
+    )
+
+
+registry.register(
+    "littles_law_check",
+    q_littles_law_check,
+    """
+    WITH base AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                          ORDER BY us)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM base
+    ),
+    sids AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(us) AS s,
+             MAX(us) + 5 * 60 * 1000000 AS e
+      FROM sids GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM sess
+      UNION ALL SELECT e AS t, -1 AS d FROM sess
+    ),
+    agg_t AS (SELECT t, SUM(d) AS d FROM deltas GROUP BY 1),
+    swept AS (
+      SELECT t,
+             SUM(d) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load,
+             LEAD(t) OVER (ORDER BY t) - t AS dt
+      FROM agg_t
+    ),
+    l_num AS (
+      SELECT SUM(CAST(load AS HUGEINT) * dt) AS ldt, SUM(dt) AS tspan
+      FROM swept WHERE dt IS NOT NULL
+    ),
+    s_agg AS (
+      SELECT COUNT(*) AS n_sessions, SUM(e - s) AS dur_sum FROM sess
+    )
+    SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+           FLOOR((CAST(ldt AS DOUBLE) / CAST(tspan AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_concurrency_L,
+           FLOOR((CAST(dur_sum AS DOUBLE) / CAST(tspan AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lambda_times_W,
+           FLOOR(((CAST(ldt AS DOUBLE) / CAST(tspan AS DOUBLE))
+                  / (CAST(dur_sum AS DOUBLE) / CAST(tspan AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS littles_ratio
+    FROM l_num CROSS JOIN s_agg
+    """,
+)

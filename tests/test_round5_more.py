@@ -917,3 +917,22 @@ def test_embedding_aa_drift_small(spark):
         # A/A split of the same label: centroid shift stays small
         # relative to unit-ish vectors
         assert 0 <= r.aa_centroid_dist < 1.0
+
+
+def test_cvar_below_median_scale(spark):
+    from airflow_baseball_spark.queries_timeseries import q_cvar_daily
+
+    r = q_cvar_daily(spark, SF).collect()[0]
+    assert r.n_tail_days == (r.n_days + 19) // 20
+    assert r.cvar_5pct > 0
+
+
+def test_littles_law_holds(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_littles_law_check,
+    )
+
+    r = q_littles_law_check(spark, SF).collect()[0]
+    assert r.n_sessions > 0
+    # on a closed window L = lambda.W exactly (same sweep integrals)
+    assert abs(r.littles_ratio - 1.0) < 1e-3
