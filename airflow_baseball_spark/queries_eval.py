@@ -2087,3 +2087,83 @@ registry.register(
     FROM cells
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Odds ratio per market segment
+# ---------------------------------------------------------------------------
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of positive account balance for each segment vs all
+    OTHER segments, with the Woolf log-CI — the case-control effect
+    measure (wilson_ci gives one group's rate; the OR compares a
+    group against its complement). a·d/(b·c) from four exact counts;
+    the CI uses ln OR ± 1.96·√(1/a+1/b+1/c+1/d) through one shared
+    expression (all cells are nonzero here; the Haldane +½ fallback
+    is documented, not needed)."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_seg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("a"),
+        F.count(F.when(F.col("c_acctbal") <= 0, 1)).alias("b"),
+    )
+    wn = Window.partitionBy()
+    staged = per_seg.select(
+        "c_mktsegment",
+        "a",
+        "b",
+        (F.sum("a").over(wn) - F.col("a")).alias("c"),
+        (F.sum("b").over(wn) - F.col("b")).alias("d"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    orr = (dd("a") * dd("d")) / (dd("b") * dd("c"))
+    se = F.sqrt(1 / dd("a") + 1 / dd("b") + 1 / dd("c") + 1 / dd("d"))
+    return staged.select(
+        "c_mktsegment",
+        F.col("a").cast("long").alias("n_pos"),
+        F.col("b").cast("long").alias("n_nonpos"),
+        _r6(orr).alias("odds_ratio"),
+        _r6(F.exp(F.log(orr) - F.lit(1.96) * se)).alias("ci_lo"),
+        _r6(F.exp(F.log(orr) + F.lit(1.96) * se)).alias("ci_hi"),
+    )
+
+
+registry.register(
+    "odds_ratio",
+    q_odds_ratio,
+    """
+    WITH per_seg AS (
+      SELECT c_mktsegment,
+             COUNT(CASE WHEN c_acctbal > 0 THEN 1 END) AS a,
+             COUNT(CASE WHEN c_acctbal <= 0 THEN 1 END) AS b
+      FROM customer GROUP BY 1
+    ),
+    staged AS (
+      SELECT c_mktsegment, a, b,
+             SUM(a) OVER () - a AS c,
+             SUM(b) OVER () - b AS d
+      FROM per_seg
+    )
+    SELECT c_mktsegment,
+           CAST(a AS BIGINT) AS n_pos,
+           CAST(b AS BIGINT) AS n_nonpos,
+           FLOOR(((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                  / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS odds_ratio,
+           FLOOR(EXP(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                     - 1.96 * SQRT(1 / CAST(a AS DOUBLE)
+                                   + 1 / CAST(b AS DOUBLE)
+                                   + 1 / CAST(c AS DOUBLE)
+                                   + 1 / CAST(d AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+           FLOOR(EXP(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                     + 1.96 * SQRT(1 / CAST(a AS DOUBLE)
+                                   + 1 / CAST(b AS DOUBLE)
+                                   + 1 / CAST(c AS DOUBLE)
+                                   + 1 / CAST(d AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+    FROM staged
+    """,
+)

@@ -3557,3 +3557,105 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair: mean |Δz| of the
+    top-50 word relative frequencies, z-scored across sources — the
+    classic stylometric fingerprint (two "different" sources with a
+    tiny Delta are the same upstream crawler wearing two names — a
+    provenance smell dedup by content misses).
+
+    Relative frequencies are exact integer ratios; per-word mean/sd
+    span the 20 source points (windows over the 50×20 table); the
+    pairwise join is (sources²·50)-sized metadata. Ranking/tie rules
+    follow vocab_topk."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(50).select("tok")
+    sw = toks.join(F.broadcast(top), "tok").groupBy("source", "tok").agg(
+        F.count("*").alias("c")
+    )
+    tot = toks.groupBy("source").agg(F.count("*").alias("t"))
+    f = sw.join(tot, "source").select(
+        "source",
+        "tok",
+        (F.col("c").cast("double") / F.col("t").cast("double")).alias("f"),
+    )
+    ww = Window.partitionBy("tok")
+    stats = f.select(
+        "source",
+        "tok",
+        "f",
+        F.avg("f").over(ww).alias("mu"),
+        F.stddev_pop("f").over(ww).alias("sd"),
+    ).filter(F.col("sd") > 0)
+    z = stats.select(
+        "source", "tok", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.abs(F.col("a.z") - F.col("b.z")).alias("dz"),
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_words"),
+        _r6(F.avg("dz")).alias("burrows_delta"),
+    )
+
+
+registry.register(
+    "burrows_delta",
+    q_burrows_delta,
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    top AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+      ) ORDER BY n DESC, tok LIMIT 50
+    ),
+    sw AS (
+      SELECT t.source, t.tok, COUNT(*) AS c
+      FROM toks t JOIN top USING (tok)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, COUNT(*) AS t FROM toks GROUP BY 1),
+    f AS (
+      SELECT sw.source, sw.tok,
+             CAST(sw.c AS DOUBLE) / CAST(tot.t AS DOUBLE) AS f
+      FROM sw JOIN tot USING (source)
+    ),
+    stats AS (
+      SELECT source, tok, f,
+             AVG(f) OVER (PARTITION BY tok) AS mu,
+             STDDEV_POP(f) OVER (PARTITION BY tok) AS sd
+      FROM f
+    ),
+    z AS (
+      SELECT source, tok, (f - mu) / sd AS z
+      FROM stats WHERE sd > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           FLOOR(AVG(ABS(a.z - b.z)) * 1000000.0 + 0.5) / 1000000.0
+             AS burrows_delta
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)

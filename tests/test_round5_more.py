@@ -936,3 +936,27 @@ def test_littles_law_holds(spark):
     assert r.n_sessions > 0
     # on a closed window L = lambda.W exactly (same sweep integrals)
     assert abs(r.littles_ratio - 1.0) < 1e-3
+
+
+def test_odds_ratio_ci_brackets(spark):
+    from airflow_baseball_spark.queries_eval import q_odds_ratio
+
+    rows = q_odds_ratio(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo <= r.odds_ratio <= r.ci_hi
+        assert r.odds_ratio > 0
+
+
+def test_burrows_delta_pairs(spark):
+    from airflow_baseball_spark.queries_text import q_burrows_delta
+
+    rows = q_burrows_delta(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert r.burrows_delta >= 0
+        assert r.n_words <= 50
