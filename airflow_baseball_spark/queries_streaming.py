@@ -342,3 +342,32 @@ registry.register(
     FROM events GROUP BY 1
     """,
 )
+
+
+def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregate + static top-k post-pass (rank
+    functions can't run inside streaming aggs — the drain boundary is
+    where they belong); oracle is the equivalent batch rank."""
+    return jobs.run_window_topk_available_now(spark, sf_dir)
+
+
+registry.register(
+    "stream_window_topk",
+    q_stream_window_topk,
+    """
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type,
+           CAST(v AS DOUBLE) / 100.0 AS revenue,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY v DESC, event_type) AS rk
+      FROM agg
+    ) WHERE rk <= 3
+    """,
+)

@@ -1674,3 +1674,88 @@ registry.register(
     FROM l_num CROSS JOIN s_agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation of two daily series
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day Pearson correlation between click and purchase
+    daily revenue, for every day with a full window — the DYNAMIC
+    dependence read (cross_correlation gives one static number per
+    lag; regimes where the series decouple show up here first).
+
+    The day table carries both series as exact integer cents (full
+    outer on day, zero-filled); all five sufficient statistics are
+    INTEGER window sums over the 14-row frame, and r derives from
+    them through one shared expression per row — no float ever
+    accumulates across rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.sum(cents))
+        .select(
+            "d",
+            F.coalesce(F.col("click"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("purchase"), F.lit(0)).alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    staged = daily.select(
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    ).filter(F.col("n") == 14)
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = dd("n") * dd("sxy") - dd("sx") * dd("sy")
+    den = F.sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx")) * F.sqrt(
+        dd("n") * dd("syy") - dd("sy") * dd("sy")
+    )
+    return staged.select("d", _r6(num / den).alias("rolling_r"))
+
+
+registry.register(
+    "rolling_correlation",
+    q_rolling_correlation,
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) ELSE 0 END) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    staged AS (
+      SELECT d,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * y) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rolling_r
+    FROM staged WHERE n = 14
+    """,
+)

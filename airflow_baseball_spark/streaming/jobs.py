@@ -621,3 +621,38 @@ def run_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / 100.0).alias("total_value"),
         )
     )
+
+
+def run_window_topk_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 event types by revenue per day window: the windowed
+    aggregate runs as a STREAM (complete mode); the rank over each
+    window's finished aggregates is a static post-pass on the drained
+    result — the standard split for "top-k per window" (rank
+    functions aren't available inside streaming aggregations)."""
+    ev = read_events_stream(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.sum(cents).alias("v"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "v"
+        )
+    )
+    final = _drain_to_memory(agg, "complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("v").desc(), "event_type"
+    )
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "window_start",
+            "event_type",
+            (F.col("v").cast("double") / 100.0).alias("revenue"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

@@ -960,3 +960,31 @@ def test_burrows_delta_pairs(spark):
         seen.add((r.source_a, r.source_b))
         assert r.burrows_delta >= 0
         assert r.n_words <= 50
+
+
+def test_rolling_correlation_bounds(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_rolling_correlation,
+    )
+
+    rows = q_rolling_correlation(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.rolling_r <= 1.0 + 1e-6
+
+
+def test_stream_window_topk_shape(spark):
+    from airflow_baseball_spark.queries_streaming import (
+        q_stream_window_topk,
+    )
+
+    rows = q_stream_window_topk(spark, SF).collect()
+    per_w = {}
+    for r in rows:
+        per_w.setdefault(r.window_start, []).append((r.rank, r.revenue))
+    for wstart, entries in per_w.items():
+        entries.sort()
+        ranks = [e[0] for e in entries]
+        assert ranks == list(range(1, len(ranks) + 1))
+        revs = [e[1] for e in entries]
+        assert revs == sorted(revs, reverse=True)
