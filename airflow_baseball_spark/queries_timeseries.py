@@ -1759,3 +1759,94 @@ registry.register(
     FROM staged WHERE n = 14
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# XmR (individuals + moving range) control chart
+# ---------------------------------------------------------------------------
+
+
+def q_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals chart over daily revenue: natural process
+    limits x̄ ± 2.66·m̄R (mean moving range) and the days that breach
+    them — the SPC practitioner's default (cusum detects sustained
+    shifts; XmR flags single excursions against short-term noise).
+
+    The breach flag never touches a float: |x − x̄| > 2.66·m̄R
+    cross-multiplies to |x·n·(n−1)·100 − S·(n−1)·100| >
+    266·n·ΣmR — all BIGINT products (magnitudes documented ≤ ~10¹⁵
+    at sf0.1). Limits themselves are reported as `_r6` doubles from
+    the same exact sums."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(cents).alias("x")
+    )
+    w = Window.orderBy("d")
+    with_mr = daily.select(
+        "d", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mr")
+    )
+    wn = Window.partitionBy()
+    staged = with_mr.select(
+        "d",
+        "x",
+        F.sum("x").over(wn).alias("s"),
+        F.count("*").over(wn).alias("n"),
+        F.sum("mr").over(wn).alias("smr"),  # n-1 terms
+    )
+    breach = (
+        F.abs(
+            F.col("x") * F.col("n") * (F.col("n") - 1) * 100
+            - F.col("s") * (F.col("n") - 1) * 100
+        )
+        > F.lit(266) * F.col("n") * F.col("smr")
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = dd("s") / (dd("n") * 100.0)
+    mrbar = dd("smr") / ((dd("n") - 1) * 100.0)
+    return staged.agg(
+        F.max("n").cast("long").alias("n_days"),
+        _r6(F.max(mean)).alias("center"),
+        _r6(F.max(mean - 2.66 * mrbar)).alias("lcl"),
+        _r6(F.max(mean + 2.66 * mrbar)).alias("ucl"),
+        F.count(F.when(breach, 1)).cast("long").alias("n_breaches"),
+    )
+
+
+registry.register(
+    "xmr_control",
+    q_xmr_control,
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+      FROM events GROUP BY 1
+    ),
+    with_mr AS (
+      SELECT d, x, ABS(x - LAG(x) OVER (ORDER BY d)) AS mr FROM daily
+    ),
+    staged AS (
+      SELECT d, x,
+             SUM(x) OVER () AS s,
+             COUNT(*) OVER () AS n,
+             SUM(mr) OVER () AS smr
+      FROM with_mr
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           FLOOR((CAST(MAX(s) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 100.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS center,
+           FLOOR((CAST(MAX(s) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 100.0)
+                  - 2.66 * CAST(MAX(smr) AS DOUBLE)
+                         / ((CAST(MAX(n) AS DOUBLE) - 1) * 100.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lcl,
+           FLOOR((CAST(MAX(s) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 100.0)
+                  + 2.66 * CAST(MAX(smr) AS DOUBLE)
+                         / ((CAST(MAX(n) AS DOUBLE) - 1) * 100.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ucl,
+           CAST(COUNT(CASE WHEN ABS(x * n * (n - 1) * 100
+                                    - s * (n - 1) * 100)
+                                > 266 * n * smr THEN 1 END) AS BIGINT)
+             AS n_breaches
+    FROM staged
+    """,
+)

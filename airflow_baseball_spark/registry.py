@@ -53,8 +53,8 @@ _LOADED = False
 #   3. the round-5 additions with NOVEL shapes (iterative peeling,
 #      power iteration, the integration funnel, wedge/triangle graph
 #      metrics, exact-quantized math) — 20 entries,
-#   4. r5-overflow (positions 51+): the 147 round-5 additions that
-#      don't fit the 50-slot window (167 were added this round; 20 fit
+#   4. r5-overflow (positions 51+): the 148 round-5 additions that
+#      don't fit the 50-slot window (168 were added this round; 20 fit
 #      in tier 3) — the late-round novel ops first (bpe/ann-recall/
 #      quarantine family), then the plain-shape ones (aggs, ratio
 #      windows, broadcast joins) attested suite-wide. NOT hidden:
@@ -254,6 +254,7 @@ _PRIORITY = [
     "burrows_delta",
     "rolling_correlation",
     "stream_window_topk",
+    "xmr_control",
     "activity_streaks",
     "seasonality_dow",
     "ship_latency",

@@ -988,3 +988,11 @@ def test_stream_window_topk_shape(spark):
         assert ranks == list(range(1, len(ranks) + 1))
         revs = [e[1] for e in entries]
         assert revs == sorted(revs, reverse=True)
+
+
+def test_xmr_limits_bracket_center(spark):
+    from airflow_baseball_spark.queries_timeseries import q_xmr_control
+
+    r = q_xmr_control(spark, SF).collect()[0]
+    assert r.lcl < r.center < r.ucl
+    assert 0 <= r.n_breaches <= r.n_days
