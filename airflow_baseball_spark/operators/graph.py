@@ -1,0 +1,139 @@
+"""Shared graph primitives: degree-ordered edge orientation, triangle
+enumeration, and a session-scoped materialized edge list.
+
+Degree-ordered orientation is the standard hub-skew fix for
+wedge-based graph algorithms (Chiba–Nishizeki / Latapy): orient every
+undirected edge from its lower-(degree, id) endpoint to the higher
+one. The oriented out-degree of ANY vertex is then bounded by
+O(sqrt(|E|)) — for a vertex of degree d, at most min(d, sqrt(2|E|))
+out-neighbors — so the wedge self-join on the source vertex cannot
+fan out quadratically at a power-law hub. On a 1000-executor cluster
+this is the difference between one straggler task holding the stage
+and uniformly-sized join partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def orient_edges_by_degree(
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    a: str = "brand_a",
+    b: str = "brand_b",
+) -> DataFrame:
+    """Orient undirected edges (a, b) low-(degree, id) → high.
+
+    Returns columns (src, dst, dst_d) where dst_d is dst's degree —
+    carried so wedge enumeration can order out-neighbor pairs without
+    a second degree join. ``deg`` (columns v, d) is computed from the
+    edge list when not supplied; it is vertex-sized, so it broadcasts.
+    """
+    if deg is None:
+        deg = (
+            edges.select(F.col(a).alias("v"))
+            .unionAll(edges.select(F.col(b).alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+    da = deg.select(F.col("v").alias("_va"), F.col("d").alias("_da"))
+    db = deg.select(F.col("v").alias("_vb"), F.col("d").alias("_db"))
+    e = edges.join(F.broadcast(da), F.col(a) == F.col("_va")).join(
+        F.broadcast(db), F.col(b) == F.col("_vb")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col(a) < F.col(b))
+    )
+    return e.select(
+        F.when(a_first, F.col(a)).otherwise(F.col(b)).alias("src"),
+        F.when(a_first, F.col(b)).otherwise(F.col(a)).alias("dst"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dst_d"),
+    )
+
+
+def enumerate_triangles(
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    a: str = "brand_a",
+    b: str = "brand_b",
+) -> DataFrame:
+    """Every triangle exactly once as (va, vb, vc), found at its
+    minimum-(degree, id) corner va.
+
+    Wedges form by self-joining the degree-oriented edge list on the
+    source vertex — per-source fanout is the oriented out-degree,
+    O(sqrt(|E|)) — ordered (vb before vc) in the same (degree, id)
+    order as the orientation, so closing probes the oriented edge set
+    directly (vb → vc is the only orientation the closing edge can
+    carry)."""
+    o = orient_edges_by_degree(edges, deg, a=a, b=b)
+    left = o.select(
+        F.col("src").alias("va"),
+        F.col("dst").alias("vb"),
+        F.col("dst_d").alias("_d1"),
+    )
+    right = o.select(
+        F.col("src").alias("_src2"),
+        F.col("dst").alias("vc"),
+        F.col("dst_d").alias("_d2"),
+    )
+    wedges = left.join(right, F.col("va") == F.col("_src2")).filter(
+        (F.col("_d1") < F.col("_d2"))
+        | ((F.col("_d1") == F.col("_d2")) & (F.col("vb") < F.col("vc")))
+    )
+    probe = o.select(F.col("src").alias("_pa"), F.col("dst").alias("_pb"))
+    return wedges.join(
+        probe, (F.col("vb") == F.col("_pa")) & (F.col("vc") == F.col("_pb"))
+    ).select("va", "vb", "vc")
+
+
+def count_triangles_oriented(
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    a: str = "brand_a",
+    b: str = "brand_b",
+) -> DataFrame:
+    """Triangle rows (va, vb, vc), one per triangle — callers agg or
+    explode the corners as needed."""
+    return enumerate_triangles(edges, deg, a=a, b=b)
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped materialized edge list
+# ---------------------------------------------------------------------------
+
+_EDGE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def materialize_edge_list(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str,
+    build,  # Callable[[SparkSession, str], DataFrame]
+) -> DataFrame:
+    """Build-once, reuse-everywhere edge list.
+
+    Several graph queries (golden_record, degree_distribution,
+    triangle_count, the CC family) share one expensive subtree — the
+    basket-edge derivation off the fact table. Run standalone (bench
+    mode) each query re-derives it; in production the pipeline calls
+    this helper so the subtree is computed ONCE per (session, sf_dir,
+    key), localCheckpoint'ed (lineage truncated, blocks on local
+    executors), and every consumer references the materialized plan.
+
+    ``build(spark, sf_dir)`` produces the edge DataFrame on a cache
+    miss. The cache key includes the JVM session id so a restarted
+    session never serves dropped checkpoint blocks.
+    """
+    cache_key = (id(spark.sparkContext._jsc), sf_dir, key)
+    df = _EDGE_CACHE.get(cache_key)
+    if df is None:
+        df = build(spark, sf_dir).localCheckpoint()
+        _EDGE_CACHE[cache_key] = df
+    return df
+
+
+def clear_edge_cache() -> None:
+    _EDGE_CACHE.clear()

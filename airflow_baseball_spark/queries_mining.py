@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
 from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.operators.graph import (
+    count_triangles_oriented,
+    enumerate_triangles,
+)
 from airflow_baseball_spark.schemas import load_table
 
 _r6 = round6_portable
@@ -173,8 +177,17 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = bins.agg(
         F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
     )
-    p = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
-    q = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
+    # Exactness (r5 driver flagged the p/q-in-doubles form): the cross
+    # products n_a*tot_b and n_b*tot_a are exact BIGINTs, so both the
+    # ln argument and the (p-q) numerator are exact integer ratios —
+    # the identical expression tree yields bit-identical doubles on
+    # both engines, with ln the only libm op (on an identical input).
+    num_a = F.col("n_a") * F.col("tot_b")
+    num_b = F.col("n_b") * F.col("tot_a")
+    diff = (num_a - num_b).cast("double") / (
+        F.col("tot_a") * F.col("tot_b")
+    ).cast("double")
+    lnr = F.log(num_a.cast("double") / num_b.cast("double"))
     return (
         bins.crossJoin(F.broadcast(totals))
         .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
@@ -182,7 +195,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n_a",
             "n_b",
-            _r6((p - q) * F.log(p / q)).alias("psi_term"),
+            _r6(diff * lnr).alias("psi_term"),
         )
     )
 
@@ -204,10 +217,10 @@ registry.register(
     ),
     tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM bins)
     SELECT b.bin, b.n_a, b.n_b,
-           FLOOR((CAST(b.n_a AS DOUBLE) / CAST(t.tot_a AS DOUBLE)
-                  - CAST(b.n_b AS DOUBLE) / CAST(t.tot_b AS DOUBLE))
-                 * LN((CAST(b.n_a AS DOUBLE) / CAST(t.tot_a AS DOUBLE))
-                      / (CAST(b.n_b AS DOUBLE) / CAST(t.tot_b AS DOUBLE)))
+           FLOOR((CAST(b.n_a * t.tot_b - b.n_b * t.tot_a AS DOUBLE)
+                  / CAST(t.tot_a * t.tot_b AS DOUBLE))
+                 * LN(CAST(b.n_a * t.tot_b AS DOUBLE)
+                      / CAST(b.n_b * t.tot_a AS DOUBLE))
                  * 1000000.0 + 0.5) / 1000000.0 AS psi_term
     FROM bins b CROSS JOIN tot t
     WHERE b.n_a > 0 AND b.n_b > 0
@@ -332,19 +345,19 @@ registry.register(
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count and transitivity of the co-purchase graph
-    (edges = brand pairs with support >= 5, oriented brand_a < brand_b).
+    (edges = brand pairs with support >= 5, stored brand_a < brand_b).
 
-    The standard 2-shuffle triangle algorithm: wedges form by joining
-    the (already canonically oriented) edge list with itself on the
-    middle vertex, then each wedge probes the edge set once to close.
-    With lexicographic orientation every triangle a<b<c is found
-    exactly once. At scale the orientation should be by DEGREE
-    (low→high), which bounds each vertex's join fanout by sqrt(|E|) —
-    the classic skew fix when a hub vertex would otherwise fan out
-    quadratically; the brand graph here is dense and tiny so the
-    lexicographic orientation is kept for oracle determinism.
-    Wedge totals use Σ deg·(deg−1) (exact integers), halved once at
-    the end."""
+    Degree-ordered enumeration (the hub-skew fix): every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one
+    via orient_edges_by_degree, wedges form by self-joining the
+    oriented list on the SOURCE vertex, and each wedge probes the
+    oriented edge set once to close. Every triangle is found exactly
+    once (at its minimum-(degree, id) corner), and per-vertex join
+    fanout is bounded by the vertex's oriented out-degree ≤ O(√|E|)
+    instead of its raw degree — a power-law hub no longer fans out
+    quadratically (test_graph_metrics asserts the bound on a
+    synthetic hub graph). Wedge totals use Σ deg·(deg−1) (exact
+    integers), halved once at the end."""
     _, support = _brand_pair_counts(spark, sf_dir)
     edges = support.filter(F.col("support") >= 5).select("brand_a", "brand_b")
     deg = (
@@ -357,13 +370,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vertices"),
         (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
     )
-    e1 = edges.select(F.col("brand_a").alias("a"), F.col("brand_b").alias("b"))
-    e2 = edges.select(F.col("brand_a").alias("b2"), F.col("brand_b").alias("c"))
-    e3 = edges.select(F.col("brand_a").alias("a3"), F.col("brand_b").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .agg(F.count("*").alias("n_triangles"))
+    tri = count_triangles_oriented(edges, deg).agg(
+        F.count("*").alias("n_triangles")
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return (
@@ -717,17 +725,24 @@ def _above_avg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     it 2-4× in one plan, and each reference would otherwise re-derive
     the fact scan + orderkey shuffle — measured ~1 s per extra
     reference at sf0.1. (Same lineage-truncation rationale and FT
-    caveat as operators/connected_components.py.)"""
-    _, support = _brand_pair_counts(spark, sf_dir)
-    stats = support.agg(
-        F.count("*").alias("n_pairs"), F.sum("support").alias("tot")
-    )
-    return (
-        support.crossJoin(F.broadcast(stats))
-        .filter(F.col("support") * F.col("n_pairs") > F.col("tot"))
-        .select("brand_a", "brand_b")
-        .localCheckpoint()
-    )
+    caveat as operators/connected_components.py.) Materialized ONCE
+    per (session, sf_dir) via operators/graph.materialize_edge_list,
+    so the 6 graph queries sharing this subtree derive it once per
+    session instead of once per query."""
+    from airflow_baseball_spark.operators.graph import materialize_edge_list
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, support = _brand_pair_counts(spark, sf_dir)
+        stats = support.agg(
+            F.count("*").alias("n_pairs"), F.sum("support").alias("tot")
+        )
+        return (
+            support.crossJoin(F.broadcast(stats))
+            .filter(F.col("support") * F.col("n_pairs") > F.col("tot"))
+            .select("brand_a", "brand_b")
+        )
+
+    return materialize_edge_list(spark, sf_dir, "above_avg_edges", build)
 
 
 def _degrees(edges: DataFrame) -> DataFrame:
@@ -747,18 +762,41 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIDDLE vertex (wedge enumeration) — common-neighbor counts arrive
     grouped without materializing any neighbor set, and degrees join
     in by broadcast; |union| = da + db - common is integer identity,
-    so the only float op is the final division. At scale the wedge
-    join fans out by degree; the degree-ordered orientation documented
-    in triangle_count bounds that fanout — same remedy applies here."""
+    so the only float op is the final division.
+
+    Hub-skew posture: unlike triangle closure (where degree-ordered
+    orientation PRUNES wedges — see operators/graph.py), every wedge
+    at a middle vertex here contributes to some pair's common count,
+    so the d(c)² fanout is output-inherent. The fix is therefore
+    execution-side: the self-join is SALTED on the middle vertex
+    (left side bucketed by hash(neighbor) % S, right side replicated
+    S×), which splits a hub's d² wedge enumeration across S tasks
+    instead of one straggler. Output is identical — every (l, r)
+    neighbor pair still meets exactly once, in the bucket keyed by
+    the left neighbor's hash."""
     edges = _above_avg_edges(spark, sf_dir)
+    n_salt = 8
     adj = edges.select(
         F.col("brand_a").alias("c"), F.col("brand_b").alias("x")
     ).unionAll(
         edges.select(F.col("brand_b").alias("c"), F.col("brand_a").alias("x"))
     )
+    adj_l = adj.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("x")), F.lit(n_salt))
+    )
+    adj_r = adj.withColumn(
+        "_salt",
+        F.explode(
+            F.array(*[F.lit(i).cast("bigint") for i in range(n_salt)])
+        ),
+    )
     wedges = (
-        adj.alias("l")
-        .join(adj.alias("r"), F.col("l.c") == F.col("r.c"))
+        adj_l.alias("l")
+        .join(
+            adj_r.alias("r"),
+            (F.col("l.c") == F.col("r.c"))
+            & (F.col("l._salt") == F.col("r._salt")),
+        )
         .filter(F.col("l.x") < F.col("r.x"))
         .groupBy(
             F.col("l.x").alias("brand_a"), F.col("r.x").alias("brand_b")
@@ -818,20 +856,21 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per brand: closed triangles at the
     vertex over its possible neighbor pairs, 2·tri / (d·(d−1)).
 
-    Triangle enumeration reuses triangle_count's oriented 2-join (each
-    triangle found once as a<b<c), then the 3 member vertices explode
-    IN-ROW and one count per vertex lands against the broadcast degree
-    table. Vertices with degree < 2 report 0.0 (no possible pair), via
-    left join + coalesce so they aren't silently dropped."""
+    Triangle enumeration uses the degree-ordered orientation
+    (operators/graph.py: each triangle found once at its minimum-
+    (degree, id) corner, per-vertex wedge fanout bounded by the
+    oriented out-degree ≤ O(√|E|) — the hub-skew fix), then the 3
+    member vertices explode IN-ROW and one count per vertex lands
+    against the broadcast degree table. Vertices with degree < 2
+    report 0.0 (no possible pair), via left join + coalesce so they
+    aren't silently dropped."""
     edges = _above_avg_edges(spark, sf_dir)
-    e1 = edges.select(F.col("brand_a").alias("a"), F.col("brand_b").alias("b"))
-    e2 = edges.select(F.col("brand_a").alias("b2"), F.col("brand_b").alias("c"))
-    e3 = edges.select(F.col("brand_a").alias("a3"), F.col("brand_b").alias("c3"))
     tri_v = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        enumerate_triangles(edges)
         .select(
-            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("v")
+            F.explode(
+                F.array(F.col("va"), F.col("vb"), F.col("vc"))
+            ).alias("v")
         )
         .groupBy("v")
         .agg(F.count("*").alias("n_tri"))

@@ -1525,9 +1525,16 @@ registry.register("cms_heavy_hitters", q_cms_heavy_hitters, _cms_oracle())
 def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type chi-square contribution of the type x hour-of-day
     contingency table — the counts-only dependence score used for
-    feature selection and distribution-drift alarms. All inputs are
-    exact integer counts; the (observed-expected)^2/expected terms are
-    identical IEEE doubles on both engines, floor-trick rounded."""
+    feature selection and distribution-drift alarms.
+
+    Exactness: each per-cell (observed-expected)^2/expected term is
+    pure rational arithmetic on exact integer counts — an identical
+    IEEE expression tree on both engines, so the doubles are
+    bit-identical — and is quantized to BIGINT micro-units BEFORE the
+    cross-row reduction. The sum is then exact integer arithmetic:
+    partition order, engine, and libm can no longer move the result
+    (this is the registry-header quantize-before-sum rule; the r5
+    driver flagged the previous sum-then-floor form)."""
     ev = load_table(spark, sf_dir, "events")
     cellc = ev.groupBy(
         "event_type", F.hour("ts").alias("hr")
@@ -1537,6 +1544,7 @@ def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = cellc.agg(F.sum("o").alias("nt"))
     e = F.col("rt").cast("double") * F.col("ct") / F.col("nt")
     term = (F.col("o") - e) * (F.col("o") - e) / e
+    term_q = F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
         cellc.join(F.broadcast(row_tot), "event_type")
         .join(F.broadcast(col_tot), "hr")
@@ -1544,7 +1552,9 @@ def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("o").alias("n"),
-            round6_portable(F.sum(term)).alias("chi2_contrib"),
+            (F.sum(term_q).cast("double") / F.lit(1000000.0)).alias(
+                "chi2_contrib"
+            ),
         )
     )
 
@@ -1561,9 +1571,10 @@ registry.register(
     col_tot AS (SELECT hr, SUM(o) AS ct FROM cellc GROUP BY 1),
     n_tot AS (SELECT SUM(o) AS nt FROM cellc)
     SELECT c.event_type, SUM(o) AS n,
-           FLOOR(SUM((o - CAST(rt AS DOUBLE) * ct / nt)
-                     * (o - CAST(rt AS DOUBLE) * ct / nt)
-                     / (CAST(rt AS DOUBLE) * ct / nt)) * 1000000.0 + 0.5)
+           CAST(SUM(CAST(FLOOR((o - CAST(rt AS DOUBLE) * ct / nt)
+                               * (o - CAST(rt AS DOUBLE) * ct / nt)
+                               / (CAST(rt AS DOUBLE) * ct / nt)
+                               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
              / 1000000.0 AS chi2_contrib
     FROM cellc c
     JOIN row_tot r ON c.event_type = r.event_type

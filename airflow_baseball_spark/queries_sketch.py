@@ -1,0 +1,464 @@
+"""Cardinality sketches + data-layout pruning + funnel analysis.
+
+The sketch operators (HyperLogLog-shaped register estimate, KMV
+k-minimum-values) are the scale path for distinct counting: an exact
+COUNT(DISTINCT key) shuffles every distinct key; a register sketch
+shuffles a CONSTANT number of (group, register) rows per group with a
+map-side combinable max, and sketches from different partitions /
+days / shards merge losslessly by taking register-wise max. That
+mergeability — not the estimate itself — is why every production
+engine (BigQuery, Presto/Trino APPROX_DISTINCT, Druid, ClickHouse)
+ships one of these.
+
+Engine-exactness: all hashing is md5 (identical hex on both engines);
+hex→int unrolls through exact integer arithmetic; register sums run
+over exact BIGINTs (powers of two via a literal lookup table, NOT
+libm pow); the only libm op is ln of an exact integer ratio (the
+linear-counting branch), per the repo-wide recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import round6_portable as _r6
+from airflow_baseball_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-shaped distinct estimate (m = 256 registers)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+# 2^(40 - rho) for rho = 1..33 — exact BIGINT lookup so no pow()/libm
+_HLL_POW = [1 << (40 - r) for r in range(1, 34)]
+_HLL_ZERO_TERM = 1 << 40  # absent register: rho = 0
+# alpha_256 * m^2 * 2^40, written as the same literal expression tree
+# on both engines (all constants are exact doubles)
+_HLL_NUM = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 1099511627776.0"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a 256-register HLL sketch,
+    reported next to the exact count so the estimate error is visible.
+
+    Register build is ONE map-side-combinable aggregate: groupBy
+    (event_type, register) → max(rho) never moves more than
+    |groups|·256 rows through the shuffle regardless of fact size —
+    at 100 TB that is the whole point vs COUNT(DISTINCT). The
+    harmonic sum Σ 2^(-rho) is computed as Σ 2^(40-rho) in exact
+    BIGINT (order-invariant), absent registers contribute 2^40 each,
+    and the small-range linear-counting branch (est ≤ 2.5m, zero
+    registers present) uses ln of an exact integer ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":hll")))
+    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    # rho = leading zeros in the 32-bit pattern + 1 = 33 - bit_length
+    rho = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(w))
+    )
+    regs = ev.select(
+        "event_type", idx.alias("reg"), rho.alias("rho")
+    ).groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
+    pow_lut = F.array(*[F.lit(v) for v in _HLL_POW])
+    per_type = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.element_at(pow_lut, F.col("mrho"))).alias("z_present"),
+    )
+    z = (
+        F.col("z_present")
+        + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(_HLL_ZERO_TERM)
+    ).cast("double")
+    est_raw = F.expr(_HLL_NUM) / z
+    v_zero = (F.lit(_HLL_M) - F.col("n_regs")).cast("long")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * _HLL_M)) & (v_zero > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / v_zero.cast("double")),
+    ).otherwise(est_raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("n_regs").cast("long").alias("n_regs"),
+            v_zero.alias("v_zero"),
+            _r6(est).alias("hll_est"),
+        )
+    )
+
+
+def _hex_int_sql(hexpr: str, off: int, n: int) -> str:
+    """DuckDB hex→BIGINT over ``n`` chars of ``hexpr`` starting at
+    1-based ``off``. The positional sum runs in DOUBLE (list_sum of
+    digit · 16^k terms), which is exact only up to 13 hex chars
+    (52 bits); wider values must go through :func:`_hex_int_wide_sql`."""
+    assert n <= 13, "double-precision positional sum is exact to 13 hex chars"
+    return f"""CAST(list_sum(list_transform(generate_series(1, {n}),
+        i -> (strpos('0123456789abcdef', substring({hexpr}, i + {off - 1}, 1)) - 1)
+             * 16 ** ({n} - i))) AS BIGINT)"""
+
+
+def _hex_int_wide_sql(hexpr: str, off: int, n: int) -> str:
+    """Hex→BIGINT for 14-16 chars: split into a high and a low half,
+    convert each exactly (≤ 2^32 per half — exact in double), and
+    recombine in BIGINT arithmetic, where 64-bit products/sums are
+    exact."""
+    lo_n = 8
+    hi_n = n - lo_n
+    hi = _hex_int_sql(hexpr, off, hi_n)
+    lo = _hex_int_sql(hexpr, off + hi_n, lo_n)
+    return f"({hi} * 4294967296 + {lo})"
+
+
+_HLL_H = "md5(CAST(user_id AS VARCHAR) || ':hll')"
+_HLL_POW_SQL = "[" + ", ".join(str(v) for v in _HLL_POW) + "]"
+
+registry.register(
+    "hll_distinct",
+    q_hll_distinct,
+    f"""
+    WITH hashed AS (
+      SELECT event_type,
+             {_hex_int_sql(_HLL_H, 1, 2)} AS reg,
+             {_hex_int_sql(_HLL_H, 3, 8)} AS w,
+             user_id
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, reg,
+             MAX(CASE WHEN w = 0 THEN 33
+                 ELSE 33 - length(bin(w)) END) AS mrho
+      FROM hashed GROUP BY 1, 2
+    ),
+    per_type AS (
+      SELECT event_type, COUNT(*) AS n_regs,
+             SUM(({_HLL_POW_SQL})[mrho]) AS z_present
+      FROM regs GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT p.event_type, e.n_exact,
+           CAST(p.n_regs AS BIGINT) AS n_regs,
+           CAST(256 - p.n_regs AS BIGINT) AS v_zero,
+           FLOOR(
+             CASE WHEN ({_HLL_NUM}) / CAST(p.z_present
+                        + (256 - p.n_regs) * {_HLL_ZERO_TERM} AS DOUBLE)
+                       <= 640.0
+                   AND 256 - p.n_regs > 0
+                  THEN 256.0 * LN(256.0 / CAST(256 - p.n_regs AS DOUBLE))
+                  ELSE ({_HLL_NUM}) / CAST(p.z_present
+                        + (256 - p.n_regs) * {_HLL_ZERO_TERM} AS DOUBLE)
+             END * 1000000.0 + 0.5) / 1000000.0 AS hll_est
+    FROM per_type p JOIN exact e ON p.event_type = e.event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct estimate
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_RANGE = float(1 << 60)  # 15 hex chars
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct-user estimate from the k=64 smallest md5 hash
+    values: est = (k−1) · 2^60 / h_(k) — the KMV/bottom-k sketch.
+
+    Scale shape: distinct hashes reduce per-partition, then
+    orderBy().limit(k) compiles to TakeOrderedAndProject — every
+    partition keeps its own k smallest and only k·partitions rows
+    reach the driver-side merge, never the distinct set. Bottom-k
+    sketches of disjoint shards union losslessly (re-take the k
+    smallest of the union), which is what makes this the
+    cross-dataset overlap primitive (distinct-union / Jaccard)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = ev.select(h.alias("h")).distinct()
+    bottom = hashes.orderBy("h").limit(_KMV_K)
+    stats = bottom.agg(
+        F.count("*").alias("k_used"), F.max("h").alias("h_k")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    est = F.when(F.col("k_used") < _KMV_K, F.col("k_used").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(_KMV_RANGE)
+        / F.col("h_k").cast("double")
+    )
+    return stats.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        F.col("k_used").cast("long").alias("k_used"),
+        "h_k",
+        _r6(est).alias("kmv_est"),
+    )
+
+
+_KMV_H = "md5(CAST(user_id AS VARCHAR) || ':kmv')"
+
+registry.register(
+    "kmv_distinct",
+    q_kmv_distinct,
+    f"""
+    WITH hashes AS (
+      SELECT DISTINCT {_hex_int_wide_sql(_KMV_H, 1, 15)} AS h FROM events
+    ),
+    bottom AS (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K}),
+    stats AS (SELECT COUNT(*) AS k_used, MAX(h) AS h_k FROM bottom),
+    exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+    SELECT e.n_exact, CAST(s.k_used AS BIGINT) AS k_used, s.h_k,
+           FLOOR(CASE WHEN s.k_used < {_KMV_K}
+                      THEN CAST(s.k_used AS DOUBLE)
+                      ELSE {float(_KMV_K - 1)} * {_KMV_RANGE}
+                           / CAST(s.h_k AS DOUBLE) END
+                 * 1000000.0 + 0.5) / 1000000.0 AS kmv_est
+    FROM stats s CROSS JOIN exact e
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning audit: clustered vs unclustered layout
+# ---------------------------------------------------------------------------
+
+_ZM_LO = 9862  # epoch days 1997-01-01
+_ZM_HI = 9951  # epoch days 1997-03-31
+
+
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many storage blocks a shipdate-range predicate could skip
+    under two physical layouts: date-clustered (blocks = calendar
+    months — what a date-partitioned or date-sorted writer produces)
+    vs key-clustered (blocks = orderkey ranges — insert order).
+
+    This is the parquet row-group min/max zone-map model: a block is
+    skippable iff [min, max] misses the predicate range. Per layout:
+    block assignment is a pure column expression (NO global sort —
+    the layouts are modeled, not physically rewritten), the min/max
+    per block is one combinable agg, and the verdict per block is
+    integer comparison. The punchline row pair shows date-clustering
+    turning a ~0% prune rate into skipping every out-of-range month —
+    the quantitative argument for sort-on-write (cf. zorder_value).
+    Dates are exact epoch-day integers (TZ-proof)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    base = li.select(
+        d.alias("d"),
+        F.floor(d / F.lit(30)).cast("long").alias("date_block"),
+        F.floor(F.col("l_orderkey") / F.lit(512)).cast("long").alias(
+            "key_block"
+        ),
+    )
+    is_match = (F.col("d") >= _ZM_LO) & (F.col("d") <= _ZM_HI)
+
+    def layout(block_col: str, name: str) -> DataFrame:
+        blocks = base.groupBy(block_col).agg(
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.count("*").alias("n_rows"),
+            F.sum(is_match.cast("long")).alias("n_match"),
+        )
+        pruned = (F.col("max_d") < _ZM_LO) | (F.col("min_d") > _ZM_HI)
+        return blocks.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").alias("n_blocks"),
+            F.sum(pruned.cast("long")).alias("n_pruned"),
+            F.sum("n_rows").alias("n_rows_total"),
+            F.sum(F.when(pruned, 0).otherwise(F.col("n_rows"))).alias(
+                "n_rows_scanned"
+            ),
+            F.sum("n_match").alias("n_rows_match"),
+        )
+
+    out = layout("date_block", "date_clustered").unionAll(
+        layout("key_block", "key_clustered")
+    )
+    return out.select(
+        "layout",
+        "n_blocks",
+        "n_pruned",
+        "n_rows_total",
+        "n_rows_scanned",
+        "n_rows_match",
+        _r6(
+            F.col("n_pruned").cast("double")
+            / F.col("n_blocks").cast("double")
+        ).alias("prune_rate"),
+        _r6(
+            F.col("n_rows_scanned").cast("double")
+            / F.greatest(F.col("n_rows_match"), F.lit(1)).cast("double")
+        ).alias("scan_amplification"),
+    )
+
+
+_ZM_SQL_TMPL = """
+    SELECT '{name}' AS layout,
+           COUNT(*) AS n_blocks,
+           SUM(CASE WHEN max_d < {lo} OR min_d > {hi}
+               THEN 1 ELSE 0 END) AS n_pruned,
+           SUM(n_rows) AS n_rows_total,
+           SUM(CASE WHEN max_d < {lo} OR min_d > {hi}
+               THEN 0 ELSE n_rows END) AS n_rows_scanned,
+           SUM(n_match) AS n_rows_match,
+           FLOOR(CAST(SUM(CASE WHEN max_d < {lo} OR min_d > {hi}
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS prune_rate,
+           FLOOR(CAST(SUM(CASE WHEN max_d < {lo} OR min_d > {hi}
+                          THEN 0 ELSE n_rows END) AS DOUBLE)
+                 / CAST(GREATEST(SUM(n_match), 1) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS scan_amplification
+    FROM (
+      SELECT {block} AS blk,
+             MIN(d) AS min_d, MAX(d) AS max_d, COUNT(*) AS n_rows,
+             SUM(CASE WHEN d >= {lo} AND d <= {hi}
+                 THEN 1 ELSE 0 END) AS n_match
+      FROM (
+        SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS d,
+               l_orderkey
+        FROM lineitem
+      ) GROUP BY 1
+    )
+"""
+
+registry.register(
+    "zone_map_prune",
+    q_zone_map_prune,
+    _ZM_SQL_TMPL.format(
+        name="date_clustered",
+        block="CAST(FLOOR(d / 30.0) AS BIGINT)",
+        lo=_ZM_LO,
+        hi=_ZM_HI,
+    )
+    + " UNION ALL "
+    + _ZM_SQL_TMPL.format(
+        name="key_clustered",
+        block="CAST(FLOOR(l_orderkey / 512.0) AS BIGINT)",
+        lo=_ZM_LO,
+        hi=_ZM_HI,
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase within 14 days
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 14 * 86400 * 1000000
+
+
+def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ordered conversion funnel: of the users who viewed, how
+    many then clicked AFTER their first view, then purchased AFTER
+    that click, all within 14 days of the first view.
+
+    Order-aware (a purchase before the first view does not count),
+    which is what separates a funnel from three independent distinct
+    counts. Shape: first-view per user is one combinable agg; each
+    later step is a conditional min over the user's events joined
+    against the previous step's timestamp — two shuffles on user_id
+    total (the join and the re-agg share partitioning). Timestamps
+    are exact epoch micros, so step comparisons are integer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("us") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        ev.join(t2.select("user_id", "t1", "t2"), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t1").alias("t1"))
+    )
+    win = F.lit(_FUNNEL_WINDOW_US)
+    n1 = t1.agg(F.count("*").alias("n_view"))
+    n2 = t2.filter(F.col("t2") - F.col("t1") <= win).agg(
+        F.count("*").alias("n_click")
+    )
+    n3 = t3.filter(F.col("t3") - F.col("t1") <= win).agg(
+        F.count("*").alias("n_purchase")
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            _r6(
+                F.col("n_click").cast("double")
+                / F.col("n_view").cast("double")
+            ).alias("view_to_click"),
+            _r6(
+                F.col("n_purchase").cast("double")
+                / F.greatest(F.col("n_click"), F.lit(1)).cast("double")
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+registry.register(
+    "ordered_funnel",
+    q_ordered_funnel,
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    t1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.us) AS t2, MIN(t1.t1) AS t1
+      FROM ev e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.us > t1.t1
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.us) AS t3, MIN(t2.t1) AS t1
+      FROM ev e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.us > t2.t2
+      GROUP BY 1
+    ),
+    n1 AS (SELECT COUNT(*) AS n_view FROM t1),
+    n2 AS (SELECT COUNT(*) AS n_click FROM t2
+           WHERE t2 - t1 <= {_FUNNEL_WINDOW_US}),
+    n3 AS (SELECT COUNT(*) AS n_purchase FROM t3
+           WHERE t3 - t1 <= {_FUNNEL_WINDOW_US})
+    SELECT n_view, n_click, n_purchase,
+           FLOOR(CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS view_to_click,
+           FLOOR(CAST(n_purchase AS DOUBLE)
+                 / CAST(GREATEST(n_click, 1) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS click_to_purchase
+    FROM n1 CROSS JOIN n2 CROSS JOIN n3
+    """,
+)

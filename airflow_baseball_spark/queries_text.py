@@ -219,13 +219,25 @@ registry.register("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_pairs_sql())
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_root) via minhash → LSH edges → CC min-label
-    propagation — the ONE Spark-side construction both dedup_clusters
-    and golden_record run, mirroring the shared _cc_closure_sql()."""
-    from airflow_baseball_spark.operators.connected_components import dedup_clusters
+    propagation — the ONE Spark-side construction dedup_clusters,
+    golden_record, and dedup_cluster_sizes all consume, mirroring the
+    shared _cc_closure_sql(). Materialized ONCE per (session, sf_dir)
+    via operators/graph.materialize_edge_list: the iterative CC
+    subtree is the expensive part, and every consumer after the first
+    reads the checkpointed label table instead of re-running the
+    propagation rounds."""
+    from airflow_baseball_spark.operators.graph import materialize_edge_list
 
-    docs = load_table(spark, sf_dir, "documents")
-    edges = dedup.lsh_candidate_edges(dedup.minhash_signatures(docs))
-    return dedup_clusters(docs, edges)
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from airflow_baseball_spark.operators.connected_components import (
+            dedup_clusters,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        edges = dedup.lsh_candidate_edges(dedup.minhash_signatures(docs))
+        return dedup_clusters(docs, edges)
+
+    return materialize_edge_list(spark, sf_dir, "cluster_labels", build)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -274,10 +274,22 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     order placement during 1997, bucketed by return flag, counting
     critical- vs normal-priority orders. The date-window filter pushes
     to the lineitem scan; the >60-day lag filter runs right on the
-    joined row before the agg."""
+    joined row before the agg.
+
+    TZ-proofing (r5 driver hash-mismatched the TIMESTAMP-literal
+    form): all date comparisons run on exact integer EPOCH DAYS
+    (datediff vs a fixed epoch — the seasonality_dow idiom; both
+    date columns are midnight-exact NTZ timestamps, asserted by
+    tests), so session timezone, ANSI interval semantics, and engine
+    TIMESTAMP coercion rules cannot touch the predicate on either
+    side."""
+    d_97 = 9862  # days from 1970-01-01 to 1997-01-01
+    d_98 = 10227  # days from 1970-01-01 to 1998-01-01
+    epoch = F.lit("1970-01-01").cast("date")
+    ship_d = F.datediff(F.col("l_shipdate"), epoch)
+    order_d = F.datediff(F.col("o_orderdate"), epoch)
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        (ship_d >= F.lit(d_97)) & (ship_d < F.lit(d_98))
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -289,7 +301,7 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when-form sends NULL conditions to otherwise(), matching SQL
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .filter(ship_d > order_d + F.lit(60))
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
@@ -308,9 +320,10 @@ registry.register(
            SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                THEN 0 ELSE 1 END) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01'
-      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    WHERE date_diff('day', DATE '1970-01-01', l.l_shipdate) >= 9862
+      AND date_diff('day', DATE '1970-01-01', l.l_shipdate) < 10227
+      AND date_diff('day', DATE '1970-01-01', l.l_shipdate)
+          > date_diff('day', DATE '1970-01-01', o.o_orderdate) + 60
     GROUP BY 1
     """,
 )

@@ -48,7 +48,11 @@ def _norm_cell(v):
             return "<nan>"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(round(v, 9))
+        # exact shortest-roundtrip repr — NO rounding: the driver
+        # hashes exact values, so a 1-ulp engine difference must fail
+        # HERE first (the r5 1e-9-rounded form let three ulp-level
+        # drifts ship driver-red while locally green)
+        return repr(v)
     if isinstance(v, int):
         return str(v)
     return str(v)

@@ -79,3 +79,83 @@ def test_kcore_monotone_subgraph(spark):
         # peeling only removes edges: residual degree <= original
         assert r.degree <= deg0[r.v]
         assert r.degree >= 1
+
+
+def test_degree_oriented_triangles_hub_graph(spark):
+    """Synthetic power-law-ish hub: the orientation must (a) count
+    triangles exactly, (b) bound every vertex's oriented out-degree
+    by O(sqrt(2E)) — the hub's raw degree must NOT survive as join
+    fanout."""
+    from itertools import combinations
+
+    from airflow_baseball_spark.operators.graph import (
+        enumerate_triangles,
+        orient_edges_by_degree,
+    )
+
+    hub = "HUB"
+    leaves = [f"L{i:02d}" for i in range(40)]
+    edges = [(hub, leaf) for leaf in leaves]
+    # triangles through the hub: leaf-leaf chords
+    edges += [("L00", "L01"), ("L02", "L03"), ("L04", "L05")]
+    # one triangle not touching the hub
+    edges += [("T0", "T1"), ("T1", "T2"), ("T0", "T2")]
+    canon = [tuple(sorted(e)) for e in edges]
+    df = spark.createDataFrame(canon, ["brand_a", "brand_b"])
+
+    # brute-force expected triangle count
+    adjacency: dict[str, set[str]] = {}
+    for a, b in canon:
+        adjacency.setdefault(a, set()).add(b)
+        adjacency.setdefault(b, set()).add(a)
+    verts = sorted(adjacency)
+    expected = sum(
+        1
+        for x, y, z in combinations(verts, 3)
+        if y in adjacency[x] and z in adjacency[x] and z in adjacency[y]
+    )
+    assert expected == 4
+
+    tri = enumerate_triangles(df).collect()
+    assert len(tri) == expected
+    # each triangle appears exactly once, as 3 distinct vertices
+    assert len({tuple(sorted([r.va, r.vb, r.vc])) for r in tri}) == expected
+
+    # fanout bound: oriented out-degree <= sqrt(2E) + 1 everywhere,
+    # and the degree-40+ hub must orient almost everything INWARD
+    o = orient_edges_by_degree(df).collect()
+    out: dict[str, int] = {}
+    for r in o:
+        out[r.src] = out.get(r.src, 0) + 1
+    n_e = len(canon)
+    bound = int((2 * n_e) ** 0.5) + 1
+    assert max(out.values()) <= bound
+    assert out.get(hub, 0) <= 1  # raw degree 43 -> near-zero fanout
+
+
+def test_materialize_edge_list_builds_once(spark):
+    from airflow_baseball_spark.operators.graph import (
+        clear_edge_cache,
+        materialize_edge_list,
+    )
+
+    calls = {"n": 0}
+
+    def build(s, d):
+        calls["n"] += 1
+        return s.createDataFrame(
+            [("A", "B"), ("B", "C")], ["brand_a", "brand_b"]
+        )
+
+    clear_edge_cache()
+    try:
+        a = materialize_edge_list(spark, SF, "t-build-once", build)
+        b = materialize_edge_list(spark, SF, "t-build-once", build)
+        assert calls["n"] == 1  # second call served from the memo
+        assert a is b
+        assert a.count() == 2
+        # different key -> fresh build
+        materialize_edge_list(spark, SF, "t-other-key", build)
+        assert calls["n"] == 2
+    finally:
+        clear_edge_cache()

@@ -1,0 +1,63 @@
+"""Invariant tests for queries_sketch (the oracle diff proves exact
+values; these guard the estimator math and the funnel monotonicity)."""
+
+from __future__ import annotations
+
+from airflow_baseball_spark.queries_sketch import (
+    q_hll_distinct,
+    q_kmv_distinct,
+    q_ordered_funnel,
+    q_zone_map_prune,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_registers_and_error(spark):
+    rows = q_hll_distinct(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_regs <= 256
+        assert r.n_regs + r.v_zero == 256
+        # HLL with m=256: sigma ~= 1.04/sqrt(256) = 6.5% (raw branch),
+        # linear counting much tighter; 5 sigma guard either way
+        assert abs(r.hll_est - r.n_exact) <= max(0.35 * r.n_exact, 10)
+
+
+def test_kmv_estimate(spark):
+    rows = q_kmv_distinct(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k_used <= 64
+    if r.k_used == 64:
+        # KMV k=64: sigma ~= 1/sqrt(62) ~= 12.7%; 5 sigma guard
+        assert abs(r.kmv_est - r.n_exact) <= 0.65 * r.n_exact
+    else:
+        assert r.kmv_est == r.n_exact  # fewer than k: exact by design
+
+
+def test_zone_map_layouts(spark):
+    rows = {r.layout: r for r in q_zone_map_prune(spark, SF).collect()}
+    assert set(rows) == {"date_clustered", "key_clustered"}
+    dc, kc = rows["date_clustered"], rows["key_clustered"]
+    # both layouts cover the identical fact table
+    assert dc.n_rows_total == kc.n_rows_total
+    assert dc.n_rows_match == kc.n_rows_match
+    for r in (dc, kc):
+        assert 0 <= r.n_pruned <= r.n_blocks
+        assert r.n_rows_match <= r.n_rows_scanned <= r.n_rows_total
+    # the punchline: date clustering must actually skip blocks, and
+    # beat the uncorrelated key layout
+    assert dc.prune_rate > kc.prune_rate
+    assert dc.n_pruned > 0
+
+
+def test_funnel_monotone(spark):
+    rows = q_ordered_funnel(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # each step is a strict refinement of the previous one
+    assert r.n_view >= r.n_click >= r.n_purchase >= 0
+    assert r.n_view > 0
+    assert 0.0 <= r.view_to_click <= 1.0
+    assert 0.0 <= r.click_to_purchase <= 1.0
