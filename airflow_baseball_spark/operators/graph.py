@@ -67,8 +67,11 @@ def enumerate_triangles(
     O(sqrt(|E|)) — ordered (vb before vc) in the same (degree, id)
     order as the orientation, so closing probes the oriented edge set
     directly (vb → vc is the only orientation the closing edge can
-    carry)."""
-    o = orient_edges_by_degree(edges, deg, a=a, b=b)
+    carry). The oriented list is referenced three times (both wedge
+    sides + the closing probe), so it is localCheckpoint'ed — without
+    it each reference re-derives the edge subtree (measured 3× plan
+    blowup on the co-purchase graph)."""
+    o = orient_edges_by_degree(edges, deg, a=a, b=b).localCheckpoint()
     left = o.select(
         F.col("src").alias("va"),
         F.col("dst").alias("vb"),
@@ -137,3 +140,51 @@ def materialize_edge_list(
 
 def clear_edge_cache() -> None:
     _EDGE_CACHE.clear()
+
+
+def sssp_bounded(
+    edges_w: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    a: str = "brand_a",
+    b: str = "brand_b",
+    w: str = "w",
+) -> DataFrame:
+    """Bounded-hop single-source cheapest paths (Bellman-Ford relax
+    rounds) over an undirected weighted edge list: (node, cost) for
+    every node reachable from ``sources`` in ≤ ``max_hops`` edges,
+    cost = minimum total weight among such paths.
+
+    The hop bound makes the answer well-defined without a convergence
+    test (and lets an exact SQL oracle unroll the same K rounds).
+    Each round is one join of the current dist table against the
+    symmetrized edges plus a min-regroup — both hash-partitioned on
+    the node id, so the exchanges line up round over round; the dist
+    table is localCheckpoint'ed per round (the lineage-truncation
+    pattern of operators/bfs.py — each round's plan must not replay
+    every earlier round)."""
+    sym = edges_w.select(
+        F.col(a).alias("s"), F.col(b).alias("t"), F.col(w).alias("w")
+    ).unionAll(
+        edges_w.select(
+            F.col(b).alias("s"), F.col(a).alias("t"), F.col(w).alias("w")
+        )
+    )
+    dist = (
+        sources.select(F.col("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(max_hops):
+        cand = dist.join(sym, dist["node"] == sym["s"]).select(
+            F.col("t").alias("node"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist

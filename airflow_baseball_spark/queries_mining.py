@@ -343,6 +343,24 @@ registry.register(
 # ---------------------------------------------------------------------------
 
 
+def _support5_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edges with support >= 5 (the complete-at-any-SF
+    threshold triangle_count and degree_distribution share), derived
+    once per (session, sf_dir): the underlying _brand_pair_counts
+    subtree (fact scan + orderkey self-join) is referenced 4-6× per
+    consumer plan, so materializing the brand²-bounded edge list is
+    the same disposition as _above_avg_edges."""
+    from airflow_baseball_spark.operators.graph import materialize_edge_list
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, support = _brand_pair_counts(spark, sf_dir)
+        return support.filter(F.col("support") >= 5).select(
+            "brand_a", "brand_b"
+        )
+
+    return materialize_edge_list(spark, sf_dir, "support5_edges", build)
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count and transitivity of the co-purchase graph
     (edges = brand pairs with support >= 5, stored brand_a < brand_b).
@@ -358,8 +376,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically (test_graph_metrics asserts the bound on a
     synthetic hub graph). Wedge totals use Σ deg·(deg−1) (exact
     integers), halved once at the end."""
-    _, support = _brand_pair_counts(spark, sf_dir)
-    edges = support.filter(F.col("support") >= 5).select("brand_a", "brand_b")
+    edges = _support5_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("brand_a").alias("v"))
         .unionAll(edges.select(F.col("brand_b").alias("v")))
@@ -651,9 +668,8 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first thing to look at before any graph algorithm, since a
     heavy-tailed histogram is what forces the degree-ordered
     orientation documented in triangle_count. Two tiny aggs over the
-    brand²-bounded edge list."""
-    _, support = _brand_pair_counts(spark, sf_dir)
-    edges = support.filter(F.col("support") >= 5).select("brand_a", "brand_b")
+    (session-memoized) brand²-bounded edge list."""
+    edges = _support5_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("brand_a").alias("v"))
         .unionAll(edges.select(F.col("brand_b").alias("v")))
@@ -2084,3 +2100,88 @@ registry.register(
     GROUP BY k
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted shortest paths on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-path costs from the lexicographically smallest brand to
+    every brand reachable in ≤ 6 hops, edge cost = floor(1e9/support)
+    (strong co-purchase = cheap hop) — the weighted-reachability
+    primitive behind substitution/affinity ranking.
+
+    Bellman-Ford relax rounds (operators/graph.sssp_bounded): the hop
+    bound pins the semantics so a 6-round unrolled CTE replicates the
+    answer exactly; costs are exact BIGINTs throughout (floor of a
+    correctly-rounded double ratio is engine-identical; sums are
+    integer)."""
+    from airflow_baseball_spark.operators.graph import (
+        materialize_edge_list,
+        sssp_bounded,
+    )
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, support = _brand_pair_counts(spark, sf_dir)
+        return support.filter(F.col("support") >= 5).select(
+            "brand_a",
+            "brand_b",
+            F.floor(F.lit(1000000000) / F.col("support"))
+            .cast("long")
+            .alias("w"),
+        )
+
+    edges_w = materialize_edge_list(
+        spark, sf_dir, "support5_weighted", build
+    )
+    source = (
+        edges_w.select(F.col("brand_a").alias("node"))
+        .unionAll(edges_w.select(F.col("brand_b").alias("node")))
+        .agg(F.min("node").alias("node"))
+    )
+    return sssp_bounded(edges_w, source, max_hops=6)
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    d{i} AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM {prev}
+        UNION ALL
+        SELECT e.t AS node, d.cost + e.w AS cost
+        FROM {prev} d JOIN sym e ON d.node = e.s
+      ) GROUP BY 1
+    )""")
+        prev = f"d{i}"
+    return f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT brand_a, brand_b,
+             CAST(FLOOR(1000000000 / support) AS BIGINT) AS w
+      FROM pairs WHERE support >= 5
+    ),
+    sym AS (
+      SELECT brand_a AS s, brand_b AS t, w FROM edges
+      UNION ALL SELECT brand_b, brand_a, w FROM edges
+    ),
+    d0 AS (SELECT MIN(s) AS node, CAST(0 AS BIGINT) AS cost FROM sym),
+    {",".join(steps)}
+    SELECT node, cost FROM {prev}
+    """
+
+
+registry.register("sssp_bounded", q_sssp_bounded, _sssp_sql())

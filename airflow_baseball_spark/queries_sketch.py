@@ -19,7 +19,7 @@ linear-counting branch), per the repo-wide recipe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
@@ -460,5 +460,279 @@ registry.register(
                  / CAST(GREATEST(n_click, 1) AS DOUBLE)
                  * 1000000.0 + 0.5) / 1000000.0 AS click_to_purchase
     FROM n1 CROSS JOIN n2 CROSS JOIN n3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# KMV set-overlap estimate: viewers vs purchasers
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard / intersection-size estimate between two user sets
+    (viewers vs purchasers) from their bottom-64 hash sketches,
+    reported next to the exact numbers.
+
+    The union sketch is the k smallest of A∪B; any of its elements
+    that belongs to A is necessarily inside A's own bottom-k (it
+    beats A's k-th smallest), so membership tests against the two
+    small sketches are EXACT for union-sketch elements — the standard
+    KMV identity. ĵ = |sketch∩A∩B| / k, intersection ≈ ĵ · |A∪B|-est.
+    Scale shape: per-set distinct hashes reduce map-side; each
+    bottom-k is a TakeOrderedAndProject (k rows per partition to the
+    merge); the estimator itself touches 3·k = 192 rows. This is the
+    cross-dataset overlap primitive: sketches of two 100 TB corpora
+    compare in constant memory."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    users = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", h.alias("h")).distinct()
+    bot_a = users.filter(F.col("event_type") == "view").select("h").orderBy("h").limit(_KMV_K)
+    bot_b = users.filter(F.col("event_type") == "purchase").select("h").orderBy("h").limit(_KMV_K)
+    bot_u = (
+        bot_a.unionAll(bot_b).distinct().orderBy("h").limit(_KMV_K)
+    )
+    flagged = (
+        bot_u.join(bot_a.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(bot_b.withColumn("in_b", F.lit(1)), "h", "left")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.max("h").alias("h_k"),
+            F.sum(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both_sketch"),
+        )
+    )
+    ex = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_type", "user_id"
+    ).distinct()
+    a_set = ex.filter(F.col("event_type") == "view").select("user_id")
+    b_set = ex.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        a_set.withColumn("fa", F.lit(1))
+        .join(b_set.withColumn("fb", F.lit(1)), "user_id", "full")
+        .agg(
+            F.sum(F.coalesce("fa", F.lit(0))).alias("n_a"),
+            F.sum(F.coalesce("fb", F.lit(0))).alias("n_b"),
+            F.sum(
+                F.when(
+                    F.col("fa").isNotNull() & F.col("fb").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both_exact"),
+        )
+    )
+    union_est = F.when(
+        F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("h_k").cast("double")
+    )
+    j_est = F.col("n_both_sketch").cast("double") / F.col("k_used").cast("double")
+    return flagged.crossJoin(F.broadcast(exact)).select(
+        "n_a",
+        "n_b",
+        "n_both_exact",
+        _r6(
+            F.col("n_both_exact").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both_exact")).cast(
+                "double"
+            )
+        ).alias("jaccard_exact"),
+        F.col("n_both_sketch").cast("long").alias("n_both_sketch"),
+        _r6(j_est).alias("kmv_jaccard"),
+        _r6(j_est * union_est).alias("kmv_intersection"),
+    )
+
+
+registry.register(
+    "kmv_overlap",
+    q_kmv_overlap,
+    f"""
+    WITH users AS (
+      SELECT DISTINCT event_type,
+             {_hex_int_wide_sql(_KMV_H, 1, 15)} AS h
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    bot_a AS (SELECT h FROM users WHERE event_type = 'view'
+              ORDER BY h LIMIT {_KMV_K}),
+    bot_b AS (SELECT h FROM users WHERE event_type = 'purchase'
+              ORDER BY h LIMIT {_KMV_K}),
+    bot_u AS (SELECT DISTINCT h FROM (
+                SELECT h FROM bot_a UNION ALL SELECT h FROM bot_b)
+              ORDER BY h LIMIT {_KMV_K}),
+    flagged AS (
+      SELECT COUNT(*) AS k_used, MAX(u.h) AS h_k,
+             SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                 THEN 1 ELSE 0 END) AS n_both_sketch
+      FROM bot_u u
+      LEFT JOIN bot_a a ON u.h = a.h
+      LEFT JOIN bot_b b ON u.h = b.h
+    ),
+    ex AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    exact AS (
+      SELECT
+        SUM(CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_b,
+        SUM(CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+            THEN 1 ELSE 0 END) AS n_both_exact
+      FROM (SELECT user_id FROM ex WHERE event_type = 'view') a
+      FULL JOIN (SELECT user_id FROM ex WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id
+    )
+    SELECT e.n_a, e.n_b, e.n_both_exact,
+           FLOOR(CAST(e.n_both_exact AS DOUBLE)
+                 / CAST(e.n_a + e.n_b - e.n_both_exact AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard_exact,
+           CAST(f.n_both_sketch AS BIGINT) AS n_both_sketch,
+           FLOOR(CAST(f.n_both_sketch AS DOUBLE)
+                 / CAST(f.k_used AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS kmv_jaccard,
+           FLOOR(CAST(f.n_both_sketch AS DOUBLE) / CAST(f.k_used AS DOUBLE)
+                 * (CASE WHEN f.k_used < {_KMV_K}
+                         THEN CAST(f.k_used AS DOUBLE)
+                         ELSE {float(_KMV_K - 1)} * {_KMV_RANGE}
+                              / CAST(f.h_k AS DOUBLE) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS kmv_intersection
+    FROM flagged f CROSS JOIN exact e
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers: distance-to-assigned-centroid z-score
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector outlier flag for training-data curation: assign each
+    embedding to its nearest anchor (the first 8 vectors, as in
+    pq_adc_topk), then z-score each vector's distance within its
+    cluster — vectors far from every anchor are mislabeled/corrupt
+    candidates that near-dup filters can't see.
+
+    Exactness: distances are exact BIGINT micro-unit sums (the
+    pq_adc idiom — per-component floor-quantize THEN integer sum, so
+    in-row order is irrelevant); cluster moments Σd and Σd² accumulate
+    in DECIMAL(38,0)/HUGEINT exact integers (Σd² overflows BIGINT at
+    ~5k vectors); μ, σ, z are then identical IEEE expressions on both
+    engines. Scale shape: anchors broadcast; one shuffle groups
+    distances by cluster for moments, one broadcast joins them back —
+    the vector table is scanned once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    term = lambda x, y: F.floor(  # noqa: E731
+        (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    dm = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("cv"), term),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    dmat = emb.crossJoin(F.broadcast(anchors)).select(
+        "vec_id", "cid", dm.alias("dm")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dm", "cid")
+    assigned = (
+        dmat.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dm")
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dm").cast("decimal(38,0)")).alias("sd"),
+        F.sum(
+            (
+                F.col("dm").cast("decimal(19,0)")
+                * F.col("dm").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("sdd"),
+    )
+    mu = F.col("sd").cast("double") / F.col("n").cast("double")
+    var = F.greatest(
+        F.col("sdd").cast("double") / F.col("n").cast("double") - mu * mu,
+        F.lit(0.0),
+    )
+    z = F.when(var == 0.0, F.lit(0.0)).otherwise(
+        (F.col("dm").cast("double") - mu) / F.sqrt(var)
+    )
+    return (
+        assigned.join(F.broadcast(stats), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            "dm",
+            _r6(z).alias("z_dist"),
+            F.when(z > 2.0, 1).otherwise(0).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+_EMB_MICRO = (
+    "(SELECT SUM(CAST(FLOOR((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))"
+    " FROM (SELECT unnest(e.embedding) x, unnest(c.cv) y))"
+)
+
+registry.register(
+    "embedding_outliers",
+    q_embedding_outliers,
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < 8
+    ),
+    dmat AS (
+      SELECT e.vec_id, c.cid, {_EMB_MICRO} AS dm
+      FROM embeddings e CROSS JOIN anchors c
+    ),
+    assigned AS (
+      SELECT vec_id, cid, dm FROM (
+        SELECT vec_id, cid, dm,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dm, cid) AS rn
+        FROM dmat
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT cid, COUNT(*) AS n, SUM(dm) AS sd,
+             SUM(CAST(dm AS HUGEINT) * dm) AS sdd
+      FROM assigned GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.vec_id, a.cid, a.dm,
+             CAST(s.sd AS DOUBLE) / CAST(s.n AS DOUBLE) AS mu,
+             GREATEST(CAST(s.sdd AS DOUBLE) / CAST(s.n AS DOUBLE)
+                      - (CAST(s.sd AS DOUBLE) / CAST(s.n AS DOUBLE))
+                        * (CAST(s.sd AS DOUBLE) / CAST(s.n AS DOUBLE)),
+                      0.0) AS var
+      FROM assigned a JOIN stats s ON a.cid = s.cid
+    )
+    SELECT vec_id, cid, dm,
+           FLOOR(CASE WHEN var = 0.0 THEN 0.0
+                      ELSE (CAST(dm AS DOUBLE) - mu) / SQRT(var) END
+                 * 1000000.0 + 0.5) / 1000000.0 AS z_dist,
+           CAST(CASE WHEN var > 0.0
+                      AND (CAST(dm AS DOUBLE) - mu) / SQRT(var) > 2.0
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+    FROM scored
     """,
 )

@@ -3671,3 +3671,153 @@ registry.register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration: estimated vs true Jaccard per bin
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How biased is the 16-permutation minhash Jaccard estimate?
+    Per true-Jaccard decile (over the LSH candidate pairs), the mean
+    estimated vs mean true similarity — the table that says whether
+    the production dedup threshold (picked on ESTIMATES) corresponds
+    to the intended TRUE similarity. Textbook LSH analysis assumes
+    unbiasedness; short docs + few permutations bias it, so measure.
+
+    Shapes: candidates-only (never all-pairs) — true Jaccard joins the
+    distinct-shingle-code table only for LSH candidate pairs; the
+    estimate is an in-row signature comparison after two broadcast-
+    able signature lookups. Exactness: per-pair true Jaccard is
+    quantized to micro-units by INTEGER division ((inter·1e6) div
+    union — exact, order-free), bins are integer ((inter·10) div
+    union), and both means divide exact integer sums once at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    k = len(dedup._PERMS)
+
+    sh = dedup.shingle_code_arrays(docs).select(
+        "doc_id", F.explode(F.array_distinct("__codes")).alias("code")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), "code"), "id_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "code"),
+            ["id_b", "code"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    match_expr = sum(
+        [
+            F.when(
+                F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1
+            ).otherwise(0)
+            for i in range(k)
+        ],
+        F.lit(0),
+    )
+    est = (
+        cand.join(sigs.alias("a"), cand["id_a"] == F.col("a.doc_id"))
+        .join(sigs.alias("b"), cand["id_b"] == F.col("b.doc_id"))
+        .select("id_a", "id_b", match_expr.alias("n_match"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    pairs = (
+        inter.join(est, ["id_a", "id_b"])
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "n_match",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    true_micro = F.expr("(n_inter * 1000000) DIV n_union")
+    bin_col = F.expr("CAST((n_inter * 10) DIV n_union AS INT)")
+    return (
+        pairs.groupBy(bin_col.alias("true_bin"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(true_micro).alias("s_true"),
+            F.sum("n_match").alias("s_match"),
+        )
+        .select(
+            "true_bin",
+            "n_pairs",
+            _r6(
+                F.col("s_true").cast("double")
+                / (F.col("n_pairs").cast("double") * 1000000.0)
+            ).alias("mean_true_jaccard"),
+            _r6(
+                F.col("s_match").cast("double")
+                / (F.col("n_pairs").cast("double") * float(len(dedup._PERMS)))
+            ).alias("mean_est_jaccard"),
+        )
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    k = len(dedup._PERMS)
+    code = "CAST(unicode(substring(sh, 1, 1)) AS BIGINT)"
+    for i in range(2, 6):
+        code = f"({code} * 31 + CAST(unicode(substring(sh, {i}, 1)) AS BIGINT))"
+    match_sum = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+    WITH sigs AS ({_minhash_sql()}),
+    cand AS ({_lsh_pairs_sql()}),
+    sh_rows AS (
+      SELECT DISTINCT doc_id,
+             substring(text, pos, 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 4, 1))) AS pos
+            FROM documents)
+    ),
+    codes AS (SELECT DISTINCT doc_id, {code} AS code FROM sh_rows),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM codes GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN codes ca ON ca.doc_id = c.id_a
+      JOIN codes cb ON cb.doc_id = c.id_b AND cb.code = ca.code
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b, {match_sum} AS n_match
+      FROM cand c
+      JOIN sigs a ON a.doc_id = c.id_a
+      JOIN sigs b ON b.doc_id = c.id_b
+    ),
+    pairs AS (
+      SELECT e.n_match, i.n_inter,
+             sa.n_sh + sb.n_sh - i.n_inter AS n_union
+      FROM inter i
+      JOIN est e ON e.id_a = i.id_a AND e.id_b = i.id_b
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    )
+    SELECT CAST((n_inter * 10) // n_union AS INTEGER) AS true_bin,
+           COUNT(*) AS n_pairs,
+           FLOOR(CAST(SUM((n_inter * 1000000) // n_union) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_true_jaccard,
+           FLOOR(CAST(SUM(n_match) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * {float(k)})
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_est_jaccard
+    FROM pairs
+    GROUP BY 1
+    """
+
+
+registry.register(
+    "minhash_calibration", q_minhash_calibration, _minhash_calibration_sql()
+)

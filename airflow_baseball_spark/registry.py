@@ -234,6 +234,10 @@ _PRIORITY = [
     "kmv_distinct",
     "zone_map_prune",
     "ordered_funnel",
+    "kmv_overlap",
+    "embedding_outliers",
+    "sssp_bounded",
+    "minhash_calibration",
 ]
 
 

@@ -87,24 +87,14 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
     )
 
 
-def minhash_signatures(
+def shingle_code_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """One row per doc: sig_0..sig_{k-1} minhash values.
-
-    Fully in-row — ZERO shuffle, ZERO row blowup. ``min`` is
-    insensitive to duplicate shingles, so instead of exploding one row
-    per character position and min-aggregating (a ~100× row blowup plus
-    a groupBy exchange), the whole signature is computed with
-    higher-order functions: char-code array once (each char converted
-    once, not 5×), rolling-polynomial shingle codes, then k
-    ``array_min`` permutation scans. At 100 TB this is a pure map
-    stage — signatures stream out of the scan with no exchange at all.
-
-    Staged as three projections (chars → codes → sigs); Catalyst's
-    CollapseProject keeps multi-referenced non-cheap expressions
-    materialized per stage rather than inlining the code array into
-    all k permutation scans."""
+    """(id, __codes): the rolling-polynomial 5-char shingle codes each
+    minhash permutation scans — exposed so consumers that need the
+    shingle UNIVERSE itself (true-Jaccard verification, estimator
+    calibration) share the exact construction the signatures hash.
+    Fully in-row, zero shuffle."""
     text = F.col(text_col)
     chars = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1))),
@@ -127,7 +117,28 @@ def minhash_signatures(
         ),
         shingle,
     )
-    coded = staged.select(F.col(id_col), codes.alias("__codes"))
+    return staged.select(F.col(id_col), codes.alias("__codes"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per doc: sig_0..sig_{k-1} minhash values.
+
+    Fully in-row — ZERO shuffle, ZERO row blowup. ``min`` is
+    insensitive to duplicate shingles, so instead of exploding one row
+    per character position and min-aggregating (a ~100× row blowup plus
+    a groupBy exchange), the whole signature is computed with
+    higher-order functions: char-code array once (each char converted
+    once, not 5×), rolling-polynomial shingle codes, then k
+    ``array_min`` permutation scans. At 100 TB this is a pure map
+    stage — signatures stream out of the scan with no exchange at all.
+
+    Staged as three projections (chars → codes → sigs); Catalyst's
+    CollapseProject keeps multi-referenced non-cheap expressions
+    materialized per stage rather than inlining the code array into
+    all k permutation scans."""
+    coded = shingle_code_arrays(df, text_col=text_col, id_col=id_col)
     sigs = [
         F.array_min(
             F.transform(

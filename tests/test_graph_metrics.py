@@ -159,3 +159,17 @@ def test_materialize_edge_list_builds_once(spark):
         assert calls["n"] == 2
     finally:
         clear_edge_cache()
+
+
+def test_sssp_bounded_invariants(spark):
+    from airflow_baseball_spark.queries_mining import q_sssp_bounded
+
+    rows = q_sssp_bounded(spark, SF).collect()
+    assert rows
+    costs = {r.node: r.cost for r in rows}
+    source = min(costs)  # source is the lexicographically smallest brand
+    assert costs[source] == 0
+    assert all(c >= 0 for c in costs.values())
+    # every non-source cost is at least the cheapest possible edge
+    nonzero = [c for n, c in costs.items() if n != source]
+    assert nonzero and min(nonzero) > 0

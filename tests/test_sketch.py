@@ -61,3 +61,49 @@ def test_funnel_monotone(spark):
     assert r.n_view > 0
     assert 0.0 <= r.view_to_click <= 1.0
     assert 0.0 <= r.click_to_purchase <= 1.0
+
+
+def test_kmv_overlap_bounds(spark):
+    from airflow_baseball_spark.queries_sketch import q_kmv_overlap
+
+    r = q_kmv_overlap(spark, SF).collect()[0]
+    assert r.n_both_exact <= min(r.n_a, r.n_b)
+    assert 0.0 <= r.jaccard_exact <= 1.0
+    assert 0.0 <= r.kmv_jaccard <= 1.0
+    # sketch membership counts can't exceed k
+    assert r.n_both_sketch <= 64
+    # estimator sanity: within a wide guard of truth (k=64 is coarse)
+    assert abs(r.kmv_jaccard - r.jaccard_exact) <= 0.35
+    assert r.kmv_intersection <= (r.n_a + r.n_b) * 1.6
+
+
+def test_embedding_outliers_partition(spark):
+    from airflow_baseball_spark.queries_sketch import q_embedding_outliers
+
+    rows = q_embedding_outliers(spark, SF).collect()
+    # every vector assigned exactly once, to one of the 8 anchors
+    assert len(rows) == len({r.vec_id for r in rows})
+    assert {r.cid for r in rows} <= set(range(8))
+    for r in rows:
+        assert r.dm >= 0
+        assert (r.is_outlier == 1) == (r.z_dist > 2.0)
+    # anchors are distance 0 from themselves -> never outliers
+    own = {r.vec_id: r for r in rows if r.vec_id < 8}
+    for vid, r in own.items():
+        if r.cid == vid:
+            assert r.dm == 0
+
+
+def test_minhash_calibration_bins(spark):
+    from airflow_baseball_spark.queries_text import q_minhash_calibration
+
+    rows = q_minhash_calibration(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.true_bin <= 10
+        assert r.n_pairs >= 1
+        assert 0.0 <= r.mean_true_jaccard <= 1.0
+        assert 0.0 <= r.mean_est_jaccard <= 1.0
+        # the bin's mean true jaccard must sit inside the bin
+        assert r.true_bin / 10.0 <= r.mean_true_jaccard + 1e-9
+        assert r.mean_true_jaccard <= (r.true_bin + 1) / 10.0 + 1e-9
