@@ -1315,15 +1315,30 @@ registry.register(
 # ---------------------------------------------------------------------------
 
 
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b) customer pairs within one name edit, via SymDelete
+    blocking — session-memoized (operators/graph.materialize_edge_list)
+    because fuzzy_name_join and fs_linkage_score both consume it and
+    the blocking+verify pass is the expensive part (~4.6 s at sf0.1)."""
+    from airflow_baseball_spark.operators.graph import materialize_edge_list
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from airflow_baseball_spark.operators.fuzzy import fuzzy_self_join
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name"
+        )
+        return fuzzy_self_join(cust, "c_custkey", "c_name")
+
+    return materialize_edge_list(spark, sf_dir, "fuzzy_name_pairs", build)
+
+
 def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer names within one edit of each other, found via
     SymDelete blocking (operators/fuzzy.py) instead of the all-pairs
     scan the oracle runs — the candidate set is linear in the corpus,
     the exact Levenshtein verify touches candidates only."""
-    from airflow_baseball_spark.operators.fuzzy import fuzzy_self_join
-
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return fuzzy_self_join(cust, "c_custkey", "c_name")
+    return _fuzzy_name_pairs(spark, sf_dir)
 
 
 registry.register(
@@ -1814,3 +1829,134 @@ registry.register(
     FROM curved GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring over the fuzzy candidates
+# ---------------------------------------------------------------------------
+
+# ln(m/u) agreement and ln((1-m)/(1-u)) disagreement weights in exact
+# integer micro-nats, precomputed HERE (plain Python floats at import)
+# so neither engine runs ln at query time and the per-pattern score is
+# a literal integer sum. (m, u) per field are the standard FS
+# conditional-agreement probabilities: P(agree | match) and
+# P(agree | non-match).
+import math as _math
+
+_FS_FIELDS = {
+    # field: (m, u)
+    "name_exact": (0.95, 0.001),
+    "nation_agree": (0.90, 0.04),
+    "segment_agree": (0.85, 0.20),
+}
+_FS_W = {
+    f: (
+        round(_math.log(m / u) * 1_000_000),
+        round(_math.log((1 - m) / (1 - u)) * 1_000_000),
+    )
+    for f, (m, u) in _FS_FIELDS.items()
+}
+_FS_MATCH = 2_000_000  # >= 2 nats of evidence -> match
+_FS_POSSIBLE = 0  # >= 0 nats -> possible / clerical review
+
+
+def q_fs_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over the fuzzy name
+    candidates: each candidate pair's agreement PATTERN across
+    (exact-name, nation, market-segment) maps to a log-odds score —
+    Σ ln(m/u) for agreeing fields, Σ ln((1-m)/(1-u)) for disagreeing —
+    and a match / possible / non_match decision. Reported per pattern
+    (the score is pattern-determined), with pair counts.
+
+    The classic ER scorer on top of blocking: blocking (SymDelete,
+    shared+memoized with fuzzy_name_join) bounds WHO gets compared;
+    FS decides WHAT a comparison means. Exactness: weights are
+    integer micro-nat literals baked at import — the per-pattern
+    score is exact integer arithmetic on both engines."""
+    pairs = _fuzzy_name_pairs(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    agrees = {
+        "name_exact": F.col("name_a") == F.col("name_b"),
+        "nation_agree": F.col("nat_a") == F.col("nat_b"),
+        "segment_agree": F.col("seg_a") == F.col("seg_b"),
+    }
+    score = F.lit(0).cast("long")
+    flags = []
+    for f, cond in agrees.items():
+        wa, wd = _FS_W[f]
+        score = score + F.when(cond, F.lit(wa)).otherwise(F.lit(wd))
+        flags.append(F.when(cond, 1).otherwise(0).cast("int").alias(f))
+    scored = j.select(*flags, score.alias("score_micronats"))
+    cls = (
+        F.when(F.col("score_micronats") >= _FS_MATCH, "match")
+        .when(F.col("score_micronats") >= _FS_POSSIBLE, "possible")
+        .otherwise("non_match")
+    )
+    return (
+        scored.groupBy(
+            "name_exact", "nation_agree", "segment_agree", "score_micronats"
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "name_exact",
+            "nation_agree",
+            "segment_agree",
+            "score_micronats",
+            cls.alias("decision"),
+            "n_pairs",
+        )
+    )
+
+
+def _fs_sql() -> str:
+    terms, flags = [], []
+    for f, cond in [
+        ("name_exact", "a.c_name = b.c_name"),
+        ("nation_agree", "a.c_nationkey = b.c_nationkey"),
+        ("segment_agree", "a.c_mktsegment = b.c_mktsegment"),
+    ]:
+        wa, wd = _FS_W[f]
+        terms.append(f"CASE WHEN {cond} THEN {wa} ELSE {wd} END")
+        flags.append(
+            f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS INTEGER) AS {f}"
+        )
+    return f"""
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a, customer b
+      WHERE a.c_custkey < b.c_custkey
+        AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    scored AS (
+      SELECT {", ".join(flags)},
+             CAST({" + ".join(terms)} AS BIGINT) AS score_micronats
+      FROM pairs p
+      JOIN customer a ON p.id_a = a.c_custkey
+      JOIN customer b ON p.id_b = b.c_custkey
+    )
+    SELECT name_exact, nation_agree, segment_agree, score_micronats,
+           CASE WHEN score_micronats >= {_FS_MATCH} THEN 'match'
+                WHEN score_micronats >= {_FS_POSSIBLE} THEN 'possible'
+                ELSE 'non_match' END AS decision,
+           COUNT(*) AS n_pairs
+    FROM scored
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+registry.register("fs_linkage_score", q_fs_linkage_score, _fs_sql())

@@ -40,31 +40,29 @@ _HLL_ZERO_TERM = 1 << 40  # absent register: rho = 0
 _HLL_NUM = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 1099511627776.0"
 
 
-def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event type via a 256-register HLL sketch,
-    reported next to the exact count so the estimate error is visible.
-
-    Register build is ONE map-side-combinable aggregate: groupBy
-    (event_type, register) → max(rho) never moves more than
-    |groups|·256 rows through the shuffle regardless of fact size —
-    at 100 TB that is the whole point vs COUNT(DISTINCT). The
-    harmonic sum Σ 2^(-rho) is computed as Σ 2^(40-rho) in exact
-    BIGINT (order-invariant), absent registers contribute 2^40 each,
-    and the small-range linear-counting branch (est ≤ 2.5m, zero
-    registers present) uses ln of an exact integer ratio."""
-    ev = load_table(spark, sf_dir, "events")
-    h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":hll")))
+def hll_register_exprs(key_col: str = "user_id"):
+    """(register-index, rho) column pair for one hashed key — the
+    per-row map stage of the HLL sketch. rho = leading zeros of the
+    32-bit pattern + 1 = 33 - bit_length, via string length of bin()
+    (exact integer arithmetic, no libm)."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":hll")))
     idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
-    # rho = leading zeros in the 32-bit pattern + 1 = 33 - bit_length
     rho = F.when(w == 0, F.lit(33)).otherwise(
         F.lit(33) - F.length(F.bin(w))
     )
-    regs = ev.select(
-        "event_type", idx.alias("reg"), rho.alias("rho")
-    ).groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
+    return idx, rho
+
+
+def hll_finalize(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers (group_cols..., reg, mrho) → per-group estimate
+    columns (n_regs, v_zero, hll_est). The harmonic sum runs as
+    Σ 2^(40-mrho) in exact BIGINT via a literal lookup (absent
+    registers contribute 2^40 each), and the small-range linear-
+    counting branch uses ln of an exact integer ratio — the full
+    engine-exactness recipe of the module docstring."""
     pow_lut = F.array(*[F.lit(v) for v in _HLL_POW])
-    per_type = regs.groupBy("event_type").agg(
+    per_group = regs.groupBy(*group_cols).agg(
         F.count("*").alias("n_regs"),
         F.sum(F.element_at(pow_lut, F.col("mrho"))).alias("z_present"),
     )
@@ -79,18 +77,33 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(_HLL_M))
         * F.log(F.lit(float(_HLL_M)) / v_zero.cast("double")),
     ).otherwise(est_raw)
+    return per_group.select(
+        *group_cols,
+        F.col("n_regs").cast("long").alias("n_regs"),
+        v_zero.alias("v_zero"),
+        _r6(est).alias("hll_est"),
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a 256-register HLL sketch,
+    reported next to the exact count so the estimate error is visible.
+
+    Register build is ONE map-side-combinable aggregate: groupBy
+    (event_type, register) → max(rho) never moves more than
+    |groups|·256 rows through the shuffle regardless of fact size —
+    at 100 TB that is the whole point vs COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    idx, rho = hll_register_exprs("user_id")
+    regs = ev.select(
+        "event_type", idx.alias("reg"), rho.alias("rho")
+    ).groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
+    per_type = hll_finalize(regs, ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    return (
-        per_type.join(exact, "event_type")
-        .select(
-            "event_type",
-            "n_exact",
-            F.col("n_regs").cast("long").alias("n_regs"),
-            v_zero.alias("v_zero"),
-            _r6(est).alias("hll_est"),
-        )
+    return per_type.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_regs", "v_zero", "hll_est"
     )
 
 
@@ -734,5 +747,124 @@ registry.register(
                       AND (CAST(dm AS DOUBLE) - mu) / SQRT(var) > 2.0
                      THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
     FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability: daily sketches merged == whole-range sketch
+# ---------------------------------------------------------------------------
+
+
+def _hll_est_sql(n_regs: str, z_present: str) -> str:
+    """The estimate formula over aggregated registers, as one DuckDB
+    expression (same literal tree as hll_finalize)."""
+    z = f"CAST({z_present} + (256 - {n_regs}) * {_HLL_ZERO_TERM} AS DOUBLE)"
+    return f"""FLOOR(
+        CASE WHEN ({_HLL_NUM}) / {z} <= 640.0 AND 256 - {n_regs} > 0
+             THEN 256.0 * LN(256.0 / CAST(256 - {n_regs} AS DOUBLE))
+             ELSE ({_HLL_NUM}) / {z} END
+        * 1000000.0 + 0.5) / 1000000.0"""
+
+
+def q_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes register sketches the scale path:
+    per-day sketches MERGE LOSSLESSLY (register-wise max), so the
+    merged whole-range estimate is bit-identical to the sketch built
+    directly over the whole range. This is how a 100 TB corpus gets
+    incremental distinct counts — build tiny per-partition/per-day
+    register tables at ingest, merge on demand — and this query
+    PROVES the identity on real data instead of asserting it in a
+    comment: est_equal must be 1.
+
+    Shapes: the daily register table is |days|·256 rows; the merge is
+    a 256-row max-regroup. The direct sketch shares the same map
+    stage. One fact scan feeds both."""
+    ev = load_table(spark, sf_dir, "events")
+    idx, rho = hll_register_exprs("user_id")
+    day = F.date_trunc("day", F.col("ts"))
+    base = ev.select(
+        day.alias("day"), idx.alias("reg"), rho.alias("rho")
+    )
+    daily = base.groupBy("day", "reg").agg(F.max("rho").alias("mrho"))
+    merged = hll_finalize(
+        daily.groupBy("reg").agg(F.max("mrho").alias("mrho")).select(
+            F.lit(1).alias("g"), "reg", "mrho"
+        ),
+        ["g"],
+    )
+    direct = hll_finalize(
+        base.groupBy("reg").agg(F.max("rho").alias("mrho")).select(
+            F.lit(1).alias("g"), "reg", "mrho"
+        ),
+        ["g"],
+    )
+    n_days = daily.select("day").distinct().agg(
+        F.count("*").alias("n_days")
+    )
+    m = merged.select(
+        F.col("hll_est").alias("merged_est"),
+        F.col("n_regs").alias("merged_regs"),
+    )
+    d = direct.select(
+        F.col("hll_est").alias("direct_est"),
+        F.col("n_regs").alias("direct_regs"),
+    )
+    return (
+        m.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "merged_regs",
+            "direct_regs",
+            "merged_est",
+            "direct_est",
+            F.when(F.col("merged_est") == F.col("direct_est"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("est_equal"),
+        )
+    )
+
+
+registry.register(
+    "hll_daily_merge",
+    q_hll_daily_merge,
+    f"""
+    WITH base AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {_hex_int_sql(_HLL_H, 1, 2)} AS reg,
+             CASE WHEN {_hex_int_sql(_HLL_H, 3, 8)} = 0 THEN 33
+                  ELSE 33 - length(bin({_hex_int_sql(_HLL_H, 3, 8)})) END
+               AS rho
+      FROM events
+    ),
+    daily AS (
+      SELECT day, reg, MAX(rho) AS mrho FROM base GROUP BY 1, 2
+    ),
+    merged_regs AS (
+      SELECT reg, MAX(mrho) AS mrho FROM daily GROUP BY 1
+    ),
+    direct_regs AS (
+      SELECT reg, MAX(rho) AS mrho FROM base GROUP BY 1
+    ),
+    m AS (
+      SELECT COUNT(*) AS n_regs,
+             SUM(({_HLL_POW_SQL})[mrho]) AS z FROM merged_regs
+    ),
+    d AS (
+      SELECT COUNT(*) AS n_regs,
+             SUM(({_HLL_POW_SQL})[mrho]) AS z FROM direct_regs
+    ),
+    nd AS (SELECT COUNT(DISTINCT day) AS n_days FROM daily)
+    SELECT nd.n_days,
+           CAST(m.n_regs AS BIGINT) AS merged_regs,
+           CAST(d.n_regs AS BIGINT) AS direct_regs,
+           {_hll_est_sql("m.n_regs", "m.z")} AS merged_est,
+           {_hll_est_sql("d.n_regs", "d.z")} AS direct_est,
+           CAST(CASE WHEN {_hll_est_sql("m.n_regs", "m.z")}
+                        = {_hll_est_sql("d.n_regs", "d.z")}
+                THEN 1 ELSE 0 END AS INTEGER) AS est_equal
+    FROM m CROSS JOIN d CROSS JOIN nd
     """,
 )

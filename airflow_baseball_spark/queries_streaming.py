@@ -371,3 +371,49 @@ registry.register(
     ) WHERE rk <= 3
     """,
 )
+
+
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per day window as a streaming job
+    whose state is an HLL register sketch — ≤256 state rows per open
+    window vs one-per-user for the exact form (stream_windowed_users
+    pins the exact semantics; this pins the constant-state scale
+    path). Oracle: batch SQL rebuilding the identical registers per
+    day and applying the same estimate formula — the stream must land
+    bit-for-bit on the batch sketch."""
+    return jobs.run_hll_windowed_available_now(spark, sf_dir)
+
+
+def _stream_hll_sql() -> str:
+    from airflow_baseball_spark.queries_sketch import (
+        _hex_int_sql,
+        _hll_est_sql,
+        _HLL_H,
+        _HLL_POW_SQL,
+    )
+
+    return f"""
+    WITH base AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             {_hex_int_sql(_HLL_H, 1, 2)} AS reg,
+             CASE WHEN {_hex_int_sql(_HLL_H, 3, 8)} = 0 THEN 33
+                  ELSE 33 - length(bin({_hex_int_sql(_HLL_H, 3, 8)})) END
+               AS rho
+      FROM events
+    ),
+    regs AS (
+      SELECT window_start, reg, MAX(rho) AS mrho FROM base GROUP BY 1, 2
+    ),
+    per_day AS (
+      SELECT window_start, COUNT(*) AS n_regs,
+             SUM(({_HLL_POW_SQL})[mrho]) AS z FROM regs GROUP BY 1
+    )
+    SELECT window_start,
+           CAST(n_regs AS BIGINT) AS n_regs,
+           CAST(256 - n_regs AS BIGINT) AS v_zero,
+           {_hll_est_sql("n_regs", "z")} AS hll_est
+    FROM per_day
+    """
+
+
+registry.register("stream_hll_users", q_stream_hll_users, _stream_hll_sql())

@@ -238,6 +238,9 @@ _PRIORITY = [
     "embedding_outliers",
     "sssp_bounded",
     "minhash_calibration",
+    "hll_daily_merge",
+    "stream_hll_users",
+    "fs_linkage_score",
 ]
 
 

@@ -656,3 +656,47 @@ def run_window_topk_available_now(
             F.col("rk").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL: windowed distinct-user estimate via register sketch
+# ---------------------------------------------------------------------------
+
+
+def hll_windowed_registers(
+    events: DataFrame, window: str = "1 day", lateness: str = "1 hour"
+) -> DataFrame:
+    """Per-window HLL registers as a STREAMING aggregate: the state
+    store holds at most 256 rows per open window (one max-rho per
+    register) — constant state per window regardless of stream
+    volume, where the exact windowed-distinct job
+    (windowed_distinct_users) holds one state row PER USER per
+    window. max() is the register merge, so late/out-of-order rows
+    within the watermark fold in for free; this is the streaming
+    face of the batch sketch (queries_sketch.hll_register_exprs —
+    identical hash/register construction, one oracle semantics)."""
+    from airflow_baseball_spark.queries_sketch import hll_register_exprs
+
+    idx, rho = hll_register_exprs("user_id")
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window).alias("w"), idx.alias("reg"))
+        .agg(F.max(rho).alias("mrho"))
+    )
+
+
+def run_hll_windowed_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain the streaming register build, then finalize estimates per
+    window as a batch step over the tiny (windows × 256) register
+    table — sketch state is the streaming OUTPUT; the estimate
+    formula never runs inside the stream."""
+    from airflow_baseball_spark.queries_sketch import hll_finalize
+
+    ev = read_events_stream(spark, sf_dir)
+    regs = _drain_to_memory(hll_windowed_registers(ev), "complete")
+    flat = regs.select(
+        F.col("w.start").alias("window_start"), "reg", "mrho"
+    )
+    return hll_finalize(flat, ["window_start"])

@@ -92,3 +92,30 @@ def test_connected_components_golden(spark):
         r["doc_id"]: r["cluster_root"] for r in dedup_clusters(docs, edges).collect()
     }
     assert clustered == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_fs_linkage_score_patterns(spark):
+    from airflow_baseball_spark.queries_relational import (
+        _FS_W,
+        q_fs_linkage_score,
+    )
+
+    rows = q_fs_linkage_score(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # score is pattern-determined: recompute from the weights
+        expect = sum(
+            _FS_W[f][0] if getattr(r, f) == 1 else _FS_W[f][1]
+            for f in ("name_exact", "nation_agree", "segment_agree")
+        )
+        assert r.score_micronats == expect
+        if r.score_micronats >= 2_000_000:
+            assert r.decision == "match"
+        elif r.score_micronats >= 0:
+            assert r.decision == "possible"
+        else:
+            assert r.decision == "non_match"
+        assert r.n_pairs >= 1
+    # agreement weights must be positive, disagreement negative
+    for wa, wd in _FS_W.values():
+        assert wa > 0 > wd

@@ -107,3 +107,52 @@ def test_minhash_calibration_bins(spark):
         # the bin's mean true jaccard must sit inside the bin
         assert r.true_bin / 10.0 <= r.mean_true_jaccard + 1e-9
         assert r.mean_true_jaccard <= (r.true_bin + 1) / 10.0 + 1e-9
+
+
+def test_hll_daily_merge_identity(spark):
+    from airflow_baseball_spark.queries_sketch import q_hll_daily_merge
+
+    r = q_hll_daily_merge(spark, SF).collect()[0]
+    # THE property: merged daily sketches == whole-range sketch
+    assert r.est_equal == 1
+    assert r.merged_regs == r.direct_regs
+    assert r.merged_est == r.direct_est
+    assert r.n_days >= 1
+
+
+def test_stream_hll_matches_batch_sketch(spark):
+    from airflow_baseball_spark.queries_sketch import (
+        hll_finalize,
+        hll_register_exprs,
+    )
+    from airflow_baseball_spark.queries_streaming import q_stream_hll_users
+    from airflow_baseball_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    stream_rows = {
+        r.window_start: r for r in q_stream_hll_users(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    idx, rho = hll_register_exprs("user_id")
+    regs = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("window_start"),
+            idx.alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("window_start", "reg")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    batch_rows = {
+        r.window_start: r
+        for r in hll_finalize(regs, ["window_start"]).collect()
+    }
+    assert stream_rows.keys() == batch_rows.keys()
+    for k, s in stream_rows.items():
+        b = batch_rows[k]
+        # the streaming sketch must land bit-for-bit on the batch one
+        assert (s.n_regs, s.v_zero, s.hll_est) == (
+            b.n_regs,
+            b.v_zero,
+            b.hll_est,
+        )
