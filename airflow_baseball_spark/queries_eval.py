@@ -2167,3 +2167,101 @@ registry.register(
     FROM staged
     """,
 )
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a
+    class of 50 identical-looking customers still leaks if they all
+    share one SENSITIVE value (homogeneity attack). Under the same
+    quasi-identifier as k_anonymity (nation, segment, $100-bucketed
+    balance), treating the ORDER PRIORITY MIX of a customer's orders
+    as the sensitive attribute: per segment, how many equivalence
+    classes have < 2 distinct sensitive values among their members,
+    and how many rows sit in those homogeneous classes.
+
+    Counts only; the distinct-sensitive count per class is one
+    two-level combinable aggregate (distinct at (class, sensitive)
+    grain first, never a set collect)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    bal_bucket = F.expr(
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
+    )
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        bal_bucket.alias("bal100"),
+    ).join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+    sens = F.coalesce(F.col("o_orderpriority"), F.lit("<none>"))
+    cls_sens = base.groupBy(
+        "c_mktsegment", "c_nationkey", "bal100", sens.alias("s")
+    ).agg(F.countDistinct("c_custkey").alias("n_members_s"))
+    classes = cls_sens.groupBy("c_mktsegment", "c_nationkey", "bal100").agg(
+        F.count("*").alias("l_distinct"),
+    )
+    members = base.groupBy("c_mktsegment", "c_nationkey", "bal100").agg(
+        F.countDistinct("c_custkey").alias("n_members")
+    )
+    audit = classes.join(
+        members, ["c_mktsegment", "c_nationkey", "bal100"]
+    )
+    return (
+        audit.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(F.when(F.col("l_distinct") < 2, 1).otherwise(0)).alias(
+                "n_homogeneous_classes"
+            ),
+            F.sum(
+                F.when(F.col("l_distinct") < 2, F.col("n_members")).otherwise(
+                    0
+                )
+            ).alias("n_exposed_members"),
+            F.min("l_distinct").alias("min_l"),
+        )
+    )
+
+
+registry.register(
+    "l_diversity",
+    q_l_diversity,
+    """
+    WITH base AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 10000 AS bal100,
+             COALESCE(o.o_orderpriority, '<none>') AS s
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    ),
+    cls_sens AS (
+      SELECT c_mktsegment, c_nationkey, bal100, s,
+             COUNT(DISTINCT c_custkey) AS n_members_s
+      FROM base GROUP BY 1, 2, 3, 4
+    ),
+    classes AS (
+      SELECT c_mktsegment, c_nationkey, bal100,
+             COUNT(*) AS l_distinct
+      FROM cls_sens GROUP BY 1, 2, 3
+    ),
+    members AS (
+      SELECT c_mktsegment, c_nationkey, bal100,
+             COUNT(DISTINCT c_custkey) AS n_members
+      FROM base GROUP BY 1, 2, 3
+    )
+    SELECT cl.c_mktsegment,
+           COUNT(*) AS n_classes,
+           SUM(CASE WHEN cl.l_distinct < 2 THEN 1 ELSE 0 END)
+             AS n_homogeneous_classes,
+           SUM(CASE WHEN cl.l_distinct < 2 THEN m.n_members ELSE 0 END)
+             AS n_exposed_members,
+           MIN(cl.l_distinct) AS min_l
+    FROM classes cl
+    JOIN members m ON cl.c_mktsegment = m.c_mktsegment
+                  AND cl.c_nationkey = m.c_nationkey
+                  AND cl.bal100 = m.bal100
+    GROUP BY 1
+    """,
+)

@@ -1655,3 +1655,234 @@ registry.register(
     FROM ranked GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend + Kendall tau over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, v, c): epoch day, exact revenue cents, order count — the
+    shared base for the pairwise trend/concordance statistics. Days-
+    sized (≤ a few thousand rows at ANY fact scale — the time
+    dimension doesn't grow with data volume, so the day×day pair
+    tables below are scale-INVARIANT even at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    return o.groupBy(d.alias("d")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            * F.lit(100)
+        )
+        .cast("bigint")
+        .alias("v"),
+        F.count("*").alias("c"),
+    )
+
+
+def _floor_div(a, b):
+    """Exact floor(a/b) for BIGINT a and POSITIVE BIGINT b as pure
+    integer arithmetic: both engines' % keeps the dividend's sign, so
+    ((a % b) + b) % b is the canonical non-negative remainder and the
+    quotient is exact — no double ratio whose 53-bit mantissa would
+    clip a large numerator (Spark `div` truncates toward zero while
+    DuckDB `//` floors, so neither builtin is portable on negatives)."""
+    r = ((a % b) + b) % b
+    return (a - r) / b
+
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes (v_j - v_i)/(d_j - d_i), next to the OLS slope it
+    robustifies (up to ~29% outlier days cannot move it). Slopes are
+    quantized to exact integer micro-cents/day by the portable
+    floor-division above; the median is the ⌈n/2⌉-th smallest value
+    (percentile_disc semantics — row_number over the value order,
+    deterministic). The day×day pair table is scale-invariant (see
+    _daily_series)."""
+    daily = _daily_series(spark, sf_dir)
+    a = daily.select(
+        F.col("d").alias("da"), F.col("v").alias("va")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        _floor_div(
+            (F.col("vb") - F.col("va")) * F.lit(1000000),
+            F.col("db") - F.col("da"),
+        )
+        .cast("long")
+        .alias("slope_micro")
+    )
+    w = Window.orderBy("slope_micro")
+    w_all = Window.partitionBy()
+    med = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(
+            F.col("slope_micro").alias("median_slope_micro"),
+            F.col("n").alias("n_pairs"),
+        )
+    )
+    stats = daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum("d").alias("sd"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("d") * F.col("v")).alias("sdv"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+    )
+    ols = (
+        F.col("n_days").cast("double") * F.col("sdv").cast("double")
+        - F.col("sd").cast("double") * F.col("sv").cast("double")
+    ) / (
+        F.col("n_days").cast("double") * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd").cast("double")
+    )
+    return (
+        stats.crossJoin(F.broadcast(med))
+        .select(
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "median_slope_micro",
+            _r6(
+                F.col("median_slope_micro").cast("double") / 1000000.0
+            ).alias("ts_slope_cents"),
+            _r6(ols).alias("ols_slope_cents"),
+        )
+    )
+
+
+def _theil_sen_sql() -> str:
+    fd = (
+        "(((vb - va) * 1000000)"
+        " - ((((vb - va) * 1000000) % (db - da)) + (db - da)) % (db - da))"
+        " / (db - da)"
+    )
+    return f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST({fd} AS BIGINT) AS slope_micro
+      FROM daily a(da, va, ca) JOIN daily b(db, vb, cb) ON a.da < b.db
+    ),
+    med AS (
+      SELECT slope_micro AS median_slope_micro FROM (
+        SELECT slope_micro,
+               ROW_NUMBER() OVER (ORDER BY slope_micro) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pairs
+      ) WHERE rn = (n + 1) // 2
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_days, SUM(d) AS sd, SUM(v) AS sv,
+             SUM(d * v) AS sdv, SUM(d * d) AS sdd
+      FROM daily
+    ),
+    np AS (SELECT COUNT(*) AS n_pairs FROM pairs)
+    SELECT s.n_days, CAST(np.n_pairs AS BIGINT) AS n_pairs,
+           m.median_slope_micro,
+           FLOOR(CAST(m.median_slope_micro AS DOUBLE) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS ts_slope_cents,
+           FLOOR((CAST(s.n_days AS DOUBLE) * CAST(s.sdv AS DOUBLE)
+                  - CAST(s.sd AS DOUBLE) * CAST(s.sv AS DOUBLE))
+                 / (CAST(s.n_days AS DOUBLE) * CAST(s.sdd AS DOUBLE)
+                    - CAST(s.sd AS DOUBLE) * CAST(s.sd AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ols_slope_cents
+    FROM stats s CROSS JOIN med m CROSS JOIN np
+    """
+
+
+registry.register("theil_sen_slope", q_theil_sen_slope, _theil_sen_sql())
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b concordance between daily revenue and daily order
+    count — the pure-integer rank correlation (spearman_rank_corr's
+    complement: tau counts concordant/discordant PAIRS, so every
+    sufficient statistic is an exact integer and ties are handled by
+    the tau-b denominator, not by fractional average ranks). The
+    day×day pair table is scale-invariant (see _daily_series)."""
+    daily = _daily_series(spark, sf_dir)
+    a = daily.select(
+        F.col("d").alias("da"), F.col("v").alias("va"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("v").alias("vb"), F.col("c").alias("cb")
+    )
+    sv = F.signum((F.col("vb") - F.col("va")).cast("double")).cast("int")
+    sc = F.signum((F.col("cb") - F.col("ca")).cast("double")).cast("int")
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        sv.alias("sv"), sc.alias("sc")
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when((F.col("sv") * F.col("sc")) == 1, 1).otherwise(0)).alias(
+            "n_concordant"
+        ),
+        F.sum(
+            F.when((F.col("sv") * F.col("sc")) == -1, 1).otherwise(0)
+        ).alias("n_discordant"),
+        F.sum(F.when(F.col("sv") == 0, 1).otherwise(0)).alias("n_tied_v"),
+        F.sum(F.when(F.col("sc") == 0, 1).otherwise(0)).alias("n_tied_c"),
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    tau = (
+        (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+        / F.sqrt(
+            (F.col("n0") - F.col("n_tied_v")).cast("double")
+            * (F.col("n0") - F.col("n_tied_c")).cast("double")
+        )
+    )
+    return agg.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        "n_concordant",
+        "n_discordant",
+        "n_tied_v",
+        "n_tied_c",
+        _r6(tau).alias("tau_b"),
+    )
+
+
+registry.register(
+    "kendall_tau",
+    q_kendall_tau,
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SIGN(b.vb - a.va) AS INTEGER) AS sv,
+             CAST(SIGN(b.cb - a.ca) AS INTEGER) AS sc
+      FROM daily a(da, va, ca) JOIN daily b(db, vb, cb) ON a.da < b.db
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             SUM(CASE WHEN sv * sc = 1 THEN 1 ELSE 0 END) AS n_concordant,
+             SUM(CASE WHEN sv * sc = -1 THEN 1 ELSE 0 END) AS n_discordant,
+             SUM(CASE WHEN sv = 0 THEN 1 ELSE 0 END) AS n_tied_v,
+             SUM(CASE WHEN sc = 0 THEN 1 ELSE 0 END) AS n_tied_c
+      FROM pairs
+    ),
+    nd AS (SELECT COUNT(*) AS n_days FROM daily)
+    SELECT nd.n_days, agg.n0 AS n_pairs,
+           agg.n_concordant, agg.n_discordant, agg.n_tied_v, agg.n_tied_c,
+           FLOOR(CAST(agg.n_concordant - agg.n_discordant AS DOUBLE)
+                 / SQRT(CAST(agg.n0 - agg.n_tied_v AS DOUBLE)
+                        * CAST(agg.n0 - agg.n_tied_c AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+    FROM agg CROSS JOIN nd
+    """,
+)

@@ -241,6 +241,9 @@ _PRIORITY = [
     "hll_daily_merge",
     "stream_hll_users",
     "fs_linkage_score",
+    "theil_sen_slope",
+    "kendall_tau",
+    "l_diversity",
 ]
 
 

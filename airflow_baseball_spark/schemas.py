@@ -42,14 +42,25 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table (columnar scan; Catalyst prunes).
 
+    Session-TZ pinning: timestamp calendar ops (window, date_trunc,
+    hour, NTZ→LTZ casts) read ``spark.sql.session.timeZone`` at
+    EXECUTION time, and this engine's query surface is built against
+    UTC-naive oracle semantics. Our own sessions pin UTC
+    (session.py:41), but the driver calls queries with ITS session —
+    pinning here makes every query deterministic under ANY caller
+    session (audited: 19 window/as-of/sessionize queries flipped
+    under America/New_York before this line; 0 after). Same
+    session-conf-at-load precedent as the nanosAsLong flag below.
+
     ``events.parquet`` has shipped ``ts`` two ways across testdata
     generations: nanosecond-precision (which Spark's vectorized reader
     rejects unless read as longs via the legacy flag, then rebuilt as a
     µs timestamp — `ts div 1000` matches DuckDB's ns→µs truncation) and
     native µs (reads as TIMESTAMP_NTZ directly). Handle both; the NTZ
-    form is cast to session-local TIMESTAMP (session tz is pinned UTC,
-    session.py:41, so wall-clock values are identical either way).
+    form is cast to session-local TIMESTAMP (UTC per the pin above, so
+    wall-clock values are identical either way).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

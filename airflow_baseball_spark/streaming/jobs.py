@@ -58,6 +58,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     filesystem check, not by catching read errors — a corrupt footer
     or FS fault must fail loudly here, not silently misparse the whole
     stream under the wrong schema (same rule as operators/upsert.py)."""
+    # session-TZ pin: streaming window()/watermark boundaries read the
+    # session timezone at execution — pin UTC so the stream jobs are
+    # deterministic under any caller session (cf. schemas.load_table)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = f"{sf_dir}/events.parquet"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(probe)  # noqa: SLF001

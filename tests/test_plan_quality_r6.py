@@ -1,0 +1,100 @@
+"""Physical-plan assertions for the round-6 operators: the sketch
+register build must combine map-side, anchors/dimensions must
+broadcast, the salted wedge join and the degree-oriented triangle
+join must be real equi-joins (no cartesian), and the funnel must not
+materialize more than its two user-keyed shuffles."""
+
+from __future__ import annotations
+
+from tests.oracle_harness import plan_str as _plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_register_agg_is_partial(spark):
+    """The scale claim: registers reduce map-side. The plan must show
+    partial+final HashAggregate pairs (no single-pass object agg) and
+    no Python stage at all."""
+    from airflow_baseball_spark.queries_sketch import q_hll_distinct
+
+    plan = _plan(q_hll_distinct(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # partial+final x (regs, exact)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_kmv_bottom_k_is_take_ordered(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge, never a global sort."""
+    from airflow_baseball_spark.queries_sketch import q_kmv_distinct
+
+    plan = _plan(q_kmv_distinct(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_outliers_broadcasts_anchors_and_stats(spark):
+    """Both small sides (8 anchors, 8 cluster-stat rows) must
+    broadcast; the vector table is scanned, never shuffled for a
+    sort-merge join."""
+    from airflow_baseball_spark.queries_sketch import q_embedding_outliers
+
+    plan = _plan(q_embedding_outliers(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_enumeration_has_no_cartesian(spark):
+    """The oriented wedge self-join and the closing probe are both
+    equi-joins; orientation must not smuggle in a nested-loop join."""
+    from airflow_baseball_spark.queries_mining import q_triangle_count
+
+    plan = _plan(q_triangle_count(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the wedge self-join and closing probe are equi-joins (hash or
+    # sort-merge, whichever stats pick); the only nested-loop joins
+    # are the intended 1-row scalar crossJoins
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_node_jaccard_salted_join_is_equi(spark):
+    """The salted wedge join must key on (c, salt) — a hash join —
+    and the salt explode must appear as a Generate, not a join."""
+    from airflow_baseball_spark.queries_mining import q_node_jaccard
+
+    plan = _plan(q_node_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    assert "Generate" in plan  # the 8-way salt replication
+
+
+def test_sssp_round_is_hash_partitioned(spark):
+    """Each relax round is a join + min-regroup on the node id; the
+    final plan must be hash-join + hash-aggregate over the
+    checkpointed previous round (lineage truncated, so exactly one
+    round's operators appear above the checkpoint scan)."""
+    from airflow_baseball_spark.queries_mining import q_sssp_bounded
+
+    plan = _plan(q_sssp_bounded(spark, SF))
+    assert "CartesianProduct" not in plan
+    # lineage truncation: the visible plan is one round deep, reading
+    # the prior round's checkpoint, not a 6-round join tower
+    assert plan.count("HashAggregate") <= 6
+
+
+def test_ordered_funnel_no_python_and_no_cartesian(spark):
+    from airflow_baseball_spark.queries_sketch import q_ordered_funnel
+
+    plan = _plan(q_ordered_funnel(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zone_map_prune_single_scan_per_layout(spark):
+    """Each layout is groupBy(block) + one summary agg over the block
+    table — pure aggregates, no join, no window over the fact."""
+    from airflow_baseball_spark.queries_sketch import q_zone_map_prune
+
+    plan = _plan(q_zone_map_prune(spark, SF))
+    assert "Join" not in plan.replace("Adaptive", "")
+    assert "Window" not in plan

@@ -208,3 +208,18 @@ def test_churn_baseline_cells(spark):
     assert 0.0 <= r.precision <= 1.0
     assert 0.0 <= r.recall <= 1.0
     assert 0.0 <= r.f1 <= 1.0
+
+
+def test_l_diversity_bounds(spark):
+    from airflow_baseball_spark.queries_eval import q_l_diversity
+
+    rows = q_l_diversity(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_homogeneous_classes <= r.n_classes
+        assert r.min_l >= 1
+        # exposed members live only in homogeneous classes
+        if r.n_homogeneous_classes == 0:
+            assert r.n_exposed_members == 0
+        else:
+            assert r.n_exposed_members >= r.n_homogeneous_classes

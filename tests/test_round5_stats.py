@@ -166,3 +166,22 @@ def test_cvm_nonneg(spark):
     r = q_cvm_statistic(spark, SF).collect()[0]
     assert r.cvm_t >= 0
     assert r.n_purchase > 0 and r.n_click > 0
+
+
+def test_theil_sen_and_kendall_invariants(spark):
+    from airflow_baseball_spark.queries_stats import (
+        q_kendall_tau,
+        q_theil_sen_slope,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ts = q_theil_sen_slope(spark, sf).collect()[0]
+    assert ts.n_pairs == ts.n_days * (ts.n_days - 1) // 2
+    # median slope sits between the min and max possible slopes -> the
+    # reported double mirrors the integer micro value
+    assert abs(ts.ts_slope_cents - ts.median_slope_micro / 1e6) < 1e-6
+
+    kt = q_kendall_tau(spark, sf).collect()[0]
+    assert kt.n_pairs == kt.n_days * (kt.n_days - 1) // 2
+    assert kt.n_concordant + kt.n_discordant <= kt.n_pairs
+    assert -1.0 <= kt.tau_b <= 1.0
