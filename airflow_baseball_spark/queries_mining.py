@@ -2185,3 +2185,167 @@ def _sssp_sql(rounds: int = 6) -> str:
 
 
 registry.register("sssp_bounded", q_sssp_bounded, _sssp_sql())
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (mode-based, synchronous bounded rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels on the co-purchase graph via synchronous
+    label propagation: each round every vertex adopts the MODE of its
+    neighbors' labels (ties to the smallest label), starting from
+    self-labels. Mode-based updates are what separates LPA from the
+    min-label connected-components machinery — labels can coexist
+    inside one component, which is the community signal.
+
+    Bounded at 3 synchronous rounds so the semantics are exact (LPA
+    has no canonical fixed point; the bounded form is deterministic
+    and lets the oracle unroll the identical rounds). Each round is
+    one neighbor join + one (v, lbl) count + one per-v argmax window
+    — all keyed on the vertex id, localCheckpoint'ed per round."""
+    edges = _above_avg_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("brand_a").alias("v"), F.col("brand_b").alias("u")
+    ).unionAll(
+        edges.select(F.col("brand_b").alias("v"), F.col("brand_a").alias("u"))
+    ).localCheckpoint()
+    labels = sym.select("v").distinct().withColumn(
+        "lbl", F.col("v")
+    ).localCheckpoint()
+    for _ in range(_LPA_ROUNDS):
+        nbr = sym.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("v").orderBy(
+            F.col("n").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        "v", "lbl", "n_members"
+    )
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    l{i} AS (
+      SELECT v, lbl FROM (
+        SELECT c.v, c.lbl,
+               ROW_NUMBER() OVER (PARTITION BY c.v
+                                  ORDER BY c.n DESC, c.lbl ASC) AS rn
+        FROM (
+          SELECT s.v, p.lbl, COUNT(*) AS n
+          FROM sym s JOIN {prev} p ON s.u = p.v
+          GROUP BY 1, 2
+        ) c
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH {_PAIRS_SQL.strip().removeprefix("WITH")},
+    sym AS (
+      SELECT brand_a AS v, brand_b AS u FROM edges
+      UNION ALL SELECT brand_b, brand_a FROM edges
+    ),
+    l0 AS (SELECT DISTINCT v, v AS lbl FROM sym),
+    {",".join(steps)},
+    sizes AS (SELECT lbl, COUNT(*) AS n_members FROM {prev} GROUP BY 1)
+    SELECT f.v, f.lbl, s.n_members
+    FROM {prev} f JOIN sizes s ON f.lbl = s.lbl
+    """
+
+
+registry.register("label_propagation", q_label_propagation, _lpa_sql())
+
+
+# ---------------------------------------------------------------------------
+# Bounded harmonic centrality from the min-id vertex
+# ---------------------------------------------------------------------------
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of the lexicographically smallest brand on
+    the co-purchase graph, hop-bounded at 6: Σ 1/dist over vertices
+    reached within 6 hops — the disconnected-graph-safe closeness
+    variant (unreached vertices contribute exactly 0, no infinite
+    distances to special-case).
+
+    Reuses operators/bfs.bfs_distances (frontier expansion, visited
+    set localCheckpoint'ed per hop). Exactness: each 1/d term is
+    quantized to the exact integer 1000000 div d BEFORE the sum —
+    order-invariant integer arithmetic; the oracle unrolls the same
+    6 BFS rounds."""
+    from airflow_baseball_spark.operators.bfs import bfs_distances
+
+    edges = _above_avg_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("brand_a").alias("src"), F.col("brand_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("brand_b").alias("src"), F.col("brand_a").alias("dst"))
+    )
+    source = (
+        sym.select(F.col("src").alias("node")).agg(
+            F.min("node").alias("node")
+        )
+    )
+    dists = bfs_distances(sym, source, max_hops=6)
+    term = F.when(
+        F.col("dist") > 0, F.floor(F.lit(1000000) / F.col("dist")).cast("long")
+    ).otherwise(F.lit(0))
+    return dists.agg(
+        F.min(F.when(F.col("dist") == 0, F.col("node"))).alias("source"),
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0)).alias("n_reached"),
+        F.sum(term).alias("harmonic_micro"),
+        _r6(F.sum(term).cast("double") / 1000000.0).alias("harmonic"),
+    )
+
+
+def _harmonic_sql(rounds: int = 6) -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.t AS node, d.dist + 1 AS dist
+        FROM {prev} d JOIN sym2 e ON d.node = e.s
+      ) GROUP BY 1
+    )""")
+        prev = f"d{i}"
+    return f"""
+    WITH {_PAIRS_SQL.strip().removeprefix("WITH")},
+    sym2 AS (
+      SELECT brand_a AS s, brand_b AS t FROM edges
+      UNION ALL SELECT brand_b, brand_a FROM edges
+    ),
+    d0 AS (SELECT MIN(s) AS node, 0 AS dist FROM sym2),
+    {",".join(steps)}
+    SELECT MIN(CASE WHEN dist = 0 THEN node END) AS source,
+           SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS n_reached,
+           SUM(CASE WHEN dist > 0
+               THEN CAST(1000000 // dist AS BIGINT) ELSE 0 END)
+             AS harmonic_micro,
+           FLOOR(CAST(SUM(CASE WHEN dist > 0
+                          THEN CAST(1000000 // dist AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS harmonic
+    FROM {prev}
+    """
+
+
+registry.register("harmonic_centrality", q_harmonic_centrality, _harmonic_sql())

@@ -157,8 +157,25 @@ registry.register(
 )
 
 
+def _corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document minhash signatures, session-memoized: the in-row
+    signature pipeline (char codes → shingle codes → 16 permutation
+    scans) is the shared base of minhash_signatures, minhash_lsh_pairs,
+    the dedup-cluster family, and minhash_calibration — and any query
+    that references it more than once in one plan would otherwise
+    recompute the whole scan per reference."""
+    from airflow_baseball_spark.operators.graph import materialize_edge_list
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.minhash_signatures(
+            load_table(spark, sf_dir, "documents")
+        )
+
+    return materialize_edge_list(spark, sf_dir, "corpus_minhash_sigs", build)
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return _corpus_sigs(spark, sf_dir)
 
 
 def _minhash_sql() -> str:
@@ -188,8 +205,7 @@ registry.register("minhash_signatures", q_minhash_signatures, _minhash_sql())
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
-    return dedup.lsh_candidate_pairs(sigs)
+    return dedup.lsh_candidate_pairs(_corpus_sigs(spark, sf_dir))
 
 
 def _lsh_pairs_sql() -> str:
@@ -234,7 +250,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        edges = dedup.lsh_candidate_edges(dedup.minhash_signatures(docs))
+        edges = dedup.lsh_candidate_edges(_corpus_sigs(spark, sf_dir))
         return dedup_clusters(docs, edges)
 
     return materialize_edge_list(spark, sf_dir, "cluster_labels", build)
@@ -3686,32 +3702,40 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the intended TRUE similarity. Textbook LSH analysis assumes
     unbiasedness; short docs + few permutations bias it, so measure.
 
-    Shapes: candidates-only (never all-pairs) — true Jaccard joins the
-    distinct-shingle-code table only for LSH candidate pairs; the
-    estimate is an in-row signature comparison after two broadcast-
-    able signature lookups. Exactness: per-pair true Jaccard is
-    quantized to micro-units by INTEGER division ((inter·1e6) div
-    union — exact, order-free), bins are integer ((inter·10) div
-    union), and both means divide exact integer sums once at the end."""
+    Shapes: candidates-only (never all-pairs), and the true-Jaccard
+    verify is IN-ROW: each candidate pair joins the per-doc
+    distinct-shingle-code ARRAY (one row per doc, never an exploded
+    (doc, code) table — the exploded two-sided join measured 8-9 s at
+    sf0.1 vs ~5 s in-row), the estimate is an in-row signature
+    comparison after two per-side lookups. The residual cost is the
+    honest verify volume itself: 115k candidate pairs × ~1k-element
+    array intersects at sf0.1 — the same irreducible-pairs tier as
+    fuzzy_name_join and dedup_threshold_sweep. Exactness: per-pair
+    true Jaccard is quantized to micro-units by INTEGER division
+    ((inter·1e6) div union — exact, order-free), bins are integer
+    ((inter·10) div union), and both means divide exact integer sums
+    once at the end."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs)
-    cand = dedup.lsh_candidate_pairs(sigs)
+    sigs = _corpus_sigs(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(sigs).localCheckpoint()
     k = len(dedup._PERMS)
 
-    sh = dedup.shingle_code_arrays(docs).select(
-        "doc_id", F.explode(F.array_distinct("__codes")).alias("code")
+    # shingle-code the CANDIDATE docs only (left-semi against the
+    # pair ids): the char->shingle pipeline over the full corpus was
+    # the residual 5 s — candidates are a small fraction of docs
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("id_a"), "code"), "id_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), "code"),
-            ["id_b", "code"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    coded = dedup.shingle_code_arrays(
+        docs.join(cand_ids, "doc_id", "left_semi")
+    ).select("doc_id", F.array_distinct("__codes").alias("codes"))
+    ca = coded.select(
+        F.col("doc_id").alias("id_a"), F.col("codes").alias("codes_a")
+    )
+    cb = coded.select(
+        F.col("doc_id").alias("id_b"), F.col("codes").alias("codes_b")
     )
     match_expr = sum(
         [
@@ -3727,16 +3751,16 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("b"), cand["id_b"] == F.col("b.doc_id"))
         .select("id_a", "id_b", match_expr.alias("n_match"))
     )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    n_inter = F.size(F.array_intersect("codes_a", "codes_b"))
     pairs = (
-        inter.join(est, ["id_a", "id_b"])
-        .join(na, "id_a")
-        .join(nb, "id_b")
+        est.join(ca, "id_a")
+        .join(cb, "id_b")
         .select(
             "n_match",
-            "n_inter",
-            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            n_inter.alias("n_inter"),
+            (
+                F.size("codes_a") + F.size("codes_b") - n_inter
+            ).alias("n_union"),
         )
     )
     true_micro = F.expr("(n_inter * 1000000) DIV n_union")

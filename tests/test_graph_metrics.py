@@ -173,3 +173,32 @@ def test_sssp_bounded_invariants(spark):
     # every non-source cost is at least the cheapest possible edge
     nonzero = [c for n, c in costs.items() if n != source]
     assert nonzero and min(nonzero) > 0
+
+
+def test_label_propagation_communities(spark):
+    from airflow_baseball_spark.queries_mining import q_label_propagation
+
+    rows = q_label_propagation(spark, SF).collect()
+    assert rows
+    edges = _above_avg_edges(spark, SF).collect()
+    verts = {r.brand_a for r in edges} | {r.brand_b for r in edges}
+    # every vertex labeled exactly once; labels are vertex ids
+    assert {r.v for r in rows} == verts
+    labels = {r.lbl for r in rows}
+    assert labels <= verts
+    # community sizes are consistent
+    from collections import Counter
+
+    sizes = Counter(r.lbl for r in rows)
+    for r in rows:
+        assert r.n_members == sizes[r.lbl]
+
+
+def test_harmonic_centrality_bounds(spark):
+    from airflow_baseball_spark.queries_mining import q_harmonic_centrality
+
+    r = q_harmonic_centrality(spark, SF).collect()[0]
+    assert r.n_reached >= 1
+    # each reached vertex contributes at most 1.0 (dist >= 1)
+    assert 0 < r.harmonic <= r.n_reached + 1e-9
+    assert r.harmonic_micro <= r.n_reached * 1000000
