@@ -2265,3 +2265,243 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: agreement between two deterministic annotators
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document "annotators"
+    (label-quality audit for a labeling pipeline: raw agreement is
+    inflated by chance when the class prior is skewed; kappa is the
+    chance-corrected rate every annotation vendor reports). Annotator
+    A terciles by n_chars, annotator B by whitespace token count —
+    correlated-but-distinct heuristics, so kappa lands strictly
+    between 0 and 1.
+
+    Exactness: with N items, A-marginals r_i, B-marginals c_i and
+    diagonal agreement D, kappa = (N·D − Σ r_i·c_i)/(N² − Σ r_i·c_i)
+    — every input an exact integer, one portable floor-division at
+    the end (the numerator can be negative, so `div`/`//` disagree;
+    the canonical-remainder idiom is exact on both engines). Shapes:
+    one scan → 9-cell contingency; marginal products come from the
+    cells, never a second scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    lbl_a = (
+        F.when(F.col("n_chars") < 400, 0)
+        .when(F.col("n_chars") < 900, 1)
+        .otherwise(2)
+    )
+    lbl_b = (
+        F.when(F.col("n_toks") < 80, 0)
+        .when(F.col("n_toks") < 180, 1)
+        .otherwise(2)
+    )
+    cells = docs.select(lbl_a.alias("la"), lbl_b.alias("lb")).groupBy(
+        "la", "lb"
+    ).agg(F.count("*").alias("n"))
+    marg_a = cells.groupBy(F.col("la").alias("lbl")).agg(
+        F.sum("n").alias("r")
+    )
+    marg_b = cells.groupBy(F.col("lb").alias("lbl")).agg(
+        F.sum("n").alias("c")
+    )
+    chance = marg_a.join(marg_b, "lbl", "full_outer").agg(
+        F.sum(
+            F.coalesce(F.col("r"), F.lit(0))
+            * F.coalesce(F.col("c"), F.lit(0))
+        ).alias("sum_rc")
+    )
+    totals = cells.agg(
+        F.sum("n").alias("n_items"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    out = totals.crossJoin(F.broadcast(chance))
+    num = (F.col("n_items") * F.col("n_agree") - F.col("sum_rc")) * F.lit(
+        1000000
+    )
+    den = F.col("n_items") * F.col("n_items") - F.col("sum_rc")
+    rem = ((num % den) + den) % den
+    kappa_micro = ((num - rem) / den).cast("long")
+    return out.select(
+        "n_items",
+        "n_agree",
+        F.expr("(n_agree * 1000000) DIV n_items").alias("po_micro"),
+        kappa_micro.alias("kappa_micro"),
+        _r6(kappa_micro.cast("double") / 1000000.0).alias("kappa"),
+    )
+
+
+registry.register(
+    "cohens_kappa",
+    q_cohens_kappa,
+    """
+    WITH lab AS (
+      SELECT CASE WHEN n_chars < 400 THEN 0
+                  WHEN n_chars < 900 THEN 1 ELSE 2 END AS la,
+             CASE WHEN len(string_split(text, ' ')) < 80 THEN 0
+                  WHEN len(string_split(text, ' ')) < 180 THEN 1
+                  ELSE 2 END AS lb
+      FROM documents
+    ),
+    cells AS (SELECT la, lb, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+    ma AS (SELECT la AS lbl, SUM(n) AS r FROM cells GROUP BY 1),
+    mb AS (SELECT lb AS lbl, SUM(n) AS c FROM cells GROUP BY 1),
+    chance AS (
+      SELECT SUM(COALESCE(r, 0) * COALESCE(c, 0)) AS sum_rc
+      FROM ma FULL OUTER JOIN mb USING (lbl)
+    ),
+    totals AS (
+      SELECT SUM(n) AS n_items,
+             SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS n_agree
+      FROM cells
+    ),
+    k AS (
+      SELECT n_items, n_agree, sum_rc,
+             (n_items * n_agree - sum_rc) * 1000000 AS num,
+             n_items * n_items - sum_rc AS den
+      FROM totals, chance
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           (n_agree * 1000000) // n_items AS po_micro,
+           CAST((num - (((num % den) + den) % den)) / den AS BIGINT)
+             AS kappa_micro,
+           FLOOR(CAST((num - (((num % den) + den) % den)) / den AS DOUBLE)
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS kappa
+    FROM k
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals with test coverage
+# ---------------------------------------------------------------------------
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per order priority: fit a
+    trivial per-group model (calibration-split mean price) on a
+    deterministic 40% calibration split, take q̂ = the
+    ⌈0.9·(n_cal+1)⌉-th smallest absolute residual (the finite-sample-
+    valid conformal quantile), then report EMPIRICAL coverage of
+    pred ± q̂ on the held-out 60% — the distribution-free guarantee
+    (≥ 90%) a model-serving pipeline audits before shipping intervals.
+
+    Exactness: the split is o_orderkey % 5 (no RNG), prices are exact
+    cents, the group mean is one integer floor-division, residuals
+    are integers, q̂ is an exact integer order statistic
+    (row_number over residual, orderkey tiebreak), and coverage is
+    integer-counted then micro-quantized. Shapes: one groupBy for the
+    model, one window for the order statistic (partitioned by the
+    5-key group column — never a global sort), one broadcast join of
+    the 5-row (mean, q̂) model onto the test scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    calib = orders.filter(F.col("o_orderkey") % 5 < 2)
+    test = orders.filter(F.col("o_orderkey") % 5 >= 2)
+    model = calib.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_calib"),
+        F.expr("SUM(cents) DIV COUNT(*)").alias("pred_cents"),
+    )
+    resid = calib.join(F.broadcast(model), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "n_calib",
+        F.abs(F.col("cents") - F.col("pred_cents")).alias("r"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("r").asc(), F.col("o_orderkey").asc()
+    )
+    # k = ceil(0.9 * (n+1)) = (9*(n+1) + 9) div 10 ... exact integer:
+    k = F.expr("-((-9 * (n_calib + 1)) DIV 10)")
+    qhat = (
+        resid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.least(k, F.col("n_calib")))
+        .select("o_orderpriority", F.col("r").alias("qhat_cents"))
+    )
+    fitted = model.join(qhat, "o_orderpriority")
+    covered = (
+        test.join(F.broadcast(fitted), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n_calib").alias("n_calib"),
+            F.max("pred_cents").alias("pred_cents"),
+            F.max("qhat_cents").alias("qhat_cents"),
+            F.count("*").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("cents") - F.col("pred_cents"))
+                    <= F.col("qhat_cents")
+                ).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return covered.select(
+        "o_orderpriority",
+        "n_calib",
+        "n_test",
+        "pred_cents",
+        "qhat_cents",
+        "n_covered",
+        F.expr("(n_covered * 1000000) DIV n_test").alias("coverage_micro"),
+    )
+
+
+registry.register(
+    "conformal_interval",
+    q_conformal_interval,
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    calib AS (SELECT * FROM o WHERE o_orderkey % 5 < 2),
+    tst AS (SELECT * FROM o WHERE o_orderkey % 5 >= 2),
+    model AS (
+      SELECT o_orderpriority, COUNT(*) AS n_calib,
+             SUM(cents) // COUNT(*) AS pred_cents
+      FROM calib GROUP BY 1
+    ),
+    resid AS (
+      SELECT c.o_orderkey, c.o_orderpriority, m.n_calib,
+             ABS(c.cents - m.pred_cents) AS r,
+             ROW_NUMBER() OVER (PARTITION BY c.o_orderpriority
+                                ORDER BY ABS(c.cents - m.pred_cents) ASC,
+                                         c.o_orderkey ASC) AS rn
+      FROM calib c JOIN model m USING (o_orderpriority)
+    ),
+    qh AS (
+      SELECT o_orderpriority, r AS qhat_cents
+      FROM resid
+      WHERE rn = LEAST(-((-9 * (n_calib + 1)) // 10), n_calib)
+    )
+    SELECT t.o_orderpriority,
+           MAX(m.n_calib) AS n_calib,
+           COUNT(*) AS n_test,
+           MAX(m.pred_cents) AS pred_cents,
+           MAX(q.qhat_cents) AS qhat_cents,
+           SUM(CASE WHEN ABS(t.cents - m.pred_cents) <= q.qhat_cents
+                    THEN 1 ELSE 0 END) AS n_covered,
+           (SUM(CASE WHEN ABS(t.cents - m.pred_cents) <= q.qhat_cents
+                     THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+             AS coverage_micro
+    FROM tst t
+    JOIN model m USING (o_orderpriority)
+    JOIN qh q USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)

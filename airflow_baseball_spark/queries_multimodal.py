@@ -231,3 +231,91 @@ registry.register(
     FROM img GROUP BY 1
     """,
 )
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media pairs via shared sampled-frame digests —
+    the multimodal analog of MinHash-LSH banding: the sampled frame
+    md5 IS the bucket key, so candidates come from digest-equality
+    joins only, never an all-pairs comparison (reference scope:
+    dags/002_insert_hitter_data.py-style scrape dedup, generalized to
+    binary payloads).
+
+    Shapes for 100 TB: (1) per-asset DISTINCT digests first (drops
+    within-asset repeats before any join); (2) hot digests shared by
+    > 32 assets are excluded BEFORE pairing — a digest in k assets
+    yields k·(k-1)/2 pairs, so one boilerplate/black-frame digest
+    would otherwise produce a quadratic hot bucket (same stop-shingle
+    guard as ngram_jaccard); (3) the pair agg shuffles (id_a, id_b)
+    integer keys only. Exactness: counts are integers; the overlap
+    ratio is micro-quantized by integer division."""
+    frames = mm.frame_sample(_assets(spark, sf_dir)).select(
+        "asset_id", "frame_md5"
+    ).distinct()
+    hot = frames.groupBy("frame_md5").agg(
+        F.count("*").alias("n_assets")
+    ).filter(F.col("n_assets") > 32)
+    cold = frames.join(F.broadcast(hot), "frame_md5", "left_anti")
+    a = cold.select(F.col("asset_id").alias("id_a"), "frame_md5")
+    b = cold.select(F.col("asset_id").alias("id_b"), "frame_md5")
+    pairs = (
+        a.join(b, "frame_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    sizes = frames.groupBy("asset_id").agg(F.count("*").alias("n_frames"))
+    na = sizes.select(F.col("asset_id").alias("id_a"), F.col("n_frames").alias("na"))
+    nb = sizes.select(F.col("asset_id").alias("id_b"), F.col("n_frames").alias("nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.expr("(n_shared * 1000000) DIV least(na, nb)").alias(
+                "overlap_micro"
+            ),
+        )
+    )
+
+
+registry.register(
+    "media_neardup",
+    q_media_neardup,
+    f"""
+    WITH fr AS (
+      SELECT DISTINCT doc_id AS asset_id,
+             md5(substring(text, idx * {mm.FRAME_BYTES} + 1, {mm.FRAME_BYTES}))
+               AS frame_md5
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                 0, CAST(ceil(length(text) / {mm.FRAME_BYTES}.0) AS BIGINT) - 1
+               )) AS idx
+        FROM documents
+      ) WHERE idx % 4 = 0
+    ),
+    cold AS (
+      SELECT * FROM fr WHERE frame_md5 IN (
+        SELECT frame_md5 FROM fr GROUP BY 1 HAVING COUNT(*) <= 32
+      )
+    ),
+    pairs AS (
+      SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+             COUNT(*) AS n_shared
+      FROM cold x JOIN cold y ON x.frame_md5 = y.frame_md5
+                            AND x.asset_id < y.asset_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sizes AS (SELECT asset_id, COUNT(*) AS n_frames FROM fr GROUP BY 1)
+    SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+           (p.n_shared * 1000000) // least(sa.n_frames, sb.n_frames)
+             AS overlap_micro
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.asset_id
+    JOIN sizes sb ON p.id_b = sb.asset_id
+    """,
+)

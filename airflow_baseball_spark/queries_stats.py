@@ -1886,3 +1886,129 @@ registry.register(
     FROM agg CROSS JOIN nd
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of three retrieval rankings
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 100
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of three top-100
+    retrieval lists over `documents`: lexical BM25 (the `bm25_rank`
+    scorer), raw term-frequency, and recency (doc_id as ingest
+    order). RRF score = Σ 1e6 div (60 + rank) over the lists a doc
+    appears in — the standard hybrid-search merge step (BM25 ⊕ vector
+    ⊕ prior) of a retrieval pipeline.
+
+    Shapes for 100 TB: each list is orderBy().limit(100) — Spark's
+    TakeOrdered (per-partition top-k + driver merge of 100-row
+    heads), never a global sort; the fusion then joins three 100-row
+    frames. Exactness: ranks order by the _r6-rounded bm25 (driver-
+    attested bit-stable) with doc_id tiebreak, integer tf, integer
+    doc_id; RRF contributions are integer-divided micro-units, so the
+    fused ordering is exact integer arithmetic."""
+    bm25 = q_bm25_rank(spark, sf_dir)
+
+    def topn(df: DataFrame, order, name: str) -> DataFrame:
+        top = df.orderBy(*order).limit(_RRF_TOPN)
+        w = Window.partitionBy(F.lit(1)).orderBy(*order)
+        return top.select(
+            "doc_id", F.row_number().over(w).alias(f"rank_{name}")
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    def tf_of(term: str):
+        # unary lambda on purpose: a 2-arg lambda would be treated by
+        # pyspark as (element, index) — see q_bm25_rank's note
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_total = sum(tf_of(t) for t in _BM25_TERMS)
+    tf = docs.select("doc_id", tf_total.alias("tf_total"))
+
+    r_bm = topn(bm25, [F.col("bm25").desc(), F.col("doc_id").asc()], "bm25")
+    r_tf = topn(
+        tf, [F.col("tf_total").desc(), F.col("doc_id").asc()], "tf"
+    )
+    r_rec = topn(docs.select("doc_id"), [F.col("doc_id").desc()], "rec")
+
+    fused = (
+        r_bm.join(r_tf, "doc_id", "full_outer")
+        .join(r_rec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_bm25", F.lit(0)).alias("rank_bm25"),
+            F.coalesce("rank_tf", F.lit(0)).alias("rank_tf"),
+            F.coalesce("rank_rec", F.lit(0)).alias("rank_rec"),
+        )
+    )
+    contrib = sum(
+        F.when(
+            F.col(c) > 0,
+            F.expr(f"1000000 DIV ({_RRF_K} + {c})"),
+        ).otherwise(F.lit(0))
+        for c in ("rank_bm25", "rank_tf", "rank_rec")
+    )
+    return (
+        fused.withColumn("rrf_micro", contrib.cast("long"))
+        .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH bm AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+      FROM ({_bm25_oracle()})
+    ),
+    tf AS (
+      SELECT doc_id,
+             {" + ".join(f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))" for t in _BM25_TERMS)}
+               AS tf_total
+      FROM documents
+    ),
+    tfr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id ASC) AS rnk
+      FROM tf
+    ),
+    rec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id DESC) AS rnk
+      FROM documents
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, t.doc_id, r.doc_id) AS doc_id,
+             COALESCE(b.rnk, 0) AS rank_bm25,
+             COALESCE(t.rnk, 0) AS rank_tf,
+             COALESCE(r.rnk, 0) AS rank_rec
+      FROM (SELECT * FROM bm WHERE rnk <= {_RRF_TOPN}) b
+      FULL OUTER JOIN (SELECT * FROM tfr WHERE rnk <= {_RRF_TOPN}) t
+        ON b.doc_id = t.doc_id
+      FULL OUTER JOIN (SELECT * FROM rec WHERE rnk <= {_RRF_TOPN}) r
+        ON COALESCE(b.doc_id, t.doc_id) = r.doc_id
+    )
+    SELECT doc_id,
+           CAST(rank_bm25 AS INT) AS rank_bm25,
+           CAST(rank_tf AS INT) AS rank_tf,
+           CAST(rank_rec AS INT) AS rank_rec,
+           CAST(CASE WHEN rank_bm25 > 0
+                     THEN 1000000 // ({_RRF_K} + rank_bm25) ELSE 0 END
+              + CASE WHEN rank_tf > 0
+                     THEN 1000000 // ({_RRF_K} + rank_tf) ELSE 0 END
+              + CASE WHEN rank_rec > 0
+                     THEN 1000000 // ({_RRF_K} + rank_rec) ELSE 0 END
+             AS BIGINT) AS rrf_micro
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id ASC
+    LIMIT 20
+    """
+
+
+registry.register("rrf_fusion", q_rrf_fusion, _rrf_oracle())

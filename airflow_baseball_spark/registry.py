@@ -244,6 +244,12 @@ _PRIORITY = [
     "theil_sen_slope",
     "kendall_tau",
     "l_diversity",
+    "label_propagation",
+    "harmonic_centrality",
+    "media_neardup",
+    "rrf_fusion",
+    "cohens_kappa",
+    "conformal_interval",
 ]
 
 
