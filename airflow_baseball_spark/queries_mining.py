@@ -2349,3 +2349,135 @@ def _harmonic_sql(rounds: int = 6) -> str:
 
 
 registry.register("harmonic_centrality", q_harmonic_centrality, _harmonic_sql())
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label-propagation communities
+# ---------------------------------------------------------------------------
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the `label_propagation` partition on the
+    co-purchase graph — the standard "are these communities real?"
+    score (Q > 0 means denser-than-chance inside communities). Per
+    community c with within-edge count e_c, degree mass d_c and m
+    total edges: contribution = e_c/m − (d_c/2m)² — reported as the
+    EXACT integer rational floor((4m·e_c − d_c²)·1e6 / 4m²) per
+    community via the portable canonical-remainder floor division
+    (numerator can be negative for chance-dominated communities).
+
+    Shapes: labels come from the shared 3-round LPA (same memoized
+    edge list); within-edges are two broadcast-able label lookups on
+    the brand²-bounded edge table; degrees re-aggregate it. Nothing
+    here exceeds the brand-vocabulary size at any SF."""
+    edges = _above_avg_edges(spark, sf_dir).localCheckpoint()
+    labels = q_label_propagation(spark, sf_dir).select("v", "lbl")
+    la = labels.select(F.col("v").alias("brand_a"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("v").alias("brand_b"), F.col("lbl").alias("lb"))
+    labeled = edges.join(F.broadcast(la), "brand_a").join(
+        F.broadcast(lb), "brand_b"
+    )
+    m = edges.count()
+    within = (
+        labeled.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count("*").alias("e_within"))
+    )
+    deg = (
+        edges.select(F.col("brand_a").alias("v"))
+        .unionAll(edges.select(F.col("brand_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    dmass = (
+        deg.join(F.broadcast(labels), "v")
+        .groupBy("lbl")
+        .agg(F.sum("degree").alias("d_c"), F.count("*").alias("n_members"))
+    )
+    staged = dmass.join(F.broadcast(within), "lbl", "left").select(
+        "lbl",
+        "n_members",
+        F.coalesce("e_within", F.lit(0)).alias("e_within"),
+        "d_c",
+        (
+            (F.lit(4 * m) * F.coalesce("e_within", F.lit(0)) - F.col("d_c") * F.col("d_c"))
+            * F.lit(1000000)
+        ).alias("num"),
+    )
+    den = F.lit(4 * m * m)
+    rem = ((F.col("num") % den) + den) % den
+    return staged.select(
+        "lbl",
+        "n_members",
+        "e_within",
+        "d_c",
+        ((F.col("num") - rem) / den).cast("long").alias("q_contrib_micro"),
+    )
+
+
+def _modularity_sql(rounds: int = _LPA_ROUNDS) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    l{i} AS (
+      SELECT v, lbl FROM (
+        SELECT c.v, c.lbl,
+               ROW_NUMBER() OVER (PARTITION BY c.v
+                                  ORDER BY c.n DESC, c.lbl ASC) AS rn
+        FROM (
+          SELECT s.v, p.lbl, COUNT(*) AS n
+          FROM sym s JOIN {prev} p ON s.u = p.v
+          GROUP BY 1, 2
+        ) c
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH {_PAIRS_SQL.strip().removeprefix("WITH")},
+    sym AS (
+      SELECT brand_a AS v, brand_b AS u FROM edges
+      UNION ALL SELECT brand_b, brand_a FROM edges
+    ),
+    l0 AS (SELECT DISTINCT v, v AS lbl FROM sym),
+    {",".join(steps)},
+    m AS (SELECT COUNT(*) AS m FROM edges),
+    within AS (
+      SELECT la.lbl, COUNT(*) AS e_within
+      FROM edges e
+      JOIN {prev} la ON e.brand_a = la.v
+      JOIN {prev} lb ON e.brand_b = lb.v
+      WHERE la.lbl = lb.lbl
+      GROUP BY 1
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    ),
+    dmass AS (
+      SELECT f.lbl, SUM(d.degree) AS d_c, COUNT(*) AS n_members
+      FROM {prev} f JOIN deg d ON f.v = d.v
+      GROUP BY 1
+    ),
+    staged AS (
+      SELECT dm.lbl, dm.n_members,
+             COALESCE(w.e_within, 0) AS e_within, dm.d_c,
+             (4 * m.m * COALESCE(w.e_within, 0) - dm.d_c * dm.d_c)
+               * 1000000 AS num,
+             4 * m.m * m.m AS den
+      FROM dmass dm
+      LEFT JOIN within w ON dm.lbl = w.lbl
+      CROSS JOIN m
+    )
+    SELECT lbl, CAST(n_members AS BIGINT) AS n_members,
+           CAST(e_within AS BIGINT) AS e_within,
+           CAST(d_c AS BIGINT) AS d_c,
+           CAST((num - (((num % den) + den) % den)) / den AS BIGINT)
+             AS q_contrib_micro
+    FROM staged
+    """
+
+
+registry.register("graph_modularity", q_graph_modularity, _modularity_sql())

@@ -319,3 +319,70 @@ registry.register(
     JOIN sizes sb ON p.id_b = sb.asset_id
     """,
 )
+
+
+def q_media_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup storage audit per media type: group assets by
+    payload digest, count duplicate copies and the bytes a
+    keep-one-per-digest policy reclaims — the first number a
+    petabyte-scale media lake asks for (and the cheap precursor to
+    `media_neardup`'s fuzzy pass). Per type: assets, distinct
+    payloads, duplicate copies, total vs reclaimable bytes, and the
+    micro-quantized savings ratio.
+
+    Shapes: one digest-keyed agg (digests shuffle, payloads never
+    move), then a media-type rollup of that digest table. All counts
+    and byte sums are exact integers."""
+    a = _assets(spark, sf_dir).select(
+        "media_type", "digest", F.col("meta.byte_len").alias("byte_len")
+    )
+    per_digest = a.groupBy("media_type", "digest").agg(
+        F.count("*").alias("n_copies"),
+        F.sum("byte_len").alias("bytes_all"),
+        F.min("byte_len").alias("bytes_one"),
+    )
+    return (
+        per_digest.groupBy("media_type")
+        .agg(
+            F.sum("n_copies").alias("n_assets"),
+            F.count("*").alias("n_unique"),
+            (F.sum("n_copies") - F.count("*")).alias("n_dup_copies"),
+            F.sum("bytes_all").cast("long").alias("total_bytes"),
+            F.sum(F.col("bytes_all") - F.col("bytes_one"))
+            .cast("long")
+            .alias("reclaimable_bytes"),
+        )
+        .withColumn(
+            "savings_micro",
+            F.expr("(reclaimable_bytes * 1000000) DIV total_bytes"),
+        )
+    )
+
+
+registry.register(
+    "media_dedup_savings",
+    q_media_dedup_savings,
+    """
+    WITH a AS (
+      SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+               AS media_type,
+             md5(text) AS digest,
+             length(text) AS byte_len
+      FROM documents
+    ),
+    per_digest AS (
+      SELECT media_type, digest, COUNT(*) AS n_copies,
+             SUM(byte_len) AS bytes_all, MIN(byte_len) AS bytes_one
+      FROM a GROUP BY 1, 2
+    )
+    SELECT media_type,
+           CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+           COUNT(*) AS n_unique,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dup_copies,
+           CAST(SUM(bytes_all) AS BIGINT) AS total_bytes,
+           CAST(SUM(bytes_all - bytes_one) AS BIGINT) AS reclaimable_bytes,
+           (CAST(SUM(bytes_all - bytes_one) AS BIGINT) * 1000000)
+             // CAST(SUM(bytes_all) AS BIGINT) AS savings_micro
+    FROM per_digest GROUP BY 1
+    """,
+)

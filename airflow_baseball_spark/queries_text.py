@@ -3845,3 +3845,137 @@ def _minhash_calibration_sql() -> str:
 registry.register(
     "minhash_calibration", q_minhash_calibration, _minhash_calibration_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy under an interpolated Kneser-Ney
+    bigram LM — the classical smoothing that add-one (`bigram_lm`)
+    approximates badly: KN discounts every observed bigram by a fixed
+    D = 0.75 and backs off to the CONTINUATION unigram (how many
+    distinct histories precede w2), the famous "San Francisco" fix
+    (high-count 'Francisco' almost never follows anything but 'San',
+    so its backoff mass should be tiny).
+
+    p(w2|w1) = max(c12−D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T, with
+    N1+ the distinct-continuation / distinct-history counts and T the
+    distinct bigram types — every model input an exact integer, so
+    the per-pair double is one bit-identical expression tree,
+    floor-quantized to nano-nats (the bigram_lm discipline) before
+    any cross-row sum.
+
+    Scale: identical shapes to bigram_lm (doc-windowed bigrams, pair-
+    keyed shuffles, vocabulary-bounded model tables) plus two extra
+    pair-table aggregates for the N1+ counts."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        "source",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    doc_pairs = big.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count("*").alias("tf")
+    )
+    c12 = doc_pairs.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nfw")
+    )
+    nbw = c12.groupBy("w2").agg(F.count("*").alias("nbw"))
+    types = c12.agg(F.count("*").alias("t"))
+    d = F.lit(_KN_D)
+    p = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (d * F.col("nfw").cast("double") / F.col("c1").cast("double"))
+        * (F.col("nbw").cast("double") / F.col("t").cast("double"))
+    )
+    lp = (
+        c12.join(c1, "w1")
+        .join(nbw, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("w1", "w2", F.floor(F.log(p) * 1e9).cast("long").alias("lp9"))
+    )
+    scored = doc_pairs.join(lp, ["w1", "w2"])
+    nll = -F.sum(F.col("tf") * F.col("lp9")).cast("double") / (
+        F.sum("tf").cast("double") * F.lit(1e9)
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            nll.alias("nll"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            _r6(F.col("nll")).alias("mean_nll"),
+            _r6(F.exp(F.col("nll"))).alias("perplexity"),
+        )
+    )
+
+
+registry.register(
+    "kneser_ney_bigram",
+    q_kneser_ney_bigram,
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source, arr[i] AS w1, arr[i + 1] AS w2
+      FROM t, LATERAL unnest(generate_series(1, len(arr) - 1)) AS g(i)
+    ),
+    doc_pairs AS (
+      SELECT doc_id, source, w1, w2, COUNT(*) AS tf
+      FROM big GROUP BY 1, 2, 3, 4
+    ),
+    c12 AS (SELECT w1, w2, SUM(tf) AS c12 FROM doc_pairs GROUP BY 1, 2),
+    c1 AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS nfw FROM c12 GROUP BY 1
+    ),
+    nbw AS (SELECT w2, COUNT(*) AS nbw FROM c12 GROUP BY 1),
+    types AS (SELECT COUNT(*) AS t FROM c12),
+    lp AS (
+      SELECT a.w1, a.w2,
+             CAST(FLOOR(LN(
+               GREATEST(CAST(a.c12 AS DOUBLE) - {_KN_D}, 0.0)
+                 / CAST(b.c1 AS DOUBLE)
+               + ({_KN_D} * CAST(b.nfw AS DOUBLE) / CAST(b.c1 AS DOUBLE))
+                 * (CAST(n.nbw AS DOUBLE) / CAST(ty.t AS DOUBLE))
+             ) * 1e9) AS BIGINT) AS lp9
+      FROM c12 a
+      JOIN c1 b ON a.w1 = b.w1
+      JOIN nbw n ON a.w2 = n.w2
+      CROSS JOIN types ty
+    ),
+    scored AS (
+      SELECT d.source, d.tf, l.lp9
+      FROM doc_pairs d JOIN lp l ON d.w1 = l.w1 AND d.w2 = l.w2
+    )
+    SELECT source,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           FLOOR((-CAST(SUM(tf * lp9) AS DOUBLE)
+                  / (CAST(SUM(tf) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_nll,
+           FLOOR(EXP(-CAST(SUM(tf * lp9) AS DOUBLE)
+                     / (CAST(SUM(tf) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+    FROM scored
+    GROUP BY 1
+    """,
+)

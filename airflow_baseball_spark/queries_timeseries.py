@@ -1850,3 +1850,122 @@ registry.register(
     FROM staged
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing with dyadic integer state
+# ---------------------------------------------------------------------------
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level + trend) smoothing of each nation's daily
+    order revenue with α = β = 1/2 — the trend-aware upgrade of
+    `ewma_smooth` (a plain EWMA lags a trending series by a constant;
+    Holt's trend state removes that lag), emitting the one-step-ahead
+    forecast each day.
+
+    α = β = 1/2 makes every update a DYADIC rational, so the whole
+    recurrence runs in exact integer cents with one floor-halving per
+    step:  l_t = ⌊(y_t + l_{t−1} + b_{t−1})/2⌋,
+           b_t = ⌊(l_t − l_{t−1} + b_{t−1})/2⌋  — Python's // floors
+    and the oracle's recursive CTE uses the canonical-remainder floor,
+    so both walks are bit-identical (the banded_running_balance
+    pattern: a genuine cross-row recurrence is the honest
+    applyInPandas tier; keys run in parallel, state stays per-group).
+
+    Scale: the shuffle is one nation-keyed exchange; each group is
+    days-sized (scale-invariant — more data fattens the daily sums,
+    not the series length)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    daily = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("y_cents")
+        )
+    )
+
+    def holt_group(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        lev = trend = None
+        levels, trends, forecasts = [], [], []
+        for y in pdf["y_cents"]:
+            y = int(y)
+            if lev is None:
+                forecasts.append(y)
+                lev, trend = y, 0
+            else:
+                forecasts.append(lev + trend)
+                new_lev = (y + lev + trend) // 2
+                trend = (new_lev - lev + trend) // 2
+                lev = new_lev
+            levels.append(lev)
+            trends.append(trend)
+        return pd.DataFrame(
+            {
+                "nationkey": pdf["nationkey"],
+                "d": pdf["d"],
+                "y_cents": pdf["y_cents"],
+                "level_cents": levels,
+                "trend_cents": trends,
+                "forecast_cents": forecasts,
+            }
+        )
+
+    return daily.groupBy("nationkey").applyInPandas(
+        holt_group,
+        "nationkey long, d date, y_cents long, level_cents long,"
+        " trend_cents long, forecast_cents long",
+    )
+
+
+registry.register(
+    "holt_linear",
+    q_holt_linear,
+    """
+    WITH RECURSIVE daily AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y_cents,
+             ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY CAST(o.o_orderdate AS DATE))
+               AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    walk(nationkey, rn, d, y_cents, lev, tr, fc) AS (
+      SELECT nationkey, rn, d, y_cents, y_cents, 0, y_cents
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT n.nationkey, n.rn, n.d, n.y_cents,
+             (n.y_cents + w.lev + w.tr
+              - ((((n.y_cents + w.lev + w.tr) % 2) + 2) % 2)) / 2,
+             ((((n.y_cents + w.lev + w.tr
+                 - ((((n.y_cents + w.lev + w.tr) % 2) + 2) % 2)) / 2)
+               - w.lev + w.tr)
+              - ((((((n.y_cents + w.lev + w.tr
+                      - ((((n.y_cents + w.lev + w.tr) % 2) + 2) % 2)) / 2)
+                    - w.lev + w.tr) % 2) + 2) % 2)) / 2,
+             w.lev + w.tr
+      FROM walk w JOIN daily n
+        ON n.nationkey = w.nationkey AND n.rn = w.rn + 1
+    )
+    SELECT nationkey, d, y_cents,
+           CAST(lev AS BIGINT) AS level_cents,
+           CAST(tr AS BIGINT) AS trend_cents,
+           CAST(fc AS BIGINT) AS forecast_cents
+    FROM walk
+    """,
+)

@@ -250,6 +250,10 @@ _PRIORITY = [
     "rrf_fusion",
     "cohens_kappa",
     "conformal_interval",
+    "graph_modularity",
+    "media_dedup_savings",
+    "kneser_ney_bigram",
+    "holt_linear",
 ]
 
 

@@ -54,3 +54,71 @@ def test_conformal_coverage_near_nominal(spark):
         # split-conformal guarantee is on the calibration draw; allow
         # finite-sample slack below the 0.9 nominal on tiny groups
         assert r.coverage_micro >= 700000
+
+
+def test_graph_modularity_partition_consistency(spark):
+    from airflow_baseball_spark.queries_mining import (
+        _above_avg_edges,
+        q_graph_modularity,
+    )
+
+    rows = q_graph_modularity(spark, SF).collect()
+    assert rows
+    edges = _above_avg_edges(spark, SF).collect()
+    verts = {r.brand_a for r in edges} | {r.brand_b for r in edges}
+    m = len(edges)
+    assert sum(r.n_members for r in rows) == len(verts)
+    assert sum(r.e_within for r in rows) <= m
+    assert sum(r.d_c for r in rows) == 2 * m
+    # each contribution bounded: e_c/m <= 1, (d_c/2m)^2 <= 1
+    for r in rows:
+        assert -1000000 <= r.q_contrib_micro <= 1000000
+
+
+def test_media_dedup_savings_accounting(spark):
+    from airflow_baseball_spark.queries_multimodal import (
+        q_media_dedup_savings,
+    )
+
+    rows = q_media_dedup_savings(spark, SF).collect()
+    assert {r.media_type for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert r.n_unique <= r.n_assets
+        assert r.n_dup_copies == r.n_assets - r.n_unique
+        assert 0 <= r.reclaimable_bytes < r.total_bytes
+        assert 0 <= r.savings_micro < 1000000
+
+
+def test_kneser_ney_probabilities_sum_below_one(spark):
+    # per-history KN mass must not exceed 1 (discounting is proper)
+    from airflow_baseball_spark.queries_text import q_kneser_ney_bigram
+
+    rows = q_kneser_ney_bigram(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams > 0
+        assert r.mean_nll > 0  # probabilities < 1 => positive NLL
+        assert r.perplexity > 1
+
+
+def test_holt_linear_recurrence_replay(spark):
+    from airflow_baseball_spark.queries_timeseries import q_holt_linear
+
+    rows = q_holt_linear(spark, SF).collect()
+    assert rows
+    by_nation = {}
+    for r in sorted(rows, key=lambda r: (r.nationkey, r.d)):
+        by_nation.setdefault(r.nationkey, []).append(r)
+    for series in by_nation.values():
+        lev = trend = None
+        for r in series:
+            if lev is None:
+                assert r.forecast_cents == r.y_cents
+                lev, trend = r.y_cents, 0
+            else:
+                assert r.forecast_cents == lev + trend
+                new_lev = (r.y_cents + lev + trend) // 2
+                trend = (new_lev - lev + trend) // 2
+                lev = new_lev
+            assert r.level_cents == lev
+            assert r.trend_cents == trend
