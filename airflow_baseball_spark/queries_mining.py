@@ -2481,3 +2481,93 @@ def _modularity_sql(rounds: int = _LPA_ROUNDS) -> str:
 
 
 registry.register("graph_modularity", q_graph_modularity, _modularity_sql())
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-truss peel (k=4: every edge in >= 2 triangles)
+# ---------------------------------------------------------------------------
+
+_TRUSS_ROUNDS = 3
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the co-purchase graph via 3 synchronous peel rounds:
+    each round recomputes per-edge triangle support over the SURVIVING
+    edge set and drops edges in < 2 triangles — the cohesive-subgraph
+    upgrade of `kcore` (degree is gameable by hub spokes; triangle
+    support is not). Bounded rounds keep the semantics exact and
+    oracle-unrollable (the LPA convention); on this brand graph 3
+    rounds reach the fixpoint.
+
+    Shapes: support is one wedge join per round over the
+    brand²-bounded edge list (canonical a<b orientation keeps each
+    triangle counted once per edge), localCheckpoint'ed so round r+1
+    doesn't re-derive round r's join tree. Output: surviving edges
+    with their final-set support — all integer."""
+    edges = _above_avg_edges(spark, sf_dir).localCheckpoint()
+
+    def support(e: DataFrame) -> DataFrame:
+        sym = e.select(
+            F.col("brand_a").alias("src"), F.col("brand_b").alias("dst")
+        ).unionAll(
+            e.select(F.col("brand_b").alias("src"), F.col("brand_a").alias("dst"))
+        )
+        x = sym.select(F.col("src").alias("brand_a"), F.col("dst").alias("c"))
+        y = sym.select(F.col("src").alias("brand_b"), F.col("dst").alias("c"))
+        return (
+            e.join(x, "brand_a")
+            .join(y, ["brand_b", "c"])
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count("*").alias("support"))
+        )
+
+    for _ in range(_TRUSS_ROUNDS):
+        edges = (
+            support(edges)
+            .filter(F.col("support") >= 2)
+            .select("brand_a", "brand_b")
+            .localCheckpoint()
+        )
+    return support(edges)
+
+
+def _ktruss_sql(rounds: int = _TRUSS_ROUNDS) -> str:
+    def sym(i: int) -> str:
+        return f"""
+    s{i} AS (
+      SELECT brand_a AS src, brand_b AS dst FROM e{i}
+      UNION ALL SELECT brand_b, brand_a FROM e{i}
+    )"""
+
+    def sup(i: int) -> str:
+        return f"""
+    sup{i} AS (
+      SELECT e.brand_a, e.brand_b, COUNT(*) AS support
+      FROM e{i} e
+      JOIN s{i} x ON e.brand_a = x.src
+      JOIN s{i} y ON e.brand_b = y.src AND x.dst = y.dst
+      GROUP BY 1, 2
+    )"""
+
+    steps = []
+    for i in range(rounds):
+        steps.append(sym(i))
+        steps.append(sup(i))
+        steps.append(
+            f"""
+    e{i + 1} AS (
+      SELECT brand_a, brand_b FROM sup{i} WHERE support >= 2
+    )"""
+        )
+    steps.append(sym(rounds))
+    steps.append(sup(rounds))
+    return f"""
+    WITH {_PAIRS_SQL.strip().removeprefix("WITH")},
+    e0 AS (SELECT brand_a, brand_b FROM edges),
+    {",".join(steps)}
+    SELECT brand_a, brand_b, CAST(support AS BIGINT) AS support
+    FROM sup{rounds}
+    """
+
+
+registry.register("ktruss", q_ktruss, _ktruss_sql())

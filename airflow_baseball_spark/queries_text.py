@@ -574,10 +574,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-registry.register(
-    "kmeans_assign",
-    q_kmeans_assign,
-    """
+_KMEANS_ASSIGN_SQL = """
     WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
                WHERE vec_id < 8),
     scored AS (
@@ -593,8 +590,9 @@ registry.register(
       FROM scored
     )
     SELECT vec_id, cid AS centroid_id, d2 AS dist_sq FROM ranked WHERE rn = 1
-    """,
-)
+    """
+
+registry.register("kmeans_assign", q_kmeans_assign, _KMEANS_ASSIGN_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -3977,5 +3975,146 @@ registry.register(
                  * 1000000.0 + 0.5) / 1000000.0 AS perplexity
     FROM scored
     GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Normalized mutual information of k-means clusters vs true labels
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validity: normalized mutual information
+    between the `kmeans_assign` partition and the embeddings table's
+    ground-truth `label` — the standard "did the clusters recover the
+    classes?" score (NMI = I(U;V)/√(H(U)·H(V)), 1 = perfect recovery,
+    0 = independent).
+
+    Shapes: one (cluster × label) contingency groupBy — cells ≤
+    8·|labels| forever — then marginals re-aggregate the cell table;
+    the fact (the assignment join) is scanned once. Exactness: every
+    ln sees an exact integer ratio and every term is floor-quantized
+    to nano-nats BIGINT before its cross-row sum (the
+    quantize-before-sum rule), so MI, H(U), H(V) are exact integers
+    and NMI is one final double division."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assign = q_kmeans_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    joint = assign.join(emb, "vec_id").groupBy("centroid_id", "label").agg(
+        F.count("*").alias("c")
+    )
+    wu = Window.partitionBy("centroid_id")
+    wv = Window.partitionBy("label")
+    wn = Window.partitionBy()
+    cells = joint.select(
+        "centroid_id",
+        "label",
+        "c",
+        F.sum("c").over(wu).alias("cu"),
+        F.sum("c").over(wv).alias("cv"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    mi_term = F.floor(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("c").cast("double") * F.col("n").cast("double"))
+            / (F.col("cu").cast("double") * F.col("cv").cast("double"))
+        )
+        * 1e9
+    ).cast("long")
+    mi = cells.agg(
+        F.max("n").alias("n_vecs"), F.sum(mi_term).alias("mi_nano")
+    )
+    hu_term = F.floor(
+        -(F.col("cu").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("cu").cast("double") / F.col("n").cast("double"))
+        * 1e9
+    ).cast("long")
+    hu = (
+        cells.select("centroid_id", "cu", "n")
+        .distinct()
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(hu_term).alias("hu_nano"),
+        )
+    )
+    hv_term = F.floor(
+        -(F.col("cv").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("cv").cast("double") / F.col("n").cast("double"))
+        * 1e9
+    ).cast("long")
+    hv = (
+        cells.select("label", "cv", "n")
+        .distinct()
+        .agg(
+            F.count("*").alias("n_labels"),
+            F.sum(hv_term).alias("hv_nano"),
+        )
+    )
+    out = mi.crossJoin(F.broadcast(hu)).crossJoin(F.broadcast(hv))
+    return out.select(
+        "n_vecs",
+        "n_clusters",
+        "n_labels",
+        _r6(F.col("mi_nano").cast("double") / 1e9).alias("mi_nats"),
+        _r6(
+            F.col("mi_nano").cast("double")
+            / F.sqrt(
+                F.col("hu_nano").cast("double")
+                * F.col("hv_nano").cast("double")
+            )
+        ).alias("nmi"),
+    )
+
+
+registry.register(
+    "cluster_nmi",
+    q_cluster_nmi,
+    f"""
+    WITH assign AS ({_KMEANS_ASSIGN_SQL}),
+    joint AS (
+      SELECT a.centroid_id, e.label, COUNT(*) AS c
+      FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT centroid_id, label, c,
+             SUM(c) OVER (PARTITION BY centroid_id) AS cu,
+             SUM(c) OVER (PARTITION BY label) AS cv,
+             SUM(c) OVER () AS n
+      FROM joint
+    ),
+    mi AS (
+      SELECT MAX(n) AS n_vecs,
+             SUM(CAST(FLOOR((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LN((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                      / (CAST(cu AS DOUBLE) * CAST(cv AS DOUBLE)))
+                 * 1e9) AS BIGINT)) AS mi_nano
+      FROM cells
+    ),
+    hu AS (
+      SELECT COUNT(*) AS n_clusters,
+             SUM(CAST(FLOOR(-(CAST(cu AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LN(CAST(cu AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1e9) AS BIGINT)) AS hu_nano
+      FROM (SELECT DISTINCT centroid_id, cu, n FROM cells)
+    ),
+    hv AS (
+      SELECT COUNT(*) AS n_labels,
+             SUM(CAST(FLOOR(-(CAST(cv AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LN(CAST(cv AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1e9) AS BIGINT)) AS hv_nano
+      FROM (SELECT DISTINCT label, cv, n FROM cells)
+    )
+    SELECT CAST(mi.n_vecs AS BIGINT) AS n_vecs,
+           CAST(hu.n_clusters AS BIGINT) AS n_clusters,
+           CAST(hv.n_labels AS BIGINT) AS n_labels,
+           FLOOR(CAST(mi.mi_nano AS DOUBLE) / 1e9 * 1000000.0 + 0.5)
+             / 1000000.0 AS mi_nats,
+           FLOOR(CAST(mi.mi_nano AS DOUBLE)
+                 / SQRT(CAST(hu.hu_nano AS DOUBLE)
+                        * CAST(hv.hv_nano AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS nmi
+    FROM mi, hu, hv
     """,
 )

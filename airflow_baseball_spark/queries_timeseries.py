@@ -1969,3 +1969,107 @@ registry.register(
     FROM walk
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Classical additive seasonal decomposition (trend / weekly / remainder)
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily order revenue:
+    y = trend + weekly seasonal + remainder. Trend is the centered
+    7-day moving average (NULL until a full window exists — the
+    textbook definition, no edge fudging); the seasonal component is
+    the per-weekday mean of the detrended series; the remainder is
+    what's left — the series-quality triage (is the variance trend,
+    calendar, or noise?) that precedes any forecasting model choice
+    (`holt_linear`, `seasonal_naive_eval`).
+
+    Exactness: trend = ⌊Σ₇/7⌋ on integer cents (positive — plain DIV);
+    weekday means use the canonical-remainder floor division because
+    detrended values go negative; weekday = epoch-day mod 7 (the
+    seasonality_dow idiom — no session-TZ dependence). Scale: the
+    daily rollup is combinable and scale-invariant (~2.4k rows at any
+    SF); the unpartitioned windows run on that rollup, never the
+    fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y_cents")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    staged = daily.select(
+        "d",
+        "y_cents",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.expr("SUM(y_cents) OVER (ORDER BY d ROWS BETWEEN 3"
+                   " PRECEDING AND 3 FOLLOWING) DIV 7"),
+        ).alias("trend_cents"),
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7
+        ).alias("dow"),
+    ).withColumn(
+        "detr", F.col("y_cents") - F.col("trend_cents")
+    )
+    wd = Window.partitionBy("dow")
+    num = F.sum("detr").over(wd)
+    cnt = F.count("detr").over(wd)
+    rem = ((num % cnt) + cnt) % cnt
+    out = staged.withColumn(
+        "seasonal_cents",
+        F.when(cnt > 0, ((num - rem) / cnt).cast("long")),
+    )
+    return out.select(
+        "d",
+        "y_cents",
+        "trend_cents",
+        "seasonal_cents",
+        (F.col("detr") - F.col("seasonal_cents")).alias("remainder_cents"),
+    )
+
+
+registry.register(
+    "seasonal_decompose",
+    q_seasonal_decompose,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y_cents
+      FROM orders GROUP BY 1
+    ),
+    staged AS (
+      SELECT d, y_cents,
+             CASE WHEN COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3
+                       PRECEDING AND 3 FOLLOWING) = 7
+                  THEN (SUM(y_cents) OVER (ORDER BY d ROWS BETWEEN
+                        3 PRECEDING AND 3 FOLLOWING)) // 7
+             END AS trend_cents,
+             DATEDIFF('day', DATE '1970-01-01', d) % 7 AS dow
+      FROM daily
+    ),
+    detr AS (
+      SELECT *, y_cents - trend_cents AS dv FROM staged
+    ),
+    seas AS (
+      SELECT *,
+             SUM(dv) OVER (PARTITION BY dow) AS num,
+             COUNT(dv) OVER (PARTITION BY dow) AS cnt
+      FROM detr
+    )
+    SELECT d, y_cents, trend_cents,
+           CASE WHEN cnt > 0 THEN
+             (num - (((num % cnt) + cnt) % cnt)) // cnt
+           END AS seasonal_cents,
+           dv - CASE WHEN cnt > 0 THEN
+             (num - (((num % cnt) + cnt) % cnt)) // cnt
+           END AS remainder_cents
+    FROM seas
+    """,
+)

@@ -254,6 +254,9 @@ _PRIORITY = [
     "media_dedup_savings",
     "kneser_ney_bigram",
     "holt_linear",
+    "cluster_nmi",
+    "seasonal_decompose",
+    "ktruss",
 ]
 
 

@@ -122,3 +122,59 @@ def test_holt_linear_recurrence_replay(spark):
                 lev = new_lev
             assert r.level_cents == lev
             assert r.trend_cents == trend
+
+
+def test_cluster_nmi_bounds(spark):
+    from airflow_baseball_spark.queries_text import q_cluster_nmi
+
+    r = q_cluster_nmi(spark, SF).collect()[0]
+    assert r.n_clusters <= 8
+    assert r.n_labels >= 2
+    assert r.mi_nats >= 0
+    assert 0.0 <= r.nmi <= 1.0 + 1e-9
+
+
+def test_seasonal_decompose_identity(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_seasonal_decompose,
+    )
+
+    rows = q_seasonal_decompose(spark, SF).collect()
+    assert rows
+    n_interior = 0
+    for r in rows:
+        if r.trend_cents is None:
+            # edge days have no detrended value (no remainder), but
+            # still inherit their weekday's seasonal mean
+            assert r.remainder_cents is None
+            continue
+        n_interior += 1
+        # additive identity holds exactly in integer cents
+        assert (
+            r.trend_cents + r.seasonal_cents + r.remainder_cents
+            == r.y_cents
+        )
+    assert n_interior >= len(rows) - 6  # only window edges lack trend
+
+
+def test_ktruss_is_subgraph_with_min_support(spark):
+    from airflow_baseball_spark.queries_mining import (
+        _above_avg_edges,
+        q_ktruss,
+    )
+
+    edges = {
+        (r.brand_a, r.brand_b) for r in _above_avg_edges(spark, SF).collect()
+    }
+    rows = q_ktruss(spark, SF).collect()
+    survivors = {(r.brand_a, r.brand_b) for r in rows}
+    assert survivors <= edges
+    # verify final support against a python triangle count on survivors
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in survivors:
+        adj[a].add(b)
+        adj[b].add(a)
+    for r in rows:
+        assert r.support == len(adj[r.brand_a] & adj[r.brand_b])
