@@ -4118,3 +4118,310 @@ registry.register(
     FROM mi, hu, hv
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe operating curve: recall@3 vs clusters probed
+# ---------------------------------------------------------------------------
+
+_NPROBES = (1, 2, 4)
+
+
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve `ivf_topk` commits to a point of: recall@3
+    against the exact top-3 as nprobe sweeps 1 → 2 → 4 of 8 coarse
+    cells — the accuracy-vs-cost frontier every ANN deployment reads
+    before picking its operating point (dedup_threshold_sweep's
+    pattern applied to similarity search).
+
+    Shapes: centroid ranking is ONE corpus × 8-centroid broadcast
+    crossJoin ranked per vector (rank 1 = the cell assignment, ranks
+    ≤ 4 = the query's probe list — one pass serves every nprobe);
+    per-sweep candidates join the query's probe cells to the
+    assignment on cluster id, so cost grows linearly with nprobe and
+    never approaches all-pairs; the exact reference is one
+    query-broadcast scan. Recall is integer hit counting (rounded-
+    cosine, id-tiebreak top-3 on both engines), micro-quantized at
+    the end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("cv")), 6
+            ).alias("ccos"),
+        )
+        .withColumn("rnk", F.row_number().over(wv))
+    )
+    assign = (
+        ranked.filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", "cid")
+        .localCheckpoint()
+    )
+    is_query = F.col("vec_id") % 25 == 0
+    probes = ranked.filter(is_query & (F.col("rnk") <= max(_NPROBES))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "cid",
+        "rnk",
+    )
+    qs = emb.filter(is_query).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nq = qs.agg(F.count("*").alias("n_queries"))
+
+    def top3(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact3 = top3(
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+            ).alias("cos"),
+        )
+    ).localCheckpoint()
+
+    parts = []
+    for p in _NPROBES:
+        cand = (
+            probes.filter(F.col("rnk") <= p)
+            .select("query_id", "qv", "cid")
+            .join(assign, "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    similarity.cosine(F.col("qv"), F.col("embedding")), 6
+                ).alias("cos"),
+            )
+        )
+        hits = top3(cand).join(exact3, ["query_id", "neighbor_id"], "left_semi")
+        parts.append(
+            hits.agg(F.count("*").alias("n_hits"))
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(p).alias("nprobe"),
+                "n_queries",
+                "n_hits",
+                F.expr("(n_hits * 1000000) DIV (3 * n_queries)").alias(
+                    "recall_micro"
+                ),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def _nprobe_sweep_sql() -> str:
+    assign_cos = _COS_SQL.format(a="e.embedding", b="c.cv")
+    pair_cos = _COS_SQL.format(a="q.qv", b="a.embedding")
+    exact_cos = _COS_SQL.format(a="q.qv", b="e.embedding")
+    branches = []
+    for p in _NPROBES:
+        branches.append(f"""
+    SELECT {p} AS nprobe,
+           (SELECT COUNT(*) FROM qs) AS n_queries,
+           (SELECT COUNT(*) FROM (
+              SELECT t.query_id, t.neighbor_id FROM (
+                SELECT s.query_id, s.neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                          ORDER BY s.cos DESC,
+                                                   s.neighbor_id ASC) AS rn
+                FROM (
+                  SELECT q.query_id, a.vec_id AS neighbor_id,
+                         {pair_cos} AS cos
+                  FROM (SELECT r.vec_id AS query_id, r.embedding AS qv,
+                               r.cid
+                        FROM ranked r
+                        WHERE r.vec_id % 25 = 0 AND r.rnk <= {p}) q
+                  JOIN assign a ON a.cid = q.cid
+                                AND a.vec_id <> q.query_id
+                ) s
+              ) t WHERE t.rn <= 3
+              ) ap
+            JOIN exact3 e3 ON ap.query_id = e3.query_id
+                          AND ap.neighbor_id = e3.neighbor_id
+           ) AS n_hits""")
+    body = "\n    UNION ALL\n    ".join(
+        f"SELECT nprobe, CAST(n_queries AS BIGINT) AS n_queries,"
+        f" CAST(n_hits AS BIGINT) AS n_hits,"
+        f" (n_hits * 1000000) // (3 * n_queries) AS recall_micro"
+        f" FROM ({b})"
+        for b in branches
+    )
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    ranked AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {assign_cos} DESC, c.cid ASC)
+               AS rnk
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM ranked WHERE rnk = 1
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {exact_cos} DESC,
+                                           e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= 3
+    )
+    {body}
+    """
+
+
+registry.register("ivf_nprobe_sweep", q_ivf_nprobe_sweep, _nprobe_sweep_sql())
+
+
+# ---------------------------------------------------------------------------
+# ANN hubness diagnostic: k-occurrence skew of exact top-3 neighbors
+# ---------------------------------------------------------------------------
+
+
+def q_ann_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: how unevenly do corpus
+    vectors appear in other points' top-3 lists? High-dimensional
+    spaces concentrate neighbor lists onto a few "hub" vectors (the
+    classic k-occurrence pathology) — which silently degrades every
+    consumer of this corpus's neighbor lists (ivf_topk recall,
+    hard_negative_mining, embedding_neardup): hubs crowd out true
+    neighbors and antihubs become unreachable. Reports the
+    k-occurrence distribution over the standard query sample: distinct
+    referenced neighbors, max occurrence, the share of all top-3
+    slots captured by the 10 biggest hubs, and the antihub count
+    (corpus vectors never referenced).
+
+    Shapes: one query-broadcast scan for exact top-3 (the
+    cosine_topk plan), then neighbor-keyed integer aggs; the hub
+    top-10 is a 10-row ordered head of the occurrence table. All
+    outputs integer or micro-quantized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    exact3 = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    occ = exact3.groupBy("neighbor_id").agg(F.count("*").alias("occ"))
+    wtop = Window.orderBy(F.col("occ").desc(), F.col("neighbor_id").asc())
+    top10 = (
+        occ.withColumn("hr", F.row_number().over(wtop))
+        .filter(F.col("hr") <= 10)
+        .agg(F.sum("occ").alias("top10_occ"))
+    )
+    stats = occ.agg(
+        F.count("*").alias("n_referenced"),
+        F.max("occ").alias("max_occ"),
+        F.sum("occ").alias("total_slots"),
+    )
+    nq = qs.agg(F.count("*").alias("n_queries"))
+    nc = emb.agg(F.count("*").alias("n_corpus"))
+    return (
+        stats.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_queries",
+            "n_referenced",
+            (F.col("n_corpus") - F.col("n_referenced")).alias("n_antihubs"),
+            "max_occ",
+            F.expr("(top10_occ * 1000000) DIV total_slots").alias(
+                "top10_share_micro"
+            ),
+        )
+    )
+
+
+def _hubness_sql() -> str:
+    exact_cos = _COS_SQL.format(a="q.qv", b="e.embedding")
+    return f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {exact_cos} DESC,
+                                           e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= 3
+    ),
+    occ AS (
+      SELECT neighbor_id, COUNT(*) AS occ FROM exact3 GROUP BY 1
+    ),
+    top10 AS (
+      SELECT SUM(occ) AS top10_occ FROM (
+        SELECT occ, ROW_NUMBER() OVER (ORDER BY occ DESC,
+                                       neighbor_id ASC) AS hr
+        FROM occ
+      ) WHERE hr <= 10
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_referenced, MAX(occ) AS max_occ,
+             SUM(occ) AS total_slots
+      FROM occ
+    )
+    SELECT (SELECT COUNT(*) FROM qs) AS n_queries,
+           CAST(s.n_referenced AS BIGINT) AS n_referenced,
+           (SELECT COUNT(*) FROM embeddings) - s.n_referenced
+             AS n_antihubs,
+           CAST(s.max_occ AS BIGINT) AS max_occ,
+           (t.top10_occ * 1000000) // s.total_slots
+             AS top10_share_micro
+    FROM stats s, top10 t
+    """
+
+
+registry.register("ann_hubness", q_ann_hubness, _hubness_sql())

@@ -2073,3 +2073,230 @@ registry.register(
     FROM seas
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Pinball loss of trailing-window quantile forecasts
+# ---------------------------------------------------------------------------
+
+
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the naive trailing-28-day P50/P90
+    forecasts of daily revenue — the scoring rule that makes quantile
+    forecasts honest (expected loss is minimized exactly by the true
+    quantile), and the eval a probabilistic-forecasting pipeline runs
+    next to `seasonal_naive_eval`'s point metrics.
+
+    The forecast for day t is the exact ⌈q·28⌉-th smallest of the 28
+    previous daily totals: an in-row order statistic on a
+    collect_list window (28 integers sorted per row — never a global
+    sort), so forecasts and losses are pure integers: loss =
+    max(q·(y−f), (q−1)·(y−f)) in milli-units, summed exactly, one
+    floor division for the mean. Scale: the daily rollup is
+    scale-invariant; the 28-element arrays are O(1) per row."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y_cents")
+    )
+    w28 = Window.orderBy("d").rowsBetween(-28, -1)
+    staged = daily.select(
+        "d",
+        "y_cents",
+        F.when(
+            F.count("*").over(w28) == 28,
+            F.array_sort(F.collect_list("y_cents").over(w28)),
+        ).alias("hist"),
+    ).filter(F.col("hist").isNotNull())
+    parts = []
+    for q_milli, kth in ((500, 14), (900, 26)):
+        err = F.col("y_cents") - F.element_at("hist", kth)
+        loss = F.greatest(
+            F.lit(q_milli) * err, F.lit(q_milli - 1000) * err
+        )
+        parts.append(
+            staged.select(loss.alias("loss")).agg(
+                F.lit(q_milli).alias("q_milli"),
+                F.count("*").alias("n_days"),
+                F.expr("SUM(loss) DIV COUNT(*)").alias(
+                    "mean_pinball_milli"
+                ),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
+registry.register(
+    "pinball_loss",
+    q_pinball_loss,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y_cents
+      FROM orders GROUP BY 1
+    ),
+    staged AS (
+      SELECT d, y_cents,
+             CASE WHEN COUNT(*) OVER (ORDER BY d ROWS BETWEEN 28
+                       PRECEDING AND 1 PRECEDING) = 28
+                  THEN list_sort(list(y_cents) OVER (ORDER BY d ROWS
+                       BETWEEN 28 PRECEDING AND 1 PRECEDING))
+             END AS hist
+      FROM daily
+    ),
+    f AS (SELECT * FROM staged WHERE hist IS NOT NULL)
+    SELECT 500 AS q_milli, COUNT(*) AS n_days,
+           SUM(GREATEST(500 * (y_cents - hist[14]),
+                        -500 * (y_cents - hist[14]))) // COUNT(*)
+             AS mean_pinball_milli
+    FROM f
+    UNION ALL
+    SELECT 900, COUNT(*),
+           SUM(GREATEST(900 * (y_cents - hist[26]),
+                        -100 * (y_cents - hist[26]))) // COUNT(*)
+    FROM f
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Periodogram probe at calendar frequencies (exact trig-table DFT)
+# ---------------------------------------------------------------------------
+
+_PERIODS = (7, 30, 91)
+
+
+def _trig_rows() -> list[tuple[int, int, int, int]]:
+    """Quantized trig table: ONE Python source of truth feeds both
+    engines as literals, so no libm cos/sin ulp difference can reach
+    a floor boundary (the chi2_features lesson applied to trig)."""
+    import math
+
+    rows = []
+    for p in _PERIODS:
+        for k in range(p):
+            ang = 2.0 * math.pi * k / p
+            rows.append(
+                (
+                    p,
+                    k,
+                    math.floor(math.cos(ang) * 1_000_000),
+                    math.floor(math.sin(ang) * 1_000_000),
+                )
+            )
+    return rows
+
+
+def q_periodogram_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT power of mean-centered daily revenue at the three calendar
+    frequencies that matter for a retail series (weekly, monthly,
+    quarterly) — the spectral cross-check of `seasonal_decompose` and
+    `seasonality_dow`: amplitude(p) = |Σ y'ₜ·e^{−2πi·t/p}|/n, big at
+    p=7 if the weekly cycle is real.
+
+    Exactness: cos/sin values come from a 128-row quantized trig
+    table generated ONCE in Python and shipped as literals to BOTH
+    engines (broadcast dim on the Spark side, VALUES on the oracle
+    side) — the only way a libm-dependent function can never flip a
+    floor; S and C are exact integer sums of y'·cos_micro products;
+    the final amplitude is one double expression on two exact
+    integers. Scale: the daily rollup is scale-invariant, the trig
+    dim is O(1), the phase join broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y_cents")
+    )
+    mean_df = daily.agg(
+        F.expr("SUM(y_cents) DIV COUNT(*)").alias("mu"),
+        F.count("*").alias("n_days"),
+    )
+    trig = spark.createDataFrame(
+        _trig_rows(), "p int, k int, cos_micro long, sin_micro long"
+    )
+    staged = (
+        daily.crossJoin(F.broadcast(mean_df))
+        .select(
+            (F.col("y_cents") - F.col("mu")).alias("yc"),
+            (
+                F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            ).alias("ed"),
+            "n_days",
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(p,) for p in _PERIODS], "p int"
+                )
+            )
+        )
+        .withColumn("k", F.col("ed") % F.col("p"))
+        .join(F.broadcast(trig), ["p", "k"])
+    )
+    agg = staged.groupBy("p").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(F.col("yc") * F.col("cos_micro")).alias("s_cos"),
+        F.sum(F.col("yc") * F.col("sin_micro")).alias("s_sin"),
+    )
+    amp = F.sqrt(
+        F.col("s_cos").cast("double") * F.col("s_cos").cast("double")
+        + F.col("s_sin").cast("double") * F.col("s_sin").cast("double")
+    ) / (F.col("n_days").cast("double") * 1e6)
+    return agg.select(
+        F.col("p").alias("period_days"),
+        "n_days",
+        _r6(amp / 100.0).alias("amplitude_dollars"),
+    )
+
+
+def _periodogram_sql() -> str:
+    values = ",\n      ".join(
+        f"({p}, {k}, {c}, {s})" for p, k, c, s in _trig_rows()
+    )
+    return f"""
+    WITH trig(p, k, cos_micro, sin_micro) AS (
+      VALUES {values}
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y_cents
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT SUM(y_cents) // COUNT(*) AS mu, COUNT(*) AS n_days
+          FROM daily),
+    staged AS (
+      SELECT t.p, d.y_cents - m.mu AS yc, m.n_days,
+             t.cos_micro, t.sin_micro
+      FROM daily d
+      CROSS JOIN m
+      JOIN trig t
+        ON t.k = DATEDIFF('day', DATE '1970-01-01', d.d) % t.p
+    ),
+    agg AS (
+      SELECT p, MAX(n_days) AS n_days,
+             SUM(yc * cos_micro) AS s_cos,
+             SUM(yc * sin_micro) AS s_sin
+      FROM staged GROUP BY 1
+    )
+    SELECT p AS period_days, CAST(n_days AS BIGINT) AS n_days,
+           FLOOR(SQRT(CAST(s_cos AS DOUBLE) * CAST(s_cos AS DOUBLE)
+                      + CAST(s_sin AS DOUBLE) * CAST(s_sin AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * 1e6) / 100.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS amplitude_dollars
+    FROM agg
+    """
+
+
+registry.register(
+    "periodogram_probe", q_periodogram_probe, _periodogram_sql()
+)

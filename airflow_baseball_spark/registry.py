@@ -257,6 +257,10 @@ _PRIORITY = [
     "cluster_nmi",
     "seasonal_decompose",
     "ktruss",
+    "ivf_nprobe_sweep",
+    "ann_hubness",
+    "pinball_loss",
+    "periodogram_probe",
 ]
 
 

@@ -178,3 +178,51 @@ def test_ktruss_is_subgraph_with_min_support(spark):
         adj[b].add(a)
     for r in rows:
         assert r.support == len(adj[r.brand_a] & adj[r.brand_b])
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    from airflow_baseball_spark.queries_text import q_ivf_nprobe_sweep
+
+    rows = sorted(
+        q_ivf_nprobe_sweep(spark, SF).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    recalls = [r.recall_micro for r in rows]
+    # probing more cells can only add candidates -> recall monotone
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert 0 <= r.n_hits <= 3 * r.n_queries
+        assert 0 <= r.recall_micro <= 1000000
+
+
+def test_ann_hubness_accounting(spark):
+    from airflow_baseball_spark.queries_text import q_ann_hubness
+
+    r = q_ann_hubness(spark, SF).collect()[0]
+    assert r.n_queries > 0
+    assert 1 <= r.n_referenced <= 3 * r.n_queries
+    assert r.n_antihubs >= 0
+    assert 1 <= r.max_occ <= r.n_queries
+    assert 0 < r.top10_share_micro <= 1000000
+
+
+def test_pinball_p90_penalizes_under_more(spark):
+    from airflow_baseball_spark.queries_timeseries import q_pinball_loss
+
+    rows = {r.q_milli: r for r in q_pinball_loss(spark, SF).collect()}
+    assert set(rows) == {500, 900}
+    assert rows[500].n_days == rows[900].n_days > 0
+    for r in rows.values():
+        assert r.mean_pinball_milli >= 0
+
+
+def test_periodogram_weekly_dominates(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_periodogram_probe,
+    )
+
+    rows = {r.period_days: r for r in q_periodogram_probe(spark, SF).collect()}
+    assert set(rows) == {7, 30, 91}
+    for r in rows.values():
+        assert r.amplitude_dollars >= 0
+        assert r.n_days > 28
