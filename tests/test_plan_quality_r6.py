@@ -98,3 +98,58 @@ def test_zone_map_prune_single_scan_per_layout(spark):
     plan = _plan(q_zone_map_prune(spark, SF))
     assert "Join" not in plan.replace("Adaptive", "")
     assert "Window" not in plan
+
+
+def test_media_neardup_joins_are_equi_and_hot_cap_broadcasts(spark):
+    """Candidate pairing must be a digest-equality join (never
+    all-pairs) and the hot-digest exclusion a broadcast anti-join."""
+    from airflow_baseball_spark.queries_multimodal import q_media_neardup
+
+    plan = _plan(q_media_neardup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_rrf_topk_lists_are_take_ordered(spark):
+    """Each retrieval list is orderBy().limit(100) — must compile to
+    TakeOrderedAndProject, never a global Sort over the corpus."""
+    from airflow_baseball_spark.queries_stats import q_rrf_fusion
+
+    plan = _plan(q_rrf_fusion(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_sweep_centroids_broadcast_no_python(spark):
+    """The 8-centroid dim and the probe join must broadcast; the
+    whole sweep is JVM-side column expressions (no Arrow stage)."""
+    from airflow_baseball_spark.queries_text import q_ivf_nprobe_sweep
+
+    plan = _plan(q_ivf_nprobe_sweep(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_periodogram_trig_table_broadcasts(spark):
+    """The 128-row trig dim joins broadcast; the daily rollup is the
+    only aggregation shuffle."""
+    from airflow_baseball_spark.queries_timeseries import (
+        q_periodogram_probe,
+    )
+
+    plan = _plan(q_periodogram_probe(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_holt_shuffle_is_single_key_exchange(spark):
+    """applyInPandas must be fed by one nation-keyed exchange over the
+    combinable daily rollup — FlatMapGroupsInPandas appears exactly
+    once and no extra wide shuffle follows it."""
+    from airflow_baseball_spark.queries_timeseries import q_holt_linear
+
+    plan = _plan(q_holt_linear(spark, SF))
+    # formatted plans list each node twice (tree + details): one
+    # logical FlatMapGroupsInPandas, no second Python stage
+    assert 1 <= plan.count("FlatMapGroupsInPandas") <= 2
