@@ -1269,3 +1269,238 @@ def _shard_balance_sql() -> str:
 
 
 registry.register("shard_balance", q_shard_balance, _shard_balance_sql())
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+_MARKOV_STEPS = 8
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    successor of `last_touch_attribution`/`time_decay_attribution`'s
+    heuristics: build the first-order journey chain (START → channel
+    states → CONV on first purchase, DROP for non-converters), then
+    credit each channel by how much the 8-step conversion mass falls
+    when transitions INTO that channel are removed (lost, not
+    renormalized — the standard removal-effect semantics).
+
+    Exactness end-to-end in integers: transition probabilities are
+    (count·1e6) div row-total; the walk carries nano-mass BIGINTs and
+    each step is Σ mass·p_micro div 1e6 — order-free integer
+    arithmetic, so an 8-step × 5-variant chain walk hashes
+    identically on both engines. Shapes: journeys use the one
+    (user)-keyed window sort every sequence op shares; the chain
+    tables are |states|²-bounded forever; all five removal variants
+    ride ONE plan via a variant dimension column (the walk is 8 tiny
+    keyed joins, localCheckpoint'ed per step like every bounded
+    iteration here)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("idx", F.row_number().over(w))
+    first_p = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("idx").alias("pidx"))
+    )
+    trunc = (
+        seq.join(first_p, "user_id", "left")
+        .filter(F.col("pidx").isNull() | (F.col("idx") <= F.col("pidx")))
+        .select(
+            "user_id",
+            "idx",
+            "pidx",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    wi = Window.partitionBy("user_id").orderBy("idx")
+    steps = trunc.select(
+        F.coalesce(F.lag("state").over(wi), F.lit("START")).alias("src"),
+        F.col("state").alias("dst"),
+    )
+    last_state = trunc.filter(F.col("pidx").isNull()).groupBy("user_id").agg(
+        F.max(F.struct("idx", "state"))["state"].alias("src")
+    )
+    drops = last_state.select("src", F.lit("DROP").alias("dst"))
+    counts = steps.unionByName(drops).groupBy("src", "dst").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.groupBy("src").agg(F.sum("n").alias("row_n"))
+    pm = (
+        counts.join(tot, "src")
+        .select("src", "dst", F.expr("(n * 1000000) DIV row_n").alias("p_micro"))
+        .localCheckpoint()
+    )
+    variants = spark.createDataFrame(
+        [("none",)] + [(c,) for c in _MARKOV_CHANNELS], "variant string"
+    )
+    tv = (
+        pm.crossJoin(F.broadcast(variants))
+        .filter(
+            (F.col("variant") == "none")
+            | (
+                (F.col("dst") != F.col("variant"))
+                & (F.col("src") != F.col("variant"))
+            )
+        )
+        .localCheckpoint()
+    )
+    v = variants.select(
+        "variant",
+        F.lit("START").alias("state"),
+        F.lit(1_000_000_000).alias("mass"),
+    )
+    conv_parts = []
+    for _ in range(_MARKOV_STEPS):
+        nxt = (
+            v.join(tv, (v["variant"] == tv["variant"]) & (v["state"] == tv["src"]))
+            .select(
+                v["variant"].alias("variant"),
+                F.col("dst").alias("state"),
+                (F.col("mass") * F.col("p_micro")).alias("flow"),
+            )
+            .groupBy("variant", "state")
+            .agg(F.expr("SUM(flow) DIV 1000000").alias("mass"))
+            .localCheckpoint()
+        )
+        conv_parts.append(
+            nxt.filter(F.col("state") == "CONV").select("variant", "mass")
+        )
+        v = nxt.filter(~F.col("state").isin("CONV", "DROP"))
+    conv_all = conv_parts[0]
+    for c in conv_parts[1:]:
+        conv_all = conv_all.unionByName(c)
+    conv = conv_all.groupBy("variant").agg(
+        F.expr("SUM(mass) DIV 1000 AS p_conv_micro")
+    )
+    base = conv.filter(F.col("variant") == "none").select(
+        F.col("p_conv_micro").alias("p_base_micro")
+    )
+    removed = conv.filter(F.col("variant") != "none").select(
+        F.col("variant").alias("channel"),
+        F.col("p_conv_micro").alias("p_removed_micro"),
+    )
+    staged = removed.crossJoin(F.broadcast(base)).select(
+        "channel",
+        "p_base_micro",
+        "p_removed_micro",
+        (F.col("p_base_micro") - F.col("p_removed_micro")).alias(
+            "removal_micro"
+        ),
+    )
+    tot_re = staged.agg(F.sum("removal_micro").alias("sum_re"))
+    return staged.crossJoin(F.broadcast(tot_re)).select(
+        "channel",
+        "p_base_micro",
+        "p_removed_micro",
+        "removal_micro",
+        F.expr("(removal_micro * 1000000) DIV sum_re").alias(
+            "attribution_micro"
+        ),
+    )
+
+
+def _markov_sql(steps: int = _MARKOV_STEPS) -> str:
+    walk = []
+    prev = "v0"
+    for i in range(1, steps + 1):
+        walk.append(f"""
+    s{i} AS (
+      SELECT w.variant, t.dst AS state,
+             SUM(w.mass * t.p_micro) // 1000000 AS mass
+      FROM {prev} w JOIN tv t
+        ON t.variant = w.variant AND t.src = w.state
+      GROUP BY 1, 2
+    ),
+    c{i} AS (SELECT variant, mass FROM s{i} WHERE state = 'CONV'),
+    v{i} AS (SELECT * FROM s{i} WHERE state NOT IN ('CONV', 'DROP'))""")
+        prev = f"v{i}"
+    conv_union = "\n        UNION ALL ".join(
+        f"SELECT * FROM c{i}" for i in range(1, steps + 1)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS idx
+      FROM events
+    ),
+    first_p AS (
+      SELECT user_id, MIN(idx) AS pidx FROM seq
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    trunc AS (
+      SELECT s.user_id, s.idx, f.pidx,
+             CASE WHEN s.event_type = 'purchase' THEN 'CONV'
+                  ELSE s.event_type END AS state
+      FROM seq s LEFT JOIN first_p f ON s.user_id = f.user_id
+      WHERE f.pidx IS NULL OR s.idx <= f.pidx
+    ),
+    steps AS (
+      SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id
+                                       ORDER BY idx), 'START') AS src,
+             state AS dst
+      FROM trunc
+    ),
+    drops AS (
+      SELECT ARG_MAX(state, idx) AS src, 'DROP' AS dst
+      FROM trunc WHERE pidx IS NULL GROUP BY user_id
+    ),
+    counts AS (
+      SELECT src, dst, COUNT(*) AS n FROM (
+        SELECT src, dst FROM steps
+        UNION ALL SELECT src, dst FROM drops
+      ) GROUP BY 1, 2
+    ),
+    pm AS (
+      SELECT c.src, c.dst, (c.n * 1000000) // t.row_n AS p_micro
+      FROM counts c
+      JOIN (SELECT src, SUM(n) AS row_n FROM counts GROUP BY 1) t
+        ON c.src = t.src
+    ),
+    variants(variant) AS (
+      VALUES ('none'), ('click'), ('error'), ('signup'), ('view')
+    ),
+    tv AS (
+      SELECT v.variant, p.src, p.dst, p.p_micro
+      FROM pm p CROSS JOIN variants v
+      WHERE v.variant = 'none'
+         OR (p.dst <> v.variant AND p.src <> v.variant)
+    ),
+    v0 AS (
+      SELECT variant, 'START' AS state,
+             CAST(1000000000 AS BIGINT) AS mass
+      FROM variants
+    ),
+    {",".join(walk)},
+    conv AS (
+      SELECT variant, SUM(mass) // 1000 AS p_conv_micro
+      FROM ({conv_union}) GROUP BY 1
+    ),
+    base AS (
+      SELECT p_conv_micro AS p_base_micro FROM conv
+      WHERE variant = 'none'
+    ),
+    staged AS (
+      SELECT c.variant AS channel, b.p_base_micro,
+             c.p_conv_micro AS p_removed_micro,
+             b.p_base_micro - c.p_conv_micro AS removal_micro
+      FROM conv c CROSS JOIN base b
+      WHERE c.variant <> 'none'
+    )
+    SELECT channel, p_base_micro, p_removed_micro, removal_micro,
+           (removal_micro * 1000000)
+             // (SELECT SUM(removal_micro) FROM staged)
+             AS attribution_micro
+    FROM staged
+    """
+
+
+registry.register("markov_attribution", q_markov_attribution, _markov_sql())

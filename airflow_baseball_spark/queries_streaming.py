@@ -12,7 +12,7 @@ stateful sessionization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -417,3 +417,111 @@ def _stream_hll_sql() -> str:
 
 
 registry.register("stream_hll_users", q_stream_hll_users, _stream_hll_sql())
+
+
+# ---------------------------------------------------------------------------
+# Late-arrival audit: what would a watermark policy drop?
+# ---------------------------------------------------------------------------
+
+_LATE_BLOCK = 1024
+
+
+def q_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy planning for the streaming jobs above: replay
+    the event log in ARRIVAL order (event_id) and measure, per event
+    type, how many events arrive with event-time more than 1 hour
+    behind the running event-time high-water mark — exactly the rows
+    `withWatermark("ts", "1 hour")` would decline to update state
+    for. Run this before picking a lateness bound, not after losing
+    data to one.
+
+    Scale shape: the arrival-order running max is the classic
+    sequential trap; it parallelizes with the two-level prefix scan
+    every packing op here uses — per-block (1024 ids) maxima, a
+    tiny block-table prefix max, then an in-block EXCLUSIVE window
+    max combined with the prior-blocks offset. Everything is integer
+    epoch-micros (unix_micros — session-TZ-proof)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("tm"),
+        F.expr(f"event_id DIV {_LATE_BLOCK}").alias("blk"),
+    )
+    blocks = ev.groupBy("blk").agg(F.max("tm").alias("blk_max"))
+    wb = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = blocks.select(
+        "blk", F.max("blk_max").over(wb).alias("prior_max")
+    )
+    wi = Window.partitionBy("blk").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = (
+        ev.join(F.broadcast(prior), "blk")
+        .withColumn("in_blk_max", F.max("tm").over(wi))
+        .withColumn(
+            "hwm", F.greatest(
+                F.coalesce(F.col("prior_max"), F.lit(-1)),
+                F.coalesce(F.col("in_blk_max"), F.lit(-1)),
+            )
+        )
+        .withColumn(
+            "late_us",
+            F.when(
+                F.col("hwm") >= 0, F.greatest(F.col("hwm") - F.col("tm"), F.lit(0))
+            ).otherwise(F.lit(0)),
+        )
+    )
+    hour_us = 3_600_000_000
+    return staged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_out_of_order"),
+        F.sum((F.col("late_us") > hour_us).cast("long")).alias(
+            "n_dropped_1h"
+        ),
+        F.expr("MAX(late_us) DIV 1000000").alias("max_late_seconds"),
+    )
+
+
+registry.register(
+    "late_arrival_audit",
+    q_late_arrival_audit,
+    f"""
+    WITH ev AS (
+      SELECT event_id, event_type, epoch_us(ts) AS tm,
+             event_id // {_LATE_BLOCK} AS blk
+      FROM events
+    ),
+    blocks AS (SELECT blk, MAX(tm) AS blk_max FROM ev GROUP BY 1),
+    prior AS (
+      SELECT blk,
+             MAX(blk_max) OVER (ORDER BY blk ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING) AS prior_max
+      FROM blocks
+    ),
+    staged AS (
+      SELECT e.event_type, e.tm,
+             GREATEST(
+               COALESCE(p.prior_max, -1),
+               COALESCE(MAX(e.tm) OVER (PARTITION BY e.blk
+                        ORDER BY e.event_id ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND 1 PRECEDING), -1)
+             ) AS hwm
+      FROM ev e JOIN prior p ON e.blk = p.blk
+    ),
+    late AS (
+      SELECT event_type,
+             CASE WHEN hwm >= 0 THEN GREATEST(hwm - tm, 0)
+                  ELSE 0 END AS late_us
+      FROM staged
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+             AS n_out_of_order,
+           SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+             AS n_dropped_1h,
+           MAX(late_us) // 1000000 AS max_late_seconds
+    FROM late GROUP BY 1
+    """,
+)

@@ -4425,3 +4425,117 @@ def _hubness_sql() -> str:
 
 
 registry.register("ann_hubness", q_ann_hubness, _hubness_sql())
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = (
+    "a", "the", "and", "of", "to", "in", "fast", "slow", "small", "big",
+)
+_RAKE_MAX_LEN = 4
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus (Rose et al.): split
+    each document at stopwords into candidate phrases (gaps-and-
+    islands on token position — the sessionize trick applied to
+    text), score each word by degree/frequency over phrase
+    co-membership, and rank phrases by the sum of member-word scores
+    — the zero-model keyphrase baseline next to `collocation_pmi`
+    (PMI finds surprising pairs; RAKE finds content-word runs).
+
+    Exactness: degree and frequency are integers, word scores are
+    (deg·1e6) div freq, phrase scores are integer sums — the top-20
+    cut is integer-ordered with a phrase tiebreak. Shapes: islands
+    come from the per-doc position window; word stats and phrase
+    scores are token-keyed aggs; the final cut is a TakeOrdered
+    20-row head, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    nonstop = toks.filter(~F.col("tok").isin(*_RAKE_STOP))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    wlen = Window.partitionBy("doc_id", "grp")
+    members = isl.withColumn("plen", F.count("*").over(wlen)).filter(
+        F.col("plen") <= _RAKE_MAX_LEN
+    )
+    word_scores = members.groupBy("tok").agg(
+        F.expr("(SUM(plen) * 1000000) DIV COUNT(*)").alias("w_score")
+    )
+    phrase_rows = (
+        members.join(word_scores, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("w_score").alias("score_micro"),
+        )
+    )
+    return (
+        phrase_rows.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(20)
+    )
+
+
+def _rake_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in _RAKE_STOP)
+    return f"""
+    WITH toks AS (
+      SELECT d.doc_id, g.i - 1 AS pos, arr[g.i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr
+            FROM documents) d,
+      LATERAL unnest(generate_series(1, len(arr))) AS g(i)
+    ),
+    nonstop AS (
+      SELECT doc_id, pos, tok FROM toks WHERE tok NOT IN ({stop})
+    ),
+    isl AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM nonstop
+    ),
+    members AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, tok, grp,
+               COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+        FROM isl
+      ) WHERE plen <= {_RAKE_MAX_LEN}
+    ),
+    word_scores AS (
+      SELECT tok, (SUM(plen) * 1000000) // COUNT(*) AS w_score
+      FROM members GROUP BY 1
+    ),
+    phrase_rows AS (
+      SELECT m.doc_id, m.grp,
+             string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+             SUM(w.w_score) AS score_micro
+      FROM members m JOIN word_scores w ON m.tok = w.tok
+      GROUP BY 1, 2
+    )
+    SELECT phrase, COUNT(*) AS n_occurrences,
+           CAST(MAX(score_micro) AS BIGINT) AS score_micro
+    FROM phrase_rows
+    GROUP BY 1
+    ORDER BY score_micro DESC, phrase ASC
+    LIMIT 20
+    """
+
+
+registry.register("rake_keyphrases", q_rake_keyphrases, _rake_sql())

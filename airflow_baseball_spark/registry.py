@@ -261,6 +261,9 @@ _PRIORITY = [
     "ann_hubness",
     "pinball_loss",
     "periodogram_probe",
+    "markov_attribution",
+    "rake_keyphrases",
+    "late_arrival_audit",
 ]
 
 

@@ -226,3 +226,54 @@ def test_periodogram_weekly_dominates(spark):
     for r in rows.values():
         assert r.amplitude_dollars >= 0
         assert r.n_days > 28
+
+
+def test_markov_attribution_shares_sum_to_one(spark):
+    from airflow_baseball_spark.queries_llm import (
+        _MARKOV_CHANNELS,
+        q_markov_attribution,
+    )
+
+    rows = q_markov_attribution(spark, SF).collect()
+    assert {r.channel for r in rows} == set(_MARKOV_CHANNELS)
+    base = {r.p_base_micro for r in rows}
+    assert len(base) == 1 and 0 < base.pop() <= 1000000
+    for r in rows:
+        # removing a channel cannot raise conversion mass
+        assert r.removal_micro >= 0
+        assert r.p_removed_micro <= r.p_base_micro
+    total_share = sum(r.attribution_micro for r in rows)
+    # integer floor division: sums to 1e6 minus rounding slack
+    assert 1000000 - len(rows) <= total_share <= 1000000
+
+
+def test_rake_phrases_contain_no_stopwords(spark):
+    from airflow_baseball_spark.queries_text import (
+        _RAKE_MAX_LEN,
+        _RAKE_STOP,
+        q_rake_keyphrases,
+    )
+
+    rows = q_rake_keyphrases(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        toks = r.phrase.split(" ")
+        assert 1 <= len(toks) <= _RAKE_MAX_LEN
+        assert not (set(toks) & set(_RAKE_STOP))
+        assert r.n_occurrences >= 1
+
+
+def test_late_arrival_audit_bounds(spark):
+    from airflow_baseball_spark.queries_streaming import (
+        q_late_arrival_audit,
+    )
+
+    rows = q_late_arrival_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dropped_1h <= r.n_out_of_order <= r.n_events
+        assert r.max_late_seconds >= 0
+        if r.n_dropped_1h:
+            assert r.max_late_seconds > 3600
