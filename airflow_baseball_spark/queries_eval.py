@@ -2505,3 +2505,125 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Qini / uplift curve over a deterministic A/B assignment
+# ---------------------------------------------------------------------------
+
+
+def q_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift evaluation: users split into treatment /
+    control by key parity (the deterministic stand-in for an A/B
+    assignment), outcome = converted (any purchase), targeting score
+    = activity volume. Ranking users by score, the curve reports per
+    cumulative decile the incremental conversions over the control
+    baseline scaled to the treated population — the standard "who
+    should we target first?" audit, and the causal sibling of
+    `decile_lift` (which ignores the control arm).
+
+    Exactness: counts are integers; qini(k) = (R_t·N_c − R_c·N_t)
+    ·1e3 / N_c uses one portable canonical-remainder floor division
+    (the numerator goes negative when targeting is anti-correlated).
+    Shapes: one user-grain rollup of events, a 10-row decile agg,
+    cumulative windows over those 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count("*").alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    n_tot = users.count()
+    ranked = users.select(
+        "user_id",
+        "score",
+        "converted",
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+        F.expr(
+            f"(((ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC))"
+            f" - 1) * 10) DIV {n_tot}"
+        ).cast("int").alias("decile"),
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.sum("treated").alias("nt"),
+        F.sum(F.lit(1) - F.col("treated")).alias("nc"),
+        F.sum(F.col("treated") * F.col("converted")).alias("rt"),
+        F.sum((F.lit(1) - F.col("treated")) * F.col("converted")).alias(
+            "rc"
+        ),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_dec.select(
+        "decile",
+        F.sum("nt").over(wc).alias("n_treated_cum"),
+        F.sum("nc").over(wc).alias("n_control_cum"),
+        F.sum("rt").over(wc).alias("resp_treated_cum"),
+        F.sum("rc").over(wc).alias("resp_control_cum"),
+    )
+    num = (
+        F.col("resp_treated_cum") * F.col("n_control_cum")
+        - F.col("resp_control_cum") * F.col("n_treated_cum")
+    ) * F.lit(1000)
+    den = F.col("n_control_cum")
+    rem = ((num % den) + den) % den
+    return cum.withColumn(
+        "qini_milli", ((num - rem) / den).cast("long")
+    )
+
+
+registry.register(
+    "uplift_qini",
+    q_uplift_qini,
+    """
+    WITH users AS (
+      SELECT user_id, COUNT(*) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT user_id, score, converted,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CAST(((ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC)
+                    - 1) * 10) // (SELECT COUNT(*) FROM users) AS INT)
+               AS decile
+      FROM users
+    ),
+    per_dec AS (
+      SELECT decile,
+             SUM(treated) AS nt, SUM(1 - treated) AS nc,
+             SUM(treated * converted) AS rt,
+             SUM((1 - treated) * converted) AS rc
+      FROM ranked GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile,
+             SUM(nt) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS n_treated_cum,
+             SUM(nc) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS n_control_cum,
+             SUM(rt) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+               AS resp_treated_cum,
+             SUM(rc) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+               AS resp_control_cum
+      FROM per_dec
+    )
+    SELECT decile,
+           CAST(n_treated_cum AS BIGINT) AS n_treated_cum,
+           CAST(n_control_cum AS BIGINT) AS n_control_cum,
+           CAST(resp_treated_cum AS BIGINT) AS resp_treated_cum,
+           CAST(resp_control_cum AS BIGINT) AS resp_control_cum,
+           CAST(((resp_treated_cum * n_control_cum
+                  - resp_control_cum * n_treated_cum) * 1000
+                 - ((((resp_treated_cum * n_control_cum
+                       - resp_control_cum * n_treated_cum) * 1000)
+                     % n_control_cum + n_control_cum) % n_control_cum))
+                / n_control_cum AS BIGINT) AS qini_milli
+    FROM cum
+    """,
+)

@@ -661,3 +661,102 @@ def _cv_var_sql() -> str:
 registry.register(
     "cv_metric_variance", q_cv_metric_variance, _cv_var_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Referentially-consistent warehouse sample
+# ---------------------------------------------------------------------------
+
+
+def q_consistent_fk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-consistent downsampling of the warehouse: pick 5%
+    of CUSTOMERS by key hash, then take the FK closure — their orders
+    and those orders' lineitems — so every sampled row's parent is
+    also in the sample (the property row-independent sampling
+    destroys, and the reason dev/staging copies of a warehouse are
+    sampled by entity, not by row). Reports per-segment closure sizes
+    and fan-out ratios as the sample's audit card.
+
+    Shapes: the coin is the same md5 unit hash every split op here
+    uses (so the sample is reproducible on any engine); the closure
+    is two key-equi joins that shuffle only sampled keys; ratios are
+    integer micro-divisions."""
+    cust = hash_sample(
+        load_table(spark, sf_dir, "customer"), "c_custkey", 0.05, seed="13"
+    ).select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    s_orders = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_orderkey")
+    s_items = s_orders.join(
+        li, s_orders["o_orderkey"] == li["l_orderkey"]
+    ).groupBy("c_mktsegment").agg(F.count("*").alias("n_lineitems"))
+    per_seg = (
+        cust.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .join(
+            s_orders.groupBy("c_mktsegment").agg(
+                F.count("*").alias("n_orders")
+            ),
+            "c_mktsegment",
+            "left",
+        )
+        .join(s_items, "c_mktsegment", "left")
+    )
+    return per_seg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_lineitems", F.lit(0)).alias("n_lineitems"),
+        F.expr(
+            "(COALESCE(n_orders, 0) * 1000000) DIV n_customers"
+        ).alias("orders_per_cust_micro"),
+        F.when(
+            F.coalesce("n_orders", F.lit(0)) > 0,
+            F.expr("(COALESCE(n_lineitems, 0) * 1000000)"
+                   " DIV COALESCE(n_orders, 1)"),
+        ).otherwise(F.lit(0)).alias("items_per_order_micro"),
+    )
+
+
+_U_CUST = hash_unit_sql("c_custkey", "13")
+
+registry.register(
+    "consistent_fk_sample",
+    q_consistent_fk_sample,
+    f"""
+    WITH sc AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE {_U_CUST} < 0.05
+    ),
+    so AS (
+      SELECT c.c_mktsegment, o.o_orderkey
+      FROM orders o JOIN sc c ON o.o_custkey = c.c_custkey
+    ),
+    si AS (
+      SELECT s.c_mktsegment, COUNT(*) AS n_lineitems
+      FROM so s JOIN lineitem l ON s.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    ),
+    seg AS (
+      SELECT c.c_mktsegment,
+             COUNT(*) AS n_customers,
+             (SELECT COUNT(*) FROM so s
+              WHERE s.c_mktsegment = c.c_mktsegment) AS n_orders,
+             (SELECT COALESCE(MAX(n_lineitems), 0) FROM si i
+              WHERE i.c_mktsegment = c.c_mktsegment) AS n_lineitems
+      FROM sc c GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_lineitems AS BIGINT) AS n_lineitems,
+           (n_orders * 1000000) // n_customers AS orders_per_cust_micro,
+           CASE WHEN n_orders > 0
+                THEN (n_lineitems * 1000000) // n_orders
+                ELSE 0 END AS items_per_order_micro
+    FROM seg
+    """,
+)

@@ -4539,3 +4539,130 @@ def _rake_sql() -> str:
 
 
 registry.register("rake_keyphrases", q_rake_keyphrases, _rake_sql())
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining (anchor / hardest positive / hardest negative)
+# ---------------------------------------------------------------------------
+
+
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, negative) training triplets from the
+    labeled embedding corpus — the batch-hard strategy of metric-
+    learning pipelines: per anchor, the HARDEST positive (lowest
+    cosine among same-label) and HARDEST negative (highest cosine
+    among other-label), because easy triplets contribute zero
+    gradient. Complements `hard_negative_mining` (query→passage) with
+    the label-supervised triplet form, and reports the per-label
+    margin profile (how separable is each class?).
+
+    Shapes: one query-broadcast scan scores the anchor sample against
+    the corpus (the cosine_topk plan); hardest positive/negative are
+    two windowed argmins over that scored table; the rollup is
+    label-sized. Exactness: cosines are rounded to 1e-6 on both
+    engines, margins use the half-up micro quantize (margin is a
+    difference of two 6-dp-rounded doubles, so the +0.5 offset keeps
+    every value off the floor boundary), and means divide exact
+    integer sums once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("a_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("c_label"),
+            F.round(
+                similarity.cosine(F.col("av"), F.col("embedding")), 6
+            ).alias("cos"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").asc(), F.col("cand_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("c_label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "a_label", F.col("cos").alias("pos_cos"))
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("cos").alias("neg_cos"))
+    )
+    trip = pos.join(neg, "anchor_id").withColumn(
+        "margin_micro",
+        F.floor(
+            (F.col("pos_cos") - F.col("neg_cos")) * 1e6 + 0.5
+        ).cast("long"),
+    )
+    return trip.groupBy("a_label").agg(
+        F.count("*").alias("n_anchors"),
+        F.sum((F.col("margin_micro") > 0).cast("long")).alias(
+            "n_separable"
+        ),
+        F.expr(
+            "(SUM(margin_micro) - ((SUM(margin_micro) % COUNT(*)"
+            " + COUNT(*)) % COUNT(*))) / COUNT(*)"
+        ).cast("long").alias("mean_margin_micro"),
+        F.min("margin_micro").alias("worst_margin_micro"),
+    )
+
+
+def _triplet_sql() -> str:
+    cos = _COS_SQL.format(a="a.av", b="e.embedding")
+    return f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS a_label
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.a_label, e.vec_id AS cand_id,
+             e.label AS c_label, {cos} AS cos
+      FROM embeddings e CROSS JOIN anchors a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, a_label, cos AS pos_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                    ORDER BY cos ASC, cand_id ASC) AS rn
+        FROM scored WHERE c_label = a_label
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cos AS neg_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                    ORDER BY cos DESC, cand_id ASC) AS rn
+        FROM scored WHERE c_label <> a_label
+      ) WHERE rn = 1
+    ),
+    trip AS (
+      SELECT p.a_label,
+             CAST(FLOOR((p.pos_cos - n.neg_cos) * 1e6 + 0.5) AS BIGINT)
+               AS margin_micro
+      FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    )
+    SELECT a_label, COUNT(*) AS n_anchors,
+           SUM(CASE WHEN margin_micro > 0 THEN 1 ELSE 0 END)
+             AS n_separable,
+           CAST((SUM(margin_micro)
+                 - ((SUM(margin_micro) % COUNT(*) + COUNT(*))
+                    % COUNT(*))) / COUNT(*) AS BIGINT)
+             AS mean_margin_micro,
+           MIN(margin_micro) AS worst_margin_micro
+    FROM trip GROUP BY 1
+    """
+
+
+registry.register("triplet_mining", q_triplet_mining, _triplet_sql())

@@ -264,6 +264,9 @@ _PRIORITY = [
     "markov_attribution",
     "rake_keyphrases",
     "late_arrival_audit",
+    "triplet_mining",
+    "consistent_fk_sample",
+    "uplift_qini",
 ]
 
 

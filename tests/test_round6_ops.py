@@ -277,3 +277,50 @@ def test_late_arrival_audit_bounds(spark):
         assert r.max_late_seconds >= 0
         if r.n_dropped_1h:
             assert r.max_late_seconds > 3600
+
+
+def test_triplet_margins_and_separability(spark):
+    from airflow_baseball_spark.queries_text import q_triplet_mining
+
+    rows = q_triplet_mining(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_anchors > 0
+        assert 0 <= r.n_separable <= r.n_anchors
+        assert r.worst_margin_micro <= r.mean_margin_micro
+        assert -2000000 <= r.worst_margin_micro <= 2000000
+
+
+def test_consistent_fk_sample_closure(spark):
+    from airflow_baseball_spark.queries_sampling import (
+        q_consistent_fk_sample,
+    )
+
+    rows = q_consistent_fk_sample(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_customers > 0
+        # FK closure: ratio columns consistent with raw counts
+        assert (
+            r.orders_per_cust_micro
+            == r.n_orders * 1000000 // r.n_customers
+        )
+        if r.n_orders:
+            assert (
+                r.items_per_order_micro
+                == r.n_lineitems * 1000000 // r.n_orders
+            )
+
+
+def test_uplift_qini_monotone_counts(spark):
+    from airflow_baseball_spark.queries_eval import q_uplift_qini
+
+    rows = sorted(q_uplift_qini(spark, SF).collect(), key=lambda r: r.decile)
+    assert len(rows) == 10
+    prev_t = prev_c = 0
+    for r in rows:
+        assert r.n_treated_cum >= prev_t
+        assert r.n_control_cum >= prev_c
+        assert 0 <= r.resp_treated_cum <= r.n_treated_cum
+        assert 0 <= r.resp_control_cum <= r.n_control_cum
+        prev_t, prev_c = r.n_treated_cum, r.n_control_cum
