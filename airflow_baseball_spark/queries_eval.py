@@ -2627,3 +2627,88 @@ registry.register(
     FROM cum
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimator (Codex-style unbiased combinatorial form)
+# ---------------------------------------------------------------------------
+
+_PASS_KS = (1, 3, 5)
+
+
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al.'s eval for sampled
+    generations): per problem with n attempts and c successes,
+    pass@k = 1 − C(n−c,k)/C(n,k), averaged over problems — here
+    replayed over the event log (problem = user, attempt = event,
+    success = purchase), the exact aggregation shape of a sampled
+    code/QA eval harness at corpus scale.
+
+    Exactness: the binomial ratio is evaluated as k chained integer
+    steps p ← (p·(n−c−i)) div (n−i) from p = 1e6 — identical
+    truncation order on both engines, never a factorial overflow and
+    never a float product; problems with n < k use every attempt
+    (p = 0 when n−c < k, i.e. a success is guaranteed inside any k).
+    Means divide exact integer sums once. Shapes: one user-grain
+    rollup, then a 3-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    probs = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("c"),
+    )
+    out_rows = []
+    for k in _PASS_KS:
+        expr = "CAST(1000000 AS BIGINT)"
+        for i in range(k):
+            expr = (
+                f"(CASE WHEN n - c - {i} > 0 AND n - {i} > 0 THEN"
+                f" (({expr}) * (n - c - {i})) DIV (n - {i})"
+                f" ELSE 0 END)"
+            )
+        fail_micro = F.expr(expr)
+        out_rows.append(
+            probs.select(
+                fail_micro.alias("fail_micro")
+            ).agg(
+                F.lit(k).alias("k"),
+                F.count("*").alias("n_problems"),
+                F.expr(
+                    "SUM(1000000 - fail_micro) DIV COUNT(*)"
+                ).alias("mean_pass_micro"),
+            )
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def _pass_at_k_sql() -> str:
+    branches = []
+    for k in _PASS_KS:
+        expr = "CAST(1000000 AS BIGINT)"
+        for i in range(k):
+            expr = (
+                f"(CASE WHEN n - c - {i} > 0 AND n - {i} > 0 THEN"
+                f" (({expr}) * (n - c - {i})) // (n - {i})"
+                f" ELSE 0 END)"
+            )
+        branches.append(f"""
+    SELECT {k} AS k, COUNT(*) AS n_problems,
+           SUM(1000000 - {expr}) // COUNT(*) AS mean_pass_micro
+    FROM probs""")
+    body = "\n    UNION ALL".join(branches)
+    return f"""
+    WITH probs AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS c
+      FROM events GROUP BY 1
+    )
+    {body}
+    """
+
+
+registry.register("pass_at_k", q_pass_at_k, _pass_at_k_sql())

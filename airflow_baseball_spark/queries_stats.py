@@ -2012,3 +2012,118 @@ def _rrf_oracle() -> str:
 
 
 registry.register("rrf_fusion", q_rrf_fusion, _rrf_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-D earth mover's distance between two event-value histograms
+# ---------------------------------------------------------------------------
+
+
+def q_emd_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth mover's (Wasserstein-1) distance between the value
+    distributions of click vs view events — the drift metric that,
+    unlike KS (`ks_statistic`) or PSI (`psi_drift`), weighs HOW FAR
+    mass moved, not just whether it moved; in 1-D it collapses to the
+    area between CDFs, which is exactly computable on binned integer
+    counts: Σ_gaps |cumA·nB − cumB·nA| · gap / (nA·nB).
+
+    Exactness: values quantize to cents then $5 bins; cumulative
+    counts, cross-products and gap widths are all BIGINTs; ONE
+    division at the end (milli-bins integer + a single-op double for
+    dollars). Shapes: two histogram aggs, a full-outer bin-axis
+    merge, windows over the bin table — everything after the first
+    agg is bins-bounded forever."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 500"
+        ).alias("bin"),
+    )
+    ha = ev.filter(F.col("event_type") == "click").groupBy("bin").agg(
+        F.count("*").alias("na_bin")
+    )
+    hb = ev.filter(F.col("event_type") == "view").groupBy("bin").agg(
+        F.count("*").alias("nb_bin")
+    )
+    axis = ha.join(hb, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("na_bin", F.lit(0)).alias("na_bin"),
+        F.coalesce("nb_bin", F.lit(0)).alias("nb_bin"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("bin")
+    staged = axis.select(
+        "bin",
+        F.sum("na_bin").over(wc).alias("cum_a"),
+        F.sum("nb_bin").over(wc).alias("cum_b"),
+        (F.lead("bin").over(wl) - F.col("bin")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    totals = axis.agg(
+        F.sum("na_bin").alias("n_a"), F.sum("nb_bin").alias("n_b")
+    )
+    # numerator needs nA/nB inside: broadcast totals onto the bin table
+    scored = staged.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        (
+            F.abs(
+                F.col("cum_a") * F.col("n_b")
+                - F.col("cum_b") * F.col("n_a")
+            )
+            * F.col("gap")
+        ).alias("term"),
+    )
+    return scored.groupBy("n_a", "n_b").agg(
+        F.expr("(SUM(term) * 1000) DIV (n_a * n_b)").alias(
+            "emd_bins_milli"
+        ),
+        _r6(
+            F.sum("term").cast("double")
+            * 5.0
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("emd_dollars"),
+    )
+
+
+registry.register(
+    "emd_1d",
+    q_emd_1d,
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 500
+               AS bin
+      FROM events
+    ),
+    ha AS (SELECT bin, COUNT(*) AS na_bin FROM ev
+           WHERE event_type = 'click' GROUP BY 1),
+    hb AS (SELECT bin, COUNT(*) AS nb_bin FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+    axis AS (
+      SELECT COALESCE(ha.bin, hb.bin) AS bin,
+             COALESCE(na_bin, 0) AS na_bin,
+             COALESCE(nb_bin, 0) AS nb_bin
+      FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin
+    ),
+    staged AS (
+      SELECT bin,
+             SUM(na_bin) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(nb_bin) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum_b,
+             LEAD(bin) OVER (ORDER BY bin) - bin AS gap
+      FROM axis
+    ),
+    totals AS (SELECT SUM(na_bin) AS n_a, SUM(nb_bin) AS n_b FROM axis)
+    SELECT t.n_a, t.n_b,
+           (SUM(ABS(s.cum_a * t.n_b - s.cum_b * t.n_a) * s.gap) * 1000)
+             // (t.n_a * t.n_b) AS emd_bins_milli,
+           FLOOR(CAST(SUM(ABS(s.cum_a * t.n_b - s.cum_b * t.n_a)
+                          * s.gap) AS DOUBLE) * 5.0
+                 / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS emd_dollars
+    FROM staged s CROSS JOIN totals t
+    WHERE s.gap IS NOT NULL
+    GROUP BY t.n_a, t.n_b
+    """,
+)

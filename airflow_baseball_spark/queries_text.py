@@ -4666,3 +4666,81 @@ def _triplet_sql() -> str:
 
 
 registry.register("triplet_mining", q_triplet_mining, _triplet_sql())
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV audit per source
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPN = 512
+
+
+def q_vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: freeze the corpus top-512 token
+    vocabulary and report, per source, what fraction of token
+    OCCURRENCES and distinct token TYPES fall outside it — the first
+    number a fixed-vocab tokenizer (or a fasttext-style hash
+    fallback) needs per ingest source, and `vocab_topk`'s consumer-
+    side complement (that query builds the vocab; this one audits
+    coverage under it).
+
+    Shapes: the vocab cut is an orderBy().limit on the vocabulary-
+    sized count table (TakeOrdered, never a corpus sort) and
+    broadcasts to the token scan; per-source numbers are integer
+    counts with one micro division."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(_VOCAB_TOPN)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov_tokens"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("tok"))
+            ).alias("n_oov_types"),
+        )
+        .withColumn(
+            "oov_rate_micro",
+            F.expr("(n_oov_tokens * 1000000) DIV n_tokens"),
+        )
+    )
+
+
+registry.register(
+    "vocab_coverage_oov",
+    q_vocab_coverage_oov,
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, tok ASC LIMIT {_VOCAB_TOPN}
+      )
+    )
+    SELECT t.source, COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             AS n_oov_tokens,
+           COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
+             AS n_oov_types,
+           (SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000)
+             // COUNT(*) AS oov_rate_micro
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY 1
+    """,
+)

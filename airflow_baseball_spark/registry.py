@@ -267,6 +267,9 @@ _PRIORITY = [
     "triplet_mining",
     "consistent_fk_sample",
     "uplift_qini",
+    "pass_at_k",
+    "emd_1d",
+    "vocab_coverage_oov",
 ]
 
 

@@ -324,3 +324,38 @@ def test_uplift_qini_monotone_counts(spark):
         assert 0 <= r.resp_treated_cum <= r.n_treated_cum
         assert 0 <= r.resp_control_cum <= r.n_control_cum
         prev_t, prev_c = r.n_treated_cum, r.n_control_cum
+
+
+def test_pass_at_k_monotone_in_k(spark):
+    from airflow_baseball_spark.queries_eval import q_pass_at_k
+
+    rows = sorted(q_pass_at_k(spark, SF).collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == [1, 3, 5]
+    vals = [r.mean_pass_micro for r in rows]
+    # more attempts can only help
+    assert vals == sorted(vals)
+    for r in rows:
+        assert 0 <= r.mean_pass_micro <= 1000000
+        assert r.n_problems > 0
+
+
+def test_emd_vs_ks_sanity(spark):
+    from airflow_baseball_spark.queries_stats import q_emd_1d
+
+    r = q_emd_1d(spark, SF).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.emd_bins_milli >= 0
+    assert r.emd_dollars >= 0
+    # dollars = bins * $5
+    assert abs(r.emd_dollars - r.emd_bins_milli / 1000 * 5) < 0.05
+
+
+def test_vocab_oov_bounds(spark):
+    from airflow_baseball_spark.queries_text import q_vocab_coverage_oov
+
+    rows = q_vocab_coverage_oov(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov_tokens <= r.n_tokens
+        assert r.n_oov_types <= r.n_oov_tokens
+        assert 0 <= r.oov_rate_micro <= 1000000
