@@ -2712,3 +2712,148 @@ def _pass_at_k_sql() -> str:
 
 
 registry.register("pass_at_k", q_pass_at_k, _pass_at_k_sql())
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential-test replay
+# ---------------------------------------------------------------------------
+
+# ln(1.2), ln(0.8), ln(19) floor-quantized to nano in Python ONCE —
+# the periodogram trig-table discipline: libm never runs inside the
+# hashed plan on either engine.
+_SPRT_C1_NANO = 182321556
+_SPRT_C0_NANO = -223143552
+_SPRT_THRESH_NANO = 2944438979
+_SPRT_BLOCK = 1024
+
+
+def q_sprt_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT replay over the user enrollment stream: test
+    H0: conversion = 0.5 vs H1: conversion = 0.6 (α = β = 0.05),
+    accumulating the log-likelihood ratio user by user in enrollment
+    (user_id) order and reporting the FIRST crossing of ±ln(19) —
+    the always-valid sequential alternative to `welch_ttest`-style
+    fixed-horizon tests (peeking at a fixed-n test inflates false
+    positives; the SPRT is designed to be peeked at).
+
+    Exactness: the two per-outcome LLR increments and the threshold
+    are Python-quantized nano-nat constants (no libm in the plan);
+    the running sum is integer. Scale: the cumulative scan uses the
+    two-level block prefix (per-block sums → tiny block-table prefix
+    → in-block window), the late_arrival_audit pattern — never one
+    global single-partition window over users."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("x")
+    )
+    inc = F.when(
+        F.col("x") == 1, F.lit(_SPRT_C1_NANO)
+    ).otherwise(F.lit(_SPRT_C0_NANO))
+    staged = users.select(
+        "user_id",
+        "x",
+        inc.alias("inc"),
+        F.expr(f"user_id DIV {_SPRT_BLOCK}").alias("blk"),
+    )
+    blocks = staged.groupBy("blk").agg(F.sum("inc").alias("blk_sum"))
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prior = blocks.select(
+        "blk", F.coalesce(F.sum("blk_sum").over(wb), F.lit(0)).alias("prior")
+    )
+    wi = Window.partitionBy("blk").orderBy("user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        staged.join(F.broadcast(prior), "blk")
+        .withColumn("llr", F.col("prior") + F.sum("inc").over(wi))
+    )
+    crossed = cum.filter(
+        (F.col("llr") >= _SPRT_THRESH_NANO)
+        | (F.col("llr") <= -_SPRT_THRESH_NANO)
+    ).agg(F.min("user_id").alias("first_cross_user"))
+    final = cum.agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("n_conversions"),
+        F.sum("inc").alias("llr_final_nano"),
+    )
+    out = final.crossJoin(F.broadcast(crossed))
+    decision = (
+        F.when(F.col("first_cross_user").isNull(), F.lit("continue"))
+        .when(F.col("llr_final_nano") > 0, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+    )
+    cross_llr = cum.select("user_id", "llr")
+    at_cross = out.join(
+        cross_llr,
+        out["first_cross_user"] == cross_llr["user_id"],
+        "left",
+    )
+    return at_cross.select(
+        "n_users",
+        "n_conversions",
+        "llr_final_nano",
+        F.coalesce("first_cross_user", F.lit(-1)).alias(
+            "first_cross_user"
+        ),
+        F.when(F.col("first_cross_user").isNull(), F.lit("continue"))
+        .when(F.col("llr") > 0, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+    )
+
+
+registry.register(
+    "sprt_abtest",
+    q_sprt_abtest,
+    f"""
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS x
+      FROM events GROUP BY 1
+    ),
+    staged AS (
+      SELECT user_id, x,
+             CASE WHEN x = 1 THEN {_SPRT_C1_NANO}
+                  ELSE {_SPRT_C0_NANO} END AS inc,
+             user_id // {_SPRT_BLOCK} AS blk
+      FROM users
+    ),
+    blocks AS (SELECT blk, SUM(inc) AS blk_sum FROM staged GROUP BY 1),
+    prior AS (
+      SELECT blk,
+             COALESCE(SUM(blk_sum) OVER (ORDER BY blk ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM blocks
+    ),
+    cum AS (
+      SELECT s.user_id, s.x,
+             p.prior + SUM(s.inc) OVER (PARTITION BY s.blk
+                       ORDER BY s.user_id ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS llr
+      FROM staged s JOIN prior p ON s.blk = p.blk
+    ),
+    crossed AS (
+      SELECT MIN(user_id) AS first_cross_user FROM cum
+      WHERE llr >= {_SPRT_THRESH_NANO} OR llr <= -{_SPRT_THRESH_NANO}
+    ),
+    final AS (
+      SELECT COUNT(*) AS n_users, SUM(x) AS n_conversions,
+             SUM(CASE WHEN x = 1 THEN {_SPRT_C1_NANO}
+                      ELSE {_SPRT_C0_NANO} END) AS llr_final_nano
+      FROM staged
+    )
+    SELECT f.n_users,
+           CAST(f.n_conversions AS BIGINT) AS n_conversions,
+           CAST(f.llr_final_nano AS BIGINT) AS llr_final_nano,
+           COALESCE(c.first_cross_user, -1) AS first_cross_user,
+           CASE WHEN c.first_cross_user IS NULL THEN 'continue'
+                WHEN (SELECT llr FROM cum
+                      WHERE user_id = c.first_cross_user) > 0
+                  THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM final f CROSS JOIN crossed c
+    """,
+)

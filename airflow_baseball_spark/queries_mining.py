@@ -2571,3 +2571,133 @@ def _ktruss_sql(rounds: int = _TRUSS_ROUNDS) -> str:
 
 
 registry.register("ktruss", q_ktruss, _ktruss_sql())
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (integer nano-mass, bounded rounds)
+# ---------------------------------------------------------------------------
+
+_PPR_ROUNDS = 6
+_PPR_ALPHA_MICRO = 150000  # restart probability 0.15 in micro units
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the lexicographically smallest
+    brand on the co-purchase graph: 6 rounds of
+    v ← 0.85·Pᵀv + 0.15·e_src — the "related to THIS item" ranking
+    (global `pagerank` scores popularity; the personalized teleport
+    localizes it; `harmonic_centrality` is the unweighted-distance
+    sibling). Unlike the float `pagerank` (attested IEEE replica),
+    this walk runs ENTIRELY in integers — the markov_attribution
+    discipline: per-edge probability = 1e6 div deg, nano-mass
+    BIGINTs, mass·p div 1e6 per step — so no reduction-order term
+    exists at all. The floor leaks ≤ deg·1ulp of mass per node per
+    round (documented, deterministic on both engines).
+
+    Shapes: the brand²-bounded edge table carries (src, dst,
+    p_micro); each round is one keyed join + integer agg,
+    localCheckpoint'ed."""
+    edges = _above_avg_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("brand_a").alias("src"), F.col("brand_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("brand_b").alias("src"), F.col("brand_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    trans = sym.join(deg, "src").select(
+        "src", "dst", F.expr("1000000 DIV deg").alias("p_micro")
+    ).localCheckpoint()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    source = nodes.agg(F.min("node").alias("src_node"))
+    v = (
+        nodes.crossJoin(F.broadcast(source))
+        .select(
+            "node",
+            F.when(
+                F.col("node") == F.col("src_node"),
+                F.lit(1_000_000_000),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mass"),
+        )
+        .localCheckpoint()
+    )
+    keep = 1_000_000 - _PPR_ALPHA_MICRO
+    for _ in range(_PPR_ROUNDS):
+        inflow = (
+            v.join(trans, v["node"] == trans["src"])
+            .select("dst", (F.col("mass") * F.col("p_micro")).alias("flow"))
+            .groupBy("dst")
+            .agg(F.expr("SUM(flow) DIV 1000000").alias("inflow"))
+        )
+        v = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .crossJoin(F.broadcast(source))
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"(COALESCE(inflow, 0) * {keep}) DIV 1000000"
+                    )
+                    + F.when(
+                        F.col("node") == F.col("src_node"),
+                        F.lit(_PPR_ALPHA_MICRO * 1000),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("mass"),
+            )
+            .localCheckpoint()
+        )
+    return v.withColumnRenamed("mass", "ppr_nano")
+
+
+def _ppr_sql(rounds: int = _PPR_ROUNDS) -> str:
+    keep = 1_000_000 - _PPR_ALPHA_MICRO
+    restart = _PPR_ALPHA_MICRO * 1000
+    steps = []
+    prev = "v0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    i{i} AS (
+      SELECT t.dst, SUM(v.mass * t.p_micro) // 1000000 AS inflow
+      FROM {prev} v JOIN trans t ON v.node = t.src
+      GROUP BY 1
+    ),
+    v{i} AS (
+      SELECT n.node,
+             (COALESCE(i.inflow, 0) * {keep}) // 1000000
+               + CASE WHEN n.node = (SELECT src_node FROM src)
+                      THEN {restart} ELSE 0 END AS mass
+      FROM nodes n LEFT JOIN i{i} i ON n.node = i.dst
+    )""")
+        prev = f"v{i}"
+    return f"""
+    WITH {_PAIRS_SQL.strip().removeprefix("WITH")},
+    sym AS (
+      SELECT brand_a AS src, brand_b AS dst FROM edges
+      UNION ALL SELECT brand_b, brand_a FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+    trans AS (
+      SELECT s.src, s.dst, 1000000 // d.deg AS p_micro
+      FROM sym s JOIN deg d ON s.src = d.src
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    src AS (SELECT MIN(node) AS src_node FROM nodes),
+    v0 AS (
+      SELECT node,
+             CASE WHEN node = (SELECT src_node FROM src)
+                  THEN CAST(1000000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS mass
+      FROM nodes
+    ),
+    {",".join(steps)}
+    SELECT node, CAST(mass AS BIGINT) AS ppr_nano FROM {prev}
+    """
+
+
+registry.register(
+    "personalized_pagerank", q_personalized_pagerank, _ppr_sql()
+)

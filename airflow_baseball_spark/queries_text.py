@@ -4744,3 +4744,99 @@ registry.register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mutual (reciprocal) kNN pairs within the anchor sample
+# ---------------------------------------------------------------------------
+
+
+def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs: (a, b) where b is in a's
+    exact top-3 AND a is in b's — the high-precision matching
+    criterion image/embedding pipelines use before trusting a match
+    (one-directional kNN is polluted by hubs — see `ann_hubness`;
+    mutuality filters exactly those). Evaluated within the standard
+    anchor sample so both directions exist in one scored table.
+
+    Shapes: ONE query-broadcast scan scores sample × corpus; the
+    mutual check is a self-join of the top-3 table on reversed ids
+    (canonical a < b kills the duplicate); outputs integer ranks and
+    the rounded cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(
+            F.broadcast(qs.select("query_id")),
+            emb["vec_id"] == F.col("query_id"),
+            "left_semi",
+        )
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top3 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .localCheckpoint()
+    )
+    a = top3.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rn").alias("rank_ab"),
+        F.col("cos").alias("cos_ab"),
+    )
+    b = top3.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rn").alias("rank_ba"),
+    )
+    return (
+        a.join(b, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "rank_ab", "rank_ba", "cos_ab")
+    )
+
+
+def _mutual_knn_sql() -> str:
+    cos = _COS_SQL.format(a="q.qv", b="e.embedding")
+    return f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
+      FROM embeddings e CROSS JOIN qs q
+      WHERE e.vec_id <> q.query_id
+        AND e.vec_id % 25 = 0
+    ),
+    top3 AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC,
+                                           neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    )
+    SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+           a.rn AS rank_ab, b.rn AS rank_ba, a.cos AS cos_ab
+    FROM top3 a JOIN top3 b
+      ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+    WHERE a.query_id < a.neighbor_id
+    """
+
+
+registry.register("mutual_knn_pairs", q_mutual_knn_pairs, _mutual_knn_sql())

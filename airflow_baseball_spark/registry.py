@@ -270,6 +270,9 @@ _PRIORITY = [
     "pass_at_k",
     "emd_1d",
     "vocab_coverage_oov",
+    "personalized_pagerank",
+    "sprt_abtest",
+    "mutual_knn_pairs",
 ]
 
 

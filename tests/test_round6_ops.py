@@ -359,3 +359,51 @@ def test_vocab_oov_bounds(spark):
         assert 0 <= r.n_oov_tokens <= r.n_tokens
         assert r.n_oov_types <= r.n_oov_tokens
         assert 0 <= r.oov_rate_micro <= 1000000
+
+
+def test_ppr_mass_conservation_and_locality(spark):
+    from airflow_baseball_spark.queries_mining import (
+        q_personalized_pagerank,
+    )
+
+    rows = q_personalized_pagerank(spark, SF).collect()
+    assert rows
+    total = sum(r.ppr_nano for r in rows)
+    # integer floors only LEAK mass: total <= 1e9, but most survives
+    assert 0 < total <= 1_000_000_000
+    assert total > 500_000_000
+    # the source (min node) holds the restart mass -> strictly positive
+    src = min(r.node for r in rows)
+    src_mass = next(r.ppr_nano for r in rows if r.node == src)
+    assert src_mass >= 150_000_000
+
+
+def test_sprt_decision_consistency(spark):
+    from airflow_baseball_spark.queries_eval import (
+        _SPRT_C0_NANO,
+        _SPRT_C1_NANO,
+        q_sprt_abtest,
+    )
+
+    r = q_sprt_abtest(spark, SF).collect()[0]
+    assert r.n_users > 0
+    assert 0 <= r.n_conversions <= r.n_users
+    expect = (
+        r.n_conversions * _SPRT_C1_NANO
+        + (r.n_users - r.n_conversions) * _SPRT_C0_NANO
+    )
+    assert r.llr_final_nano == expect
+    assert r.decision in ("accept_h0", "accept_h1", "continue")
+    if r.decision == "continue":
+        assert r.first_cross_user == -1
+
+
+def test_mutual_knn_pairs_symmetric_ranks(spark):
+    from airflow_baseball_spark.queries_text import q_mutual_knn_pairs
+
+    rows = q_mutual_knn_pairs(spark, SF).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 1 <= r.rank_ab <= 3
+        assert 1 <= r.rank_ba <= 3
+        assert -1.0 <= r.cos_ab <= 1.0
