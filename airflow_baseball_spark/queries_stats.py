@@ -2127,3 +2127,183 @@ registry.register(
     GROUP BY t.n_a, t.n_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-nation conversion rates
+# ---------------------------------------------------------------------------
+
+_EB_STRENGTH = 100
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (additive) smoothing of per-nation customer
+    order rates toward the data-driven global mean with prior
+    strength 100 — the CTR-smoothing estimator every ranking/ads
+    pipeline applies before trusting small-sample rates (a 3-customer
+    nation's 100% rate should not outrank a 3000-customer nation's
+    60%).
+
+    With global totals X/N, the shrunk rate (x + m·s)/(n + s) is the
+    exact rational (x·N + X·s)/((n+s)·N) — all BIGINTs, one integer
+    micro division per group. Shapes: one customer-grain existence
+    join, one nation rollup, one 1-row broadcast of the totals."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    has_order = cust.join(
+        orders.distinct(),
+        cust["c_custkey"] == orders["o_custkey"],
+        "left",
+    ).select(
+        "c_nationkey",
+        F.col("o_custkey").isNotNull().cast("long").alias("converted"),
+    )
+    per_nation = has_order.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("x")
+    )
+    totals = per_nation.agg(
+        F.sum("n").alias("nn"), F.sum("x").alias("xx")
+    )
+    s = _EB_STRENGTH
+    return per_nation.crossJoin(F.broadcast(totals)).select(
+        "c_nationkey",
+        "n",
+        "x",
+        F.expr("(x * 1000000) DIV n").alias("raw_micro"),
+        F.expr(
+            f"((x * nn + xx * {s}) * 1000000) DIV ((n + {s}) * nn)"
+        ).alias("shrunk_micro"),
+        F.expr(f"({s} * 1000000) DIV (n + {s})").alias(
+            "shrink_weight_micro"
+        ),
+    )
+
+
+registry.register(
+    "eb_shrinkage",
+    q_eb_shrinkage,
+    f"""
+    WITH has_order AS (
+      SELECT c.c_nationkey,
+             CASE WHEN EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey)
+                  THEN 1 ELSE 0 END AS converted
+      FROM customer c
+    ),
+    per_nation AS (
+      SELECT c_nationkey, COUNT(*) AS n, SUM(converted) AS x
+      FROM has_order GROUP BY 1
+    ),
+    totals AS (SELECT SUM(n) AS nn, SUM(x) AS xx FROM per_nation)
+    SELECT p.c_nationkey,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(p.x AS BIGINT) AS x,
+           (p.x * 1000000) // p.n AS raw_micro,
+           ((p.x * t.nn + t.xx * {_EB_STRENGTH}) * 1000000)
+             // ((p.n + {_EB_STRENGTH}) * t.nn) AS shrunk_micro,
+           ({_EB_STRENGTH} * 1000000) // (p.n + {_EB_STRENGTH})
+             AS shrink_weight_micro
+    FROM per_nation p CROSS JOIN totals t
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects at P50 / P90
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects of the deterministic A/B split on
+    per-user purchase value: QTE(q) = Q_treated(q) − Q_control(q) at
+    the median and the P90 — the distributional complement of a mean
+    effect (`welch_ttest`): a treatment that only moves the tail is
+    invisible to the mean and obvious here.
+
+    Exactness: per-arm quantiles are exact ⌈q·n⌉-th order statistics
+    (row_number with value+user tiebreaks, integer cents); QTE is an
+    integer difference. Shapes: one user-grain rollup, two arm-
+    partitioned rank windows, a 2-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN"
+            " CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS"
+            " DECIMAL(18,2)) END) * 100 AS BIGINT)"
+        ).alias("v_cents")
+    ).select(
+        "user_id",
+        "v_cents",
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+    )
+    w = Window.partitionBy("treated").orderBy(
+        F.col("v_cents").asc(), F.col("user_id").asc()
+    )
+    ranked = users.withColumn("rn", F.row_number().over(w))
+    arms = users.groupBy("treated").agg(F.count("*").alias("n_arm"))
+    parts = []
+    for q_milli in (500, 900):
+        k = F.expr(f"-((-{q_milli} * n_arm) DIV 1000)")
+        qv = (
+            ranked.join(F.broadcast(arms), "treated")
+            .filter(F.col("rn") == k)
+            .select("treated", "n_arm", F.col("v_cents").alias("qv"))
+        )
+        t = qv.filter(F.col("treated") == 1).select(
+            F.col("n_arm").alias("n_treated"),
+            F.col("qv").alias("q_treated_cents"),
+        )
+        c = qv.filter(F.col("treated") == 0).select(
+            F.col("n_arm").alias("n_control"),
+            F.col("qv").alias("q_control_cents"),
+        )
+        parts.append(
+            t.crossJoin(F.broadcast(c)).select(
+                F.lit(q_milli).alias("q_milli"),
+                "n_treated",
+                "n_control",
+                "q_treated_cents",
+                "q_control_cents",
+                (
+                    F.col("q_treated_cents") - F.col("q_control_cents")
+                ).alias("qte_cents"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
+registry.register(
+    "quantile_treatment_effect",
+    q_quantile_treatment_effect,
+    """
+    WITH users AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+                  CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS
+                  DECIMAL(18,2)) END) * 100 AS BIGINT) AS v_cents,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY treated
+                ORDER BY v_cents ASC, user_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY treated) AS n_arm
+      FROM users
+    ),
+    q AS (
+      SELECT g.q_milli, r.treated, r.n_arm, r.v_cents AS qv
+      FROM ranked r
+      JOIN (VALUES (500), (900)) AS g(q_milli)
+        ON r.rn = -((-g.q_milli * r.n_arm) // 1000)
+    )
+    SELECT t.q_milli,
+           t.n_arm AS n_treated, c.n_arm AS n_control,
+           t.qv AS q_treated_cents, c.qv AS q_control_cents,
+           t.qv - c.qv AS qte_cents
+    FROM (SELECT * FROM q WHERE treated = 1) t
+    JOIN (SELECT * FROM q WHERE treated = 0) c
+      ON t.q_milli = c.q_milli
+    """,
+)

@@ -4840,3 +4840,139 @@ def _mutual_knn_sql() -> str:
 
 
 registry.register("mutual_knn_pairs", q_mutual_knn_pairs, _mutual_knn_sql())
+
+
+# ---------------------------------------------------------------------------
+# Rare-term TF-IDF cosine pairs (posting-list join, df-bounded)
+# ---------------------------------------------------------------------------
+
+_RARE_DF_MAX = 16
+
+
+def q_rare_term_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document similarity pairs by TF-IDF-weighted cosine over RARE
+    terms only (df ≤ 16): the classic posting-list self-join made
+    scale-safe by construction — a token with df ≤ 16 contributes at
+    most 120 pairs, so the join volume is Σ df² over rare tokens and
+    common tokens (which IDF down-weights toward zero anyway) never
+    enter the join at all. The lexical sibling of `minhash_lsh_pairs`
+    (set overlap) and `embedding_neardup` (dense vectors): weighted
+    exact similarity on the discriminative vocabulary.
+
+    Exactness: per-(doc, token) weights are integer milli
+    (tf · floor(ln(N/df)·1e3) — exact integer ratio inside the ln);
+    dots and squared norms are exact BIGINT sums; the cosine is one
+    double expression over three integers, rounded half-up."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df.filter(F.col("df") <= _RARE_DF_MAX), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(
+                        F.col("n_docs").cast("double")
+                        / F.col("df").cast("double")
+                    )
+                    * 1000
+                ).cast("long")
+            ).alias("w_milli"),
+        )
+        .localCheckpoint()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w_milli") * F.col("w_milli")).alias("norm2")
+    )
+    a = w.select(
+        F.col("doc_id").alias("id_a"), "tok", F.col("w_milli").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("id_b"), "tok", F.col("w_milli").alias("wb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm2").alias("nb2"))
+    cos = F.floor(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+        * 1e6
+        + 0.5
+    ) / 1e6
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", "n_shared", cos.alias("cos"))
+        .filter(F.col("cos") > 0.5)
+    )
+
+
+def _rare_cosine_sql() -> str:
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT t.doc_id, t.tok,
+             t.tf * CAST(FLOOR(LN(CAST(n.n_docs AS DOUBLE)
+                                   / CAST(d.df AS DOUBLE)) * 1000)
+                         AS BIGINT) AS w_milli
+      FROM tf t
+      JOIN df d ON t.tok = d.tok AND d.df <= {_RARE_DF_MAX}
+      CROSS JOIN nd n
+    ),
+    norms AS (
+      SELECT doc_id, SUM(w_milli * w_milli) AS norm2 FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_shared,
+             SUM(a.w_milli * b.w_milli) AS dot
+      FROM w a JOIN w b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b, d.n_shared,
+           FLOOR(CAST(d.dot AS DOUBLE)
+                 / SQRT(CAST(na.norm2 AS DOUBLE)
+                        * CAST(nb.norm2 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS cos
+    FROM dots d
+    JOIN norms na ON d.id_a = na.doc_id
+    JOIN norms nb ON d.id_b = nb.doc_id
+    WHERE FLOOR(CAST(d.dot AS DOUBLE)
+                / SQRT(CAST(na.norm2 AS DOUBLE)
+                       * CAST(nb.norm2 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+          > 0.5
+    """
+
+
+registry.register(
+    "rare_term_cosine_pairs",
+    q_rare_term_cosine_pairs,
+    _rare_cosine_sql(),
+)

@@ -273,6 +273,9 @@ _PRIORITY = [
     "personalized_pagerank",
     "sprt_abtest",
     "mutual_knn_pairs",
+    "eb_shrinkage",
+    "quantile_treatment_effect",
+    "rare_term_cosine_pairs",
 ]
 
 

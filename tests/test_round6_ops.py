@@ -407,3 +407,45 @@ def test_mutual_knn_pairs_symmetric_ranks(spark):
         assert 1 <= r.rank_ab <= 3
         assert 1 <= r.rank_ba <= 3
         assert -1.0 <= r.cos_ab <= 1.0
+
+
+def test_eb_shrinkage_pulls_toward_global_mean(spark):
+    from airflow_baseball_spark.queries_stats import q_eb_shrinkage
+
+    rows = q_eb_shrinkage(spark, SF).collect()
+    assert rows
+    nn = sum(r.n for r in rows)
+    xx = sum(r.x for r in rows)
+    gm = xx * 1000000 // nn
+    for r in rows:
+        lo, hi = sorted((r.raw_micro, gm))
+        # shrunk rate sits between the raw rate and the global mean
+        assert lo - 2 <= r.shrunk_micro <= hi + 2
+        assert 0 < r.shrink_weight_micro < 1000000
+
+
+def test_qte_rows_and_ordering(spark):
+    from airflow_baseball_spark.queries_stats import (
+        q_quantile_treatment_effect,
+    )
+
+    rows = {r.q_milli: r for r in q_quantile_treatment_effect(spark, SF).collect()}
+    assert set(rows) == {500, 900}
+    for r in rows.values():
+        assert r.n_treated > 0 and r.n_control > 0
+        assert r.qte_cents == r.q_treated_cents - r.q_control_cents
+    # P90 quantiles dominate P50 within each arm
+    assert rows[900].q_treated_cents >= rows[500].q_treated_cents
+    assert rows[900].q_control_cents >= rows[500].q_control_cents
+
+
+def test_rare_term_pairs_bounded_and_similar(spark):
+    from airflow_baseball_spark.queries_text import (
+        q_rare_term_cosine_pairs,
+    )
+
+    rows = q_rare_term_cosine_pairs(spark, SF).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.n_shared >= 1
+        assert 0.5 < r.cos <= 1.0 + 1e-9
