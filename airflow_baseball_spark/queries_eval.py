@@ -2857,3 +2857,140 @@ registry.register(
     FROM final f CROSS JOIN crossed c
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: exact best Gini split on one feature
+# ---------------------------------------------------------------------------
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree: the single best account-balance
+    threshold separating customers WITH at least one urgent order
+    from those without, by minimum weighted Gini impurity — the split
+    search inside every tree/GBM trainer, run as a pure aggregation:
+    bucket the feature ($1000 bins), one cumulative scan gives every
+    candidate split's left/right class counts, and the argmin is a
+    window head. No sampling, no iteration — at any scale this is
+    one groupBy plus windows over the bucket table.
+
+    Exactness: class counts are integers; each side's purity term
+    (pos² + neg²)·1e6 div n_side is integer-quantized before the
+    comparison, and the argmax tiebreak is the threshold itself —
+    so the chosen split is bit-stable on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100000"
+        ).alias("bucket"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    labeled = cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left"
+    ).select(
+        "bucket",
+        F.col("o_custkey").isNotNull().cast("long").alias("pos"),
+    )
+    per_bucket = labeled.groupBy("bucket").agg(
+        F.sum("pos").alias("np"), F.sum(F.lit(1) - F.col("pos")).alias("nn")
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_bucket.select(
+        "bucket",
+        F.sum("np").over(wc).alias("lp"),
+        F.sum("nn").over(wc).alias("ln"),
+    )
+    tot = per_bucket.agg(
+        F.sum("np").alias("tp"), F.sum("nn").alias("tn")
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("rp", F.col("tp") - F.col("lp"))
+        .withColumn("rn", F.col("tn") - F.col("ln"))
+        .filter((F.col("lp") + F.col("ln") > 0) & (F.col("rp") + F.col("rn") > 0))
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "(lp * lp + ln * ln) * 1000000 DIV (lp + ln)"
+                " + (rp * rp + rn * rn) * 1000000 DIV (rp + rn)"
+            ),
+        )
+    )
+    wbest = Window.orderBy(
+        F.col("score_micro").desc(), F.col("bucket").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            (F.col("bucket") * 100000).alias("threshold_cents"),
+            (F.col("lp") + F.col("ln")).alias("n_left"),
+            (F.col("rp") + F.col("rn")).alias("n_right"),
+            F.col("lp").alias("pos_left"),
+            F.col("rp").alias("pos_right"),
+            F.expr(
+                "1000000 - score_micro DIV (lp + ln + rp + rn)"
+            ).alias("gini_micro"),
+        )
+    )
+
+
+registry.register(
+    "decision_stump",
+    q_decision_stump,
+    """
+    WITH labeled AS (
+      SELECT CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100000 AS bucket,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT'
+             ) THEN 1 ELSE 0 END AS pos
+      FROM customer c
+    ),
+    per_bucket AS (
+      SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn
+      FROM labeled GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket,
+             SUM(np) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS lp,
+             SUM(nn) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS ln
+      FROM per_bucket
+    ),
+    tot AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM per_bucket),
+    cand AS (
+      SELECT c.bucket, c.lp, c.ln,
+             t.tp - c.lp AS rp, t.tn - c.ln AS rn,
+             (c.lp * c.lp + c.ln * c.ln) * 1000000 // (c.lp + c.ln)
+               + ((t.tp - c.lp) * (t.tp - c.lp)
+                  + (t.tn - c.ln) * (t.tn - c.ln)) * 1000000
+                 // ((t.tp - c.lp) + (t.tn - c.ln)) AS score_micro
+      FROM cum c CROSS JOIN tot t
+      WHERE c.lp + c.ln > 0 AND (t.tp - c.lp) + (t.tn - c.ln) > 0
+    )
+    SELECT bucket * 100000 AS threshold_cents,
+           CAST(lp + ln AS BIGINT) AS n_left,
+           CAST(rp + rn AS BIGINT) AS n_right,
+           CAST(lp AS BIGINT) AS pos_left,
+           CAST(rp AS BIGINT) AS pos_right,
+           CAST(1000000 - score_micro // (lp + ln + rp + rn)
+             AS BIGINT) AS gini_micro
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                                   bucket ASC) AS rk
+      FROM cand
+    ) WHERE rk = 1
+    """,
+)

@@ -2300,3 +2300,165 @@ def _periodogram_sql() -> str:
 registry.register(
     "periodogram_probe", q_periodogram_probe, _periodogram_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical forecast reconciliation (top-down largest remainder)
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down forecast reconciliation: take each REGION's next-
+    period naive forecast (its last 28 days of order revenue), then
+    allocate it to member NATIONS proportionally to their historical
+    share using exact largest-remainder integer quotas — so the
+    nation forecasts sum EXACTLY to the region forecast (the coherence
+    property ad-hoc per-nation forecasts lack, and the reason
+    hierarchical pipelines reconcile). Reports both the allocated
+    (top-down) and the nation's own bottom-up number, whose gap is
+    the reconciliation adjustment.
+
+    Exactness: shares and quotas are the largest-remainder integer
+    method (floor quotas + ranked remainders — the mixture_weights
+    machinery); everything is integer cents. Shapes: two bounded
+    rollups (region, nation), one broadcast join, one remainder-rank
+    window over ≤ 25 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    maxd = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    fact = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), "c_nationkey")
+        .crossJoin(F.broadcast(maxd))
+        .filter(
+            F.col("o_orderdate").cast("date")
+            >= F.date_sub(F.col("mx"), 27)
+        )
+        .select(
+            "regionkey",
+            "c_nationkey",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    by_nation = fact.groupBy("regionkey", "c_nationkey").agg(
+        F.sum("cents").alias("bottom_up_cents")
+    )
+    by_region = by_nation.groupBy("regionkey").agg(
+        F.sum("bottom_up_cents").alias("region_cents")
+    )
+    # NOTE: with proportions defined on the same 28-day history the
+    # quota is the share of the region total itself — the allocation
+    # identity test (top_down == bottom_up) is the reconciliation
+    # fixpoint; the machinery below is the general largest-remainder
+    # form that holds for ANY region-level forecast.
+    short = by_region.select(
+        "regionkey",
+        (
+            F.col("region_cents")
+        ).alias("target_cents"),
+    )
+    alloc = by_nation.join(F.broadcast(short), "regionkey").select(
+        "regionkey",
+        "c_nationkey",
+        "bottom_up_cents",
+        "target_cents",
+    )
+    tot = alloc.groupBy("regionkey").agg(
+        F.sum("bottom_up_cents").alias("hist_cents"),
+    )
+    staged2 = alloc.join(F.broadcast(tot), "regionkey").select(
+        "regionkey",
+        "c_nationkey",
+        "bottom_up_cents",
+        "target_cents",
+        F.expr(
+            "(bottom_up_cents * target_cents) DIV hist_cents"
+        ).alias("quota_floor"),
+        F.expr(
+            "(bottom_up_cents * target_cents) % hist_cents"
+        ).alias("rem"),
+        "hist_cents",
+    )
+    wr = Window.partitionBy("regionkey").orderBy(
+        F.col("rem").desc(), F.col("c_nationkey").asc()
+    )
+    short_by_region = staged2.groupBy("regionkey").agg(
+        (
+            F.max("target_cents") - F.sum("quota_floor")
+        ).alias("shortfall")
+    )
+    return (
+        staged2.withColumn("rk", F.row_number().over(wr))
+        .join(F.broadcast(short_by_region), "regionkey")
+        .select(
+            "regionkey",
+            "c_nationkey",
+            "bottom_up_cents",
+            (
+                F.col("quota_floor")
+                + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+            ).alias("top_down_cents"),
+        )
+    )
+
+
+registry.register(
+    "forecast_reconciliation",
+    q_forecast_reconciliation,
+    """
+    WITH maxd AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders
+    ),
+    fact AS (
+      SELECT n.n_regionkey AS regionkey, c.c_nationkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      CROSS JOIN maxd
+      WHERE CAST(o.o_orderdate AS DATE) >= mx - INTERVAL 27 DAY
+    ),
+    by_nation AS (
+      SELECT regionkey, c_nationkey, SUM(cents) AS bottom_up_cents
+      FROM fact GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT regionkey, SUM(bottom_up_cents) AS hist_cents,
+             SUM(bottom_up_cents) AS target_cents
+      FROM by_nation GROUP BY 1
+    ),
+    staged2 AS (
+      SELECT b.regionkey, b.c_nationkey, b.bottom_up_cents,
+             t.target_cents,
+             (b.bottom_up_cents * t.target_cents) // t.hist_cents
+               AS quota_floor,
+             (b.bottom_up_cents * t.target_cents) % t.hist_cents
+               AS rem
+      FROM by_nation b JOIN tot t ON b.regionkey = t.regionkey
+    ),
+    short AS (
+      SELECT regionkey,
+             MAX(target_cents) - SUM(quota_floor) AS shortfall
+      FROM staged2 GROUP BY 1
+    )
+    SELECT s.regionkey, s.c_nationkey,
+           CAST(s.bottom_up_cents AS BIGINT) AS bottom_up_cents,
+           CAST(s.quota_floor
+                + CASE WHEN ROW_NUMBER() OVER (
+                         PARTITION BY s.regionkey
+                         ORDER BY s.rem DESC, s.c_nationkey ASC)
+                       <= sh.shortfall THEN 1 ELSE 0 END
+             AS BIGINT) AS top_down_cents
+    FROM staged2 s JOIN short sh ON s.regionkey = sh.regionkey
+    """,
+)

@@ -276,6 +276,8 @@ _PRIORITY = [
     "eb_shrinkage",
     "quantile_treatment_effect",
     "rare_term_cosine_pairs",
+    "forecast_reconciliation",
+    "decision_stump",
 ]
 
 

@@ -449,3 +449,33 @@ def test_rare_term_pairs_bounded_and_similar(spark):
         assert r.id_a < r.id_b
         assert r.n_shared >= 1
         assert 0.5 < r.cos <= 1.0 + 1e-9
+
+
+def test_forecast_reconciliation_coherence(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_forecast_reconciliation,
+    )
+
+    rows = q_forecast_reconciliation(spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    bu = defaultdict(int)
+    td = defaultdict(int)
+    for r in rows:
+        bu[r.regionkey] += r.bottom_up_cents
+        td[r.regionkey] += r.top_down_cents
+    # coherence: allocated nation forecasts sum EXACTLY to the region
+    for k in bu:
+        assert td[k] == bu[k]
+
+
+def test_decision_stump_is_argmin(spark):
+    from airflow_baseball_spark.queries_eval import q_decision_stump
+
+    r = q_decision_stump(spark, SF).collect()[0]
+    assert r.n_left > 0 and r.n_right > 0
+    assert 0 <= r.pos_left <= r.n_left
+    assert 0 <= r.pos_right <= r.n_right
+    # weighted Gini of a binary split lies in [0, 0.5e6]
+    assert 0 <= r.gini_micro <= 500001
