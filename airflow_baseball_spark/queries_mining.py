@@ -2701,3 +2701,189 @@ def _ppr_sql(rounds: int = _PPR_ROUNDS) -> str:
 registry.register(
     "personalized_pagerank", q_personalized_pagerank, _ppr_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strength from pairwise in-basket preferences
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 4
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths from pairwise preferences — the
+    arena-eval aggregation (chatbot-arena-style pairwise votes →
+    global ranking), replayed over in-basket brand "matches": when an
+    order contains two brands, the one with the larger line quantity
+    wins (ties to the lexicographically smaller brand — determinism
+    over elegance). Four minorization-maximization rounds of
+    π_i ← W_i / Σ_j n_ij/(π_i+π_j), renormalized each round.
+
+    Exactness: every MM step runs in integers — per-pair terms
+    (n_ij·1e12) div (π_i+π_j), per-item updates (W_i·1e12) div D,
+    renormalization by largest-remainder-free scalar division — so 4
+    rounds × both engines land on identical micro strengths with no
+    float reduction anywhere. Shapes: the match table is
+    brand²-bounded; each round is one keyed join + agg over it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_orderkey", "p_brand")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("qty")
+        )
+    )
+    a = ob.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("qty").alias("qa"),
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("qty").alias("qb"),
+    )
+    matches = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.when(
+                (F.col("qa") > F.col("qb"))
+                | (F.col("qa") == F.col("qb")),
+                1,
+            )
+            .otherwise(0)
+            .alias("a_wins"),
+        )
+    )
+    pair = matches.groupBy("brand_a", "brand_b").agg(
+        F.count("*").alias("n_games"), F.sum("a_wins").alias("wins_a")
+    )
+    dirs = pair.select(
+        F.col("brand_a").alias("i"),
+        F.col("brand_b").alias("j"),
+        "n_games",
+        F.col("wins_a").alias("wins_i"),
+    ).unionAll(
+        pair.select(
+            F.col("brand_b").alias("i"),
+            F.col("brand_a").alias("j"),
+            "n_games",
+            (F.col("n_games") - F.col("wins_a")).alias("wins_i"),
+        )
+    ).localCheckpoint()
+    wtab = dirs.groupBy("i").agg(
+        F.sum("wins_i").alias("w"), F.sum("n_games").alias("games")
+    ).localCheckpoint()
+    n_items = wtab.count()
+    pi = wtab.select("i", F.lit(1_000_000).cast("long").alias("pi"))
+    for _ in range(_BT_ROUNDS):
+        pij = (
+            dirs.join(pi.select(F.col("i"), F.col("pi").alias("pi_i")), "i")
+            .join(
+                pi.select(F.col("i").alias("j"), F.col("pi").alias("pi_j")),
+                "j",
+            )
+            .select(
+                "i",
+                F.expr(
+                    "(n_games * 1000000000000) DIV (pi_i + pi_j)"
+                ).alias("t"),
+            )
+        )
+        d = pij.groupBy("i").agg(F.sum("t").alias("d6"))
+        raw = wtab.join(d, "i").select(
+            "i", F.expr("(w * 1000000000000) DIV d6").alias("pi_raw")
+        )
+        tot = raw.agg(F.sum("pi_raw").alias("s"))
+        pi = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                F.expr(
+                    f"(pi_raw * {n_items} * 1000000) DIV s"
+                ).alias("pi"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        wtab.join(pi, "i")
+        .select(
+            F.col("i").alias("brand"),
+            F.col("games"),
+            F.col("w").alias("wins"),
+            F.col("pi").alias("bt_micro"),
+        )
+    )
+
+
+def _bt_sql(rounds: int = _BT_ROUNDS) -> str:
+    steps = []
+    prev = "p0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    t{r} AS (
+      SELECT d.i,
+             SUM((d.n_games * 1000000000000)
+                 // (pi_i.pi + pi_j.pi)) AS d6
+      FROM dirs d
+      JOIN {prev} pi_i ON d.i = pi_i.i
+      JOIN {prev} pi_j ON d.j = pi_j.i
+      GROUP BY 1
+    ),
+    r{r} AS (
+      SELECT w.i, (w.w * 1000000000000) // t.d6 AS pi_raw
+      FROM wtab w JOIN t{r} t ON w.i = t.i
+    ),
+    p{r} AS (
+      SELECT i,
+             (pi_raw * (SELECT COUNT(*) FROM wtab) * 1000000)
+               // (SELECT SUM(pi_raw) FROM r{r}) AS pi
+      FROM r{r}
+    )""")
+        prev = f"p{r}"
+    return f"""
+    WITH ob AS (
+      SELECT l.l_orderkey AS ok, p.p_brand,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CASE WHEN a.qty >= b.qty THEN 1 ELSE 0 END AS a_wins
+      FROM ob a JOIN ob b
+        ON a.ok = b.ok AND a.p_brand < b.p_brand
+    ),
+    pair AS (
+      SELECT brand_a, brand_b, COUNT(*) AS n_games,
+             SUM(a_wins) AS wins_a
+      FROM matches GROUP BY 1, 2
+    ),
+    dirs AS (
+      SELECT brand_a AS i, brand_b AS j, n_games, wins_a AS wins_i
+      FROM pair
+      UNION ALL
+      SELECT brand_b, brand_a, n_games, n_games - wins_a FROM pair
+    ),
+    wtab AS (
+      SELECT i, SUM(wins_i) AS w, SUM(n_games) AS games
+      FROM dirs GROUP BY 1
+    ),
+    p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS pi FROM wtab),
+    {",".join(steps)}
+    SELECT w.i AS brand, CAST(w.games AS BIGINT) AS games,
+           CAST(w.w AS BIGINT) AS wins,
+           CAST(p.pi AS BIGINT) AS bt_micro
+    FROM wtab w JOIN {prev} p ON w.i = p.i
+    """
+
+
+registry.register("bradley_terry", q_bradley_terry, _bt_sql())

@@ -2307,3 +2307,232 @@ registry.register(
       ON t.q_milli = c.q_milli
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for A/B metrics
+# ---------------------------------------------------------------------------
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data): how
+    much variance does regressing each user's POST-period purchase
+    value on their PRE-period value remove? θ = Cov(pre, post)/
+    Var(pre) and the variance-reduction ratio R² = Sxy²/(Sxx·Syy) —
+    the adjustment every experimentation platform applies before the
+    t-test, because a 30% variance cut is a 30% smaller sample
+    requirement.
+
+    Exactness: the period boundary is the integer midpoint of the
+    epoch-micros range (TZ-proof); per-user pre/post sums are integer
+    cents; the centered second moments n·Σx²−(Σx)² are computed in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no 64-bit overflow at
+    any SF — both exact; θ and R² are single double expressions on
+    those exact inputs. Shapes: one user-grain rollup, one 1-row
+    output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("tm"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN"
+            " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("cents"),
+    )
+    bounds = ev.agg(
+        F.expr("(MIN(tm) + MAX(tm)) DIV 2").alias("mid")
+    )
+    users = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("tm") < F.col("mid"), F.col("cents")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("tm") >= F.col("mid"), F.col("cents")).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    agg = users.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    cxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    cyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        _r6(cxy / cxx).alias("theta"),
+        _r6(cxy * cxy / (cxx * cyy)).alias("var_reduction_r2"),
+    )
+
+
+registry.register(
+    "cuped_adjustment",
+    q_cuped_adjustment,
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tm,
+             CASE WHEN event_type = 'purchase' THEN
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END AS cents
+      FROM events
+    ),
+    bounds AS (SELECT (MIN(tm) + MAX(tm)) // 2 AS mid FROM ev),
+    users AS (
+      SELECT user_id,
+             SUM(CASE WHEN tm < (SELECT mid FROM bounds)
+                      THEN cents ELSE 0 END) AS x,
+             SUM(CASE WHEN tm >= (SELECT mid FROM bounds)
+                      THEN cents ELSE 0 END) AS y
+      FROM ev GROUP BY 1
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             SUM(x * y) AS sxy
+      FROM users
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS theta,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS var_reduction_r2
+    FROM agg
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test with exact tie handling
+# ---------------------------------------------------------------------------
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on per-user purchase value between the parity
+    A/B arms — the nonparametric slot between `welch_ttest` (assumes
+    moments) and `ks_statistic` (location-insensitive): U asks
+    simply "does a random treated user outrank a random control
+    user?", robust to the heavy zero-inflation this metric has.
+
+    Exactness: tie-averaged ranks are kept DOUBLED so they stay
+    integers (a tie group after c smaller values with size g has
+    doubled rank 2c + g + 1 for every member); rank sums, U, and the
+    tie-correction Σ(t³−t) are exact BIGINTs; the normal z is one
+    final double expression (_r6). Shapes: a value-grouped count
+    table replaces any global per-row ranking — ranks come from
+    cumulative counts over DISTINCT values, so the windows run on
+    the value-histogram, never the user table."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN"
+            " CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS"
+            " DECIMAL(18,2)) END) * 100 AS BIGINT)"
+        ).alias("v")
+    ).select(
+        "v", (F.col("user_id") % 2 == 0).cast("long").alias("treated")
+    )
+    hist = users.groupBy("v").agg(
+        F.count("*").alias("g"), F.sum("treated").alias("g1")
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "v",
+        "g",
+        "g1",
+        F.coalesce(F.sum("g").over(wc), F.lit(0)).alias("c_lt"),
+    )
+    agg = ranked.agg(
+        F.sum("g1").alias("n1"),
+        F.sum(F.col("g") - F.col("g1")).alias("n2"),
+        F.sum(
+            F.col("g1") * (2 * F.col("c_lt") + F.col("g") + 1)
+        ).alias("r1_doubled"),
+        F.sum(
+            F.col("g") * F.col("g") * F.col("g") - F.col("g")
+        ).alias("tie_term"),
+    )
+    u_doubled = F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)
+    n = F.col("n1") + F.col("n2")
+    mean_u2 = F.col("n1") * F.col("n2")  # doubled mean = n1*n2
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = (u_doubled - mean_u2).cast("double") / (2.0 * F.sqrt(var))
+    return agg.select(
+        F.col("n1").alias("n_treated"),
+        F.col("n2").alias("n_control"),
+        u_doubled.alias("u_doubled"),
+        F.col("tie_term").alias("tie_term"),
+        _r6(z).alias("z"),
+    )
+
+
+registry.register(
+    "mann_whitney_u",
+    q_mann_whitney_u,
+    """
+    WITH users AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+                  CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS
+                  DECIMAL(18,2)) END) * 100 AS BIGINT) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT v, COUNT(*) AS g, SUM(treated) AS g1
+      FROM users GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, g, g1,
+             COALESCE(SUM(g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND 1 PRECEDING), 0) AS c_lt
+      FROM hist
+    ),
+    agg AS (
+      SELECT SUM(g1) AS n1, SUM(g - g1) AS n2,
+             SUM(g1 * (2 * c_lt + g + 1)) AS r1_doubled,
+             SUM(g * g * g - g) AS tie_term
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treated,
+           CAST(n2 AS BIGINT) AS n_control,
+           CAST(r1_doubled - n1 * (n1 + 1) AS BIGINT) AS u_doubled,
+           CAST(tie_term AS BIGINT) AS tie_term,
+           FLOOR(CAST(r1_doubled - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                 / (2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / 12.0
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(tie_term AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE)
+                            * CAST(n1 + n2 - 1 AS DOUBLE)))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS z
+    FROM agg
+    """,
+)

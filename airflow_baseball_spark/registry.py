@@ -278,6 +278,9 @@ _PRIORITY = [
     "rare_term_cosine_pairs",
     "forecast_reconciliation",
     "decision_stump",
+    "cuped_adjustment",
+    "mann_whitney_u",
+    "bradley_terry",
 ]
 
 

@@ -479,3 +479,41 @@ def test_decision_stump_is_argmin(spark):
     assert 0 <= r.pos_right <= r.n_right
     # weighted Gini of a binary split lies in [0, 0.5e6]
     assert 0 <= r.gini_micro <= 500001
+
+
+def test_cuped_r2_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_cuped_adjustment
+
+    r = q_cuped_adjustment(spark, SF).collect()[0]
+    assert r.n_users > 0
+    assert 0.0 <= r.var_reduction_r2 <= 1.0 + 1e-9
+
+
+def test_mann_whitney_u_range(spark):
+    from airflow_baseball_spark.queries_stats import q_mann_whitney_u
+
+    r = q_mann_whitney_u(spark, SF).collect()[0]
+    assert r.n_treated > 0 and r.n_control > 0
+    # 0 <= U <= n1*n2 (doubled scale)
+    assert 0 <= r.u_doubled <= 2 * r.n_treated * r.n_control
+    assert r.tie_term >= 0
+    assert abs(r.z) < 50
+
+
+def test_bradley_terry_strengths_normalized(spark):
+    from airflow_baseball_spark.queries_mining import q_bradley_terry
+
+    rows = q_bradley_terry(spark, SF).collect()
+    assert rows
+    n = len(rows)
+    total = sum(r.bt_micro for r in rows)
+    # renormalized each round: mean strength ~ 1e6 (integer floors
+    # only shave)
+    assert n * 1000000 - n * 2 <= total <= n * 1000000 + n
+    for r in rows:
+        assert 0 <= r.wins <= r.games
+        assert r.bt_micro > 0
+    # perfect correlation sanity: most wins -> not the weakest
+    best = max(rows, key=lambda r: (r.wins * 1000000) // r.games)
+    worst = min(rows, key=lambda r: (r.wins * 1000000) // r.games)
+    assert best.bt_micro >= worst.bt_micro
