@@ -2462,3 +2462,228 @@ registry.register(
     FROM staged2 s JOIN short sh ON s.regionkey = sh.regionkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# STL-style seasonality/trend strength scores
+# ---------------------------------------------------------------------------
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's strength-of-components scores on the
+    `seasonal_decompose` output: F_seasonal = max(0, 1 −
+    Var(remainder)/Var(seasonal + remainder)) and the trend analog —
+    the one-number answers to "is this series worth a seasonal
+    model?" that feed model selection (near 0 → `holt_linear`
+    suffices; near 1 → the weekly cycle must be modeled).
+
+    Exactness: components are already exact integer cents, so each
+    variance is a DECIMAL(38)-exact centered moment (the CUPED
+    discipline) and the scores are single double expressions on
+    exact inputs. Shapes: one pass over the days-sized decomposition
+    table."""
+    dec = q_seasonal_decompose(spark, sf_dir).filter(
+        F.col("remainder_cents").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    staged = dec.select(
+        F.col("remainder_cents").alias("r"),
+        (F.col("seasonal_cents") + F.col("remainder_cents")).alias("sr"),
+        (F.col("trend_cents") + F.col("remainder_cents")).alias("tr"),
+    )
+    agg = staged.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("r").cast(d38)).alias("s_r"),
+        F.sum((F.col("r") * F.col("r")).cast(d38)).alias("ss_r"),
+        F.sum(F.col("sr").cast(d38)).alias("s_sr"),
+        F.sum((F.col("sr") * F.col("sr")).cast(d38)).alias("ss_sr"),
+        F.sum(F.col("tr").cast(d38)).alias("s_tr"),
+        F.sum((F.col("tr") * F.col("tr")).cast(d38)).alias("ss_tr"),
+    )
+    var_r = (F.col("n") * F.col("ss_r") - F.col("s_r") * F.col("s_r")).cast(
+        "double"
+    )
+    var_sr = (
+        F.col("n") * F.col("ss_sr") - F.col("s_sr") * F.col("s_sr")
+    ).cast("double")
+    var_tr = (
+        F.col("n") * F.col("ss_tr") - F.col("s_tr") * F.col("s_tr")
+    ).cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        _r6(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_sr)).alias(
+            "f_seasonal"
+        ),
+        _r6(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_tr)).alias(
+            "f_trend"
+        ),
+    )
+
+
+def _strength_sql() -> str:
+    from airflow_baseball_spark import registry as _reg
+
+    decompose_sql = _reg.oracle_sql()["seasonal_decompose"]
+    return f"""
+    WITH dec AS ({decompose_sql}),
+    staged AS (
+      SELECT remainder_cents AS r,
+             seasonal_cents + remainder_cents AS sr,
+             trend_cents + remainder_cents AS tr
+      FROM dec WHERE remainder_cents IS NOT NULL
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(r) AS s_r, SUM(r * r) AS ss_r,
+             SUM(sr) AS s_sr, SUM(sr * sr) AS ss_sr,
+             SUM(tr) AS s_tr, SUM(tr * tr) AS ss_tr
+      FROM staged
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           FLOOR(GREATEST(0.0,
+             1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+                   / CAST(n * ss_sr - s_sr * s_sr AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS f_seasonal,
+           FLOOR(GREATEST(0.0,
+             1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+                   / CAST(n * ss_tr - s_tr * s_tr AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS f_trend
+    FROM agg
+    """
+
+
+registry.register(
+    "seasonality_strength", q_seasonality_strength, _strength_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# Single-changepoint detection by exact SSE minimization
+# ---------------------------------------------------------------------------
+
+
+def q_sse_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint of daily revenue by exact two-segment
+    SSE minimization — binary segmentation's first (and load-bearing)
+    step, the offline complement of `cusum_changepoint` (CUSUM streams
+    and thresholds; this one answers "where exactly, and how much
+    does the split explain?"). One cumulative scan gives every
+    candidate's two-segment fit: SSE_left + SSE_right with
+    SSE = Σy² − (Σy)²/n per side.
+
+    Exactness: cumulative Σy and Σy² are DECIMAL(38)-exact; the
+    per-candidate gain comparison is a double on exact inputs with
+    the day as tiebreak (a 1-ulp tie cannot flip the argmax because
+    equal-gain candidates resolve by date on both engines). Shapes:
+    windows over the days-sized rollup only."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    d38 = "decimal(38,0)"
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum(F.col("y").cast(d38)).over(wc).alias("cs"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).over(wc).alias("css"),
+        F.row_number().over(Window.orderBy("d")).alias("k"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast(d38)).alias("ts"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("tss"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            "d",
+            "k",
+            "n",
+            (
+                F.col("css").cast("double")
+                - F.col("cs").cast("double")
+                * F.col("cs").cast("double")
+                / F.col("k").cast("double")
+                + (F.col("tss") - F.col("css")).cast("double")
+                - (F.col("ts") - F.col("cs")).cast("double")
+                * (F.col("ts") - F.col("cs")).cast("double")
+                / (F.col("n") - F.col("k")).cast("double")
+            ).alias("sse2"),
+            (
+                F.col("tss").cast("double")
+                - F.col("ts").cast("double")
+                * F.col("ts").cast("double")
+                / F.col("n").cast("double")
+            ).alias("sse1"),
+        )
+    )
+    wbest = Window.orderBy(F.col("sse2").asc(), F.col("d").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("d").alias("changepoint_date"),
+            F.col("k").alias("n_before"),
+            (F.col("n") - F.col("k")).alias("n_after"),
+            _r6((F.lit(1.0) - F.col("sse2") / F.col("sse1"))).alias(
+                "variance_explained"
+            ),
+        )
+    )
+
+
+registry.register(
+    "sse_changepoint",
+    q_sse_changepoint,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT d,
+             SUM(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cs,
+             SUM(y * y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS css,
+             ROW_NUMBER() OVER (ORDER BY d) AS k
+      FROM daily
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(y) AS ts, SUM(y * y) AS tss
+      FROM daily
+    ),
+    cand AS (
+      SELECT c.d, c.k, t.n,
+             CAST(c.css AS DOUBLE)
+               - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)
+                 / CAST(c.k AS DOUBLE)
+               + CAST(t.tss - c.css AS DOUBLE)
+               - CAST(t.ts - c.cs AS DOUBLE)
+                 * CAST(t.ts - c.cs AS DOUBLE)
+                 / CAST(t.n - c.k AS DOUBLE) AS sse2,
+             CAST(t.tss AS DOUBLE)
+               - CAST(t.ts AS DOUBLE) * CAST(t.ts AS DOUBLE)
+                 / CAST(t.n AS DOUBLE) AS sse1
+      FROM cum c CROSS JOIN tot t
+      WHERE c.k < t.n
+    )
+    SELECT d AS changepoint_date,
+           CAST(k AS BIGINT) AS n_before,
+           CAST(n - k AS BIGINT) AS n_after,
+           FLOOR((1.0 - sse2 / sse1) * 1000000.0 + 0.5) / 1000000.0
+             AS variance_explained
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY sse2 ASC, d ASC) AS rk
+      FROM cand
+    ) WHERE rk = 1
+    """,
+)

@@ -281,6 +281,8 @@ _PRIORITY = [
     "cuped_adjustment",
     "mann_whitney_u",
     "bradley_terry",
+    "seasonality_strength",
+    "sse_changepoint",
 ]
 
 

@@ -517,3 +517,25 @@ def test_bradley_terry_strengths_normalized(spark):
     best = max(rows, key=lambda r: (r.wins * 1000000) // r.games)
     worst = min(rows, key=lambda r: (r.wins * 1000000) // r.games)
     assert best.bt_micro >= worst.bt_micro
+
+
+def test_seasonality_strength_bounds(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_seasonality_strength,
+    )
+
+    r = q_seasonality_strength(spark, SF).collect()[0]
+    assert r.n_days > 0
+    assert 0.0 <= r.f_seasonal <= 1.0
+    assert 0.0 <= r.f_trend <= 1.0
+
+
+def test_sse_changepoint_split_valid(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_sse_changepoint,
+    )
+
+    r = q_sse_changepoint(spark, SF).collect()[0]
+    assert r.n_before >= 1 and r.n_after >= 1
+    # two segments can only fit at least as well as one
+    assert 0.0 <= r.variance_explained <= 1.0
