@@ -2903,16 +2903,21 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # totals ride the same window spec (unbounded frame) so the
+    # customer/orders subtree is scanned ONCE — no second aggregate
+    # branch re-reading the fact tables
+    wt = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = per_bucket.select(
         "bucket",
         F.sum("np").over(wc).alias("lp"),
         F.sum("nn").over(wc).alias("ln"),
-    )
-    tot = per_bucket.agg(
-        F.sum("np").alias("tp"), F.sum("nn").alias("tn")
+        F.sum("np").over(wt).alias("tp"),
+        F.sum("nn").over(wt).alias("tn"),
     )
     cand = (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .withColumn("rp", F.col("tp") - F.col("lp"))
         .withColumn("rn", F.col("tn") - F.col("ln"))
         .filter((F.col("lp") + F.col("ln") > 0) & (F.col("rp") + F.col("rn") > 0))

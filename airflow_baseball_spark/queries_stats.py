@@ -1392,7 +1392,11 @@ def q_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("ng"),
         F.sum(cents).alias("sg"),
-        F.sum(cents * cents).alias("qg"),
+        # DECIMAL(38) accumulator: Σcents² stays exact past the
+        # ~1e10-row point where a BIGINT sum of squares would overflow
+        F.sum(
+            cents.cast("decimal(18,0)") * cents.cast("decimal(18,0)")
+        ).alias("qg"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     cell_term = d("sg") * d("sg") / d("ng")

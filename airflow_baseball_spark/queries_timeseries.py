@@ -2380,11 +2380,18 @@ def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "bottom_up_cents",
         "target_cents",
+        # cents totals reach ~1e11 at sf0.1, so the share product
+        # needs 128-bit headroom: DECIMAL(18,0)^2 -> DECIMAL(37,0)
+        # is exact and cannot overflow; quotient/remainder fit BIGINT.
         F.expr(
-            "(bottom_up_cents * target_cents) DIV hist_cents"
+            "CAST((CAST(bottom_up_cents AS DECIMAL(18,0))"
+            " * CAST(target_cents AS DECIMAL(18,0)))"
+            " DIV hist_cents AS BIGINT)"
         ).alias("quota_floor"),
         F.expr(
-            "(bottom_up_cents * target_cents) % hist_cents"
+            "CAST((CAST(bottom_up_cents AS DECIMAL(18,0))"
+            " * CAST(target_cents AS DECIMAL(18,0)))"
+            " % hist_cents AS BIGINT)"
         ).alias("rem"),
         "hist_cents",
     )
@@ -2440,9 +2447,11 @@ registry.register(
     staged2 AS (
       SELECT b.regionkey, b.c_nationkey, b.bottom_up_cents,
              t.target_cents,
-             (b.bottom_up_cents * t.target_cents) // t.hist_cents
+             CAST((CAST(b.bottom_up_cents AS HUGEINT)
+                   * t.target_cents) // t.hist_cents AS BIGINT)
                AS quota_floor,
-             (b.bottom_up_cents * t.target_cents) % t.hist_cents
+             CAST((CAST(b.bottom_up_cents AS HUGEINT)
+                   * t.target_cents) % t.hist_cents AS BIGINT)
                AS rem
       FROM by_nation b JOIN tot t ON b.regionkey = t.regionkey
     ),

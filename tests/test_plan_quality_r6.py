@@ -153,3 +153,35 @@ def test_holt_shuffle_is_single_key_exchange(spark):
     # formatted plans list each node twice (tree + details): one
     # logical FlatMapGroupsInPandas, no second Python stage
     assert 1 <= plan.count("FlatMapGroupsInPandas") <= 2
+
+
+def test_markov_walk_is_jvm_only(spark):
+    """The 8-step x 5-variant chain walk must be pure JVM column
+    arithmetic — no Arrow/Python stage anywhere in the plan."""
+    from airflow_baseball_spark.queries_llm import q_markov_attribution
+
+    plan = _plan(q_markov_attribution(spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rare_term_join_is_equi_on_token(spark):
+    """The posting-list self-join must be a token-equality join; the
+    df-cap keeps it bounded but must not degrade to nested-loop."""
+    from airflow_baseball_spark.queries_text import (
+        q_rare_term_cosine_pairs,
+    )
+
+    plan = _plan(q_rare_term_cosine_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_decision_stump_single_fact_scan(spark):
+    """The split search reads the customer table once and the orders
+    table once (the EXISTS probe) — no per-threshold rescan: at most
+    2 parquet scans in the plan."""
+    from airflow_baseball_spark.queries_eval import q_decision_stump
+
+    plan = _plan(q_decision_stump(spark, SF))
+    assert plan.count("Scan parquet") <= 4  # tree+details => 2 scans
