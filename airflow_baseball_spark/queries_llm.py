@@ -1504,3 +1504,141 @@ def _markov_sql(steps: int = _MARKOV_STEPS) -> str:
 
 
 registry.register("markov_attribution", q_markov_attribution, _markov_sql())
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value attribution over the 3 touch channels
+# ---------------------------------------------------------------------------
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution — the game-theoretic close of the
+    attribution family (`last_touch` heuristic → `time_decay` decay →
+    `markov_attribution` removal effect → Shapley marginal credit):
+    each converter's pre-purchase journey is reduced to its SET of
+    touched channels {view, click, signup}; the coalition value
+    v(S) = #converters whose touch-set ⊆ S; channel i's credit is
+    the Shapley average of marginal gains v(S∪i) − v(S) over the
+    3! orderings. With k=3 the permutation weights are |S|=0→2/6,
+    |S|=1→1/6, |S|=2→2/6, so 6·φ_i is a pure INTEGER combination of
+    the 8 coalition values — exact, no sampling, and Σφ_i = v(all)
+    (the efficiency axiom) is a built-in audit.
+
+    Exactness: touch-sets are 3-bit masks (bit_or of per-type bits);
+    coalition/credit algebra is integer arithmetic over an 8-row
+    table; phi_micro = phi_sixths·1e6 DIV 6. Shapes: one user-keyed
+    window (the shared sequence-op sort), a user-grain mask rollup,
+    then constant-size (8- and 24-row) joins — nothing scales with
+    the fact after the rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("idx", F.row_number().over(w))
+    first_p = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("idx").alias("pidx"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .otherwise(0)
+    )
+    masks = (
+        seq.join(first_p, "user_id")
+        .filter(F.col("idx") < F.col("pidx"))
+        .groupBy("user_id")
+        .agg(F.bit_or(bit).alias("t"))
+    )
+    n_t = masks.groupBy("t").agg(F.count("*").alias("n"))
+    coalitions = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coalitions.join(
+            F.broadcast(n_t),
+            F.col("t").bitwiseAND(F.col("s")) == F.col("t"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+    )
+    chans = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)], ["channel", "cbit"]
+    )
+    # pairs (channel, S) with channel not in S: weight w(|S|)·6 ∈ {2,1,2}
+    pairs = chans.crossJoin(F.broadcast(v.withColumnRenamed("v", "v_s"))).filter(
+        F.col("s").bitwiseAND(F.col("cbit")) == 0
+    )
+    with_union = pairs.join(
+        F.broadcast(
+            v.select(F.col("s").alias("su"), F.col("v").alias("v_su"))
+        ),
+        F.col("su") == F.col("s") + F.col("cbit"),
+    )
+    weight = F.when(F.bit_count("s") == 1, 1).otherwise(2)
+    phi = with_union.groupBy("channel").agg(
+        F.sum(weight * (F.col("v_su") - F.col("v_s"))).alias("phi_sixths")
+    )
+    total = masks.agg(F.count("*").alias("n_conv"))
+    return phi.crossJoin(F.broadcast(total)).select(
+        "channel",
+        F.col("phi_sixths").cast("long").alias("phi_sixths"),
+        F.expr("phi_sixths * 1000000 DIV 6").alias("phi_micro"),
+        "n_conv",
+    )
+
+
+def _shapley_sql() -> str:
+    return """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS idx
+      FROM events
+    ),
+    first_p AS (
+      SELECT user_id, MIN(idx) AS pidx FROM seq
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    masks AS (
+      SELECT s.user_id,
+             BIT_OR(CASE s.event_type WHEN 'view' THEN 1
+                    WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+                    ELSE 0 END) AS t
+      FROM seq s JOIN first_p p ON s.user_id = p.user_id
+      WHERE s.idx < p.pidx
+      GROUP BY 1
+    ),
+    n_t AS (SELECT t, COUNT(*) AS n FROM masks GROUP BY 1),
+    coalitions AS (SELECT CAST(r.range AS INT) AS s FROM RANGE(8) r),
+    v AS (
+      SELECT c.s, COALESCE(SUM(n.n), 0) AS v
+      FROM coalitions c LEFT JOIN n_t n ON (n.t & c.s) = n.t
+      GROUP BY 1
+    ),
+    chans AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
+        AS x(channel, cbit)
+    ),
+    pairs AS (
+      SELECT ch.channel, ch.cbit, vs.s, vs.v AS v_s, vu.v AS v_su
+      FROM chans ch
+      JOIN v vs ON (vs.s & ch.cbit) = 0
+      JOIN v vu ON vu.s = vs.s + ch.cbit
+    ),
+    phi AS (
+      SELECT channel,
+             SUM((CASE WHEN BIT_COUNT(s) = 1 THEN 1 ELSE 2 END)
+                 * (v_su - v_s)) AS phi_sixths
+      FROM pairs GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS n_conv FROM masks)
+    SELECT channel, CAST(phi_sixths AS BIGINT) AS phi_sixths,
+           CAST(phi_sixths * 1000000 // 6 AS BIGINT) AS phi_micro,
+           n_conv
+    FROM phi CROSS JOIN total
+    """
+
+
+registry.register("shapley_attribution", q_shapley_attribution, _shapley_sql())

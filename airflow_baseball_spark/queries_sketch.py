@@ -868,3 +868,119 @@ registry.register(
     FROM m CROSS JOIN d CROSS JOIN nd
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap day-presence index with popcount audit
+# ---------------------------------------------------------------------------
+
+
+def q_bitmap_day_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap presence index: for each order status, pack "was this
+    status active on day d" into 63-day BIGINT blocks (bit i of block
+    b covers epoch-day 63·b+i; bits 0..62 keep the sign bit clear,
+    which DuckDB's checked left-shift requires) and answer day-count and day-overlap
+    questions with pure popcount arithmetic — the roaring-bitmap idea
+    every OLAP engine uses for low-cardinality secondary indexes.
+    Audits itself: the popcount day count must equal the exact
+    COUNT(DISTINCT day), and the AND-mask overlap with status 'F'
+    must equal the exact intersection count.
+
+    Exactness: masks are bit_or of (1 << bit) over exact integer day
+    offsets; popcounts are integers — nothing floating anywhere.
+    Shapes: the fact reduces to (status, block) rows — 64 days per
+    row — with a map-side combinable bit_or; the overlap is a
+    block-keyed equi-join of two bounded mask tables; output is one
+    row per status."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("di"),
+    )
+    blocks = o.groupBy(
+        "status", F.expr("di DIV 63").alias("blk")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(di % 63 AS INT))")
+        ).alias("mask")
+    )
+    per_status = blocks.groupBy("status").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.bit_count("mask")).alias("days_bitmap"),
+    )
+    exact = o.groupBy("status").agg(
+        F.countDistinct("di").alias("days_exact")
+    )
+    fmask = blocks.filter(F.col("status") == "F").select(
+        "blk", F.col("mask").alias("fmask")
+    )
+    overlap = (
+        blocks.join(F.broadcast(fmask), "blk")
+        .groupBy("status")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("mask").bitwiseAND(F.col("fmask")))
+            ).alias("days_shared_with_f")
+        )
+    )
+    return (
+        per_status.join(exact, "status")
+        .join(overlap, "status")
+        .select(
+            "status",
+            "n_blocks",
+            F.col("days_bitmap").cast("long").alias("days_bitmap"),
+            "days_exact",
+            (F.col("days_bitmap") == F.col("days_exact"))
+            .cast("int")
+            .alias("audit_ok"),
+            F.col("days_shared_with_f").cast("long").alias("days_shared_with_f"),
+        )
+    )
+
+
+registry.register(
+    "bitmap_day_index",
+    q_bitmap_day_index,
+    """
+    WITH o AS (
+      SELECT o_orderstatus AS status,
+             DATEDIFF('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS di
+      FROM orders
+    ),
+    blocks AS (
+      SELECT status, di // 63 AS blk,
+             BIT_OR(1::BIGINT << CAST(di % 63 AS INT)) AS mask
+      FROM o GROUP BY 1, 2
+    ),
+    per_status AS (
+      SELECT status, COUNT(*) AS n_blocks,
+             SUM(BIT_COUNT(mask)) AS days_bitmap
+      FROM blocks GROUP BY 1
+    ),
+    exact AS (
+      SELECT status, COUNT(DISTINCT di) AS days_exact
+      FROM o GROUP BY 1
+    ),
+    fmask AS (
+      SELECT blk, mask AS fm FROM blocks WHERE status = 'F'
+    ),
+    overlap AS (
+      SELECT b.status, SUM(BIT_COUNT(b.mask & f.fm))
+               AS days_shared_with_f
+      FROM blocks b JOIN fmask f ON b.blk = f.blk
+      GROUP BY 1
+    )
+    SELECT p.status, p.n_blocks,
+           CAST(p.days_bitmap AS BIGINT) AS days_bitmap,
+           e.days_exact,
+           CAST(p.days_bitmap = e.days_exact AS INT) AS audit_ok,
+           CAST(o.days_shared_with_f AS BIGINT) AS days_shared_with_f
+    FROM per_status p
+    JOIN exact e ON p.status = e.status
+    JOIN overlap o ON p.status = o.status
+    """,
+)

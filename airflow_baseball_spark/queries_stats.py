@@ -2540,3 +2540,119 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2x2 (group x period) panel
+    estimator DiD = (T_post − T_pre) − (C_post − C_pre) on mean
+    purchase value — the workhorse causal design when treatment rolls
+    out to one cohort at a known time and `cuped_adjustment`-style
+    randomization isn't available. Treated cohort = odd user_id;
+    the period boundary is the integer midpoint of the epoch-micros
+    range (the CUPED idiom, TZ-proof).
+
+    Exactness: each cell is (count, Σcents) in exact integers; cell
+    means are single correctly-rounded IEEE divisions of those ints,
+    and DiD is three IEEE subtractions on them — the same expression
+    tree on both engines, `_r6`-bounded. Shapes: one pass over the
+    fact into a 4-row cell table (map-side combinable), 1-row output."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+        F.expr("unix_micros(ts)").alias("tm"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    bounds = ev.agg(F.expr("(MIN(tm) + MAX(tm)) DIV 2").alias("mid"))
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "treated",
+            (F.col("tm") >= F.col("mid")).cast("int").alias("post"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+    m = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("s").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    cnt = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("n"))
+    )
+    wide = cells.agg(
+        cnt(0, 0).alias("n_c_pre"),
+        cnt(0, 1).alias("n_c_post"),
+        cnt(1, 0).alias("n_t_pre"),
+        cnt(1, 1).alias("n_t_post"),
+        m(0, 0).alias("m_c_pre"),
+        m(0, 1).alias("m_c_post"),
+        m(1, 0).alias("m_t_pre"),
+        m(1, 1).alias("m_t_post"),
+    )
+    return wide.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        _r6(F.col("m_c_pre")).alias("mean_c_pre"),
+        _r6(F.col("m_c_post")).alias("mean_c_post"),
+        _r6(F.col("m_t_pre")).alias("mean_t_pre"),
+        _r6(F.col("m_t_post")).alias("mean_t_post"),
+        _r6(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        ).alias("did_cents"),
+    )
+
+
+registry.register(
+    "diff_in_diff",
+    q_diff_in_diff,
+    """
+    WITH ev AS (
+      SELECT CAST(user_id % 2 = 1 AS INT) AS treated,
+             epoch_us(ts) AS tm,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    bounds AS (SELECT (MIN(tm) + MAX(tm)) // 2 AS mid FROM ev),
+    cells AS (
+      SELECT treated, CAST(tm >= mid AS INT) AS post,
+             COUNT(*) AS n, SUM(cents) AS s
+      FROM ev CROSS JOIN bounds GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c_post,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t_pre,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t_post,
+        MAX(CASE WHEN treated = 0 AND post = 0
+                 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS m_c_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1
+                 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS m_c_post,
+        MAX(CASE WHEN treated = 1 AND post = 0
+                 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS m_t_pre,
+        MAX(CASE WHEN treated = 1 AND post = 1
+                 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS m_t_post
+      FROM cells
+    )
+    SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+           FLOOR(m_c_pre * 1000000.0 + 0.5) / 1000000.0 AS mean_c_pre,
+           FLOOR(m_c_post * 1000000.0 + 0.5) / 1000000.0 AS mean_c_post,
+           FLOOR(m_t_pre * 1000000.0 + 0.5) / 1000000.0 AS mean_t_pre,
+           FLOOR(m_t_post * 1000000.0 + 0.5) / 1000000.0 AS mean_t_post,
+           FLOOR(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                 * 1000000.0 + 0.5) / 1000000.0 AS did_cents
+    FROM wide
+    """,
+)

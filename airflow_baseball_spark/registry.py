@@ -283,6 +283,9 @@ _PRIORITY = [
     "bradley_terry",
     "seasonality_strength",
     "sse_changepoint",
+    "diff_in_diff",
+    "bitmap_day_index",
+    "shapley_attribution",
 ]
 
 

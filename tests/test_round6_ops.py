@@ -539,3 +539,44 @@ def test_sse_changepoint_split_valid(spark):
     assert r.n_before >= 1 and r.n_after >= 1
     # two segments can only fit at least as well as one
     assert 0.0 <= r.variance_explained <= 1.0
+
+
+def test_diff_in_diff_identity_and_cells(spark):
+    from airflow_baseball_spark.queries_stats import q_diff_in_diff
+
+    r = q_diff_in_diff(spark, SF).collect()[0]
+    assert min(r.n_c_pre, r.n_c_post, r.n_t_pre, r.n_t_post) > 0
+    recomputed = (r.mean_t_post - r.mean_t_pre) - (
+        r.mean_c_post - r.mean_c_pre
+    )
+    # did is _r6 of the unrounded means; the recomputation from the
+    # rounded means can differ by at most 4 rounding quanta
+    assert abs(recomputed - r.did_cents) < 5e-6
+
+
+def test_bitmap_day_index_audits_clean(spark):
+    from airflow_baseball_spark.queries_sketch import q_bitmap_day_index
+
+    rows = q_bitmap_day_index(spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.audit_ok == 1
+        assert r.days_bitmap == r.days_exact
+        assert r.days_shared_with_f <= r.days_exact
+        if r.status == "F":
+            # self-overlap is the full day set
+            assert r.days_shared_with_f == r.days_exact
+
+
+def test_shapley_efficiency_axiom(spark):
+    from airflow_baseball_spark.queries_llm import q_shapley_attribution
+
+    rows = q_shapley_attribution(spark, SF).collect()
+    assert {r.channel for r in rows} == {"view", "click", "signup"}
+    total = sum(r.phi_sixths for r in rows)
+    n_conv = rows[0].n_conv
+    # efficiency: sum phi = v(all) - v(empty), in sixths
+    assert total % 6 == 0
+    assert 0 <= total <= 6 * n_conv
+    for r in rows:
+        assert r.phi_sixths >= 0  # v is monotone
