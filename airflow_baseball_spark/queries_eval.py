@@ -2999,3 +2999,153 @@ registry.register(
     ) WHERE rk = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (reliability / resolution / uncertainty)
+# ---------------------------------------------------------------------------
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy's decomposition of the Brier score — Brier = REL − RES
+    + UNC — for a probability forecaster built the honest way: train
+    on odd orderkeys (urgent-rate per totalprice decile), score even
+    orderkeys. REL (reliability, want 0) penalizes calibration gaps
+    between forecast p_k and realized rate o_k; RES (resolution, want
+    big) rewards bins whose rates differ from the base rate; UNC is
+    the outcome variance floor. The standard deeper read on
+    `auc_roc`/`decile_lift`'s single numbers.
+
+    Exactness: decile bins come from nine broadcast exact-percentile
+    boundaries scored in-row (`1 + Σ(price > q_i)` — the rfm_segments
+    idiom; a global NTILE would serialize the fact through one window
+    task); every rate is a correctly-rounded division of exact
+    counts; each bin's REL/RES term is quantized to integer
+    PICO-units BEFORE the 10-row sum (quantize-before-sum), so
+    partition order cannot move the output. Shapes: one fact scan,
+    a 10-row bin table, 1-row output."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+        (F.col("o_orderkey") % 2 == 1).cast("int").alias("is_train"),
+    )
+    qs = o.agg(
+        *[
+            F.expr(f"percentile(price, {i / 10.0})").alias(f"q{i}")
+            for i in range(1, 10)
+        ]
+    )
+    kcol = F.lit(1)
+    for i in range(1, 10):
+        kcol = kcol + (F.col("price") > F.col(f"q{i}")).cast("int")
+    binned = o.crossJoin(F.broadcast(qs)).withColumn("k", kcol)
+    cells = binned.groupBy("k").agg(
+        F.sum(F.when(F.col("is_train") == 1, 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("is_train") == 1, F.col("y")).otherwise(0)).alias(
+            "s_tr"
+        ),
+        F.sum(F.when(F.col("is_train") == 0, 1).otherwise(0)).alias("n_te"),
+        F.sum(F.when(F.col("is_train") == 0, F.col("y")).otherwise(0)).alias(
+            "s_te"
+        ),
+    )
+    tot = cells.agg(
+        F.sum("n_te").alias("n"), F.sum("s_te").alias("s")
+    )
+    p_k = F.col("s_tr").cast("double") / F.col("n_tr").cast("double")
+    o_k = F.col("s_te").cast("double") / F.col("n_te").cast("double")
+    obar = F.col("s").cast("double") / F.col("n").cast("double")
+    nk = F.col("n_te").cast("double")
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        F.floor(nk * (p_k - o_k) * (p_k - o_k) * 1e12).alias("rel_pico"),
+        F.floor(nk * (o_k - obar) * (o_k - obar) * 1e12).alias("res_pico"),
+        "n",
+        "s",
+    )
+    agg = terms.groupBy("n", "s").agg(
+        F.sum("rel_pico").alias("rel_sum"),
+        F.sum("res_pico").alias("res_sum"),
+    )
+    nn = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_test"),
+        F.col("s").cast("long").alias("n_pos_test"),
+        _r6(F.col("rel_sum").cast("double") / 1e12 / nn).alias(
+            "reliability"
+        ),
+        _r6(F.col("res_sum").cast("double") / 1e12 / nn).alias(
+            "resolution"
+        ),
+        _r6(obar * (F.lit(1.0) - obar)).alias("uncertainty"),
+    )
+
+
+registry.register(
+    "brier_decomposition",
+    q_brier_decomposition,
+    """
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y,
+             CAST(o_orderkey % 2 = 1 AS INT) AS is_train
+      FROM orders
+    ),
+    qs AS (
+      SELECT QUANTILE_CONT(price, 0.1) AS q1, QUANTILE_CONT(price, 0.2) AS q2,
+             QUANTILE_CONT(price, 0.3) AS q3, QUANTILE_CONT(price, 0.4) AS q4,
+             QUANTILE_CONT(price, 0.5) AS q5, QUANTILE_CONT(price, 0.6) AS q6,
+             QUANTILE_CONT(price, 0.7) AS q7, QUANTILE_CONT(price, 0.8) AS q8,
+             QUANTILE_CONT(price, 0.9) AS q9
+      FROM o
+    ),
+    binned AS (
+      SELECT o.*,
+             1 + CAST(price > q1 AS INT) + CAST(price > q2 AS INT)
+               + CAST(price > q3 AS INT) + CAST(price > q4 AS INT)
+               + CAST(price > q5 AS INT) + CAST(price > q6 AS INT)
+               + CAST(price > q7 AS INT) + CAST(price > q8 AS INT)
+               + CAST(price > q9 AS INT) AS k
+      FROM o CROSS JOIN qs
+    ),
+    cells AS (
+      SELECT k,
+             SUM(CASE WHEN is_train = 1 THEN 1 ELSE 0 END) AS n_tr,
+             SUM(CASE WHEN is_train = 1 THEN y ELSE 0 END) AS s_tr,
+             SUM(CASE WHEN is_train = 0 THEN 1 ELSE 0 END) AS n_te,
+             SUM(CASE WHEN is_train = 0 THEN y ELSE 0 END) AS s_te
+      FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_te) AS n, SUM(s_te) AS s FROM cells),
+    terms AS (
+      SELECT
+        FLOOR(CAST(n_te AS DOUBLE)
+              * (CAST(s_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)
+                 - CAST(s_te AS DOUBLE) / CAST(n_te AS DOUBLE))
+              * (CAST(s_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)
+                 - CAST(s_te AS DOUBLE) / CAST(n_te AS DOUBLE))
+              * 1e12) AS rel_pico,
+        FLOOR(CAST(n_te AS DOUBLE)
+              * (CAST(s_te AS DOUBLE) / CAST(n_te AS DOUBLE)
+                 - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+              * (CAST(s_te AS DOUBLE) / CAST(n_te AS DOUBLE)
+                 - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+              * 1e12) AS res_pico,
+        t.n, t.s
+      FROM cells CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT n, s, SUM(rel_pico) AS rel_sum, SUM(res_pico) AS res_sum
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT CAST(n AS BIGINT) AS n_test, CAST(s AS BIGINT) AS n_pos_test,
+           FLOOR(CAST(rel_sum AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS reliability,
+           FLOOR(CAST(res_sum AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS resolution,
+           FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS uncertainty
+    FROM agg
+    """,
+)

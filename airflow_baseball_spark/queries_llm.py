@@ -23,6 +23,7 @@ from airflow_baseball_spark.operators.gapfill import gap_fill
 from airflow_baseball_spark.operators.scd import scd2
 from airflow_baseball_spark.pipelines.orchestration import event_time_triggers
 from airflow_baseball_spark.schemas import load_table
+from airflow_baseball_spark.text import analysis
 from airflow_baseball_spark.text import pii
 from airflow_baseball_spark.text.packing import pack_blocks
 from airflow_baseball_spark.text.quantize import quantize_summary
@@ -1642,3 +1643,110 @@ def _shapley_sql() -> str:
 
 
 registry.register("shapley_attribution", q_shapley_attribution, _shapley_sql())
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style negative-sampling table (unigram^0.75, exact quotas)
+# ---------------------------------------------------------------------------
+
+
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling table: allocate 1,000,000
+    sampling slots across the top-64 corpus tokens proportionally to
+    f^0.75 (the smoothed unigram distribution that up-weights rare
+    words) with exact largest-remainder quotas, so the slot counts
+    sum EXACTLY to the table size — the companion to
+    `skipgram_pairs`/`triplet_mining` that every embedding trainer
+    materializes before sampling negatives.
+
+    Exactness: f^0.75 = sqrt(f)·sqrt(sqrt(f)) — two correctly-rounded
+    IEEE sqrts and one multiply, no libm pow — then quantized to
+    micro-units BEFORE any cross-row sum (the repo's
+    quantize-before-sum rule), so quotas are pure integer arithmetic.
+    Shapes: one token groupBy with map-side combine; top-64 via
+    TakeOrderedAndProject; the quota window runs over 64 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(analysis.tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("f"))
+    top = counts.orderBy(F.col("f").desc(), "term").limit(64)
+    x = F.col("f").cast("double")
+    w_micro = F.floor(
+        F.sqrt(x) * F.sqrt(F.sqrt(x)) * F.lit(1000000.0)
+    ).cast("long")
+    staged = top.select("term", "f", w_micro.alias("w_micro"))
+    tot = staged.agg(F.sum("w_micro").alias("w_tot"))
+    quota = (
+        staged.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "f",
+            "w_micro",
+            # DECIMAL headroom: w_micro reaches ~1e15 at extreme
+            # corpus sizes, so the slot product needs >64 bits
+            F.expr(
+                "CAST(CAST(w_micro AS DECIMAL(18,0)) * 1000000"
+                " DIV w_tot AS BIGINT)"
+            ).alias("q_floor"),
+            F.expr(
+                "CAST(CAST(w_micro AS DECIMAL(18,0)) * 1000000"
+                " % w_tot AS BIGINT)"
+            ).alias("rem"),
+        )
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("term").asc())
+    short = quota.agg(
+        (F.lit(1000000) - F.sum("q_floor")).alias("shortfall")
+    )
+    return (
+        quota.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "term",
+            "f",
+            "w_micro",
+            (
+                F.col("q_floor")
+                + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+            ).alias("slots"),
+        )
+    )
+
+
+registry.register(
+    "negative_sampling_table",
+    q_negative_sampling_table,
+    """
+    WITH counts AS (
+      SELECT term, COUNT(*) AS f
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY 1
+    ),
+    top AS (SELECT * FROM counts ORDER BY f DESC, term LIMIT 64),
+    staged AS (
+      SELECT term, f,
+             CAST(FLOOR(sqrt(CAST(f AS DOUBLE))
+                        * sqrt(sqrt(CAST(f AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS w_micro
+      FROM top
+    ),
+    tot AS (SELECT SUM(w_micro) AS w_tot FROM staged),
+    quota AS (
+      SELECT term, f, w_micro,
+             CAST(CAST(w_micro AS HUGEINT) * 1000000
+                  // t.w_tot AS BIGINT) AS q_floor,
+             CAST(CAST(w_micro AS HUGEINT) * 1000000
+                  % t.w_tot AS BIGINT) AS rem
+      FROM staged CROSS JOIN tot t
+    ),
+    short AS (SELECT 1000000 - SUM(q_floor) AS shortfall FROM quota)
+    SELECT q.term, q.f, q.w_micro,
+           CAST(q.q_floor
+                + CASE WHEN ROW_NUMBER() OVER (ORDER BY q.rem DESC,
+                                               q.term ASC) <= s.shortfall
+                       THEN 1 ELSE 0 END AS BIGINT) AS slots
+    FROM quota q CROSS JOIN short s
+    """,
+)

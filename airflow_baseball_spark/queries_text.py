@@ -4976,3 +4976,120 @@ registry.register(
     q_rare_term_cosine_pairs,
     _rare_cosine_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote classifier accuracy (exact top-5, per-label report)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification quality of the embedding space: for every
+    10th vector, find its exact cosine top-5 among the rest of the
+    corpus, predict the majority label of those neighbors (ties →
+    smallest label id), and report per-true-label accuracy — the
+    label-consistency probe run on every new embedding model before
+    anyone trusts `cosine_topk` retrieval with it (high accuracy =
+    the space clusters by label; near-chance = the labels are not
+    linearly reachable and ANN serving won't help).
+
+    Shapes: ONE broadcast of the bounded query sample against the
+    corpus scan (the `mutual_knn_pairs` scoring shape — never an
+    unblocked self-join); the vote and the argmax are windows over
+    ≤5-row groups; output is |labels| rows. Exactness: cosines are
+    round(·,6) doubles from the shared JVM expression; votes and
+    accuracy are integers (acc_micro = correct·1e6 DIV n)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("nbr_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("nbr_label").asc()
+    )
+    pred = votes.withColumn("rk", F.row_number().over(wv)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                (F.col("nbr_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_queries",
+            "n_correct",
+            F.expr("n_correct * 1000000 DIV n_queries").alias("acc_micro"),
+        )
+    )
+
+
+def _knn_label_sql() -> str:
+    cos = _COS_SQL.format(a="q.qv", b="e.embedding")
+    return f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.label AS nbr_label,
+             e.vec_id AS neighbor_id, {cos} AS cos
+      FROM embeddings e CROSS JOIN qs q
+      WHERE e.vec_id <> q.query_id
+    ),
+    top5 AS (
+      SELECT * FROM (
+        SELECT query_id, true_label, nbr_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC,
+                                           neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, nbr_label, COUNT(*) AS v
+      FROM top5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT * FROM (
+        SELECT query_id, true_label, nbr_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, nbr_label ASC) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT true_label, COUNT(*) AS n_queries,
+           SUM(CAST(nbr_label = true_label AS BIGINT)) AS n_correct,
+           CAST(SUM(CAST(nbr_label = true_label AS BIGINT)) * 1000000
+                // COUNT(*) AS BIGINT) AS acc_micro
+    FROM pred GROUP BY 1
+    """
+
+
+registry.register("knn_label_accuracy", q_knn_label_accuracy, _knn_label_sql())

@@ -286,6 +286,9 @@ _PRIORITY = [
     "diff_in_diff",
     "bitmap_day_index",
     "shapley_attribution",
+    "negative_sampling_table",
+    "brier_decomposition",
+    "knn_label_accuracy",
 ]
 
 

@@ -580,3 +580,45 @@ def test_shapley_efficiency_axiom(spark):
     assert 0 <= total <= 6 * n_conv
     for r in rows:
         assert r.phi_sixths >= 0  # v is monotone
+
+
+def test_negative_sampling_slots_sum_exactly(spark):
+    from airflow_baseball_spark.queries_llm import q_negative_sampling_table
+
+    rows = q_negative_sampling_table(spark, SF).collect()
+    assert 1 <= len(rows) <= 64  # sf0.001 vocab is smaller than 64
+    assert sum(r.slots for r in rows) == 1_000_000
+    # smoothing: slot share ordering follows frequency ordering
+    by_f = sorted(rows, key=lambda r: (-r.f, r.term))
+    slots = [r.slots for r in by_f]
+    assert all(a >= b - 1 for a, b in zip(slots, slots[1:]))
+
+
+def test_brier_decomposition_bounds(spark):
+    from airflow_baseball_spark.queries_eval import q_brier_decomposition
+
+    r = q_brier_decomposition(spark, SF).collect()[0]
+    assert r.n_test > 0 and 0 <= r.n_pos_test <= r.n_test
+    assert 0.0 <= r.reliability
+    assert 0.0 <= r.resolution
+    obar = r.n_pos_test / r.n_test
+    assert abs(r.uncertainty - obar * (1 - obar)) < 2e-6
+    # resolution cannot exceed the outcome variance it explains
+    assert r.resolution <= r.uncertainty + 1e-6
+
+
+def test_knn_label_accuracy_shape(spark):
+    from airflow_baseball_spark.queries_text import q_knn_label_accuracy
+
+    rows = q_knn_label_accuracy(spark, SF).collect()
+    assert len(rows) >= 1
+    total_q = sum(r.n_queries for r in rows)
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert r.acc_micro == r.n_correct * 1_000_000 // r.n_queries
+    # every sampled query predicted exactly once
+    from airflow_baseball_spark.schemas import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    n_anchors = emb.filter("vec_id % 10 = 0").count()
+    assert total_q == n_anchors
