@@ -2656,3 +2656,92 @@ registry.register(
     FROM wide
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# A/B test power analysis: minimum detectable effect per audience
+# ---------------------------------------------------------------------------
+
+# z_{0.975} + z_{0.80}, precomputed once in Python and embedded as ONE
+# literal double on both engines (no libm inverse-normal anywhere)
+_MDE_Z = 2.8015852181129683
+
+
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis: for each candidate audience
+    (users who fired a given non-purchase event type), the minimum
+    detectable absolute lift in purchase conversion an equal-split
+    A/B test on that audience could resolve at α=0.05 / power 0.8 —
+    MDE = (z₀.₉₇₅+z₀.₈)·√(2·p·(1−p)/(n/2)) — the go/no-go sizing
+    check run before `diff_in_diff`/`cuped_adjustment` ever see data.
+    Small audiences → large MDE → "don't bother testing".
+
+    Exactness: n and conversions are exact counts; p is one
+    correctly-rounded division; the z-sum is a single Python-side
+    literal (no libm inverse-normal); √ is IEEE-exact — the whole MDE
+    is a deterministic expression tree, `_r6`-bounded. Shapes: two
+    user-grain rollups joined on user, then a |event types|-row
+    output."""
+    ev = load_table(spark, sf_dir, "events")
+    audience = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        audience.join(buyers, "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("n_conv"),
+        )
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    arm = F.expr("n_users DIV 2").cast("double")
+    mde = F.lit(_MDE_Z) * F.sqrt(
+        F.lit(2.0) * p * (F.lit(1.0) - p) / arm
+    )
+    return cells.select(
+        "event_type",
+        "n_users",
+        F.col("n_conv").cast("long").alias("n_conv"),
+        _r6(p).alias("conv_rate"),
+        _r6(mde).alias("mde_abs"),
+    )
+
+
+registry.register(
+    "mde_power",
+    q_mde_power,
+    f"""
+    WITH audience AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    buyers AS (
+      SELECT DISTINCT user_id, 1 AS converted FROM events
+      WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT a.event_type, COUNT(*) AS n_users,
+             SUM(COALESCE(b.converted, 0)) AS n_conv
+      FROM audience a LEFT JOIN buyers b ON a.user_id = b.user_id
+      GROUP BY 1
+    )
+    SELECT event_type, n_users, CAST(n_conv AS BIGINT) AS n_conv,
+           FLOOR(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS conv_rate,
+           FLOOR({_MDE_Z!r} * sqrt(2.0
+                   * (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                   * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                   / CAST(n_users // 2 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mde_abs
+    FROM cells
+    """,
+)

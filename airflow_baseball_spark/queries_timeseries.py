@@ -2696,3 +2696,144 @@ registry.register(
     ) WHERE rk = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters additive seasonal smoothing (dyadic-exact, m = 7)
+# ---------------------------------------------------------------------------
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive triple smoothing of each nation's daily
+    order revenue: level + trend + a period-7 seasonal state, with
+    α = β = γ = 1/2 — `holt_linear`'s seasonal upgrade (a trend-only
+    model lags a weekly cycle by half its amplitude; the seasonal
+    state removes that) — emitting the one-step-ahead forecast
+    l + b + s_{t−7} each day.
+
+    Dyadic α/β/γ keep every update an exact floor-halved integer:
+      l_t = ⌊(y_t − s_{t−7} + l_{t−1} + b_{t−1})/2⌋
+      b_t = ⌊(l_t − l_{t−1} + b_{t−1})/2⌋
+      s_t = ⌊(y_t − l_t + s_{t−7})/2⌋
+    with the seasonal ring seeded to zeros (the first week reduces to
+    plain Holt — a deterministic init both engines share). The
+    seasonal lag is over OBSERVED rows (documented; the daily rollup
+    is near-dense so row-lag ≈ calendar-lag). The oracle walks the
+    same recurrence in a recursive CTE carrying the 7-slot seasonal
+    ring as a LIST, with canonical-remainder floors (DuckDB's // is
+    truncating) — bit-identical to the Python walk.
+
+    Scale: the `holt_linear` shape — one nation-keyed exchange, each
+    group days-sized (scale-invariant), honest applyInPandas for a
+    genuine cross-row recurrence."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    daily = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("y_cents")
+        )
+    )
+
+    def hw_group(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ring = [0] * 7
+        lev = tr = None
+        levels, trends, seasons, forecasts = [], [], [], []
+        for y in pdf["y_cents"]:
+            y = int(y)
+            s_old = ring[0]
+            if lev is None:
+                forecasts.append(y)
+                lev, tr = y, 0
+            else:
+                forecasts.append(lev + tr + s_old)
+                new_lev = (y - s_old + lev + tr) // 2
+                tr = (new_lev - lev + tr) // 2
+                lev = new_lev
+            s_new = (y - lev + s_old) // 2
+            ring = ring[1:] + [s_new]
+            levels.append(lev)
+            trends.append(tr)
+            seasons.append(s_new)
+        return pd.DataFrame(
+            {
+                "nationkey": pdf["nationkey"],
+                "d": pdf["d"],
+                "y_cents": pdf["y_cents"],
+                "level_cents": levels,
+                "trend_cents": trends,
+                "season_cents": seasons,
+                "forecast_cents": forecasts,
+            }
+        )
+
+    return daily.groupBy("nationkey").applyInPandas(
+        hw_group,
+        "nationkey long, d date, y_cents long, level_cents long,"
+        " trend_cents long, season_cents long, forecast_cents long",
+    )
+
+
+def _hw_floor2(e: str) -> str:
+    """Floor-halve SQL: subtract the canonical (non-negative) mod-2
+    remainder, then // 2 is exact on the even result."""
+    return f"(({e}) - (((({e}) % 2) + 2) % 2)) // 2"
+
+
+registry.register(
+    "holt_winters",
+    q_holt_winters,
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y_cents,
+             ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY CAST(o.o_orderdate AS DATE))
+               AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    walk(nationkey, rn, d, y_cents, lev, tr, s_new, fc, ring) AS (
+      SELECT nationkey, rn, d, y_cents, y_cents, 0,
+             {_hw_floor2("y_cents - y_cents + 0")},
+             y_cents,
+             [0, 0, 0, 0, 0, 0, CAST({_hw_floor2("y_cents - y_cents + 0")}
+                                     AS BIGINT)]
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT n.nationkey, n.rn, n.d, n.y_cents,
+             x2.lev_new, x3.tr_new, x3.s_nxt,
+             w.lev + w.tr + x1.s_old,
+             list_append(w.ring[2:7], CAST(x3.s_nxt AS BIGINT))
+      FROM walk w
+      JOIN daily n
+        ON n.nationkey = w.nationkey AND n.rn = w.rn + 1,
+      LATERAL (SELECT w.ring[1] AS s_old) x1,
+      LATERAL (SELECT {_hw_floor2("n.y_cents - x1.s_old + w.lev + w.tr")}
+                 AS lev_new) x2,
+      LATERAL (SELECT {_hw_floor2("x2.lev_new - w.lev + w.tr")} AS tr_new,
+                      {_hw_floor2("n.y_cents - x2.lev_new + x1.s_old")}
+                 AS s_nxt) x3
+    )
+    SELECT nationkey, d, y_cents,
+           CAST(lev AS BIGINT) AS level_cents,
+           CAST(tr AS BIGINT) AS trend_cents,
+           CAST(s_new AS BIGINT) AS season_cents,
+           CAST(fc AS BIGINT) AS forecast_cents
+    FROM walk
+    """,
+)
