@@ -3149,3 +3149,93 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-classifier comparison
+# ---------------------------------------------------------------------------
+
+
+def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test comparing two deterministic rule classifiers on
+    the SAME instances (truth: event is a purchase; rule A: value ≥
+    $35; rule B: evening-hour event) — the paired-model comparison an
+    eval pipeline runs before swapping model versions: accuracy
+    deltas on shared data are dominated by the b/c discordant cells,
+    and the unpaired `welch_ttest` on two accuracy columns ignores
+    the pairing entirely (that is the classic wrong test here).
+
+    χ² = (b−c)²/(b+c) with the continuity-corrected variant
+    (|b−c|−1)²/(b+c) alongside; b = A-right-B-wrong, c = the reverse.
+
+    Exactness: all four contingency cells are exact counts from pure
+    boolean column expressions; both statistics are one integer-
+    derived division each, `_r6`-bounded. Scale: a single combinable
+    aggregation over the fact table — no shuffle wider than one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    truth = F.col("event_type") == F.lit("purchase")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pred_a = cents >= F.lit(3500)
+    pred_b = F.hour("ts") >= F.lit(12)
+    a_ok = (pred_a == truth).cast("long")
+    b_ok = (pred_b == truth).cast("long")
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        F.sum(a_ok * b_ok).alias("both_right"),
+        F.sum((1 - a_ok) * (1 - b_ok)).alias("both_wrong"),
+        F.sum(a_ok * (1 - b_ok)).alias("b_cell"),
+        F.sum((1 - a_ok) * b_ok).alias("c_cell"),
+    )
+    diff = (F.col("b_cell") - F.col("c_cell")).cast("double")
+    tot = (F.col("b_cell") + F.col("c_cell")).cast("double")
+    cc = F.abs(F.col("b_cell") - F.col("c_cell")).cast("double") - F.lit(
+        1.0
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("both_right").cast("long").alias("both_right"),
+        F.col("both_wrong").cast("long").alias("both_wrong"),
+        F.col("b_cell").cast("long").alias("b_cell"),
+        F.col("c_cell").cast("long").alias("c_cell"),
+        _r6(diff * diff / tot).alias("mcnemar_chi2"),
+        _r6(cc * cc / tot).alias("mcnemar_chi2_cc"),
+    )
+
+
+registry.register(
+    "mcnemar_paired",
+    q_mcnemar_paired,
+    """
+    WITH cells AS (
+      SELECT COUNT(*) AS n,
+             SUM(a_ok * b_ok) AS both_right,
+             SUM((1 - a_ok) * (1 - b_ok)) AS both_wrong,
+             SUM(a_ok * (1 - b_ok)) AS b_cell,
+             SUM((1 - a_ok) * b_ok) AS c_cell
+      FROM (
+        SELECT
+          CASE WHEN (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     >= 3500) = (event_type = 'purchase')
+               THEN 1 ELSE 0 END AS a_ok,
+          CASE WHEN (HOUR(ts) >= 12) = (event_type = 'purchase')
+               THEN 1 ELSE 0 END AS b_ok
+        FROM events
+      )
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(both_right AS BIGINT) AS both_right,
+           CAST(both_wrong AS BIGINT) AS both_wrong,
+           CAST(b_cell AS BIGINT) AS b_cell,
+           CAST(c_cell AS BIGINT) AS c_cell,
+           FLOOR(CAST(b_cell - c_cell AS DOUBLE)
+                 * CAST(b_cell - c_cell AS DOUBLE)
+                 / CAST(b_cell + c_cell AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mcnemar_chi2,
+           FLOOR((CAST(ABS(b_cell - c_cell) AS DOUBLE) - 1.0)
+                 * (CAST(ABS(b_cell - c_cell) AS DOUBLE) - 1.0)
+                 / CAST(b_cell + c_cell AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mcnemar_chi2_cc
+    FROM cells
+    """,
+)

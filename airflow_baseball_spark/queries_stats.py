@@ -2745,3 +2745,312 @@ registry.register(
     FROM cells
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) equality-of-variance test
+# ---------------------------------------------------------------------------
+
+
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-centered Levene) of variance
+    homogeneity of order value across the 5 order priorities — the
+    robustness companion to `anova_f`: ANOVA assumes equal group
+    variances, and this is the standard pre-check (median centering
+    makes it robust to the heavy right tail that invalidates the
+    classic mean-centered Levene on revenue data).
+
+    F = ((N−k)/(k−1)) · Σ_j n_j(z̄_j−z̄)² / Σ_j Σ_i (z_ij−z̄_j)²
+    with z_ij = |x_ij − median_j|.
+
+    Exactness: x is exact integer cents; the group median is the
+    lower median (the ⌈n/2⌉-th smallest — a rank rule, no float
+    interpolation), so every z is an exact integer. Per-group
+    sufficient statistics (n, Σz, Σz² as DECIMAL(38,0)) are exact;
+    the two k-term double reductions run as ORDERED cumulative
+    windows over the group key (deterministic summation order on
+    both engines — the entropy_profile precedent), and the F ratio
+    is the only remaining float division chain, `_r6`-bounded.
+
+    Scale: one shuffle to rank within groups (median), one combinable
+    groupBy for the sufficient stats, then a k-row (=5) window — the
+    fact table is touched twice, never re-shuffled on a skewed key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("x")
+    )
+    wg = Window.partitionBy("grp").orderBy("x")
+    ranked = vals.withColumn("rn", F.row_number().over(wg)).withColumn(
+        "ng", F.count("*").over(Window.partitionBy("grp"))
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(ng + 1) DIV 2")
+    ).select("grp", F.col("x").alias("med"))
+    z = vals.join(F.broadcast(med), "grp").select(
+        "grp", "med", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.max("med").alias("med"),
+        F.count("*").alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("qz"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, 0)
+    ngd = F.col("ng").cast("double")
+    szd = F.col("sz").cast("double")
+    ssw_term = F.col("qz").cast("double") - szd * szd / ngd
+    ssb_term = ngd * (
+        (szd / ngd)
+        - (F.col("s").cast("double") / F.col("n").cast("double"))
+    ) * (
+        (szd / ngd)
+        - (F.col("s").cast("double") / F.col("n").cast("double"))
+    )
+    t = (
+        g.withColumn("n", F.sum("ng").over(wall))
+        .withColumn("s", F.sum("sz").over(wall))
+        .withColumn("k", F.count("*").over(wall))
+        .withColumn("ssw_cum", F.sum(ssw_term).over(wcum))
+        .withColumn("ssb_cum", F.sum(ssb_term).over(wcum))
+        .withColumn("pos", F.row_number().over(Window.orderBy("grp")))
+    )
+    fin = t.filter(F.col("pos") == F.col("k")).select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_orders"),
+        (
+            (F.col("ssb_cum") / (F.col("k").cast("double") - 1))
+            / (
+                F.col("ssw_cum")
+                / (F.col("n").cast("double") - F.col("k").cast("double"))
+            )
+        ).alias("f_raw"),
+    )
+    per_grp = g.select(
+        "grp",
+        F.col("ng").cast("long").alias("n_g"),
+        F.col("med").cast("long").alias("median_cents"),
+        _r6(F.col("sz").cast("double") / F.col("ng").cast("double")).alias(
+            "mean_abs_dev"
+        ),
+    )
+    return per_grp.join(F.broadcast(fin)).select(
+        "grp",
+        "n_g",
+        "median_cents",
+        "mean_abs_dev",
+        "n_groups",
+        "n_orders",
+        _r6(F.col("f_raw")).alias("bf_f_stat"),
+    )
+
+
+registry.register(
+    "levene_bf",
+    q_levene_bf,
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp, x,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS ng
+      FROM vals
+    ),
+    med AS (SELECT grp, x AS med FROM ranked WHERE rn = (ng + 1) // 2),
+    z AS (
+      SELECT v.grp, m.med, ABS(v.x - m.med) AS z
+      FROM vals v JOIN med m ON v.grp = m.grp
+    ),
+    g AS (
+      SELECT grp, MAX(med) AS med, COUNT(*) AS ng, SUM(z) AS sz,
+             SUM(CAST(z AS DECIMAL(38,0)) * z) AS qz
+      FROM z GROUP BY 1
+    ),
+    t0 AS (
+      SELECT grp, med, ng, sz, qz,
+             SUM(ng) OVER () AS n, SUM(sz) OVER () AS s,
+             COUNT(*) OVER () AS k
+      FROM g
+    ),
+    t AS (
+      SELECT grp, ng, sz, qz, n, s, k,
+             SUM(CAST(qz AS DOUBLE)
+                 - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                   / CAST(ng AS DOUBLE))
+               OVER (ORDER BY grp ROWS UNBOUNDED PRECEDING) AS ssw_cum,
+             SUM(CAST(ng AS DOUBLE)
+                 * (CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE)
+                    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE)
+                    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               OVER (ORDER BY grp ROWS UNBOUNDED PRECEDING) AS ssb_cum,
+             ROW_NUMBER() OVER (ORDER BY grp) AS pos
+      FROM t0
+    ),
+    fin AS (
+      SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_orders,
+             (ssb_cum / (CAST(k AS DOUBLE) - 1))
+             / (ssw_cum / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_raw
+      FROM t WHERE pos = k
+    )
+    SELECT g.grp, CAST(g.ng AS BIGINT) AS n_g,
+           CAST(g.med AS BIGINT) AS median_cents,
+           FLOOR(CAST(g.sz AS DOUBLE) / CAST(g.ng AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_dev,
+           f.n_groups, f.n_orders,
+           FLOOR(f.f_raw * 1000000.0 + 0.5) / 1000000.0 AS bf_f_stat
+    FROM g CROSS JOIN fin f
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-group jackknife SE of a ratio metric
+# ---------------------------------------------------------------------------
+
+
+def q_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-nation jackknife standard error of revenue-per-order
+    — the cluster-robust uncertainty estimate for a RATIO metric,
+    where the naive per-row variance is wrong because both numerator
+    and denominator are random (`ratio_metric_delta` gives the
+    delta-method answer; the jackknife is its assumption-free check,
+    and the two bracketing each other is the standard sanity gate).
+
+    Exactness: every leave-one-out ratio is computed as an exact
+    integer floor division in micro-cents (numerator widened to
+    DECIMAL(38,0) before the ×10⁶ so no scale overflows), so the g
+    pseudo-ratios are exact BIGINTs; the variance uses the exact
+    integer identity g·Σθ² − (Σθ)² in DECIMAL(38,0), and the only
+    float ops are the final casts/divisions/√ — one shared expression
+    tree, `_r6`-bounded.
+
+    Scale: the total-minus-self pattern — ONE pass builds per-group
+    sufficient statistics, the totals broadcast back, and each
+    leave-one-out replicate is O(1) arithmetic instead of a re-scan
+    (the naive jackknife re-aggregates the fact table g times)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    g = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("cnt"), F.sum(cents).alias("rev"))
+    )
+    wall = Window.partitionBy()
+    t = (
+        g.withColumn("s_cnt", F.sum("cnt").over(wall))
+        .withColumn("s_rev", F.sum("rev").over(wall))
+        .withColumn("gk", F.count("*").over(wall))
+        .withColumn(
+            "theta_loo_q",
+            F.expr(
+                "CAST(CAST((s_rev - rev) AS DECIMAL(38,0)) * 1000000"
+                " DIV (s_cnt - cnt) AS BIGINT)"
+            ),
+        )
+    )
+    agg = t.groupBy("s_cnt", "s_rev", "gk").agg(
+        F.sum("theta_loo_q").alias("sum_t"),
+        F.sum(
+            F.col("theta_loo_q").cast("decimal(38,0)")
+            * F.col("theta_loo_q")
+        ).alias("sum_t2"),
+    )
+    gd = F.col("gk").cast("double")
+    ss = (
+        F.col("gk").cast("decimal(38,0)") * F.col("sum_t2")
+        - F.col("sum_t").cast("decimal(38,0)") * F.col("sum_t")
+    ).cast("double")
+    se_cents = F.sqrt(
+        (gd - F.lit(1.0)) / gd * (ss / gd / gd) / F.lit(1.0e12)
+    )
+    theta_all = F.expr(
+        "CAST(CAST(s_rev AS DECIMAL(38,0)) * 1000000"
+        " DIV s_cnt AS BIGINT)"
+    )
+    summary = agg.select(
+        F.col("gk").cast("long").alias("n_groups"),
+        F.col("s_cnt").cast("long").alias("n_orders"),
+        _r6(theta_all.cast("double") / F.lit(1.0e6)).alias(
+            "rev_per_order_cents"
+        ),
+        _r6(se_cents).alias("jackknife_se_cents"),
+    )
+    per_grp = t.select(
+        "nationkey",
+        F.col("cnt").cast("long").alias("n_g"),
+        _r6(F.col("theta_loo_q").cast("double") / F.lit(1.0e6)).alias(
+            "theta_loo_cents"
+        ),
+    )
+    return per_grp.join(F.broadcast(summary)).select(
+        "nationkey",
+        "n_g",
+        "theta_loo_cents",
+        "n_groups",
+        "n_orders",
+        "rev_per_order_cents",
+        "jackknife_se_cents",
+    )
+
+
+registry.register(
+    "jackknife_ratio_se",
+    q_jackknife_ratio_se,
+    """
+    WITH g AS (
+      SELECT c.c_nationkey AS nationkey, COUNT(*) AS cnt,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT nationkey, cnt, rev,
+             SUM(cnt) OVER () AS s_cnt, SUM(rev) OVER () AS s_rev,
+             COUNT(*) OVER () AS gk
+      FROM g
+    ),
+    t2 AS (
+      SELECT *,
+             CAST(CAST((s_rev - rev) AS HUGEINT) * 1000000
+                  // (s_cnt - cnt) AS BIGINT) AS theta_loo_q
+      FROM t
+    ),
+    agg AS (
+      SELECT s_cnt, s_rev, gk, SUM(theta_loo_q) AS sum_t,
+             SUM(CAST(theta_loo_q AS HUGEINT) * theta_loo_q) AS sum_t2
+      FROM t2 GROUP BY 1, 2, 3
+    ),
+    summary AS (
+      SELECT CAST(gk AS BIGINT) AS n_groups,
+             CAST(s_cnt AS BIGINT) AS n_orders,
+             FLOOR(CAST(CAST(CAST(s_rev AS HUGEINT) * 1000000 // s_cnt
+                             AS BIGINT) AS DOUBLE) / 1.0e6
+                   * 1000000.0 + 0.5) / 1000000.0 AS rev_per_order_cents,
+             FLOOR(sqrt((CAST(gk AS DOUBLE) - 1.0) / CAST(gk AS DOUBLE)
+                        * (CAST(CAST(gk AS HUGEINT) * sum_t2
+                                - CAST(sum_t AS HUGEINT) * sum_t
+                                AS DOUBLE)
+                           / CAST(gk AS DOUBLE) / CAST(gk AS DOUBLE))
+                        / 1.0e12)
+                   * 1000000.0 + 0.5) / 1000000.0 AS jackknife_se_cents
+      FROM agg
+    )
+    SELECT t2.nationkey, CAST(t2.cnt AS BIGINT) AS n_g,
+           FLOOR(CAST(t2.theta_loo_q AS DOUBLE) / 1.0e6
+                 * 1000000.0 + 0.5) / 1000000.0 AS theta_loo_cents,
+           s.n_groups, s.n_orders, s.rev_per_order_cents,
+           s.jackknife_se_cents
+    FROM t2 CROSS JOIN summary s
+    """,
+)

@@ -28,6 +28,9 @@ def main() -> int:
     if args and args[0] == "--sf":
         sf = args[1]
         args = args[2:]
+    elif args and args[0].startswith("/"):
+        sf = args[0]
+        args = args[1:]
     if not args:
         print(__doc__)
         return 2
