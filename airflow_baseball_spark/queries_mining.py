@@ -2887,3 +2887,210 @@ def _bt_sql(rounds: int = _BT_ROUNDS) -> str:
 
 
 registry.register("bradley_terry", q_bradley_terry, _bt_sql())
+
+
+# ---------------------------------------------------------------------------
+# 3-node / 3-path motif census (closed-form graphlet counts)
+# ---------------------------------------------------------------------------
+
+
+def q_path3_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected small-motif census of the co-purchase graph: wedges
+    (paths of length 2), triangles, and paths of length 3 — the
+    graphlet signature used to compare network snapshots (two graphs
+    with equal degree sequences but different motif counts have
+    genuinely different local structure; this is the cheap network-
+    drift check run before anything as heavy as `graph_modularity`).
+
+    Everything beyond the triangle count is CLOSED-FORM integer
+    arithmetic on degrees — the scale story: wedges = Σ_v C(d_v,2)
+    (vertex-sized), 3-edge walks Σ_{(u,v)∈E}(d_u−1)(d_v−1) is one
+    edge×degree broadcast join (edge-sized, no enumeration), and
+    paths3 = walks − 3·triangles corrects the walks that double back
+    through a triangle. Only the triangle term enumerates anything,
+    and it runs degree-ordered (O(√|E|) fanout — the hub-skew bound
+    test_graph_metrics asserts). All counts are exact BIGINTs; the
+    one float is the final paths3-per-wedge ratio."""
+    edges = _support5_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("brand_a").alias("v"))
+        .unionAll(edges.select(F.col("brand_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    da = deg.select(F.col("v").alias("_va"), F.col("d").alias("_da"))
+    db = deg.select(F.col("v").alias("_vb"), F.col("d").alias("_db"))
+    walks = (
+        edges.join(F.broadcast(da), F.col("brand_a") == F.col("_va"))
+        .join(F.broadcast(db), F.col("brand_b") == F.col("_vb"))
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum(
+                (F.col("_da") - 1).cast("long") * (F.col("_db") - 1)
+            ).alias("n_walks3"),
+        )
+    )
+    tri = count_triangles_oriented(edges, deg).agg(
+        F.count("*").alias("n_triangles")
+    )
+    return (
+        wedges.crossJoin(F.broadcast(walks))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            (
+                F.col("n_walks3") - 3 * F.col("n_triangles")
+            ).cast("long").alias("n_paths3"),
+            _r6(
+                (
+                    F.col("n_walks3") - 3 * F.col("n_triangles")
+                ).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("paths3_per_wedge"),
+        )
+    )
+
+
+registry.register(
+    "path3_motifs",
+    q_path3_motifs,
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT brand_a, brand_b FROM pairs WHERE support >= 5),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    ),
+    wedges AS (
+      SELECT COUNT(*) AS n_vertices,
+             CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    walks AS (
+      SELECT COUNT(*) AS n_edges,
+             SUM((da.d - 1) * (db.d - 1)) AS n_walks3
+      FROM edges e
+      JOIN deg da ON e.brand_a = da.v
+      JOIN deg db ON e.brand_b = db.v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.brand_b = e2.brand_a
+      JOIN edges e3 ON e3.brand_a = e1.brand_a AND e3.brand_b = e2.brand_b
+    )
+    SELECT w.n_vertices, wa.n_edges, w.n_wedges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CAST(wa.n_walks3 - 3 * t.n_triangles AS BIGINT) AS n_paths3,
+           FLOOR(CAST(wa.n_walks3 - 3 * t.n_triangles AS DOUBLE)
+                 / CAST(w.n_wedges AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS paths3_per_wedge
+    FROM wedges w, walks wa, tri t
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Gap-constrained sequential pattern mining (SPADE-lite, 2-item)
+# ---------------------------------------------------------------------------
+
+
+def q_seq_gap_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-item sequential patterns a→b where b follows a within the
+    next 3 events of the same user — `event_transitions` counts only
+    ADJACENT successors, which misses every pattern with an
+    interleaved noise event (click→[view]→purchase); the gap window
+    is what makes this sequence MINING rather than a Markov matrix.
+    Reports occurrence count and user support per pattern.
+
+    Spark shape: one shuffle on user_id serves all three lead
+    offsets (same window frame, single sort), the three successor
+    columns stack via posexplode in-row, and the pattern grain is
+    |types|²·3 — the fact table is never self-joined (the oracle's
+    rn-band join is the O(n·gap) formulation the window form avoids
+    re-shuffling for). Determinism: the (ts, event_id) sort key is
+    total, so successor assignment is engine-exact; all outputs are
+    exact counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_leads = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.array(
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+            F.lead("event_type", 3).over(w),
+        ).alias("succ"),
+    )
+    pairs = (
+        with_leads.select(
+            "user_id",
+            "a",
+            F.posexplode("succ").alias("gap0", "b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select("user_id", "a", "b", (F.col("gap0") + 1).alias("gap"))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.when(F.col("gap") == 1, 1).otherwise(0)).alias(
+                "n_adjacent"
+            ),
+        )
+        .select(
+            "a",
+            "b",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_adjacent").cast("long").alias("n_adjacent"),
+        )
+    )
+
+
+registry.register(
+    "seq_gap_patterns",
+    q_seq_gap_patterns,
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT e1.event_type AS a, e2.event_type AS b,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT e1.user_id) AS n_users,
+           SUM(CASE WHEN e2.rn - e1.rn = 1 THEN 1 ELSE 0 END)
+             AS n_adjacent
+    FROM seq e1
+    JOIN seq e2
+      ON e1.user_id = e2.user_id
+     AND e2.rn - e1.rn BETWEEN 1 AND 3
+    GROUP BY 1, 2
+    """,
+)
