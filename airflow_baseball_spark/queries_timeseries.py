@@ -2837,3 +2837,261 @@ registry.register(
     FROM walk
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detector (window form, no recursion)
+# ---------------------------------------------------------------------------
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift detector over each nation's daily order
+    revenue: PH_t = Σ_{i≤t}(x_i − x̄_i), where x̄_i is the running mean
+    THROUGH i, and the alarm fires when PH_t − min_{s≤t} PH_s exceeds
+    λ — the sequential changepoint monitor a feed-health pipeline
+    runs daily (`cusum_changepoint` needs a known reference mean;
+    Page-Hinkley estimates it as it goes, which is the production
+    shape where no one hands you the baseline).
+
+    The textbook recurrence is sequential, but PH unrolls into pure
+    window algebra: each term x_i − S_i/i is exact-integer-derived
+    (one subtraction, one division), quantized to BIGINT micro-cents
+    BEFORE the cumulative sum, so the running PH, its running min,
+    and the drift statistic are all exact integer window sums — no
+    applyInPandas, no recursion, engine-exact by construction.
+
+    Scale: one shuffle on nationkey; three window passes share the
+    same sort. λ = $5,000 (5·10¹¹ micro-cents), documented literal."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    daily = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("x_cents")
+        )
+    )
+    wcum = (
+        Window.partitionBy("nationkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = daily.select(
+        "nationkey",
+        "d",
+        "x_cents",
+        F.sum("x_cents").over(wcum).alias("s_run"),
+        F.count("*").over(wcum).alias("t_run"),
+    )
+    term = F.col("x_cents").cast("double") - F.col("s_run").cast(
+        "double"
+    ) / F.col("t_run").cast("double")
+    t2 = t.select(
+        "nationkey",
+        "d",
+        "x_cents",
+        F.floor(term * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("term_micro"),
+    )
+    ph = F.sum("term_micro").over(wcum).alias("ph_micro")
+    t3 = t2.select("nationkey", "d", "x_cents", ph)
+    drift = F.col("ph_micro") - F.min("ph_micro").over(wcum)
+    return t3.select(
+        "nationkey",
+        "d",
+        "x_cents",
+        "ph_micro",
+        drift.alias("drift_micro"),
+        (drift > F.lit(500000000000)).alias("alarm"),
+    )
+
+
+registry.register(
+    "page_hinkley",
+    q_page_hinkley,
+    """
+    WITH daily AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS x_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT nationkey, d, x_cents,
+             SUM(x_cents) OVER w AS s_run,
+             COUNT(*) OVER w AS t_run
+      FROM daily
+      WINDOW w AS (PARTITION BY nationkey ORDER BY d
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    quant AS (
+      SELECT nationkey, d, x_cents,
+             CAST(FLOOR((CAST(x_cents AS DOUBLE)
+                         - CAST(s_run AS DOUBLE) / CAST(t_run AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+      FROM run
+    ),
+    phw AS (
+      SELECT nationkey, d, x_cents,
+             SUM(term_micro) OVER w AS ph_micro
+      FROM quant
+      WINDOW w AS (PARTITION BY nationkey ORDER BY d
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT nationkey, d, x_cents, ph_micro,
+           ph_micro - MIN(ph_micro) OVER w AS drift_micro,
+           (ph_micro - MIN(ph_micro) OVER w) > 500000000000 AS alarm
+    FROM phw
+    WINDOW w AS (PARTITION BY nationkey ORDER BY d
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Croston's method for intermittent demand (dyadic-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast over the first 10 demand
+    dates of each sampled part-supplier lane (partkey ≡ 0 mod 37 —
+    the house probe-slice idiom; 10 steps is the documented eval
+    window, keeping the state walk depth scale-invariant): demand
+    sizes and inter-arrival intervals are smoothed SEPARATELY —
+    `holt_linear` on a sparse series chases zeros to a meaningless
+    average, which is exactly the failure Croston exists to fix for
+    slow-moving SKUs.
+
+    Dyadic α = 1/2 keeps both states exact floor-halved integers:
+      z_i = ⌊(q_i + z_{i−1})/2⌋   (size),  z_1 = q_1
+      p_i = ⌊(g_i + p_{i−1})/2⌋   (interval), p_1 = 1 (documented init)
+    with g_i = days since the previous demand. The demand rate z/p
+    and its Syntetos-Boylan correction (1−α/2)·z/p = 0.75·z/p are the
+    only float ops, `_r6`-bounded. All operands are non-negative so
+    truncating and flooring division agree — DuckDB's `//` is exact
+    here without the canonical-remainder guard holt_winters needs.
+
+    Scale: one lane-keyed exchange; each group is ≤10 rows by
+    construction (honest applyInPandas for a genuine cross-row
+    recurrence); the oracle walks the same recurrence in a recursive
+    CTE over rn."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 37 == 0
+    )
+    demand = (
+        li.groupBy(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("q")
+        )
+    )
+    wlane = Window.partitionBy("l_partkey", "l_suppkey").orderBy("d")
+    first10 = (
+        demand.withColumn("rn", F.row_number().over(wlane))
+        .filter(F.col("rn") <= 10)
+        .withColumn(
+            "gap",
+            F.coalesce(
+                F.datediff(F.col("d"), F.lag("d").over(wlane)), F.lit(0)
+            ),
+        )
+    )
+
+    def croston_group(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        z = p = None
+        zs, ps = [], []
+        for q, gap in zip(pdf["q"], pdf["gap"]):
+            if z is None:
+                z, p = int(q), 1
+            else:
+                z = (int(q) + z) // 2
+                p = (int(gap) + p) // 2
+            zs.append(z)
+            ps.append(p)
+        out = pdf[["l_partkey", "l_suppkey", "rn", "d", "q", "gap"]].copy()
+        out["z_size"] = zs
+        out["p_interval"] = ps
+        return out
+
+    walked = first10.groupBy("l_partkey", "l_suppkey").applyInPandas(
+        croston_group,
+        "l_partkey long, l_suppkey long, rn int, d date, q long,"
+        " gap int, z_size long, p_interval long",
+    )
+    rate = F.col("z_size").cast("double") / F.col("p_interval").cast(
+        "double"
+    )
+    return walked.select(
+        "l_partkey",
+        "l_suppkey",
+        "rn",
+        "d",
+        "q",
+        "gap",
+        "z_size",
+        "p_interval",
+        _r6(rate).alias("demand_rate"),
+        _r6(F.lit(0.75) * rate).alias("sba_rate"),
+    )
+
+
+registry.register(
+    "croston_intermittent",
+    q_croston_intermittent,
+    """
+    WITH RECURSIVE demand AS (
+      SELECT l_partkey, l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem WHERE l_partkey % 37 = 0
+      GROUP BY 1, 2, 3
+    ),
+    seq AS (
+      SELECT l_partkey, l_suppkey, d, q,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+                                ORDER BY d) AS rn,
+             COALESCE(datediff('day',
+                 LAG(d) OVER (PARTITION BY l_partkey, l_suppkey
+                              ORDER BY d), d), 0) AS gap
+      FROM demand
+    ),
+    first10 AS (SELECT * FROM seq WHERE rn <= 10),
+    walk(l_partkey, l_suppkey, rn, d, q, gap, z_size, p_interval) AS (
+      SELECT l_partkey, l_suppkey, rn, d, q, gap, q, CAST(1 AS BIGINT)
+      FROM first10 WHERE rn = 1
+      UNION ALL
+      SELECT n.l_partkey, n.l_suppkey, n.rn, n.d, n.q, n.gap,
+             (n.q + w.z_size) // 2,
+             (n.gap + w.p_interval) // 2
+      FROM walk w
+      JOIN first10 n
+        ON n.l_partkey = w.l_partkey AND n.l_suppkey = w.l_suppkey
+       AND n.rn = w.rn + 1
+    )
+    SELECT l_partkey, l_suppkey, CAST(rn AS INT) AS rn, d, q,
+           CAST(gap AS INT) AS gap, z_size, p_interval,
+           FLOOR(CAST(z_size AS DOUBLE) / CAST(p_interval AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS demand_rate,
+           FLOOR(0.75 * (CAST(z_size AS DOUBLE)
+                         / CAST(p_interval AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sba_rate
+    FROM walk
+    """,
+)
