@@ -5093,3 +5093,142 @@ def _knn_label_sql() -> str:
 
 
 registry.register("knn_label_accuracy", q_knn_label_accuracy, _knn_label_sql())
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+
+
+def _jl_sign(p: int, j: int) -> int:
+    """±1 sign for JL plane p, dim j — same fixed LCG family as
+    HP_WEIGHTS (similarity._hp_weight) so Spark and the oracle share
+    byte-identical projection matrices."""
+    x = (1103515245 * (p * 64 + j + 1000001) + 12345) % 2147483648
+    return 1 if x % 2 == 0 else -1
+
+
+_JL_SIGNS: list[list[int]] = [
+    [_jl_sign(p, j) for j in range(64)] for p in range(_JL_K)
+]
+
+
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the 64-dim
+    embeddings to 16 dims with a fixed ±1 sign matrix (Achlioptas'
+    database-friendly JL) and report, for a deterministic pair sample
+    (vec_id ≡ 0 mod 7 paired with its successor), the ratio of
+    projected to original squared L2 distance — the go/no-go check
+    before swapping the 4×-cheaper projected vectors into the ANN
+    index (`hyperplane_lsh_pairs` et al.): if the distortion band is
+    loose on YOUR corpus, the dimension cut is not free.
+
+    Exactness: vectors quantize to 1e-6 BIGINTs (the HP_WEIGHTS
+    idiom); projections are one int64 ±1 matmul per Arrow batch and
+    both squared distances are pure int64 sums — the distortion ratio
+    is the single float division, `_r6`-bounded. A sign-matrix
+    projection can never flip with batch order or engine.
+
+    Scale: projection is a map-only stage (zero shuffle); the pair
+    sample joins on vec_id (broadcast-sized here, hash join at scale);
+    distances are in-row array math — nothing widens with corpus²."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s_t = np.array(_JL_SIGNS, dtype=np.int64).T  # (64, k)
+
+    def project(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["embedding"]), dtype="float64") * 1e6
+            q = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+            proj = q @ s_t  # exact int64, (n, k)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": list(q),
+                    "proj": list(proj),
+                }
+            )
+
+    pq = spread(emb.select("vec_id", "embedding")).mapInPandas(
+        project, "vec_id long, q array<long>, proj array<long>"
+    )
+    a = pq.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("proj").alias("pa"),
+    )
+    b = pq.select(
+        (F.col("vec_id") - 1).alias("join_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
+        F.col("proj").alias("pb"),
+    )
+    pairs = a.join(b, a["id_a"] == b["join_id"])
+    sq_sum = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    d_orig = sq_sum(F.col("qa"), F.col("qb"))
+    d_proj = sq_sum(F.col("pa"), F.col("pb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        d_orig.alias("d_orig_q2"),
+        d_proj.alias("d_proj_q2"),
+        _r6(
+            (d_proj.cast("double") / F.lit(float(_JL_K)))
+            / d_orig.cast("double")
+        ).alias("distortion"),
+    )
+
+
+def _jl_sql() -> str:
+    proj_terms = ",\n             ".join(
+        "list_sum(list_transform(list_zip(q, ["
+        + ", ".join(str(v) for v in _JL_SIGNS[p])
+        + "]), z -> z[1] * z[2]))"
+        for p in range(_JL_K)
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    pq AS (
+      SELECT vec_id, q,
+             [{proj_terms}] AS proj
+      FROM qv
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.q AS qa, b.q AS qb, a.proj AS pa, b.proj AS pb
+      FROM pq a JOIN pq b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 7 = 0
+    )
+    SELECT id_a, id_b,
+           list_sum(list_transform(list_zip(qa, qb),
+             z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d_orig_q2,
+           list_sum(list_transform(list_zip(pa, pb),
+             z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d_proj_q2,
+           FLOOR((CAST(list_sum(list_transform(list_zip(pa, pb),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS DOUBLE)
+                  / {float(_JL_K)!r})
+                 / CAST(list_sum(list_transform(list_zip(qa, qb),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS distortion
+    FROM pairs
+    """
+
+
+registry.register("jl_distortion", q_jl_distortion, _jl_sql())
