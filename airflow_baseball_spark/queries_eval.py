@@ -3239,3 +3239,262 @@ registry.register(
     FROM cells
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard
+# ---------------------------------------------------------------------------
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of days-from-signup-to-purchase
+    (same censored cohort as `kaplan_meier`): H(t) = Σ_{d≤t} e_d/r_d
+    with its counting-process variance Σ e_d/r_d² — the estimator a
+    pipeline prefers over KM when the HAZARD (instantaneous
+    conversion pressure) is the decision variable, e.g. picking the
+    day to send a nudge; KM's survival curve integrates that signal
+    away.
+
+    Exactness: every increment e/r and e/r² is one division on exact
+    integer counts, quantized to BIGINT 1e-12 units BEFORE the
+    cumulative sum (increments are ≤ 1, so picometer quantization
+    never overflows), making the running sums exact integers — the
+    stricter cousin of kaplan_meier's ordered-ln-sum. The windows run
+    on the distinct-duration-day table, not on users."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tlast"),
+    )
+    cohort = per_user.filter(F.col("t0").isNotNull()).select(
+        F.when(
+            F.col("tp") >= F.col("t0"),
+            F.datediff(F.to_date("tp"), F.to_date("t0")),
+        )
+        .otherwise(F.datediff(F.to_date("tlast"), F.to_date("t0")))
+        .alias("d"),
+        ((F.col("tp") >= F.col("t0")).cast("int")).alias("is_event"),
+    )
+    per_d = cohort.groupBy("d").agg(
+        F.sum("is_event").alias("n_ev"),
+        F.count("*").alias("n_all"),
+    )
+    w_before = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    risk = per_d.select(
+        "d",
+        "n_ev",
+        (
+            F.sum("n_all").over(w_tot)
+            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0))
+        ).alias("n_risk"),
+    )
+    ed = F.col("n_ev").cast("double")
+    rd = F.col("n_risk").cast("double")
+    quant = risk.select(
+        "d",
+        "n_ev",
+        "n_risk",
+        F.floor(ed / rd * F.lit(1.0e12) + F.lit(0.5))
+        .cast("long")
+        .alias("h_pico"),
+        F.floor(ed / (rd * rd) * F.lit(1.0e12) + F.lit(0.5))
+        .cast("long")
+        .alias("v_pico"),
+    )
+    return quant.select(
+        "d",
+        F.col("n_ev").cast("long").alias("n_ev"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        _r6(F.sum("h_pico").over(w_cum).cast("double") / F.lit(1.0e12)).alias(
+            "cum_hazard"
+        ),
+        _r6(F.sum("v_pico").over(w_cum).cast("double") / F.lit(1.0e12)).alias(
+            "hazard_var"
+        ),
+    )
+
+
+registry.register(
+    "nelson_aalen",
+    q_nelson_aalen,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             MAX(ts) AS tlast
+      FROM events GROUP BY 1
+    ),
+    cohort AS (
+      SELECT CASE WHEN tp >= t0
+                  THEN datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                  ELSE datediff('day', CAST(t0 AS DATE), CAST(tlast AS DATE))
+             END AS d,
+             CASE WHEN tp >= t0 THEN 1 ELSE 0 END AS is_event
+      FROM per_user WHERE t0 IS NOT NULL
+    ),
+    per_d AS (
+      SELECT d, SUM(is_event) AS n_ev, COUNT(*) AS n_all
+      FROM cohort GROUP BY 1
+    ),
+    risk AS (
+      SELECT d, n_ev,
+             SUM(n_all) OVER ()
+             - COALESCE(SUM(n_all) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_d
+    ),
+    quant AS (
+      SELECT d, n_ev, n_risk,
+             CAST(FLOOR(CAST(n_ev AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                        * 1.0e12 + 0.5) AS BIGINT) AS h_pico,
+             CAST(FLOOR(CAST(n_ev AS DOUBLE)
+                        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+                        * 1.0e12 + 0.5) AS BIGINT) AS v_pico
+      FROM risk
+    )
+    SELECT d, CAST(n_ev AS BIGINT) AS n_ev,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           FLOOR(CAST(SUM(h_pico) OVER (ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1.0e12
+                 * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard,
+           FLOOR(CAST(SUM(v_pico) OVER (ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1.0e12
+                 * 1000000.0 + 0.5) / 1000000.0 AS hazard_var
+    FROM quant
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAVA) calibration via the max-min-average identity
+# ---------------------------------------------------------------------------
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of purchase rate on the event-value score,
+    over 20 fixed score bins — the standard recalibration step when a
+    model's scores rank well but their magnitudes drift (Platt
+    scaling assumes a sigmoid; isotonic assumes only monotonicity,
+    which is why eval pipelines default to it past ~1k samples).
+
+    Instead of the sequential pool-adjacent-violators walk, the fit
+    uses the closed-form minimax identity — fit(t) = max_{i≤t}
+    min_{j≥t} avg(y on bins i..j) — which turns PAVA into pure join
+    algebra over prefix sums: B bins → B(B+1)/2 interval averages,
+    each ONE division on exact integer (positives, count) prefix
+    differences, then min/max comparisons (exact on identical
+    doubles). No recursion, no applyInPandas, engine-exact.
+
+    Scale: the fact table contributes one combinable groupBy to the
+    B-row bin table; everything after is B³ ≤ 8000 driver-free row
+    combinations — scale-invariant in corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    bins = (
+        ev.select(
+            F.least(
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                    " DIV 500"
+                ),
+                F.lit(19),
+            ).alias("b"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("k"))
+    )
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "b",
+        "n",
+        "k",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("k").over(w_cum).alias("ck"),
+    )
+    lo = pref.select(
+        F.col("b").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("ck") - F.col("k")).alias("ck_lo"),
+    )
+    hi = pref.select(
+        F.col("b").alias("j"),
+        F.col("cn").alias("cn_hi"),
+        F.col("ck").alias("ck_hi"),
+    )
+    ratios = lo.join(hi, F.col("j") >= F.col("i")).select(
+        "i",
+        "j",
+        (
+            (F.col("ck_hi") - F.col("ck_lo")).cast("double")
+            / (F.col("cn_hi") - F.col("cn_lo")).cast("double")
+        ).alias("r"),
+    )
+    ts = pref.select(F.col("b").alias("t"))
+    m_it = (
+        ts.join(
+            ratios,
+            (F.col("i") <= F.col("t")) & (F.col("j") >= F.col("t")),
+        )
+        .groupBy("t", "i")
+        .agg(F.min("r").alias("m"))
+    )
+    fit = m_it.groupBy("t").agg(F.max("m").alias("iso"))
+    return (
+        pref.join(fit, pref["b"] == fit["t"])
+        .select(
+            "b",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            _r6(
+                F.col("k").cast("double") / F.col("n").cast("double")
+            ).alias("raw_rate"),
+            _r6(F.col("iso")).alias("iso_rate"),
+        )
+    )
+
+
+registry.register(
+    "isotonic_calibration",
+    q_isotonic_calibration,
+    """
+    WITH bins AS (
+      SELECT LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 500, 19) AS b,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY 1
+    ),
+    pref AS (
+      SELECT b, n, k,
+             SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(k) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS ck
+      FROM bins
+    ),
+    ratios AS (
+      SELECT lo.b AS i, hi.b AS j,
+             CAST(hi.ck - (lo.ck - lo.k) AS DOUBLE)
+             / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS r
+      FROM pref lo JOIN pref hi ON hi.b >= lo.b
+    ),
+    m_it AS (
+      SELECT t.b AS t, r.i, MIN(r.r) AS m
+      FROM pref t JOIN ratios r ON r.i <= t.b AND r.j >= t.b
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT t, MAX(m) AS iso FROM m_it GROUP BY 1)
+    SELECT p.b, CAST(p.n AS BIGINT) AS n, CAST(p.k AS BIGINT) AS k,
+           FLOOR(CAST(p.k AS DOUBLE) / CAST(p.n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS raw_rate,
+           FLOOR(f.iso * 1000000.0 + 0.5) / 1000000.0 AS iso_rate
+    FROM pref p JOIN fit f ON p.b = f.t
+    """,
+)
