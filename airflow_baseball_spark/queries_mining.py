@@ -3094,3 +3094,107 @@ registry.register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite butterfly (C4) census on the customer-brand graph
+# ---------------------------------------------------------------------------
+
+
+def q_bipartite_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (2×2 biclique) census of the bipartite customer↔brand
+    purchase graph: for every brand pair, the number of butterflies
+    C(common_customers, 2) they close — the bipartite analogue of the
+    triangle (bipartite graphs HAVE no triangles, so `triangle_count`
+    is structurally blind here; butterflies are the standard cohesion
+    motif for user-item graphs, the backbone signal behind co-purchase
+    recommendation confidence).
+
+    Exactness: pure integer counting end to end — incidence is a
+    DISTINCT projection, common-neighbor counts come from one
+    incidence self-join, and C(n,2) is integer arithmetic; the one
+    float is each pair's share of the global butterfly total.
+
+    Scale: the wedge self-join fans out per customer as C(deg, 2),
+    but the brand side is dimension-bounded (≤ |brands| ≈ 25), so
+    per-customer fanout is ≤ C(25,2) — bounded by the dimension, not
+    the fact table (for item-scale right sides you would degree-order
+    the join exactly as operators/graph.orient_edges_by_degree does;
+    documented so the disposition is explicit). The pair aggregate is
+    |brands|²-sized."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    inc = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    a = inc.select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("brand_a"))
+    b = inc.select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    with_bf = pairs.select(
+        "brand_a",
+        "brand_b",
+        "n_common",
+        (F.col("n_common") * (F.col("n_common") - 1) / 2)
+        .cast("long")
+        .alias("n_butterflies"),
+    )
+    tot = with_bf.agg(F.sum("n_butterflies").alias("total_bf"))
+    return with_bf.crossJoin(F.broadcast(tot)).select(
+        "brand_a",
+        "brand_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        "n_butterflies",
+        F.col("total_bf").cast("long").alias("total_butterflies"),
+        _r6(
+            F.col("n_butterflies").cast("double")
+            / F.col("total_bf").cast("double")
+        ).alias("bf_share"),
+    )
+
+
+registry.register(
+    "bipartite_butterflies",
+    q_bipartite_butterflies,
+    """
+    WITH inc AS (
+      SELECT DISTINCT o.o_custkey, p.p_brand
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS n_common
+      FROM inc a JOIN inc b
+        ON a.o_custkey = b.o_custkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    with_bf AS (
+      SELECT brand_a, brand_b, n_common,
+             CAST(n_common * (n_common - 1) / 2 AS BIGINT)
+               AS n_butterflies
+      FROM pairs
+    ),
+    tot AS (SELECT SUM(n_butterflies) AS total_bf FROM with_bf)
+    SELECT w.brand_a, w.brand_b, CAST(w.n_common AS BIGINT) AS n_common,
+           w.n_butterflies, CAST(t.total_bf AS BIGINT)
+             AS total_butterflies,
+           FLOOR(CAST(w.n_butterflies AS DOUBLE)
+                 / CAST(t.total_bf AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS bf_share
+    FROM with_bf w CROSS JOIN tot t
+    """,
+)

@@ -3095,3 +3095,141 @@ registry.register(
     FROM walk
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic RANSAC trend fit (exact integer inlier algebra)
+# ---------------------------------------------------------------------------
+
+
+def q_ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC line fit of global daily order revenue vs time: 33
+    trials, each drawing a 2-day sample via md5 ranking (the house
+    identity-coin idiom — deterministic on both engines, uniform
+    enough for RANSAC), scoring the candidate line by how many days
+    fall inside an ε-band, and flagging the consensus winner —
+    the robust alternative to `theil_sen_slope` when the series has
+    STRUCTURAL outliers (promo spikes, backfill gaps) that even a
+    median-of-slopes estimator drags toward.
+
+    Exactness: the inlier test is cross-multiplied into pure integer
+    arithmetic — |(y−y1)·Δx − (x−x1)·Δy| ≤ ε·Δx — so membership never
+    touches a float; ε itself is an exact integer (20 % of mean daily
+    revenue via BIGINT division). The only floats are the reported
+    per-trial slopes, `_r6`-bounded. Ties on the consensus count
+    break by trial id.
+
+    Scale: the day table is date-bounded (scale-invariant); trials ×
+    days is a broadcast nested loop over a dimension-sized frame; the
+    fact table is touched once for the daily rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("x")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    tot = daily.agg(
+        F.sum("y").alias("s_tot"), F.count("*").alias("n_days")
+    ).select(F.expr("s_tot DIV (5 * n_days)").alias("eps"))
+    trials = spark.range(0, 33).select(F.col("id").alias("trial"))
+    hashed = trials.crossJoin(daily).select(
+        "trial",
+        "x",
+        "y",
+        F.md5(
+            F.concat_ws("#", F.col("trial").cast("string"),
+                        F.col("x").cast("string"))
+        ).alias("h"),
+    )
+    wt = Window.partitionBy("trial").orderBy("h", "x")
+    samp = (
+        hashed.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 2)
+        .groupBy("trial")
+        .agg(
+            F.min("x").alias("x1"),
+            F.expr("min_by(y, x)").alias("y1"),
+            F.max("x").alias("x2"),
+            F.expr("max_by(y, x)").alias("y2"),
+        )
+    )
+    scored = (
+        daily.crossJoin(F.broadcast(samp))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.abs(
+                (F.col("y") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+                - (F.col("x") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+            )
+            <= F.col("eps") * (F.col("x2") - F.col("x1"))
+        )
+        .groupBy("trial", "x1", "y1", "x2", "y2")
+        .agg(F.count("*").alias("n_inliers"))
+    )
+    wbest = Window.orderBy(F.desc("n_inliers"), F.asc("trial"))
+    return scored.withColumn("rk", F.row_number().over(wbest)).select(
+        "trial",
+        "x1",
+        "x2",
+        F.col("n_inliers").cast("long").alias("n_inliers"),
+        _r6(
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope_cents_per_day"),
+        (F.col("rk") == 1).alias("is_best"),
+    )
+
+
+registry.register(
+    "ransac_trend",
+    q_ransac_trend,
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(y) // (5 * COUNT(*)) AS eps FROM daily
+    ),
+    trials AS (SELECT UNNEST(range(0, 33)) AS trial),
+    hashed AS (
+      SELECT t.trial, d.x, d.y,
+             md5(CONCAT(CAST(t.trial AS VARCHAR), '#',
+                        CAST(d.x AS VARCHAR))) AS h
+      FROM trials t CROSS JOIN daily d
+    ),
+    samp AS (
+      SELECT trial,
+             MIN(x) AS x1, MIN_BY(y, x) AS y1,
+             MAX(x) AS x2, MAX_BY(y, x) AS y2
+      FROM (
+        SELECT trial, x, y,
+               ROW_NUMBER() OVER (PARTITION BY trial ORDER BY h, x) AS rn
+        FROM hashed
+      ) WHERE rn <= 2
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT s.trial, s.x1, s.y1, s.x2, s.y2, COUNT(*) AS n_inliers
+      FROM daily d CROSS JOIN samp s CROSS JOIN tot
+      WHERE ABS((d.y - s.y1) * (s.x2 - s.x1)
+                - (d.x - s.x1) * (s.y2 - s.y1))
+            <= tot.eps * (s.x2 - s.x1)
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT trial, x1, x2, CAST(n_inliers AS BIGINT) AS n_inliers,
+           FLOOR(CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope_cents_per_day,
+           ROW_NUMBER() OVER (ORDER BY n_inliers DESC, trial ASC) = 1
+             AS is_best
+    FROM scored
+    """,
+)
