@@ -5105,9 +5105,12 @@ _JL_K = 16
 def _jl_sign(p: int, j: int) -> int:
     """±1 sign for JL plane p, dim j — same fixed LCG family as
     HP_WEIGHTS (similarity._hp_weight) so Spark and the oracle share
-    byte-identical projection matrices."""
+    byte-identical projection matrices. The sign reads bit 16, NOT
+    the LCG's low bit: an LCG mod 2³¹ alternates its low bit with
+    period 2 in the seed, which would make all 16 sign rows identical
+    (a rank-1 'projection' — caught by test_jl_distortion)."""
     x = (1103515245 * (p * 64 + j + 1000001) + 12345) % 2147483648
-    return 1 if x % 2 == 0 else -1
+    return 1 if (x >> 16) % 2 == 0 else -1
 
 
 _JL_SIGNS: list[list[int]] = [

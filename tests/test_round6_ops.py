@@ -622,3 +622,180 @@ def test_knn_label_accuracy_shape(spark):
     emb = load_table(spark, SF, "embeddings")
     n_anchors = emb.filter("vec_id % 10 = 0").count()
     assert total_q == n_anchors
+
+
+# --- round-6 batch-10 operators (this session) -------------------------------
+
+
+def test_mde_power_monotone_in_audience_size(spark):
+    from airflow_baseball_spark.queries_stats import q_mde_power
+
+    rows = q_mde_power(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.conv_rate <= 1
+        # MDE degenerates to 0 exactly when p(1-p)=0 (tiny-SF audiences
+        # where everyone converted); positive otherwise
+        if 0 < r.conv_rate < 1:
+            assert r.mde_abs > 0
+        assert r.n_conv <= r.n_users
+
+
+def test_holt_winters_seasonal_ring_and_forecast(spark):
+    from airflow_baseball_spark.queries_timeseries import q_holt_winters
+
+    rows = q_holt_winters(spark, SF).collect()
+    assert rows
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.nationkey, []).append(r)
+    for _, series in by_key.items():
+        series.sort(key=lambda r: r.d)
+        # first observation: level seeds to y, trend 0, forecast y
+        assert series[0].level_cents == series[0].y_cents
+        assert series[0].trend_cents == 0
+        assert series[0].forecast_cents == series[0].y_cents
+
+
+def test_levene_bf_stat_nonnegative_and_medians_integer(spark):
+    from airflow_baseball_spark.queries_stats import q_levene_bf
+
+    rows = q_levene_bf(spark, SF).collect()
+    assert rows and rows[0].n_groups == len(rows)
+    for r in rows:
+        assert r.bf_f_stat >= 0
+        assert r.mean_abs_dev >= 0
+        assert r.median_cents > 0
+
+
+def test_jackknife_se_positive_and_loo_brackets_total(spark):
+    from airflow_baseball_spark.queries_stats import q_jackknife_ratio_se
+
+    rows = q_jackknife_ratio_se(spark, SF).collect()
+    assert rows
+    theta = rows[0].rev_per_order_cents
+    loos = [r.theta_loo_cents for r in rows]
+    # leave-one-out replicates straddle the full-sample ratio
+    assert min(loos) <= theta <= max(loos)
+    assert rows[0].jackknife_se_cents > 0
+
+
+def test_mcnemar_cells_partition_n(spark):
+    from airflow_baseball_spark.queries_eval import q_mcnemar_paired
+
+    r = q_mcnemar_paired(spark, SF).collect()[0]
+    assert (
+        r.both_right + r.both_wrong + r.b_cell + r.c_cell == r.n
+    )
+    assert r.mcnemar_chi2 >= 0
+    # continuity correction can only shrink the statistic
+    assert r.mcnemar_chi2_cc <= r.mcnemar_chi2 + 1e-9
+
+
+def test_path3_motifs_closed_form_consistency(spark):
+    from airflow_baseball_spark.queries_mining import q_path3_motifs
+
+    r = q_path3_motifs(spark, SF).collect()[0]
+    assert r.n_paths3 >= 0 and r.n_wedges >= 0
+    # a graph cannot close more triangles than wedges / 3
+    assert 3 * r.n_triangles <= r.n_wedges
+
+
+def test_seq_gap_patterns_superset_of_adjacent(spark):
+    from airflow_baseball_spark.queries_mining import q_seq_gap_patterns
+
+    rows = q_seq_gap_patterns(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_adjacent <= r.n_occurrences
+        assert r.n_users <= r.n_occurrences
+
+
+def test_page_hinkley_drift_nonnegative(spark):
+    from airflow_baseball_spark.queries_timeseries import q_page_hinkley
+
+    rows = q_page_hinkley(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.drift_micro >= 0  # PH minus its running min
+
+
+def test_croston_states_bounded_by_inputs(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_croston_intermittent,
+    )
+
+    rows = q_croston_intermittent(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.rn <= 10
+        assert r.z_size >= 0 and r.p_interval >= 1
+        assert r.demand_rate >= r.sba_rate >= 0
+
+
+def test_jl_distortion_concentrates(spark):
+    from airflow_baseball_spark.queries_text import q_jl_distortion
+
+    rows = q_jl_distortion(spark, SF).collect()
+    assert rows
+    # JL with k=16 is loose, but sign projections should keep every
+    # sampled pair within a wide constant band (no zero/blowup bugs)
+    for r in rows:
+        assert r.d_orig_q2 > 0 and r.d_proj_q2 >= 0
+        assert 0.05 <= r.distortion <= 20.0
+
+
+def test_nelson_aalen_monotone_cumulative(spark):
+    from airflow_baseball_spark.queries_eval import q_nelson_aalen
+
+    rows = sorted(q_nelson_aalen(spark, SF).collect(), key=lambda r: r.d)
+    assert rows
+    prev_h = 0.0
+    for r in rows:
+        assert r.cum_hazard >= prev_h - 1e-9
+        prev_h = r.cum_hazard
+        assert r.n_ev <= r.n_risk
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark):
+    from airflow_baseball_spark.queries_eval import q_isotonic_calibration
+
+    rows = sorted(
+        q_isotonic_calibration(spark, SF).collect(), key=lambda r: r.b
+    )
+    assert rows
+    prev = -1.0
+    for r in rows:
+        assert r.iso_rate >= prev - 1e-9  # non-decreasing fit
+        prev = r.iso_rate
+        assert 0 <= r.iso_rate <= 1
+    # PAVA preserves the weighted mean
+    n_tot = sum(r.n for r in rows)
+    raw_mean = sum(r.k for r in rows) / n_tot
+    iso_mean = sum(r.iso_rate * r.n for r in rows) / n_tot
+    assert abs(raw_mean - iso_mean) < 1e-4
+
+
+def test_ransac_unique_best_and_inlier_sanity(spark):
+    from airflow_baseball_spark.queries_timeseries import q_ransac_trend
+
+    rows = q_ransac_trend(spark, SF).collect()
+    assert len(rows) == 33
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    assert best[0].n_inliers == max(r.n_inliers for r in rows)
+    for r in rows:
+        assert r.n_inliers >= 2  # the 2 sample points always fit
+
+
+def test_butterflies_match_choose2(spark):
+    from airflow_baseball_spark.queries_mining import (
+        q_bipartite_butterflies,
+    )
+
+    rows = q_bipartite_butterflies(spark, SF).collect()
+    assert rows
+    tot = rows[0].total_butterflies
+    assert tot == sum(r.n_butterflies for r in rows)
+    for r in rows:
+        assert r.n_butterflies == r.n_common * (r.n_common - 1) // 2
