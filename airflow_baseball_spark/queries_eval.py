@@ -3413,13 +3413,16 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("y").alias("k"))
     )
     w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # pref is referenced four times (lo/hi sides, the t anchor, and the
+    # final join); materialize the 20-row frame once so the fact-table
+    # rollup runs a single time instead of once per reference.
     pref = bins.select(
         "b",
         "n",
         "k",
         F.sum("n").over(w_cum).alias("cn"),
         F.sum("k").over(w_cum).alias("ck"),
-    )
+    ).localCheckpoint()
     lo = pref.select(
         F.col("b").alias("i"),
         (F.col("cn") - F.col("n")).alias("cn_lo"),

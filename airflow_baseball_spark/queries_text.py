@@ -5160,8 +5160,13 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pq = spread(emb.select("vec_id", "embedding")).mapInPandas(
-        project, "vec_id long, q array<long>, proj array<long>"
+    # Both pair sides read the projected table — materialize it once
+    # (the enumerate_triangles disposition) so the Arrow matmul stage
+    # runs a single time instead of once per join branch.
+    pq = (
+        spread(emb.select("vec_id", "embedding"))
+        .mapInPandas(project, "vec_id long, q array<long>, proj array<long>")
+        .localCheckpoint()
     )
     a = pq.filter(F.col("vec_id") % 7 == 0).select(
         F.col("vec_id").alias("id_a"),

@@ -289,6 +289,20 @@ _PRIORITY = [
     "negative_sampling_table",
     "brier_decomposition",
     "knn_label_accuracy",
+    "mde_power",
+    "holt_winters",
+    "levene_bf",
+    "jackknife_ratio_se",
+    "mcnemar_paired",
+    "path3_motifs",
+    "seq_gap_patterns",
+    "page_hinkley",
+    "croston_intermittent",
+    "jl_distortion",
+    "nelson_aalen",
+    "isotonic_calibration",
+    "ransac_trend",
+    "bipartite_butterflies",
 ]
 
 

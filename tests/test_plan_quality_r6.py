@@ -185,3 +185,73 @@ def test_decision_stump_single_fact_scan(spark):
 
     plan = _plan(q_decision_stump(spark, SF))
     assert plan.count("Scan parquet") <= 4  # tree+details => 2 scans
+
+
+def test_page_hinkley_is_jvm_window_only(spark):
+    """The PH recurrence is unrolled into window algebra — the plan
+    must contain NO Python stage and share one nation-keyed exchange
+    across the window passes."""
+    from airflow_baseball_spark.queries_timeseries import q_page_hinkley
+
+    plan = _plan(q_page_hinkley(spark, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seq_gap_patterns_single_user_shuffle_no_self_join(spark):
+    """The window form must serve all three lead offsets from ONE
+    user-keyed sort — no fact-table self-join (the oracle's rn-band
+    join), no Python."""
+    from airflow_baseball_spark.queries_mining import q_seq_gap_patterns
+
+    plan = _plan(q_seq_gap_patterns(spark, SF))
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    # one Window node (appears twice: plan tree + detail section)
+    assert plan.count("Window") == 2
+
+
+def test_jackknife_totals_broadcast_back(spark):
+    """total-minus-self: the one-row summary must broadcast to the
+    per-group rows, never a sort-merge join on a scalar."""
+    from airflow_baseball_spark.queries_stats import q_jackknife_ratio_se
+
+    plan = _plan(q_jackknife_ratio_se(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+
+
+def test_isotonic_fact_table_scanned_once(spark):
+    """The B³ interval algebra must run on the 20-row bin table; the
+    events fact table contributes exactly one scan."""
+    from airflow_baseball_spark.queries_eval import q_isotonic_calibration
+
+    plan = _plan(q_isotonic_calibration(spark, SF))
+    # the fact-table rollup ran once at checkpoint time; every pref
+    # reference reads the materialized 20-row frame, so the final plan
+    # contains no parquet scan of the fact table at all
+    assert "events.parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ransac_sample_and_eps_broadcast(spark):
+    """Both dimension frames (33 trial samples, 1-row ε) must
+    broadcast into the inlier count; the day table is never
+    sort-merge joined."""
+    from airflow_baseball_spark.queries_timeseries import q_ransac_trend
+
+    plan = _plan(q_ransac_trend(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_jl_projection_materialized_once(spark):
+    """The projected table is referenced by BOTH pair sides; it must
+    be materialized once (localCheckpoint), so the final plan contains
+    NO duplicated MapInPandas stage and the pair join is an equi-join."""
+    from airflow_baseball_spark.queries_text import q_jl_distortion
+
+    plan = _plan(q_jl_distortion(spark, SF))
+    assert "MapInPandas" not in plan  # ran once, upstream of the plan
+    assert "CartesianProduct" not in plan
