@@ -3054,3 +3054,337 @@ registry.register(
     FROM t2 CROSS JOIN summary s
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential A/B monitoring (O'Brien-Fleming boundaries)
+# ---------------------------------------------------------------------------
+
+# O'Brien-Fleming z boundaries for K=5 equally-spaced looks at overall
+# alpha=0.05 (two-sided) — literature constants embedded as literals on
+# both engines (no inverse-normal at runtime), the _MDE_Z discipline.
+_OBF_BOUNDS = [4.8769, 3.3569, 2.6803, 2.2898, 2.0310]
+
+
+def q_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring of a hash-assigned A/B conversion
+    experiment: 5 equally-spaced calendar looks, each computing the
+    pooled two-proportion z on users ENROLLED BY THAT DATE, compared
+    against the O'Brien-Fleming spending boundary — the legal way to
+    peek at a running test (`welch_ttest` at every peek inflates
+    false positives ~3× at 5 looks; OBF is why experiment platforms
+    ship sequential boundaries as a first-class primitive).
+
+    Exactness: look cut-days are exact integer arithmetic on the
+    observed day span; enrollment/conversion cells are exact counts
+    of md5-coin-assigned users (the srm_check coin); z is one shared
+    expression tree from 4 integers, guarded to 0 when the pooled
+    rate is degenerate; boundaries are literals. `_r6`-bounded.
+
+    Scale: one user-grain rollup (combinable), a 5-row look dimension
+    broadcast against it, K-row output — re-running all looks costs
+    one pass, not K passes."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("d_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("d_conv"),
+    )
+    arm = F.when(
+        hash_unit(F.col("user_id"), seed="ab") < 0.5, "A"
+    ).otherwise("B")
+    pu = per_user.select(
+        arm.alias("arm"), "d_first", "d_conv"
+    )
+    span = ev.agg(
+        F.min(day).alias("dmin"), F.max(day).alias("dmax")
+    )
+    looks = (
+        spark.range(1, 6)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "k",
+            F.expr("dmin + k * (dmax - dmin) DIV 5").alias("cut_day"),
+        )
+    )
+    cells = (
+        pu.crossJoin(F.broadcast(looks))
+        .filter(F.col("d_first") <= F.col("cut_day"))
+        .groupBy("k", "cut_day")
+        .agg(
+            F.count(F.when(F.col("arm") == "A", 1)).alias("n_a"),
+            F.count(F.when(F.col("arm") == "B", 1)).alias("n_b"),
+            F.count(
+                F.when(
+                    (F.col("arm") == "A")
+                    & (F.col("d_conv") <= F.col("cut_day")),
+                    1,
+                )
+            ).alias("c_a"),
+            F.count(
+                F.when(
+                    (F.col("arm") == "B")
+                    & (F.col("d_conv") <= F.col("cut_day")),
+                    1,
+                )
+            ).alias("c_b"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    z_raw = (ca / na - cb / nb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z = F.when(
+        (F.col("c_a") + F.col("c_b") > 0)
+        & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+        z_raw,
+    ).otherwise(F.lit(0.0))
+    bound = F.element_at(
+        F.array(*[F.lit(b) for b in _OBF_BOUNDS]), F.col("k").cast("int")
+    )
+    return cells.select(
+        F.col("k").cast("long").alias("k"),
+        "cut_day",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        _r6(z).alias("z_stat"),
+        bound.alias("obf_bound"),
+        (F.abs(z) > bound).alias("crossed"),
+    )
+
+
+def _gso_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    u = hash_unit_sql("user_id", "ab")
+    bounds = ", ".join(str(b) for b in _OBF_BOUNDS)
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS d_first,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 END) AS d_conv
+      FROM events GROUP BY 1
+    ),
+    pu AS (
+      SELECT CASE WHEN {u} < 0.5 THEN 'A' ELSE 'B' END AS arm,
+             d_first, d_conv
+      FROM per_user
+    ),
+    span AS (
+      SELECT MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS dmin,
+             MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS dmax
+      FROM events
+    ),
+    looks AS (
+      SELECT k, dmin + k * (dmax - dmin) // 5 AS cut_day
+      FROM (SELECT UNNEST(range(1, 6)) AS k) CROSS JOIN span
+    ),
+    cells AS (
+      SELECT l.k, l.cut_day,
+             COUNT(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+             COUNT(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+             COUNT(CASE WHEN arm = 'A' AND d_conv <= l.cut_day
+                   THEN 1 END) AS c_a,
+             COUNT(CASE WHEN arm = 'B' AND d_conv <= l.cut_day
+                   THEN 1 END) AS c_b
+      FROM pu CROSS JOIN looks l
+      WHERE d_first <= l.cut_day
+      GROUP BY 1, 2
+    ),
+    zc AS (
+      SELECT *,
+             CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+               (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(c_a + c_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE)))
+             ELSE 0.0 END AS z,
+             ([{bounds}])[k] AS obf_bound
+      FROM cells
+    )
+    SELECT CAST(k AS BIGINT) AS k, cut_day,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           FLOOR(z * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
+           obf_bound, ABS(z) > obf_bound AS crossed
+    FROM zc
+    """
+
+
+registry.register(
+    "group_sequential_obf", q_group_sequential_obf, _gso_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample energy distance (exact prefix-sum pair algebra)
+# ---------------------------------------------------------------------------
+
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the purchase and click value
+    distributions: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the two-sample
+    test that is consistent against ALL alternatives (`ks_statistic`
+    keys on the single largest CDF gap and goes blind to spread-only
+    changes; `emd_1d` measures cost, not significance; energy
+    distance is the drift metric that catches everything at the
+    price of pairwise distances).
+
+    The naive form is O(n·m) pairs. Over the value-ordered distinct-
+    cent table it collapses to prefix algebra: Σᵢ|xᵢ−v| = v·n₍<v₎ −
+    s₍<v₎ + s₍>v₎ − v·n₍>v₎ from ONE cumulative window over per-value
+    counts and sums, so all three pair-sum terms are exact
+    DECIMAL(38,0) integers from one sorted pass. The only floats are
+    the three final divisions, `_r6`-bounded.
+
+    Scale: the window runs on the distinct-cent table (bounded by
+    price granularity, not event volume — the auc_roc disposition);
+    the fact table contributes one combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_v = ev.groupBy(cents.alias("v")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cx"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("cy"),
+    )
+    w_lt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    t = per_v.select(
+        "v",
+        "cx",
+        "cy",
+        F.coalesce(F.sum("cx").over(w_lt), F.lit(0)).alias("nx_lt"),
+        F.coalesce(F.sum(F.col("cx") * F.col("v")).over(w_lt), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("sx_lt"),
+        F.sum("cx").over(w_tot).alias("nx"),
+        F.sum(F.col("cx") * F.col("v"))
+        .over(w_tot)
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.coalesce(F.sum("cy").over(w_lt), F.lit(0)).alias("ny_lt"),
+        F.coalesce(F.sum(F.col("cy") * F.col("v")).over(w_lt), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("sy_lt"),
+        F.sum("cy").over(w_tot).alias("ny"),
+        F.sum(F.col("cy") * F.col("v"))
+        .over(w_tot)
+        .cast("decimal(38,0)")
+        .alias("sy"),
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+
+    def absdist(n_lt, s_lt, n_tot, s_tot, c_eq):
+        n_gt = F.col(n_tot) - F.col(n_lt) - c_eq
+        s_gt = F.col(s_tot) - F.col(s_lt) - vd * c_eq
+        return (
+            vd * F.col(n_lt) - F.col(s_lt) + s_gt - vd * n_gt
+        )
+
+    x_term = absdist("nx_lt", "sx_lt", "nx", "sx", F.col("cx"))
+    y_term = absdist("ny_lt", "sy_lt", "ny", "sy", F.col("cy"))
+    agg = t.groupBy("nx", "ny").agg(
+        F.sum(F.col("cy") * x_term).alias("s_xy"),
+        F.sum(F.col("cx") * x_term).alias("s_xx"),
+        F.sum(F.col("cy") * y_term).alias("s_yy"),
+    )
+    nxd, nyd = F.col("nx").cast("double"), F.col("ny").cast("double")
+    e_xy = F.col("s_xy").cast("double") / (nxd * nyd)
+    e_xx = F.col("s_xx").cast("double") / (nxd * nxd)
+    e_yy = F.col("s_yy").cast("double") / (nyd * nyd)
+    return agg.select(
+        F.col("nx").cast("long").alias("n_x"),
+        F.col("ny").cast("long").alias("n_y"),
+        _r6(e_xy).alias("e_xy"),
+        _r6(e_xx).alias("e_xx"),
+        _r6(e_yy).alias("e_yy"),
+        _r6(F.lit(2.0) * e_xy - e_xx - e_yy).alias("energy_dist_sq"),
+    )
+
+
+registry.register(
+    "energy_distance",
+    q_energy_distance,
+    """
+    WITH per_v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS cx,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cy
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT v, cx, cy,
+             COALESCE(SUM(cx) OVER wlt, 0) AS nx_lt,
+             CAST(COALESCE(SUM(cx * v) OVER wlt, 0) AS HUGEINT) AS sx_lt,
+             SUM(cx) OVER () AS nx,
+             CAST(SUM(cx * v) OVER () AS HUGEINT) AS sx,
+             COALESCE(SUM(cy) OVER wlt, 0) AS ny_lt,
+             CAST(COALESCE(SUM(cy * v) OVER wlt, 0) AS HUGEINT) AS sy_lt,
+             SUM(cy) OVER () AS ny,
+             CAST(SUM(cy * v) OVER () AS HUGEINT) AS sy
+      FROM per_v
+      WINDOW wlt AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+      SELECT nx, ny, cx, cy,
+             CAST(v AS HUGEINT) * nx_lt - sx_lt
+             + (sx - sx_lt - CAST(v AS HUGEINT) * cx)
+             - CAST(v AS HUGEINT) * (nx - nx_lt - cx) AS x_term,
+             CAST(v AS HUGEINT) * ny_lt - sy_lt
+             + (sy - sy_lt - CAST(v AS HUGEINT) * cy)
+             - CAST(v AS HUGEINT) * (ny - ny_lt - cy) AS y_term
+      FROM t
+    ),
+    agg AS (
+      SELECT nx, ny,
+             SUM(cy * x_term) AS s_xy,
+             SUM(cx * x_term) AS s_xx,
+             SUM(cy * y_term) AS s_yy
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT CAST(nx AS BIGINT) AS n_x, CAST(ny AS BIGINT) AS n_y,
+           FLOOR(CAST(s_xy AS DOUBLE)
+                 / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS e_xy,
+           FLOOR(CAST(s_xx AS DOUBLE)
+                 / (CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS e_xx,
+           FLOOR(CAST(s_yy AS DOUBLE)
+                 / (CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS e_yy,
+           FLOOR((2.0 * CAST(s_xy AS DOUBLE)
+                    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+                  - CAST(s_xx AS DOUBLE)
+                    / (CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))
+                  - CAST(s_yy AS DOUBLE)
+                    / (CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS energy_dist_sq
+    FROM agg
+    """,
+)
