@@ -73,3 +73,95 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_stages(bits: int = DEFAULT_BITS) -> list[int]:
+    """The level sizes of the order-``bits`` Hilbert walk, high to
+    low: [2^(bits-1), ..., 2, 1]."""
+    return [1 << i for i in range(bits - 1, -1, -1)]
+
+
+def with_hilbert(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    out: str = "hval",
+    bits: int = DEFAULT_BITS,
+) -> DataFrame:
+    """Append the order-``bits`` Hilbert curve index of (x, y) (both
+    assumed in [0, 2^bits)) as column ``out``.
+
+    The xy2d walk (one rotate-and-accumulate step per bit level) is
+    expressed as ONE chained projection per level — each stage reads
+    the previous stage's (x, y, d) columns, so the expression tree
+    grows linearly with bits (inlining the recurrence into a single
+    Column would double the tree per level). Pure shifts/masks/CASE —
+    whole-stage codegen, engine-portable, mirrored term-for-term by
+    :func:`hilbert_sql`."""
+    df = df.withColumn("_hx", x.cast("long")).withColumn(
+        "_hy", y.cast("long")
+    ).withColumn("_hd", F.lit(0).cast("long"))
+    for s in hilbert_stages(bits):
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        df = (
+            df.withColumn("_rx", rx)
+            .withColumn("_ry", ry)
+            .withColumn(
+                "_hd",
+                F.col("_hd")
+                + F.lit(s * s)
+                * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+            )
+            .withColumn(
+                "_hx2",
+                F.when(F.col("_ry") == 1, F.col("_hx")).otherwise(
+                    F.when(
+                        F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")
+                    ).otherwise(F.col("_hy"))
+                ),
+            )
+            .withColumn(
+                "_hy2",
+                F.when(F.col("_ry") == 1, F.col("_hy")).otherwise(
+                    F.when(
+                        F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")
+                    ).otherwise(F.col("_hx"))
+                ),
+            )
+            .drop("_hx", "_hy", "_rx", "_ry")
+            .withColumnRenamed("_hx2", "_hx")
+            .withColumnRenamed("_hy2", "_hy")
+        )
+    return df.withColumnRenamed("_hd", out).drop("_hx", "_hy")
+
+
+def hilbert_sql(
+    src: str, x: str, y: str, keep: str, bits: int = DEFAULT_BITS
+) -> str:
+    """DuckDB CTE chain computing exactly :func:`with_hilbert` over
+    ``src`` (one CTE per bit level). ``keep`` is a comma-joined list
+    of pass-through columns; the result relation is named ``hfinal``
+    with columns (``keep``..., hval)."""
+    ctes = [
+        f"h0 AS (SELECT {keep}, CAST({x} AS BIGINT) AS hx,"
+        f" CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    lvl = 0
+    for s in hilbert_stages(bits):
+        prev, lvl = f"h{lvl}", lvl + 1
+        ctes.append(f"""h{lvl} AS (
+      SELECT {keep},
+             CASE WHEN ((hy & {s}) > 0) THEN hx
+                  WHEN ((hx & {s}) > 0) THEN {s - 1} - hy
+                  ELSE hy END AS hx,
+             CASE WHEN ((hy & {s}) > 0) THEN hy
+                  WHEN ((hx & {s}) > 0) THEN {s - 1} - hx
+                  ELSE hx END AS hy,
+             hd + {s * s} * xor(3 * (CASE WHEN (hx & {s}) > 0
+                                          THEN 1 ELSE 0 END),
+                                (CASE WHEN (hy & {s}) > 0
+                                      THEN 1 ELSE 0 END)) AS hd
+      FROM {prev})""")
+    ctes.append(f"hfinal AS (SELECT {keep}, hd AS hval FROM h{lvl})")
+    return ",\n    ".join(ctes)

@@ -1960,3 +1960,137 @@ def _fs_sql() -> str:
 
 
 registry.register("fs_linkage_score", q_fs_linkage_score, _fs_sql())
+
+
+# ---------------------------------------------------------------------------
+# Hilbert vs Morton locality audit
+# ---------------------------------------------------------------------------
+
+
+def q_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout bakeoff: sort the orders fact by a Morton z-value
+    vs an order-8 Hilbert index over (custkey, order-day) and measure
+    each curve's locality as the mean L1 jump between
+    curve-consecutive rows — the number that decides which clustered
+    layout `zorder_value`/`zone_map_prune` should write: a curve with
+    smaller adjacent jumps packs 2-D-close rows into the same row
+    groups, so min/max footer pruning discards more of the file for
+    2-D range predicates (Hilbert's worst-case adjacent jump is 1;
+    Morton takes power-of-two cliffs at quadrant seams).
+
+    Exactness: both indices are pure integer shift/mask/CASE
+    pipelines (operators/zorder, mirrored term-for-term in the
+    oracle); jumps are exact integer L1 distances; the two means are
+    the only divisions, `_r6`-bounded. Curve ties order by orderkey,
+    so the walk is engine-deterministic.
+
+    Scale: two sorts of (key, coords) pairs — exactly the shuffle a
+    real re-layout job pays — then one lag window each; at 100 TB
+    you would range-partition on the curve value, which is the same
+    exchange."""
+    from airflow_baseball_spark.operators.zorder import (
+        with_hilbert,
+        zorder_value,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("cx"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            % 256
+        ).alias("cy"),
+    )
+    cells = with_hilbert(
+        base, F.col("cx"), F.col("cy"), out="hval", bits=8
+    ).withColumn("zval", zorder_value(F.col("cx"), F.col("cy"), bits=8))
+
+    def mean_jump(order_col: str, tag: str):
+        w = Window.orderBy(order_col, "o_orderkey")
+        jump = (
+            F.abs(F.col("cx") - F.lag("cx").over(w))
+            + F.abs(F.col("cy") - F.lag("cy").over(w))
+        )
+        return (
+            cells.select(jump.alias("j"))
+            .filter(F.col("j").isNotNull())
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.sum("j").alias(f"sum_l1_{tag}"),
+            )
+        )
+
+    _r6 = round6_portable
+    m = mean_jump("zval", "morton")
+    h = mean_jump("hval", "hilbert")
+    mm = F.col("sum_l1_morton").cast("double") / F.col("n_morton").cast(
+        "double"
+    )
+    hm = F.col("sum_l1_hilbert").cast("double") / F.col(
+        "n_hilbert"
+    ).cast("double")
+    return m.crossJoin(F.broadcast(h)).select(
+        F.col("n_morton").cast("long").alias("n_jumps"),
+        F.col("sum_l1_morton").cast("long").alias("morton_sum_l1"),
+        F.col("sum_l1_hilbert").cast("long").alias("hilbert_sum_l1"),
+        _r6(mm).alias("morton_mean_l1"),
+        _r6(hm).alias("hilbert_mean_l1"),
+        _r6(mm / hm).alias("locality_gain"),
+    )
+
+
+def _hilbert_locality_sql() -> str:
+    from airflow_baseball_spark.operators.zorder import (
+        hilbert_sql,
+        zorder_sql,
+    )
+
+    h = hilbert_sql("base", "cx", "cy", "o_orderkey, cx, cy", bits=8)
+    z = zorder_sql("cx", "cy", bits=8)
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS cx,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) % 256 AS cy
+      FROM orders
+    ),
+    {h},
+    cells AS (
+      SELECT f.o_orderkey, f.cx, f.cy, f.hval, {z} AS zval
+      FROM hfinal f
+    ),
+    mj AS (
+      SELECT COUNT(*) AS n_morton, SUM(j) AS sum_l1_morton FROM (
+        SELECT ABS(cx - LAG(cx) OVER w) + ABS(cy - LAG(cy) OVER w) AS j
+        FROM cells WINDOW w AS (ORDER BY zval, o_orderkey)
+      ) WHERE j IS NOT NULL
+    ),
+    hj AS (
+      SELECT COUNT(*) AS n_hilbert, SUM(j) AS sum_l1_hilbert FROM (
+        SELECT ABS(cx - LAG(cx) OVER w) + ABS(cy - LAG(cy) OVER w) AS j
+        FROM cells WINDOW w AS (ORDER BY hval, o_orderkey)
+      ) WHERE j IS NOT NULL
+    )
+    SELECT CAST(n_morton AS BIGINT) AS n_jumps,
+           CAST(sum_l1_morton AS BIGINT) AS morton_sum_l1,
+           CAST(sum_l1_hilbert AS BIGINT) AS hilbert_sum_l1,
+           FLOOR(CAST(sum_l1_morton AS DOUBLE) / CAST(n_morton AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS morton_mean_l1,
+           FLOOR(CAST(sum_l1_hilbert AS DOUBLE) / CAST(n_hilbert AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS hilbert_mean_l1,
+           FLOOR((CAST(sum_l1_morton AS DOUBLE) / CAST(n_morton AS DOUBLE))
+                 / (CAST(sum_l1_hilbert AS DOUBLE)
+                    / CAST(n_hilbert AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS locality_gain
+    FROM mj CROSS JOIN hj
+    """
+
+
+registry.register(
+    "hilbert_locality", q_hilbert_locality, _hilbert_locality_sql()
+)
