@@ -3501,3 +3501,97 @@ registry.register(
     FROM pref p JOIN fit f ON p.b = f.t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def q_pr_curve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full precision/recall/F1 sweep over every distinct score
+    threshold, scoring `value` as a purchase-vs-click classifier —
+    the operating-point table a deployment reads AFTER `auc_roc` says
+    the ranking is good: AUC picks the model, this picks the
+    threshold.
+
+    Exactness: per distinct cent value the two class counts aggregate
+    once; ONE descending cumulative window yields TP/FP at the
+    "predict positive when score ≥ t" cut; precision, recall, and F1
+    are each a single division on exact integers (F1 via the
+    2TP/(2TP+FP+FN) form — one division, no nested rounding),
+    `_r6`-bounded.
+
+    Scale: the sweep grain is the distinct-value table (price
+    granularity — the auc_roc disposition), fact table touched once,
+    map-side combinable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_v = ev.groupBy(cents.alias("v")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("pos"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("neg"),
+    )
+    w_ge = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy()
+    t = per_v.select(
+        "v",
+        F.sum("pos").over(w_ge).alias("tp"),
+        F.sum("neg").over(w_ge).alias("fp"),
+        F.sum("pos").over(w_tot).alias("p_tot"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn = (F.col("p_tot") - F.col("tp")).cast("double")
+    return t.select(
+        "v",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("p_tot") - F.col("tp")).cast("long").alias("fn"),
+        _r6(tp / (tp + fp)).alias("precision"),
+        _r6(tp / F.col("p_tot").cast("double")).alias("recall"),
+        _r6(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn)).alias("f1"),
+    )
+
+
+registry.register(
+    "pr_curve_sweep",
+    q_pr_curve_sweep,
+    """
+    WITH per_v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS pos,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS neg
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT v,
+             SUM(pos) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+               AS tp,
+             SUM(neg) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+               AS fp,
+             SUM(pos) OVER () AS p_tot
+      FROM per_v
+    )
+    SELECT v, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(p_tot - tp AS BIGINT) AS fn,
+           FLOOR(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+                                       + CAST(fp AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS precision,
+           FLOOR(CAST(tp AS DOUBLE) / CAST(p_tot AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall,
+           FLOOR(2.0 * CAST(tp AS DOUBLE)
+                 / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                    + CAST(p_tot - tp AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS f1
+    FROM t
+    """,
+)

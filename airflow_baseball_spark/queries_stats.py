@@ -3388,3 +3388,172 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-factor OLS via exact normal equations (Cramer's rule)
+# ---------------------------------------------------------------------------
+
+
+def _det3(m: list[list[str]]) -> str:
+    """Cofactor expansion of a 3×3 determinant over expression strings
+    — ONE generator feeds both engines, so the arithmetic trees are
+    identical by construction."""
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (
+        f"({a}) * (({e}) * ({i}) - ({f}) * ({h}))"
+        f" - ({b}) * (({d}) * ({i}) - ({f}) * ({g}))"
+        f" + ({c}) * (({d}) * ({h}) - ({e}) * ({g}))"
+    )
+
+
+def _ols2_exprs() -> dict[str, str]:
+    """Shared Cramer-rule expressions over the sufficient-statistic
+    column names (all exact integers widened to DECIMAL/HUGEINT)."""
+    rows = [["nn", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    rhs = ["sy", "s1y", "s2y"]
+    out = {"det": _det3(rows)}
+    for i in range(3):
+        m = [row[:] for row in rows]
+        for r in range(3):
+            m[r][i] = rhs[r]
+        out[f"det{i}"] = _det3(m)
+    return out
+
+
+def q_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS of daily order revenue on (day index, weekend
+    flag) — `regression_suite`'s multivariate upgrade: a univariate
+    trend on revenue with a weekly cycle CONFOUNDS slope with weekday
+    mix; the second regressor absorbs the weekend effect so the trend
+    coefficient is clean (the textbook omitted-variable fix, done as
+    pure SQL algebra instead of a solver).
+
+    β = (X'X)⁻¹X'y solved by Cramer's rule: all ten sufficient
+    statistics are EXACT integer/decimal sums (one map-combinable
+    pass), every 3×3 determinant is exact DECIMAL(38,0) arithmetic
+    generated from ONE shared expression builder, and the only floats
+    are the three coefficient divisions and the R² — identical IEEE
+    trees on both engines, `_r6`-bounded.
+
+    Scale: one fact-table pass, ten combinable aggregates, one-row
+    output — the distributed-OLS shape (sufficient stats shrink to a
+    vector; the solve is O(1) regardless of row count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    daily = orders.groupBy(day.alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    dmin = daily.agg(F.min("d").alias("dmin"))
+    base = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("d") - F.col("dmin")).alias("x1"),
+        F.when(F.col("d") % 7 == 2, 1)
+        .when(F.col("d") % 7 == 3, 1)
+        .otherwise(0)
+        .alias("x2"),
+        "y",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = base.agg(
+        dec(F.count("*")).alias("nn"),
+        dec(F.sum("x1")).alias("s1"),
+        dec(F.sum("x2")).alias("s2"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        dec(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        dec(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        dec(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        dec(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+        dec(
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        ).alias("syy"),
+    )
+    e = _ols2_exprs()
+    solved = stats.select(
+        "*",
+        F.expr(f"CAST({e['det']} AS DOUBLE)").alias("det"),
+        F.expr(f"CAST({e['det0']} AS DOUBLE)").alias("det0"),
+        F.expr(f"CAST({e['det1']} AS DOUBLE)").alias("det1"),
+        F.expr(f"CAST({e['det2']} AS DOUBLE)").alias("det2"),
+    )
+    b0 = F.col("det0") / F.col("det")
+    b1 = F.col("det1") / F.col("det")
+    b2 = F.col("det2") / F.col("det")
+    nd = F.col("nn").cast("double")
+    syd, s1yd, s2yd = (
+        F.col("sy").cast("double"),
+        F.col("s1y").cast("double"),
+        F.col("s2y").cast("double"),
+    )
+    sse = F.col("syy").cast("double") - b0 * syd - b1 * s1yd - b2 * s2yd
+    sst = F.col("syy").cast("double") - syd * syd / nd
+    return solved.select(
+        F.col("nn").cast("long").alias("n_days"),
+        _r6(b0).alias("intercept_cents"),
+        _r6(b1).alias("trend_cents_per_day"),
+        _r6(b2).alias("weekend_effect_cents"),
+        _r6(F.lit(1.0) - sse / sst).alias("r_squared"),
+    )
+
+
+def _ols2_sql() -> str:
+    e = _ols2_exprs()
+    return f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT d - (SELECT MIN(d) FROM daily) AS x1,
+             CASE WHEN d % 7 IN (2, 3) THEN 1 ELSE 0 END AS x2, y
+      FROM daily
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+             CAST(SUM(x1) AS HUGEINT) AS s1,
+             CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+             CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+             CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+             CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+             CAST(SUM(x2 * y) AS HUGEINT) AS s2y,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM base
+    ),
+    solved AS (
+      SELECT *,
+             CAST({e["det"]} AS DOUBLE) AS det,
+             CAST({e["det0"]} AS DOUBLE) AS det0,
+             CAST({e["det1"]} AS DOUBLE) AS det1,
+             CAST({e["det2"]} AS DOUBLE) AS det2
+      FROM stats
+    )
+    SELECT CAST(nn AS BIGINT) AS n_days,
+           FLOOR(det0 / det * 1000000.0 + 0.5) / 1000000.0
+             AS intercept_cents,
+           FLOOR(det1 / det * 1000000.0 + 0.5) / 1000000.0
+             AS trend_cents_per_day,
+           FLOOR(det2 / det * 1000000.0 + 0.5) / 1000000.0
+             AS weekend_effect_cents,
+           FLOOR((1.0 - (CAST(syy AS DOUBLE) - (det0 / det)
+                           * CAST(sy AS DOUBLE)
+                         - (det1 / det) * CAST(s1y AS DOUBLE)
+                         - (det2 / det) * CAST(s2y AS DOUBLE))
+                        / (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(nn AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r_squared
+    FROM solved
+    """
+
+
+registry.register("ols_two_factor", q_ols_two_factor, _ols2_sql())

@@ -799,3 +799,147 @@ def test_butterflies_match_choose2(spark):
     assert tot == sum(r.n_butterflies for r in rows)
     for r in rows:
         assert r.n_butterflies == r.n_common * (r.n_common - 1) // 2
+
+
+def test_group_sequential_boundaries_decrease(spark):
+    from airflow_baseball_spark.queries_stats import (
+        _OBF_BOUNDS,
+        q_group_sequential_obf,
+    )
+
+    rows = sorted(
+        q_group_sequential_obf(spark, SF).collect(), key=lambda r: r.k
+    )
+    assert len(rows) == 5
+    assert _OBF_BOUNDS == sorted(_OBF_BOUNDS, reverse=True)
+    prev_n = 0
+    for r in rows:
+        # enrollment is cumulative across looks
+        assert r.n_a + r.n_b >= prev_n
+        prev_n = r.n_a + r.n_b
+        assert r.c_a <= r.n_a and r.c_b <= r.n_b
+
+
+def test_energy_distance_nonnegative_and_symmetric_terms(spark):
+    from airflow_baseball_spark.queries_stats import q_energy_distance
+
+    r = q_energy_distance(spark, SF).collect()[0]
+    assert r.e_xy >= 0 and r.e_xx >= 0 and r.e_yy >= 0
+    # energy distance is a metric: D^2 >= 0
+    assert r.energy_dist_sq >= -1e-9
+
+
+def test_energy_distance_matches_bruteforce(spark):
+    import numpy as np
+
+    from airflow_baseball_spark.queries_stats import q_energy_distance
+    from airflow_baseball_spark.schemas import load_table
+
+    r = q_energy_distance(spark, SF).collect()[0]
+    ev = (
+        load_table(spark, SF, "events")
+        .filter("event_type IN ('purchase','click')")
+        .select("event_type", "value")
+        .collect()
+    )
+    x = np.array(
+        [int(round(float(e.value) * 100)) for e in ev if e.event_type == "purchase"],
+        dtype=np.int64,
+    )
+    y = np.array(
+        [int(round(float(e.value) * 100)) for e in ev if e.event_type == "click"],
+        dtype=np.int64,
+    )
+    e_xy = np.abs(x[:, None] - y[None, :]).mean()
+    e_xx = np.abs(x[:, None] - x[None, :]).mean()
+    e_yy = np.abs(y[:, None] - y[None, :]).mean()
+    assert abs(r.e_xy - e_xy) < 1e-4
+    assert abs(r.energy_dist_sq - (2 * e_xy - e_xx - e_yy)) < 1e-3
+
+
+def test_hilbert_locality_beats_morton(spark):
+    from airflow_baseball_spark.queries_relational import (
+        q_hilbert_locality,
+    )
+
+    r = q_hilbert_locality(spark, SF).collect()[0]
+    # the whole point of the curve: strictly better locality
+    assert r.hilbert_mean_l1 < r.morton_mean_l1
+    assert r.locality_gain > 1.0
+
+
+def test_hilbert_spark_transform_is_bijective_on_grid(spark):
+    import pandas as pd
+
+    from airflow_baseball_spark.operators.zorder import with_hilbert
+    from pyspark.sql import functions as F
+
+    n = 32
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            [(x, y) for x in range(n) for y in range(n)],
+            columns=["gx", "gy"],
+        )
+    )
+    out = with_hilbert(grid, F.col("gx"), F.col("gy"), bits=5).collect()
+    vals = sorted(r.hval for r in out)
+    assert vals == list(range(n * n))
+
+
+def test_pr_sweep_monotone_recall_and_cell_identities(spark):
+    from airflow_baseball_spark.queries_eval import q_pr_curve_sweep
+
+    rows = sorted(
+        q_pr_curve_sweep(spark, SF).collect(), key=lambda r: -r.v
+    )
+    assert rows
+    prev_recall = 0.0
+    for r in rows:
+        assert r.recall >= prev_recall - 1e-9  # recall grows as t drops
+        prev_recall = r.recall
+        assert 0 <= r.precision <= 1 and 0 <= r.f1 <= 1
+    # at the lowest threshold everything is predicted positive
+    assert rows[-1].recall == 1.0
+
+
+def test_ols_two_factor_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from airflow_baseball_spark.queries_stats import q_ols_two_factor
+    from airflow_baseball_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    r = q_ols_two_factor(spark, SF).collect()[0]
+    orders = load_table(spark, SF, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("y")
+        )
+        .collect()
+    )
+    dmin = min(row.d for row in daily)
+    x = np.array(
+        [
+            [1.0, row.d - dmin, 1.0 if row.d % 7 in (2, 3) else 0.0]
+            for row in daily
+        ]
+    )
+    yv = np.array([float(row.y) for row in daily])
+    beta, *_ = np.linalg.lstsq(x, yv, rcond=None)
+    assert abs(r.intercept_cents - beta[0]) < max(1e-3 * abs(beta[0]), 1.0)
+    assert abs(r.trend_cents_per_day - beta[1]) < max(
+        1e-3 * abs(beta[1]), 1.0
+    )
+    assert abs(r.weekend_effect_cents - beta[2]) < max(
+        1e-3 * abs(beta[2]), 1.0
+    )
+    assert 0 <= r.r_squared <= 1
