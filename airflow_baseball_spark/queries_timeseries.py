@@ -2983,10 +2983,17 @@ def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating and flooring division agree — DuckDB's `//` is exact
     here without the canonical-remainder guard holt_winters needs.
 
-    Scale: one lane-keyed exchange; each group is ≤10 rows by
-    construction (honest applyInPandas for a genuine cross-row
-    recurrence); the oracle walks the same recurrence in a recursive
-    CTE over rn."""
+    Because the eval window is DEPTH-BOUNDED, the recurrence unrolls
+    into 10 chained column stages over per-lane (q, gap) arrays —
+    pure whole-stage codegen, zero Python. (The first cut ran the
+    walk in applyInPandas: ~2k one-row-at-a-time Arrow groups cost
+    42 s at sf0.1 vs <1 s unrolled — per-GROUP overhead, not data,
+    the canonical grouped-map anti-pattern for tiny groups. An
+    UNBOUNDED walk would still take the Pandas tier, but batched by
+    lane ranges, not by lane.)
+
+    Scale: one lane-keyed aggregation collects the ≤10-element
+    arrays; everything after is in-row."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") % 37 == 0
     )
@@ -3011,30 +3018,51 @@ def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-
-    def croston_group(pdf):
-        import pandas as pd  # noqa: PLC0415 — worker-side import
-
-        pdf = pdf.sort_values("rn").reset_index(drop=True)
-        z = p = None
-        zs, ps = [], []
-        for q, gap in zip(pdf["q"], pdf["gap"]):
-            if z is None:
-                z, p = int(q), 1
-            else:
-                z = (int(q) + z) // 2
-                p = (int(gap) + p) // 2
-            zs.append(z)
-            ps.append(p)
-        out = pdf[["l_partkey", "l_suppkey", "rn", "d", "q", "gap"]].copy()
-        out["z_size"] = zs
-        out["p_interval"] = ps
-        return out
-
-    walked = first10.groupBy("l_partkey", "l_suppkey").applyInPandas(
-        croston_group,
-        "l_partkey long, l_suppkey long, rn int, d date, q long,"
-        " gap int, z_size long, p_interval long",
+    lanes = first10.groupBy("l_partkey", "l_suppkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rn", "d", "q", "gap"))
+        ).alias("a")
+    )
+    # unroll the 10-step walk as chained columns (linear tree growth,
+    # the with_hilbert discipline)
+    lanes = lanes.withColumn(
+        "z1", F.element_at("a", 1)["q"]
+    ).withColumn("p1", F.lit(1).cast("long"))
+    for k in range(2, 11):
+        lanes = lanes.withColumn(
+            f"z{k}",
+            F.when(
+                F.size("a") >= k,
+                F.expr(f"(element_at(a, {k}).q + z{k - 1}) DIV 2"),
+            ),
+        ).withColumn(
+            f"p{k}",
+            F.when(
+                F.size("a") >= k,
+                F.expr(
+                    f"(CAST(element_at(a, {k}).gap AS BIGINT)"
+                    f" + p{k - 1}) DIV 2"
+                ),
+            ),
+        )
+    zs = F.array(*[F.col(f"z{k}") for k in range(1, 11)])
+    ps = F.array(*[F.col(f"p{k}") for k in range(1, 11)])
+    exploded = lanes.select(
+        "l_partkey",
+        "l_suppkey",
+        zs.alias("zs"),
+        ps.alias("ps"),
+        F.posexplode("a").alias("idx0", "e"),
+    )
+    walked = exploded.select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("e")["rn"].alias("rn"),
+        F.col("e")["d"].alias("d"),
+        F.col("e")["q"].alias("q"),
+        F.col("e")["gap"].alias("gap"),
+        F.element_at("zs", F.col("idx0") + 1).alias("z_size"),
+        F.element_at("ps", F.col("idx0") + 1).alias("p_interval"),
     )
     rate = F.col("z_size").cast("double") / F.col("p_interval").cast(
         "double"
@@ -3046,8 +3074,8 @@ def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "q",
         "gap",
-        "z_size",
-        "p_interval",
+        F.col("z_size").cast("long").alias("z_size"),
+        F.col("p_interval").cast("long").alias("p_interval"),
         _r6(rate).alias("demand_rate"),
         _r6(F.lit(0.75) * rate).alias("sba_rate"),
     )
@@ -3231,5 +3259,91 @@ registry.register(
            ROW_NUMBER() OVER (ORDER BY n_inliers DESC, trial ASC) = 1
              AS is_best
     FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Multiwindow SLO error-budget burn alerting
+# ---------------------------------------------------------------------------
+
+
+def q_slo_burn_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow error-budget burn rate over the event stream (SRE
+    workbook alerting): per hour, the 1 h and 6 h error rates as
+    multiples of a 1 % SLO budget, paging only when BOTH windows burn
+    hot (14.4× / 6×) — the standard two-window guard that a single
+    `rolling_anomaly` threshold cannot express (short window alone is
+    noisy, long window alone pages hours late).
+
+    Exactness: counts per epoch-hour are exact; the 6 h lookback is a
+    RANGE frame on the integer hour key (calendar-correct even with
+    gap hours — a ROWS frame would silently stretch across gaps);
+    burn rates are single divisions on exact sums, `_r6`-bounded, and
+    the page decision compares those same exact-derived doubles to
+    literal thresholds.
+
+    Scale: one combinable rollup to hour grain, one ordered window on
+    a date-bounded table."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    hourly = ev.groupBy(hour.alias("h")).agg(
+        F.count("*").alias("tot"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+    )
+    w6 = Window.orderBy("h").rangeBetween(-5, 0)
+    t = hourly.select(
+        "h",
+        "tot",
+        "err",
+        F.sum("tot").over(w6).alias("tot6"),
+        F.sum("err").over(w6).alias("err6"),
+    )
+    burn1 = (
+        F.col("err").cast("double") / F.col("tot").cast("double")
+    ) / F.lit(0.01)
+    burn6 = (
+        F.col("err6").cast("double") / F.col("tot6").cast("double")
+    ) / F.lit(0.01)
+    return t.select(
+        "h",
+        F.col("tot").cast("long").alias("tot_1h"),
+        F.col("err").cast("long").alias("err_1h"),
+        F.col("tot6").cast("long").alias("tot_6h"),
+        F.col("err6").cast("long").alias("err_6h"),
+        _r6(burn1).alias("burn_1h"),
+        _r6(burn6).alias("burn_6h"),
+        ((burn1 > F.lit(14.4)) & (burn6 > F.lit(6.0))).alias("page_alert"),
+    )
+
+
+registry.register(
+    "slo_burn_alert",
+    q_slo_burn_alert,
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(ts) // 3600 AS BIGINT) AS h,
+             COUNT(*) AS tot,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT h, tot, err,
+             SUM(tot) OVER w AS tot6, SUM(err) OVER w AS err6
+      FROM hourly
+      WINDOW w AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h, CAST(tot AS BIGINT) AS tot_1h, CAST(err AS BIGINT) AS err_1h,
+           CAST(tot6 AS BIGINT) AS tot_6h, CAST(err6 AS BIGINT) AS err_6h,
+           FLOOR((CAST(err AS DOUBLE) / CAST(tot AS DOUBLE)) / 0.01
+                 * 1000000.0 + 0.5) / 1000000.0 AS burn_1h,
+           FLOOR((CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE)) / 0.01
+                 * 1000000.0 + 0.5) / 1000000.0 AS burn_6h,
+           ((CAST(err AS DOUBLE) / CAST(tot AS DOUBLE)) / 0.01 > 14.4
+            AND (CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE)) / 0.01 > 6.0)
+             AS page_alert
+    FROM t
     """,
 )
