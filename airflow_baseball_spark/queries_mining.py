@@ -3198,3 +3198,115 @@ registry.register(
     FROM with_bf w CROSS JOIN tot t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the co-purchase graph at degree
+    cuts k ∈ {1, 2, 4, 8, 16}: among vertices of degree > k, the
+    realized fraction of possible edges — "do the hubs trade with
+    each other" (`degree_assortativity` answers it on average; the
+    rich-club curve localizes WHERE in the degree spectrum the elite
+    clique forms, the classic core-structure probe).
+
+    Exactness: pure integer counting — per-cut member and
+    edge-within counts against a broadcast degree table; φ is the
+    single division 2e/(n(n−1)), `_r6`-bounded.
+
+    Scale: degrees are vertex-sized (broadcast); each cut filters the
+    edge list with two hash probes — the k-grid multiplies a
+    dimension, never the fact table."""
+    edges = _support5_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("brand_a").alias("v"))
+        .unionAll(edges.select(F.col("brand_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    ks = spark.range(0, 5).select(
+        F.expr("shiftleft(1, CAST(id AS INT))").alias("k")
+    )
+    members = (
+        ks.join(deg)
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_members"))
+    )
+    da = deg.select(F.col("v").alias("_va"), F.col("d").alias("_da"))
+    db = deg.select(F.col("v").alias("_vb"), F.col("d").alias("_db"))
+    edeg = edges.join(
+        F.broadcast(da), F.col("brand_a") == F.col("_va")
+    ).join(F.broadcast(db), F.col("brand_b") == F.col("_vb"))
+    ewithin = (
+        ks.join(edeg)
+        .filter((F.col("_da") > F.col("k")) & (F.col("_db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_within"))
+    )
+    joined = members.join(ewithin, "k", "left").select(
+        "k",
+        "n_members",
+        F.coalesce(F.col("e_within"), F.lit(0)).alias("e_within"),
+    )
+    nm = F.col("n_members").cast("double")
+    phi = F.when(
+        F.col("n_members") >= 2,
+        F.lit(2.0) * F.col("e_within").cast("double") / (nm * (nm - 1)),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("e_within").cast("long").alias("e_within"),
+        _r6(phi).alias("phi"),
+    )
+
+
+registry.register(
+    "rich_club",
+    q_rich_club,
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT brand_a, brand_b FROM pairs WHERE support >= 5),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT brand_a AS v FROM edges
+        UNION ALL SELECT brand_b AS v FROM edges
+      ) GROUP BY 1
+    ),
+    ks AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS k),
+    members AS (
+      SELECT k, COUNT(*) AS n_members
+      FROM ks CROSS JOIN deg WHERE d > k GROUP BY 1
+    ),
+    ewithin AS (
+      SELECT k, COUNT(*) AS e_within
+      FROM ks CROSS JOIN edges e
+      JOIN deg da ON e.brand_a = da.v
+      JOIN deg db ON e.brand_b = db.v
+      WHERE da.d > k AND db.d > k
+      GROUP BY 1
+    )
+    SELECT CAST(m.k AS BIGINT) AS k,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(w.e_within, 0) AS BIGINT) AS e_within,
+           FLOOR(CASE WHEN m.n_members >= 2 THEN
+                   2.0 * CAST(COALESCE(w.e_within, 0) AS DOUBLE)
+                   / (CAST(m.n_members AS DOUBLE)
+                      * (CAST(m.n_members AS DOUBLE) - 1))
+                 ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS phi
+    FROM members m LEFT JOIN ewithin w ON m.k = w.k
+    """,
+)

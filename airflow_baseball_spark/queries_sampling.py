@@ -760,3 +760,161 @@ registry.register(
     FROM seg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 10,000-row sample budget across
+    the 5 order-priority strata: n_h ∝ N_h·S_h — the sampling plan a
+    100 TB pipeline computes BEFORE drawing a quality-audit sample
+    (`stratified_sample` draws proportionally; Neyman reweights
+    toward high-variance strata, and the efficiency ratio column
+    reports exactly how much variance that buys back).
+
+    Exactness: per-stratum variance comes from exact integer
+    sufficient statistics (n, Σ, Σ² in DECIMAL(38,0)); the weight
+    N_h·S_h is quantized to micro-unit DECIMAL before any cross-row
+    use, so the allocation itself is the mixture_weights
+    largest-remainder apportionment on exact integers — quotas sum to
+    the budget EXACTLY. The design-effect ratio (V_proportional /
+    V_neyman ≥ 1) is assembled from the same quantized sums.
+
+    Scale: one combinable fact pass to 5 stratum rows; everything
+    after is stratum-count-sized."""
+    budget = 10000
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    g = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count("*").alias("nh"),
+        F.sum(cents).alias("sh"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("qh"),
+    )
+    nhd = F.col("nh").cast("double")
+    var = (
+        F.col("qh").cast("double")
+        - F.col("sh").cast("double") * F.col("sh").cast("double") / nhd
+    ) / (nhd - F.lit(1.0))
+    sd = F.sqrt(var)
+    # quantize N_h*S_h to whole cents BEFORE the cross-stratum sums
+    # (cent-resolution is ample for apportionment and keeps the
+    # FLOOR->BIGINT step inside int64 at any realistic SF)
+    wq = F.floor(nhd * sd + F.lit(0.5)).cast("decimal(38,0)")
+    # quantize N_h*S_h^2 the same way (proportional-allocation variance)
+    vq = F.floor(nhd * var + F.lit(0.5)).cast("decimal(38,0)")
+    wn = Window.partitionBy()
+    staged = g.select(
+        "stratum",
+        "nh",
+        sd.alias("s_h"),
+        wq.alias("wq"),
+        vq.alias("vq"),
+        F.sum(wq).over(wn).alias("w_tot"),
+        F.sum(vq).over(wn).alias("v_tot"),
+        F.sum("nh").over(wn).alias("n_tot"),
+    )
+    base = F.expr("CAST(wq * %d DIV w_tot AS BIGINT)" % budget)
+    rem = F.expr("CAST((wq * %d) %% w_tot AS DECIMAL(38,0))" % budget)
+    based = staged.select(
+        "*",
+        base.alias("base"),
+        rem.alias("frac"),
+    )
+    w_rem = Window.orderBy(F.col("frac").desc(), "stratum")
+    wn2 = Window.partitionBy()
+    ranked = based.select(
+        "*",
+        F.row_number().over(w_rem).alias("rn"),
+        (F.lit(budget) - F.sum("base").over(wn2)).alias("short"),
+    )
+    wtd = F.col("w_tot").cast("double")
+    vtd = F.col("v_tot").cast("double")
+    ntd = F.col("n_tot").cast("double")
+    bd = F.lit(float(budget))
+    v_ney = wtd * wtd / (ntd * ntd * bd)
+    v_prop = vtd / (ntd * bd)
+    return ranked.select(
+        "stratum",
+        F.col("nh").cast("long").alias("n_pop"),
+        _r6(F.col("s_h")).alias("s_h_cents"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("short"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+        _r6(v_prop / v_ney).alias("neyman_efficiency"),
+    )
+
+
+def _neyman_sql() -> str:
+    budget = 10000
+    return f"""
+    WITH g AS (
+      SELECT o_orderpriority AS stratum, COUNT(*) AS nh,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sh,
+             SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS qh
+      FROM orders GROUP BY 1
+    ),
+    staged AS (
+      SELECT stratum, nh,
+             sqrt((CAST(qh AS DOUBLE)
+                   - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+                     / CAST(nh AS DOUBLE))
+                  / (CAST(nh AS DOUBLE) - 1.0)) AS s_h,
+             CAST(FLOOR(CAST(nh AS DOUBLE)
+                        * sqrt((CAST(qh AS DOUBLE)
+                                - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+                                  / CAST(nh AS DOUBLE))
+                               / (CAST(nh AS DOUBLE) - 1.0))
+                        + 0.5) AS HUGEINT) AS wq,
+             CAST(FLOOR(CAST(nh AS DOUBLE)
+                        * ((CAST(qh AS DOUBLE)
+                            - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+                              / CAST(nh AS DOUBLE))
+                           / (CAST(nh AS DOUBLE) - 1.0))
+                        + 0.5) AS HUGEINT) AS vq
+      FROM g
+    ),
+    tot AS (
+      SELECT stratum, nh, s_h, wq, vq,
+             SUM(wq) OVER () AS w_tot, SUM(vq) OVER () AS v_tot,
+             SUM(nh) OVER () AS n_tot
+      FROM staged
+    ),
+    based AS (
+      SELECT *,
+             CAST(wq * {budget} // w_tot AS BIGINT) AS base,
+             (wq * {budget}) % w_tot AS frac
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY frac DESC, stratum) AS rn,
+             {budget} - SUM(base) OVER () AS short
+      FROM based
+    )
+    SELECT stratum, CAST(nh AS BIGINT) AS n_pop,
+           FLOOR(s_h * 1000000.0 + 0.5) / 1000000.0 AS s_h_cents,
+           CAST(base + CASE WHEN rn <= short THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc,
+           FLOOR((CAST(v_tot AS DOUBLE)
+                  / (CAST(n_tot AS DOUBLE) * {budget}.0))
+                 / (CAST(w_tot AS DOUBLE) * CAST(w_tot AS DOUBLE)
+                    / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                       * {budget}.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS neyman_efficiency
+    FROM ranked
+    """
+
+
+registry.register("neyman_allocation", q_neyman_allocation, _neyman_sql())

@@ -3557,3 +3557,219 @@ def _ols2_sql() -> str:
 
 
 registry.register("ols_two_factor", q_ols_two_factor, _ols2_sql())
+
+
+# ---------------------------------------------------------------------------
+# Post-stratification adjustment of an A/B conversion delta
+# ---------------------------------------------------------------------------
+
+
+def q_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified A/B effect estimate: the raw conversion delta
+    between the md5-coin arms, re-estimated as Σ_s w_s·(p_As − p_Bs)
+    with population weights over the user's signup weekday stratum —
+    the free variance cut when randomization left covariate imbalance
+    (`cuped_adjustment` needs a pre-period metric; post-stratification
+    needs only a categorical covariate, so it applies on day one).
+
+    Exactness: all cells are exact counts; each stratum term
+    w_s·(p_As − p_Bs) is a fixed expression on exact integers,
+    quantized to 1e-12 BEFORE the cross-stratum sum (7 strata) — the
+    adjusted delta is then exact integer arithmetic. `_r6`-bounded.
+
+    Scale: one user-grain rollup, a 7-row stratum table — the fact
+    table never re-shuffles."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("d_first"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    arm = F.when(
+        hash_unit(F.col("user_id"), seed="ab") < 0.5, "A"
+    ).otherwise("B")
+    cells = per_user.select(
+        (F.col("d_first") % 7).alias("stratum"), arm.alias("arm"),
+        "converted",
+    ).groupBy("stratum").agg(
+        F.count(F.when(F.col("arm") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", 1)).alias("n_b"),
+        F.sum(
+            F.when(F.col("arm") == "A", F.col("converted")).otherwise(0)
+        ).alias("c_a"),
+        F.sum(
+            F.when(F.col("arm") == "B", F.col("converted")).otherwise(0)
+        ).alias("c_b"),
+    )
+    wn = Window.partitionBy()
+    t = cells.withColumn(
+        "n_tot", F.sum(F.col("n_a") + F.col("n_b")).over(wn)
+    )
+    term = (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / F.col("n_tot").cast("double")
+    ) * (
+        F.col("c_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    )
+    quant = t.withColumn(
+        "term_pico",
+        F.floor(term * F.lit(1.0e12) + F.lit(0.5)).cast("long"),
+    )
+    agg = quant.groupBy().agg(
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.sum("c_a").alias("c_a"),
+        F.sum("c_b").alias("c_b"),
+        F.sum("term_pico").alias("s_pico"),
+    )
+    raw = F.col("c_a").cast("double") / F.col("n_a").cast(
+        "double"
+    ) - F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        _r6(raw).alias("raw_delta"),
+        _r6(F.col("s_pico").cast("double") / F.lit(1.0e12)).alias(
+            "post_strat_delta"
+        ),
+    )
+
+
+def _post_strat_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    u = hash_unit_sql("user_id", "ab")
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS d_first,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1
+    ),
+    cells AS (
+      SELECT d_first % 7 AS stratum,
+             COUNT(CASE WHEN {u} < 0.5 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN {u} >= 0.5 THEN 1 END) AS n_b,
+             SUM(CASE WHEN {u} < 0.5 THEN converted ELSE 0 END) AS c_a,
+             SUM(CASE WHEN {u} >= 0.5 THEN converted ELSE 0 END) AS c_b
+      FROM per_user GROUP BY 1
+    ),
+    t AS (
+      SELECT *, SUM(n_a + n_b) OVER () AS n_tot FROM cells
+    ),
+    quant AS (
+      SELECT *,
+             CAST(FLOOR((CAST(n_a + n_b AS DOUBLE)
+                         / CAST(n_tot AS DOUBLE))
+                        * (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        * 1.0e12 + 0.5) AS BIGINT) AS term_pico
+      FROM t
+    ),
+    agg AS (
+      SELECT SUM(n_a) AS n_a, SUM(n_b) AS n_b, SUM(c_a) AS c_a,
+             SUM(c_b) AS c_b, SUM(term_pico) AS s_pico
+      FROM quant
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           FLOOR((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS raw_delta,
+           FLOOR(CAST(s_pico AS DOUBLE) / 1.0e12 * 1000000.0 + 0.5)
+             / 1000000.0 AS post_strat_delta
+    FROM agg
+    """
+
+
+registry.register(
+    "post_stratification", q_post_stratification, _post_strat_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# Sample-size calculator for a continuous metric
+# ---------------------------------------------------------------------------
+
+
+def q_sample_size_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sample-size calculator for a CONTINUOUS metric
+    (event value): users per arm needed to detect a 2 % lift in mean
+    value at α=0.05 / power 0.8 — `mde_power` inverted and extended
+    to continuous metrics, where the variance comes from the data
+    instead of p(1−p): n = 2·(z·σ/δ)², the pre-experiment sizing
+    every A/B platform runs before committing traffic.
+
+    Exactness: σ² comes from exact integer sufficient statistics
+    (n, Σ, Σ² in DECIMAL); δ = 2 % of the exact mean; the z-sum is
+    the `_MDE_Z` literal; n rounds UP via exact ceil on the one final
+    double. Scale: one combinable pass, |types|-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    delta = F.lit(0.02) * mean
+    n_req = F.ceil(
+        F.lit(2.0) * (F.lit(_MDE_Z) * F.lit(_MDE_Z)) * var
+        / (delta * delta)
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        _r6(mean).alias("mean_cents"),
+        _r6(F.sqrt(var)).alias("sd_cents"),
+        n_req.cast("long").alias("n_per_arm"),
+    )
+
+
+registry.register(
+    "sample_size_continuous",
+    q_sample_size_continuous,
+    f"""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s,
+             SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS q
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_cents,
+           FLOOR(sqrt((CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sd_cents,
+           CAST(CEIL(2.0 * ({_MDE_Z!r} * {_MDE_Z!r})
+                     * ((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1.0))
+                     / ((0.02 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * (0.02 * (CAST(s AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))))
+                AS BIGINT) AS n_per_arm
+    FROM g
+    """,
+)

@@ -5240,3 +5240,397 @@ def _jl_sql() -> str:
 
 
 registry.register("jl_distortion", q_jl_distortion, _jl_sql())
+
+
+# ---------------------------------------------------------------------------
+# LSH (bands x rows) parameter tuner — exact S-curve integrals
+# ---------------------------------------------------------------------------
+
+# candidate (bands, rows_per_band) designs, all <= 64 hashes
+_LSH_CONFIGS = [(2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (4, 8), (8, 4), (16, 2)]
+_LSH_THRESH = 0.7
+
+
+def _mul_chain(x: str, n: int) -> str:
+    """n-fold product as a left-associated literal chain — identical
+    IEEE tree on both engines, no libm POW anywhere."""
+    return "(" + " * ".join([x] * n) + ")"
+
+
+def _lsh_p_expr(b: int, r: int) -> str:
+    """Collision probability 1 - (1 - s^r)^b as a pure multiplication
+    chain over the grid column ``s``."""
+    sr = _mul_chain("s", r)
+    return f"1.0 - {_mul_chain(f'(1.0 - {sr})', b)}"
+
+
+def q_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-time tuner for the MinHash banding scheme: for each
+    candidate (bands b, rows r) the false-positive area ∫₀ᵗ p(s) ds
+    and false-negative area ∫ᵗ¹ (1−p(s)) ds of the S-curve
+    p(s) = 1−(1−sʳ)ᵇ at the target Jaccard threshold t = 0.7 — the
+    closed-form answer to "which banding should `minhash_lsh_pairs`
+    ship" (`minhash_calibration` measures the curve empirically; this
+    integrates it analytically, so the two cross-check each other).
+
+    Exactness: every p(s) is a pure multiplication chain (sʳ and
+    (1−sʳ)ᵇ unrolled — no libm POW, whose last-ulp behavior differs
+    across engines) over exactly-representable grid ordinates
+    s = (k+½)/100; each midpoint-rule term is quantized to 1e-12
+    BEFORE the per-config sum, so the integrals are exact integer
+    arithmetic. The recommendation rank is then deterministic.
+
+    Scale: the whole computation is an 800-row constant dimension —
+    it reads no fact table at all (the design step runs BEFORE the
+    100 TB job it configures)."""
+    grid = spark.range(0, 100).select(
+        ((F.col("id").cast("double") + F.lit(0.5)) / F.lit(100.0)).alias(
+            "s"
+        )
+    )
+    parts = []
+    for b, r in _LSH_CONFIGS:
+        parts.append(
+            grid.select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "s",
+                F.expr(_lsh_p_expr(b, r)).alias("p"),
+            )
+        )
+    allp = parts[0]
+    for df in parts[1:]:
+        allp = allp.unionAll(df)
+    fp_term = F.when(
+        F.col("s") < F.lit(_LSH_THRESH), F.col("p") * F.lit(0.01)
+    ).otherwise(F.lit(0.0))
+    fn_term = F.when(
+        F.col("s") >= F.lit(_LSH_THRESH),
+        (F.lit(1.0) - F.col("p")) * F.lit(0.01),
+    ).otherwise(F.lit(0.0))
+    quant = allp.select(
+        "bands",
+        "rows_per_band",
+        F.floor(fp_term * F.lit(1.0e12) + F.lit(0.5))
+        .cast("long")
+        .alias("fp_pico"),
+        F.floor(fn_term * F.lit(1.0e12) + F.lit(0.5))
+        .cast("long")
+        .alias("fn_pico"),
+    )
+    agg = quant.groupBy("bands", "rows_per_band").agg(
+        F.sum("fp_pico").alias("fp_p"), F.sum("fn_pico").alias("fn_p")
+    )
+    w = Window.orderBy(
+        (F.col("fp_p") + F.col("fn_p")).asc(),
+        (F.col("bands") * F.col("rows_per_band")).asc(),
+        F.col("bands").asc(),
+    )
+    return agg.select(
+        F.col("bands").cast("long").alias("bands"),
+        F.col("rows_per_band").cast("long").alias("rows_per_band"),
+        (F.col("bands") * F.col("rows_per_band"))
+        .cast("long")
+        .alias("n_hashes"),
+        _r6(F.col("fp_p").cast("double") / F.lit(1.0e12)).alias("fp_area"),
+        _r6(F.col("fn_p").cast("double") / F.lit(1.0e12)).alias("fn_area"),
+        _r6(
+            (F.col("fp_p") + F.col("fn_p")).cast("double") / F.lit(1.0e12)
+        ).alias("total_err"),
+        (F.row_number().over(w) == 1).alias("is_recommended"),
+    )
+
+
+def _lsh_tuner_sql() -> str:
+    branches = []
+    for b, r in _LSH_CONFIGS:
+        branches.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band, s,
+             {_lsh_p_expr(b, r)} AS p
+      FROM grid"""
+        )
+    union = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH grid AS (
+      SELECT (CAST(k AS DOUBLE) + 0.5) / 100.0 AS s
+      FROM (SELECT UNNEST(range(0, 100)) AS k)
+    ),
+    allp AS (
+      {union}
+    ),
+    quant AS (
+      SELECT bands, rows_per_band,
+             CAST(FLOOR(CASE WHEN s < {_LSH_THRESH}
+                             THEN p * 0.01 ELSE 0.0 END
+                        * 1.0e12 + 0.5) AS BIGINT) AS fp_pico,
+             CAST(FLOOR(CASE WHEN s >= {_LSH_THRESH}
+                             THEN (1.0 - p) * 0.01 ELSE 0.0 END
+                        * 1.0e12 + 0.5) AS BIGINT) AS fn_pico
+      FROM allp
+    ),
+    agg AS (
+      SELECT bands, rows_per_band, SUM(fp_pico) AS fp_p,
+             SUM(fn_pico) AS fn_p
+      FROM quant GROUP BY 1, 2
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(bands * rows_per_band AS BIGINT) AS n_hashes,
+           FLOOR(CAST(fp_p AS DOUBLE) / 1.0e12 * 1000000.0 + 0.5)
+             / 1000000.0 AS fp_area,
+           FLOOR(CAST(fn_p AS DOUBLE) / 1.0e12 * 1000000.0 + 0.5)
+             / 1000000.0 AS fn_area,
+           FLOOR(CAST(fp_p + fn_p AS DOUBLE) / 1.0e12 * 1000000.0 + 0.5)
+             / 1000000.0 AS total_err,
+           ROW_NUMBER() OVER (ORDER BY fp_p + fn_p ASC,
+                              bands * rows_per_band ASC, bands ASC) = 1
+             AS is_recommended
+    FROM agg
+    """
+
+
+registry.register("lsh_param_tuner", q_lsh_param_tuner, _lsh_tuner_sql())
+
+
+# ---------------------------------------------------------------------------
+# ARI readability profile per language
+# ---------------------------------------------------------------------------
+
+
+def q_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per language: ARI = 4.71·(chars/
+    words) + 0.5·(words/sentences) − 21.43, the syllable-free
+    readability formula (Flesch needs syllable counts — a dictionary
+    problem; ARI is pure counting, which is why data pipelines use it
+    for quality gates next to `gopher_quality`'s stopword/length
+    heuristics).
+
+    Exactness: chars, words (split on space), and sentences
+    (terminator count, floored at 1) are exact integers per doc; each
+    per-doc ARI is a fixed literal-coefficient expression, quantized
+    to micro BEFORE the per-language mean, so the group sums are
+    exact integers and the mean is one division. `_r6`-bounded.
+
+    Scale: in-row string ops + one combinable groupBy — zero-shuffle
+    until the |langs|-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    sentences = F.greatest(
+        F.lit(1),
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), "[.!?]", "")),
+    )
+    ari = (
+        F.lit(4.71) * (chars.cast("double") / words.cast("double"))
+        + F.lit(0.5) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(21.43)
+    )
+    per_doc = docs.select(
+        "lang",
+        words.alias("w"),
+        F.floor(ari * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias(
+            "ari_micro"
+        ),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("ari_micro").alias("s_ari"),
+    )
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        _r6(
+            F.col("s_ari").cast("double")
+            / F.col("n_docs").cast("double")
+            / F.lit(1.0e6)
+        ).alias("mean_ari"),
+    )
+
+
+registry.register(
+    "readability_ari",
+    q_readability_ari,
+    """
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS w,
+             CAST(FLOOR((4.71 * (CAST(length(replace(text, ' ', ''))
+                                      AS DOUBLE)
+                                 / CAST(len(string_split(text, ' '))
+                                        AS DOUBLE))
+                         + 0.5 * (CAST(len(string_split(text, ' '))
+                                       AS DOUBLE)
+                                  / CAST(GREATEST(1,
+                                      length(text)
+                                      - length(regexp_replace(text,
+                                          '[.!?]', '', 'g'))) AS DOUBLE))
+                         - 21.43) * 1.0e6 + 0.5) AS BIGINT) AS ari_micro
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           FLOOR(CAST(SUM(ari_micro) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1.0e6
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_ari
+    FROM per_doc GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Chao1 unseen-vocabulary estimate + Good-Turing discount table
+# ---------------------------------------------------------------------------
+
+
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the corpus vocabulary:
+    D + f₁(f₁−1)/(2(f₂+1)) from the frequency-of-frequencies — "how
+    many token types exist that this sample never saw", the
+    collection-planning number behind `heaps_law_curve` (Heaps says
+    vocabulary still grows; Chao1 says by how much), with the sample
+    coverage estimate 1 − f₁/N alongside.
+
+    Exactness: the frequency-of-frequencies table is two nested exact
+    counts; both estimators are single divisions on exact integers,
+    `_r6`-bounded. Scale: token explode → two combinable groupBys;
+    the f-of-f table is tiny (≤ max count distinct values)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_w = tok.groupBy("w").agg(F.count("*").alias("r"))
+    fof = per_w.groupBy("r").agg(F.count("*").alias("f"))
+    agg = fof.agg(
+        F.sum("f").alias("d_obs"),
+        F.sum(F.col("r") * F.col("f")).alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("f")).otherwise(0)).alias(
+            "f1"
+        ),
+        F.sum(F.when(F.col("r") == 2, F.col("f")).otherwise(0)).alias(
+            "f2"
+        ),
+    )
+    f1d = F.col("f1").cast("double")
+    f2d = F.col("f2").cast("double")
+    chao1 = F.col("d_obs").cast("double") + f1d * (f1d - 1) / (
+        F.lit(2.0) * (f2d + 1)
+    )
+    coverage = F.lit(1.0) - f1d / F.col("n_tokens").cast("double")
+    return agg.select(
+        F.col("d_obs").cast("long").alias("d_obs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        _r6(chao1).alias("chao1_est"),
+        _r6(coverage).alias("coverage"),
+    )
+
+
+registry.register(
+    "chao1_richness",
+    q_chao1_richness,
+    """
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_w AS (
+      SELECT w, COUNT(*) AS r FROM tok WHERE w <> '' GROUP BY 1
+    ),
+    fof AS (SELECT r, COUNT(*) AS f FROM per_w GROUP BY 1),
+    agg AS (
+      SELECT SUM(f) AS d_obs, SUM(r * f) AS n_tokens,
+             SUM(CASE WHEN r = 1 THEN f ELSE 0 END) AS f1,
+             SUM(CASE WHEN r = 2 THEN f ELSE 0 END) AS f2
+      FROM fof
+    )
+    SELECT CAST(d_obs AS BIGINT) AS d_obs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+           FLOOR((CAST(d_obs AS DOUBLE)
+                  + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1)
+                    / (2.0 * (CAST(f2 AS DOUBLE) + 1)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS chao1_est,
+           FLOOR((1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS coverage
+    FROM agg
+    """,
+)
+
+
+def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts r* = (r+1)·N_{r+1}/N_r for the
+    low-frequency vocabulary (r ≤ 10) — the smoothing table
+    `kneser_ney_bigram`'s absolute discount approximates with a
+    constant: GT reads the discount off the frequency-of-frequencies
+    itself, and the r*-vs-r gap per row IS the empirical discount
+    curve. "Low-frequency" is the 10 SMALLEST observed counts (a rank
+    rule — a fixed r ≤ 10 cut goes empty on corpora whose rarest
+    token still repeats, e.g. tiny SFs). Rows with no successor count
+    (N_{r+1} = 0) surface as NULL r* — the sparse-tail failure GT is
+    known for, reported honestly rather than interpolated away.
+
+    Exactness: N_r are exact counts; each r* is one division on
+    exact integers (LEAD over the r-ordered f-of-f table),
+    `_r6`-bounded. Scale: the f-of-f table is max-count-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_w = tok.groupBy("w").agg(F.count("*").alias("r"))
+    fof = per_w.groupBy("r").agg(F.count("*").alias("n_r"))
+    w = Window.orderBy("r")
+    t = fof.select(
+        "r",
+        "n_r",
+        F.when(F.lead("r").over(w) == F.col("r") + 1, F.lead("n_r").over(w))
+        .otherwise(F.lit(None))
+        .alias("n_r1"),
+        F.row_number().over(w).alias("r_rank"),
+    ).filter(F.col("r_rank") <= 10)
+    rstar = (
+        (F.col("r") + 1).cast("double")
+        * F.col("n_r1").cast("double")
+        / F.col("n_r").cast("double")
+    )
+    return t.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.col("n_r1").cast("long").alias("n_r_plus_1"),
+        _r6(rstar).alias("r_star"),
+        _r6(F.col("r").cast("double") - rstar).alias("gt_discount"),
+    )
+
+
+registry.register(
+    "good_turing_counts",
+    q_good_turing_counts,
+    """
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_w AS (
+      SELECT w, COUNT(*) AS r FROM tok WHERE w <> '' GROUP BY 1
+    ),
+    fof AS (SELECT r, COUNT(*) AS n_r FROM per_w GROUP BY 1),
+    t AS (
+      SELECT r, n_r,
+             CASE WHEN LEAD(r) OVER (ORDER BY r) = r + 1
+                  THEN LEAD(n_r) OVER (ORDER BY r) END AS n_r1,
+             ROW_NUMBER() OVER (ORDER BY r) AS r_rank
+      FROM fof
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
+           CAST(n_r1 AS BIGINT) AS n_r_plus_1,
+           FLOOR(CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)
+                 / CAST(n_r AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS r_star,
+           FLOOR((CAST(r AS DOUBLE)
+                  - CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)
+                    / CAST(n_r AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS gt_discount
+    FROM t WHERE r_rank <= 10
+    """,
+)

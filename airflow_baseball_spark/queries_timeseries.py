@@ -3286,7 +3286,7 @@ def q_slo_burn_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one combinable rollup to hour grain, one ordered window on
     a date-bounded table."""
     ev = load_table(spark, sf_dir, "events")
-    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    hour = F.expr("unix_micros(ts) DIV 3600000000")
     hourly = ev.groupBy(hour.alias("h")).agg(
         F.count("*").alias("tot"),
         F.sum(
@@ -3324,7 +3324,7 @@ registry.register(
     q_slo_burn_alert,
     """
     WITH hourly AS (
-      SELECT CAST(epoch(ts) // 3600 AS BIGINT) AS h,
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
              COUNT(*) AS tot,
              SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
       FROM events GROUP BY 1

@@ -303,6 +303,20 @@ _PRIORITY = [
     "isotonic_calibration",
     "ransac_trend",
     "bipartite_butterflies",
+    "group_sequential_obf",
+    "energy_distance",
+    "hilbert_locality",
+    "pr_curve_sweep",
+    "ols_two_factor",
+    "neyman_allocation",
+    "lsh_param_tuner",
+    "slo_burn_alert",
+    "rich_club",
+    "readability_ari",
+    "post_stratification",
+    "sample_size_continuous",
+    "chao1_richness",
+    "good_turing_counts",
 ]
 
 

@@ -943,3 +943,126 @@ def test_ols_two_factor_matches_numpy_lstsq(spark):
         1e-3 * abs(beta[2]), 1.0
     )
     assert 0 <= r.r_squared <= 1
+
+
+def test_neyman_quotas_sum_to_budget(spark):
+    from airflow_baseball_spark.queries_sampling import (
+        q_neyman_allocation,
+    )
+
+    rows = q_neyman_allocation(spark, SF).collect()
+    assert rows
+    assert sum(r.n_alloc for r in rows) == 10000  # exact apportionment
+    assert rows[0].neyman_efficiency >= 1.0 - 1e-6  # Neyman optimality
+    for r in rows:
+        assert r.s_h_cents >= 0 and r.n_alloc >= 0
+
+
+def test_lsh_tuner_scurve_sanity(spark):
+    from airflow_baseball_spark.queries_text import (
+        _LSH_CONFIGS,
+        q_lsh_param_tuner,
+    )
+
+    rows = q_lsh_param_tuner(spark, SF).collect()
+    assert len(rows) == len(_LSH_CONFIGS)
+    assert sum(1 for r in rows if r.is_recommended) == 1
+    for r in rows:
+        assert 0 <= r.fp_area <= 0.7 + 1e-9
+        assert 0 <= r.fn_area <= 0.3 + 1e-9
+        assert abs(r.total_err - (r.fp_area + r.fn_area)) < 2e-6
+    best = next(r for r in rows if r.is_recommended)
+    assert best.total_err == min(r.total_err for r in rows)
+
+
+def test_slo_burn_windows_consistent(spark):
+    from airflow_baseball_spark.queries_timeseries import q_slo_burn_alert
+
+    rows = q_slo_burn_alert(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.err_1h <= r.tot_1h
+        assert r.err_6h <= r.tot_6h
+        assert r.tot_6h >= r.tot_1h  # 6h window includes the hour
+        if r.page_alert:
+            assert r.burn_1h > 14.4 and r.burn_6h > 6.0
+
+
+def test_rich_club_monotone_membership(spark):
+    from airflow_baseball_spark.queries_mining import q_rich_club
+
+    rows = sorted(q_rich_club(spark, SF).collect(), key=lambda r: r.k)
+    assert rows
+    prev_members = None
+    for r in rows:
+        if prev_members is not None:
+            assert r.n_members <= prev_members  # higher cut, fewer members
+        prev_members = r.n_members
+        assert 0 <= r.phi <= 1
+        max_e = r.n_members * (r.n_members - 1) // 2
+        assert r.e_within <= max_e
+
+
+def test_readability_ari_finite_per_lang(spark):
+    from airflow_baseball_spark.queries_text import q_readability_ari
+
+    rows = q_readability_ari(spark, SF).collect()
+    assert rows and {r.lang for r in rows} >= {"en"}
+    for r in rows:
+        assert r.n_words >= r.n_docs
+        assert -30 < r.mean_ari < 100
+
+
+def test_post_stratification_weights_sum(spark):
+    from airflow_baseball_spark.queries_stats import q_post_stratification
+
+    r = q_post_stratification(spark, SF).collect()[0]
+    assert r.c_a <= r.n_a and r.c_b <= r.n_b
+    # both estimates are conversion-rate differences: bounded by 1
+    assert abs(r.raw_delta) <= 1 and abs(r.post_strat_delta) <= 1
+
+
+def test_sample_size_continuous_positive_and_scales(spark):
+    from airflow_baseball_spark.queries_stats import (
+        q_sample_size_continuous,
+    )
+
+    rows = q_sample_size_continuous(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_per_arm > 0
+        assert r.sd_cents > 0
+        # n = 2 (z sigma / 0.02 mu)^2, up to ceil slack
+        expect = 2 * (2.8015852181129683 * r.sd_cents / (0.02 * r.mean_cents)) ** 2
+        assert expect <= r.n_per_arm <= expect + 1
+
+
+def test_chao1_lower_bound_is_observed(spark):
+    from airflow_baseball_spark.queries_text import q_chao1_richness
+
+    r = q_chao1_richness(spark, SF).collect()[0]
+    assert r.chao1_est >= r.d_obs  # estimator only adds unseen mass
+    assert 0 <= r.coverage <= 1
+    assert r.f1 + 2 * r.f2 <= r.n_tokens
+
+
+def test_good_turing_discount_positive_for_singletons(spark):
+    from airflow_baseball_spark.queries_text import q_good_turing_counts
+
+    rows = sorted(q_good_turing_counts(spark, SF).collect(), key=lambda r: r.r)
+    assert 0 < len(rows) <= 10  # the 10 smallest observed counts
+    for r in rows:
+        assert r.n_r > 0
+        if r.n_r_plus_1 is not None:
+            assert r.r_star >= 0
+
+
+def test_croston_unrolled_is_jvm_only(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_croston_intermittent,
+    )
+    from tests.oracle_harness import plan_str
+
+    plan = plan_str(q_croston_intermittent(spark, SF))
+    assert "FlatMapGroupsInPandas" not in plan  # the 42s anti-pattern
+    assert "EvalPython" not in plan
