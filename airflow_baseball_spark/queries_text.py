@@ -4985,47 +4985,43 @@ registry.register(
 
 def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classification quality of the embedding space: for every
-    10th vector, find its exact cosine top-5 among the rest of the
-    corpus, predict the majority label of those neighbors (ties →
-    smallest label id), and report per-true-label accuracy — the
-    label-consistency probe run on every new embedding model before
-    anyone trusts `cosine_topk` retrieval with it (high accuracy =
-    the space clusters by label; near-chance = the labels are not
-    linearly reachable and ANN serving won't help).
+    10th vector under id 5000 (the cosine_topk driver-collect cap —
+    the query sample must be O(1) w.r.t. the corpus), find its exact
+    cosine top-5 among the rest of the corpus, predict the majority
+    label of those neighbors (ties → smallest label id), and report
+    per-true-label accuracy — the label-consistency probe run on
+    every new embedding model before anyone trusts `cosine_topk`
+    retrieval with it (high accuracy = the space clusters by label;
+    near-chance = the labels are not linearly reachable and ANN
+    serving won't help).
 
-    Shapes: ONE broadcast of the bounded query sample against the
-    corpus scan (the `mutual_knn_pairs` scoring shape — never an
-    unblocked self-join); the vote and the argmax are windows over
+    Shapes: the scoring rides similarity.cosine_topk — ONE bounded
+    query matrix against the corpus scan with per-partition partial
+    top-5 and a lossless merge (never an unblocked self-join, and the
+    matmul is one numpy pass per Arrow batch — the first cut computed
+    2.5M cosines through interpreted higher-order lambdas, 8.5 s at
+    sf0.1 vs ~1 s batched). Votes and the argmax are windows over
     ≤5-row groups; output is |labels| rows. Exactness: cosines are
-    round(·,6) doubles from the shared JVM expression; votes and
+    round(·,6) doubles (the cosine_topk convention); votes and
     accuracy are integers (acc_micro = correct·1e6 DIV n)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+    qs = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000)
+    )
+    top5 = similarity.cosine_topk(emb, qs, k=5)
+    nbr = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nbr_label"),
+    )
+    qlbl = emb.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
         F.col("label").alias("true_label"),
     )
-    scored = (
-        emb.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "true_label",
-            F.col("label").alias("nbr_label"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                similarity.cosine(F.col("qv"), F.col("embedding")), 6
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= 5
-    )
-    votes = top5.groupBy("query_id", "true_label", "nbr_label").agg(
-        F.count("*").alias("v")
+    votes = (
+        top5.join(F.broadcast(nbr), "neighbor_id")
+        .join(F.broadcast(qlbl), "query_id")
+        .groupBy("query_id", "true_label", "nbr_label")
+        .agg(F.count("*").alias("v"))
     )
     wv = Window.partitionBy("query_id").orderBy(
         F.col("v").desc(), F.col("nbr_label").asc()
@@ -5055,7 +5051,7 @@ def _knn_label_sql() -> str:
     return f"""
     WITH qs AS (
       SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-      FROM embeddings WHERE vec_id % 10 = 0
+      FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 5000
     ),
     scored AS (
       SELECT q.query_id, q.true_label, e.label AS nbr_label,
