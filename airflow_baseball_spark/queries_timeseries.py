@@ -3347,3 +3347,186 @@ registry.register(
     FROM t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi 2-state HMM regime decode (exact integer max-sum DP)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# log-probabilities as micro-nat BIGINT literals, floored once in
+# Python so both engines share byte-identical integer weights
+_VIT_LT_SAME = _math.floor(_math.log(0.9) * 1e6)  # stay in regime
+_VIT_LT_SWITCH = _math.floor(_math.log(0.1) * 1e6)  # switch regime
+_VIT_LE_MATCH = _math.floor(_math.log(0.8) * 1e6)  # obs agrees w/ state
+_VIT_LE_MISS = _math.floor(_math.log(0.2) * 1e6)  # obs disagrees
+
+
+def q_viterbi_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decode of a 2-state (low/high) revenue-regime HMM over
+    each nation's daily series — the MAP state PATH, which is what
+    `hysteresis_episodes`' threshold rule approximates without a
+    model: Viterbi trades isolated threshold crossings against the
+    switch penalty globally, so one noisy day cannot break a regime.
+
+    Observations are "day above the nation's median" (lower-median
+    rank rule — exact). All weights are micro-nat INTEGER literals
+    (floored once in Python, shared by both engines), so the forward
+    max-sum DP and the backpointer walk are pure integer arithmetic
+    with a fixed tie rule (prefer state 0) — bit-exact by
+    construction, no floats anywhere in the decode.
+
+    Scale: one nation-keyed exchange; each group is days-sized, the
+    honest applyInPandas tier for a genuine forward-backward
+    recurrence (the oracle replays it as TWO recursive CTEs: forward
+    scores+backpointers, then the backward path walk)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    daily = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("y_cents")
+        )
+    )
+    wr = Window.partitionBy("nationkey").orderBy("y_cents", "d")
+    wn = Window.partitionBy("nationkey")
+    med = (
+        daily.withColumn("vrn", F.row_number().over(wr))
+        .withColumn("ng", F.count("*").over(wn))
+        .filter(F.col("vrn") == F.expr("(ng + 1) DIV 2"))
+        .select("nationkey", F.col("y_cents").alias("med"))
+    )
+    obs_df = daily.join(F.broadcast(med), "nationkey").select(
+        "nationkey",
+        "d",
+        "y_cents",
+        (F.col("y_cents") > F.col("med")).cast("int").alias("obs"),
+    )
+
+    lt_same, lt_switch = _VIT_LT_SAME, _VIT_LT_SWITCH
+    le_match, le_miss = _VIT_LE_MATCH, _VIT_LE_MISS
+
+    def viterbi_group(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        obs = [int(o) for o in pdf["obs"]]
+
+        def le(state, o):
+            return le_match if state == o else le_miss
+
+        v0 = le(0, obs[0])
+        v1 = le(1, obs[0])
+        bps = [(0, 0)]
+        for o in obs[1:]:
+            c00, c10 = v0 + lt_same, v1 + lt_switch
+            c01, c11 = v0 + lt_switch, v1 + lt_same
+            bp0 = 0 if c00 >= c10 else 1
+            bp1 = 0 if c01 >= c11 else 1
+            v0, v1 = max(c00, c10) + le(0, o), max(c01, c11) + le(1, o)
+            bps.append((bp0, bp1))
+        state = 0 if v0 >= v1 else 1
+        path = [state]
+        for t in range(len(obs) - 1, 0, -1):
+            state = bps[t][state]
+            path.append(state)
+        path.reverse()
+        out = pdf[["nationkey", "d", "y_cents", "obs"]].copy()
+        out["regime"] = path
+        return out
+
+    return obs_df.groupBy("nationkey").applyInPandas(
+        viterbi_group,
+        "nationkey long, d date, y_cents long, obs int, regime int",
+    )
+
+
+def _viterbi_sql() -> str:
+    lt_same, lt_switch = _VIT_LT_SAME, _VIT_LT_SWITCH
+    le_match, le_miss = _VIT_LE_MATCH, _VIT_LE_MISS
+    le0 = f"(CASE WHEN {{o}} = 0 THEN {le_match} ELSE {le_miss} END)"
+    le1 = f"(CASE WHEN {{o}} = 1 THEN {le_match} ELSE {le_miss} END)"
+    # The forward pass CARRIES its backpointer trail as a list (the
+    # holt_winters ring idiom): a second recursive CTE that joined the
+    # forward CTE directly would re-evaluate the whole forward
+    # recursion once per backward step (measured minutes, quadratic);
+    # walking a materialized per-nation list is linear.
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    med AS MATERIALIZED (
+      SELECT nationkey, y_cents AS med FROM (
+        SELECT nationkey, y_cents,
+               ROW_NUMBER() OVER (PARTITION BY nationkey
+                                  ORDER BY y_cents, d) AS vrn,
+               COUNT(*) OVER (PARTITION BY nationkey) AS ng
+        FROM daily
+      ) WHERE vrn = (ng + 1) // 2
+    ),
+    seq AS MATERIALIZED (
+      SELECT dy.nationkey, dy.d, dy.y_cents,
+             CASE WHEN dy.y_cents > m.med THEN 1 ELSE 0 END AS obs,
+             ROW_NUMBER() OVER (PARTITION BY dy.nationkey
+                                ORDER BY dy.d) AS rn,
+             COUNT(*) OVER (PARTITION BY dy.nationkey) AS n_rows
+      FROM daily dy JOIN med m ON dy.nationkey = m.nationkey
+    ),
+    fwd(nationkey, rn, n_rows, v0, v1, bps) AS (
+      SELECT nationkey, rn, n_rows,
+             CAST({le0.format(o="obs")} AS BIGINT),
+             CAST({le1.format(o="obs")} AS BIGINT),
+             [0]
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT n.nationkey, n.rn, n.n_rows,
+             GREATEST(w.v0 + {lt_same}, w.v1 + {lt_switch})
+               + {le0.format(o="n.obs")},
+             GREATEST(w.v0 + {lt_switch}, w.v1 + {lt_same})
+               + {le1.format(o="n.obs")},
+             list_append(w.bps,
+               (CASE WHEN w.v0 + {lt_same} >= w.v1 + {lt_switch}
+                     THEN 0 ELSE 1 END) * 2
+               + (CASE WHEN w.v0 + {lt_switch} >= w.v1 + {lt_same}
+                       THEN 0 ELSE 1 END))
+      FROM fwd w JOIN seq n
+        ON n.nationkey = w.nationkey AND n.rn = w.rn + 1
+    ),
+    final AS MATERIALIZED (
+      SELECT nationkey, n_rows, v0, v1, bps
+      FROM fwd WHERE rn = n_rows
+    ),
+    back(nationkey, rn, state) AS (
+      SELECT nationkey, n_rows,
+             CASE WHEN v0 >= v1 THEN 0 ELSE 1 END
+      FROM final
+      UNION ALL
+      SELECT b.nationkey, b.rn - 1,
+             CASE WHEN b.state = 0 THEN f.bps[b.rn] // 2
+                  ELSE f.bps[b.rn] % 2 END
+      FROM back b JOIN final f ON f.nationkey = b.nationkey
+      WHERE b.rn > 1
+    )
+    SELECT s.nationkey, s.d, s.y_cents, CAST(s.obs AS INT) AS obs,
+           CAST(b.state AS INT) AS regime
+    FROM seq s JOIN back b
+      ON s.nationkey = b.nationkey AND s.rn = b.rn
+    """
+
+
+registry.register("viterbi_regime", q_viterbi_regime, _viterbi_sql())

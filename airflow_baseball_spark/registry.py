@@ -317,6 +317,7 @@ _PRIORITY = [
     "sample_size_continuous",
     "chao1_richness",
     "good_turing_counts",
+    "viterbi_regime",
 ]
 
 

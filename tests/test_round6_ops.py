@@ -1066,3 +1066,28 @@ def test_croston_unrolled_is_jvm_only(spark):
     plan = plan_str(q_croston_intermittent(spark, SF))
     assert "FlatMapGroupsInPandas" not in plan  # the 42s anti-pattern
     assert "EvalPython" not in plan
+
+
+def test_viterbi_regime_path_properties(spark):
+    from airflow_baseball_spark.queries_timeseries import q_viterbi_regime
+
+    rows = q_viterbi_regime(spark, SF).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        assert r.regime in (0, 1) and r.obs in (0, 1)
+        by_nation.setdefault(r.nationkey, []).append(r)
+    # the decoded path smooths: switches are rarer than obs flips
+    for series in by_nation.values():
+        series.sort(key=lambda r: r.d)
+        obs_flips = sum(
+            1
+            for a, b in zip(series, series[1:])
+            if a.obs != b.obs
+        )
+        regime_flips = sum(
+            1
+            for a, b in zip(series, series[1:])
+            if a.regime != b.regime
+        )
+        assert regime_flips <= obs_flips
