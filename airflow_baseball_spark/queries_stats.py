@@ -3773,3 +3773,91 @@ registry.register(
     FROM g
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (rank-to-reference mapping)
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize click values onto the purchase value
+    distribution: for each of 20 rank ventiles, the click ventile
+    value and the purchase value at the SAME rank depth — the
+    rank-preserving re-mapping feature pipelines use to make two
+    sources comparable when their marginals drift but their orderings
+    mean the same thing (`qq_table`'s plot, made actionable as a
+    lookup table).
+
+    Exactness: both ventile values are rank-rule picks (the value at
+    row ⌈q·n/20⌉ in sorted order — no interpolation, no floats except
+    the final shift ratio), so every output is an exact integer cent
+    or one division. Scale: two rank windows over value-sorted
+    classes — the same shuffle a global sort would pay, done once."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    vals = ev.select(F.col("event_type").alias("cls"), cents.alias("x"))
+    wr = Window.partitionBy("cls").orderBy("x")
+    wn = Window.partitionBy("cls")
+    ranked = vals.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    ventiles = spark.range(1, 21).select(F.col("id").alias("q"))
+    picks = (
+        ranked.select("cls", "rn", "n", "x")
+        .join(F.broadcast(ventiles))
+        .filter(F.col("rn") == F.expr("CAST((q * n + 19) DIV 20 AS BIGINT)"))
+        .groupBy("q")
+        .agg(
+            F.max(F.when(F.col("cls") == "click", F.col("x"))).alias(
+                "click_cents"
+            ),
+            F.max(
+                F.when(F.col("cls") == "purchase", F.col("x"))
+            ).alias("purchase_cents"),
+        )
+    )
+    return picks.select(
+        F.col("q").cast("long").alias("ventile"),
+        "click_cents",
+        "purchase_cents",
+        _r6(
+            F.col("purchase_cents").cast("double")
+            / F.col("click_cents").cast("double")
+        ).alias("map_ratio"),
+    )
+
+
+registry.register(
+    "quantile_normalize",
+    q_quantile_normalize,
+    """
+    WITH vals AS (
+      SELECT event_type AS cls,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    ranked AS (
+      SELECT cls, x,
+             ROW_NUMBER() OVER (PARTITION BY cls ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY cls) AS n
+      FROM vals
+    ),
+    ventiles AS (SELECT UNNEST(range(1, 21)) AS q),
+    picks AS (
+      SELECT q,
+             MAX(CASE WHEN cls = 'click' THEN x END) AS click_cents,
+             MAX(CASE WHEN cls = 'purchase' THEN x END) AS purchase_cents
+      FROM ventiles v JOIN ranked r
+        ON r.rn = CAST((v.q * r.n + 19) // 20 AS BIGINT)
+      GROUP BY 1
+    )
+    SELECT CAST(q AS BIGINT) AS ventile, click_cents, purchase_cents,
+           FLOOR(CAST(purchase_cents AS DOUBLE)
+                 / CAST(click_cents AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS map_ratio
+    FROM picks
+    """,
+)
