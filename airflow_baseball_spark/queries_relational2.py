@@ -3661,3 +3661,283 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram (DP over chained joins)
+# ---------------------------------------------------------------------------
+
+_VOPT_CELLS = 64
+_VOPT_BUCKETS = 8
+
+
+def q_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal 8-bucket histogram of order value — the
+    minimum-variance bucket boundaries a query optimizer's statistics
+    collector computes (equi-width and equi-depth histograms
+    (`value_histogram`, `equi_depth_bins`) bound errors poorly on
+    skewed columns; v-optimal minimizes total within-bucket SSE, the
+    provably best piecewise-constant summary).
+
+    The classic DP D(i,k) = min_j D(j,k−1) + SSE(j+1..i) runs as
+    k−1 CHAINED JOINS over the 64-cell prefix table — no recursion,
+    no driver loop beyond plan construction: each stage is a
+    cells²-row join (bounded by the summary resolution, not the fact
+    table), and the winning boundary list rides along as an array.
+
+    Exactness: cells carry exact integer (n, Σ, Σ² as DECIMAL)
+    sufficient statistics; every segment SSE is quantized to
+    micro-units BEFORE any min, so stage comparisons are pure integer
+    (ties → smaller boundary); the only floats are the reported
+    per-bucket SSE/mean. Scale: one combinable fact pass to 64 cells;
+    the DP is resolution-bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    vals = orders.select(cents.alias("x"))
+    mm = vals.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    celled = vals.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            f"CAST((x - mn) * {_VOPT_CELLS} DIV (mx - mn + 1) AS INT) + 1"
+        ).alias("c"),
+        "x",
+    )
+    cells = (
+        celled.groupBy("c")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
+                "q"
+            ),
+        )
+    )
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    pref = cells.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).alias("rn"),
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("s").over(wc).alias("cs"),
+        F.sum("q").over(wc).alias("cq"),
+    ).localCheckpoint()
+    lo = pref.select(
+        F.col("rn").alias("j"),
+        F.col("cn").alias("cn_lo"),
+        F.col("cs").alias("cs_lo"),
+        F.col("cq").alias("cq_lo"),
+    )
+    zero = spark.range(1).select(
+        F.lit(0).alias("j"),
+        F.lit(0).cast("long").alias("cn_lo"),
+        F.lit(0).cast("long").alias("cs_lo"),
+        F.lit(0).cast("decimal(38,0)").alias("cq_lo"),
+    )
+    lo = lo.unionByName(zero)
+    hi = pref.select(
+        F.col("rn").alias("i"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cs").alias("cs_hi"),
+        F.col("cq").alias("cq_hi"),
+    )
+    nseg = (F.col("cn_hi") - F.col("cn_lo")).cast("double")
+    sseg = (F.col("cs_hi") - F.col("cs_lo")).cast("double")
+    qseg = (F.col("cq_hi") - F.col("cq_lo")).cast("double")
+    sse = qseg - sseg * sseg / nseg
+    seg = (
+        hi.join(F.broadcast(lo), F.col("i") > F.col("j"))
+        .select(
+            "j",
+            "i",
+            F.floor(sse + F.lit(0.5))
+            .cast("decimal(38,0)")
+            .alias("cost_q"),
+        )
+        .localCheckpoint()
+    )
+    # stage 1: D(i, 1) = cost(1..i)
+    d = seg.filter(F.col("j") == 0).select(
+        "i",
+        F.col("cost_q").alias("total_q"),
+        F.array().cast("array<int>").alias("bounds"),
+    )
+    for _k in range(2, _VOPT_BUCKETS + 1):
+        cand = d.select(
+            F.col("i").alias("j"),
+            F.col("total_q").alias("prev_q"),
+            "bounds",
+        ).join(seg, "j")
+        wmin = Window.partitionBy("i").orderBy(
+            (F.col("prev_q") + F.col("cost_q")).asc(), F.col("j").asc()
+        )
+        d = (
+            cand.withColumn("rk", F.row_number().over(wmin))
+            .filter(F.col("rk") == 1)
+            .select(
+                "i",
+                (F.col("prev_q") + F.col("cost_q")).alias("total_q"),
+                F.array_append("bounds", F.col("j").cast("int")).alias(
+                    "bounds"
+                ),
+            )
+        )
+    n_cells = pref.agg(
+        F.max("rn").alias("mx_rn"), F.max("cn").alias("mx_cn")
+    )
+    final = d.join(
+        F.broadcast(n_cells), d["i"] == F.col("mx_rn")
+    ).select("total_q", "bounds", "mx_rn", "mx_cn")
+    buckets = final.select(
+        "total_q",
+        "mx_rn",
+        "mx_cn",
+        F.posexplode(
+            F.concat("bounds", F.array(F.col("mx_rn").cast("int")))
+        ).alias("k0", "end_rn"),
+    ).select(
+        (F.col("k0") + 1).alias("bucket"),
+        "end_rn",
+        F.lag("end_rn", 1, 0)
+        .over(Window.orderBy("k0"))
+        .alias("start_rn0"),
+        "total_q",
+        "mx_cn",
+    )
+    out = (
+        buckets.join(
+            pref.select(
+                F.col("rn").alias("end_rn"),
+                F.col("cn").alias("cn_hi"),
+                F.col("cs").alias("cs_hi"),
+                F.col("cq").alias("cq_hi"),
+                F.col("c").alias("cell_hi"),
+            ),
+            "end_rn",
+        )
+        .join(
+            F.broadcast(
+                lo.select(
+                    F.col("j").alias("start_rn0"),
+                    "cn_lo",
+                    "cs_lo",
+                    "cq_lo",
+                )
+            ),
+            "start_rn0",
+        )
+    )
+    nb = (F.col("cn_hi") - F.col("cn_lo")).cast("double")
+    sb = (F.col("cs_hi") - F.col("cs_lo")).cast("double")
+    qb = (F.col("cq_hi") - F.col("cq_lo")).cast("double")
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cell_hi").cast("long").alias("cell_hi"),
+        (F.col("cn_hi") - F.col("cn_lo")).cast("long").alias("n_rows"),
+        _r6(sb / nb).alias("bucket_mean_cents"),
+        _r6(F.sqrt((qb - sb * sb / nb) / nb)).alias("bucket_sd_cents"),
+        _r6(
+            F.sqrt(
+                F.col("total_q").cast("double")
+                / F.col("mx_cn").cast("double")
+            )
+        ).alias("total_within_sd_cents"),
+    )
+
+
+def _vopt_sql() -> str:
+    c, b = _VOPT_CELLS, _VOPT_BUCKETS
+    stages = []
+    for k in range(2, b + 1):
+        stages.append(f"""d{k} AS (
+      SELECT i, total_q, bounds FROM (
+        SELECT s.i, p.total_q + s.cost_q AS total_q,
+               list_append(p.bounds, CAST(p.i AS INT)) AS bounds,
+               ROW_NUMBER() OVER (PARTITION BY s.i
+                                  ORDER BY p.total_q + s.cost_q ASC,
+                                           p.i ASC) AS rk
+        FROM d{k - 1} p JOIN seg s ON s.j = p.i
+      ) WHERE rk = 1
+    )""")
+    stage_sql = ",\n    ".join(stages)
+    return f"""
+    WITH vals AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS x
+      FROM orders
+    ),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM vals),
+    cells AS (
+      SELECT CAST((x - mn) * {c} // (mx - mn + 1) AS INT) + 1 AS c,
+             COUNT(*) AS n, SUM(x) AS s,
+             SUM(CAST(x AS HUGEINT) * x) AS q
+      FROM vals CROSS JOIN mm GROUP BY 1
+    ),
+    pref AS MATERIALIZED (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+             SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(s) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cs,
+             SUM(q) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cq
+      FROM cells
+    ),
+    lo AS (
+      SELECT rn AS j, cn AS cn_lo, cs AS cs_lo, cq AS cq_lo FROM pref
+      UNION ALL
+      SELECT 0, 0, 0, CAST(0 AS HUGEINT)
+    ),
+    seg AS MATERIALIZED (
+      SELECT lo.j, hi.rn AS i,
+             CAST(FLOOR((CAST(hi.cq - lo.cq_lo AS DOUBLE)
+                         - CAST(hi.cs - lo.cs_lo AS DOUBLE)
+                           * CAST(hi.cs - lo.cs_lo AS DOUBLE)
+                           / CAST(hi.cn - lo.cn_lo AS DOUBLE))
+                        + 0.5) AS HUGEINT) AS cost_q
+      FROM pref hi JOIN lo ON hi.rn > lo.j
+    ),
+    d1 AS (
+      SELECT i, cost_q AS total_q, CAST([] AS INT[]) AS bounds
+      FROM seg WHERE j = 0
+    ),
+    {stage_sql},
+    final AS (
+      SELECT total_q, bounds, (SELECT MAX(rn) FROM pref) AS mx_rn,
+             (SELECT MAX(cn) FROM pref) AS mx_cn
+      FROM d{b} WHERE i = (SELECT MAX(rn) FROM pref)
+    ),
+    buckets AS (
+      SELECT k0 + 1 AS bucket, end_rn,
+             COALESCE(LAG(end_rn) OVER (ORDER BY k0), 0) AS start_rn0,
+             total_q, mx_cn
+      FROM (
+        SELECT total_q, mx_cn,
+               UNNEST(list_append(bounds, CAST(mx_rn AS INT)))
+                 AS end_rn,
+               GENERATE_SUBSCRIPTS(
+                 list_append(bounds, CAST(mx_rn AS INT)), 1) - 1 AS k0
+        FROM final
+      )
+    )
+    SELECT CAST(bk.bucket AS BIGINT) AS bucket,
+           CAST(p.c AS BIGINT) AS cell_hi,
+           CAST(p.cn - l.cn_lo AS BIGINT) AS n_rows,
+           FLOOR(CAST(p.cs - l.cs_lo AS DOUBLE)
+                 / CAST(p.cn - l.cn_lo AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS bucket_mean_cents,
+           FLOOR(sqrt((CAST(p.cq - l.cq_lo AS DOUBLE)
+                       - CAST(p.cs - l.cs_lo AS DOUBLE)
+                         * CAST(p.cs - l.cs_lo AS DOUBLE)
+                         / CAST(p.cn - l.cn_lo AS DOUBLE))
+                      / CAST(p.cn - l.cn_lo AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS bucket_sd_cents,
+           FLOOR(sqrt(CAST(bk.total_q AS DOUBLE)
+                      / CAST(bk.mx_cn AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+             AS total_within_sd_cents
+    FROM buckets bk
+    JOIN pref p ON p.rn = bk.end_rn
+    JOIN lo l ON l.j = bk.start_rn0
+    """
+
+
+registry.register(
+    "voptimal_histogram", q_voptimal_histogram, _vopt_sql()
+)

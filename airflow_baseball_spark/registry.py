@@ -318,6 +318,8 @@ _PRIORITY = [
     "chao1_richness",
     "good_turing_counts",
     "viterbi_regime",
+    "quantile_normalize",
+    "voptimal_histogram",
 ]
 
 

@@ -1091,3 +1091,50 @@ def test_viterbi_regime_path_properties(spark):
             if a.regime != b.regime
         )
         assert regime_flips <= obs_flips
+
+
+def test_quantile_normalize_monotone_mapping(spark):
+    from airflow_baseball_spark.queries_stats import q_quantile_normalize
+
+    rows = sorted(
+        q_quantile_normalize(spark, SF).collect(), key=lambda r: r.ventile
+    )
+    assert len(rows) == 20
+    prev_c = prev_p = 0
+    for r in rows:
+        assert r.click_cents >= prev_c  # rank mapping is monotone
+        assert r.purchase_cents >= prev_p
+        prev_c, prev_p = r.click_cents, r.purchase_cents
+
+
+def test_voptimal_beats_equiwidth(spark):
+    import math
+
+    from airflow_baseball_spark.queries_relational2 import (
+        q_voptimal_histogram,
+    )
+    from airflow_baseball_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        q_voptimal_histogram(spark, SF).collect(), key=lambda r: r.bucket
+    )
+    assert len(rows) == 8
+    # buckets partition the cells in order
+    cells = [r.cell_hi for r in rows]
+    assert cells == sorted(cells)
+    # v-optimal total within-variance must not exceed the naive
+    # single-bucket variance (k=8 refines k=1)
+    orders = load_table(spark, SF, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    stats = orders.agg(
+        F.count("*").alias("n"),
+        F.avg(cents).alias("mu"),
+        F.var_pop(cents).alias("v"),
+    ).collect()[0]
+    sd_all = math.sqrt(stats.v)
+    assert rows[0].total_within_sd_cents <= sd_all + 1.0
+    total_n = sum(r.n_rows for r in rows)
+    assert total_n == stats.n
