@@ -3530,3 +3530,206 @@ def _viterbi_sql() -> str:
 
 
 registry.register("viterbi_regime", q_viterbi_regime, _viterbi_sql())
+
+
+# ---------------------------------------------------------------------------
+# Banded dynamic-time-warping distance between paired nation series
+# ---------------------------------------------------------------------------
+
+_DTW_BAND = 3  # Sakoe-Chiba half-width
+_DTW_INF = 4 * 10**15  # unreachable-cell sentinel, far above any real path
+
+
+def q_dtw_band_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (Sakoe-Chiba, |i−j| ≤ 3) dynamic-time-warping distance
+    between the weekly revenue series of nation pairs (2k, 2k+1) —
+    the alignment-tolerant series distance `cross_correlation` only
+    approximates with integer lags: DTW absorbs local speed-ups (a
+    promo landing a week later in one market) that shift-by-constant
+    comparison punishes.
+
+    Exactness: both series are gap-filled integer weekly cents on the
+    shared global week spine; every DP cell is exact integer
+    arithmetic (|a−b| costs, LEAST over three predecessors, an
+    integer INF sentinel for out-of-band cells), so the distance is
+    a BIGINT — the normalized per-step column is the single division.
+
+    Scale: series are calendar-bounded (not fact-sized); the walk is
+    a genuine sequential recurrence → honest applyInPandas per pair,
+    with the oracle replaying it as a recursive CTE that carries the
+    7-cell band as a list and unrolls the within-row left-to-right
+    dependency as chained LATERALs."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    wk = F.expr(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-05') DIV 7"
+    )
+    weekly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"), wk.alias("wk"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    spine = weekly.select("wk").distinct()
+    nations = weekly.select("nationkey").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(nations))
+        .join(weekly, ["nationkey", "wk"], "left")
+        .select(
+            "nationkey", "wk", F.coalesce("y", F.lit(0)).alias("y")
+        )
+    )
+    a_side = dense.filter(F.col("nationkey") % 2 == 0).select(
+        (F.col("nationkey") / 2).cast("long").alias("pair_id"),
+        "wk",
+        F.col("y").alias("a"),
+    )
+    b_side = dense.filter(F.col("nationkey") % 2 == 1).select(
+        (F.col("nationkey") / 2).cast("long").alias("pair_id"),
+        "wk",
+        F.col("y").alias("b"),
+    )
+    series = a_side.join(b_side, ["pair_id", "wk"])
+
+    band, inf = _DTW_BAND, _DTW_INF
+
+    def dtw_group(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        pdf = pdf.sort_values("wk").reset_index(drop=True)
+        a = [int(v) for v in pdf["a"]]
+        b = [int(v) for v in pdf["b"]]
+        n = len(a)
+        width = 2 * band + 1
+        prev = [inf] * width
+        prev[band] = 0  # virtual D(0,0)
+        for i in range(1, n + 1):
+            cur = [inf] * width
+            for k in range(width):
+                j = i - band + k
+                if j < 1 or j > n:
+                    continue
+                up = prev[k + 1] if k + 1 < width else inf
+                diag = prev[k]
+                left = cur[k - 1] if k >= 1 else inf
+                best = min(up, diag, left)
+                if best >= inf:
+                    continue
+                cur[k] = min(best + abs(a[i - 1] - b[j - 1]), inf)
+            prev = cur
+        d = prev[band]
+        return pd.DataFrame(
+            {
+                "pair_id": [int(pdf["pair_id"].iloc[0])],
+                "n_weeks": [n],
+                "dtw_cents": [d],
+            }
+        )
+
+    walked = series.groupBy("pair_id").applyInPandas(
+        dtw_group, "pair_id long, n_weeks long, dtw_cents long"
+    )
+    return walked.select(
+        "pair_id",
+        "n_weeks",
+        "dtw_cents",
+        _r6(
+            F.col("dtw_cents").cast("double")
+            / F.col("n_weeks").cast("double")
+        ).alias("dtw_per_step"),
+    )
+
+
+def _dtw_sql() -> str:
+    band, inf = _DTW_BAND, _DTW_INF
+    width = 2 * band + 1
+    # blist[k] = b at j = i - band - 1 + k, built from lag/lead
+    bcols = []
+    for k in range(1, width + 1):
+        off = k - band - 1
+        if off < 0:
+            bcols.append(f"LAG(b, {-off}) OVER w")
+        elif off == 0:
+            bcols.append("b")
+        else:
+            bcols.append(f"LEAD(b, {off}) OVER w")
+    blist = "[" + ", ".join(bcols) + "]"
+    # chained LATERALs: c1..c7 with the left-neighbor dependency
+    laterals = []
+    for k in range(1, width + 1):
+        up = f"w.d[{k + 1}]" if k + 1 <= width else str(inf)
+        diag = f"w.d[{k}]"
+        left = f"x{k - 1}.c{k - 1}" if k >= 2 else str(inf)
+        cell = f"""CASE
+            WHEN n.rn - {band + 1} + {k} < 1
+              OR n.rn - {band + 1} + {k} > n.n_weeks
+              OR n.blist[{k}] IS NULL THEN {inf}
+            WHEN LEAST({up}, {diag}, {left}) >= {inf} THEN {inf}
+            ELSE LEAST(LEAST({up}, {diag}, {left})
+                       + ABS(n.a - n.blist[{k}]), {inf})
+          END AS c{k}"""
+        laterals.append(f"LATERAL (SELECT {cell}) x{k}")
+    lateral_sql = ",\n      ".join(laterals)
+    dlist = "[" + ", ".join(f"x{k}.c{k}" for k in range(1, width + 1)) + "]"
+    init = "[" + ", ".join(
+        "0" if k == band + 1 else str(inf) for k in range(1, width + 1)
+    ) + "]"
+    return f"""
+    WITH RECURSIVE weekly AS MATERIALIZED (
+      SELECT c.c_nationkey AS nationkey,
+             datediff('day', DATE '1970-01-05',
+                      CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    spine AS (SELECT DISTINCT wk FROM weekly),
+    nations AS (SELECT DISTINCT nationkey FROM weekly),
+    dense AS (
+      SELECT n.nationkey, s.wk, COALESCE(w.y, 0) AS y
+      FROM spine s CROSS JOIN nations n
+      LEFT JOIN weekly w
+        ON w.nationkey = n.nationkey AND w.wk = s.wk
+    ),
+    series AS MATERIALIZED (
+      SELECT a.pair_id, a.wk, a.a, b.b
+      FROM (SELECT nationkey // 2 AS pair_id, wk, y AS a
+            FROM dense WHERE nationkey % 2 = 0) a
+      JOIN (SELECT nationkey // 2 AS pair_id, wk, y AS b
+            FROM dense WHERE nationkey % 2 = 1) b
+        ON a.pair_id = b.pair_id AND a.wk = b.wk
+    ),
+    seq AS MATERIALIZED (
+      SELECT pair_id, a,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY pair_id) AS n_weeks,
+             {blist} AS blist
+      FROM series
+      WINDOW w AS (PARTITION BY pair_id ORDER BY wk)
+    ),
+    walk(pair_id, rn, n_weeks, d) AS (
+      SELECT pair_id, 0, n_weeks, {init}
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT n.pair_id, n.rn, n.n_weeks, {dlist}
+      FROM walk w
+      JOIN seq n ON n.pair_id = w.pair_id AND n.rn = w.rn + 1,
+      {lateral_sql}
+    )
+    SELECT pair_id, CAST(n_weeks AS BIGINT) AS n_weeks,
+           CAST(d[{band + 1}] AS BIGINT) AS dtw_cents,
+           FLOOR(CAST(d[{band + 1}] AS DOUBLE)
+                 / CAST(n_weeks AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS dtw_per_step
+    FROM walk WHERE rn = n_weeks
+    """
+
+
+registry.register("dtw_band_distance", q_dtw_band_distance, _dtw_sql())

@@ -320,6 +320,7 @@ _PRIORITY = [
     "viterbi_regime",
     "quantile_normalize",
     "voptimal_histogram",
+    "dtw_band_distance",
 ]
 
 

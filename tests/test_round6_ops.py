@@ -1138,3 +1138,45 @@ def test_voptimal_beats_equiwidth(spark):
     assert rows[0].total_within_sd_cents <= sd_all + 1.0
     total_n = sum(r.n_rows for r in rows)
     assert total_n == stats.n
+
+
+def test_dtw_band_bounds(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_dtw_band_distance,
+    )
+    from airflow_baseball_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    rows = q_dtw_band_distance(spark, SF).collect()
+    assert rows
+    # DTW with a band is bounded above by the diagonal (lockstep) cost
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    weekly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-05')"
+                " DIV 7"
+            ).alias("wk"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT)"
+            ).alias("y")
+        )
+        .collect()
+    )
+    series = {}
+    weeks = sorted({r.wk for r in weekly})
+    for r in weekly:
+        series.setdefault(r.nationkey, {})[r.wk] = r.y
+    for row in rows:
+        a = [series.get(2 * row.pair_id, {}).get(w, 0) for w in weeks]
+        b = [series.get(2 * row.pair_id + 1, {}).get(w, 0) for w in weeks]
+        lockstep = sum(abs(x - y) for x, y in zip(a, b))
+        assert 0 <= row.dtw_cents <= lockstep
