@@ -3733,3 +3733,111 @@ def _dtw_sql() -> str:
 
 
 registry.register("dtw_band_distance", q_dtw_band_distance, _dtw_sql())
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward backtest: expanding-mean vs seasonal-naive
+# ---------------------------------------------------------------------------
+
+
+def q_walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) backtest of two monthly revenue
+    forecasters — expanding mean of all prior months vs seasonal
+    naive (same month last year) — scored out-of-sample on every
+    month that has both: the honest protocol for picking a
+    forecaster (`seasonal_naive_eval` scores ONE method; a model
+    CHOICE needs both under the same walk, and in-sample fit is the
+    classic leak this protocol exists to prevent).
+
+    Exactness: monthly cents are exact; the expanding mean is an
+    exact integer floor division of prefix sums (never a float
+    average); both absolute-percentage errors quantize to micro
+    BEFORE any aggregation. Scale: one month-grain rollup (calendar-
+    bounded), two window passes sharing one sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.expr(
+            "(YEAR(CAST(o_orderdate AS DATE)) * 12"
+            " + MONTH(CAST(o_orderdate AS DATE)) - 1)"
+        ).alias("m")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    w_m = Window.orderBy("m")
+    t = monthly.select(
+        "m",
+        "y",
+        F.expr(
+            "CAST(SUM(y) OVER (ORDER BY m"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) DIV"
+            " COUNT(y) OVER (ORDER BY m"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " AS BIGINT)"
+        ).alias("fc_mean"),
+        F.when(
+            F.lag("m", 12).over(w_m) == F.col("m") - 12,
+            F.lag("y", 12).over(w_m),
+        ).alias("fc_snaive"),
+    ).filter(F.col("fc_mean").isNotNull() & F.col("fc_snaive").isNotNull())
+    ape = lambda fc: F.floor(  # noqa: E731
+        F.abs(F.col("y") - fc).cast("double")
+        / F.col("y").cast("double")
+        * F.lit(1.0e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return t.select(
+        "m",
+        "y",
+        "fc_mean",
+        "fc_snaive",
+        _r6(ape(F.col("fc_mean")).cast("double") / F.lit(1.0e6)).alias(
+            "ape_mean"
+        ),
+        _r6(
+            ape(F.col("fc_snaive")).cast("double") / F.lit(1.0e6)
+        ).alias("ape_snaive"),
+        (ape(F.col("fc_snaive")) < ape(F.col("fc_mean"))).alias(
+            "snaive_wins"
+        ),
+    )
+
+
+registry.register(
+    "walk_forward_backtest",
+    q_walk_forward_backtest,
+    """
+    WITH monthly AS (
+      SELECT (YEAR(CAST(o_orderdate AS DATE)) * 12
+              + MONTH(CAST(o_orderdate AS DATE)) - 1) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT m, y,
+             CAST(SUM(y) OVER wp // COUNT(y) OVER wp AS BIGINT)
+               AS fc_mean,
+             CASE WHEN LAG(m, 12) OVER wm = m - 12
+                  THEN LAG(y, 12) OVER wm END AS fc_snaive
+      FROM monthly
+      WINDOW wp AS (ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wm AS (ORDER BY m)
+    )
+    SELECT m, y, fc_mean, fc_snaive,
+           FLOOR(CAST(ABS(y - fc_mean) AS DOUBLE) / CAST(y AS DOUBLE)
+                 * 1.0e6 + 0.5) / 1.0e6 AS ape_mean,
+           FLOOR(CAST(ABS(y - fc_snaive) AS DOUBLE) / CAST(y AS DOUBLE)
+                 * 1.0e6 + 0.5) / 1.0e6 AS ape_snaive,
+           CAST(FLOOR(CAST(ABS(y - fc_snaive) AS DOUBLE)
+                      / CAST(y AS DOUBLE) * 1.0e6 + 0.5) AS BIGINT)
+           < CAST(FLOOR(CAST(ABS(y - fc_mean) AS DOUBLE)
+                        / CAST(y AS DOUBLE) * 1.0e6 + 0.5) AS BIGINT)
+             AS snaive_wins
+    FROM t
+    WHERE fc_mean IS NOT NULL AND fc_snaive IS NOT NULL
+    """,
+)

@@ -321,6 +321,7 @@ _PRIORITY = [
     "quantile_normalize",
     "voptimal_histogram",
     "dtw_band_distance",
+    "walk_forward_backtest",
 ]
 
 
