@@ -3841,3 +3841,125 @@ registry.register(
     WHERE fc_mean IS NOT NULL AND fc_snaive IS NOT NULL
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-profile-lite motif discovery (exact L1 window distances)
+# ---------------------------------------------------------------------------
+
+
+def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile-lite over the global weekly revenue series:
+    for every 4-week window, the L1 distance to its nearest
+    NON-OVERLAPPING other window (exclusion zone |i−j| < 4) and that
+    neighbor's position — the motif/discord primitive: the smallest
+    profile values are repeated shapes (motifs: recurring demand
+    patterns), the largest are discords (`rolling_anomaly` flags
+    point outliers; a discord is a whole anomalous WEEK-SHAPE).
+
+    Exactness: windows are 4 exact integer cents pulled by LEAD over
+    one sort; distances are integer L1 sums; the argmin tie-breaks on
+    the smaller neighbor index — pure integer ordering end to end.
+    The motif flag marks the 3 smallest profile values (rank rule).
+
+    Scale: the window table is calendar-bounded, so the all-pairs
+    self-join is bounded by (weeks)², independent of fact-table size
+    — the O(n²) is on the summary, never the data; at higher
+    resolutions you would band the join on |i−j| like
+    dtw_band_distance."""
+    orders = load_table(spark, sf_dir, "orders")
+    wk = F.expr(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-05') DIV 7"
+    )
+    weekly = orders.groupBy(wk.alias("wk")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    w = Window.orderBy("wk")
+    wins = (
+        weekly.select(
+            F.row_number().over(w).alias("i"),
+            "wk",
+            F.array(
+                F.col("y"),
+                F.lead("y", 1).over(w),
+                F.lead("y", 2).over(w),
+                F.lead("y", 3).over(w),
+            ).alias("win"),
+        )
+        .filter(~F.exists("win", lambda x: x.isNull()))
+        .localCheckpoint()
+    )
+    a = wins.select(
+        F.col("i").alias("ia"), F.col("wk").alias("wk_a"),
+        F.col("win").alias("wa"),
+    )
+    b = wins.select(F.col("i").alias("ib"), F.col("win").alias("wb"))
+    dist = F.aggregate(
+        F.zip_with("wa", "wb", lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    pairs = a.join(b, F.abs(F.col("ia") - F.col("ib")) >= 4).select(
+        "ia", "wk_a", "ib", dist.alias("d")
+    )
+    wmin = Window.partitionBy("ia").orderBy(
+        F.col("d").asc(), F.col("ib").asc()
+    )
+    prof = (
+        pairs.withColumn("rk", F.row_number().over(wmin))
+        .filter(F.col("rk") == 1)
+        .select("ia", "wk_a", F.col("ib").alias("nn_i"), F.col("d").alias("mp_dist"))
+    )
+    wrank = Window.orderBy(F.col("mp_dist").asc(), F.col("ia").asc())
+    return prof.select(
+        F.col("ia").alias("i"),
+        F.col("wk_a").alias("wk"),
+        "nn_i",
+        "mp_dist",
+        (F.row_number().over(wrank) <= 3).alias("is_motif"),
+    )
+
+
+registry.register(
+    "motif_discovery",
+    q_motif_discovery,
+    """
+    WITH weekly AS (
+      SELECT datediff('day', DATE '1970-01-05',
+                      CAST(o_orderdate AS DATE)) // 7 AS wk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    wins AS (
+      SELECT i, wk, win FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY wk) AS i, wk,
+               [y, LEAD(y, 1) OVER (ORDER BY wk),
+                LEAD(y, 2) OVER (ORDER BY wk),
+                LEAD(y, 3) OVER (ORDER BY wk)] AS win
+        FROM weekly
+      ) WHERE NOT EXISTS (SELECT 1 FROM UNNEST(win) AS t(e)
+                          WHERE e IS NULL)
+    ),
+    pairs AS (
+      SELECT a.i AS ia, a.wk AS wk_a, b.i AS ib,
+             list_sum(list_transform(list_zip(a.win, b.win),
+               z -> ABS(z[1] - z[2]))) AS d
+      FROM wins a JOIN wins b ON ABS(a.i - b.i) >= 4
+    ),
+    prof AS (
+      SELECT ia, wk_a, ib AS nn_i, d AS mp_dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+                                     ORDER BY d ASC, ib ASC) AS rk
+        FROM pairs
+      ) WHERE rk = 1
+    )
+    SELECT ia AS i, wk_a AS wk, nn_i, mp_dist,
+           ROW_NUMBER() OVER (ORDER BY mp_dist ASC, ia ASC) <= 3
+             AS is_motif
+    FROM prof
+    """,
+)

@@ -322,6 +322,7 @@ _PRIORITY = [
     "voptimal_histogram",
     "dtw_band_distance",
     "walk_forward_backtest",
+    "motif_discovery",
 ]
 
 
