@@ -1180,3 +1180,29 @@ def test_dtw_band_bounds(spark):
         b = [series.get(2 * row.pair_id + 1, {}).get(w, 0) for w in weeks]
         lockstep = sum(abs(x - y) for x, y in zip(a, b))
         assert 0 <= row.dtw_cents <= lockstep
+
+
+def test_walk_forward_out_of_sample_only(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_walk_forward_backtest,
+    )
+
+    rows = sorted(
+        q_walk_forward_backtest(spark, SF).collect(), key=lambda r: r.m
+    )
+    assert rows
+    for r in rows:
+        assert r.fc_mean > 0 and r.fc_snaive > 0
+        assert r.ape_mean >= 0 and r.ape_snaive >= 0
+        assert r.snaive_wins == (r.ape_snaive < r.ape_mean)
+
+
+def test_motif_profile_exclusion_zone(spark):
+    from airflow_baseball_spark.queries_timeseries import q_motif_discovery
+
+    rows = q_motif_discovery(spark, SF).collect()
+    assert rows
+    assert sum(1 for r in rows if r.is_motif) == 3
+    for r in rows:
+        assert abs(r.i - r.nn_i) >= 4  # exclusion zone respected
+        assert r.mp_dist >= 0
