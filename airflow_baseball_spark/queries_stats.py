@@ -3861,3 +3861,224 @@ registry.register(
     FROM picks
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Lincoln-Petersen capture-recapture population estimate
+# ---------------------------------------------------------------------------
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen (Chapman-corrected) capture-recapture estimate
+    of the total user population from two independent "sightings" —
+    users who ever clicked vs users who ever viewed: N̂ = (n₁+1)(n₂+1)
+    /(m+1) − 1 with m = users in both — the ecology estimator data
+    teams reuse to size a population only partially observed by each
+    channel (`chao1_richness` asks the same question of one sample's
+    frequency tail; capture-recapture asks it of two overlapping
+    samples).
+
+    Exactness: all three set sizes are exact distinct counts from one
+    pass (conditional aggregation, no joins); the Chapman estimate
+    and its variance are single integer-derived expressions,
+    `_r6`-bounded.
+
+    Scale: one user-grain rollup, one-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "click").cast("int")
+        ).alias("s1"),
+        F.max(
+            (F.col("event_type") == "view").cast("int")
+        ).alias("s2"),
+    )
+    agg = per_user.agg(
+        F.sum("s1").alias("n1"),
+        F.sum("s2").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).alias("m"),
+        F.count("*").alias("n_observed"),
+    )
+    n1 = (F.col("n1") + 1).cast("double")
+    n2 = (F.col("n2") + 1).cast("double")
+    m1 = (F.col("m") + 1).cast("double")
+    chapman = n1 * n2 / m1 - F.lit(1.0)
+    var = (
+        n1
+        * n2
+        * (n1 - F.col("m").cast("double") - 1)
+        * (n2 - F.col("m").cast("double") - 1)
+        / (m1 * m1 * (m1 + 1))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_click_users"),
+        F.col("n2").cast("long").alias("n_view_users"),
+        F.col("m").cast("long").alias("n_both"),
+        F.col("n_observed").cast("long").alias("n_observed"),
+        _r6(chapman).alias("chapman_estimate"),
+        _r6(F.sqrt(var)).alias("chapman_se"),
+    )
+
+
+registry.register(
+    "capture_recapture",
+    q_capture_recapture,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s2
+      FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT SUM(s1) AS n1, SUM(s2) AS n2, SUM(s1 * s2) AS m,
+             COUNT(*) AS n_observed
+      FROM per_user
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click_users,
+           CAST(n2 AS BIGINT) AS n_view_users,
+           CAST(m AS BIGINT) AS n_both,
+           CAST(n_observed AS BIGINT) AS n_observed,
+           FLOOR((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                  / CAST(m + 1 AS DOUBLE) - 1.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chapman_estimate,
+           FLOOR(sqrt(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                      * (CAST(n1 + 1 AS DOUBLE) - CAST(m AS DOUBLE) - 1)
+                      * (CAST(n2 + 1 AS DOUBLE) - CAST(m AS DOUBLE) - 1)
+                      / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+                         * (CAST(m + 1 AS DOUBLE) + 1)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS chapman_se
+    FROM agg
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily up/down sequence
+# ---------------------------------------------------------------------------
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue's up/down sequence:
+    is the day-over-day direction random, or does it streak
+    (momentum) / alternate (mean-reversion)? Complements `trend_test`
+    (monotone drift) and `autocorr` (linear memory) with the
+    distribution-free randomness check — too FEW runs = streaky, too
+    MANY = oscillating.
+
+    Exactness: signs are exact integer comparisons; the run count is
+    one window pass counting sign changes; E[R] = 2n₊n₋/n + 1 and
+    Var[R] are single expressions on three exact integers; z is the
+    final division. Ties (flat days) are dropped (documented rule).
+
+    Scale: one day-grain rollup, one ordered window, one-row output."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    w = Window.orderBy("d")
+    signed = (
+        daily.withColumn("prev_y", F.lag("y").over(w))
+        .filter(F.col("prev_y").isNotNull() & (F.col("y") != F.col("prev_y")))
+        .select(
+            "d", (F.col("y") > F.col("prev_y")).cast("int").alias("s")
+        )
+    )
+    w2 = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w2).isNull()
+            | (F.lag("s").over(w2) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").alias("n_up"),
+        F.sum(F.lit(1) - F.col("s")).alias("n_down"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    nu = F.col("n_up").cast("double")
+    nd = F.col("n_down").cast("double")
+    nn = nu + nd
+    e_r = F.lit(2.0) * nu * nd / nn + F.lit(1.0)
+    var_r = (
+        F.lit(2.0)
+        * nu
+        * nd
+        * (F.lit(2.0) * nu * nd - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    return agg.select(
+        F.col("n_up").cast("long").alias("n_up"),
+        F.col("n_down").cast("long").alias("n_down"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        _r6(e_r).alias("expected_runs"),
+        _r6(
+            (F.col("n_runs").cast("double") - e_r) / F.sqrt(var_r)
+        ).alias("z_stat"),
+    )
+
+
+registry.register(
+    "runs_test",
+    q_runs_test,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    signed AS (
+      SELECT d, CASE WHEN y > prev_y THEN 1 ELSE 0 END AS s
+      FROM (
+        SELECT d, y, LAG(y) OVER (ORDER BY d) AS prev_y FROM daily
+      ) WHERE prev_y IS NOT NULL AND y <> prev_y
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                    OR LAG(s) OVER (ORDER BY d) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ),
+    agg AS (
+      SELECT SUM(s) AS n_up, SUM(1 - s) AS n_down,
+             SUM(new_run) AS n_runs
+      FROM runs
+    )
+    SELECT CAST(n_up AS BIGINT) AS n_up,
+           CAST(n_down AS BIGINT) AS n_down,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           FLOOR((2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                  / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                  + 1.0) * 1000000.0 + 0.5) / 1000000.0
+             AS expected_runs,
+           FLOOR((CAST(n_runs AS DOUBLE)
+                  - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                     / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                     + 1.0))
+                 / sqrt(2.0 * CAST(n_up AS DOUBLE)
+                        * CAST(n_down AS DOUBLE)
+                        * (2.0 * CAST(n_up AS DOUBLE)
+                           * CAST(n_down AS DOUBLE)
+                           - (CAST(n_up AS DOUBLE)
+                              + CAST(n_down AS DOUBLE)))
+                        / ((CAST(n_up AS DOUBLE)
+                            + CAST(n_down AS DOUBLE))
+                           * (CAST(n_up AS DOUBLE)
+                              + CAST(n_down AS DOUBLE))
+                           * (CAST(n_up AS DOUBLE)
+                              + CAST(n_down AS DOUBLE) - 1.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS z_stat
+    FROM agg
+    """,
+)

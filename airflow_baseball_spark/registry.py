@@ -323,6 +323,8 @@ _PRIORITY = [
     "dtw_band_distance",
     "walk_forward_backtest",
     "motif_discovery",
+    "capture_recapture",
+    "runs_test",
 ]
 
 
