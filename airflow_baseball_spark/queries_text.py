@@ -5630,3 +5630,88 @@ registry.register(
     FROM t WHERE r_rank <= 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out vocabulary value
+# ---------------------------------------------------------------------------
+
+
+def q_source_loo_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-valuation probe: each source's leave-one-out contribution
+    to corpus vocabulary — the distinct token types that would VANISH
+    if the source were dropped (types exclusive to it) — the
+    cheap-but-honest first cut of data valuation (`shapley_attribution`
+    prices interaction effects; LOO prices marginal uniqueness, and
+    for coverage-style value functions LOO(s) IS the exact Shapley
+    term for types held by one source).
+
+    Exactness: pure distinct counting — token×source incidence, each
+    token's source count, exclusives per source; the share is the one
+    division. Scale: one explode + two combinable groupBys; the
+    total-minus-self identity means NO per-source re-scan of the
+    corpus (the jackknife_ratio_se disposition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    inc = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    per_w = inc.groupBy("w").agg(F.count("*").alias("n_sources"))
+    vocab = per_w.agg(F.count("*").alias("vocab_total"))
+    excl = (
+        inc.join(per_w, "w")
+        .filter(F.col("n_sources") == 1)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_exclusive"))
+    )
+    base = inc.groupBy("source").agg(F.count("*").alias("n_types"))
+    return (
+        base.join(excl, "source", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.col("n_types").cast("long").alias("n_types"),
+            F.coalesce(F.col("n_exclusive"), F.lit(0))
+            .cast("long")
+            .alias("n_exclusive"),
+            F.col("vocab_total").cast("long").alias("vocab_total"),
+            _r6(
+                F.coalesce(F.col("n_exclusive"), F.lit(0)).cast("double")
+                / F.col("vocab_total").cast("double")
+            ).alias("loo_vocab_loss"),
+        )
+    )
+
+
+registry.register(
+    "source_loo_value",
+    q_source_loo_value,
+    """
+    WITH inc AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    per_w AS (SELECT w, COUNT(*) AS n_sources FROM inc GROUP BY 1),
+    vocab AS (SELECT COUNT(*) AS vocab_total FROM per_w),
+    excl AS (
+      SELECT i.source, COUNT(*) AS n_exclusive
+      FROM inc i JOIN per_w p ON i.w = p.w
+      WHERE p.n_sources = 1
+      GROUP BY 1
+    ),
+    base AS (SELECT source, COUNT(*) AS n_types FROM inc GROUP BY 1)
+    SELECT b.source, CAST(b.n_types AS BIGINT) AS n_types,
+           CAST(COALESCE(e.n_exclusive, 0) AS BIGINT) AS n_exclusive,
+           CAST(v.vocab_total AS BIGINT) AS vocab_total,
+           FLOOR(CAST(COALESCE(e.n_exclusive, 0) AS DOUBLE)
+                 / CAST(v.vocab_total AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS loo_vocab_loss
+    FROM base b LEFT JOIN excl e ON b.source = e.source
+    CROSS JOIN vocab v
+    """,
+)

@@ -325,6 +325,7 @@ _PRIORITY = [
     "motif_discovery",
     "capture_recapture",
     "runs_test",
+    "source_loo_value",
 ]
 
 
