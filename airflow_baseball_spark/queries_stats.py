@@ -3142,7 +3142,9 @@ def q_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
     )
     z = F.when(
-        (F.col("c_a") + F.col("c_b") > 0)
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("c_a") + F.col("c_b") > 0)
         & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
         z_raw,
     ).otherwise(F.lit(0.0))
@@ -3207,7 +3209,8 @@ def _gso_sql() -> str:
     ),
     zc AS (
       SELECT *,
-             CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+             CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+                    AND c_a + c_b < n_a + n_b THEN
                (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
                / sqrt((CAST(c_a + c_b AS DOUBLE)
@@ -3609,13 +3612,21 @@ def q_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cells.withColumn(
         "n_tot", F.sum(F.col("n_a") + F.col("n_b")).over(wn)
     )
-    term = (
-        (F.col("n_a") + F.col("n_b")).cast("double")
-        / F.col("n_tot").cast("double")
-    ) * (
-        F.col("c_a").cast("double") / F.col("n_a").cast("double")
-        - F.col("c_b").cast("double") / F.col("n_b").cast("double")
-    )
+    # a stratum missing either arm has no within-stratum contrast;
+    # it contributes 0 (observed at sf0.1: the first-event weekday
+    # strata are heavily skewed and one tiny stratum had no B users —
+    # under ANSI mode the unguarded division aborts the whole job)
+    term = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / F.col("n_tot").cast("double")
+        )
+        * (
+            F.col("c_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("c_b").cast("double") / F.col("n_b").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
     quant = t.withColumn(
         "term_pico",
         F.floor(term * F.lit(1.0e12) + F.lit(0.5)).cast("long"),
@@ -3668,10 +3679,12 @@ def _post_strat_sql() -> str:
     ),
     quant AS (
       SELECT *,
-             CAST(FLOOR((CAST(n_a + n_b AS DOUBLE)
-                         / CAST(n_tot AS DOUBLE))
-                        * (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                           - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             CAST(FLOOR(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                          (CAST(n_a + n_b AS DOUBLE)
+                           / CAST(n_tot AS DOUBLE))
+                          * (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                             - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        ELSE 0.0 END
                         * 1.0e12 + 0.5) AS BIGINT) AS term_pico
       FROM t
     ),
@@ -3824,8 +3837,11 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_cents",
         "purchase_cents",
         _r6(
-            F.col("purchase_cents").cast("double")
-            / F.col("click_cents").cast("double")
+            F.when(
+                F.col("click_cents") > 0,
+                F.col("purchase_cents").cast("double")
+                / F.col("click_cents").cast("double"),
+            ).otherwise(F.lit(0.0))
         ).alias("map_ratio"),
     )
 
@@ -3855,8 +3871,10 @@ registry.register(
       GROUP BY 1
     )
     SELECT CAST(q AS BIGINT) AS ventile, click_cents, purchase_cents,
-           FLOOR(CAST(purchase_cents AS DOUBLE)
-                 / CAST(click_cents AS DOUBLE) * 1000000.0 + 0.5)
+           FLOOR(CASE WHEN click_cents > 0 THEN
+                   CAST(purchase_cents AS DOUBLE)
+                   / CAST(click_cents AS DOUBLE)
+                 ELSE 0.0 END * 1000000.0 + 0.5)
              / 1000000.0 AS map_ratio
     FROM picks
     """,

@@ -63,11 +63,19 @@ def main() -> None:
     calib_start = calibrate()
 
     timings: dict[str, float] = {}
+    errors: list[str] = []
     total = 0.0
     for i, (name, fn) in enumerate(registry.queries().items()):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — one bad query must
+            # never take down the whole bench (a crashed run records
+            # NOTHING for the driver); log and keep going
+            errors.append(name)
+            print(f"BENCH ERROR {name}: {str(exc)[:200]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -100,6 +108,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "calib_start_sec": calib_start,
                 "calib_end_sec": calibrate(),
+                "bench_errors": errors,
                 "sf_echo": sf_val,
             }
         )
