@@ -4100,3 +4100,269 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparison (after anova_f)
+# ---------------------------------------------------------------------------
+
+# studentized-range critical value q(0.05; k=7, df=inf) — literature
+# constant embedded once (the _MDE_Z discipline)
+_TUKEY_Q_7_INF = 4.17
+
+
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc on the weekday revenue design: after
+    `anova_f` says "SOME weekday differs", every weekday PAIR is
+    tested against the single honest-simultaneous threshold
+    HSD = q·√(MSW/n̄) — the multiple-comparisons discipline that stops
+    the 21 pairwise t-tests from manufacturing false positives.
+
+    Exactness: group means come from exact integer-cent sums; MSW is
+    assembled from exact sufficient statistics with the k-term double
+    reduction as an ORDERED cumulative window (the levene_bf recipe);
+    the pair grid is k² rows of pure expression arithmetic against a
+    literal critical value. `_r6`-bounded.
+
+    Scale: one fact pass to 7 group rows; the pair grid is k²."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy(epoch_day.alias("d")).agg(
+        F.sum(cents).alias("v")
+    )
+    g = daily.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.count("*").alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("qg"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("dow").rowsBetween(Window.unboundedPreceding, 0)
+    ssw_term = F.col("qg").cast("double") - F.col("sg").cast(
+        "double"
+    ) * F.col("sg").cast("double") / F.col("ng").cast("double")
+    t = (
+        g.withColumn("n", F.sum("ng").over(wall))
+        .withColumn("k", F.count("*").over(wall))
+        .withColumn("ssw_cum", F.sum(ssw_term).over(wcum))
+        .withColumn("pos", F.row_number().over(Window.orderBy("dow")))
+    )
+    msw_row = t.filter(F.col("pos") == F.col("k")).select(
+        (
+            F.col("ssw_cum")
+            / (F.col("n").cast("double") - F.col("k").cast("double"))
+        ).alias("msw"),
+        (F.col("n").cast("double") / F.col("k").cast("double")).alias(
+            "nbar"
+        ),
+    )
+    means = g.select(
+        "dow",
+        "ng",
+        (F.col("sg").cast("double") / F.col("ng").cast("double")).alias(
+            "mean_v"
+        ),
+    )
+    a = means.select(
+        F.col("dow").alias("dow_a"),
+        F.col("mean_v").alias("mean_a"),
+    )
+    b = means.select(
+        F.col("dow").alias("dow_b"),
+        F.col("mean_v").alias("mean_b"),
+    )
+    pairs = a.join(b, F.col("dow_a") < F.col("dow_b")).crossJoin(
+        F.broadcast(msw_row)
+    )
+    hsd = F.lit(_TUKEY_Q_7_INF) * F.sqrt(F.col("msw") / F.col("nbar"))
+    diff = F.abs(F.col("mean_a") - F.col("mean_b"))
+    return pairs.select(
+        "dow_a",
+        "dow_b",
+        _r6(F.col("mean_a")).alias("mean_a"),
+        _r6(F.col("mean_b")).alias("mean_b"),
+        _r6(diff).alias("abs_diff"),
+        _r6(hsd).alias("hsd_threshold"),
+        (diff > hsd).alias("significant"),
+    )
+
+
+registry.register(
+    "tukey_hsd",
+    q_tukey_hsd,
+    f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT d % 7 AS dow, COUNT(*) AS ng, SUM(v) AS sg,
+             SUM(CAST(v AS HUGEINT) * v) AS qg
+      FROM daily GROUP BY 1
+    ),
+    t AS (
+      SELECT dow, ng, sg, qg,
+             SUM(ng) OVER () AS n, COUNT(*) OVER () AS k,
+             SUM(CAST(qg AS DOUBLE)
+                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                   / CAST(ng AS DOUBLE))
+               OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING) AS ssw_cum,
+             ROW_NUMBER() OVER (ORDER BY dow) AS pos
+      FROM g
+    ),
+    msw_row AS (
+      SELECT ssw_cum / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+             CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS nbar
+      FROM t WHERE pos = k
+    ),
+    means AS (
+      SELECT dow, CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mean_v
+      FROM g
+    )
+    SELECT a.dow AS dow_a, b.dow AS dow_b,
+           FLOOR(a.mean_v * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+           FLOOR(b.mean_v * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+           FLOOR(ABS(a.mean_v - b.mean_v) * 1000000.0 + 0.5)
+             / 1000000.0 AS abs_diff,
+           FLOOR({_TUKEY_Q_7_INF!r} * sqrt(m.msw / m.nbar)
+                 * 1000000.0 + 0.5) / 1000000.0 AS hsd_threshold,
+           ABS(a.mean_v - b.mean_v)
+             > {_TUKEY_Q_7_INF!r} * sqrt(m.msw / m.nbar) AS significant
+    FROM means a
+    JOIN means b ON a.dow < b.dow
+    CROSS JOIN msw_row m
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Friedman rank test (blocked nonparametric k-sample)
+# ---------------------------------------------------------------------------
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of the weekday effect with WEEKS as blocks:
+    within each complete week, rank the 7 daily revenues, then test
+    whether the per-weekday rank sums could be uniform —
+    `anova_f`'s nonparametric sibling for when revenue's heavy tail
+    makes the normal-theory F suspect, with the week-blocking
+    removing the level drift `mann_whitney_u` would confound.
+
+    χ²_F = 12/(n·k(k+1)) · Σ_j R_j² − 3n(k+1), over complete blocks
+    only (documented rule). Mid-rank ties are exact .5 rationals, so
+    2·rank is an exact integer — rank sums are carried DOUBLED in
+    BIGINTs and the statistic is assembled from exact integers, one
+    shared expression, `_r6`-bounded.
+
+    Scale: rank window per week (calendar-bounded blocks), one
+    combinable rollup to 7 rank-sum rows."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy(epoch_day.alias("d")).agg(
+        F.sum(cents).alias("v")
+    )
+    blocked = daily.select(
+        F.expr("(d - 4) DIV 7").alias("wk"),
+        (F.col("d") % 7).alias("dow"),
+        "v",
+    )
+    wfull = Window.partitionBy("wk")
+    complete = blocked.withColumn(
+        "n_days", F.count("*").over(wfull)
+    ).filter(F.col("n_days") == 7)
+    # doubled mid-rank: 2r = rank() + (rank of last tie) =
+    # 2*rank + (ties-1); use rank() and count of equal values
+    wr = Window.partitionBy("wk").orderBy("v")
+    weq = Window.partitionBy("wk", "v")
+    ranked = complete.select(
+        "wk",
+        "dow",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count("*").over(weq)
+            - F.lit(1)
+        ).alias("r2"),
+    )
+    sums = ranked.groupBy("dow").agg(
+        F.sum("r2").alias("r2_sum"), F.count("*").alias("n_blocks")
+    )
+    wall = Window.partitionBy()
+    t = sums.withColumn("nb", F.max("n_blocks").over(wall))
+    # chi2_F = 12/(n k (k+1)) * sum(Rj^2) - 3 n (k+1), with Rj = r2_sum/2
+    k = 7
+    rj = F.col("r2_sum").cast("double") / F.lit(2.0)
+    agg = t.groupBy("nb").agg(
+        F.sum(
+            F.floor(rj * rj + F.lit(0.5)).cast("long")
+        ).alias("sum_rj2_q")
+    )
+    nbd = F.col("nb").cast("double")
+    chi2 = (
+        F.lit(12.0)
+        / (nbd * F.lit(float(k)) * F.lit(float(k + 1)))
+        * F.col("sum_rj2_q").cast("double")
+        - F.lit(3.0) * nbd * F.lit(float(k + 1))
+    )
+    return agg.select(
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k_treatments"),
+        _r6(chi2).alias("friedman_chi2"),
+        (chi2 > F.lit(12.591587243743977)).alias("significant"),
+    )
+
+
+registry.register(
+    "friedman_test",
+    q_friedman_test,
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    blocked AS (
+      SELECT (d - 4) // 7 AS wk, d % 7 AS dow, v FROM daily
+    ),
+    complete AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY wk) AS n_days
+        FROM blocked
+      ) WHERE n_days = 7
+    ),
+    ranked AS (
+      SELECT wk, dow,
+             2 * RANK() OVER (PARTITION BY wk ORDER BY v)
+             + COUNT(*) OVER (PARTITION BY wk, v) - 1 AS r2
+      FROM complete
+    ),
+    sums AS (
+      SELECT dow, SUM(r2) AS r2_sum, COUNT(*) AS n_blocks
+      FROM ranked GROUP BY 1
+    ),
+    t AS (SELECT *, MAX(n_blocks) OVER () AS nb FROM sums),
+    agg AS (
+      SELECT nb,
+             SUM(CAST(FLOOR((CAST(r2_sum AS DOUBLE) / 2.0)
+                            * (CAST(r2_sum AS DOUBLE) / 2.0) + 0.5)
+                      AS BIGINT)) AS sum_rj2_q
+      FROM t GROUP BY 1
+    )
+    SELECT CAST(nb AS BIGINT) AS n_blocks,
+           CAST(7 AS BIGINT) AS k_treatments,
+           FLOOR((12.0 / (CAST(nb AS DOUBLE) * 7.0 * 8.0)
+                  * CAST(sum_rj2_q AS DOUBLE)
+                  - 3.0 * CAST(nb AS DOUBLE) * 8.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS friedman_chi2,
+           (12.0 / (CAST(nb AS DOUBLE) * 7.0 * 8.0)
+            * CAST(sum_rj2_q AS DOUBLE)
+            - 3.0 * CAST(nb AS DOUBLE) * 8.0)
+             > 12.591587243743977 AS significant
+    FROM agg
+    """,
+)

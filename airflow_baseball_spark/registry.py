@@ -326,6 +326,8 @@ _PRIORITY = [
     "capture_recapture",
     "runs_test",
     "source_loo_value",
+    "tukey_hsd",
+    "friedman_test",
 ]
 
 

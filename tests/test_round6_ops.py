@@ -1206,3 +1206,24 @@ def test_motif_profile_exclusion_zone(spark):
     for r in rows:
         assert abs(r.i - r.nn_i) >= 4  # exclusion zone respected
         assert r.mp_dist >= 0
+
+
+def test_tukey_pairs_and_threshold(spark):
+    from airflow_baseball_spark.queries_stats import q_tukey_hsd
+
+    rows = q_tukey_hsd(spark, SF).collect()
+    assert len(rows) == 21  # C(7,2)
+    thresholds = {r.hsd_threshold for r in rows}
+    assert len(thresholds) == 1  # one simultaneous threshold
+    for r in rows:
+        assert r.dow_a < r.dow_b
+        assert r.significant == (r.abs_diff > r.hsd_threshold)
+
+
+def test_friedman_chi2_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_friedman_test
+
+    r = q_friedman_test(spark, SF).collect()[0]
+    assert r.k_treatments == 7 and r.n_blocks > 0
+    # chi2_F is bounded by n(k-1) (all blocks perfectly concordant)
+    assert -1e-6 <= r.friedman_chi2 <= r.n_blocks * 6 + 1e-6
