@@ -3941,3 +3941,106 @@ def _vopt_sql() -> str:
 registry.register(
     "voptimal_histogram", q_voptimal_histogram, _vopt_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor stocking quantile per brand
+# ---------------------------------------------------------------------------
+
+
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level per brand: the critical-fractile
+    quantile q* = c_u/(c_u + c_o) of weekly demand (underage cost 3,
+    overage cost 1 → stock at the 75th percentile), with the realized
+    service level that stock would have achieved — the inventory
+    optimization primitive a demand pipeline feeds
+    (`croston_intermittent` forecasts the rate; the newsvendor
+    converts a demand DISTRIBUTION into a stocking decision).
+
+    Exactness: weekly demand is exact integer quantities; the
+    critical fractile is a rank-rule pick (value at row ⌈0.75·n⌉ in
+    sorted order — the percentile_disc discipline, no interpolation);
+    the achieved service level is an exact count ratio.
+
+    Scale: one rollup to (brand, week), one rank window per brand —
+    the all-brand grid is dimension-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    weekly = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            "p_brand",
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-05')"
+                " DIV 7"
+            ).alias("wk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("demand"))
+    )
+    wr = Window.partitionBy("p_brand").orderBy("demand")
+    wn = Window.partitionBy("p_brand")
+    ranked = weekly.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    stock = ranked.filter(
+        F.col("rn") == F.expr("CAST((3 * n + 3) DIV 4 AS BIGINT)")
+    ).select("p_brand", F.col("demand").alias("stock_level"))
+    served = (
+        weekly.join(F.broadcast(stock), "p_brand")
+        .groupBy("p_brand", "stock_level")
+        .agg(
+            F.count("*").alias("n_weeks"),
+            F.sum(
+                (F.col("demand") <= F.col("stock_level")).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return served.select(
+        "p_brand",
+        F.col("n_weeks").cast("long").alias("n_weeks"),
+        F.col("stock_level").cast("long").alias("stock_level"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        _r6(
+            F.col("n_covered").cast("double")
+            / F.col("n_weeks").cast("double")
+        ).alias("service_level"),
+    )
+
+
+registry.register(
+    "newsvendor_quantile",
+    q_newsvendor_quantile,
+    """
+    WITH weekly AS (
+      SELECT p.p_brand,
+             datediff('day', DATE '1970-01-05',
+                      CAST(l.l_shipdate AS DATE)) // 7 AS wk,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS demand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, demand,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY demand) AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM weekly
+    ),
+    stock AS (
+      SELECT p_brand, demand AS stock_level
+      FROM ranked WHERE rn = (3 * n + 3) // 4
+    )
+    SELECT w.p_brand, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           CAST(s.stock_level AS BIGINT) AS stock_level,
+           CAST(SUM(CASE WHEN w.demand <= s.stock_level
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           FLOOR(CAST(SUM(CASE WHEN w.demand <= s.stock_level
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS service_level
+    FROM weekly w JOIN stock s ON w.p_brand = s.p_brand
+    GROUP BY 1, 3
+    """,
+)

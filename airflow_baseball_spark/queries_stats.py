@@ -4366,3 +4366,196 @@ registry.register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size per segment
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_d_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d of the md5-coin A/B split on event value, per
+    event-type segment — the standardized effect size that makes
+    segments with different value scales COMPARABLE (`welch_ttest`
+    answers "is it real", d answers "is it big"; reporting both is
+    the house style of every experiment readout).
+
+    d = (x̄_A − x̄_B)/s_pooled with the pooled SD from exact integer
+    sufficient statistics per (segment, arm); the whole statistic is
+    one shared expression over six exact integers per segment,
+    `_r6`-bounded, with degenerate cells (either arm < 2 rows)
+    reported as NULL rather than divided through.
+
+    Scale: one combinable pass to |segments|×2 cells."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    arm_a = hash_unit(F.col("user_id"), seed="ab") < 0.5
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(arm_a, 1)).alias("na"),
+        F.sum(F.when(arm_a, cents).otherwise(0)).alias("sa"),
+        F.sum(
+            F.when(arm_a, cents.cast("decimal(38,0)") * cents).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("qa"),
+        F.count(F.when(~arm_a, 1)).alias("nb"),
+        F.sum(F.when(~arm_a, cents).otherwise(0)).alias("sb"),
+        F.sum(
+            F.when(
+                ~arm_a, cents.cast("decimal(38,0)") * cents
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("qb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    ssa = F.col("qa").cast("double") - sad * sad / nad
+    ssb = F.col("qb").cast("double") - sbd * sbd / nbd
+    s_pool = F.sqrt((ssa + ssb) / (nad + nbd - F.lit(2.0)))
+    d = F.when(
+        (F.col("na") >= 2) & (F.col("nb") >= 2),
+        (sad / nad - sbd / nbd) / s_pool,
+    )
+    return g.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        _r6(sad / nad).alias("mean_a_cents"),
+        _r6(sbd / nbd).alias("mean_b_cents"),
+        _r6(d).alias("cohens_d"),
+    )
+
+
+def _cohens_d_sql() -> str:
+    from airflow_baseball_spark.operators.sampling import hash_unit_sql
+
+    u = hash_unit_sql("user_id", "ab")
+    return f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(CASE WHEN {u} < 0.5 THEN 1 END) AS na,
+             SUM(CASE WHEN {u} < 0.5
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 ELSE 0 END) AS sa,
+             SUM(CASE WHEN {u} < 0.5
+                 THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS HUGEINT)
+                      * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                 ELSE 0 END) AS qa,
+             COUNT(CASE WHEN {u} >= 0.5 THEN 1 END) AS nb,
+             SUM(CASE WHEN {u} >= 0.5
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 ELSE 0 END) AS sb,
+             SUM(CASE WHEN {u} >= 0.5
+                 THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS HUGEINT)
+                      * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                 ELSE 0 END) AS qb
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           FLOOR(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_a_cents,
+           FLOOR(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_b_cents,
+           FLOOR(CASE WHEN na >= 2 AND nb >= 2 THEN
+                   (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / sqrt(((CAST(qa AS DOUBLE)
+                            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                              / CAST(na AS DOUBLE))
+                           + (CAST(qb AS DOUBLE)
+                              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                                / CAST(nb AS DOUBLE)))
+                          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                             - 2.0))
+                 END * 1000000.0 + 0.5) / 1000000.0 AS cohens_d
+    FROM g
+    """
+
+
+registry.register("cohens_d_segments", q_cohens_d_segments, _cohens_d_sql())
+
+
+# ---------------------------------------------------------------------------
+# Poisson overdispersion check on daily event counts
+# ---------------------------------------------------------------------------
+
+
+def q_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion check per event type: is the daily count series
+    Poisson (variance ≈ mean) or clumped (variance ≫ mean)? The
+    dispersion index D = s²/x̄ and its χ² form (n−1)·D — the modeling
+    gate before anyone fits a Poisson rate or sizes an anomaly
+    threshold on count data (`burstiness_index` scores inter-arrival
+    gaps; this scores the counting measure itself).
+
+    Exactness: daily counts are exact integers; s² and x̄ come from
+    exact sufficient statistics through one shared expression,
+    `_r6`-bounded. Scale: one rollup to (type, day), one to type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    g = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    disp = var / mean
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        _r6(mean).alias("mean_daily"),
+        _r6(var).alias("var_daily"),
+        _r6(disp).alias("dispersion_index"),
+        ((nd - F.lit(1.0)) * disp > nd + F.lit(3.0) * F.sqrt(
+            F.lit(2.0) * nd
+        )).alias("overdispersed"),
+    )
+
+
+registry.register(
+    "poisson_dispersion",
+    q_poisson_dispersion,
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_daily,
+           FLOOR((CAST(q AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS var_daily,
+           FLOOR(((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dispersion_index,
+           (CAST(n AS DOUBLE) - 1.0)
+           * (((CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+              / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           > CAST(n AS DOUBLE) + 3.0 * sqrt(2.0 * CAST(n AS DOUBLE))
+             AS overdispersed
+    FROM g
+    """,
+)

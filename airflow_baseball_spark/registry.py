@@ -328,6 +328,9 @@ _PRIORITY = [
     "source_loo_value",
     "tukey_hsd",
     "friedman_test",
+    "cohens_d_segments",
+    "poisson_dispersion",
+    "newsvendor_quantile",
 ]
 
 

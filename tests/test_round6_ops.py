@@ -1227,3 +1227,38 @@ def test_friedman_chi2_bounds(spark):
     assert r.k_treatments == 7 and r.n_blocks > 0
     # chi2_F is bounded by n(k-1) (all blocks perfectly concordant)
     assert -1e-6 <= r.friedman_chi2 <= r.n_blocks * 6 + 1e-6
+
+
+def test_cohens_d_sign_matches_mean_order(spark):
+    from airflow_baseball_spark.queries_stats import q_cohens_d_segments
+
+    rows = q_cohens_d_segments(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.cohens_d is not None:
+            assert (r.cohens_d > 0) == (r.mean_a_cents > r.mean_b_cents) or (
+                r.cohens_d == 0
+            )
+
+
+def test_poisson_dispersion_positive(spark):
+    from airflow_baseball_spark.queries_stats import q_poisson_dispersion
+
+    rows = q_poisson_dispersion(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_daily > 0 and r.var_daily >= 0
+        assert r.dispersion_index >= 0
+
+
+def test_newsvendor_service_at_least_fractile(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_newsvendor_quantile,
+    )
+
+    rows = q_newsvendor_quantile(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_covered <= r.n_weeks
+        # stocking at the 75th-percentile rank covers >= 75% of weeks
+        assert r.service_level >= 0.75 - 1e-9
