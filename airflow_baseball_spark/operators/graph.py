@@ -107,7 +107,20 @@ def count_triangles_oriented(
 # Session-scoped materialized edge list
 # ---------------------------------------------------------------------------
 
-_EDGE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
+_EDGE_CACHE_MAX = 16  # (session, sf_dir, key) entries before eviction
+
+
+def _session_token(spark: SparkSession) -> tuple[str, int]:
+    """Stable identity for the live Spark application. r7 fix (r6
+    ADVICE): the previous key, id(._jsc), is a CPython object address
+    that can be REUSED after the old JVM wrapper is garbage-collected,
+    so a restarted session could collide with a stale entry and
+    reference dropped localCheckpoint blocks — the exact failure the
+    cache key exists to prevent. (applicationId, startTime) can never
+    collide across restarts."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def materialize_edge_list(
@@ -127,18 +140,37 @@ def materialize_edge_list(
     executors), and every consumer references the materialized plan.
 
     ``build(spark, sf_dir)`` produces the edge DataFrame on a cache
-    miss. The cache key includes the JVM session id so a restarted
-    session never serves dropped checkpoint blocks.
-    """
-    cache_key = (id(spark.sparkContext._jsc), sf_dir, key)
+    miss. The cache key is (applicationId, startTime, sf_dir, key) —
+    see :func:`_session_token` — so a restarted session never serves
+    dropped checkpoint blocks. Entries from DEAD sessions are evicted
+    on every call (their checkpoint blocks died with the executors),
+    and the cache is capped at _EDGE_CACHE_MAX entries (oldest-first
+    eviction with an explicit unpersist) so long-lived sessions do not
+    pin checkpoint blocks forever (r6 ADVICE)."""
+    app, start = _session_token(spark)
+    # evict entries whose session is gone
+    for k in [k for k in _EDGE_CACHE if (k[0], k[1]) != (app, start)]:
+        _EDGE_CACHE.pop(k, None)
+    cache_key = (app, start, sf_dir, key)
     df = _EDGE_CACHE.get(cache_key)
     if df is None:
+        while len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+            old = _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:  # session may be mid-teardown
+                pass
         df = build(spark, sf_dir).localCheckpoint()
         _EDGE_CACHE[cache_key] = df
     return df
 
 
 def clear_edge_cache() -> None:
+    for df in _EDGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     _EDGE_CACHE.clear()
 
 

@@ -1,0 +1,222 @@
+"""Distributed exact order-statistic selection (two-pass histogram
+rank-locate) — the scale-safe replacement for `row_number() OVER
+(ORDER BY v)` on a raw fact table.
+
+A global (or 2-partition per-class) row_number funnels the whole fact
+through O(1) partitions: at 100 TB that is one executor sorting
+everything. The classic fix (this module; same shape as
+`q_two_pass_median`, which the r6 verdict named as the recipe):
+
+pass 1  histogram the fact into `n_buckets` integer value-range bins —
+        a combinable groupBy count — and locate, per requested rank k,
+        the bin where the cumulative count crosses k (the cumsum runs
+        over the BUCKET table: n_buckets rows per group, never the
+        fact);
+pass 2  sort ONLY the located bins (~n/n_buckets of the fact each,
+        parallel across groups x ranks) and pick the residual rank.
+
+Every step is integer arithmetic, so the selected values are exactly
+the ones the naive global sort yields (ties in v cannot change the
+k-th smallest VALUE), which keeps the plain-rank DuckDB oracles of the
+call sites valid unchanged.
+
+Degenerate input (all values equal) collapses to one bucket and pass 2
+becomes the naive sort — correct, just not accelerated.
+
+Used by: fd_bin_width, qq_table, winsorized_mean (r6 verdict item #4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RankSpec = tuple[str, Callable[[Column], Column]]
+
+
+def rank_pick(
+    df: DataFrame,
+    value_col: str,
+    ranks: Sequence[RankSpec],
+    group_cols: Sequence[str] = (),
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Return one row per group x rank label with the exact k-th
+    smallest value of ``value_col`` (BIGINT) in that group.
+
+    ``ranks``: (label, k_of_n) pairs where ``k_of_n`` maps the group
+    count column to a 1-based integer rank (use integer arithmetic —
+    e.g. ``lambda n: F.expr("(n + 3) div 4")``).
+
+    Output columns: ``*group_cols, rank_label, v, n, lo, hi`` (n/lo/hi
+    are the group count / min / max, which call sites usually need
+    anyway and that pass 1 computes for free).
+    """
+    g = list(group_cols)
+    v = F.col(value_col)
+    base = df.select(*g, v.alias("v"))
+
+    stats = base.groupBy(*g).agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    binned = (
+        base.join(F.broadcast(stats), g)
+        if g
+        else base.crossJoin(F.broadcast(stats))
+    ).select(
+        *g,
+        "v",
+        "n",
+        "lo",
+        "hi",
+        F.expr(f"((v - lo) * {n_buckets}) div (hi - lo + 1)").alias("b"),
+    )
+
+    hist = binned.groupBy(*g, "b").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy(*g).orderBy("b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        if g
+        else Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+    )
+    cum = (
+        cum.join(F.broadcast(stats), g)
+        if g
+        else cum.crossJoin(F.broadcast(stats))
+    )
+
+    located = None
+    for label, k_of_n in ranks:
+        k = k_of_n(F.col("n"))
+        hit = cum.filter(
+            (F.col("cum_before") < k) & (F.col("cum_before") + F.col("c") >= k)
+        ).select(
+            *g,
+            F.lit(label).alias("rank_label"),
+            F.col("b").alias("target_b"),
+            (k - F.col("cum_before")).alias("resid"),
+        )
+        located = hit if located is None else located.unionByName(hit)
+
+    ren = located.withColumnsRenamed({c: f"_g_{c}" for c in g})
+    cond = F.col("b") == F.col("target_b")
+    for c in g:
+        cond = cond & (F.col(c) == F.col(f"_g_{c}"))
+    pass2 = binned.join(F.broadcast(ren), cond)
+    w_in = Window.partitionBy(*g, "rank_label").orderBy("v")
+    picked = (
+        pass2.withColumn("rn", F.row_number().over(w_in))
+        .filter(F.col("rn") == F.col("resid"))
+        .select(*g, "rank_label", "v", "n", "lo", "hi")
+    )
+    return picked
+
+
+def with_global_rank(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    rank_col: str = "i",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Append the 1-based global `row_number() OVER (ORDER BY key_col,
+    *tiebreak_cols)` WITHOUT a single-partition sort: two-level
+    prefix-sum (r6 verdict item #7 — gini/lorenz upgrade path).
+
+    level 1  range-bucket every row on the BIGINT ``key_col`` (min/max
+             from a combinable agg, broadcast back); count rows per
+             bucket; exclusive-cumsum those counts over the
+             n_buckets-row bucket table — the only unpartitioned
+             window, bounded by n_buckets, never the data;
+    level 2  row_number within each bucket (parallel across buckets,
+             ~n/n_buckets rows each), global rank = bucket offset +
+             within-bucket rank.
+
+    Bucketing on ``key_col`` preserves the (key, tiebreaks) order
+    because bucket id is monotone in key; ties on key never straddle
+    buckets (equal keys share a bucket id), so tiebreak ordering stays
+    entirely within one bucket's window. The result is row-for-row
+    identical to the naive global row_number, keeping plain-rank
+    DuckDB oracles valid unchanged.
+    """
+    tb = list(tiebreak_cols)
+    rng = df.agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
+    binned = df.crossJoin(F.broadcast(rng)).withColumn(
+        "_b",
+        F.expr(f"(({key_col} - _lo) * {n_buckets}) div (_hi - _lo + 1)"),
+    )
+    offsets = (
+        binned.groupBy("_b")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_c").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_c")
+    )
+    w_in = Window.partitionBy("_b").orderBy(key_col, *tb)
+    return (
+        binned.join(F.broadcast(offsets), "_b")
+        .withColumn(rank_col, F.col("_off") + F.row_number().over(w_in))
+        .drop("_b", "_off", "_lo", "_hi")
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    cum_col: str = "cum",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Append the inclusive running sum of ``value_col`` in ``key_col``
+    order WITHOUT a single-partition sort — the same two-level
+    prefix-sum as :func:`with_global_rank` but summing an arbitrary
+    BIGINT column (sweep lines, shard planners, Lorenz-style
+    accumulations). ``key_col`` must be BIGINT and unique per row
+    (pre-aggregate duplicates first); only the n_buckets-row bucket
+    table ever crosses one partition."""
+    rng = df.agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
+    binned = df.crossJoin(F.broadcast(rng)).withColumn(
+        "_b",
+        F.expr(f"(({key_col} - _lo) * {n_buckets}) div (_hi - _lo + 1)"),
+    )
+    offsets = (
+        binned.groupBy("_b")
+        .agg(F.sum(value_col).alias("_s"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_s").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_s")
+    )
+    w_in = Window.partitionBy("_b").orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        binned.join(F.broadcast(offsets), "_b")
+        .withColumn(cum_col, F.col("_off") + F.sum(value_col).over(w_in))
+        .drop("_b", "_off", "_lo", "_hi")
+    )

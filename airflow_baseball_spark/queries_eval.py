@@ -496,21 +496,29 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
     base = cust.select(F.col("c_mktsegment").alias("seg"), cents.alias("v"))
-    wseg = Window.partitionBy("seg").orderBy("v")
-    wn = Window.partitionBy("seg")
-    ranked = base.select(
-        "seg",
+    # r7 (r6 verdict item #4): percentile boundaries via the two-pass
+    # histogram rank-locate (operators/rank_select.py) instead of a
+    # per-segment row_number over every raw customer row.
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    picked = rank_pick(
+        base,
         "v",
-        F.row_number().over(wseg).alias("rk"),
-        F.count("*").over(wn).alias("n"),
+        [
+            ("p05", lambda n: F.expr("(n + 19) div 20")),
+            ("p95", lambda n: F.expr("(19 * n + 19) div 20")),
+        ],
+        group_cols=["seg"],
     )
     bounds = (
-        ranked.filter(
-            (F.col("rk") == F.expr("(n + 19) div 20"))
-            | (F.col("rk") == F.expr("(19 * n + 19) div 20"))
+        picked.groupBy("seg")
+        .pivot("rank_label", ["p05", "p95"])
+        .agg(F.min("v"))
+        .select(
+            "seg",
+            F.col("p05").alias("lo"),
+            F.col("p95").alias("hi"),
         )
-        .groupBy("seg")
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     )
     clamped = base.join(F.broadcast(bounds), "seg").select(
         "seg",
@@ -1265,24 +1273,26 @@ def q_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     base = ev.select(F.col("event_type").alias("cls"), cents.alias("v"))
-    w = Window.partitionBy("cls").orderBy("v")
-    wn = Window.partitionBy("cls")
-    ranked = base.select(
-        "cls",
+    # r7 (r6 verdict item #4): per-class deciles via the two-pass
+    # histogram rank-locate (operators/rank_select.py) — the previous
+    # form row_numbered each class's raw events through ONE partition
+    # (2 classes = 2 partitions sorting n/2 each).
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    picked = rank_pick(
+        base,
         "v",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        [
+            (str(k), lambda n, k=k: F.expr(f"({k} * n + 9) div 10"))
+            for k in range(1, 10)
+        ],
+        group_cols=["cls"],
     )
-    lv = ranked.select(
-        "cls",
-        "v",
-        "rn",
-        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k"),
-    ).filter(
-        F.col("rn") == F.expr("(k * n + 9) div 10")
-    )
-    q = lv.groupBy("k").pivot("cls", ["purchase", "click"]).agg(
-        F.min("v")
+    q = (
+        picked.withColumn("k", F.col("rank_label").cast("int"))
+        .groupBy("k")
+        .pivot("cls", ["purchase", "click"])
+        .agg(F.min("v"))
     )
     return q.select(
         F.col("k").cast("long").alias("decile"),
@@ -3016,29 +3026,44 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the outcome variance floor. The standard deeper read on
     `auc_roc`/`decile_lift`'s single numbers.
 
-    Exactness: decile bins come from nine broadcast exact-percentile
-    boundaries scored in-row (`1 + Σ(price > q_i)` — the rfm_segments
-    idiom; a global NTILE would serialize the fact through one window
-    task); every rate is a correctly-rounded division of exact
-    counts; each bin's REL/RES term is quantized to integer
-    PICO-units BEFORE the 10-row sum (quantize-before-sum), so
-    partition order cannot move the output. Shapes: one fact scan,
-    a 10-row bin table, 1-row output."""
+    Exactness: decile bins come from nine broadcast boundaries scored
+    in-row (`1 + Σ(pc > q_i)` — the rfm_segments idiom; a global
+    NTILE would serialize the fact through one window task). r7 (r6
+    ADVICE): the boundaries are RANK-RULE k-th-smallest integer cents
+    located by the two-pass histogram (operators/rank_select.py), not
+    interpolated percentile()/QUANTILE_CONT — the (1-f)·a+f·b float
+    interpolation can differ by 1 ulp between engines and flip the
+    bin membership of a boundary row, exactly the latent driver-hash
+    risk the house no-interpolation rule exists to prevent. Every
+    rate is a correctly-rounded division of exact counts; each bin's
+    REL/RES term is quantized to integer PICO-units BEFORE the 10-row
+    sum (quantize-before-sum), so partition order cannot move the
+    output. Shapes: one fact scan, a 10-row bin table, 1-row
+    output."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.col("o_totalprice").cast("double").alias("price"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
         (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
         (F.col("o_orderkey") % 2 == 1).cast("int").alias("is_train"),
     )
-    qs = o.agg(
-        *[
-            F.expr(f"percentile(price, {i / 10.0})").alias(f"q{i}")
+    picked = rank_pick(
+        o.select(F.col("pc").alias("v")),
+        "v",
+        [
+            (f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 9) div 10"))
             for i in range(1, 10)
-        ]
+        ],
     )
+    qs = picked.groupBy().pivot(
+        "rank_label", [f"q{i}" for i in range(1, 10)]
+    ).agg(F.min("v"))
     kcol = F.lit(1)
     for i in range(1, 10):
-        kcol = kcol + (F.col("price") > F.col(f"q{i}")).cast("int")
+        kcol = kcol + (F.col("pc") > F.col(f"q{i}")).cast("int")
     binned = o.crossJoin(F.broadcast(qs)).withColumn("k", kcol)
     cells = binned.groupBy("k").agg(
         F.sum(F.when(F.col("is_train") == 1, 1).otherwise(0)).alias("n_tr"),
@@ -3086,26 +3111,35 @@ registry.register(
     q_brier_decomposition,
     """
     WITH o AS (
-      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
              CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y,
              CAST(o_orderkey % 2 = 1 AS INT) AS is_train
       FROM orders
     ),
+    ranked AS (
+      SELECT pc, ROW_NUMBER() OVER (ORDER BY pc) AS rn,
+             COUNT(*) OVER () AS n FROM o
+    ),
     qs AS (
-      SELECT QUANTILE_CONT(price, 0.1) AS q1, QUANTILE_CONT(price, 0.2) AS q2,
-             QUANTILE_CONT(price, 0.3) AS q3, QUANTILE_CONT(price, 0.4) AS q4,
-             QUANTILE_CONT(price, 0.5) AS q5, QUANTILE_CONT(price, 0.6) AS q6,
-             QUANTILE_CONT(price, 0.7) AS q7, QUANTILE_CONT(price, 0.8) AS q8,
-             QUANTILE_CONT(price, 0.9) AS q9
-      FROM o
+      SELECT MIN(CASE WHEN rn = (1 * n + 9) // 10 THEN pc END) AS q1,
+             MIN(CASE WHEN rn = (2 * n + 9) // 10 THEN pc END) AS q2,
+             MIN(CASE WHEN rn = (3 * n + 9) // 10 THEN pc END) AS q3,
+             MIN(CASE WHEN rn = (4 * n + 9) // 10 THEN pc END) AS q4,
+             MIN(CASE WHEN rn = (5 * n + 9) // 10 THEN pc END) AS q5,
+             MIN(CASE WHEN rn = (6 * n + 9) // 10 THEN pc END) AS q6,
+             MIN(CASE WHEN rn = (7 * n + 9) // 10 THEN pc END) AS q7,
+             MIN(CASE WHEN rn = (8 * n + 9) // 10 THEN pc END) AS q8,
+             MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN pc END) AS q9
+      FROM ranked
     ),
     binned AS (
       SELECT o.*,
-             1 + CAST(price > q1 AS INT) + CAST(price > q2 AS INT)
-               + CAST(price > q3 AS INT) + CAST(price > q4 AS INT)
-               + CAST(price > q5 AS INT) + CAST(price > q6 AS INT)
-               + CAST(price > q7 AS INT) + CAST(price > q8 AS INT)
-               + CAST(price > q9 AS INT) AS k
+             1 + CAST(pc > q1 AS INT) + CAST(pc > q2 AS INT)
+               + CAST(pc > q3 AS INT) + CAST(pc > q4 AS INT)
+               + CAST(pc > q5 AS INT) + CAST(pc > q6 AS INT)
+               + CAST(pc > q7 AS INT) + CAST(pc > q8 AS INT)
+               + CAST(pc > q9 AS INT) AS k
       FROM o CROSS JOIN qs
     ),
     cells AS (

@@ -163,11 +163,20 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline PSI is their sum — left to the caller so the projection
     stays per-bin and hashable); bins empty in either period are
     excluded, as standard."""
+    # Epoch-day window bounds (1997-01-01=9862, 1998-01-01=10227,
+    # 1999-01-01=10592 days since 1970-01-01): r7 rebuild — the
+    # TIMESTAMP-literal comparisons shipped in r5/r6 stayed driver-red,
+    # and literal-vs-column comparisons are the one read-path a
+    # tz-tagged vintage + non-UTC driver DuckDB session can shift
+    # (measured: `ts < TIMESTAMP '1998-01-01'` flips at the boundary
+    # under SET TimeZone on tagged parquet; epoch-integer reads never
+    # move). Spark's datediff under the load_table UTC pin IS the
+    # epoch day, matching the oracle's epoch_us // us-per-day.
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+        (day >= F.lit(9862)) & (day < F.lit(10592))
     )
-    in97 = F.col("l_shipdate") < F.lit("1998-01-01")
+    in97 = day < F.lit(10227)
     bins = li.groupBy(
         F.floor(F.col("l_quantity") / 5.0).cast("int").alias("bin")
     ).agg(
@@ -195,7 +204,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n_a",
             "n_b",
-            _r6(diff * lnr).alias("psi_term"),
+            # BIGINT micro-units, not /1e6-to-double (r6 verdict): the
+            # only remaining engine surface is ln on an exact integer
+            # ratio; everything hashed is pure integer.
+            F.floor(diff * lnr * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("psi_term_micro"),
         )
     )
 
@@ -206,22 +220,22 @@ registry.register(
     """
     WITH bins AS (
       SELECT CAST(FLOOR(l_quantity / 5.0) AS INT) AS bin,
-             SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+             SUM(CASE WHEN epoch_us(l_shipdate) // 86400000000 < 10227
                  THEN 1 ELSE 0 END) AS n_a,
-             SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+             SUM(CASE WHEN epoch_us(l_shipdate) // 86400000000 < 10227
                  THEN 0 ELSE 1 END) AS n_b
       FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1999-01-01'
+      WHERE epoch_us(l_shipdate) // 86400000000 >= 9862
+        AND epoch_us(l_shipdate) // 86400000000 < 10592
       GROUP BY 1
     ),
     tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM bins)
     SELECT b.bin, b.n_a, b.n_b,
-           FLOOR((CAST(b.n_a * t.tot_b - b.n_b * t.tot_a AS DOUBLE)
-                  / CAST(t.tot_a * t.tot_b AS DOUBLE))
-                 * LN(CAST(b.n_a * t.tot_b AS DOUBLE)
-                      / CAST(b.n_b * t.tot_a AS DOUBLE))
-                 * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+           CAST(FLOOR((CAST(b.n_a * t.tot_b - b.n_b * t.tot_a AS DOUBLE)
+                       / CAST(t.tot_a * t.tot_b AS DOUBLE))
+                      * LN(CAST(b.n_a * t.tot_b AS DOUBLE)
+                           / CAST(b.n_b * t.tot_a AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS psi_term_micro
     FROM bins b CROSS JOIN tot t
     WHERE b.n_a > 0 AND b.n_b > 0
     """,

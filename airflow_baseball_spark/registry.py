@@ -13,7 +13,25 @@ value hash, sorting columns by name):
   ``floor(x*1e6 + 0.5)/1e6`` on BOTH sides instead (see
   ``queries_domain._r6``): Spark's ``round()`` goes through Java's
   shortest-string BigDecimal while DuckDB rounds the exact double,
-  and they disagree by 1e-6 exactly at ties.
+  and they disagree by 1e-6 exactly at ties;
+* never ``CAST(double AS DECIMAL(p,s))`` on a value that can carry
+  more decimals than ``s``: Spark casts via the shortest decimal
+  string (0.615d -> 0.62) while DuckDB rounds the binary value
+  (0.615d -> 0.61) — quantize with ``floor(x*10^s + 0.5)`` instead;
+* read timestamps as epoch integers (Spark ``unix_micros`` / DuckDB
+  ``epoch_us``, both returning the stored int64 under every parquet
+  tagging and session timezone), not calendar functions, whenever the
+  result feeds the hash.
+
+Diagnostic-probe pattern (r7): positions 2-8 of the driver window are
+reserved for ``queries_probes.py`` — tiny pure-BIGINT queries that each
+isolate ONE environment-divergence mechanism (libm build, epoch reads,
+calendar-hour extraction, calendar-day vs epoch-day, text length
+semantics, double->DECIMAL tie rounding). When a real query goes
+driver-red while locally green, the probe block's red/green pattern in
+the same window identifies the mechanism instead of another round of
+blind expression hardening. Keep the probes first; they are the
+instrument panel for every other row.
 """
 
 from __future__ import annotations
@@ -44,82 +62,46 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Registry order is the driver's correctness-check order, and past
-# rounds showed the driver checks the FIRST ~50 entries only. Round-6
-# ordering (every comment below describes code as shipped; the r5
-# verdict's window directives override the r5 rotation promise for
-# 9 slots):
+# rounds showed the driver checks the FIRST ~50 entries only. Round-7
+# ordering (per the r6 verdict's window directives):
 #   1. the flagship — in-window every round as the regression canary,
-#   2. the six stale/red driver rows the r5 verdict ordered to the
-#      head of this window: the three r5 hash-mismatches
-#      (chi2_features / psi_drift / tpch_q12ish — all re-hardened
-#      this round: quantize-before-sum, exact-integer-ratio-in-ln,
-#      epoch-integer dates) and the three fixed-in-code-but-stale
-#      rows (tpch_q1, kmeans_fit, ivf_topk — last driver rows are
-#      r2/r3 FAILs; code green locally since r5),
-#   3. domain-parity regression canaries not driver-sampled since r3
-#      (verdict item 7),
-#   4. r5-overflow continues exactly in the order promised by the r5
-#      registry comment ("this tier leads the r6 window in this
-#      order") — the first 40 fit the remaining slots,
-#   5. positions 51+: the rest of the r5 overflow in promised order,
-#      then round-6 additions (novel shapes first — they lead the r7
-#      window), then everything driver-attested in r2-r5 (module
-#      order).
+#   2. positions 2-8: the seven DIAGNOSTIC PROBES (r6 verdict item #1
+#      — queries_probes.py documents what each red/green combination
+#      identifies): six r6 queries were hash-red while bit-exact
+#      locally under every perturbation, so the divergence is
+#      environmental (driver testdata vintage or engine builds) and
+#      these probes measure it instead of guessing,
+#   3. positions 9-14: the six r6 driver-reds, all rebuilt per the r6
+#      verdict item #2 — pure-BIGINT hash surfaces (micro-unit
+#      columns, doubles dropped), epoch-integer reads of every
+#      timestamp (tz-tagging/session-TZ-proof), floor-quantized cents
+#      instead of engine-divergent DECIMAL casts, byte-true
+#      octet_length/strlen in the shard planner,
+#   4. positions 15-50: the oldest never-driver-sampled names (r6
+#      verdict item #6), continuing the r5-overflow order promised in
+#      earlier rounds,
+#   5. positions 51+: the remaining never-sampled names in promised
+#      order, then round-6/7 additions, then everything
+#      driver-attested in r2-r6 (module order).
 _PRIORITY = [
     # -- tier 1: regression canary
     "park_factor_flagship",
-    # -- tier 2: the six stale/red rows (r5 verdict, first six slots)
+    # -- tier 2: diagnostic probes (positions 2-8)
+    "probe_engine_echo",
+    "probe_events_epoch",
+    "probe_events_hour_raw",
+    "probe_lineitem_days_cal",
+    "probe_lineitem_days_epoch",
+    "probe_documents_len",
+    "probe_decimal_cast",
+    # -- tier 3: the six r6 driver-reds, rebuilt (positions 9-14)
     "chi2_features",
     "psi_drift",
     "tpch_q12ish",
-    "tpch_q1",
-    "kmeans_fit",
-    "ivf_topk",
-    # -- tier 3: domain-parity canaries, last sampled r3
-    "hitting_formulas",
-    "integration_wide",
-    "game_parse",
-    # -- tier 4: r5 overflow, in the order promised last round
-    "bpe_merge_steps",
-    "ann_recall_eval",
-    "corrupt_quarantine",
     "media_shard_plan",
-    "aspect_bucket",
-    "class_balance",
     "interval_union_time",
-    "source_overlap",
-    "langid_confusion",
-    "embedding_norm_profile",
-    "decile_lift",
     "sql_api_pricing",
-    "calendar_dim",
-    "mom_growth",
-    "time_to_conversion",
-    "churn_flag",
-    "null_safe_join",
-    "percentile_disc",
-    "range_frame_agg",
-    "pivot_multi_agg",
-    "groupwise_regression",
-    "cusum_changepoint",
-    "dataset_card",
-    "stream_quarantine",
-    "gini_coefficient",
-    "hhi_concentration",
-    "lorenz_curve",
-    "local_peaks",
-    "order_lines_histogram",
-    "spearman_rank_corr",
-    "stream_windowed_users",
-    "price_index",
-    "retention_curve",
-    "ks_statistic",
-    "auc_roc",
-    "mutual_information",
-    "kaplan_meier",
-    "theil_index",
-    "cramers_v",
-    "winsorized_mean",
+    # -- tier 4: oldest never-driver-sampled names (positions 15-50)
     "zipf_slope",
     "adamic_adar",
     "rolling_median",
@@ -352,6 +334,7 @@ def _load() -> None:
         queries_sampling,
         queries_streaming,
         queries_mining,
+        queries_probes,
         queries_sketch,
         queries_stats,
         queries_text,

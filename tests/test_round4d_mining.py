@@ -36,8 +36,9 @@ def test_psi_drift_terms_and_identity(spark):
     rows = q_psi_drift(spark, SF).collect()
     assert rows
     # every PSI term is non-negative: (p-q) and ln(p/q) share sign
+    # (micro-unit BIGINT since r7 — the hash surface is pure integer)
     for r in rows:
-        assert r["psi_term"] >= 0.0
+        assert r["psi_term_micro"] >= 0
         assert r["n_a"] > 0 and r["n_b"] > 0
 
 

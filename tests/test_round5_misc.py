@@ -69,7 +69,8 @@ def test_sql_api_matches_dsl_plan(spark):
     assert rows
     for r in rows:
         assert r.count_order > 0
-        assert 0.0 <= r.avg_disc <= 0.2
+        # micro-unit BIGINT since r7 (0..200000 == 0.0..0.2)
+        assert 0 <= r.avg_disc_micro <= 200000
 
 
 def test_calendar_dim_dense_and_consistent(spark):
