@@ -220,3 +220,57 @@ def with_global_cumsum(
         .withColumn(cum_col, F.col("_off") + F.sum(value_col).over(w_in))
         .drop("_b", "_off", "_lo", "_hi")
     )
+
+
+def with_global_running_max(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    out_col: str = "run_max",
+    descending: bool = False,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Append the EXCLUSIVE running max of ``value_col`` over rows
+    whose ``key_col`` sorts strictly before this row (ascending, or
+    strictly after when ``descending``) — NULL when no such row.
+    Same two-level shape as :func:`with_global_cumsum`: per-bucket
+    maxima, an exclusive cummax over the n_buckets-row bucket table,
+    an exclusive within-bucket window, then max of the two (skyline /
+    dominance and record-breaking scans without a global sort).
+    ``key_col`` must be BIGINT and unique per row (pre-aggregate
+    ties first — running-max-with-ties is order-ambiguous)."""
+    rng = df.agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
+    binned = df.crossJoin(F.broadcast(rng)).withColumn(
+        "_b",
+        F.expr(f"(({key_col} - _lo) * {n_buckets}) div (_hi - _lo + 1)"),
+    )
+    order_b = F.col("_b").desc() if descending else F.col("_b").asc()
+    order_k = F.col(key_col).desc() if descending else F.col(key_col).asc()
+    offsets = (
+        binned.groupBy("_b")
+        .agg(F.max(value_col).alias("_m"))
+        .withColumn(
+            "_boff",
+            F.max("_m").over(
+                Window.orderBy(order_b).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .drop("_m")
+    )
+    w_in = Window.partitionBy("_b").orderBy(order_k).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = F.max(value_col).over(w_in)
+    boff = F.col("_boff")
+    return (
+        binned.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            out_col,
+            F.when(boff.isNull(), within)
+            .when(within.isNull(), boff)
+            .otherwise(F.greatest(boff, within)),
+        )
+        .drop("_b", "_boff", "_lo", "_hi")
+    )

@@ -2574,28 +2574,39 @@ def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p10/p50/p90 of event values for every day — the banded series
     a latency/value monitor charts (percentile_disc is the per-group
     scalar; this is its dense time-series form). The exact ceil(p·n)
-    ranks come from ONE day-keyed sort via integer arithmetic
-    ((k·n + 9) div 10 at k=1,5,9); days parallelize across the
-    cluster, and the per-day sort is day-volume-bounded."""
+    ranks use integer arithmetic ((k·n + 9) div 10 at k=1,5,9).
+
+    r7 (r6 verdict item #4 — the "big-day skew" flag): ranks come
+    from the per-group two-pass histogram (rank_select.rank_pick with
+    group_cols=[d]) instead of a per-day row_number over every raw
+    event — a skewed day no longer serializes its whole volume
+    through one window task; pass 2 sorts ~1/1024 of any day."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     base = ev.select(F.to_date("ts").alias("d"), cents.alias("v"))
-    w = Window.partitionBy("d").orderBy("v")
-    wn = Window.partitionBy("d")
-    ranked = base.select(
-        "d",
+    picked = rank_pick(
+        base,
         "v",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        [
+            (f"p{k}0", lambda n, k=k: F.expr(f"({k} * n + 9) div 10"))
+            for k in (1, 5, 9)
+        ],
+        group_cols=["d"],
     )
-    pick = lambda k: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.expr(f"({k} * n + 9) div 10"), F.col("v"))
-    )
-    return ranked.groupBy("d").agg(
-        F.max("n").cast("long").alias("n_events"),
-        (pick(1).cast("double") / 100.0).alias("p10"),
-        (pick(5).cast("double") / 100.0).alias("p50"),
-        (pick(9).cast("double") / 100.0).alias("p90"),
+    return (
+        picked.groupBy("d")
+        .pivot("rank_label", ["p10", "p50", "p90"])
+        .agg(F.min("v"))
+        .join(picked.groupBy("d").agg(F.max("n").alias("n")), "d")
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("p10").cast("double") / 100.0).alias("p10"),
+            (F.col("p50").cast("double") / 100.0).alias("p50"),
+            (F.col("p90").cast("double") / 100.0).alias("p90"),
+        )
     )
 
 
@@ -4106,5 +4117,212 @@ registry.register(
              / 1000000.0 AS service_level
     FROM weekly w JOIN stock s ON w.p_brand = s.p_brand
     GROUP BY 1, 3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (two-level distributed prefix sum over weights)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price: the smallest price whose
+    cumulative quantity reaches half the total — the inventory-robust
+    "typical transacted price" (a plain median over-weights 1-unit
+    lines). Rank rule on integer weights: target = (W + 1) div 2,
+    never a float quantile.
+
+    Scale: prices collapse to DISTINCT cents first (combinable agg),
+    the running weight comes from rank_select.with_global_cumsum
+    (two-level prefix sum — only the 1024-row bucket table crosses a
+    single partition), and the pick is a 1-row min-aggregate. No raw
+    fact is ever globally sorted."""
+    from airflow_baseball_spark.operators.rank_select import with_global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_price = (
+        li.select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("pc"),
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+        )
+        .groupBy("pc")
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = per_price.agg(
+        F.sum("w").alias("tw"), F.count("*").alias("n_prices")
+    )
+    cum = with_global_cumsum(per_price, "pc", "w", cum_col="cw")
+    hit = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cw") >= F.expr("(tw + 1) div 2"))
+        .agg(F.min("pc").alias("mpc"))
+    )
+    return hit.crossJoin(F.broadcast(tot)).select(
+        F.col("n_prices").cast("long").alias("n_distinct_prices"),
+        F.col("tw").cast("long").alias("total_weight"),
+        (F.col("mpc").cast("double") / 100.0).alias("weighted_median_price"),
+    )
+
+
+registry.register(
+    "weighted_median",
+    q_weighted_median,
+    """
+    WITH per_price AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+             SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(w) AS tw, COUNT(*) AS n_prices FROM per_price),
+    cum AS (
+      SELECT pc,
+             SUM(w) OVER (ORDER BY pc
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM per_price
+    )
+    SELECT t.n_prices AS n_distinct_prices,
+           t.tw AS total_weight,
+           CAST(MIN(c.pc) AS DOUBLE) / 100.0 AS weighted_median_price
+    FROM cum c CROSS JOIN tot t
+    WHERE c.cw >= (t.tw + 1) // 2
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (two-level running max, no global sort)
+# ---------------------------------------------------------------------------
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of customers over (total spend, order count):
+    the non-dominated frontier — no other customer profile is >= on
+    both axes and > on at least one. The multi-objective "best
+    customers" set that a single score collapses away.
+
+    Scale shape: customers reduce to DISTINCT (spend_cents ->
+    max order-count) pairs (per-spend max kills same-spend
+    dominance), then the strict-suffix maximum of counts over spends
+    comes from rank_select.with_global_running_max — two-level
+    (per-bucket maxima + bucket-table cummax), so no customers-sized
+    global sort. A pair survives iff its count beats every count at
+    strictly higher spend. Output: the frontier pairs and how many
+    customers sit on each."""
+    from airflow_baseball_spark.operators.rank_select import (
+        with_global_running_max,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("spend_c"),
+        F.count("*").alias("n_orders"),
+    )
+    pairs = cust.groupBy("spend_c").agg(
+        F.max("n_orders").alias("n_orders"),
+        F.count("*").alias("n_customers"),
+    )
+    flagged = with_global_running_max(
+        pairs, "spend_c", "n_orders", out_col="sup_max", descending=True
+    )
+    return (
+        flagged.filter(
+            F.col("sup_max").isNull() | (F.col("n_orders") > F.col("sup_max"))
+        )
+        .select(
+            (F.col("spend_c").cast("double") / 100.0).alias("spend"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_customers").cast("long").alias("n_customers_at_point"),
+        )
+    )
+
+
+registry.register(
+    "skyline_pareto",
+    q_skyline_pareto,
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT spend_c, MAX(n_orders) AS n_orders,
+             COUNT(*) AS n_customers
+      FROM cust GROUP BY 1
+    ),
+    flagged AS (
+      SELECT spend_c, n_orders, n_customers,
+             MAX(n_orders) OVER (ORDER BY spend_c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sup_max
+      FROM pairs
+    )
+    SELECT CAST(spend_c AS DOUBLE) / 100.0 AS spend,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_customers AS BIGINT) AS n_customers_at_point
+    FROM flagged
+    WHERE sup_max IS NULL OR n_orders > sup_max
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist surface (brand-bounded window)
+# ---------------------------------------------------------------------------
+
+
+def q_brand_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST of each brand's revenue — the
+    distribution-position window functions (rank-1)/(n-1) and
+    #(<=)/n, exercised on the brand-bounded revenue table (25 rows;
+    the window is legitimately tiny, never fact-sized). Revenue stays
+    exact integer cents so tie groups — which both functions are
+    sensitive to — are engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("rev_c")
+        )
+    )
+    w = Window.orderBy("rev_c")
+    return rev.select(
+        "p_brand",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        _r6(F.percent_rank().over(w)).alias("pct_rank"),
+        _r6(F.cume_dist().over(w)).alias("cume_dist"),
+    )
+
+
+registry.register(
+    "brand_percent_rank",
+    q_brand_percent_rank,
+    """
+    WITH rev AS (
+      SELECT p.p_brand,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS rev_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           FLOOR(PERCENT_RANK() OVER (ORDER BY rev_c)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           FLOOR(CUME_DIST() OVER (ORDER BY rev_c)
+                 * 1000000.0 + 0.5) / 1000000.0 AS cume_dist
+    FROM rev
     """,
 )

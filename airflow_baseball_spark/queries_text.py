@@ -5715,3 +5715,69 @@ registry.register(
     CROSS JOIN vocab v
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance near-dup (fuzzy dedup, levenshtein surface)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs under BLOCKING — the fuzzy
+    tier between exact-hash dedup and MinHash: candidate pairs only
+    within (source, byte-length bucket) blocks, scored by Levenshtein
+    distance on a fixed 48-char prefix, kept when <= 16 edits.
+
+    Scale: the self-join is an EQUI-join on the block key (no
+    all-pairs — the classic dedup blocking strategy), a<b
+    canonicalization halves the pairs, and the O(L^2) distance runs
+    on the bounded prefix, not the document. Spark's levenshtein and
+    DuckDB's levenshtein are both the classic unit-cost edit
+    distance, so the scores are engine-identical integers. Real
+    corpora tune block width / prefix / threshold; the shape is what
+    scales (same blocked equi-join plan as minhash_lsh_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.octet_length("text") / 32).cast("long").alias("lb"),
+        F.substring("text", 1, 48).alias("pfx"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src"),
+        F.col("lb").alias("lb"),
+        F.col("pfx").alias("pfx_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src"),
+        F.col("lb").alias("lb"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    pairs = (
+        a.join(b, on=["src", "lb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("pfx_a", "pfx_b"))
+        .filter(F.col("dist") <= 16)
+    )
+    return pairs.select(
+        "id_a", "id_b", "src", F.col("dist").cast("long").alias("edit_dist")
+    )
+
+
+registry.register(
+    "dedup_levenshtein",
+    q_dedup_levenshtein,
+    """
+    WITH d AS (
+      SELECT doc_id, source, strlen(text) // 32 AS lb,
+             substring(text, 1, 48) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS src,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 16
+    """,
+)

@@ -165,3 +165,23 @@ def test_global_rank_and_cumsum_match_naive(spark):
     for r in sorted(csum, key=lambda r: r["t"]):
         run += r["c"]
         assert r["cum"] == run
+
+
+def test_weighted_median_two_level(spark):
+    from airflow_baseball_spark.queries_relational2 import q_weighted_median
+
+    plan = _plan(q_weighted_median(spark, SF))
+    _assert_only_bucket_global_windows(plan)
+
+
+def test_skyline_two_level_and_correct(spark):
+    from airflow_baseball_spark.queries_relational2 import q_skyline_pareto
+
+    df = q_skyline_pareto(spark, SF)
+    _assert_only_bucket_global_windows(_plan(df))
+    rows = df.collect()
+    assert rows
+    # frontier property: strictly decreasing n_orders as spend rises
+    rows.sort(key=lambda r: r.spend)
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.spend > lo.spend and hi.n_orders < lo.n_orders
