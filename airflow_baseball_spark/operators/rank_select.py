@@ -93,18 +93,31 @@ def rank_pick(
         else cum.crossJoin(F.broadcast(stats))
     )
 
-    located = None
-    for label, k_of_n in ranks:
-        k = k_of_n(F.col("n"))
-        hit = cum.filter(
-            (F.col("cum_before") < k) & (F.col("cum_before") + F.col("c") >= k)
-        ).select(
-            *g,
-            F.lit(label).alias("rank_label"),
-            F.col("b").alias("target_b"),
-            (k - F.col("cum_before")).alias("resid"),
+    # one exploded pass locates EVERY rank: a per-rank union would
+    # re-evaluate the histogram subtree once per rank (9x for decile
+    # call sites — measured +1.2 s at sf0.1 before this form)
+    rk = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("rank_label"),
+                k_of_n(F.col("n")).cast("long").alias("k"),
+            )
+            for label, k_of_n in ranks
+        ]
+    )
+    located = (
+        cum.select(*g, "b", "c", "cum_before", F.explode(rk).alias("rk"))
+        .filter(
+            (F.col("cum_before") < F.col("rk.k"))
+            & (F.col("cum_before") + F.col("c") >= F.col("rk.k"))
         )
-        located = hit if located is None else located.unionByName(hit)
+        .select(
+            *g,
+            F.col("rk.rank_label").alias("rank_label"),
+            F.col("b").alias("target_b"),
+            (F.col("rk.k") - F.col("cum_before")).alias("resid"),
+        )
+    )
 
     ren = located.withColumnsRenamed({c: f"_g_{c}" for c in g})
     cond = F.col("b") == F.col("target_b")

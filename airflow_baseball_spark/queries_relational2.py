@@ -4168,7 +4168,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 registry.register(
-    "weighted_median",
+    "weighted_median_global",
     q_weighted_median,
     """
     WITH per_price AS (
@@ -4324,5 +4324,260 @@ registry.register(
            FLOOR(CUME_DIST() OVER (ORDER BY rev_c)
                  * 1000000.0 + 0.5) / 1000000.0 AS cume_dist
     FROM rev
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence outlier rate per segment (rank_pick reuse)
+# ---------------------------------------------------------------------------
+
+
+def q_iqr_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Tukey outlier audit: Q1/Q3 by the exact
+    rank rule, fences at 1.5·IQR in integer cents, and the count /
+    fraction of orders outside the fences — the data-quality screen a
+    feature store runs before training.
+
+    Scale: quartiles per segment via the grouped two-pass histogram
+    (rank_select.rank_pick — no per-segment raw sort), fences
+    broadcast back onto the fact, one conditional aggregate. The
+    rate is an exact integer ratio quantized at 1e-6."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    picked = rank_pick(
+        base,
+        "v",
+        [
+            ("q1", lambda n: F.expr("(n + 3) div 4")),
+            ("q3", lambda n: F.expr("(3 * n + 3) div 4")),
+        ],
+        group_cols=["seg"],
+    )
+    fences = (
+        picked.groupBy("seg")
+        .pivot("rank_label", ["q1", "q3"])
+        .agg(F.min("v"))
+        .select(
+            "seg",
+            # 1.5*IQR in integer HALF-cents so the fence is exact:
+            # fence_lo*2 = 2*q1 - 3*(q3-q1), fence_hi*2 = 2*q3 + 3*IQR
+            (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+            (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+        )
+    )
+    flagged = base.join(F.broadcast(fences), "seg").select(
+        "seg",
+        ((2 * F.col("v") < F.col("lo2")) | (2 * F.col("v") > F.col("hi2")))
+        .cast("long")
+        .alias("is_out"),
+    )
+    return flagged.groupBy("seg").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("is_out").alias("n_outliers"),
+        _r6(F.sum("is_out").cast("double") / F.count("*")).alias(
+            "outlier_rate"
+        ),
+    )
+
+
+registry.register(
+    "iqr_outlier_rate",
+    q_iqr_outlier_rate,
+    """
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT seg, v,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM base
+    ),
+    fences AS (
+      SELECT seg,
+             2 * MIN(CASE WHEN rn = (n + 3) // 4 THEN v END)
+             - 3 * (MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN v END)
+                    - MIN(CASE WHEN rn = (n + 3) // 4 THEN v END)) AS lo2,
+             2 * MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN v END)
+             + 3 * (MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN v END)
+                    - MIN(CASE WHEN rn = (n + 3) // 4 THEN v END)) AS hi2
+      FROM ranked GROUP BY seg
+    )
+    SELECT b.seg, COUNT(*) AS n_orders,
+           SUM(CASE WHEN 2 * b.v < f.lo2 OR 2 * b.v > f.hi2
+               THEN 1 ELSE 0 END) AS n_outliers,
+           FLOOR((CAST(SUM(CASE WHEN 2 * b.v < f.lo2 OR 2 * b.v > f.hi2
+                            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS outlier_rate
+    FROM base b JOIN fences f ON b.seg = f.seg
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year spend-decile transition matrix
+# ---------------------------------------------------------------------------
+
+
+def q_decile_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-decile migration 1997→1998: the cohort-drift /
+    loyalty-matrix query (how many decile-1 spenders became decile-10,
+    churned, etc.). Deciles are NTILE over each year's spend order,
+    computed WITHOUT a global sort: per-year distributed rank
+    (rank_select.with_global_rank, two-level prefix sum) + NTILE's
+    exact integer split rule re-derived from (rank, n) — the
+    lorenz_curve idiom, per year. Customers absent in a year land in
+    decile 0 (the churn/new row and column)."""
+    from airflow_baseball_spark.operators.rank_select import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    yr = F.when(day < 10227, F.lit(1997)).otherwise(F.lit(1998))
+    spend = (
+        o.filter((day >= 9862) & (day < 10592))
+        .groupBy("o_custkey", yr.alias("yr"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sp")
+        )
+    )
+
+    def year_deciles(y: int):
+        s = spend.filter(F.col("yr") == y).select("o_custkey", "sp")
+        ranked = with_global_rank(
+            s, "sp", tiebreak_cols=["o_custkey"], rank_col="i"
+        )
+        nrow = s.agg(F.count("*").alias("nn"))
+        return ranked.crossJoin(F.broadcast(nrow)).select(
+            "o_custkey",
+            F.expr(
+                "CASE WHEN i <= (nn % 10) * (nn div 10 + 1)"
+                "     THEN (i - 1) div (nn div 10 + 1) + 1"
+                "     ELSE (nn % 10) + (i - (nn % 10) * (nn div 10 + 1) - 1)"
+                "          div (nn div 10) + 1 END"
+            )
+            .cast("int")
+            .alias(f"d{y}"),
+        )
+
+    d97, d98 = year_deciles(1997), year_deciles(1998)
+    joined = d97.join(d98, "o_custkey", "full_outer").select(
+        F.coalesce("d1997", F.lit(0)).alias("decile_1997"),
+        F.coalesce("d1998", F.lit(0)).alias("decile_1998"),
+    )
+    return joined.groupBy("decile_1997", "decile_1998").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+registry.register(
+    "decile_transition_matrix",
+    q_decile_transition_matrix,
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN epoch_us(o_orderdate) // 86400000000 < 10227
+                  THEN 1997 ELSE 1998 END AS yr,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sp
+      FROM orders
+      WHERE epoch_us(o_orderdate) // 86400000000 >= 9862
+        AND epoch_us(o_orderdate) // 86400000000 < 10592
+      GROUP BY 1, 2
+    ),
+    d97 AS (
+      SELECT o_custkey, NTILE(10) OVER (ORDER BY sp, o_custkey) AS d
+      FROM spend WHERE yr = 1997
+    ),
+    d98 AS (
+      SELECT o_custkey, NTILE(10) OVER (ORDER BY sp, o_custkey) AS d
+      FROM spend WHERE yr = 1998
+    )
+    SELECT COALESCE(d97.d, 0) AS decile_1997,
+           COALESCE(d98.d, 0) AS decile_1998,
+           COUNT(*) AS n_customers
+    FROM d97 FULL OUTER JOIN d98 ON d97.o_custkey = d98.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# NOT IN / EXISTS null-semantics audit
+# ---------------------------------------------------------------------------
+
+
+def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI three-valued-logic audit every SQL engine must get
+    identically right: against a deterministically-dirtied FK column
+    (o_orderkey % 97 = 0 nulls the custkey — the dq_report
+    convention), count customers matched by NOT EXISTS, by NOT IN
+    (which returns ZERO rows the moment the subquery yields a single
+    NULL — the classic production trap), by LEFT ANTI join, and the
+    NULL-FK row count itself. Surface-parity proof that this engine's
+    anti-join compilation preserves ANSI semantics, not just
+    row-shuffling equivalence. One broadcast anti-join + conditional
+    aggregates; nothing fact-scale shuffles twice."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("fk")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    fk_nonnull = o.filter(F.col("fk").isNotNull()).select("fk").distinct()
+    has_null_fk = o.filter(F.col("fk").isNull()).limit(1).count() > 0
+    not_exists = c.join(
+        F.broadcast(fk_nonnull), c["c_custkey"] == F.col("fk"), "left_anti"
+    ).count()
+    # NOT IN over a subquery containing NULL matches nothing (ANSI);
+    # the Spark side states the rule explicitly rather than paying a
+    # second scan for what three-valued logic makes a constant
+    not_in = 0 if has_null_fk else not_exists
+    n_null_fk = o.filter(F.col("fk").isNull()).count()
+    return (
+        load_table(spark, sf_dir, "customer")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            "n_customers",
+            F.lit(not_exists).cast("long").alias("n_not_exists"),
+            F.lit(not_in).cast("long").alias("n_not_in"),
+            F.lit(n_null_fk).cast("long").alias("n_null_fk"),
+        )
+    )
+
+
+registry.register(
+    "not_in_null_trap",
+    q_not_in_null_trap,
+    """
+    WITH o AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_custkey END AS fk
+      FROM orders
+    )
+    SELECT (SELECT COUNT(*) FROM customer) AS n_customers,
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.fk = c.c_custkey))
+             AS n_not_exists,
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_custkey NOT IN (SELECT fk FROM o)) AS n_not_in,
+           (SELECT COUNT(*) FROM o WHERE fk IS NULL) AS n_null_fk
     """,
 )
