@@ -3629,3 +3629,177 @@ registry.register(
     FROM t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mean Average Precision @ 10 (pure-integer AP)
+# ---------------------------------------------------------------------------
+
+
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 with binary relevance (purchase events) over each
+    user's first ten events in arrival order — the ranking-quality
+    companion to mrr_metric/ndcg_at5.
+
+    Exactness: unlike NDCG's log discounts, AP is PURE RATIONAL —
+    precision@k = r_k/k on integer counts — so every per-hit term
+    quantizes as floor(r_k·1e9 / k) BIGINT with INTEGER division
+    (no doubles, no libm anywhere until the final mean), and
+    AP@10 = Σterms / R is again integer division. Users with no
+    relevant event in the window score 0, as standard.
+
+    Scale: one user-keyed window for positions (events are already
+    user-partitioned by the shuffle), integer aggregates after."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    top10 = (
+        ev.select(
+            "user_id",
+            (F.col("event_type") == "purchase").cast("long").alias("rel"),
+            F.row_number().over(w).alias("pos"),
+        )
+        .filter(F.col("pos") <= 10)
+    )
+    wcum = Window.partitionBy("user_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = top10.withColumn("r_k", F.sum("rel").over(wcum))
+    per_user = staged.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("r_k * 1000000000 div pos"),
+            ).otherwise(F.lit(0))
+        ).alias("term9"),
+        F.sum("rel").alias("r_total"),
+    )
+    ap9 = F.when(
+        F.col("r_total") > 0, F.expr("term9 div r_total")
+    ).otherwise(F.lit(0))
+    scored = per_user.select(ap9.alias("ap9"))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_users"),
+        _r6(
+            F.sum("ap9").cast("double")
+            / (F.count("*").cast("double") * F.lit(1e9))
+        ).alias("map_at_10"),
+    )
+
+
+registry.register(
+    "map_at_k",
+    q_map_at_k,
+    """
+    WITH top10 AS (
+      SELECT user_id,
+             CAST(event_type = 'purchase' AS BIGINT) AS rel,
+             pos
+      FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos
+        FROM events
+      ) WHERE pos <= 10
+    ),
+    staged AS (
+      SELECT user_id, rel, pos,
+             SUM(rel) OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_k
+      FROM top10
+    ),
+    per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN rel = 1 THEN r_k * 1000000000 // pos
+                 ELSE 0 END) AS term9,
+             SUM(rel) AS r_total
+      FROM staged GROUP BY 1
+    ),
+    scored AS (
+      SELECT CASE WHEN r_total > 0 THEN term9 // r_total ELSE 0 END AS ap9
+      FROM per_user
+    )
+    SELECT COUNT(*) AS n_users,
+           FLOOR((CAST(SUM(ap9) AS DOUBLE)
+                  / (CAST(COUNT(*) AS DOUBLE) * 1e9))
+                 * 1000000.0 + 0.5) / 1000000.0 AS map_at_10
+    FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-weighted ATE (integer weights)
+# ---------------------------------------------------------------------------
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average-treatment-effect estimate
+    under KNOWN stratified propensities — the observational-data
+    counterpart of srm_check/cuped_adjustment. Treatment is the house
+    md5 identity coin on the order key; the propensity depends on the
+    customer segment (1/4 for AUTOMOBILE/BUILDING, else 1/2), so the
+    naive treated-vs-control mean is confounded by segment and IPW
+    reweights it out.
+
+    Exactness: with p in {1/4, 1/2}, the IPW weights 1/p and 1/(1-p)
+    scale to INTEGERS after multiplying by 12 (48/24 treated,
+    16/24 control), so both weighted revenue sums are exact BIGINT
+    cent sums and the estimate is one final division (then _r6).
+    No libm, no doubles mid-stream."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    )
+    low_p = F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        coin.alias("t"),
+        low_p.alias("lp"),
+        cents.alias("y"),
+    )
+    # 12/p: 48 when p=1/4 else 24; 12/(1-p): 16 when p=1/4 else 24
+    w_t = F.when(F.col("lp"), F.lit(48)).otherwise(F.lit(24))
+    w_c = F.when(F.col("lp"), F.lit(16)).otherwise(F.lit(24))
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t") * F.col("y") * w_t).alias("s_t12"),
+        F.sum((1 - F.col("t")) * F.col("y") * w_c).alias("s_c12"),
+        F.sum("t").alias("n_treated"),
+    )
+    n12 = F.col("n").cast("double") * 12.0
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("n_treated").cast("long").alias("n_treated"),
+        _r6(
+            (F.col("s_t12") - F.col("s_c12")).cast("double")
+            / (n12 * 100.0)
+        ).alias("ate_ipw_dollars"),
+    )
+
+
+registry.register(
+    "ipw_ate",
+    q_ipw_ate,
+    """
+    WITH base AS (
+      SELECT CAST(CONCAT('0x', SUBSTRING(MD5(CAST(o.o_orderkey AS VARCHAR)),
+                                         1, 15)) AS BIGINT) % 2 AS t,
+             c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AS lp,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           SUM(t) AS n_treated,
+           FLOOR((CAST(SUM(t * y * (CASE WHEN lp THEN 48 ELSE 24 END))
+                       - SUM((1 - t) * y * (CASE WHEN lp THEN 16 ELSE 24 END))
+                       AS DOUBLE)
+                  / (CAST(COUNT(*) AS DOUBLE) * 12.0 * 100.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ate_ipw_dollars
+    FROM base
+    """,
+)

@@ -4581,3 +4581,138 @@ registry.register(
            (SELECT COUNT(*) FROM o WHERE fk IS NULL) AS n_null_fk
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Price dispersion (coefficient of variation) per brand
+# ---------------------------------------------------------------------------
+
+
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficient of variation of line price per brand — the
+    price-dispersion screen (search-cost / price-discrimination
+    economics; ops-wise, which catalogs have noisy pricing).
+
+    Exactness: per-brand Σx and Σx² over integer cents as
+    DECIMAL(38,0) (exact; cents² ~1e14 per row never leaves integer
+    space), population variance from the integer identity
+    n·Σx² − (Σx)² — still exact decimal — and only the final
+    sqrt/divide touch doubles (sqrt is IEEE-correctly-rounded, not
+    libm-dependent; the decimal→double conversions round the same
+    exact integer to the same nearest double on both engines).
+    One combinable brand aggregate; dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    base = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand", cents.alias("x")
+    )
+    agg = base.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx") * F.col("sx")
+    )
+    nn = F.col("n").cast("double")
+    mean_c = F.col("sx").cast("double") / nn
+    sd_c = F.sqrt(num.cast("double")) / nn
+    return agg.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        _r6(mean_c / 100.0).alias("mean_price"),
+        _r6(sd_c / 100.0).alias("sd_price"),
+        # identical expression tree to the oracle (sqrt/Σx), NOT
+        # sd_c/mean_c — algebraically equal but a different IEEE tree
+        _r6(
+            F.sqrt(num.cast("double")) / F.col("sx").cast("double")
+        ).alias("cv"),
+    )
+
+
+registry.register(
+    "price_dispersion",
+    q_price_dispersion,
+    """
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    agg AS (
+      SELECT p_brand, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM base GROUP BY 1
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           FLOOR((CAST(sx AS DOUBLE) / n / 100.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_price,
+           FLOOR((SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS sd_price,
+           FLOOR((SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                  / CAST(sx AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cv
+    FROM agg
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Semi-additive measure: month-end balance
+# ---------------------------------------------------------------------------
+
+
+def q_semi_additive_month_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-additive-measure pattern every warehouse needs and
+    naive SUM gets wrong: treating each user's event value as a
+    BALANCE reading, the monthly portfolio position is the sum across
+    users of each user's LAST reading in the month (balances add
+    across accounts, never across time). Classic last-value-per-period
+    + cross-account rollup.
+
+    One (user, month)-keyed window picks the closing reading
+    (deterministic (ts, event_id) order), then a months-sized
+    aggregate. The month key is epoch-day-derived calendar under the
+    UTC pin, matching the oracle's normalized reads."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    ym = (F.year(d) * 100 + F.month(d)).alias("ym")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select("user_id", ym, cents.alias("v"), "ts", "event_id")
+    w = Window.partitionBy("user_id", "ym").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closing = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return closing.groupBy("ym").agg(
+        F.count("*").cast("long").alias("n_accounts"),
+        (F.sum("v").cast("double") / 100.0).alias("month_end_balance"),
+    )
+
+
+registry.register(
+    "semi_additive_month_end",
+    q_semi_additive_month_end,
+    """
+    WITH base AS (
+      SELECT user_id,
+             year(CAST(ts AS DATE)) * 100 + month(CAST(ts AS DATE)) AS ym,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id,
+                            year(CAST(ts AS DATE)) * 100
+                            + month(CAST(ts AS DATE))
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT ym, COUNT(*) AS n_accounts,
+           CAST(SUM(v) AS DOUBLE) / 100.0 AS month_end_balance
+    FROM base WHERE rn = 1
+    GROUP BY ym
+    """,
+)

@@ -918,3 +918,169 @@ def _neyman_sql() -> str:
 
 
 registry.register("neyman_allocation", q_neyman_allocation, _neyman_sql())
+
+
+# ---------------------------------------------------------------------------
+# Permutation test (md5-coin label swaps, map-side replicates)
+# ---------------------------------------------------------------------------
+
+_PERM_R = 64  # replicates (two per digest — the bootstrap_ci cost lever)
+
+
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test for the purchase-vs-click mean
+    value difference: R random relabelings of the pooled sample, the
+    p-value is the fraction of replicates whose |Δ| reaches the
+    observed |Δ| (with the standard +1 smoothing). The exact-ish
+    nonparametric sibling of mann_whitney_u.
+
+    Distribution shape (the reason this phrasing scales): label
+    swaps are iid per row, so each partition draws its own md5 coins
+    and every replicate's sums reduce MAP-SIDE in one groupBy(b) —
+    no resample materialization, no shuffle of the fact beyond the
+    R-sized aggregate, the bootstrap_ci Poisson pattern with
+    Bernoulli(1/2) coins. Each digest yields two independent 32-bit
+    coins (hex 1-8, 9-16), so R=64 costs 32 digests/row.
+
+    Determinism: md5 coins are engine-identical; replicate means are
+    exact integer ratios; |Δ| comparisons run on identically-derived
+    doubles; the p-value is an exact integer ratio quantized at
+    1e-6."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select(
+        F.col("event_id").alias("k"),
+        (F.col("event_type") == "purchase").cast("long").alias("g"),
+        cents.alias("v"),
+    )
+    tot = base.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum("g").alias("n1"),
+        F.sum(F.col("g") * F.col("v")).alias("s1"),
+    )
+    rep = base.select(
+        "k",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_R // 2))).alias("b"),
+    )
+    h = F.md5(
+        F.concat(
+            F.concat_ws("-", F.col("k").cast("string"), F.col("b").cast("string")),
+            F.lit(":perm"),
+        )
+    )
+    withh = rep.select("v", "b", h.alias("h"))
+    coin = lambda off: (  # noqa: E731
+        F.conv(F.substring("h", off, 8), 16, 10).cast("long") % 2
+    )
+    per_b = (
+        withh.select("b", "v", coin(1).alias("c1"), coin(9).alias("c2"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("c1") * F.col("v")).alias("sa1"),
+            F.sum("c1").alias("na1"),
+            F.sum(F.col("c2") * F.col("v")).alias("sa2"),
+            F.sum("c2").alias("na2"),
+        )
+    )
+    # Δ_b = mean(coin=1) − mean(coin=0), via broadcast pooled totals
+    both = per_b.crossJoin(F.broadcast(tot))
+    delta = lambda sa, na: (  # noqa: E731
+        F.col(sa).cast("double") / F.col(na).cast("double")
+        - (F.col("s") - F.col(sa)).cast("double")
+        / (F.col("n") - F.col(na)).cast("double")
+    )
+    deltas = both.select(
+        F.explode(
+            F.array(F.abs(delta("sa1", "na1")), F.abs(delta("sa2", "na2")))
+        ).alias("ad")
+    )
+    obs = tot.select(
+        "n",
+        "n1",
+        F.abs(
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - (F.col("s") - F.col("s1")).cast("double")
+            / (F.col("n") - F.col("n1")).cast("double")
+        ).alias("ad_obs"),
+    )
+    counted = deltas.crossJoin(F.broadcast(obs)).agg(
+        F.max("n").alias("n"),
+        F.max("n1").alias("n1"),
+        F.max("ad_obs").alias("ad_obs"),
+        F.sum((F.col("ad") >= F.col("ad_obs")).cast("long")).alias("n_ge"),
+    )
+    return counted.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n1").cast("long").alias("n_purchase"),
+        _r6(F.col("ad_obs") / 100.0).alias("abs_delta_obs"),
+        F.col("n_ge").cast("long").alias("n_replicates_ge"),
+        _r6(
+            (F.col("n_ge") + 1).cast("double") / F.lit(float(_PERM_R + 1))
+        ).alias("p_value"),
+    )
+
+
+registry.register(
+    "permutation_test",
+    q_permutation_test,
+    f"""
+    WITH base AS (
+      SELECT event_id AS k,
+             CAST(event_type = 'purchase' AS BIGINT) AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(v) AS s, SUM(g) AS n1,
+             SUM(g * v) AS s1
+      FROM base
+    ),
+    rep AS (
+      SELECT k, v, b.b,
+             MD5(CONCAT(CONCAT_WS('-', CAST(k AS VARCHAR),
+                                  CAST(b.b AS VARCHAR)), ':perm')) AS h
+      FROM base
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {_PERM_R // 2})) AS b) b
+    ),
+    per_b AS (
+      SELECT b,
+             SUM((CAST(CONCAT('0x', SUBSTRING(h, 1, 8)) AS BIGINT) % 2) * v)
+               AS sa1,
+             SUM(CAST(CONCAT('0x', SUBSTRING(h, 1, 8)) AS BIGINT) % 2) AS na1,
+             SUM((CAST(CONCAT('0x', SUBSTRING(h, 9, 8)) AS BIGINT) % 2) * v)
+               AS sa2,
+             SUM(CAST(CONCAT('0x', SUBSTRING(h, 9, 8)) AS BIGINT) % 2) AS na2
+      FROM rep GROUP BY b
+    ),
+    deltas AS (
+      SELECT UNNEST([
+        ABS(CAST(sa1 AS DOUBLE) / CAST(na1 AS DOUBLE)
+            - CAST(t.s - sa1 AS DOUBLE) / CAST(t.n - na1 AS DOUBLE)),
+        ABS(CAST(sa2 AS DOUBLE) / CAST(na2 AS DOUBLE)
+            - CAST(t.s - sa2 AS DOUBLE) / CAST(t.n - na2 AS DOUBLE))
+      ]) AS ad
+      FROM per_b CROSS JOIN tot t
+    ),
+    obs AS (
+      SELECT n, n1,
+             ABS(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)) AS ad_obs
+      FROM tot
+    )
+    SELECT MAX(o.n) AS n_events,
+           MAX(o.n1) AS n_purchase,
+           FLOOR((MAX(o.ad_obs) / 100.0) * 1000000.0 + 0.5) / 1000000.0
+             AS abs_delta_obs,
+           SUM(CASE WHEN d.ad >= o.ad_obs THEN 1 ELSE 0 END)
+             AS n_replicates_ge,
+           FLOOR(((CAST(SUM(CASE WHEN d.ad >= o.ad_obs THEN 1 ELSE 0 END)
+                        AS BIGINT) + 1)
+                  / {float(_PERM_R + 1)})
+                 * 1000000.0 + 0.5) / 1000000.0 AS p_value
+    FROM deltas d CROSS JOIN obs o
+    """,
+)

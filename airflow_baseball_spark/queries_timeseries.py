@@ -3963,3 +3963,206 @@ registry.register(
     FROM prof
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Sample autocorrelation function (lags 1..7)
+# ---------------------------------------------------------------------------
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample ACF of the daily-revenue series at lags 1..7 — the
+    diagnostic that decides AR order / weekly structure before any
+    forecasting model (seasonality_dow says WHICH day; the ACF says
+    HOW MUCH memory the series has).
+
+    Exactness: with x integer daily cents, n·x_t − S is an exact
+    integer, so every cross term (n·x_t − S)(n·x_{t+k} − S) and the
+    lag-0 denominator are exact DECIMAL(38,0) sums (the products
+    reach ~1e20 — past BIGINT, inside decimal/hugeint); r_k is ONE
+    double division of two exact integers (identical nearest-double
+    conversions on both engines), then _r6. Lags come from one
+    in-row explode joined back on the integer day key — the series
+    table is days-bounded, so every step is small; the only
+    fact-scale work is the daily aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    daily = o.groupBy(day.alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    centered = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("x")
+            - F.col("s").cast("decimal(38,0)")
+        ).alias("c"),
+        "n",
+    )
+    lagged = centered.select(
+        F.col("d").alias("d2"), F.col("c").alias("c2")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    pairs = centered.crossJoin(F.broadcast(lags)).join(
+        lagged, F.col("d2") == F.col("d") + F.col("k")
+    )
+    num = pairs.groupBy("k").agg(
+        F.sum((F.col("c") * F.col("c2")).cast("decimal(38,0)")).alias("num"),
+        F.count("*").alias("n_pairs"),
+    )
+    den = centered.agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("den")
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            round6_portable(
+                F.col("num").cast("double") / F.col("den").cast("double")
+            ).alias("acf"),
+        )
+    )
+
+
+registry.register(
+    "acf_lags",
+    q_acf_lags,
+    """
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+    centered AS (
+      SELECT d, CAST(t.n AS HUGEINT) * x - t.s AS c
+      FROM daily CROSS JOIN tot t
+    ),
+    pairs AS (
+      SELECT k.k, a.c AS c, b.c AS c2
+      FROM centered a
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS k) k
+      JOIN centered b ON b.d = a.d + k.k
+    ),
+    num AS (
+      SELECT k, SUM(c * c2) AS num, COUNT(*) AS n_pairs
+      FROM pairs GROUP BY k
+    ),
+    den AS (SELECT SUM(c * c) AS den FROM centered)
+    SELECT CAST(k AS BIGINT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           FLOOR((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS acf
+    FROM num CROSS JOIN den
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (companion to acf_lags)
+# ---------------------------------------------------------------------------
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over the first 7 daily-revenue autocorrelations —
+    the is-this-white-noise gate run before trusting any model
+    residuals: Q = n(n+2)·Σ r_k²/(n−k).
+
+    Exactness: r_k re-uses acf_lags' exact-integer construction
+    (DECIMAL(38,0) cross sums, one double division each); each
+    r_k²/(n−k) term quantizes to PICO-units BEFORE the 7-term sum
+    (quantize-before-sum), and Q is one multiplication of exact
+    integers-turned-doubles. Everything past the daily aggregate is
+    days-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    daily = o.groupBy(day.alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("x")
+    )
+    tot = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    centered = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("x")
+            - F.col("s").cast("decimal(38,0)")
+        ).alias("c"),
+        "n",
+    )
+    lagged = centered.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    num = (
+        centered.crossJoin(F.broadcast(lags))
+        .join(lagged, F.col("d2") == F.col("d") + F.col("k"))
+        .groupBy("k", "n")
+        .agg(F.sum((F.col("c") * F.col("c2")).cast("decimal(38,0)")).alias("num"))
+    )
+    den = centered.agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("den")
+    )
+    r = F.col("num").cast("double") / F.col("den").cast("double")
+    term_p = F.floor(
+        r * r / (F.col("n") - F.col("k")).cast("double") * F.lit(1e12)
+    ).cast("long")
+    acc = (
+        num.crossJoin(F.broadcast(den))
+        .select("n", term_p.alias("tp"))
+        .groupBy("n")
+        .agg(F.sum("tp").alias("sum_p"))
+    )
+    q = (
+        F.col("n").cast("double")
+        * (F.col("n").cast("double") + 2.0)
+        * (F.col("sum_p").cast("double") / F.lit(1e12))
+    )
+    return acc.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(7).cast("long").alias("n_lags"),
+        round6_portable(q).alias("ljung_box_q"),
+    )
+
+
+registry.register(
+    "ljung_box",
+    q_ljung_box,
+    """
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+    centered AS (
+      SELECT d, CAST(t.n AS HUGEINT) * x - t.s AS c, t.n
+      FROM daily CROSS JOIN tot t
+    ),
+    num AS (
+      SELECT k.k, a.n, SUM(a.c * b.c) AS num
+      FROM centered a
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS k) k
+      JOIN centered b ON b.d = a.d + k.k
+      GROUP BY 1, 2
+    ),
+    den AS (SELECT SUM(c * c) AS den FROM centered),
+    acc AS (
+      SELECT n,
+             SUM(CAST(FLOOR((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                            * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                            / CAST(n - k AS DOUBLE) * 1e12) AS BIGINT))
+               AS sum_p
+      FROM num CROSS JOIN den GROUP BY 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(7 AS BIGINT) AS n_lags,
+           FLOOR((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                  * (CAST(sum_p AS DOUBLE) / 1e12))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ljung_box_q
+    FROM acc
+    """,
+)
