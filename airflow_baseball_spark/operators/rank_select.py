@@ -139,52 +139,59 @@ def with_global_rank(
     tiebreak_cols: Sequence[str] = (),
     rank_col: str = "i",
     n_buckets: int = 1024,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Append the 1-based global `row_number() OVER (ORDER BY key_col,
-    *tiebreak_cols)` WITHOUT a single-partition sort: two-level
-    prefix-sum (r6 verdict item #7 — gini/lorenz upgrade path).
+    """Append the 1-based `row_number() OVER ([PARTITION BY
+    group_cols] ORDER BY key_col, *tiebreak_cols)` WITHOUT funnelling
+    any group through a single partition: two-level prefix-sum (r6
+    verdict item #7 — gini/lorenz upgrade path; grouped form added
+    for the low-cardinality-partition sweeps, e.g. a 5-valued
+    event_type whose per-key windows would each sort n/5 rows).
 
-    level 1  range-bucket every row on the BIGINT ``key_col`` (min/max
-             from a combinable agg, broadcast back); count rows per
-             bucket; exclusive-cumsum those counts over the
-             n_buckets-row bucket table — the only unpartitioned
-             window, bounded by n_buckets, never the data;
-    level 2  row_number within each bucket (parallel across buckets,
-             ~n/n_buckets rows each), global rank = bucket offset +
-             within-bucket rank.
+    level 1  range-bucket every row on the BIGINT ``key_col`` (per
+             group min/max from a combinable agg, broadcast back);
+             count rows per (group, bucket); exclusive-cumsum those
+             counts over the bucket table — n_buckets rows PER GROUP,
+             windowed per group, never the data;
+    level 2  row_number within each (group, bucket) — parallel across
+             groups x buckets, ~|group|/n_buckets rows each — global
+             rank = bucket offset + within-bucket rank.
 
     Bucketing on ``key_col`` preserves the (key, tiebreaks) order
     because bucket id is monotone in key; ties on key never straddle
-    buckets (equal keys share a bucket id), so tiebreak ordering stays
-    entirely within one bucket's window. The result is row-for-row
-    identical to the naive global row_number, keeping plain-rank
-    DuckDB oracles valid unchanged.
+    buckets, so tiebreak ordering stays entirely within one bucket's
+    window. Row-for-row identical to the naive window, keeping
+    plain-rank DuckDB oracles valid unchanged. ``group_cols`` values
+    are assumed broadcastable (bounded group count).
     """
     tb = list(tiebreak_cols)
-    rng = df.agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
-    binned = df.crossJoin(F.broadcast(rng)).withColumn(
+    g = list(group_cols)
+    rng = df.groupBy(*g).agg(
+        F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi")
+    )
+    joined = (
+        df.join(F.broadcast(rng), g)
+        if g
+        else df.crossJoin(F.broadcast(rng))
+    )
+    binned = joined.withColumn(
         "_b",
         F.expr(f"(({key_col} - _lo) * {n_buckets}) div (_hi - _lo + 1)"),
     )
+    w_off = (
+        Window.partitionBy(*g).orderBy("_b")
+        if g
+        else Window.orderBy("_b")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        binned.groupBy("_b")
+        binned.groupBy(*g, "_b")
         .agg(F.count("*").alias("_c"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_c").over(
-                    Window.orderBy("_b").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
+        .withColumn("_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)))
         .drop("_c")
     )
-    w_in = Window.partitionBy("_b").orderBy(key_col, *tb)
+    w_in = Window.partitionBy(*g, "_b").orderBy(key_col, *tb)
     return (
-        binned.join(F.broadcast(offsets), "_b")
+        binned.join(F.broadcast(offsets), [*g, "_b"])
         .withColumn(rank_col, F.col("_off") + F.row_number().over(w_in))
         .drop("_b", "_off", "_lo", "_hi")
     )

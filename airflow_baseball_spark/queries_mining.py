@@ -473,36 +473,83 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag: the smallest
     price whose cumulative weight reaches half the group total.
 
-    One shuffle+sort per group key serves the cumulative-weight window
-    AND the group total (unbounded-frame sum over the same
-    partitioning — no second exchange). All weights stay exact
-    DECIMAL; the half-total comparison is 2·cum ≥ total so no decimal
-    division ever happens. Ties in price are ordered by (orderkey,
-    linenumber) so the cumulative walk is deterministic at any
-    parallelism on both engines."""
+    All weights stay exact (integer hundredth-units inside the
+    histogram; the OUTPUT total re-sums the DECIMAL weights so its
+    double projection keeps the oracle's expression tree); the
+    half-total comparison is cum ≥ ⌈W/2⌉ so no division ever happens.
+    The picked VALUE is tie-order-independent (threshold crossing
+    inside a run of equal prices yields that price), so per-price
+    weight totals suffice.
+
+    r7 (low-cardinality-window sweep): the previous form sorted raw
+    lineitem through a 3-partition per-returnflag cumulative window —
+    the qq_table flag shape. Now: per-(flag, price) weight totals
+    (combinable), a 1024-bucket weighted histogram per flag locates
+    the crossing bucket (bucket-table windows only), and pass 2
+    cumulates just that bucket's prices — the weighted sibling of
+    rank_select.rank_pick."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
         F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
     )
-    order = [F.col("price").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
-    w_cum = Window.partitionBy("l_returnflag").orderBy(*order)
-    w_all = Window.partitionBy("l_returnflag")
-    cum = li.select(
+    per_price = li.groupBy(
         "l_returnflag",
-        "price",
-        F.sum("wt").over(w_cum).alias("cum_wt"),
-        F.sum("wt").over(w_all).alias("tot_wt"),
+        (F.col("price") * 100).cast("long").alias("pc"),
+    ).agg(
+        F.min("price").alias("price"),
+        F.sum((F.col("wt") * 100).cast("long")).alias("w"),
+        F.sum("wt").alias("wt_dec"),
     )
-    return (
-        cum.filter(F.col("cum_wt") * 2 >= F.col("tot_wt"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("price").cast("double").alias("weighted_median_price"),
-            F.max(F.col("tot_wt")).cast("double").alias("total_weight"),
+    stats = per_price.groupBy("l_returnflag").agg(
+        F.sum("w").alias("tw"),
+        F.sum("wt_dec").alias("tot_wt"),
+        F.min("pc").alias("lo"),
+        F.max("pc").alias("hi"),
+    )
+    binned = per_price.join(F.broadcast(stats), "l_returnflag").withColumn(
+        "b", F.expr("((pc - lo) * 1024) div (hi - lo + 1)")
+    )
+    w_off = Window.partitionBy("l_returnflag").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    buckets = (
+        binned.groupBy("l_returnflag", "b")
+        .agg(F.sum("w").alias("bw"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("bw").over(w_off), F.lit(0))
         )
+    )
+    located = (
+        buckets.join(F.broadcast(stats), "l_returnflag")
+        .filter(
+            (F.col("cum_before") < F.expr("(tw + 1) div 2"))
+            & (
+                F.col("cum_before") + F.col("bw")
+                >= F.expr("(tw + 1) div 2")
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.col("b").alias("target_b"),
+            (F.expr("(tw + 1) div 2") - F.col("cum_before")).alias("resid"),
+        )
+    )
+    w_in = Window.partitionBy("l_returnflag").orderBy("pc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pass2 = (
+        binned.join(
+            F.broadcast(located.withColumnRenamed("l_returnflag", "_g")),
+            (F.col("l_returnflag") == F.col("_g"))
+            & (F.col("b") == F.col("target_b")),
+        )
+        .withColumn("cum_in", F.sum("w").over(w_in))
+        .filter(F.col("cum_in") >= F.col("resid"))
+    )
+    return pass2.groupBy("l_returnflag").agg(
+        F.min("price").cast("double").alias("weighted_median_price"),
+        F.max(F.col("tot_wt")).cast("double").alias("total_weight"),
     )
 
 
@@ -544,11 +591,16 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     x-group's max y, running-max those group maxima in descending-x
     order, and a point survives iff it holds its x-group's max y AND
     strictly beats the running max of every strictly-greater x. Input
-    is the per-customer SUMMARY (dim-sized, one fact shuffle to build);
-    the frontier windows order by the x value with no partition key —
-    fine at dim scale, and at larger cardinality the running max is
-    prefix-computable per range partition (compute partition maxima,
-    broadcast the prefix, the classic parallel-scan split)."""
+    is the per-customer SUMMARY (dim-sized, one fact shuffle to
+    build); r7 makes the r6 docstring's promised upgrade real — the
+    descending running max runs through
+    rank_select.with_global_running_max (per-range-bucket maxima +
+    a bucket-table prefix), so even a fact-scale x-domain never
+    crosses one partition."""
+    from airflow_baseball_spark.operators.rank_select import (
+        with_global_running_max,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     pts = (
@@ -558,10 +610,14 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_acctbal", "n_orders")
     )
     grp = pts.groupBy("c_acctbal").agg(F.max("n_orders").alias("grp_max"))
-    w = Window.orderBy(F.col("c_acctbal").desc())
-    grp = grp.withColumn(
-        "prev_max",
-        F.max("grp_max").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    grp = with_global_running_max(
+        grp.withColumn(
+            "ac", (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+        ),
+        "ac",
+        "grp_max",
+        out_col="prev_max",
+        descending=True,
     )
     return (
         pts.join(grp, "c_acctbal")

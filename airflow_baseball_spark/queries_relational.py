@@ -1357,21 +1357,44 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) equi-depth binning of purchase values per event type,
     reduced to per-bin (count, exact-decimal sum). The (value,
     event_id) sort key totals the order, so tile boundaries are
-    deterministic on both engines; one shuffle on the type key, which
-    the window and the downstream agg share."""
+    deterministic on both engines.
+
+    r7: the rank comes from the GROUPED two-level prefix sum
+    (rank_select.with_global_rank(group_cols=[event_type])) and the
+    tile from NTILE's exact integer split rule — the previous
+    per-type NTILE window serialized each of the ~5 types' full
+    volume through one partition, the same low-cardinality-window
+    scale flag the r6 verdict raised for qq_table."""
+    from airflow_baseball_spark.operators.rank_select import with_global_rank
+
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
+        "event_type",
+        "event_id",
+        "value",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        ev.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("event_type", "quartile")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("bin_sum"),
-        )
+    ranked = with_global_rank(
+        ev,
+        "vc",
+        tiebreak_cols=["event_id"],
+        rank_col="i",
+        group_cols=["event_type"],
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("nn"))
+    tiled = ranked.join(F.broadcast(counts), "event_type").withColumn(
+        "quartile",
+        F.expr(
+            "CASE WHEN i <= (nn % 4) * (nn div 4 + 1)"
+            "     THEN (i - 1) div (nn div 4 + 1) + 1"
+            "     ELSE (nn % 4) + (i - (nn % 4) * (nn div 4 + 1) - 1)"
+            "          div (nn div 4) + 1 END"
+        ).cast("int"),
+    )
+    return tiled.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bin_sum"),
     )
 
 

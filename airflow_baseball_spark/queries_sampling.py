@@ -412,7 +412,14 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: u is the md5 identity coin, w the exact cent weight;
     rank orders (score DESC, orderkey) so a sub-ulp score tie cannot
-    flip membership between engines."""
+    flip membership between engines.
+
+    r7: the merge is now EXPLICITLY two-phase — top-5 per
+    (segment, key-salt block) in parallel, then top-5 of the ≤ 64·5
+    block survivors per segment — so a 5-valued segment key never
+    funnels a segment's full volume through one window task (the
+    low-cardinality-window sweep; the top-5 of block top-5s is
+    exactly the global top-5)."""
     from airflow_baseball_spark.operators.sampling import hash_unit
 
     orders = load_table(spark, sf_dir, "orders").join(
@@ -427,9 +434,15 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("w"),
         (F.log(u) / cents.cast("double")).alias("score"),
     )
+    w_blk = Window.partitionBy("seg", F.expr("k % 64")).orderBy(
+        F.col("score").desc(), "k"
+    )
+    survivors = base.withColumn("brk", F.row_number().over(w_blk)).filter(
+        F.col("brk") <= 5
+    )
     wr = Window.partitionBy("seg").orderBy(F.col("score").desc(), "k")
     return (
-        base.withColumn("rk", F.row_number().over(wr))
+        survivors.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= 5)
         .select(
             F.col("seg").alias("c_mktsegment"),

@@ -3805,30 +3805,37 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: both ventile values are rank-rule picks (the value at
     row ⌈q·n/20⌉ in sorted order — no interpolation, no floats except
     the final shift ratio), so every output is an exact integer cent
-    or one division. Scale: two rank windows over value-sorted
-    classes — the same shuffle a global sort would pay, done once."""
+    or one division.
+
+    r7: the 20 rank picks per class come from the grouped two-pass
+    histogram (rank_select.rank_pick) — the previous per-class rank
+    window sorted each class's raw events through ONE partition, the
+    exact qq_table flag from the r6 verdict."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     vals = ev.select(F.col("event_type").alias("cls"), cents.alias("x"))
-    wr = Window.partitionBy("cls").orderBy("x")
-    wn = Window.partitionBy("cls")
-    ranked = vals.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count("*").over(wn)
+    picked = rank_pick(
+        vals.select("cls", F.col("x").alias("v")),
+        "v",
+        [
+            (str(q), lambda n, q=q: F.expr(f"CAST(({q} * n + 19) DIV 20 AS BIGINT)"))
+            for q in range(1, 21)
+        ],
+        group_cols=["cls"],
     )
-    ventiles = spark.range(1, 21).select(F.col("id").alias("q"))
     picks = (
-        ranked.select("cls", "rn", "n", "x")
-        .join(F.broadcast(ventiles))
-        .filter(F.col("rn") == F.expr("CAST((q * n + 19) DIV 20 AS BIGINT)"))
+        picked.withColumn("q", F.col("rank_label").cast("int"))
         .groupBy("q")
         .agg(
-            F.max(F.when(F.col("cls") == "click", F.col("x"))).alias(
+            F.max(F.when(F.col("cls") == "click", F.col("v"))).alias(
                 "click_cents"
             ),
             F.max(
-                F.when(F.col("cls") == "purchase", F.col("x"))
+                F.when(F.col("cls") == "purchase", F.col("v"))
             ).alias("purchase_cents"),
         )
     )

@@ -947,21 +947,49 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for irregularly-sampled series where the plain mean over-counts
     bursts (TWAP in trading, time-in-state in ops).
 
-    Exactness: Σ cents·Δµs and Σ Δµs are pure integer sums (one LEAD
-    window for the gap; last observation per type is excluded — no
-    synthetic horizon), so the average is one exact division. The
-    window shuffles on event_type; every aggregate is map-side
-    combinable."""
+    Exactness: Σ cents·Δµs and Σ Δµs are pure integer sums (LEAD
+    gaps; last observation per type is excluded — no synthetic
+    horizon), so the average is one exact division.
+
+    r7 (low-cardinality-window sweep): a 5-valued event_type LEAD
+    window would funnel each type's FULL event volume through one
+    partition, so the gap scan is now BLOCK-STITCHED — LEAD within
+    (type, epoch-day) blocks in parallel, and each block's last
+    event takes its successor from the next non-empty block's first
+    timestamp via a days-bounded per-type window over the block-first
+    table. Row-for-row identical to the global LEAD (ties in ts share
+    a block, so the (ts, event_id) order never straddles the
+    stitch)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    gaps = ev.select(
+    base = ev.select(
         "event_type",
+        "event_id",
         cents.alias("v"),
-        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
-            "dt"
-        ),
-    ).filter(F.col("dt").isNotNull())
+        F.unix_micros("ts").alias("us"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    )
+    w_blk = Window.partitionBy("event_type", "d").orderBy("us", "event_id")
+    firsts = base.groupBy("event_type", "d").agg(
+        F.min("us").alias("first_us")
+    )
+    w_days = Window.partitionBy("event_type").orderBy("d")
+    nxt = firsts.withColumn(
+        "next_first", F.lead("first_us").over(w_days)
+    ).select("event_type", "d", "next_first")
+    gaps = (
+        base.withColumn("lead_us", F.lead("us").over(w_blk))
+        .join(nxt, ["event_type", "d"])
+        .select(
+            "event_type",
+            "v",
+            (
+                F.coalesce(F.col("lead_us"), F.col("next_first"))
+                - F.col("us")
+            ).alias("dt"),
+        )
+        .filter(F.col("dt").isNotNull())
+    )
     return gaps.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_intervals"),
         # integer div, matching the oracle's `//` — a double divide

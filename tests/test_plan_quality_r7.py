@@ -185,3 +185,72 @@ def test_skyline_two_level_and_correct(spark):
     rows.sort(key=lambda r: r.spend)
     for lo, hi in zip(rows, rows[1:]):
         assert hi.spend > lo.spend and hi.n_orders < lo.n_orders
+
+
+# --- r7 low-cardinality-window sweep: a window partitioned ONLY by a
+# --- handful-valued key (event_type, cls, returnflag, seg) over raw
+# --- fact order funnels each key's full volume through one task; the
+# --- rewritten plans must show the two-level structure instead.
+
+
+def test_equi_depth_bins_grouped_two_level(spark):
+    from airflow_baseball_spark.queries_relational import q_equi_depth_bins
+
+    plan = _plan(q_equi_depth_bins(spark, SF))
+    # no per-type window ordering the raw value directly
+    assert not re.search(
+        r"windowspecdefinition\(event_type#\d+, (value|vc)#\d+L? ASC", plan
+    )
+    # the rank window is (event_type, _b)-partitioned
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, _b#\d+L?, vc#\d+L? ASC", plan
+    )
+
+
+def test_quantile_normalize_grouped_two_pass(spark):
+    from airflow_baseball_spark.queries_stats import q_quantile_normalize
+
+    plan = _plan(q_quantile_normalize(spark, SF))
+    assert not re.search(
+        r"windowspecdefinition\(cls#\d+, (x|v)#\d+L? ASC", plan
+    )
+
+
+def test_weighted_reservoir_two_phase(spark):
+    from airflow_baseball_spark.queries_sampling import q_weighted_reservoir
+
+    plan = _plan(q_weighted_reservoir(spark, SF))
+    # phase-1 salted window must exist ((k % 64) partition expr)
+    assert "% 64" in plan
+
+
+def test_twap_block_stitched(spark):
+    from airflow_baseball_spark.queries_timeseries import q_twap
+
+    plan = _plan(q_twap(spark, SF))
+    # the LEAD over raw events is (event_type, d)-partitioned; a bare
+    # per-type window ordering us/ts must not exist
+    assert not re.search(
+        r"windowspecdefinition\(event_type#\d+, (ts|us)#\d+L? ASC", plan
+    )
+
+
+def test_weighted_median_histogram_locate(spark):
+    from airflow_baseball_spark.queries_mining import q_weighted_median
+
+    plan = _plan(q_weighted_median(spark, SF))
+    # bucket-offset window over (flag, b) must exist; the old raw
+    # cumulative form ordered (price, orderkey, linenumber)
+    assert re.search(
+        r"windowspecdefinition\(l_returnflag#\d+, b#\d+L? ASC", plan
+    )
+    assert "l_orderkey" not in plan or not re.search(
+        r"windowspecdefinition\(l_returnflag#\d+, price#", plan
+    )
+
+
+def test_pareto_frontier_two_level_runmax(spark):
+    from airflow_baseball_spark.queries_mining import q_pareto_frontier
+
+    plan = _plan(q_pareto_frontier(spark, SF))
+    _assert_only_bucket_global_windows(plan)
