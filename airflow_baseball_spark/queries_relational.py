@@ -1779,13 +1779,45 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation top-3 customers by balance KEEPING ties: RANK (not
     row_number) so equal balances at the boundary all survive — the
     semantic difference that silently loses rows when top-k is built
-    with row_number and the measure has duplicates. Same single
-    key-partitioned window sort as topk_per_key; only the rank
-    function and the tie policy differ."""
-    cust = load_table(spark, sf_dir, "customer")
+    with row_number and the measure has duplicates.
+
+    r7 (low-cardinality-window sweep): customer is fact-scale at
+    100 TB TPC-H geometry, so the old 25-partition window sorted
+    n/25 raw rows per nation. Now the per-nation rank-3 VALUE (the
+    (n−2)-th smallest balance-in-cents, duplicates counted) comes
+    from the grouped two-pass histogram (rank_select.rank_pick);
+    only rows ≥ that broadcast threshold — exactly the rank≤3 set,
+    since rank depends only on the count of strictly-greater rows,
+    all of which survive the filter — reach the window, which then
+    sorts ≤(3+ties) rows per nation. Nations with <3 customers have
+    no locatable rank (k≤0) and keep every row via the null-threshold
+    branch. Balances are DECIMAL(12,2) so the cents cast is exact and
+    the threshold comparison engine-exact."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    thr = (
+        rank_pick(
+            cust.select(
+                "c_nationkey",
+                (F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            ),
+            "cents",
+            [("t3", lambda n: n - 2)],
+            group_cols=["c_nationkey"],
+        )
+        .filter(F.col("rank_label") == "t3")
+        .select("c_nationkey", F.col("v").alias("thr_cents"))
+    )
+    survivors = cust.join(F.broadcast(thr), "c_nationkey", "left").filter(
+        F.col("thr_cents").isNull()
+        | ((F.col("c_acctbal") * 100).cast("long") >= F.col("thr_cents"))
+    )
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
     return (
-        cust.withColumn("rnk", F.rank().over(w))
+        survivors.withColumn("rnk", F.rank().over(w))
         .filter(F.col("rnk") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
     )

@@ -1170,10 +1170,16 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete p50/p90 of ship latency per priority — the
     percentile that must return an OBSERVED value (SLA reporting
     contract), not an interpolated one. Both engines pick the element
-    at rank ceil(p·n) of the (value, tie-break) total order via an
-    explicit row_number — never each engine's own quantile_disc,
-    whose boundary conventions differ. One priority-keyed sort serves
-    both percentiles and the count."""
+    at rank ceil(p·n) of the (value, tie-break) total order —
+    never each engine's own quantile_disc, whose boundary conventions
+    differ.
+
+    r7 (low-cardinality-window sweep): ranks come from the grouped
+    two-pass histogram (rank_select.rank_pick) — the previous
+    per-priority row_number sorted each of the 5 priorities' raw
+    latencies through one partition."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -1182,21 +1188,22 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy("lat")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = lat.select(
-        "o_orderpriority",
-        "lat",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    picked = rank_pick(
+        lat.select("o_orderpriority", F.col("lat").cast("long").alias("v")),
+        "v",
+        [
+            ("p50", lambda n: F.ceil(F.lit(0.5) * n).cast("long")),
+            ("p90", lambda n: F.ceil(F.lit(0.9) * n).cast("long")),
+        ],
+        group_cols=["o_orderpriority"],
     )
-    pick = lambda p: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("lat"))
-    )
-    return ranked.groupBy("o_orderpriority").agg(
+    pick = lambda lbl: F.max(  # noqa: E731
+        F.when(F.col("rank_label") == lbl, F.col("v"))
+    ).cast("int")
+    return picked.groupBy("o_orderpriority").agg(
         F.max("n").cast("long").alias("n"),
-        pick(0.5).alias("p50_disc"),
-        pick(0.9).alias("p90_disc"),
+        pick("p50").alias("p50_disc"),
+        pick("p90").alias("p90_disc"),
     )
 
 
@@ -2040,8 +2047,14 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the interpolation weight are exact integers — never a float
     (n−1)·0.9 whose representation error can flip floor() at exact
     multiples. The blend (v_lo·(10−f) + v_hi·f)/10 stays integer
-    until the single division. Same one sort per group as the disc
-    form; both percentiles and the count share it."""
+    until the single division.
+
+    r7 (low-cardinality-window sweep): the four bracket ranks come
+    from the grouped two-pass histogram (rank_select.rank_pick) —
+    the previous per-priority row_number sorted each priority's raw
+    latencies through one partition."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate"
     )
@@ -2052,35 +2065,35 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy("lat")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = lat.select(
-        "o_orderpriority",
-        "lat",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    picked = rank_pick(
+        lat.select("o_orderpriority", F.col("lat").cast("long").alias("v")),
+        "v",
+        [
+            ("p50_lo", lambda n: F.expr("((n - 1) * 1 + 2) div 2")),
+            ("p50_hi", lambda n: F.expr("((n - 1) * 1 + 2) div 2 + 1")),
+            ("p90_lo", lambda n: F.expr("((n - 1) * 9 + 10) div 10")),
+            ("p90_hi", lambda n: F.expr("((n - 1) * 9 + 10) div 10 + 1")),
+        ],
+        group_cols=["o_orderpriority"],
+    )
+    vof = lambda lbl: F.max(  # noqa: E731
+        F.when(F.col("rank_label") == lbl, F.col("v"))
     )
 
-    def cont(num: int, den: int, alias: str):
-        # scaled position h·den = (n-1)·num + den; bracket = div/mod
-        hd = (F.col("n") - 1) * num + den
-        lo = (hd - hd % den) / den  # exact: multiple of den / den
-        f = hd % den
-        v_lo = F.max(F.when(F.col("rn") == lo.cast("long"), F.col("lat")))
-        v_hi = F.max(
-            F.when(F.col("rn") == (lo.cast("long") + 1), F.col("lat"))
-        )
+    def cont(pfx: str, num: int, den: int, alias: str):
+        # scaled position h·den = (n-1)·num + den; f = hd % den
+        f = F.max((F.col("n") - 1) * num + den) % den
+        v_lo, v_hi = vof(f"{pfx}_lo"), vof(f"{pfx}_hi")
         blended = (
-            v_lo.cast("double") * (F.lit(float(den)) - F.max(f).cast("double"))
-            + F.coalesce(v_hi, v_lo).cast("double")
-            * F.max(f).cast("double")
+            v_lo.cast("double") * (F.lit(float(den)) - f.cast("double"))
+            + F.coalesce(v_hi, v_lo).cast("double") * f.cast("double")
         ) / F.lit(float(den))
         return blended.alias(alias)
 
-    return ranked.groupBy("o_orderpriority").agg(
+    return picked.groupBy("o_orderpriority").agg(
         F.max("n").cast("long").alias("n"),
-        cont(1, 2, "p50_cont"),
-        cont(9, 10, "p90_cont"),
+        cont("p50", 1, 2, "p50_cont"),
+        cont("p90", 9, 10, "p90_cont"),
     )
 
 

@@ -254,3 +254,43 @@ def test_pareto_frontier_two_level_runmax(spark):
 
     plan = _plan(q_pareto_frontier(spark, SF))
     _assert_only_bucket_global_windows(plan)
+
+
+def test_percentile_disc_two_pass(spark):
+    """percentile_disc must locate ranks via the grouped two-pass
+    histogram — the old form row_numbered every priority's raw
+    latencies through one partition each (5 partitions total)."""
+    import re as _re
+
+    from airflow_baseball_spark.queries_relational2 import q_percentile_disc
+
+    plan = _plan(q_percentile_disc(spark, SF))
+    _assert_only_bucket_global_windows(plan)
+    assert "rank_label" in plan
+    # no window sorts the raw latency column
+    assert not _re.search(r"windowspecdefinition\([^)]*lat#", plan)
+
+
+def test_percentile_cont_two_pass(spark):
+    import re as _re
+
+    from airflow_baseball_spark.queries_relational2 import q_percentile_cont
+
+    plan = _plan(q_percentile_cont(spark, SF))
+    _assert_only_bucket_global_windows(plan)
+    assert "rank_label" in plan
+    assert not _re.search(r"windowspecdefinition\([^)]*lat#", plan)
+
+
+def test_topk_with_ties_threshold_prefilter(spark):
+    """topk_with_ties must window only over the rank-3-threshold
+    survivors (≤3+ties rows per nation), not sort the whole customer
+    table through 25 nation partitions. The histogram threshold path
+    is visible as rank_label; the survivors window is still rank()
+    but fed by the broadcast-threshold filter."""
+    from airflow_baseball_spark.queries_relational import q_topk_with_ties
+
+    plan = _plan(q_topk_with_ties(spark, SF))
+    _assert_only_bucket_global_windows(plan)
+    assert "rank_label" in plan
+    assert "thr_cents" in plan
