@@ -3803,3 +3803,552 @@ registry.register(
     FROM base
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity estimate (local linear, closed form)
+# ---------------------------------------------------------------------------
+
+
+def q_rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate: does urgent-priority
+    incidence jump at the $150,000 order-value threshold? Local
+    LINEAR fit on each side of the cutoff within a $50k bandwidth
+    (the Imbens-Lemieux workhorse; a naive above/below mean-diff is
+    biased by the within-band trend), effect = right-intercept minus
+    left-intercept at the cutoff. On synthetic TPC-H-ish data the
+    true jump is ~0; the machinery is the deliverable.
+
+    Exactness: the running variable is floor-cents (double price
+    quantized per row); each side's five sufficient statistics
+    (n, sum d, sum d^2, sum y, sum d*y with d = cents - cutoff) are
+    EXACT BIGINT sums, so the closed-form intercept
+    (sy*sd2 - sd*sdy)/(n*sd2 - sd^2) is a deterministic IEEE
+    expression over exact integers (products taken in double -- the
+    BIGINT cross-products would overflow past sf1, documented).
+    Scale: one filtered fact scan, map-combinable aggs, 1-row
+    output."""
+    cutoff, half = 15_000_000, 5_000_000
+    o = load_table(spark, sf_dir, "orders").select(
+        (
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            - F.lit(cutoff)
+        ).alias("d"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    ).filter((F.col("d") >= -half) & (F.col("d") < half))
+    side = o.withColumn("s", (F.col("d") >= 0).cast("int"))
+    agg = side.groupBy("s").agg(
+        F.count("*").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sd2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sdy"),
+    )
+
+    def b0(pfx: str):
+        n = F.col(f"{pfx}_n").cast("double")
+        sd = F.col(f"{pfx}_sd").cast("double")
+        sd2 = F.col(f"{pfx}_sd2").cast("double")
+        sy = F.col(f"{pfx}_sy").cast("double")
+        sdy = F.col(f"{pfx}_sdy").cast("double")
+        return (sy * sd2 - sd * sdy) / (n * sd2 - sd * sd)
+
+    one = agg.groupBy().agg(
+        *[
+            F.max(F.when(F.col("s") == v, F.col(c))).alias(f"{p}_{c}")
+            for v, p in [(0, "l"), (1, "r")]
+            for c in ["n", "sd", "sd2", "sy", "sdy"]
+        ]
+    )
+    return one.select(
+        F.col("l_n").cast("long").alias("n_left"),
+        F.col("r_n").cast("long").alias("n_right"),
+        _r6(b0("l")).alias("intercept_left"),
+        _r6(b0("r")).alias("intercept_right"),
+        _r6(b0("r") - b0("l")).alias("rdd_effect"),
+    )
+
+
+registry.register(
+    "rdd_estimate",
+    q_rdd_estimate,
+    """
+    WITH band AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 15000000 AS d,
+             CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+      FROM orders
+      WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 15000000
+              >= -5000000
+        AND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 15000000
+              < 5000000
+    ),
+    agg AS (
+      SELECT CAST(d >= 0 AS INT) AS s,
+             COUNT(*) AS n,
+             CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(d * d) AS BIGINT) AS sd2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(d * y) AS BIGINT) AS sdy
+      FROM band GROUP BY 1
+    ),
+    one AS (
+      SELECT MAX(CASE WHEN s = 0 THEN n END) AS l_n,
+             MAX(CASE WHEN s = 0 THEN sd END) AS l_sd,
+             MAX(CASE WHEN s = 0 THEN sd2 END) AS l_sd2,
+             MAX(CASE WHEN s = 0 THEN sy END) AS l_sy,
+             MAX(CASE WHEN s = 0 THEN sdy END) AS l_sdy,
+             MAX(CASE WHEN s = 1 THEN n END) AS r_n,
+             MAX(CASE WHEN s = 1 THEN sd END) AS r_sd,
+             MAX(CASE WHEN s = 1 THEN sd2 END) AS r_sd2,
+             MAX(CASE WHEN s = 1 THEN sy END) AS r_sy,
+             MAX(CASE WHEN s = 1 THEN sdy END) AS r_sdy
+      FROM agg
+    ),
+    calc AS (
+      SELECT CAST(l_n AS BIGINT) AS n_left, CAST(r_n AS BIGINT) AS n_right,
+             (CAST(l_sy AS DOUBLE) * CAST(l_sd2 AS DOUBLE)
+              - CAST(l_sd AS DOUBLE) * CAST(l_sdy AS DOUBLE))
+             / (CAST(l_n AS DOUBLE) * CAST(l_sd2 AS DOUBLE)
+                - CAST(l_sd AS DOUBLE) * CAST(l_sd AS DOUBLE)) AS b0l,
+             (CAST(r_sy AS DOUBLE) * CAST(r_sd2 AS DOUBLE)
+              - CAST(r_sd AS DOUBLE) * CAST(r_sdy AS DOUBLE))
+             / (CAST(r_n AS DOUBLE) * CAST(r_sd2 AS DOUBLE)
+                - CAST(r_sd AS DOUBLE) * CAST(r_sd AS DOUBLE)) AS b0r
+      FROM one
+    )
+    SELECT n_left, n_right,
+           FLOOR(b0l * 1000000.0 + 0.5) / 1000000.0 AS intercept_left,
+           FLOOR(b0r * 1000000.0 + 0.5) / 1000000.0 AS intercept_right,
+           FLOOR((b0r - b0l) * 1000000.0 + 0.5) / 1000000.0 AS rdd_effect
+    FROM calc
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error (10-bin ECE) of a trained rate forecaster
+# ---------------------------------------------------------------------------
+
+
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the same train-on-odd /
+    score-on-even urgent-rate forecaster as `brier_decomposition`:
+    bucket test rows into 10 CONFIDENCE bins, ECE =
+    sum_b (n_b/N)*|accuracy_b - confidence_b| -- the single
+    reliability number model cards report next to Brier/AUC.
+
+    Exactness: the forecast is carried as the exact integer ratio
+    (num, den) from the train bin, so the confidence-bin index is
+    PURE INTEGER: least((10*num) div den, 9) -- never a float
+    comparison that an ulp could flip. Per-bin confidence sums
+    quantize each p to micro-units BEFORE summing
+    (quantize-before-sum); each bin's ECE term is quantized to
+    pico-units before the <=10-term sum, so no engine-ordered float
+    sum exists on the checked path. Decile boundaries are rank-rule
+    cents from the two-pass histogram. Scale: two fact scans
+    (boundaries, scoring), bounded tables after."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+        (F.col("o_orderkey") % 2 == 1).cast("int").alias("is_train"),
+    )
+    train = o.filter(F.col("is_train") == 1)
+    picked = rank_pick(
+        train.select(F.col("pc").alias("v")),
+        "v",
+        [
+            (f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 9) div 10"))
+            for i in range(1, 10)
+        ],
+    )
+    qs = picked.groupBy().pivot(
+        "rank_label", [f"q{i}" for i in range(1, 10)]
+    ).agg(F.min("v"))
+    kcol = F.lit(1)
+    for i in range(1, 10):
+        kcol = kcol + (F.col("pc") > F.col(f"q{i}")).cast("int")
+    binned = o.crossJoin(F.broadcast(qs)).withColumn("k", kcol)
+    rates = (
+        binned.filter(F.col("is_train") == 1)
+        .groupBy("k")
+        .agg(F.sum("y").alias("num"), F.count("*").alias("den"))
+    )
+    test = (
+        binned.filter(F.col("is_train") == 0)
+        .join(F.broadcast(rates), "k")
+        .select("y", "num", "den")
+    )
+    # integer confidence bin: least((10*num) div den, 9)
+    test = test.withColumn(
+        "cb",
+        F.least(
+            F.expr("(10 * num) div den").cast("int"), F.lit(9)
+        ),
+    ).withColumn(
+        "p_micro",
+        F.floor(
+            F.col("num").cast("double") / F.col("den").cast("double")
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    per_bin = test.groupBy("cb").agg(
+        F.count("*").alias("n_b"),
+        F.sum("y").cast("long").alias("pos_b"),
+        F.sum("p_micro").cast("long").alias("sp_micro"),
+    )
+    n_total = per_bin.groupBy().agg(
+        F.sum("n_b").cast("long").alias("n_test")
+    )
+    joined = per_bin.crossJoin(F.broadcast(n_total))
+    gap = F.abs(
+        F.col("pos_b").cast("double") / F.col("n_b").cast("double")
+        - F.col("sp_micro").cast("double")
+        / (F.col("n_b").cast("double") * 1000000.0)
+    )
+    term_pico = F.floor(
+        F.col("n_b").cast("double") / F.col("n_test").cast("double")
+        * gap
+        * 1.0e12
+        + F.lit(0.5)
+    ).cast("long")
+    out = joined.select(
+        "cb", "n_b", F.col("n_test"), term_pico.alias("tp"), gap.alias("g")
+    ).groupBy().agg(
+        F.max("n_test").alias("n_test"),
+        F.count("*").cast("long").alias("n_bins_nonempty"),
+        _r6(F.sum("tp").cast("double") / 1.0e12).alias("ece"),
+        _r6(F.max("g")).alias("max_gap"),
+    )
+    return out
+
+
+registry.register(
+    "ece_calibration",
+    q_ece_calibration,
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+             CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y,
+             CAST(o_orderkey % 2 = 1 AS INT) AS is_train
+      FROM orders
+    ),
+    ranked AS (
+      SELECT pc, ROW_NUMBER() OVER (ORDER BY pc) AS rn,
+             COUNT(*) OVER () AS n
+      FROM o WHERE is_train = 1
+    ),
+    qs AS (
+      SELECT MAX(CASE WHEN rn = (1 * n + 9) // 10 THEN pc END) AS q1,
+             MAX(CASE WHEN rn = (2 * n + 9) // 10 THEN pc END) AS q2,
+             MAX(CASE WHEN rn = (3 * n + 9) // 10 THEN pc END) AS q3,
+             MAX(CASE WHEN rn = (4 * n + 9) // 10 THEN pc END) AS q4,
+             MAX(CASE WHEN rn = (5 * n + 9) // 10 THEN pc END) AS q5,
+             MAX(CASE WHEN rn = (6 * n + 9) // 10 THEN pc END) AS q6,
+             MAX(CASE WHEN rn = (7 * n + 9) // 10 THEN pc END) AS q7,
+             MAX(CASE WHEN rn = (8 * n + 9) // 10 THEN pc END) AS q8,
+             MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN pc END) AS q9
+      FROM ranked
+    ),
+    binned AS (
+      SELECT o.*,
+             1 + CAST(pc > q1 AS INT) + CAST(pc > q2 AS INT)
+               + CAST(pc > q3 AS INT) + CAST(pc > q4 AS INT)
+               + CAST(pc > q5 AS INT) + CAST(pc > q6 AS INT)
+               + CAST(pc > q7 AS INT) + CAST(pc > q8 AS INT)
+               + CAST(pc > q9 AS INT) AS k
+      FROM o CROSS JOIN qs
+    ),
+    rates AS (
+      SELECT k, SUM(y) AS num, COUNT(*) AS den
+      FROM binned WHERE is_train = 1 GROUP BY k
+    ),
+    test AS (
+      SELECT b.y,
+             LEAST(CAST((10 * r.num) // r.den AS INT), 9) AS cb,
+             CAST(FLOOR(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS p_micro
+      FROM binned b JOIN rates r USING (k)
+      WHERE b.is_train = 0
+    ),
+    per_bin AS (
+      SELECT cb, COUNT(*) AS n_b,
+             CAST(SUM(y) AS BIGINT) AS pos_b,
+             CAST(SUM(p_micro) AS BIGINT) AS sp_micro
+      FROM test GROUP BY cb
+    ),
+    tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n_test FROM per_bin),
+    terms AS (
+      SELECT n_test, n_b,
+             ABS(CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(sp_micro AS DOUBLE)
+                   / (CAST(n_b AS DOUBLE) * 1000000.0)) AS g,
+             CAST(FLOOR(CAST(n_b AS DOUBLE) / CAST(n_test AS DOUBLE)
+                        * ABS(CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                              - CAST(sp_micro AS DOUBLE)
+                                / (CAST(n_b AS DOUBLE) * 1000000.0))
+                        * 1.0e12 + 0.5) AS BIGINT) AS tp
+      FROM per_bin CROSS JOIN tot
+    )
+    SELECT MAX(n_test) AS n_test,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_nonempty,
+           FLOOR(CAST(SUM(tp) AS DOUBLE) / 1.0e12 * 1000000.0 + 0.5)
+             / 1000000.0 AS ece,
+           FLOOR(MAX(g) * 1000000.0 + 0.5) / 1000000.0 AS max_gap
+    FROM terms
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Macro-averaged F1 of a decile-majority classifier
+# ---------------------------------------------------------------------------
+
+
+def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 and the MACRO averages for a
+    5-class order-priority classifier (predict the train-majority
+    class of the row's price decile -- the standard 'beatable
+    baseline' row of a model card). Macro averaging weights every
+    class equally, which is the metric that exposes a
+    majority-class-only classifier: it scores ~1/k, not the ~52%
+    accuracy micro metrics report.
+
+    Exactness: the confusion matrix is exact counts; each class's
+    P/R/F1 is a deterministic IEEE ratio quantized to micro-units,
+    and the MACRO row sums those QUANTIZED integers
+    (quantize-before-sum -- order-invariant) before one division by
+    5. Majority tie-break is (count desc, class asc) over the
+    50-row decile x class table. Scale: boundaries + one scoring
+    scan; windows only over bounded tables."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+        F.col("o_orderpriority").alias("klass"),
+        (F.col("o_orderkey") % 2 == 1).cast("int").alias("is_train"),
+    )
+    train = o.filter(F.col("is_train") == 1)
+    picked = rank_pick(
+        train.select(F.col("pc").alias("v")),
+        "v",
+        [
+            (f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 9) div 10"))
+            for i in range(1, 10)
+        ],
+    )
+    qs = picked.groupBy().pivot(
+        "rank_label", [f"q{i}" for i in range(1, 10)]
+    ).agg(F.min("v"))
+    kcol = F.lit(1)
+    for i in range(1, 10):
+        kcol = kcol + (F.col("pc") > F.col(f"q{i}")).cast("int")
+    binned = o.crossJoin(F.broadcast(qs)).withColumn("k", kcol)
+    maj = (
+        binned.filter(F.col("is_train") == 1)
+        .groupBy("k", "klass")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("k").orderBy(F.col("c").desc(), F.col("klass"))
+    pred_map = (
+        maj.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", F.col("klass").alias("pred"))
+    )
+    scored = (
+        binned.filter(F.col("is_train") == 0)
+        .join(F.broadcast(pred_map), "k")
+        .select("klass", "pred")
+    )
+    conf = scored.groupBy("klass", "pred").agg(F.count("*").alias("c"))
+    stats = conf.groupBy().agg(
+        F.sum("c").cast("long").alias("n_test"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("klass") == p) & (F.col("pred") == p), F.col("c")
+                ).otherwise(0)
+            ).cast("long").alias(f"tp_{i}")
+            for i, p in enumerate(prios)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("pred") == p, F.col("c")).otherwise(0)
+            ).cast("long").alias(f"pp_{i}")
+            for i, p in enumerate(prios)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("klass") == p, F.col("c")).otherwise(0)
+            ).cast("long").alias(f"tt_{i}")
+            for i, p in enumerate(prios)
+        ],
+    )
+
+    def micro(num, den):
+        return F.when(den > 0,
+                      F.floor(num.cast("double") / den.cast("double")
+                              * 1000000.0 + F.lit(0.5)).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+
+    def f1m(tp, pp, tt):
+        return F.when(
+            tp > 0,
+            F.floor(
+                2.0 * tp.cast("double")
+                / (pp.cast("double") + tt.cast("double"))
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    # one exploded pass builds the 5 class rows AND the MACRO row from
+    # the single sufficient-statistics row -- a per-class union would
+    # re-evaluate the scoring subtree (a fact scan) once per class
+    structs = []
+    for i, p in enumerate(prios):
+        tp, pp, tt = F.col(f"tp_{i}"), F.col(f"pp_{i}"), F.col(f"tt_{i}")
+        structs.append(
+            F.struct(
+                F.lit(p).alias("klass"),
+                tt.alias("n_true"),
+                micro(tp, pp).alias("prec_micro"),
+                micro(tp, tt).alias("rec_micro"),
+                f1m(tp, pp, tt).alias("f1_micro"),
+            )
+        )
+    idx = list(range(len(prios)))
+    cols = {
+        "prec_micro": lambda i: micro(
+            F.col(f"tp_{i}"), F.col(f"pp_{i}")
+        ),
+        "rec_micro": lambda i: micro(F.col(f"tp_{i}"), F.col(f"tt_{i}")),
+        "f1_micro": lambda i: f1m(
+            F.col(f"tp_{i}"), F.col(f"pp_{i}"), F.col(f"tt_{i}")
+        ),
+    }
+
+    def macro_sum(key):
+        total = cols[key](0)
+        for i in idx[1:]:
+            total = total + cols[key](i)
+        return total
+
+    structs.append(
+        F.struct(
+            F.lit("MACRO").alias("klass"),
+            F.col("n_test").alias("n_true"),
+            (macro_sum("prec_micro") / 5).cast("long").alias("prec_micro"),
+            (macro_sum("rec_micro") / 5).cast("long").alias("rec_micro"),
+            (macro_sum("f1_micro") / 5).cast("long").alias("f1_micro"),
+        )
+    )
+    allrows = stats.select(
+        F.explode(F.array(*structs)).alias("s")
+    ).select("s.*")
+    return allrows.select(
+        "klass",
+        "n_true",
+        (F.col("prec_micro").cast("double") / 1000000.0).alias("precision"),
+        (F.col("rec_micro").cast("double") / 1000000.0).alias("recall"),
+        (F.col("f1_micro").cast("double") / 1000000.0).alias("f1"),
+    )
+
+
+registry.register(
+    "macro_f1",
+    q_macro_f1,
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+             o_orderpriority AS klass,
+             CAST(o_orderkey % 2 = 1 AS INT) AS is_train
+      FROM orders
+    ),
+    ranked AS (
+      SELECT pc, ROW_NUMBER() OVER (ORDER BY pc) AS rn,
+             COUNT(*) OVER () AS n
+      FROM o WHERE is_train = 1
+    ),
+    qs AS (
+      SELECT MAX(CASE WHEN rn = (1 * n + 9) // 10 THEN pc END) AS q1,
+             MAX(CASE WHEN rn = (2 * n + 9) // 10 THEN pc END) AS q2,
+             MAX(CASE WHEN rn = (3 * n + 9) // 10 THEN pc END) AS q3,
+             MAX(CASE WHEN rn = (4 * n + 9) // 10 THEN pc END) AS q4,
+             MAX(CASE WHEN rn = (5 * n + 9) // 10 THEN pc END) AS q5,
+             MAX(CASE WHEN rn = (6 * n + 9) // 10 THEN pc END) AS q6,
+             MAX(CASE WHEN rn = (7 * n + 9) // 10 THEN pc END) AS q7,
+             MAX(CASE WHEN rn = (8 * n + 9) // 10 THEN pc END) AS q8,
+             MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN pc END) AS q9
+      FROM ranked
+    ),
+    binned AS (
+      SELECT o.*,
+             1 + CAST(pc > q1 AS INT) + CAST(pc > q2 AS INT)
+               + CAST(pc > q3 AS INT) + CAST(pc > q4 AS INT)
+               + CAST(pc > q5 AS INT) + CAST(pc > q6 AS INT)
+               + CAST(pc > q7 AS INT) + CAST(pc > q8 AS INT)
+               + CAST(pc > q9 AS INT) AS k
+      FROM o CROSS JOIN qs
+    ),
+    maj AS (
+      SELECT k, klass, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY COUNT(*) DESC, klass) AS rn
+      FROM binned WHERE is_train = 1 GROUP BY k, klass
+    ),
+    pred_map AS (SELECT k, klass AS pred FROM maj WHERE rn = 1),
+    conf AS (
+      SELECT b.klass, p.pred, COUNT(*) AS c
+      FROM binned b JOIN pred_map p USING (k)
+      WHERE b.is_train = 0 GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT k.klass,
+             COALESCE(SUM(CASE WHEN c.pred = k.klass
+                               AND c.klass = k.klass THEN c.c END), 0) AS tp,
+             COALESCE(SUM(CASE WHEN c.pred = k.klass THEN c.c END), 0) AS pp,
+             COALESCE(SUM(CASE WHEN c.klass = k.klass THEN c.c END), 0) AS tt
+      FROM (SELECT DISTINCT klass FROM o) k LEFT JOIN conf c ON TRUE
+      GROUP BY k.klass
+    ),
+    per AS (
+      SELECT klass, CAST(tt AS BIGINT) AS n_true,
+             CASE WHEN pp > 0 THEN CAST(FLOOR(CAST(tp AS DOUBLE)
+               / CAST(pp AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+               ELSE 0 END AS prec_micro,
+             CASE WHEN tt > 0 THEN CAST(FLOOR(CAST(tp AS DOUBLE)
+               / CAST(tt AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+               ELSE 0 END AS rec_micro,
+             CASE WHEN tp > 0 THEN CAST(FLOOR(2.0 * CAST(tp AS DOUBLE)
+               / (CAST(pp AS DOUBLE) + CAST(tt AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)
+               ELSE 0 END AS f1_micro
+      FROM stats
+    ),
+    macro AS (
+      SELECT 'MACRO' AS klass, CAST(SUM(n_true) AS BIGINT) AS n_true,
+             CAST(SUM(prec_micro) // 5 AS BIGINT) AS prec_micro,
+             CAST(SUM(rec_micro) // 5 AS BIGINT) AS rec_micro,
+             CAST(SUM(f1_micro) // 5 AS BIGINT) AS f1_micro
+      FROM per
+    ),
+    allrows AS (SELECT * FROM per UNION ALL SELECT * FROM macro)
+    SELECT klass, n_true,
+           CAST(prec_micro AS DOUBLE) / 1000000.0 AS precision,
+           CAST(rec_micro AS DOUBLE) / 1000000.0 AS recall,
+           CAST(f1_micro AS DOUBLE) / 1000000.0 AS f1
+    FROM allrows
+    """,
+)

@@ -4566,3 +4566,461 @@ registry.register(
     FROM g
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H test (rank-based k-sample location test)
+# ---------------------------------------------------------------------------
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does ship latency differ in location
+    across the five order priorities? The k-sample extension of
+    `mann_whitney_u` -- rank everything jointly, compare per-group
+    rank sums. H = 12/(N(N+1)) * sum(R_g^2/n_g) - 3(N+1),
+    tie-corrected by C = 1 - sum(t^3 - t)/(N^3 - N).
+
+    Scale + exactness: latency is an integer day count with BOUNDED
+    cardinality (~hundreds of distinct values), so average ranks come
+    from the value-histogram -- per-(priority,value) counts, then a
+    cumulative over the distinct-VALUE table (never a fact-sized
+    window; same bounded-domain shape as the two-pass rank family).
+    Ties share avg rank (2*below + ties + 1)/2, carried x2 as the
+    exact BIGINT r2 so rank sums sum(c_gv * r2(v)) are integers. The
+    five R^2/(4n) terms become doubles only at the end and are added
+    in ONE FIXED literal priority order (never an engine-ordered
+    float sum); tie cubes stay BIGINT (t <= count of one latency
+    value). Reference scope: zjacom/airflow-baseball has no stats
+    layer; this extends the engine's k-sample toolkit alongside
+    anova_f (which assumes normality; KW does not)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("v"),
+    )
+    cell = lat.groupBy("prio", "v").agg(F.count("*").alias("c_gv"))
+    vtab = cell.groupBy("v").agg(F.sum("c_gv").alias("c_v"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    vtab = vtab.withColumn(
+        "below", F.coalesce(F.sum("c_v").over(w), F.lit(0))
+    ).withColumn("r2", 2 * F.col("below") + F.col("c_v") + 1)
+    per_g = (
+        cell.join(vtab.select("v", "r2"), "v")
+        .groupBy("prio")
+        .agg(
+            F.sum(F.col("c_gv") * F.col("r2")).cast("long").alias("r2g"),
+            F.sum("c_gv").cast("long").alias("n_g"),
+        )
+    )
+    ties = vtab.agg(
+        F.sum(F.col("c_v") * F.col("c_v") * F.col("c_v") - F.col("c_v"))
+        .cast("long")
+        .alias("t3")
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pg = per_g.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        *[
+            F.max(F.when(F.col("prio") == p, F.col("r2g"))).alias(f"r2_{i}")
+            for i, p in enumerate(prios)
+        ],
+        *[
+            F.max(F.when(F.col("prio") == p, F.col("n_g"))).alias(f"ng_{i}")
+            for i, p in enumerate(prios)
+        ],
+    )
+    term = lambda i: (  # noqa: E731
+        F.col(f"r2_{i}").cast("double") * F.col(f"r2_{i}").cast("double")
+    ) / (F.lit(4.0) * F.col(f"ng_{i}").cast("double"))
+    ssum = term(0) + term(1) + term(2) + term(3) + term(4)
+    nd = F.col("n").cast("double")
+    h = F.lit(12.0) / (nd * (nd + 1)) * ssum - 3.0 * (nd + 1)
+    joined = pg.crossJoin(F.broadcast(ties))
+    c_tie = F.lit(1.0) - F.col("t3").cast("double") / (nd * nd * nd - nd)
+    return joined.select(
+        F.col("n"),
+        F.lit(5).alias("k_groups"),
+        _r6(h).alias("h_stat"),
+        _r6(h / c_tie).alias("h_tie_corrected"),
+    )
+
+
+registry.register(
+    "kruskal_wallis",
+    q_kruskal_wallis,
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority AS prio,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cell AS (
+      SELECT prio, v, COUNT(*) AS c_gv FROM lat GROUP BY 1, 2
+    ),
+    vtab AS (
+      SELECT v, SUM(c_gv) AS c_v,
+             COALESCE(SUM(SUM(c_gv)) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS below
+      FROM cell GROUP BY v
+    ),
+    r2tab AS (
+      SELECT v, 2 * below + c_v + 1 AS r2 FROM vtab
+    ),
+    per_g AS (
+      SELECT prio,
+             CAST(SUM(c.c_gv * r.r2) AS BIGINT) AS r2g,
+             CAST(SUM(c.c_gv) AS BIGINT) AS n_g
+      FROM cell c JOIN r2tab r USING (v) GROUP BY prio
+    ),
+    pg AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             MAX(CASE WHEN prio = '1-URGENT' THEN r2g END) AS r2_0,
+             MAX(CASE WHEN prio = '2-HIGH' THEN r2g END) AS r2_1,
+             MAX(CASE WHEN prio = '3-MEDIUM' THEN r2g END) AS r2_2,
+             MAX(CASE WHEN prio = '4-NOT SPECIFIED' THEN r2g END) AS r2_3,
+             MAX(CASE WHEN prio = '5-LOW' THEN r2g END) AS r2_4,
+             MAX(CASE WHEN prio = '1-URGENT' THEN n_g END) AS ng_0,
+             MAX(CASE WHEN prio = '2-HIGH' THEN n_g END) AS ng_1,
+             MAX(CASE WHEN prio = '3-MEDIUM' THEN n_g END) AS ng_2,
+             MAX(CASE WHEN prio = '4-NOT SPECIFIED' THEN n_g END) AS ng_3,
+             MAX(CASE WHEN prio = '5-LOW' THEN n_g END) AS ng_4
+      FROM per_g
+    ),
+    ties AS (
+      SELECT CAST(SUM(c_v * c_v * c_v - c_v) AS BIGINT) AS t3 FROM vtab
+    ),
+    calc AS (
+      SELECT n,
+             (CAST(r2_0 AS DOUBLE) * CAST(r2_0 AS DOUBLE))
+               / (4.0 * CAST(ng_0 AS DOUBLE))
+             + (CAST(r2_1 AS DOUBLE) * CAST(r2_1 AS DOUBLE))
+               / (4.0 * CAST(ng_1 AS DOUBLE))
+             + (CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE))
+               / (4.0 * CAST(ng_2 AS DOUBLE))
+             + (CAST(r2_3 AS DOUBLE) * CAST(r2_3 AS DOUBLE))
+               / (4.0 * CAST(ng_3 AS DOUBLE))
+             + (CAST(r2_4 AS DOUBLE) * CAST(r2_4 AS DOUBLE))
+               / (4.0 * CAST(ng_4 AS DOUBLE)) AS ssum,
+             t3
+      FROM pg CROSS JOIN ties
+    ),
+    hc AS (
+      SELECT n,
+             12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * ssum
+               - 3.0 * (CAST(n AS DOUBLE) + 1) AS h,
+             1.0 - CAST(t3 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(n AS DOUBLE)) AS c_tie
+      FROM calc
+    )
+    SELECT n, 5 AS k_groups,
+           FLOOR(h * 1000000.0 + 0.5) / 1000000.0 AS h_stat,
+           FLOOR(h / c_tie * 1000000.0 + 0.5) / 1000000.0 AS h_tie_corrected
+    FROM hc
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit (extreme value theory) + return level
+# ---------------------------------------------------------------------------
+
+# ln(-ln(1 - 1/52)) evaluated ONCE in Python and inlined as the same
+# decimal literal into BOTH engines' expression texts: a runtime LN()
+# could differ by 1 ulp between Java's Math.log and DuckDB's libm,
+# but a parsed literal is the identical IEEE double on both sides
+# (the LCG-literal house rule).
+_GUMBEL_LNLN_52 = __import__("math").log(
+    -__import__("math").log(1.0 - 1.0 / 52.0)
+)
+_EULER_GAMMA = 0.5772156649015329
+_PI = 3.141592653589793
+_SQRT6 = 2.449489742783178
+
+
+def q_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of daily revenue: fit a Gumbel
+    distribution to WEEKLY block maxima of the daily order-revenue
+    series by method of moments (beta = sd*sqrt(6)/pi, mu = mean -
+    gamma*beta) and report the 52-week return level mu -
+    beta*ln(-ln(1-1/52)) -- 'the daily revenue spike you expect to
+    see once a year', the capacity-planning number a mean+3sd rule
+    understates because revenue maxima are right-skewed.
+
+    Scale: two map-combinable aggs (fact -> ~2400 daily rows -> ~350
+    weekly maxima); moments are single-row. Exactness: prices are
+    DOUBLE in this generation, so revenue is quantized to floor-cents
+    PER ROW before the daily sum (quantize-before-sum -- a float SUM
+    is partition-order-dependent); week index is
+    epoch-day integer division from the data's min date (no calendar
+    week function -- engines disagree on week-of-year conventions);
+    sd comes from the deterministic IEEE expression over the exact
+    cent sums; the ln(-ln(.)) constant is a shared literal (header
+    comment). Reference scope: beyond zjacom/airflow-baseball -- EVT
+    layer for the analytics engine."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("cents")
+    )
+    wk = F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) / 7
+    )
+    weekly = daily.select(wk.alias("wk"), "cents").groupBy("wk").agg(
+        F.max("cents").alias("m")
+    )
+    sums = weekly.agg(
+        F.count("*").alias("n"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum(
+            F.col("m").cast("decimal(18,0)") * F.col("m").cast("decimal(18,0)")
+        ).alias("sm2"),
+    )
+    nd = F.col("n").cast("double")
+    smd = F.col("sm").cast("double")
+    sm2d = F.col("sm2").cast("double")
+    mean_c = smd / nd
+    sd_c = F.sqrt((sm2d - smd * smd / nd) / (nd - 1))
+    beta_c = sd_c * F.lit(_SQRT6) / F.lit(_PI)
+    mu_c = mean_c - F.lit(_EULER_GAMMA) * beta_c
+    rl_c = mu_c - beta_c * F.lit(_GUMBEL_LNLN_52)
+    return sums.select(
+        F.col("n").alias("n_weeks"),
+        _r6(mean_c / 100.0).alias("mean_weekly_max"),
+        _r6(sd_c / 100.0).alias("sd_weekly_max"),
+        _r6(mu_c / 100.0).alias("gumbel_mu"),
+        _r6(beta_c / 100.0).alias("gumbel_beta"),
+        _r6(rl_c / 100.0).alias("return_level_52w"),
+    )
+
+
+registry.register(
+    "gumbel_return_level",
+    q_gumbel_return_level,
+    f"""
+    WITH daily AS (
+      SELECT o_orderdate,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    weekly AS (
+      SELECT CAST(FLOOR(date_diff('day', DATE '1992-01-01', o_orderdate)
+                        / 7.0) AS BIGINT) AS wk,
+             MAX(cents) AS m
+      FROM daily GROUP BY 1
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(m) AS BIGINT) AS sm,
+             SUM(CAST(m AS DECIMAL(18,0)) * CAST(m AS DECIMAL(18,0))) AS sm2
+      FROM weekly
+    ),
+    calc AS (
+      SELECT n,
+             CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+             SQRT((CAST(sm2 AS DOUBLE)
+                   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1)) AS sd_c
+      FROM sums
+    ),
+    fit AS (
+      SELECT n, mean_c, sd_c,
+             sd_c * {_SQRT6!r} / {_PI!r} AS beta_c,
+             mean_c - {_EULER_GAMMA!r} * (sd_c * {_SQRT6!r} / {_PI!r})
+               AS mu_c
+      FROM calc
+    )
+    SELECT n AS n_weeks,
+           FLOOR(mean_c / 100.0 * 1000000.0 + 0.5) / 1000000.0
+             AS mean_weekly_max,
+           FLOOR(sd_c / 100.0 * 1000000.0 + 0.5) / 1000000.0
+             AS sd_weekly_max,
+           FLOOR(mu_c / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS gumbel_mu,
+           FLOOR(beta_c / 100.0 * 1000000.0 + 0.5) / 1000000.0
+             AS gumbel_beta,
+           FLOOR((mu_c - beta_c * {_GUMBEL_LNLN_52!r}) / 100.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS return_level_52w
+    FROM fit
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (privacy): per-segment EMD of the sensitive attribute
+# ---------------------------------------------------------------------------
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit -- the privacy metric one step past
+    `k_anonymity`/`l_diversity`: for each market-segment equivalence
+    class, the 1-D earth-mover's distance between the class's
+    account-balance distribution and the GLOBAL distribution, over
+    rank-rule global deciles. A class with small t reveals little
+    about any member's balance; max(t) is the table's disclosure
+    bound (output per class so the auditor sees which class leaks).
+
+    Exactness: decile boundaries are rank-rule k-th-smallest cents
+    from the two-pass histogram (never interpolated); bin membership
+    is an integer comparison against nine broadcast boundaries; the
+    EMD numerator sum_j |cum_s(j)*N - cum_g(j)*N_s| is PURE BIGINT
+    (common denominator N_s*N factored out; one division at the end,
+    /(N_s*N*(m-1))). Bins are densified by an explicit 1..10
+    cross-join so zero-count bins still contribute their |r_j| term.
+    Scale: one fact scan for boundaries (histogram), one for counts;
+    everything downstream is a <=50-row table."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        # floor-cents, not cast: Spark's double->long cast truncates
+        # toward zero while DuckDB's rounds -- FLOOR(x*100+0.5) is the
+        # same IEEE expression on both engines
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = rank_pick(
+        cust.select(F.col("cents").alias("v")),
+        "v",
+        [(f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 9) div 10"))
+         for i in range(1, 10)],
+    )
+    qs = bounds.groupBy().pivot(
+        "rank_label", [f"q{i}" for i in range(1, 10)]
+    ).agg(F.min("v"))
+    kcol = F.lit(1)
+    for i in range(1, 10):
+        kcol = kcol + (F.col("cents") > F.col(f"q{i}")).cast("int")
+    binned = cust.crossJoin(F.broadcast(qs)).select(
+        "c_mktsegment", kcol.alias("bin")
+    )
+    seg_bin = binned.groupBy("c_mktsegment", "bin").agg(
+        F.count("*").alias("c_sb")
+    )
+    segs = seg_bin.groupBy("c_mktsegment").agg(F.sum("c_sb").alias("n_s"))
+    dense = (
+        segs.select("c_mktsegment", "n_s")
+        .crossJoin(F.broadcast(
+            spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+        ))
+        .join(seg_bin, ["c_mktsegment", "bin"], "left")
+        .fillna({"c_sb": 0})
+    )
+    glob = dense.groupBy("bin").agg(F.sum("c_sb").alias("c_gb"))
+    total = cust.count()  # driver scalar: one exact count, reused as literal
+    w_s = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_g = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        dense.join(
+            glob.withColumn("cum_g", F.sum("c_gb").over(w_g)).select(
+                "bin", "cum_g"
+            ),
+            "bin",
+        )
+        .withColumn("cum_s", F.sum("c_sb").over(w_s))
+    )
+    num = cum.groupBy("c_mktsegment").agg(
+        F.max("n_s").alias("n_s"),
+        F.sum(
+            F.abs(
+                F.col("cum_s") * F.lit(total) - F.col("cum_g") * F.col("n_s")
+            )
+        ).cast("long").alias("emd_num"),
+    )
+    t = F.col("emd_num").cast("double") / (
+        F.col("n_s").cast("double") * F.lit(float(total)) * F.lit(9.0)
+    )
+    return num.select(
+        "c_mktsegment",
+        F.col("n_s").cast("long").alias("n_class"),
+        _r6(t).alias("t_closeness"),
+    )
+
+
+registry.register(
+    "t_closeness",
+    q_t_closeness,
+    """
+    WITH cents AS (
+      SELECT c_mktsegment, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM cents
+    ),
+    qs AS (
+      SELECT MAX(CASE WHEN rn = (1 * n + 9) // 10 THEN cents END) AS q1,
+             MAX(CASE WHEN rn = (2 * n + 9) // 10 THEN cents END) AS q2,
+             MAX(CASE WHEN rn = (3 * n + 9) // 10 THEN cents END) AS q3,
+             MAX(CASE WHEN rn = (4 * n + 9) // 10 THEN cents END) AS q4,
+             MAX(CASE WHEN rn = (5 * n + 9) // 10 THEN cents END) AS q5,
+             MAX(CASE WHEN rn = (6 * n + 9) // 10 THEN cents END) AS q6,
+             MAX(CASE WHEN rn = (7 * n + 9) // 10 THEN cents END) AS q7,
+             MAX(CASE WHEN rn = (8 * n + 9) // 10 THEN cents END) AS q8,
+             MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS q9
+      FROM ranked
+    ),
+    binned AS (
+      SELECT c_mktsegment,
+             1 + CAST(cents > q1 AS INT) + CAST(cents > q2 AS INT)
+               + CAST(cents > q3 AS INT) + CAST(cents > q4 AS INT)
+               + CAST(cents > q5 AS INT) + CAST(cents > q6 AS INT)
+               + CAST(cents > q7 AS INT) + CAST(cents > q8 AS INT)
+               + CAST(cents > q9 AS INT) AS bin
+      FROM cents CROSS JOIN qs
+    ),
+    seg_bin AS (
+      SELECT c_mktsegment, bin, COUNT(*) AS c_sb FROM binned GROUP BY 1, 2
+    ),
+    segs AS (
+      SELECT c_mktsegment, SUM(c_sb) AS n_s FROM seg_bin GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.c_mktsegment, s.n_s, b.bin, COALESCE(sb.c_sb, 0) AS c_sb
+      FROM segs s
+      CROSS JOIN (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+                                        (9),(10)) t(bin)) b
+      LEFT JOIN seg_bin sb
+        ON sb.c_mktsegment = s.c_mktsegment AND sb.bin = b.bin
+    ),
+    gbin AS (
+      SELECT bin, SUM(c_sb) AS c_gb,
+             SUM(SUM(c_sb)) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+      FROM dense GROUP BY bin
+    ),
+    total AS (SELECT COUNT(*) AS n FROM cents),
+    cum AS (
+      SELECT d.c_mktsegment, d.n_s, d.bin, g.cum_g,
+             SUM(d.c_sb) OVER (PARTITION BY d.c_mktsegment ORDER BY d.bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+      FROM dense d JOIN gbin g USING (bin)
+    )
+    SELECT c_mktsegment,
+           CAST(MAX(n_s) AS BIGINT) AS n_class,
+           FLOOR(CAST(SUM(ABS(cum_s * t.n - cum_g * n_s)) AS DOUBLE)
+                 / (CAST(MAX(n_s) AS DOUBLE) * CAST(MAX(t.n) AS DOUBLE)
+                    * 9.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS t_closeness
+    FROM cum CROSS JOIN total t
+    GROUP BY c_mktsegment
+    """,
+)
