@@ -4729,3 +4729,174 @@ registry.register(
     GROUP BY ym
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Monthly VWAP deviation (volume-weighted average price vs global)
+# ---------------------------------------------------------------------------
+
+
+def q_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly volume-weighted average price of shipped lineitems and
+    each month's relative deviation from the GLOBAL VWAP -- the
+    pricing-drift monitor that a simple average-of-prices gets wrong
+    whenever volume mix shifts (Simpson again: heavy months with
+    cheap parts drag the naive mean, VWAP weights by what actually
+    shipped). Complements `twap` (time-weighted) with the
+    volume-weighted form.
+
+    Exactness: price and quantity are DOUBLE in this generation, so
+    both are quantized per row (floor-cents / rounded units) before
+    the sums; every VWAP is then one division of exact BIGINTs and
+    the deviation one more deterministic IEEE step. Scale: one fact
+    scan, ~84-month output, global VWAP broadcast back (1 row)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("ext_c"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    monthly = li.groupBy("ym").agg(
+        F.sum("ext_c").cast("long").alias("s_ext"),
+        F.sum("qty").cast("long").alias("s_qty"),
+    )
+    glob = monthly.groupBy().agg(
+        F.sum("s_ext").cast("long").alias("g_ext"),
+        F.sum("s_qty").cast("long").alias("g_qty"),
+    )
+    joined = monthly.crossJoin(F.broadcast(glob))
+    vwap_m = F.col("s_ext").cast("double") / F.col("s_qty").cast("double")
+    vwap_g = F.col("g_ext").cast("double") / F.col("g_qty").cast("double")
+    return joined.select(
+        "ym",
+        F.col("s_qty").alias("units"),
+        _r6(vwap_m / 100.0).alias("vwap_month"),
+        _r6(vwap_g / 100.0).alias("vwap_global"),
+        _r6((vwap_m - vwap_g) / vwap_g).alias("rel_deviation"),
+    ).orderBy("ym")
+
+
+registry.register(
+    "vwap_deviation",
+    q_vwap_deviation,
+    """
+    WITH li AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) * 100
+                  + EXTRACT(month FROM l_shipdate) AS INT) AS ym,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_c,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    monthly AS (
+      SELECT ym, CAST(SUM(ext_c) AS BIGINT) AS s_ext,
+             CAST(SUM(qty) AS BIGINT) AS s_qty
+      FROM li GROUP BY ym
+    ),
+    gvw AS (
+      SELECT CAST(SUM(s_ext) AS BIGINT) AS g_ext,
+             CAST(SUM(s_qty) AS BIGINT) AS g_qty
+      FROM monthly
+    )
+    SELECT ym, s_qty AS units,
+           FLOOR(CAST(s_ext AS DOUBLE) / CAST(s_qty AS DOUBLE) / 100.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS vwap_month,
+           FLOOR(CAST(g_ext AS DOUBLE) / CAST(g_qty AS DOUBLE) / 100.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS vwap_global,
+           FLOOR((CAST(s_ext AS DOUBLE) / CAST(s_qty AS DOUBLE)
+                  - CAST(g_ext AS DOUBLE) / CAST(g_qty AS DOUBLE))
+                 / (CAST(g_ext AS DOUBLE) / CAST(g_qty AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rel_deviation
+    FROM monthly CROSS JOIN gvw
+    ORDER BY ym
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# EOQ (economic order quantity) stocking plan per brand
+# ---------------------------------------------------------------------------
+
+
+def q_eoq_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per part brand: EOQ =
+    sqrt(2*D*S/h) with annual demand D from 7 years of shipped
+    quantity, fixed order cost S = $100, holding cost h = 20% of the
+    brand's volume-weighted unit price -- plus the implied
+    replenishment frequency D/EOQ. The inventory-policy companion to
+    `newsvendor_quantile` (which sets the service level; EOQ sets
+    the batch size).
+
+    Exactness: quantity and price quantized per row to units/cents
+    (DOUBLE generation), so D and the unit price are ratios of exact
+    BIGINTs; EOQ is sqrt of a deterministic IEEE product (sqrt is
+    correctly rounded -- safe cross-engine, unlike pow/ln). Scale:
+    one fact scan -> 25 brand rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("ext_c"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum("ext_c").cast("long").alias("s_ext"),
+            F.sum("qty").cast("long").alias("s_qty"),
+        )
+    )
+    d_annual = F.col("s_qty").cast("double") / F.lit(7.0)
+    unit_c = F.col("s_ext").cast("double") / F.col("s_qty").cast("double")
+    hold_c = F.lit(0.2) * unit_c
+    eoq = F.sqrt(F.lit(2.0) * d_annual * F.lit(10000.0) / hold_c)
+    return per_brand.select(
+        "p_brand",
+        F.col("s_qty").alias("units_7y"),
+        _r6(d_annual).alias("annual_demand"),
+        _r6(unit_c / 100.0).alias("unit_price"),
+        _r6(eoq).alias("eoq_units"),
+        _r6(d_annual / eoq).alias("orders_per_year"),
+    ).orderBy("p_brand")
+
+
+registry.register(
+    "eoq_stocking",
+    q_eoq_stocking,
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_c,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    per_brand AS (
+      SELECT p.p_brand,
+             CAST(SUM(ext_c) AS BIGINT) AS s_ext,
+             CAST(SUM(qty) AS BIGINT) AS s_qty
+      FROM li JOIN part p ON li.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    calc AS (
+      SELECT p_brand, s_qty,
+             CAST(s_qty AS DOUBLE) / 7.0 AS d_annual,
+             CAST(s_ext AS DOUBLE) / CAST(s_qty AS DOUBLE) AS unit_c
+      FROM per_brand
+    ),
+    eoqs AS (
+      SELECT p_brand, s_qty, d_annual, unit_c,
+             SQRT(2.0 * d_annual * 10000.0 / (0.2 * unit_c)) AS eoq
+      FROM calc
+    )
+    SELECT p_brand, s_qty AS units_7y,
+           FLOOR(d_annual * 1000000.0 + 0.5) / 1000000.0 AS annual_demand,
+           FLOOR(unit_c / 100.0 * 1000000.0 + 0.5) / 1000000.0
+             AS unit_price,
+           FLOOR(eoq * 1000000.0 + 0.5) / 1000000.0 AS eoq_units,
+           FLOOR(d_annual / eoq * 1000000.0 + 0.5) / 1000000.0
+             AS orders_per_year
+    FROM eoqs ORDER BY p_brand
+    """,
+)

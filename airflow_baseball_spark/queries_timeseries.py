@@ -4194,3 +4194,244 @@ registry.register(
     FROM acc
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# RSI (relative strength index) over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI of daily order revenue, summarized per year: days
+    overbought (RSI>70), days oversold (RSI<30), and the mean RSI --
+    the momentum oscillator in every trading/ops dashboard (here:
+    'is revenue momentum running hot or cold this year'). Cutler's
+    RSI (simple 14-day sums), not Wilder's -- Wilder's smoothing is
+    a sequential recurrence; the simple form is a windowed closed
+    form, the same tier distinction as `holt_linear` documents.
+
+    Exactness: daily revenue is floor-cents quantized per row before
+    the daily sum; diffs/gains/losses stay BIGINT; each day's RSI =
+    100*gain/(gain+loss) is one correctly-rounded division,
+    micro-quantized BEFORE the per-year mean (quantize-before-sum).
+    Scale: all windows run over the ~2400-row daily AGGREGATE (the
+    bounded-domain exception the plan tests allow), never the
+    fact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("cents"))
+    w_lag = Window.orderBy("d")
+    diffed = daily.select(
+        "d",
+        (F.col("cents") - F.lag("cents", 1).over(w_lag)).alias("diff"),
+    ).filter(F.col("diff").isNotNull())
+    gl = diffed.select(
+        "d",
+        F.greatest(F.col("diff"), F.lit(0)).cast("long").alias("gain"),
+        F.greatest(-F.col("diff"), F.lit(0)).cast("long").alias("loss"),
+    )
+    w14 = Window.orderBy("d").rowsBetween(-13, 0)
+    rsi_rows = gl.select(
+        "d",
+        F.sum("gain").over(w14).alias("g14"),
+        F.sum("loss").over(w14).alias("l14"),
+        F.count("*").over(w14).alias("nw"),
+    ).filter(F.col("nw") == 14)
+    rsi = rsi_rows.select(
+        F.year("d").alias("yr"),
+        F.floor(
+            F.lit(100.0)
+            * F.col("g14").cast("double")
+            / (F.col("g14") + F.col("l14")).cast("double")
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("long").alias("rsi_micro"),
+    )
+    return (
+        rsi.groupBy("yr")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum((F.col("rsi_micro") > 70000000).cast("long"))
+            .cast("long")
+            .alias("days_overbought"),
+            F.sum((F.col("rsi_micro") < 30000000).cast("long"))
+            .cast("long")
+            .alias("days_oversold"),
+            _r6(
+                F.sum("rsi_micro").cast("double")
+                / F.count("*").cast("double")
+                / 1000000.0
+            ).alias("mean_rsi"),
+        )
+        .orderBy("yr")
+    )
+
+
+registry.register(
+    "rsi_indicator",
+    q_rsi_indicator,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    diffed AS (
+      SELECT d, cents - LAG(cents, 1) OVER (ORDER BY d) AS diff FROM daily
+    ),
+    gl AS (
+      SELECT d,
+             CAST(GREATEST(diff, 0) AS BIGINT) AS gain,
+             CAST(GREATEST(-diff, 0) AS BIGINT) AS loss
+      FROM diffed WHERE diff IS NOT NULL
+    ),
+    win AS (
+      SELECT d,
+             SUM(gain) OVER w AS g14,
+             SUM(loss) OVER w AS l14,
+             COUNT(*) OVER w AS nw
+      FROM gl
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    rsi AS (
+      SELECT CAST(EXTRACT(year FROM d) AS INT) AS yr,
+             CAST(FLOOR(100.0 * CAST(g14 AS DOUBLE)
+                        / CAST(g14 + l14 AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS rsi_micro
+      FROM win WHERE nw = 14
+    )
+    SELECT yr, COUNT(*) AS n_days,
+           CAST(SUM(CAST(rsi_micro > 70000000 AS BIGINT)) AS BIGINT)
+             AS days_overbought,
+           CAST(SUM(CAST(rsi_micro < 30000000 AS BIGINT)) AS BIGINT)
+             AS days_oversold,
+           FLOOR(CAST(SUM(rsi_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_rsi
+    FROM rsi GROUP BY yr ORDER BY yr
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout audit per year: how many days did
+    daily revenue close above mean+2sigma / below mean-2sigma of its
+    trailing 20-day window, and the mean relative band width -- the
+    volatility-regime readout (tight bands = calm, wide = turbulent)
+    behind band-squeeze alerting.
+
+    Exactness: the 20-day rolling sum and sum-of-squares run over
+    exact BIGINT cents (sum sq as DECIMAL(38,0) -- cents^2 breaks
+    BIGINT past ~sf0.3); sigma = sqrt((w*S2 - S^2)/w^2) is the
+    deterministic IEEE tree over those exact values (population
+    form); breach tests compare exact cents (as double) against the
+    band expression -- same tree both engines. Band width is
+    micro-quantized before the yearly mean. Scale: windows over the
+    bounded daily aggregate only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("cents"))
+    w20 = Window.orderBy("d").rowsBetween(-19, 0)
+    rolled = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w20).alias("s1"),
+        F.sum(
+            F.col("cents").cast("decimal(18,0)")
+            * F.col("cents").cast("decimal(18,0)")
+        ).over(w20).alias("s2"),
+        F.count("*").over(w20).alias("nw"),
+    ).filter(F.col("nw") == 20)
+    wd = F.lit(20.0)
+    mean_c = F.col("s1").cast("double") / wd
+    sigma = F.sqrt(
+        (wd * F.col("s2").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / (wd * wd)
+    )
+    upper = mean_c + 2.0 * sigma
+    lower = mean_c - 2.0 * sigma
+    c_d = F.col("cents").cast("double")
+    flagged = rolled.select(
+        F.year("d").alias("yr"),
+        (c_d > upper).cast("long").alias("up"),
+        (c_d < lower).cast("long").alias("dn"),
+        F.floor(
+            F.lit(4.0) * sigma / mean_c * 1000000.0 + F.lit(0.5)
+        ).cast("long").alias("bw_micro"),
+    )
+    return (
+        flagged.groupBy("yr")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("up").cast("long").alias("upper_breaches"),
+            F.sum("dn").cast("long").alias("lower_breaches"),
+            _r6(
+                F.sum("bw_micro").cast("double")
+                / F.count("*").cast("double")
+                / 1000000.0
+            ).alias("mean_rel_bandwidth"),
+        )
+        .orderBy("yr")
+    )
+
+
+registry.register(
+    "bollinger_bands",
+    q_bollinger_bands,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    rolled AS (
+      SELECT d, cents,
+             SUM(cents) OVER w AS s1,
+             SUM(CAST(cents AS DECIMAL(18,0))
+                 * CAST(cents AS DECIMAL(18,0))) OVER w AS s2,
+             COUNT(*) OVER w AS nw
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    calc AS (
+      SELECT CAST(EXTRACT(year FROM d) AS INT) AS yr, cents,
+             CAST(s1 AS DOUBLE) / 20.0 AS mean_c,
+             SQRT((20.0 * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (20.0 * 20.0)) AS sigma
+      FROM rolled WHERE nw = 20
+    ),
+    flagged AS (
+      SELECT yr,
+             CAST(CAST(cents AS DOUBLE) > mean_c + 2.0 * sigma AS BIGINT)
+               AS up,
+             CAST(CAST(cents AS DOUBLE) < mean_c - 2.0 * sigma AS BIGINT)
+               AS dn,
+             CAST(FLOOR(4.0 * sigma / mean_c * 1000000.0 + 0.5) AS BIGINT)
+               AS bw_micro
+      FROM calc
+    )
+    SELECT yr, COUNT(*) AS n_days,
+           CAST(SUM(up) AS BIGINT) AS upper_breaches,
+           CAST(SUM(dn) AS BIGINT) AS lower_breaches,
+           FLOOR(CAST(SUM(bw_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+             AS mean_rel_bandwidth
+    FROM flagged GROUP BY yr ORDER BY yr
+    """,
+)

@@ -132,3 +132,108 @@ def test_brand_percent_rank_bounds(spark):
     for r in rows:
         assert 0.0 <= r.pct_rank <= 1.0
         assert 0.0 < r.cume_dist <= 1.0
+
+
+def test_kruskal_wallis_invariants(spark):
+    from airflow_baseball_spark.queries_stats import q_kruskal_wallis
+
+    r = q_kruskal_wallis(spark, SF).collect()[0]
+    assert r.k_groups == 5 and r.n > 0
+    # H is nonnegative; tie correction can only GROW the statistic
+    assert r.h_stat >= 0.0
+    assert r.h_tie_corrected >= r.h_stat
+
+
+def test_gumbel_return_level_ordering(spark):
+    from airflow_baseball_spark.queries_stats import q_gumbel_return_level
+
+    r = q_gumbel_return_level(spark, SF).collect()[0]
+    assert r.n_weeks > 50
+    assert r.sd_weekly_max > 0
+    # the 52-week return level must sit above the fitted location
+    assert r.return_level_52w > r.gumbel_mu
+    assert r.gumbel_beta > 0
+
+
+def test_t_closeness_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_t_closeness
+
+    rows = q_t_closeness(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.t_closeness <= 1.0
+        assert r.n_class > 0
+
+
+def test_rdd_estimate_consistency(spark):
+    from airflow_baseball_spark.queries_eval import q_rdd_estimate
+
+    r = q_rdd_estimate(spark, SF).collect()[0]
+    assert r.n_left > 0 and r.n_right > 0
+    assert abs(r.rdd_effect - (r.intercept_right - r.intercept_left)) < 2e-6
+
+
+def test_ece_bounds(spark):
+    from airflow_baseball_spark.queries_eval import q_ece_calibration
+
+    r = q_ece_calibration(spark, SF).collect()[0]
+    assert r.n_test > 0
+    assert 0.0 <= r.ece <= r.max_gap <= 1.0
+    assert 1 <= r.n_bins_nonempty <= 10
+
+
+def test_macro_f1_shape(spark):
+    from airflow_baseball_spark.queries_eval import q_macro_f1
+
+    rows = {r.klass: r for r in q_macro_f1(spark, SF).collect()}
+    assert len(rows) == 6 and "MACRO" in rows
+    for k, r in rows.items():
+        assert 0.0 <= r.precision <= 1.0
+        assert 0.0 <= r.recall <= 1.0
+        assert 0.0 <= r.f1 <= 1.0
+    # macro n_true is the whole test split
+    assert rows["MACRO"].n_true == sum(
+        r.n_true for k, r in rows.items() if k != "MACRO"
+    )
+
+
+def test_rsi_bounds(spark):
+    from airflow_baseball_spark.queries_timeseries import q_rsi_indicator
+
+    rows = q_rsi_indicator(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_rsi <= 100.0
+        assert r.days_overbought + r.days_oversold <= r.n_days
+
+
+def test_bollinger_breach_rate(spark):
+    from airflow_baseball_spark.queries_timeseries import q_bollinger_bands
+
+    rows = q_bollinger_bands(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # 2-sigma breaches are rare by construction (<~25% even on
+        # skewed series; Chebyshev guarantees <=25% per side)
+        assert r.upper_breaches + r.lower_breaches <= r.n_days * 0.5
+        assert r.mean_rel_bandwidth > 0
+
+
+def test_vwap_deviation_identity(spark):
+    from airflow_baseball_spark.queries_relational2 import q_vwap_deviation
+
+    rows = q_vwap_deviation(spark, SF).collect()
+    assert len(rows) >= 12
+    g = rows[0].vwap_global
+    for r in rows:
+        assert r.vwap_global == g
+        assert abs(r.rel_deviation) < 1.0
+
+
+def test_eoq_positive(spark):
+    from airflow_baseball_spark.queries_relational2 import q_eoq_stocking
+
+    rows = q_eoq_stocking(spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.eoq_units > 0 and r.orders_per_year > 0
