@@ -5024,3 +5024,322 @@ registry.register(
     GROUP BY c_mktsegment
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test on ship latency
+# ---------------------------------------------------------------------------
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on ship latency: JB =
+    n/6*(skew^2 + excess_kurtosis^2/4) from the third and fourth
+    standardized moments -- the gatekeeper diagnostic before any
+    normality-assuming method in the suite (anova_f, welch_ttest,
+    the +/-2-sigma bands) is trusted.
+
+    Exactness: latency is a small integer, so the four raw power
+    sums S1..S4 are EXACT BIGINTs (v^4 <= 2.6e10 per row; the sums
+    hold to ~sf1, DECIMAL(38,0) upgrade documented past that);
+    central moments come from the standard algebraic identities as
+    one deterministic IEEE tree, and skew's m2^1.5 is written
+    m2*sqrt(m2) (correctly-rounded sqrt, never POW whose libm paths
+    differ). Scale: one map-combinable fact agg, 1-row output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("v")
+    )
+    sums = lat.agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).cast("long").alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v"))
+        .cast("long")
+        .alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m * m
+    m3 = r3 - 3.0 * m * r2 + 2.0 * m * m * m
+    m4 = r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    return sums.select(
+        F.col("n"),
+        _r6(skew).alias("skewness"),
+        _r6(exk).alias("excess_kurtosis"),
+        _r6(jb).alias("jb_stat"),
+    )
+
+
+registry.register(
+    "jarque_bera",
+    q_jarque_bera,
+    """
+    WITH lat AS (
+      SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                  AS BIGINT) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS s2,
+             CAST(SUM(v * v * v) AS BIGINT) AS s3,
+             CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+      FROM lat
+    ),
+    mom AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM sums
+    ),
+    cm AS (
+      SELECT n, r2 - m * m AS m2,
+             r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+             r4 - 4.0 * m * r3 + 6.0 * m * m * r2
+               - 3.0 * m * m * m * m AS m4
+      FROM mom
+    ),
+    st AS (
+      SELECT n, m3 / (m2 * SQRT(m2)) AS skew,
+             m4 / (m2 * m2) - 3.0 AS exk
+      FROM cm
+    )
+    SELECT n,
+           FLOOR(skew * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+           FLOOR(exk * 1000000.0 + 0.5) / 1000000.0 AS excess_kurtosis,
+           FLOOR(CAST(n AS DOUBLE) / 6.0
+                 * (skew * skew + exk * exk / 4.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jb_stat
+    FROM st
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Grubbs outlier test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs single-outlier test on daily revenue: G =
+    max|x - mean| / sd over the daily series, plus WHICH day -- the
+    formal 'is the biggest spike statistically an outlier' answer
+    behind ad-hoc spike triage (compare `rolling_anomaly`, which
+    flags locally; Grubbs tests globally).
+
+    Exactness: daily cents are quantized-before-sum; mean/sd come
+    from exact BIGINT / DECIMAL(38,0) sums (cents^2); the argmax day
+    is picked by lexicographic MIN over (-deviation, day) so a
+    deviation tie resolves to the earliest day on both engines.
+    Scale: fact -> ~2400-day aggregate; the 1-row stats are
+    broadcast back for the deviation pass."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("cents"))
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(
+            F.col("cents").cast("decimal(18,0)")
+            * F.col("cents").cast("decimal(18,0)")
+        ).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean_c = F.col("s1").cast("double") / n
+    sd_c = F.sqrt(
+        (F.col("s2").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double") / n)
+        / (n - 1)
+    )
+    dev = F.abs(F.col("cents").cast("double") - F.col("mean_c"))
+    picked = (
+        daily.crossJoin(
+            F.broadcast(
+                stats.select(
+                    "n", mean_c.alias("mean_c"), sd_c.alias("sd_c")
+                )
+            )
+        )
+        .select(
+            "n",
+            "mean_c",
+            "sd_c",
+            F.struct((-dev).alias("neg"), F.col("d").alias("d")).alias("kd"),
+        )
+        .groupBy("n", "mean_c", "sd_c")
+        .agg(F.min("kd").alias("kd"))
+    )
+    return picked.select(
+        F.col("n").cast("long").alias("n_days"),
+        _r6(-F.col("kd.neg") / F.col("sd_c")).alias("g_stat"),
+        F.col("kd.d").alias("outlier_day"),
+        _r6(-F.col("kd.neg") / 100.0).alias("abs_deviation_dollars"),
+    )
+
+
+registry.register(
+    "grubbs_test",
+    q_grubbs_test,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             SUM(CAST(cents AS DECIMAL(18,0))
+                 * CAST(cents AS DECIMAL(18,0))) AS s2
+      FROM daily
+    ),
+    calc AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+             SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1)) AS sd_c
+      FROM stats
+    ),
+    devs AS (
+      SELECT c.n, c.mean_c, c.sd_c, d.d,
+             ABS(CAST(d.cents AS DOUBLE) - c.mean_c) AS dev
+      FROM daily d CROSS JOIN calc c
+    ),
+    pick AS (
+      SELECT n, mean_c, sd_c, d, dev
+      FROM devs ORDER BY dev DESC, d ASC LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           FLOOR(dev / sd_c * 1000000.0 + 0.5) / 1000000.0 AS g_stat,
+           d AS outlier_day,
+           FLOOR(dev / 100.0 * 1000000.0 + 0.5) / 1000000.0
+             AS abs_deviation_dollars
+    FROM pick
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q: paired binary outcomes across three years
+# ---------------------------------------------------------------------------
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test: did the same customers' propensity to order
+    change across 1995/1996/1997? Subjects are customers active in
+    at least one of the three years, the binary outcome is
+    'placed >=1 order that year'; Q is the paired k-sample extension
+    of McNemar (`mcnemar_paired` is the k=2 special case).
+
+    Q = (k-1) * (k*sum(G_j^2) - (sum G_j)^2)
+        / (k*sum(L_i) - sum(L_i^2))
+    with column totals G_j and per-subject row totals L_i in
+    {1..3} -- every term an EXACT BIGINT; the k=3 column totals are
+    combined in fixed literal year order. Scale: one orders scan ->
+    per-customer-year flags -> bounded aggregates."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).filter(F.col("yr").isin(1995, 1996, 1997))
+    flags = o.groupBy("o_custkey").agg(
+        F.max((F.col("yr") == 1995).cast("long")).alias("x95"),
+        F.max((F.col("yr") == 1996).cast("long")).alias("x96"),
+        F.max((F.col("yr") == 1997).cast("long")).alias("x97"),
+    )
+    sums = flags.agg(
+        F.count("*").alias("n_subjects"),
+        F.sum("x95").cast("long").alias("g1"),
+        F.sum("x96").cast("long").alias("g2"),
+        F.sum("x97").cast("long").alias("g3"),
+        F.sum(F.col("x95") + F.col("x96") + F.col("x97"))
+        .cast("long")
+        .alias("sl"),
+        F.sum(
+            (F.col("x95") + F.col("x96") + F.col("x97"))
+            * (F.col("x95") + F.col("x96") + F.col("x97"))
+        ).cast("long").alias("sl2"),
+    )
+    g1, g2, g3 = (F.col(c).cast("double") for c in ["g1", "g2", "g3"])
+    sl, sl2 = F.col("sl").cast("double"), F.col("sl2").cast("double")
+    gs = g1 + g2 + g3
+    q = (
+        F.lit(2.0)
+        * (F.lit(3.0) * (g1 * g1 + g2 * g2 + g3 * g3) - gs * gs)
+        / (F.lit(3.0) * sl - sl2)
+    )
+    return sums.select(
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("g1").cast("long").alias("active_1995"),
+        F.col("g2").cast("long").alias("active_1996"),
+        F.col("g3").cast("long").alias("active_1997"),
+        _r6(q).alias("q_stat"),
+        F.lit(2).alias("df"),
+    )
+
+
+registry.register(
+    "cochran_q",
+    q_cochran_q,
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr
+      FROM orders
+      WHERE CAST(EXTRACT(year FROM o_orderdate) AS INT) IN
+            (1995, 1996, 1997)
+    ),
+    flags AS (
+      SELECT o_custkey,
+             MAX(CAST(yr = 1995 AS BIGINT)) AS x95,
+             MAX(CAST(yr = 1996 AS BIGINT)) AS x96,
+             MAX(CAST(yr = 1997 AS BIGINT)) AS x97
+      FROM o GROUP BY 1
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n_subjects,
+             CAST(SUM(x95) AS BIGINT) AS g1,
+             CAST(SUM(x96) AS BIGINT) AS g2,
+             CAST(SUM(x97) AS BIGINT) AS g3,
+             CAST(SUM(x95 + x96 + x97) AS BIGINT) AS sl,
+             CAST(SUM((x95 + x96 + x97) * (x95 + x96 + x97)) AS BIGINT)
+               AS sl2
+      FROM flags
+    )
+    SELECT CAST(n_subjects AS BIGINT) AS n_subjects,
+           g1 AS active_1995, g2 AS active_1996, g3 AS active_1997,
+           FLOOR(2.0 * (3.0 * (CAST(g1 AS DOUBLE) * CAST(g1 AS DOUBLE)
+                               + CAST(g2 AS DOUBLE) * CAST(g2 AS DOUBLE)
+                               + CAST(g3 AS DOUBLE) * CAST(g3 AS DOUBLE))
+                        - (CAST(g1 AS DOUBLE) + CAST(g2 AS DOUBLE)
+                           + CAST(g3 AS DOUBLE))
+                          * (CAST(g1 AS DOUBLE) + CAST(g2 AS DOUBLE)
+                             + CAST(g3 AS DOUBLE)))
+                 / (3.0 * CAST(sl AS DOUBLE) - CAST(sl2 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS q_stat,
+           2 AS df
+    FROM sums
+    """,
+)

@@ -4435,3 +4435,299 @@ registry.register(
     FROM flagged GROUP BY yr ORDER BY yr
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# OLS residual diagnostics: Durbin-Watson + Breusch-Pagan
+# ---------------------------------------------------------------------------
+
+
+def q_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual diagnostics for the daily-revenue-on-time OLS trend:
+    Durbin-Watson (serial correlation of residuals -- DW ~ 2 means
+    none, ~0 means the trend line is missing a persistent pattern)
+    and the Breusch-Pagan LM statistic (heteroscedasticity --
+    does residual variance itself trend?). The two checks that
+    decide whether `regression_suite`/`ols_two_factor` standard
+    errors can be believed.
+
+    Exactness: the trend fit uses exact BIGINT sufficient statistics
+    (cents, epoch-day index); residuals are a deterministic IEEE
+    expression per day, squared in DOLLARS and quantized to integer
+    units BEFORE every sum (quantize-before-sum -- cents^2 would
+    overflow and float sums would be partition-ordered), so DW's
+    numerator/denominator and BP's regression of e^2 on t are ratios
+    of exact BIGINTs. Lag runs over the bounded ~2400-row daily
+    aggregate. BP's e^2 is additionally scaled to (millions of
+    dollars)^2 before quantization so its SQUARED sums stay in BIGINT
+    range (R^2 is scale-invariant up to the shared quantization grid,
+    which both engines apply identically)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("cents"))
+    daily = daily.select(
+        "d",
+        "cents",
+        F.datediff(F.col("d"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    )
+    sums = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("st2"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("cents")).cast("long").alias("sty"),
+    )
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    st2 = F.col("st2").cast("double")
+    sy = F.col("sy").cast("double")
+    sty = F.col("sty").cast("double")
+    slope = (n * sty - st * sy) / (n * st2 - st * st)
+    intercept = (sy - slope * st) / n
+    with_resid = daily.crossJoin(
+        F.broadcast(
+            sums.select(
+                "n", slope.alias("b"), intercept.alias("a")
+            )
+        )
+    ).select(
+        "d",
+        "t",
+        "n",
+        (
+            (F.col("cents").cast("double")
+             - F.col("a")
+             - F.col("b") * F.col("t").cast("double"))
+            / 100.0
+        ).alias("e"),
+    )
+    w = Window.orderBy("d")
+    lagged = with_resid.select(
+        "t",
+        "n",
+        "e",
+        F.lag("e", 1).over(w).alias("e_prev"),
+    )
+    quant = lagged.select(
+        "t",
+        "n",
+        F.floor(F.col("e") * F.col("e") + F.lit(0.5))
+        .cast("long")
+        .alias("e2"),
+        F.when(
+            F.col("e_prev").isNotNull(),
+            F.floor(
+                (F.col("e") - F.col("e_prev"))
+                * (F.col("e") - F.col("e_prev"))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("de2"),
+        F.floor(F.col("e") * F.col("e") * 0.000001 + F.lit(0.5))
+        .cast("long")
+        .alias("u"),
+    )
+    fin = quant.agg(
+        F.max("n").alias("n"),
+        F.sum("e2").cast("long").alias("se2"),
+        F.sum("de2").cast("long").alias("sde2"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("su2"),
+        F.sum(F.col("t") * F.col("u")).cast("long").alias("stu"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("st2"),
+    )
+    nn = F.col("n").cast("double")
+    dw = F.col("sde2").cast("double") / F.col("se2").cast("double")
+    r_num = (
+        nn * F.col("stu").cast("double")
+        - F.col("st").cast("double") * F.col("su").cast("double")
+    )
+    r_den = (
+        (nn * F.col("st2").cast("double")
+         - F.col("st").cast("double") * F.col("st").cast("double"))
+        * (nn * F.col("su2").cast("double")
+           - F.col("su").cast("double") * F.col("su").cast("double"))
+    )
+    bp_lm = nn * (r_num * r_num / r_den)
+    return fin.select(
+        F.col("n").cast("long").alias("n_days"),
+        _r6(dw).alias("durbin_watson"),
+        _r6(F.lit(1.0) - dw / 2.0).alias("rho1_approx"),
+        _r6(bp_lm).alias("breusch_pagan_lm"),
+    )
+
+
+registry.register(
+    "regression_diagnostics",
+    q_regression_diagnostics,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS st2,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(t * cents) AS BIGINT) AS sty
+      FROM daily
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+             st, sy
+      FROM sums
+    ),
+    fit2 AS (
+      SELECT n, b,
+             (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+      FROM fit
+    ),
+    resid AS (
+      SELECT d.d, d.t, f.n,
+             (CAST(d.cents AS DOUBLE) - f.a - f.b * CAST(d.t AS DOUBLE))
+               / 100.0 AS e
+      FROM daily d CROSS JOIN fit2 f
+    ),
+    lagged AS (
+      SELECT t, n, e, LAG(e, 1) OVER (ORDER BY d) AS e_prev FROM resid
+    ),
+    quant AS (
+      SELECT t, n,
+             CAST(FLOOR(e * e + 0.5) AS BIGINT) AS e2,
+             CASE WHEN e_prev IS NOT NULL THEN
+               CAST(FLOOR((e - e_prev) * (e - e_prev) + 0.5) AS BIGINT)
+             END AS de2,
+             CAST(FLOOR(e * e * 0.000001 + 0.5) AS BIGINT) AS u
+      FROM lagged
+    ),
+    fin AS (
+      SELECT MAX(n) AS n,
+             CAST(SUM(e2) AS BIGINT) AS se2,
+             CAST(SUM(de2) AS BIGINT) AS sde2,
+             CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(u * u) AS BIGINT) AS su2,
+             CAST(SUM(t * u) AS BIGINT) AS stu,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS st2
+      FROM quant
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           FLOOR(CAST(sde2 AS DOUBLE) / CAST(se2 AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS durbin_watson,
+           FLOOR((1.0 - CAST(sde2 AS DOUBLE) / CAST(se2 AS DOUBLE) / 2.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rho1_approx,
+           FLOOR(CAST(n AS DOUBLE)
+                 * ((CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+                    / ((CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE)
+                          - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS breusch_pagan_lm
+    FROM fin
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness per month over the events stream
+# ---------------------------------------------------------------------------
+
+
+def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly product stickiness: average daily active users divided
+    by monthly active users -- 'of the people who showed up this
+    month, what fraction shows up on a given day'. THE engagement
+    ratio product dashboards lead with; a companion readout to
+    `new_vs_returning`/`retention_curve`.
+
+    Exactness: both numerator and denominator are exact distinct
+    counts (avg DAU is the BIGINT sum of per-day distincts over the
+    month's day count); the ratio is one correctly-rounded division.
+    Scale: two distinct aggregations shuffled on (month[,day],user)
+    -- map-side partial dedup applies; no window touches the
+    fact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        "user_id",
+    )
+    dau = (
+        ev.groupBy("yr", "mo", "dom")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .groupBy("yr", "mo")
+        .agg(
+            F.count("*").alias("active_days"),
+            F.sum("dau").cast("long").alias("dau_sum"),
+        )
+    )
+    mau = ev.groupBy("yr", "mo").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    joined = dau.join(mau, ["yr", "mo"])
+    avg_dau = F.col("dau_sum").cast("double") / F.col(
+        "active_days"
+    ).cast("double")
+    return joined.select(
+        (F.col("yr") * 100 + F.col("mo")).alias("ym"),
+        F.col("active_days").cast("long").alias("active_days"),
+        "mau",
+        _r6(avg_dau).alias("avg_dau"),
+        _r6(avg_dau / F.col("mau").cast("double")).alias("stickiness"),
+    ).orderBy("ym")
+
+
+registry.register(
+    "stickiness_dau_mau",
+    q_stickiness_dau_mau,
+    """
+    WITH ev AS (
+      SELECT CAST(EXTRACT(year FROM ts) AS INT) AS yr,
+             CAST(EXTRACT(month FROM ts) AS INT) AS mo,
+             CAST(EXTRACT(day FROM ts) AS INT) AS dom,
+             user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT yr, mo, COUNT(*) AS active_days,
+             CAST(SUM(dau) AS BIGINT) AS dau_sum
+      FROM (
+        SELECT yr, mo, dom, COUNT(DISTINCT user_id) AS dau
+        FROM ev GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    mau AS (
+      SELECT yr, mo, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT yr * 100 + mo AS ym,
+           CAST(active_days AS BIGINT) AS active_days,
+           mau,
+           FLOOR(CAST(dau_sum AS DOUBLE) / CAST(active_days AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_dau,
+           FLOOR(CAST(dau_sum AS DOUBLE) / CAST(active_days AS DOUBLE)
+                 / CAST(mau AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS stickiness
+    FROM dau JOIN mau USING (yr, mo)
+    ORDER BY ym
+    """,
+)

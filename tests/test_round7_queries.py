@@ -237,3 +237,52 @@ def test_eoq_positive(spark):
     assert len(rows) == 25
     for r in rows:
         assert r.eoq_units > 0 and r.orders_per_year > 0
+
+
+def test_jarque_bera_invariants(spark):
+    from airflow_baseball_spark.queries_stats import q_jarque_bera
+
+    r = q_jarque_bera(spark, SF).collect()[0]
+    assert r.n > 0 and r.jb_stat >= 0.0
+
+
+def test_grubbs_invariants(spark):
+    from airflow_baseball_spark.queries_stats import q_grubbs_test
+
+    r = q_grubbs_test(spark, SF).collect()[0]
+    assert r.n_days > 100
+    # Grubbs G is bounded by (n-1)/sqrt(n)
+    assert 0.0 < r.g_stat < (r.n_days - 1) / (r.n_days ** 0.5)
+    assert r.abs_deviation_dollars > 0
+
+
+def test_cochran_q_invariants(spark):
+    from airflow_baseball_spark.queries_stats import q_cochran_q
+
+    r = q_cochran_q(spark, SF).collect()[0]
+    assert r.df == 2 and r.q_stat >= 0.0
+    for g in (r.active_1995, r.active_1996, r.active_1997):
+        assert 0 < g <= r.n_subjects
+
+
+def test_regression_diagnostics_bounds(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_regression_diagnostics,
+    )
+
+    r = q_regression_diagnostics(spark, SF).collect()[0]
+    assert 0.0 <= r.durbin_watson <= 4.0
+    assert -1.0 <= r.rho1_approx <= 1.0
+    assert r.breusch_pagan_lm >= 0.0
+
+
+def test_stickiness_bounds(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_stickiness_dau_mau,
+    )
+
+    rows = q_stickiness_dau_mau(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.avg_dau <= r.mau
