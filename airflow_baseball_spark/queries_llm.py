@@ -1750,3 +1750,108 @@ registry.register(
     FROM quota q CROSS JOIN short s
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Length-curriculum phases over the documents corpus
+# ---------------------------------------------------------------------------
+
+
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum plan for LLM training: band the corpus into
+    four phases by rank-rule token-count quartiles (short documents
+    first -- the standard length curriculum) and report each phase's
+    doc count, token budget, token-count range, and the CUMULATIVE
+    token budget a trainer would have consumed entering each phase.
+    Complements `mixture_weights` (which balances sources) and
+    `token_pack` (which packs sequences); this orders the corpus.
+
+    Exactness: token counts are exact integers (whitespace split,
+    the house tokenization); quartile boundaries are rank-rule k-th
+    smallest from the two-pass histogram; every output is a BIGINT
+    or an exact cumulative over the 4-row phase table. Scale: one
+    corpus scan for boundaries, one for banding."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bounds = rank_pick(
+        docs.select(F.col("tok").cast("long").alias("v")),
+        "v",
+        [
+            (f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 3) div 4"))
+            for i in range(1, 4)
+        ],
+    )
+    qs = bounds.groupBy().pivot(
+        "rank_label", [f"q{i}" for i in range(1, 4)]
+    ).agg(F.min("v"))
+    phase = (
+        F.lit(1)
+        + (F.col("tok") > F.col("q1")).cast("int")
+        + (F.col("tok") > F.col("q2")).cast("int")
+        + (F.col("tok") > F.col("q3")).cast("int")
+    )
+    banded = docs.crossJoin(F.broadcast(qs)).select(
+        phase.alias("phase"), "tok"
+    )
+    per = banded.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").cast("long").alias("tokens"),
+        F.min("tok").cast("long").alias("min_tok"),
+        F.max("tok").cast("long").alias("max_tok"),
+    )
+    w = Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, -1)
+    return per.select(
+        "phase",
+        "n_docs",
+        "tokens",
+        "min_tok",
+        "max_tok",
+        F.coalesce(F.sum("tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("tokens_before"),
+    ).orderBy("phase")
+
+
+registry.register(
+    "curriculum_phases",
+    q_curriculum_phases,
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS rn,
+             COUNT(*) OVER () AS n
+      FROM docs
+    ),
+    qs AS (
+      SELECT MAX(CASE WHEN rn = (1 * n + 3) // 4 THEN tok END) AS q1,
+             MAX(CASE WHEN rn = (2 * n + 3) // 4 THEN tok END) AS q2,
+             MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN tok END) AS q3
+      FROM ranked
+    ),
+    banded AS (
+      SELECT 1 + CAST(tok > q1 AS INT) + CAST(tok > q2 AS INT)
+               + CAST(tok > q3 AS INT) AS phase,
+             tok
+      FROM docs CROSS JOIN qs
+    ),
+    per AS (
+      SELECT phase, COUNT(*) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS tokens,
+             CAST(MIN(tok) AS BIGINT) AS min_tok,
+             CAST(MAX(tok) AS BIGINT) AS max_tok
+      FROM banded GROUP BY phase
+    )
+    SELECT phase, n_docs, tokens, min_tok, max_tok,
+           CAST(COALESCE(SUM(tokens) OVER (
+             ORDER BY phase ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+    FROM per ORDER BY phase
+    """,
+)

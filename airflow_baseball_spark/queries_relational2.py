@@ -4900,3 +4900,101 @@ registry.register(
     FROM eoqs ORDER BY p_brand
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal as-of join (valid time x transaction time)
+# ---------------------------------------------------------------------------
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query: for every part, the unit price that
+    was VALID on 1996-01-01 *as the system knew it* on 1996-07-01 --
+    the two-axis version of `asof_join` (valid time = when the price
+    applied, transaction time = when we learned it). This is the
+    query auditors/backtests need ('what did we believe then'), and
+    it cannot be answered by a single-time as-of: a later-arriving
+    correction must be visible only to later transaction cutoffs.
+
+    Record synthesis: each lineitem asserts unit price
+    ext_cents div qty, valid from its ship date, recorded at its
+    order date. Semantics: among records with valid_from <= T_v and
+    txn <= T_t, take the lexicographic max of (valid_from, txn,
+    orderkey, linenumber) -- latest-valid wins, latest-known breaks
+    ties, keys make it total. Spark computes it as ONE max-of-struct
+    aggregation (map-combinable, shuffles only (partkey, 1 struct));
+    no window touches the fact. Exactness: dates + integer cents
+    throughout."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("valid_from"),
+        (
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+        ).alias("ext_c"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("txn")
+    )
+    rec = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_partkey",
+        "valid_from",
+        "txn",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("ext_c div qty").alias("unit_c"),
+    )
+    eligible = rec.filter(
+        (F.col("valid_from") <= F.lit("1996-01-01").cast("date"))
+        & (F.col("txn") <= F.lit("1996-07-01").cast("date"))
+    )
+    picked = eligible.groupBy("l_partkey").agg(
+        F.max(
+            F.struct(
+                F.col("valid_from"),
+                F.col("txn"),
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_linenumber").alias("ln"),
+                F.col("unit_c"),
+            )
+        ).alias("s")
+    )
+    return picked.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("s.valid_from").alias("valid_from"),
+        F.col("s.txn").alias("known_at"),
+        F.col("s.unit_c").alias("unit_price_cents"),
+    ).orderBy("p_partkey")
+
+
+registry.register(
+    "bitemporal_asof",
+    q_bitemporal_asof,
+    """
+    WITH rec AS (
+      SELECT l.l_partkey,
+             CAST(l.l_shipdate AS DATE) AS valid_from,
+             CAST(o.o_orderdate AS DATE) AS txn,
+             l.l_orderkey, l.l_linenumber,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               // CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS unit_c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(l.l_shipdate AS DATE) <= DATE '1996-01-01'
+        AND CAST(o.o_orderdate AS DATE) <= DATE '1996-07-01'
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY valid_from DESC, txn DESC,
+                        l_orderkey DESC, l_linenumber DESC) AS rn
+      FROM rec
+    )
+    SELECT l_partkey AS p_partkey, valid_from, txn AS known_at,
+           unit_c AS unit_price_cents
+    FROM ranked WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+)

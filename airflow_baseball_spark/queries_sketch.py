@@ -984,3 +984,136 @@ registry.register(
     JOIN overlap o ON p.status = o.status
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter false-positive-rate audit (measured vs theoretical)
+# ---------------------------------------------------------------------------
+
+# ln(1 - 1/m) for m = 2^18 bits, inlined as the SAME decimal literal
+# into both engines (the LCG-literal rule): runtime LN could differ by
+# an ulp between Java and libm; a parsed literal cannot.
+_BLOOM_M = 262144
+_BLOOM_LN1M = __import__("math").log(1.0 - 1.0 / _BLOOM_M)
+
+
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a k=2, m=2^18-bit Bloom filter over the customer keys
+    and MEASURE its false-positive rate with 10,000 disjoint-keyspace
+    probes, next to the textbook prediction
+    (1 - (1-1/m)^(kn))^k -- the calibration check that belongs next
+    to any Bloom deployment (`bloom_prune_join` uses one to skip
+    shuffle partitions; this audits whether its advertised FPR can
+    be trusted at the observed fill factor).
+
+    Determinism: bit positions are md5 hex fields mod m (the house
+    identity-coin idiom -- no RNG); the bit SET is an exact distinct
+    set; a probe is a false positive iff BOTH its positions hit,
+    decided by two broadcast joins against the distinct bit table
+    (<= 2n rows, bounded by m). The only transcendental is one
+    EXP(kn * ln(1-1/m)) with the ln factor a shared literal;
+    `_r6` bounds the final doubles. Scale: one fact scan to hash,
+    bit table bounded by m = 262,144."""
+    m = _BLOOM_M
+    keys = load_table(spark, sf_dir, "customer").select(
+        F.md5(F.concat(F.lit("c:"), F.col("c_custkey").cast("string")))
+        .alias("h")
+    )
+    pos = keys.select(
+        (F.conv(F.substring("h", 1, 5), 16, 10).cast("long") % m)
+        .alias("p1"),
+        (F.conv(F.substring("h", 6, 5), 16, 10).cast("long") % m)
+        .alias("p2"),
+    )
+    bits = (
+        pos.select(F.col("p1").alias("b"))
+        .unionByName(pos.select(F.col("p2").alias("b")))
+        .distinct()
+    )
+    probes = spark.range(0, 10000).select(
+        F.md5(F.concat(F.lit("p:"), F.col("id").cast("string")))
+        .alias("h")
+    ).select(
+        (F.conv(F.substring("h", 1, 5), 16, 10).cast("long") % m)
+        .alias("p1"),
+        (F.conv(F.substring("h", 6, 5), 16, 10).cast("long") % m)
+        .alias("p2"),
+    )
+    b1 = bits.select(F.col("b").alias("b1"))
+    b2 = bits.select(F.col("b").alias("b2"))
+    hit = (
+        probes.join(F.broadcast(b1), probes["p1"] == F.col("b1"), "left")
+        .join(F.broadcast(b2), probes["p2"] == F.col("b2"), "left")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(
+                (F.col("b1").isNotNull() & F.col("b2").isNotNull())
+                .cast("long")
+            ).cast("long").alias("fp"),
+        )
+    )
+    nbits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    nk = pos.agg(F.count("*").cast("long").alias("n_keys"))
+    joined = hit.crossJoin(F.broadcast(nbits)).crossJoin(F.broadcast(nk))
+    fill = F.lit(1.0) - F.exp(
+        F.lit(2.0) * F.col("n_keys").cast("double") * F.lit(_BLOOM_LN1M)
+    )
+    return joined.select(
+        F.col("n_keys"),
+        F.col("bits_set"),
+        F.col("n_probes").cast("long").alias("n_probes"),
+        F.col("fp").alias("false_positives"),
+        _r6(
+            F.col("fp").cast("double") / F.col("n_probes").cast("double")
+        ).alias("measured_fpr"),
+        _r6(fill * fill).alias("theoretical_fpr"),
+    )
+
+
+registry.register(
+    "bloom_fpr_audit",
+    q_bloom_fpr_audit,
+    f"""
+    WITH keypos AS (
+      SELECT {_hex_int_sql("md5('c:' || CAST(c_custkey AS VARCHAR))", 1, 5)}
+               % {_BLOOM_M} AS p1,
+             {_hex_int_sql("md5('c:' || CAST(c_custkey AS VARCHAR))", 6, 5)}
+               % {_BLOOM_M} AS p2
+      FROM customer
+    ),
+    nk AS (SELECT COUNT(*) AS n_keys FROM keypos),
+    bits AS (
+      SELECT DISTINCT b FROM (
+        SELECT p1 AS b FROM keypos UNION ALL SELECT p2 AS b FROM keypos
+      )
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits),
+    probes AS (
+      SELECT {_hex_int_sql("md5('p:' || CAST(pid AS VARCHAR))", 1, 5)}
+               % {_BLOOM_M} AS p1,
+             {_hex_int_sql("md5('p:' || CAST(pid AS VARCHAR))", 6, 5)}
+               % {_BLOOM_M} AS p2
+      FROM generate_series(0, 9999) t(pid)
+    ),
+    hit AS (
+      SELECT COUNT(*) AS n_probes,
+             CAST(SUM(CAST(b1.b IS NOT NULL AND b2.b IS NOT NULL
+                           AS BIGINT)) AS BIGINT) AS fp
+      FROM probes p
+      LEFT JOIN bits b1 ON p.p1 = b1.b
+      LEFT JOIN bits b2 ON p.p2 = b2.b
+    )
+    SELECT CAST(nk.n_keys AS BIGINT) AS n_keys,
+           nb.bits_set,
+           CAST(hit.n_probes AS BIGINT) AS n_probes,
+           hit.fp AS false_positives,
+           FLOOR(CAST(hit.fp AS DOUBLE) / CAST(hit.n_probes AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS measured_fpr,
+           FLOOR((1.0 - EXP(2.0 * CAST(nk.n_keys AS DOUBLE)
+                            * {_BLOOM_LN1M!r}))
+                 * (1.0 - EXP(2.0 * CAST(nk.n_keys AS DOUBLE)
+                              * {_BLOOM_LN1M!r}))
+                 * 1000000.0 + 0.5) / 1000000.0 AS theoretical_fpr
+    FROM hit CROSS JOIN nk CROSS JOIN nb
+    """,
+)

@@ -294,3 +294,30 @@ def test_topk_with_ties_threshold_prefilter(spark):
     _assert_only_bucket_global_windows(plan)
     assert "rank_label" in plan
     assert "thr_cents" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Spark-native scan pruning: a fact written partitioned by ship
+    year, joined to a filtered dim on the partition column, must get
+    a runtime `dynamicpruning` partition filter -- at 100 TB this is
+    the difference between scanning one year and scanning seven."""
+    from pyspark.sql import functions as F
+
+    from airflow_baseball_spark.schemas import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.year("l_shipdate").alias("ship_year"),
+    )
+    path = str(tmp_path / "li_by_year")
+    li.write.partitionBy("ship_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1996, "pick"), (1997, "skip")], ["yr", "tag"]
+    ).filter(F.col("tag") == "pick")
+    joined = fact.join(
+        F.broadcast(dim), fact["ship_year"] == dim["yr"]
+    ).groupBy("yr").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -286,3 +286,38 @@ def test_stickiness_bounds(spark):
     for r in rows:
         assert 0.0 < r.stickiness <= 1.0
         assert r.avg_dau <= r.mau
+
+
+def test_bitemporal_asof_dominance(spark):
+    from airflow_baseball_spark.queries_relational2 import q_bitemporal_asof
+
+    rows = q_bitemporal_asof(spark, SF).collect()
+    assert rows
+    import datetime
+
+    for r in rows[:50]:
+        assert r.valid_from <= datetime.date(1996, 1, 1)
+        assert r.known_at <= datetime.date(1996, 7, 1)
+        assert r.unit_price_cents > 0
+
+
+def test_curriculum_phases_partition(spark):
+    from airflow_baseball_spark.queries_llm import q_curriculum_phases
+
+    rows = q_curriculum_phases(spark, SF).collect()
+    assert [r.phase for r in rows] == [1, 2, 3, 4]
+    # phases partition the corpus; cumulative budget telescopes
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.tokens_before == prev.tokens_before + prev.tokens
+        assert prev.max_tok <= cur.min_tok
+    assert rows[0].tokens_before == 0
+
+
+def test_bloom_fpr_calibration(spark):
+    from airflow_baseball_spark.queries_sketch import q_bloom_fpr_audit
+
+    r = q_bloom_fpr_audit(spark, SF).collect()[0]
+    assert r.n_probes == 10000
+    assert 0 < r.bits_set <= 2 * r.n_keys
+    # measured FPR should be the right order of magnitude vs theory
+    assert r.measured_fpr <= 10 * r.theoretical_fpr + 0.01
