@@ -321,3 +321,19 @@ def test_bloom_fpr_calibration(spark):
     assert 0 < r.bits_set <= 2 * r.n_keys
     # measured FPR should be the right order of magnitude vs theory
     assert r.measured_fpr <= 10 * r.theoretical_fpr + 0.01
+
+
+def test_median_polish_shape(spark):
+    from airflow_baseball_spark.queries_stats import q_median_polish
+
+    rows = q_median_polish(spark, SF).collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append(r)
+    assert set(comps) == {"row", "col", "resid_l1"}
+    assert len(comps["col"]) == 12
+    assert len(comps["resid_l1"]) == 1
+    assert comps["resid_l1"][0].effect_cents >= 0
+    # integer exactness: every effect is a whole number of cents
+    for r in rows:
+        assert isinstance(r.effect_cents, int)
