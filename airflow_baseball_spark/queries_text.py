@@ -5781,3 +5781,130 @@ registry.register(
     WHERE levenshtein(a.pfx, b.pfx) <= 16
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (LCS) similarity between paired documents
+# ---------------------------------------------------------------------------
+
+_LCS_SCHEMA = (
+    "pair_id long, n_a int, n_b int, lcs_len int, rouge_f double"
+)
+
+
+def q_lcs_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L between fixed document pairs (doc 2k vs doc 2k+1 for
+    doc_id < 40): longest-common-subsequence length over the first 30
+    whitespace tokens and the F-measure 2L/(n_a+n_b) -- the
+    order-aware overlap metric eval harnesses report next to n-gram
+    overlap (`ngram_jaccard` ignores order; LCS rewards preserved
+    sequence). The pair set is a pushed-down doc_id predicate -- no
+    per-source window touches the corpus.
+
+    LCS is a genuine O(n*m) sequential recurrence, so the Spark side
+    is an honest Arrow-batched applyInPandas per pair (30x30 integer
+    DP; the same documented tier as `dtw_band_distance`), and the
+    oracle replays it as a recursive CTE over ANTI-DIAGONALS: diag d
+    depends only on diags d-1/d-2, so each step is one
+    list_transform with no within-step dependency (the trick that
+    avoids DTW's chained LATERALs). All DP state is integer; the
+    single float is the final F-measure, floor-quantized identically
+    on both sides."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(F.split(F.col("text"), " "), 1, 30).alias("toks"),
+    ).filter(F.col("doc_id") < 40)
+    pairs = docs.select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") % 2).cast("int").alias("side"),
+        "toks",
+    )
+
+    def lcs_group(pdf):
+        import math  # noqa: PLC0415 -- worker-side import
+
+        import pandas as pd  # noqa: PLC0415
+
+        sides = {int(r.side): list(r.toks) for r in pdf.itertuples()}
+        if 0 not in sides or 1 not in sides:
+            return pd.DataFrame(
+                columns=["pair_id", "n_a", "n_b", "lcs_len", "rouge_f"]
+            )
+        a, b = sides[0], sides[1]
+        n, m = len(a), len(b)
+        prev = [0] * (m + 1)
+        for i in range(1, n + 1):
+            cur = [0] * (m + 1)
+            ai = a[i - 1]
+            for j in range(1, m + 1):
+                if ai == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                else:
+                    cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+            prev = cur
+        lcs = prev[m]
+        rouge = math.floor(2.0 * lcs / (n + m) * 1000000.0 + 0.5) / 1000000.0
+        return pd.DataFrame(
+            {
+                "pair_id": [int(pdf["pair_id"].iloc[0])],
+                "n_a": [n],
+                "n_b": [m],
+                "lcs_len": [lcs],
+                "rouge_f": [rouge],
+            }
+        )
+
+    return (
+        pairs.groupBy("pair_id")
+        .applyInPandas(lcs_group, _LCS_SCHEMA)
+        .orderBy("pair_id")
+    )
+
+
+registry.register(
+    "lcs_rouge",
+    q_lcs_rouge,
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split(text, ' ')[1:30] AS toks
+      FROM documents WHERE doc_id < 40
+    ),
+    pairs AS (
+      SELECT a.doc_id // 2 AS pair_id, a.toks AS ta, b.toks AS tb
+      FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+    ),
+    base AS (
+      SELECT pair_id, ta, tb,
+             CAST(len(ta) AS INT) AS n, CAST(len(tb) AS INT) AS m,
+             1 AS d,
+             list_transform(range(0, CAST(len(ta) AS INT) + 1),
+                            x -> 0) AS prev,
+             list_transform(range(0, CAST(len(ta) AS INT) + 1),
+                            x -> 0) AS cur
+      FROM pairs
+    ),
+    rec AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT pair_id, ta, tb, n, m, d + 1 AS d,
+             cur AS prev,
+             list_transform(range(0, n + 1), i -> CASE
+               WHEN i = 0 OR d + 1 - i <= 0 OR d + 1 - i > m THEN 0
+               ELSE greatest(
+                 cur[i],
+                 cur[i + 1],
+                 prev[i] + CASE WHEN ta[i] = tb[d + 1 - i]
+                                THEN 1 ELSE 0 END)
+             END) AS cur
+      FROM rec WHERE d < n + m
+    )
+    SELECT pair_id,
+           n AS n_a, m AS n_b,
+           CAST(cur[n + 1] AS INT) AS lcs_len,
+           FLOOR(2.0 * cur[n + 1] / (n + m) * 1000000.0 + 0.5)
+             / 1000000.0 AS rouge_f
+    FROM rec WHERE d = n + m
+    ORDER BY pair_id
+    """,
+)

@@ -337,3 +337,17 @@ def test_median_polish_shape(spark):
     # integer exactness: every effect is a whole number of cents
     for r in rows:
         assert isinstance(r.effect_cents, int)
+
+
+def test_lcs_rouge_invariants(spark):
+    from airflow_baseball_spark.queries_text import q_lcs_rouge
+
+    rows = q_lcs_rouge(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # LCS is bounded by the shorter sequence; F in [0,1]
+        assert 0 <= r.lcs_len <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.rouge_f <= 1.0
+    # a document shares a full-length LCS with itself: sanity that at
+    # least some pair overlaps (same-source synthetic text)
+    assert any(r.lcs_len > 0 for r in rows)
