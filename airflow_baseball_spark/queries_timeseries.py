@@ -4731,3 +4731,237 @@ registry.register(
     ORDER BY ym
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def q_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar detail-energy decomposition of daily revenue
+    at scales 2..32 days: at each level k the detail coefficient of a
+    2^k-day block is (first-half sum) - (second-half sum), and the
+    level's energy sum(detail^2) says how much revenue variation
+    lives at that time scale -- the multi-resolution complement to
+    `periodogram_probe` (Fourier assumes stationarity; Haar localizes
+    bursts). A dominant level-3 (8-day) energy share, e.g., flags
+    weekly structure.
+
+    Exactness: details are EXACT BIGINT sums of signed floor-cents
+    (sign = block-half parity of the epoch-day index -- pure integer
+    arithmetic, no calendar function); energies square through
+    DECIMAL(19,0)xDECIMAL(19,0) into DECIMAL(38,0) (detail^2
+    overflows BIGINT, and width 19 forces DuckDB onto its int128
+    multiply path -- the width-18 path multiplies in int64 and traps), and the share is the single double division.
+    Scale: the fact collapses to ~2400 daily rows, the level fan-out
+    is x5 on that bounded table, and every agg is map-combinable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("cents"))
+    daily = daily.select(
+        F.datediff(F.col("d"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        "cents",
+    )
+    fan = daily.select(
+        "t",
+        "cents",
+        F.explode(F.array(*[F.lit(k) for k in range(1, 6)])).alias("lvl"),
+    )
+    block = F.expr("t div (2 * (1 << (lvl - 1)))")
+    sign = F.when(
+        F.expr("(t div (1 << (lvl - 1))) % 2 = 0"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    details = (
+        fan.select(
+            "lvl",
+            block.alias("blk"),
+            (sign * F.col("cents")).cast("long").alias("sc"),
+        )
+        .groupBy("lvl", "blk")
+        .agg(F.sum("sc").cast("long").alias("detail"))
+    )
+    per_lvl = details.groupBy("lvl").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(
+            F.col("detail").cast("decimal(19,0)")
+            * F.col("detail").cast("decimal(19,0)")
+        ).alias("energy"),
+    )
+    tot = per_lvl.agg(F.sum("energy").alias("tot_energy"))
+    return (
+        per_lvl.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lvl").alias("level"),
+            F.expr("CAST(2 * shiftleft(1, lvl - 1) AS INT)")
+            .alias("scale_days"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            _r6(
+                F.col("energy").cast("double") / 1.0e18
+            ).alias("energy_e18"),
+            _r6(
+                F.col("energy").cast("double")
+                / F.col("tot_energy").cast("double")
+            ).alias("energy_share"),
+        )
+        .orderBy("level")
+    )
+
+
+registry.register(
+    "wavelet_energy",
+    q_wavelet_energy,
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    fan AS (
+      SELECT d.t, d.cents, l.lvl
+      FROM daily d
+      CROSS JOIN (SELECT * FROM (VALUES (1),(2),(3),(4),(5)) t(lvl)) l
+    ),
+    details AS (
+      SELECT lvl,
+             t // (2 * (1 << (lvl - 1))) AS blk,
+             CAST(SUM(CASE WHEN (t // (1 << (lvl - 1))) % 2 = 0
+                           THEN cents ELSE -cents END) AS BIGINT) AS detail
+      FROM fan GROUP BY 1, 2
+    ),
+    per_lvl AS (
+      SELECT lvl, COUNT(*) AS n_blocks,
+             SUM(CAST(detail AS DECIMAL(19,0))
+                 * CAST(detail AS DECIMAL(19,0))) AS energy
+      FROM details GROUP BY lvl
+    ),
+    tot AS (SELECT SUM(energy) AS tot_energy FROM per_lvl)
+    SELECT lvl AS level,
+           CAST(2 * (1 << (lvl - 1)) AS INT) AS scale_days,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           FLOOR(CAST(energy AS DOUBLE) / 1.0e18 * 1000000.0 + 0.5)
+             / 1000000.0 AS energy_e18,
+           FLOOR(CAST(energy AS DOUBLE) / CAST(tot_energy AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS energy_share
+    FROM per_lvl CROSS JOIN tot
+    ORDER BY level
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Syntetos-Boylan demand classification (ADI x CV^2 quadrants)
+# ---------------------------------------------------------------------------
+
+
+def q_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-pattern classification per brand:
+    average inter-demand interval (ADI = weeks in horizon / weeks
+    with demand) vs the squared coefficient of variation of NONZERO
+    weekly demand (CV^2), cut at the standard (1.32, 0.49)
+    thresholds into smooth / intermittent / erratic / lumpy -- the
+    router that decides whether `croston_intermittent` (intermittent,
+    lumpy) or exponential smoothing (smooth, erratic) is the right
+    forecaster for each series.
+
+    Exactness: weekly demand is exact integer units on an epoch-week
+    index; the horizon week count is ONE global aggregate broadcast
+    to all brands; CV^2 = (p*sum(q^2) - (sum q)^2) / (sum q)^2 is a
+    deterministic IEEE expression over exact BIGINTs. Scale: one
+    fact scan -> (brand, week) table -> 25 brand rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') div 7"
+        ).alias("wk"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    weekly = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "wk")
+        .agg(F.sum("qty").cast("long").alias("q"))
+    )
+    horizon = weekly.agg(
+        (F.max("wk") - F.min("wk") + 1).cast("long").alias("n_weeks")
+    )
+    per_brand = weekly.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("p"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq2"),
+    )
+    joined = per_brand.crossJoin(F.broadcast(horizon))
+    adi = F.col("n_weeks").cast("double") / F.col("p").cast("double")
+    cv2 = (
+        F.col("p").cast("double") * F.col("sq2").cast("double")
+        - F.col("sq").cast("double") * F.col("sq").cast("double")
+    ) / (F.col("sq").cast("double") * F.col("sq").cast("double"))
+    klass = (
+        F.when((adi < 1.32) & (cv2 < 0.49), "smooth")
+        .when((adi >= 1.32) & (cv2 < 0.49), "intermittent")
+        .when((adi < 1.32) & (cv2 >= 0.49), "erratic")
+        .otherwise("lumpy")
+    )
+    return joined.select(
+        "p_brand",
+        F.col("p").alias("weeks_with_demand"),
+        F.col("n_weeks"),
+        _r6(adi).alias("adi"),
+        _r6(cv2).alias("cv2"),
+        klass.alias("demand_class"),
+    ).orderBy("p_brand")
+
+
+registry.register(
+    "demand_classification",
+    q_demand_classification,
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(l_shipdate AS DATE)) // 7 AS wk,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    weekly AS (
+      SELECT p.p_brand, li.wk, CAST(SUM(qty) AS BIGINT) AS q
+      FROM li JOIN part p ON li.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    horizon AS (
+      SELECT CAST(MAX(wk) - MIN(wk) + 1 AS BIGINT) AS n_weeks FROM weekly
+    ),
+    per_brand AS (
+      SELECT p_brand, COUNT(*) AS p,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS sq2
+      FROM weekly GROUP BY 1
+    ),
+    calc AS (
+      SELECT p_brand, p, n_weeks,
+             CAST(n_weeks AS DOUBLE) / CAST(p AS DOUBLE) AS adi,
+             (CAST(p AS DOUBLE) * CAST(sq2 AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+             / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) AS cv2
+      FROM per_brand CROSS JOIN horizon
+    )
+    SELECT p_brand,
+           CAST(p AS BIGINT) AS weeks_with_demand,
+           n_weeks,
+           FLOOR(adi * 1000000.0 + 0.5) / 1000000.0 AS adi,
+           FLOOR(cv2 * 1000000.0 + 0.5) / 1000000.0 AS cv2,
+           CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+                WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+                WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+                ELSE 'lumpy' END AS demand_class
+    FROM calc ORDER BY p_brand
+    """,
+)

@@ -351,3 +351,29 @@ def test_lcs_rouge_invariants(spark):
     # a document shares a full-length LCS with itself: sanity that at
     # least some pair overlaps (same-source synthetic text)
     assert any(r.lcs_len > 0 for r in rows)
+
+
+def test_wavelet_energy_shares(spark):
+    from airflow_baseball_spark.queries_timeseries import q_wavelet_energy
+
+    rows = q_wavelet_energy(spark, SF).collect()
+    assert [r.level for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.scale_days for r in rows] == [2, 4, 8, 16, 32]
+    assert abs(sum(r.energy_share for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r.energy_e18 >= 0 and 0.0 <= r.energy_share <= 1.0
+
+
+def test_demand_classification_partition(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_demand_classification,
+    )
+
+    rows = q_demand_classification(spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.adi >= 1.0  # by definition n_weeks >= weeks_with_demand
+        assert r.cv2 >= 0.0
+        assert r.demand_class in {
+            "smooth", "intermittent", "erratic", "lumpy"
+        }
