@@ -5480,3 +5480,145 @@ registry.register(
     ORDER BY component, k
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outlier audit on (quantity, price)
+# ---------------------------------------------------------------------------
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outlier audit over lineitem
+    (quantity, extended price): squared distance under the 2x2
+    population covariance, flagged against the chi-square(2) 99%
+    cutoff 9.21034 -- the multivariate upgrade of `iqr_outliers`
+    that catches points unusual in the JOINT distribution (cheap
+    big-quantity orders, expensive small ones) that both marginals
+    call normal.
+
+    Exactness: the five sufficient statistics are exact
+    BIGINT/DECIMAL(38,0) sums (price-cents squares via DECIMAL(19)
+    to force int128 multiplies); the inverse covariance is the
+    closed-form 2x2 adjugate over one determinant, applied per row
+    as a deterministic IEEE expression against broadcast scalars.
+    The mean of d^2 under the population covariance is EXACTLY the
+    dimension (=2) -- emitted as a self-check column. Scale: two
+    map-combinable fact scans (moments, then scoring), 1-row out."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    sums = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    cxx = F.col("sxx").cast("double") / n - mx * mx
+    cyy = F.col("syy").cast("double") / n - my * my
+    cxy = F.col("sxy").cast("double") / n - mx * my
+    det = cxx * cyy - cxy * cxy
+    stats = sums.select(
+        "n",
+        mx.alias("mx"),
+        my.alias("my"),
+        cxx.alias("cxx"),
+        cyy.alias("cyy"),
+        cxy.alias("cxy"),
+        det.alias("det"),
+    )
+    dx = F.col("x").cast("double") - F.col("mx")
+    dy = F.col("y").cast("double") - F.col("my")
+    d2 = (
+        F.col("cyy") * dx * dx
+        - 2.0 * F.col("cxy") * dx * dy
+        + F.col("cxx") * dy * dy
+    ) / F.col("det")
+    scored = li.crossJoin(F.broadcast(stats))
+    return scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((d2 > 9.21034).cast("long")).cast("long").alias(
+            "n_outliers_99"
+        ),
+        _r6(
+            F.sum((d2 > 9.21034).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("outlier_share"),
+        _r6(F.max(d2)).alias("max_d2"),
+        _r6(
+            F.sum(F.floor(d2 * 1000000.0 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / (F.count("*").cast("double") * 1000000.0)
+        ).alias("mean_d2_check"),
+    )
+
+
+registry.register(
+    "mahalanobis_outliers",
+    q_mahalanobis_outliers,
+    """
+    WITH li AS (
+      SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM li
+    ),
+    st AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS cxx,
+             CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cyy,
+             CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy
+      FROM sums
+    ),
+    st2 AS (
+      SELECT *, cxx * cyy - cxy * cxy AS det FROM st
+    ),
+    scored AS (
+      SELECT st2.n AS n_tot,
+             (cyy * (CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)
+              - 2.0 * cxy * (CAST(x AS DOUBLE) - mx)
+                * (CAST(y AS DOUBLE) - my)
+              + cxx * (CAST(y AS DOUBLE) - my)
+                * (CAST(y AS DOUBLE) - my)) / det AS d2
+      FROM li CROSS JOIN st2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(d2 > 9.21034 AS BIGINT)) AS BIGINT)
+             AS n_outliers_99,
+           FLOOR(CAST(SUM(CAST(d2 > 9.21034 AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS outlier_share,
+           FLOOR(MAX(d2) * 1000000.0 + 0.5) / 1000000.0 AS max_d2,
+           FLOOR(CAST(SUM(CAST(FLOOR(d2 * 1000000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_d2_check
+    FROM scored
+    """,
+)

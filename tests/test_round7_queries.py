@@ -377,3 +377,13 @@ def test_demand_classification_partition(spark):
         assert r.demand_class in {
             "smooth", "intermittent", "erratic", "lumpy"
         }
+
+
+def test_mahalanobis_mean_identity(spark):
+    from airflow_baseball_spark.queries_stats import q_mahalanobis_outliers
+
+    r = q_mahalanobis_outliers(spark, SF).collect()[0]
+    # population Mahalanobis d^2 averages to the dimension exactly
+    assert abs(r.mean_d2_check - 2.0) < 1e-3
+    assert 0 <= r.n_outliers_99 <= r.n
+    assert r.max_d2 > 9.21034 or r.n_outliers_99 == 0
