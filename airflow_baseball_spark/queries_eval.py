@@ -4352,3 +4352,188 @@ registry.register(
     FROM allrows
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (area under the KM curve to tau)
+# ---------------------------------------------------------------------------
+
+
+def q_rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = 30 days for the same
+    signup->purchase cohort as `kaplan_meier`: the area under the KM
+    curve up to tau -- 'the average number of purchase-free days in
+    the first month', the estimand reported when median survival is
+    undefined (curve never crosses 0.5) and the one that stays valid
+    under heavy censoring.
+
+    Construction: the survival curve is the identical
+    exp(ordered-cumsum of ln((n-d)/n)) staircase as kaplan_meier
+    (ordered window fixes the float summation order); RMST adds the
+    staircase integral sum S(d_i)*(min(next_d, tau) - d_i) plus the
+    initial min(d_1, tau)*1 strip, with each rectangle
+    floor-quantized to 1e-9 BEFORE the final sum
+    (quantize-before-sum over ~100 event days). All windows run on
+    the distinct-duration-day table, never on users or events."""
+    tau = 30
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tlast"),
+    )
+    cohort = per_user.filter(F.col("t0").isNotNull()).select(
+        F.when(
+            F.col("tp") >= F.col("t0"),
+            F.datediff(F.to_date("tp"), F.to_date("t0")),
+        )
+        .otherwise(F.datediff(F.to_date("tlast"), F.to_date("t0")))
+        .alias("d"),
+        ((F.col("tp") >= F.col("t0")).cast("int")).alias("is_event"),
+    )
+    per_d = cohort.groupBy("d").agg(
+        F.sum("is_event").alias("n_ev"),
+        F.count("*").alias("n_all"),
+    )
+    w_before = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    risk = per_d.select(
+        "d",
+        "n_ev",
+        (
+            F.sum("n_all").over(w_tot)
+            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0))
+        ).alias("n_risk"),
+    )
+    ln_term = F.when(
+        (F.col("n_ev") > 0) & (F.col("n_risk") > F.col("n_ev")),
+        F.log(
+            (F.col("n_risk") - F.col("n_ev")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    dead = F.when(
+        (F.col("n_ev") > 0) & (F.col("n_risk") == F.col("n_ev")), 1
+    ).otherwise(0)
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = risk.select(
+        "d",
+        "n_ev",
+        F.sum(ln_term).over(w_cum).alias("lnS"),
+        F.max(dead).over(w_cum).alias("exhausted"),
+    )
+    events = curve.filter(
+        (F.col("n_ev") > 0) & (F.col("d") < tau)
+    )
+    w_lead = Window.orderBy("d")
+    s_col = F.when(F.col("exhausted") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("lnS"))
+    )
+    strips = events.select(
+        "d",
+        F.floor(
+            s_col
+            * (
+                F.least(
+                    F.coalesce(F.lead("d", 1).over(w_lead), F.lit(tau)),
+                    F.lit(tau),
+                )
+                - F.col("d")
+            ).cast("double")
+            * 1.0e9
+            + F.lit(0.5)
+        ).cast("long").alias("a9"),
+    )
+    agg = strips.agg(
+        F.count("*").cast("long").alias("event_days_before_tau"),
+        F.min("d").alias("d1"),
+        F.sum("a9").cast("long").alias("sa9"),
+    )
+    rmst = (
+        F.least(F.coalesce(F.col("d1"), F.lit(tau)), F.lit(tau))
+        .cast("double")
+        + F.col("sa9").cast("double") / 1.0e9
+    )
+    return agg.select(
+        F.lit(tau).alias("tau_days"),
+        "event_days_before_tau",
+        _r6(F.coalesce(rmst, F.lit(float(tau)))).alias("rmst_days"),
+    )
+
+
+registry.register(
+    "rmst_survival",
+    q_rmst_survival,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             MAX(ts) AS tlast
+      FROM events GROUP BY 1
+    ),
+    cohort AS (
+      SELECT CASE WHEN tp >= t0
+                  THEN datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                  ELSE datediff('day', CAST(t0 AS DATE), CAST(tlast AS DATE))
+             END AS d,
+             CASE WHEN tp >= t0 THEN 1 ELSE 0 END AS is_event
+      FROM per_user WHERE t0 IS NOT NULL
+    ),
+    per_d AS (
+      SELECT d, SUM(is_event) AS n_ev, COUNT(*) AS n_all
+      FROM cohort GROUP BY 1
+    ),
+    risk AS (
+      SELECT d, n_ev,
+             SUM(n_all) OVER ()
+               - COALESCE(SUM(n_all) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_d
+    ),
+    curve AS (
+      SELECT d, n_ev,
+             SUM(CASE WHEN n_ev > 0 AND n_risk > n_ev
+                      THEN LN(CAST(n_risk - n_ev AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+               OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnS,
+             MAX(CASE WHEN n_ev > 0 AND n_risk = n_ev THEN 1 ELSE 0 END)
+               OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS exhausted
+      FROM risk
+    ),
+    evd AS (
+      SELECT d,
+             CASE WHEN exhausted = 1 THEN 0.0 ELSE EXP(lnS) END AS s
+      FROM curve WHERE n_ev > 0 AND d < 30
+    ),
+    strips AS (
+      SELECT d,
+             CAST(FLOOR(s * CAST(LEAST(COALESCE(LEAD(d, 1)
+                     OVER (ORDER BY d), 30), 30) - d AS DOUBLE)
+                   * 1.0e9 + 0.5) AS BIGINT) AS a9
+      FROM evd
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS event_days_before_tau,
+             MIN(d) AS d1,
+             CAST(SUM(a9) AS BIGINT) AS sa9
+      FROM strips
+    )
+    SELECT 30 AS tau_days,
+           event_days_before_tau,
+           FLOOR(COALESCE(CAST(LEAST(COALESCE(d1, 30), 30) AS DOUBLE)
+                          + CAST(sa9 AS DOUBLE) / 1.0e9, 30.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rmst_days
+    FROM agg
+    """,
+)

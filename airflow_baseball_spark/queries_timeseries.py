@@ -4965,3 +4965,198 @@ registry.register(
     FROM calc ORDER BY p_brand
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+# ln(2), and the closed-form OLS weights for a slope over the four
+# dyadic sizes 16/32/64/128: x_i = (4,5,6,7)*ln2 gives centered
+# weights (-0.3,-0.1,0.1,0.3)/ln2 -- inlined so no runtime LN runs on
+# the x side (shared-literal rule).
+_LN2 = 0.6931471805599453
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range analysis:
+    split the epoch-day axis into full blocks of 16/32/64/128 days,
+    compute each block's R/S (range of cumulative mean-deviations
+    over the block sd), and fit ln(R/S) ~ H*ln(size) -- H>0.5 means
+    persistent long-memory (trending), H<0.5 anti-persistent, the
+    regime question `acf_lags`/`autocorr` answer only at fixed lags.
+
+    Exactness: block membership and in-block cumulative sums are
+    exact integers on the epoch-day index (cum deviation Z_k =
+    cum_cents - k*mean is one deterministic IEEE step); each block's
+    ln(R/S) is floor-quantized to 1e-9 BEFORE the per-size mean (the
+    unigram_perplexity precedent for runtime LN), and the final
+    slope is a FIXED literal-weight combination
+    (0.3*(y128-y16)+0.1*(y64-y32))/ln2 -- no runtime x-side LN, no
+    engine-ordered float sum. Scale: windows run per (size, block)
+    over the ~2400-row daily aggregate fanned x4; blocks lacking a
+    full day count or with zero range/sd are excluded identically on
+    both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("c"))
+    daily = daily.select(
+        F.datediff(F.col("d"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        "c",
+    )
+    fan = daily.select(
+        "t",
+        "c",
+        F.explode(
+            F.array(*[F.lit(s) for s in (16, 32, 64, 128)])
+        ).alias("s"),
+    ).withColumn("blk", F.expr("t div s"))
+    bs = fan.groupBy("s", "blk").agg(
+        F.count("*").alias("nb"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+        ).alias("sc2"),
+    )
+    w = Window.partitionBy("s", "blk").orderBy("t")
+    z = (
+        fan.join(bs, ["s", "blk"])
+        .filter(F.col("nb") == F.col("s"))
+        .select(
+            "s",
+            "blk",
+            "nb",
+            "sc",
+            "sc2",
+            (
+                F.sum("c").over(w).cast("double")
+                - F.row_number().over(w).cast("double")
+                * (F.col("sc").cast("double") / F.col("nb").cast("double"))
+            ).alias("zk"),
+        )
+    )
+    per_blk = z.groupBy("s", "blk").agg(
+        (F.max("zk") - F.min("zk")).alias("r"),
+        F.sqrt(
+            F.max("sc2").cast("double") / F.max("nb").cast("double")
+            - (F.max("sc").cast("double") / F.max("nb").cast("double"))
+            * (F.max("sc").cast("double") / F.max("nb").cast("double"))
+        ).alias("sd"),
+    )
+    lnrs = per_blk.filter((F.col("r") > 0) & (F.col("sd") > 0)).select(
+        "s",
+        F.floor(F.log(F.col("r") / F.col("sd")) * 1.0e9)
+        .cast("long")
+        .alias("lnrs9"),
+    )
+    per_s = lnrs.groupBy("s").agg(
+        F.count("*").alias("nblk"),
+        F.sum("lnrs9").cast("long").alias("sl9"),
+    )
+    y = lambda s: F.max(  # noqa: E731
+        F.when(
+            F.col("s") == s,
+            F.col("sl9").cast("double")
+            / (F.col("nblk").cast("double") * 1.0e9),
+        )
+    )
+    one = per_s.groupBy().agg(
+        F.sum("nblk").cast("long").alias("n_blocks"),
+        y(16).alias("y16"),
+        y(32).alias("y32"),
+        y(64).alias("y64"),
+        y(128).alias("y128"),
+    )
+    hurst = (
+        0.3 * (F.col("y128") - F.col("y16"))
+        + 0.1 * (F.col("y64") - F.col("y32"))
+    ) / F.lit(_LN2)
+    return one.select(
+        "n_blocks",
+        _r6(F.col("y16")).alias("mean_lnrs_16"),
+        _r6(F.col("y32")).alias("mean_lnrs_32"),
+        _r6(F.col("y64")).alias("mean_lnrs_64"),
+        _r6(F.col("y128")).alias("mean_lnrs_128"),
+        _r6(hurst).alias("hurst"),
+    )
+
+
+registry.register(
+    "hurst_exponent",
+    q_hurst_exponent,
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    fan AS (
+      SELECT d.t, d.c, sz.s, d.t // sz.s AS blk
+      FROM daily d
+      CROSS JOIN (SELECT * FROM (VALUES (16),(32),(64),(128)) t(s)) sz
+    ),
+    bs AS (
+      SELECT s, blk, COUNT(*) AS nb,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+               AS sc2
+      FROM fan GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT f.s, f.blk, b.nb, b.sc, b.sc2,
+             CAST(SUM(f.c) OVER (PARTITION BY f.s, f.blk ORDER BY f.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE)
+             - CAST(ROW_NUMBER() OVER (PARTITION BY f.s, f.blk
+                 ORDER BY f.t) AS DOUBLE)
+               * (CAST(b.sc AS DOUBLE) / CAST(b.nb AS DOUBLE)) AS zk
+      FROM fan f JOIN bs b USING (s, blk)
+      WHERE b.nb = f.s
+    ),
+    per_blk AS (
+      SELECT s, blk,
+             MAX(zk) - MIN(zk) AS r,
+             SQRT(CAST(MAX(sc2) AS DOUBLE) / CAST(MAX(nb) AS DOUBLE)
+                  - (CAST(MAX(sc) AS DOUBLE) / CAST(MAX(nb) AS DOUBLE))
+                    * (CAST(MAX(sc) AS DOUBLE) / CAST(MAX(nb) AS DOUBLE)))
+               AS sd
+      FROM z GROUP BY 1, 2
+    ),
+    lnrs AS (
+      SELECT s, CAST(FLOOR(LN(r / sd) * 1.0e9) AS BIGINT) AS lnrs9
+      FROM per_blk WHERE r > 0 AND sd > 0
+    ),
+    per_s AS (
+      SELECT s, COUNT(*) AS nblk, CAST(SUM(lnrs9) AS BIGINT) AS sl9
+      FROM lnrs GROUP BY s
+    ),
+    one AS (
+      SELECT CAST(SUM(nblk) AS BIGINT) AS n_blocks,
+             MAX(CASE WHEN s = 16 THEN CAST(sl9 AS DOUBLE)
+                   / (CAST(nblk AS DOUBLE) * 1.0e9) END) AS y16,
+             MAX(CASE WHEN s = 32 THEN CAST(sl9 AS DOUBLE)
+                   / (CAST(nblk AS DOUBLE) * 1.0e9) END) AS y32,
+             MAX(CASE WHEN s = 64 THEN CAST(sl9 AS DOUBLE)
+                   / (CAST(nblk AS DOUBLE) * 1.0e9) END) AS y64,
+             MAX(CASE WHEN s = 128 THEN CAST(sl9 AS DOUBLE)
+                   / (CAST(nblk AS DOUBLE) * 1.0e9) END) AS y128
+      FROM per_s
+    )
+    SELECT n_blocks,
+           FLOOR(y16 * 1000000.0 + 0.5) / 1000000.0 AS mean_lnrs_16,
+           FLOOR(y32 * 1000000.0 + 0.5) / 1000000.0 AS mean_lnrs_32,
+           FLOOR(y64 * 1000000.0 + 0.5) / 1000000.0 AS mean_lnrs_64,
+           FLOOR(y128 * 1000000.0 + 0.5) / 1000000.0 AS mean_lnrs_128,
+           FLOOR((0.3 * (y128 - y16) + 0.1 * (y64 - y32)) / {_LN2!r}
+                 * 1000000.0 + 0.5) / 1000000.0 AS hurst
+    FROM one
+    """,
+)

@@ -387,3 +387,22 @@ def test_mahalanobis_mean_identity(spark):
     assert abs(r.mean_d2_check - 2.0) < 1e-3
     assert 0 <= r.n_outliers_99 <= r.n
     assert r.max_d2 > 9.21034 or r.n_outliers_99 == 0
+
+
+def test_hurst_bounds(spark):
+    from airflow_baseball_spark.queries_timeseries import q_hurst_exponent
+
+    r = q_hurst_exponent(spark, SF).collect()[0]
+    assert r.n_blocks > 0
+    # R/S grows with block size for any real series
+    assert r.mean_lnrs_16 < r.mean_lnrs_128
+    assert 0.0 < r.hurst < 1.5
+
+
+def test_rmst_bounds(spark):
+    from airflow_baseball_spark.queries_eval import q_rmst_survival
+
+    r = q_rmst_survival(spark, SF).collect()[0]
+    assert r.tau_days == 30
+    # RMST is a mean of values clipped to [0, tau]
+    assert 0.0 <= r.rmst_days <= 30.0
