@@ -4987,7 +4987,8 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime question `acf_lags`/`autocorr` answer only at fixed lags.
 
     Exactness: block membership and in-block cumulative sums are
-    exact integers on the epoch-day index (cum deviation Z_k =
+    exact integers on the OBSERVED-day rank index (so sparse
+    calendars at tiny SF still form full blocks; cum deviation Z_k =
     cum_cents - k*mean is one deterministic IEEE step); each block's
     ln(R/S) is floor-quantized to 1e-9 BEFORE the per-size mean (the
     unigram_perplexity precedent for runtime LN), and the final
@@ -5004,10 +5005,9 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pc"),
     )
     daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("c"))
+    w_idx = Window.orderBy("d")
     daily = daily.select(
-        F.datediff(F.col("d"), F.lit("1992-01-01").cast("date"))
-        .cast("long")
-        .alias("t"),
+        (F.row_number().over(w_idx) - 1).cast("long").alias("t"),
         "c",
     )
     fan = daily.select(
@@ -5091,12 +5091,15 @@ registry.register(
     "hurst_exponent",
     q_hurst_exponent,
     f"""
-    WITH daily AS (
-      SELECT CAST(date_diff('day', DATE '1992-01-01',
-                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+    WITH daily0 AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS c
       FROM orders GROUP BY 1
+    ),
+    daily AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t, c
+      FROM daily0
     ),
     fan AS (
       SELECT d.t, d.c, sz.s, d.t // sz.s AS blk
