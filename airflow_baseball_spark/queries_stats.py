@@ -5622,3 +5622,271 @@ registry.register(
     FROM scored
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Empirical tail dependence between order value and ship latency
+# ---------------------------------------------------------------------------
+
+
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail-dependence coefficients between order value and
+    the order's worst ship latency: lambda_U = P(value > q95 |
+    latency > q95) and lambda_L = P(value <= q05 | latency <= q05).
+    Correlation (`corr_matrix`) describes the middle of the joint
+    distribution; tail dependence asks whether EXTREMES co-occur --
+    the risk question (do the slowest orders skew expensive?) that
+    `copula_grid` renders as a picture and this reduces to two
+    numbers.
+
+    Exactness: both 95th/5th thresholds are rank-rule k-th-smallest
+    integers from the two-pass histogram (never interpolated);
+    exceedance is an integer comparison against broadcast scalars
+    and every output ratio is one division of exact BIGINT counts.
+    Scale: lineitem collapses to per-order max latency (one shuffle
+    on orderkey), then histogram passes; no windows."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    per_order = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.max("pc").alias("pc"),
+            F.max(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            ).cast("long").alias("lat"),
+        )
+    )
+    qp = rank_pick(
+        per_order.select(F.col("pc").alias("v")),
+        "v",
+        [
+            ("q05", lambda n: F.expr("(5 * n + 99) div 100")),
+            ("q95", lambda n: F.expr("(95 * n + 99) div 100")),
+        ],
+    ).groupBy().pivot("rank_label", ["q05", "q95"]).agg(F.min("v"))
+    ql = rank_pick(
+        per_order.select(F.col("lat").alias("v")),
+        "v",
+        [
+            ("q05", lambda n: F.expr("(5 * n + 99) div 100")),
+            ("q95", lambda n: F.expr("(95 * n + 99) div 100")),
+        ],
+    ).groupBy().pivot("rank_label", ["q05", "q95"]).agg(F.min("v"))
+    thr = qp.select(
+        F.col("q05").alias("p05"), F.col("q95").alias("p95")
+    ).crossJoin(ql.select(F.col("q05").alias("l05"), F.col("q95").alias("l95")))
+    scored = per_order.crossJoin(F.broadcast(thr))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum((F.col("lat") > F.col("l95")).cast("long"))
+        .cast("long")
+        .alias("n_lat_hi"),
+        F.sum(
+            ((F.col("lat") > F.col("l95")) & (F.col("pc") > F.col("p95")))
+            .cast("long")
+        ).cast("long").alias("n_joint_hi"),
+        F.sum((F.col("lat") <= F.col("l05")).cast("long"))
+        .cast("long")
+        .alias("n_lat_lo"),
+        F.sum(
+            ((F.col("lat") <= F.col("l05")) & (F.col("pc") <= F.col("p05")))
+            .cast("long")
+        ).cast("long").alias("n_joint_lo"),
+        _r6(
+            F.sum(
+                ((F.col("lat") > F.col("l95")) & (F.col("pc") > F.col("p95")))
+                .cast("long")
+            ).cast("double")
+            / F.sum((F.col("lat") > F.col("l95")).cast("long"))
+            .cast("double")
+        ).alias("lambda_upper"),
+        _r6(
+            F.sum(
+                ((F.col("lat") <= F.col("l05"))
+                 & (F.col("pc") <= F.col("p05"))).cast("long")
+            ).cast("double")
+            / F.sum((F.col("lat") <= F.col("l05")).cast("long"))
+            .cast("double")
+        ).alias("lambda_lower"),
+    )
+
+
+registry.register(
+    "tail_dependence",
+    q_tail_dependence,
+    """
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             MAX(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS pc,
+             CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                  AS BIGINT) AS lat
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    rp AS (
+      SELECT pc, ROW_NUMBER() OVER (ORDER BY pc) AS rn,
+             COUNT(*) OVER () AS n
+      FROM per_order
+    ),
+    qp AS (
+      SELECT MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN pc END) AS p05,
+             MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN pc END) AS p95
+      FROM rp
+    ),
+    rl AS (
+      SELECT lat, ROW_NUMBER() OVER (ORDER BY lat) AS rn,
+             COUNT(*) OVER () AS n
+      FROM per_order
+    ),
+    ql AS (
+      SELECT MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN lat END) AS l05,
+             MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN lat END) AS l95
+      FROM rl
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(lat > l95 AS BIGINT)) AS BIGINT) AS n_lat_hi,
+           CAST(SUM(CAST(lat > l95 AND pc > p95 AS BIGINT)) AS BIGINT)
+             AS n_joint_hi,
+           CAST(SUM(CAST(lat <= l05 AS BIGINT)) AS BIGINT) AS n_lat_lo,
+           CAST(SUM(CAST(lat <= l05 AND pc <= p05 AS BIGINT)) AS BIGINT)
+             AS n_joint_lo,
+           FLOOR(CAST(SUM(CAST(lat > l95 AND pc > p95 AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(lat > l95 AS BIGINT)) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lambda_upper,
+           FLOOR(CAST(SUM(CAST(lat <= l05 AND pc <= p05 AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(lat <= l05 AS BIGINT)) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lambda_lower
+    FROM per_order CROSS JOIN qp CROSS JOIN ql
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Intraclass correlation ICC(1) of order value within customer
+# ---------------------------------------------------------------------------
+
+
+def q_icc_intraclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1) -- how much of order-value variance lives BETWEEN
+    customers vs within them, from the one-way random-effects ANOVA
+    on customers with >=2 orders. The clustering diagnostic that
+    decides whether per-customer random effects (or clustered
+    standard errors) are needed before trusting `ols_two_factor`-
+    style regressions on order-grain data; ICC ~ 0 means orders are
+    exchangeable, ICC ~ 1 means customers are homogeneous blocks.
+
+    Exactness: values are whole DOLLARS quantized per row (floor,
+    shared expression), so N, k, sum(y), sum(y^2), sum(n_g^2) are
+    exact BIGINTs and each group's (sum y_g)^2/n_g term is
+    floor-quantized to an integer BEFORE the cross-group sum
+    (quantize-before-sum; the raw double sum would be
+    partition-ordered). The unbalanced-design n0 and the final ICC
+    are one deterministic IEEE tree. Scale: one orders scan, one
+    customer-keyed agg, 1-row output."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("y"),
+    )
+    per_g = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("sy_g"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2_g"),
+    ).filter(F.col("n_g") >= 2)
+    sums = per_g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sy_g").cast("long").alias("sy"),
+        F.sum("sy2_g").cast("long").alias("sy2"),
+        F.sum(F.col("n_g") * F.col("n_g")).cast("long").alias("sn2"),
+        F.sum(
+            F.floor(
+                F.col("sy_g").cast("double")
+                * F.col("sy_g").cast("double")
+                / F.col("n_g").cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        ).cast("long").alias("sgt"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    sgt = F.col("sgt").cast("double")
+    syd = F.col("sy").cast("double")
+    ssb = sgt - syd * syd / nd
+    ssw = F.col("sy2").cast("double") - sgt
+    msb = ssb / (kd - 1)
+    msw = ssw / (nd - kd)
+    n0 = (nd - F.col("sn2").cast("double") / nd) / (kd - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    return sums.select(
+        F.col("k").alias("n_customers"),
+        F.col("n").alias("n_orders"),
+        _r6(msb / 1.0e6).alias("ms_between_m"),
+        _r6(msw / 1.0e6).alias("ms_within_m"),
+        _r6(n0).alias("n0_effective"),
+        _r6(icc).alias("icc1"),
+    )
+
+
+registry.register(
+    "icc_intraclass",
+    q_icc_intraclass,
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    per_g AS (
+      SELECT o_custkey, COUNT(*) AS n_g,
+             CAST(SUM(y) AS BIGINT) AS sy_g,
+             CAST(SUM(y * y) AS BIGINT) AS sy2_g
+      FROM o GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    sums AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(sy_g) AS BIGINT) AS sy,
+             CAST(SUM(sy2_g) AS BIGINT) AS sy2,
+             CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+             CAST(SUM(CAST(FLOOR(CAST(sy_g AS DOUBLE)
+                                 * CAST(sy_g AS DOUBLE)
+                                 / CAST(n_g AS DOUBLE) + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sgt
+      FROM per_g
+    ),
+    calc AS (
+      SELECT k, n,
+             (CAST(sgt AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1) AS msb,
+             (CAST(sy2 AS DOUBLE) - CAST(sgt AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+             (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1) AS n0
+      FROM sums
+    )
+    SELECT CAST(k AS BIGINT) AS n_customers,
+           CAST(n AS BIGINT) AS n_orders,
+           FLOOR(msb / 1.0e6 * 1000000.0 + 0.5) / 1000000.0
+             AS ms_between_m,
+           FLOOR(msw / 1.0e6 * 1000000.0 + 0.5) / 1000000.0
+             AS ms_within_m,
+           FLOOR(n0 * 1000000.0 + 0.5) / 1000000.0 AS n0_effective,
+           FLOOR((msb - msw) / (msb + (n0 - 1) * msw)
+                 * 1000000.0 + 0.5) / 1000000.0 AS icc1
+    FROM calc
+    """,
+)

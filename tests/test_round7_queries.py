@@ -406,3 +406,24 @@ def test_rmst_bounds(spark):
     assert r.tau_days == 30
     # RMST is a mean of values clipped to [0, tau]
     assert 0.0 <= r.rmst_days <= 30.0
+
+
+def test_tail_dependence_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_tail_dependence
+
+    r = q_tail_dependence(spark, SF).collect()[0]
+    assert 0 < r.n_lat_hi < r.n_orders
+    assert r.n_joint_hi <= r.n_lat_hi
+    assert r.n_joint_lo <= r.n_lat_lo
+    assert 0.0 <= r.lambda_upper <= 1.0
+    assert 0.0 <= r.lambda_lower <= 1.0
+
+
+def test_icc_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_icc_intraclass
+
+    r = q_icc_intraclass(spark, SF).collect()[0]
+    assert r.n_customers > 0 and r.n_orders >= 2 * r.n_customers
+    assert r.ms_between_m >= 0 and r.ms_within_m > 0
+    # ICC(1) lies in (-1/(n0-1), 1]
+    assert -1.0 / (r.n0_effective - 1) - 1e-6 <= r.icc1 <= 1.0
