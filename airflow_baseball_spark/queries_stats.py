@@ -5890,3 +5890,221 @@ registry.register(
     FROM calc
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Circular day-of-week concentration per event type
+# ---------------------------------------------------------------------------
+
+# cos/sin of the 7 weekday angles 2*pi*d/7, evaluated once in Python
+# and inlined as shared literals (no runtime trig -- engines' libm
+# cos/sin are not correctly rounded). Weekday = epoch-day % 7, a pure
+# integer with no engine calendar convention.
+_CIRC7 = [
+    (
+        __import__("math").cos(2.0 * __import__("math").pi * d / 7.0),
+        __import__("math").sin(2.0 * __import__("math").pi * d / 7.0),
+    )
+    for d in range(7)
+]
+
+
+def q_circular_dow_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular weekly concentration per event type: the mean
+    resultant length R = |sum of unit vectors at weekday angles|/n,
+    the CORRECT 'how weekly is this signal' statistic --
+    `seasonality_dow` reports per-day shares, but R collapses them
+    to one rotation-invariant number (R=0 uniform over the week, R=1
+    all on one weekday) that doesn't care which day the peak is.
+    Also reports the peak weekday by count (deterministic (count
+    desc, day asc) tie-break).
+
+    Exactness: weekday is epoch-day % 7 (no calendar function, no
+    DOW convention); per-(type, weekday) counts are exact; R's sums
+    are counts times the SEVEN inlined cos/sin literals combined in
+    fixed weekday order -- no runtime trig, no engine-ordered float
+    sum. Scale: one events scan -> <=7 rows per type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date"))
+            % 7
+        ).alias("dow"),
+    )
+    per = ev.groupBy("event_type", "dow").agg(F.count("*").alias("c"))
+    cexp = [F.max(F.when(F.col("dow") == d, F.col("c"))) for d in range(7)]
+    one = per.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        *[
+            F.coalesce(cexp[d], F.lit(0)).cast("long").alias(f"c{d}")
+            for d in range(7)
+        ],
+    )
+    sc = sum(
+        (F.col(f"c{d}").cast("double") * F.lit(_CIRC7[d][0]) for d in range(7)),
+        F.lit(0.0),
+    )
+    ss = sum(
+        (F.col(f"c{d}").cast("double") * F.lit(_CIRC7[d][1]) for d in range(7)),
+        F.lit(0.0),
+    )
+    r_len = F.sqrt(sc * sc + ss * ss) / F.col("n").cast("double")
+    peak_expr = F.greatest(*[F.col(f"c{d}") for d in range(7)])
+    peak_day = F.lit(6)
+    for d in range(6, -1, -1):
+        peak_day = F.when(F.col(f"c{d}") == peak_expr, F.lit(d)).otherwise(
+            peak_day
+        )
+    return one.select(
+        "event_type",
+        "n",
+        _r6(r_len).alias("resultant_length"),
+        peak_day.cast("int").alias("peak_weekday"),
+    ).orderBy("event_type")
+
+
+_CIRC7_COS_SQL = ", ".join(repr(c) for c, _ in _CIRC7)
+_CIRC7_SIN_SQL = ", ".join(repr(s) for _, s in _CIRC7)
+
+registry.register(
+    "circular_dow_concentration",
+    q_circular_dow_concentration,
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+               AS dow
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, dow, COUNT(*) AS c FROM ev GROUP BY 1, 2
+    ),
+    one AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COALESCE(MAX(CASE WHEN dow = 0 THEN c END), 0)
+                  AS BIGINT) AS c0,
+             CAST(COALESCE(MAX(CASE WHEN dow = 1 THEN c END), 0)
+                  AS BIGINT) AS c1,
+             CAST(COALESCE(MAX(CASE WHEN dow = 2 THEN c END), 0)
+                  AS BIGINT) AS c2,
+             CAST(COALESCE(MAX(CASE WHEN dow = 3 THEN c END), 0)
+                  AS BIGINT) AS c3,
+             CAST(COALESCE(MAX(CASE WHEN dow = 4 THEN c END), 0)
+                  AS BIGINT) AS c4,
+             CAST(COALESCE(MAX(CASE WHEN dow = 5 THEN c END), 0)
+                  AS BIGINT) AS c5,
+             CAST(COALESCE(MAX(CASE WHEN dow = 6 THEN c END), 0)
+                  AS BIGINT) AS c6
+      FROM per GROUP BY 1
+    ),
+    vec AS (
+      SELECT event_type, n, c0, c1, c2, c3, c4, c5, c6,
+             list_sum(list_transform(range(0, 7), d ->
+               CAST([c0, c1, c2, c3, c4, c5, c6][d + 1] AS DOUBLE)
+               * [{_CIRC7_COS_SQL}][d + 1])) AS sc,
+             list_sum(list_transform(range(0, 7), d ->
+               CAST([c0, c1, c2, c3, c4, c5, c6][d + 1] AS DOUBLE)
+               * [{_CIRC7_SIN_SQL}][d + 1])) AS ss
+      FROM one
+    )
+    SELECT event_type, n,
+           FLOOR(SQRT(sc * sc + ss * ss) / CAST(n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS resultant_length,
+           CAST(CASE
+             WHEN c0 = greatest(c0, c1, c2, c3, c4, c5, c6) THEN 0
+             WHEN c1 = greatest(c0, c1, c2, c3, c4, c5, c6) THEN 1
+             WHEN c2 = greatest(c0, c1, c2, c3, c4, c5, c6) THEN 2
+             WHEN c3 = greatest(c0, c1, c2, c3, c4, c5, c6) THEN 3
+             WHEN c4 = greatest(c0, c1, c2, c3, c4, c5, c6) THEN 4
+             WHEN c5 = greatest(c0, c1, c2, c3, c4, c5, c6) THEN 5
+             ELSE 6 END AS INT) AS peak_weekday
+    FROM vec ORDER BY event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Church-Gale term burstiness over the documents corpus
+# ---------------------------------------------------------------------------
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness of the 20 highest-frequency terms:
+    observed document frequency vs the Poisson expectation
+    D*(1 - exp(-cf/D)) -- 'the' appears everywhere (ratio ~ 1) while
+    topical terms CLUMP into few documents (df far below Poisson).
+    The statistic behind stopword detection and tf-idf's df choice
+    that `tfidf`/`vocab_topk` take as given.
+
+    Exactness: cf/df are exact counts; the top-20 cut is a
+    deterministic (cf desc, token asc) rank over the
+    vocabulary-bounded term table; the single transcendental
+    EXP(-cf/D) is `_r6`-bounded (mixture_weights precedent).
+    burst_ratio = df_expected/df_observed > 1 flags clumping.
+    Scale: token explode -> (term, doc) distinct -> vocab-bounded
+    aggregates; the rank window runs on the vocab table only."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    term_doc = docs.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    stats = term_doc.groupBy("tok").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df"),
+    )
+    n_docs = load_table(spark, sf_dir, "documents").select(
+        F.countDistinct("doc_id").cast("long").alias("d")
+    )
+    w = Window.orderBy(F.col("cf").desc(), F.col("tok"))
+    top = (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    exp_df = F.col("d").cast("double") * (
+        F.lit(1.0)
+        - F.exp(-F.col("cf").cast("double") / F.col("d").cast("double"))
+    )
+    return top.select(
+        F.col("rn").cast("int").alias("rank"),
+        "tok",
+        "cf",
+        "df",
+        _r6(exp_df).alias("df_poisson_expected"),
+        _r6(exp_df / F.col("df").cast("double")).alias("burst_ratio"),
+    ).orderBy("rank")
+
+
+registry.register(
+    "term_burstiness",
+    q_term_burstiness,
+    """
+    WITH term_doc AS (
+      SELECT tok, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM term_doc GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+           FROM documents),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS rn
+      FROM stats
+    )
+    SELECT CAST(rn AS INT) AS rank, tok, cf, df,
+           FLOOR(CAST(d AS DOUBLE)
+                 * (1.0 - EXP(-CAST(cf AS DOUBLE) / CAST(d AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS df_poisson_expected,
+           FLOOR(CAST(d AS DOUBLE)
+                 * (1.0 - EXP(-CAST(cf AS DOUBLE) / CAST(d AS DOUBLE)))
+                 / CAST(df AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS burst_ratio
+    FROM top CROSS JOIN nd
+    WHERE rn <= 20 ORDER BY rank
+    """,
+)

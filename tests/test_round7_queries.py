@@ -427,3 +427,29 @@ def test_icc_bounds(spark):
     assert r.ms_between_m >= 0 and r.ms_within_m > 0
     # ICC(1) lies in (-1/(n0-1), 1]
     assert -1.0 / (r.n0_effective - 1) - 1e-6 <= r.icc1 <= 1.0
+
+
+def test_circular_dow_bounds(spark):
+    from airflow_baseball_spark.queries_stats import (
+        q_circular_dow_concentration,
+    )
+
+    rows = q_circular_dow_concentration(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.resultant_length <= 1.0
+        assert 0 <= r.peak_weekday <= 6
+
+
+def test_term_burstiness_ordering(spark):
+    from airflow_baseball_spark.queries_stats import q_term_burstiness
+
+    rows = q_term_burstiness(spark, SF).collect()
+    assert len(rows) == 20
+    cfs = [r.cf for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+    for r in rows:
+        assert r.df <= r.cf
+        # Poisson expectation never exceeds D and never exceeds cf
+        assert r.df_poisson_expected > 0
+        assert r.burst_ratio > 0
