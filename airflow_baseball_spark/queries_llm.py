@@ -1855,3 +1855,116 @@ registry.register(
     FROM per ORDER BY phase
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution
+# ---------------------------------------------------------------------------
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) attribution: each purchase
+    splits credit over its preceding-hour touches as 40% first, 40%
+    last, 20% across middles (solo touch 100%, two touches 50/50) --
+    completing the attribution family next to last-touch,
+    time-decay, Markov and Shapley, and the allocation most retail
+    stacks actually run.
+
+    Exactness: journeys come from a user-keyed time-range join
+    (purchases x preceding-hour touches, partitioned on user -- no
+    global shuffle beyond the user key); position ranks are exact
+    (ts, event_id) windows WITHIN a journey (bounded by an hour of
+    one user's activity); each touch's fractional credit is
+    floor-quantized to micro-units per journey BEFORE the per-channel
+    sum. Scale: one self-join of the events log keyed by user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    w = Window.partitionBy("user_id", "p_id").orderBy("t_ts", "t_id")
+    wn = Window.partitionBy("user_id", "p_id")
+    ranked = joined.select(
+        "user_id",
+        "p_id",
+        "channel",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(wn).alias("n_t"),
+    )
+    credit = (
+        F.when(F.col("n_t") == 1, F.lit(1.0))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_t")),
+            F.when(F.col("n_t") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n_t").cast("double") - 2))
+    )
+    cm = F.floor(credit * 1000000.0 + F.lit(0.5)).cast("long")
+    return (
+        ranked.select("channel", cm.alias("cm"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            _r6(F.sum("cm").cast("double") / 1000000.0).alias(
+                "credited_conversions"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+registry.register(
+    "position_attribution",
+    q_position_attribution,
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS t_id, event_type AS channel, ts AS t_ts
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT p.user_id, p.p_id, t.channel, t.t_ts, t.t_id
+      FROM p JOIN t ON p.user_id = t.user_id
+      WHERE t.t_ts < p.p_ts
+        AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR
+    ),
+    ranked AS (
+      SELECT user_id, p_id, channel,
+             ROW_NUMBER() OVER (PARTITION BY user_id, p_id
+                                ORDER BY t_ts, t_id) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id, p_id) AS n_t
+      FROM j
+    ),
+    credited AS (
+      SELECT channel,
+             CAST(FLOOR((CASE
+               WHEN n_t = 1 THEN 1.0
+               WHEN pos = 1 OR pos = n_t THEN
+                 CASE WHEN n_t = 2 THEN 0.5 ELSE 0.4 END
+               ELSE 0.2 / (CAST(n_t AS DOUBLE) - 2)
+             END) * 1000000.0 + 0.5) AS BIGINT) AS cm
+      FROM ranked
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           FLOOR(CAST(SUM(cm) AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS credited_conversions
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+)

@@ -3380,3 +3380,82 @@ registry.register(
     FROM members m LEFT JOIN ewithin w ON m.k = w.k
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities by exact 2-iteration path counting
+# ---------------------------------------------------------------------------
+
+
+def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact HITS iterations on the customer->part purchase
+    bipartite graph, from all-ones: a1(part) = degree, h1(customer) =
+    sum of its parts' degrees, a2(part) = sum of its buyers' h1 --
+    pure PATH COUNTS, so every score is an exact BIGINT and the
+    'authority' ranking (parts bought by customers who buy
+    well-connected parts) needs no float iteration at all. The
+    integer-exact cousin of `pagerank` (which needs damped floats)
+    -- two iterations already separate broad-appeal parts from
+    equally-popular niche ones.
+
+    Scale: edges are DISTINCT (custkey, partkey) pairs (one shuffle);
+    each iteration is a key-partitioned join+agg; the top-10 cut
+    compiles to TakeOrdered (per-partition heads, no global sort).
+    Tie-break (score desc, partkey asc) is total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a1 = edges.groupBy("p").agg(F.count("*").cast("long").alias("a1"))
+    h1 = (
+        edges.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("long").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("long").alias("a2"), F.count("*").alias("deg"))
+    )
+    return (
+        a2.select(
+            F.col("p").alias("p_partkey"),
+            F.col("deg").cast("long").alias("n_buyers"),
+            "a2",
+        )
+        .orderBy(F.col("a2").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+registry.register(
+    "hits_authorities",
+    q_hits_authorities,
+    """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM edges GROUP BY p),
+    h1 AS (
+      SELECT e.c, CAST(SUM(a.a1) AS BIGINT) AS h1
+      FROM edges e JOIN a1 a USING (p) GROUP BY e.c
+    ),
+    a2 AS (
+      SELECT e.p, CAST(SUM(h.h1) AS BIGINT) AS a2,
+             CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges e JOIN h1 h USING (c) GROUP BY e.p
+    )
+    SELECT p AS p_partkey, deg AS n_buyers, a2
+    FROM a2 ORDER BY a2 DESC, p_partkey LIMIT 10
+    """,
+)

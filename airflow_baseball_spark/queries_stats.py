@@ -6108,3 +6108,101 @@ registry.register(
     WHERE rn <= 20 ORDER BY rank
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial fit (method of moments) on per-user purchase counts
+# ---------------------------------------------------------------------------
+
+
+def q_nb_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit to per-user purchase
+    counts (zero class included): r = m^2/(v - m), plus the observed
+    zero share against BOTH the NB and Poisson predictions -- the
+    standard 'is Poisson enough' check (`poisson_dispersion` flags
+    overdispersion; this fits the distribution practitioners switch
+    to and validates it where it matters most, at zero).
+
+    Exactness: per-user counts and their power sums are exact
+    BIGINTs; m, v, r are one deterministic IEEE tree; the two
+    transcendental predictions EXP(r*ln(r/(r+m))) and EXP(-m) are
+    `_r6`-bounded (mixture_weights precedent). Scale: two events
+    aggs (per-user, then moments), 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    sums = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+        F.sum((F.col("y") == 0).cast("long")).cast("long").alias("z"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    v = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    ) / (n - 1)
+    # NB is defined only for overdispersed data; report NULL
+    # (identically on both engines) when v <= m
+    r = F.when(v > m, m * m / (v - m))
+    zero_nb = F.when(v > m, F.exp(r * F.log(r / (r + m))))
+    zero_pois = F.exp(-m)
+    return sums.select(
+        F.col("n").alias("n_users"),
+        _r6(m).alias("mean_purchases"),
+        _r6(v).alias("var_purchases"),
+        _r6(r).alias("nb_r"),
+        _r6(F.col("z").cast("double") / n).alias("zero_share_observed"),
+        _r6(zero_nb).alias("zero_share_nb"),
+        _r6(zero_pois).alias("zero_share_poisson"),
+    )
+
+
+registry.register(
+    "nb_fit_moments",
+    q_nb_fit_moments,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS s1,
+             CAST(SUM(y * y) AS BIGINT) AS s2,
+             CAST(SUM(CAST(y = 0 AS BIGINT)) AS BIGINT) AS z
+      FROM per_user
+    ),
+    calc AS (
+      SELECT n, z,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v
+      FROM sums
+    ),
+    fit AS (
+      SELECT n, z, m, v,
+             CASE WHEN v > m THEN m * m / (v - m) END AS r
+      FROM calc
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           FLOOR(m * 1000000.0 + 0.5) / 1000000.0 AS mean_purchases,
+           FLOOR(v * 1000000.0 + 0.5) / 1000000.0 AS var_purchases,
+           FLOOR(r * 1000000.0 + 0.5) / 1000000.0 AS nb_r,
+           FLOOR(CAST(z AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS zero_share_observed,
+           CASE WHEN r IS NOT NULL THEN
+             FLOOR(EXP(r * LN(r / (r + m))) * 1000000.0 + 0.5) / 1000000.0
+           END AS zero_share_nb,
+           FLOOR(EXP(-m) * 1000000.0 + 0.5) / 1000000.0
+             AS zero_share_poisson
+    FROM fit
+    """,
+)

@@ -453,3 +453,41 @@ def test_term_burstiness_ordering(spark):
         # Poisson expectation never exceeds D and never exceeds cf
         assert r.df_poisson_expected > 0
         assert r.burst_ratio > 0
+
+
+def test_nb_fit_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_nb_fit_moments
+
+    r = q_nb_fit_moments(spark, SF).collect()[0]
+    assert r.n_users > 0
+    assert 0.0 <= r.zero_share_observed <= 1.0
+    if r.var_purchases > r.mean_purchases:
+        assert r.nb_r > 0
+        # NB allows more zeros than Poisson at the same mean
+        assert r.zero_share_nb >= r.zero_share_poisson - 1e-9
+    else:
+        # under-dispersed: NB undefined, both engines report NULL
+        assert r.nb_r is None and r.zero_share_nb is None
+
+
+def test_position_attribution_conservation(spark):
+    from airflow_baseball_spark.queries_llm import q_position_attribution
+
+    rows = q_position_attribution(spark, SF).collect()
+    assert rows
+    total = sum(r.credited_conversions for r in rows)
+    # credit mass equals the number of attributed purchases (up to
+    # micro-quantization of the middle splits)
+    assert total > 0
+    assert abs(total - round(total)) < 0.01
+
+
+def test_hits_authorities_ranking(spark):
+    from airflow_baseball_spark.queries_mining import q_hits_authorities
+
+    rows = q_hits_authorities(spark, SF).collect()
+    assert len(rows) == 10
+    scores = [r.a2 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.a2 >= r.n_buyers  # each buyer contributes h1 >= 1
