@@ -491,3 +491,16 @@ def test_hits_authorities_ranking(spark):
     assert scores == sorted(scores, reverse=True)
     for r in rows:
         assert r.a2 >= r.n_buyers  # each buyer contributes h1 >= 1
+
+
+def test_spatial_knn_halo(spark):
+    from airflow_baseball_spark.queries_mining import q_spatial_knn_grid
+
+    sf01 = "/root/testdata/sf0.01"
+    rows = q_spatial_knn_grid(spark, sf01).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.nn_key != r.probe_key and r.d2 >= 0
+        # at sf0.01 density the true NN sits within one cell width,
+        # so the halo-restricted answer is the exact NN
+        assert r.d2 < 500 * 500
