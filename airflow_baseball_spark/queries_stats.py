@@ -6206,3 +6206,184 @@ registry.register(
     FROM fit
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-effect meta-analysis pooling of per-segment effect sizes
+# ---------------------------------------------------------------------------
+
+
+def q_fixed_effect_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-variance fixed-effect meta-analysis of the md5-coin
+    A/B effect across event-type segments: pool the per-segment
+    Cohen's d values (`cohens_d_segments` reports them individually)
+    into one weighted estimate, plus Cochran's Q and the I^2
+    heterogeneity share -- the aggregation step every multi-segment
+    experiment readout needs, done the meta-analytic way instead of
+    re-running the test on the pooled rows (which Simpson's paradox
+    can silently invert).
+
+    Exactness: each segment's d and its sampling variance
+    (na+nb)/(na*nb) + d^2/(2(na+nb)) derive from exact integer
+    sufficient statistics; the cross-segment sums (<= a handful of
+    terms, but data-dependent count) run as ORDERED cumulative
+    windows over the segment table with the last row taken -- the
+    theil_index precedent that fixes float summation order on both
+    engines. Degenerate segments (either arm < 2) are excluded
+    identically. Scale: one events pass, then <=5-row windows."""
+    from airflow_baseball_spark.operators.sampling import hash_unit
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    arm_a = hash_unit(F.col("user_id"), seed="ab") < 0.5
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(arm_a, 1)).alias("na"),
+        F.sum(F.when(arm_a, cents).otherwise(0)).alias("sa"),
+        F.sum(
+            F.when(arm_a, cents.cast("decimal(38,0)") * cents).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("qa"),
+        F.count(F.when(~arm_a, 1)).alias("nb"),
+        F.sum(F.when(~arm_a, cents).otherwise(0)).alias("sb"),
+        F.sum(
+            F.when(
+                ~arm_a, cents.cast("decimal(38,0)") * cents
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("qb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    ssa = F.col("qa").cast("double") - sad * sad / nad
+    ssb = F.col("qb").cast("double") - sbd * sbd / nbd
+    s_pool = F.sqrt((ssa + ssb) / (nad + nbd - F.lit(2.0)))
+    d = (sad / nad - sbd / nbd) / s_pool
+    var_d = (nad + nbd) / (nad * nbd) + d * d / (
+        F.lit(2.0) * (nad + nbd)
+    )
+    eff = g.filter((F.col("na") >= 2) & (F.col("nb") >= 2)).select(
+        "event_type", d.alias("d"), (F.lit(1.0) / var_d).alias("w")
+    )
+    w_cum = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = eff.select(
+        "event_type",
+        "d",
+        "w",
+        F.sum(F.col("w") * F.col("d")).over(w_cum).alias("swd"),
+        F.sum("w").over(w_cum).alias("sw"),
+        F.count("*").over(w_all).alias("k"),
+        F.row_number().over(Window.orderBy("event_type")).alias("rn"),
+    )
+    pooled_tbl = staged.filter(F.col("rn") == F.col("k")).select(
+        (F.col("swd") / F.col("sw")).alias("pooled"), "k", "sw"
+    )
+    q_terms = eff.crossJoin(F.broadcast(pooled_tbl)).select(
+        "event_type",
+        "k",
+        "pooled",
+        F.sum(
+            F.col("w")
+            * (F.col("d") - F.col("pooled"))
+            * (F.col("d") - F.col("pooled"))
+        ).over(w_cum).alias("q_cum"),
+        F.row_number().over(Window.orderBy("event_type")).alias("rn"),
+    )
+    fin = q_terms.filter(F.col("rn") == F.col("k"))
+    i2 = F.greatest(
+        F.lit(0.0),
+        (F.col("q_cum") - (F.col("k").cast("double") - 1)) / F.col("q_cum"),
+    )
+    return fin.select(
+        F.col("k").cast("long").alias("k_segments"),
+        _r6(F.col("pooled")).alias("pooled_d"),
+        _r6(F.col("q_cum")).alias("cochran_q"),
+        _r6(i2).alias("i_squared"),
+    )
+
+
+registry.register(
+    "fixed_effect_pooling",
+    q_fixed_effect_pooling,
+    """
+    WITH g AS (
+      SELECT event_type,
+             COUNT(CASE WHEN h < 0.5 THEN 1 END) AS na,
+             SUM(CASE WHEN h < 0.5 THEN cents ELSE 0 END) AS sa,
+             SUM(CASE WHEN h < 0.5
+                 THEN CAST(cents AS DECIMAL(38,0)) * cents
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS qa,
+             COUNT(CASE WHEN h >= 0.5 THEN 1 END) AS nb,
+             SUM(CASE WHEN h >= 0.5 THEN cents ELSE 0 END) AS sb,
+             SUM(CASE WHEN h >= 0.5
+                 THEN CAST(cents AS DECIMAL(38,0)) * cents
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS qb
+      FROM (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 i -> (strpos('0123456789abcdef',
+                       substring(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                 i, 1)) - 1)
+                      * 16 ** (8 - i))) AS BIGINT)
+                 / 4294967296.0 AS h
+        FROM events
+      ) GROUP BY 1
+    ),
+    eff AS (
+      SELECT event_type,
+             (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / SQRT(((CAST(qa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                        / CAST(na AS DOUBLE))
+                     + (CAST(qb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                          / CAST(nb AS DOUBLE)))
+                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0))
+               AS d,
+             na, nb
+      FROM g WHERE na >= 2 AND nb >= 2
+    ),
+    wts AS (
+      SELECT event_type, d,
+             1.0 / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                    + d * d / (2.0 * (CAST(na AS DOUBLE)
+                                      + CAST(nb AS DOUBLE)))) AS w
+      FROM eff
+    ),
+    staged AS (
+      SELECT event_type, d, w,
+             SUM(w * d) OVER (ORDER BY event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS swd,
+             SUM(w) OVER (ORDER BY event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sw,
+             COUNT(*) OVER () AS k,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS rn
+      FROM wts
+    ),
+    pooled AS (
+      SELECT swd / sw AS pooled, k FROM staged WHERE rn = k
+    ),
+    qt AS (
+      SELECT w.event_type, p.k, p.pooled,
+             SUM(w.w * (w.d - p.pooled) * (w.d - p.pooled))
+               OVER (ORDER BY w.event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS q_cum,
+             ROW_NUMBER() OVER (ORDER BY w.event_type) AS rn
+      FROM wts w CROSS JOIN pooled p
+    )
+    SELECT CAST(k AS BIGINT) AS k_segments,
+           FLOOR(pooled * 1000000.0 + 0.5) / 1000000.0 AS pooled_d,
+           FLOOR(q_cum * 1000000.0 + 0.5) / 1000000.0 AS cochran_q,
+           FLOOR(GREATEST(0.0, (q_cum - (CAST(k AS DOUBLE) - 1)) / q_cum)
+                 * 1000000.0 + 0.5) / 1000000.0 AS i_squared
+    FROM qt WHERE rn = k
+    """,
+)

@@ -504,3 +504,14 @@ def test_spatial_knn_halo(spark):
         # at sf0.01 density the true NN sits within one cell width,
         # so the halo-restricted answer is the exact NN
         assert r.d2 < 500 * 500
+
+
+def test_fixed_effect_pooling_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_fixed_effect_pooling
+
+    r = q_fixed_effect_pooling(spark, SF).collect()[0]
+    assert r.k_segments >= 2
+    assert r.cochran_q >= 0.0
+    assert 0.0 <= r.i_squared < 1.0
+    # null A/B split: pooled effect should be near zero
+    assert abs(r.pooled_d) < 0.5
