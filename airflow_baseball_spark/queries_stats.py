@@ -5666,6 +5666,10 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
             ).cast("long").alias("lat"),
         )
+        # materialize once: two rank_pick calls + the scoring pass
+        # would otherwise re-run the fact join ~7x (measured 47
+        # exchanges in the unmaterialized plan)
+        .localCheckpoint()
     )
     qp = rank_pick(
         per_order.select(F.col("pc").alias("v")),
