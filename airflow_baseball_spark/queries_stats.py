@@ -6391,3 +6391,346 @@ registry.register(
     FROM qt WHERE rn = k
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free confidence interval for the median (order statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median ship
+    latency: the classic order-statistic interval [x_(l), x_(u)] with
+    l = floor((n - 1.959964*sqrt(n))/2) and u = n + 1 - l -- valid
+    for ANY continuous distribution (no normality, no bootstrap),
+    the uncertainty answer `two_pass_median`'s point estimate lacks.
+
+    Exactness: l and u are integer ranks computed through one shared
+    floor expression (sqrt is correctly rounded; the z constant is a
+    shared literal); the three order statistics (l, median, u) are
+    located by the two-pass histogram in ONE rank_pick call -- no
+    global sort, same oracle rank rule. Scale: two histogram passes
+    over the fact, bounded tables after."""
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("v")
+    )
+    z = "1.959964"
+    lo_rank = f"CAST(FLOOR((n - {z} * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)"
+    picked = rank_pick(
+        lat,
+        "v",
+        [
+            ("lo", lambda n, e=lo_rank: F.expr(e)),
+            ("med", lambda n: F.expr("(n + 1) div 2")),
+            ("hi", lambda n, e=lo_rank: F.expr(f"n + 1 - {e}")),
+        ],
+    )
+    pv = lambda lbl: F.max(  # noqa: E731
+        F.when(F.col("rank_label") == lbl, F.col("v"))
+    )
+    return picked.groupBy().agg(
+        F.max("n").cast("long").alias("n"),
+        pv("lo").cast("long").alias("ci_low"),
+        pv("med").cast("long").alias("median"),
+        pv("hi").cast("long").alias("ci_high"),
+    )
+
+
+registry.register(
+    "median_ci_orderstat",
+    q_median_ci_orderstat,
+    """
+    WITH lat AS (
+      SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                  AS BIGINT) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lat
+    ),
+    ranks AS (
+      SELECT n,
+             CAST(FLOOR((n - 1.959964 * SQRT(CAST(n AS DOUBLE))) / 2)
+                  AS BIGINT) AS lo_r
+      FROM ranked LIMIT 1
+    )
+    SELECT CAST(MAX(r.n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN r.rn = k.lo_r THEN r.v END) AS BIGINT)
+             AS ci_low,
+           CAST(MAX(CASE WHEN r.rn = (r.n + 1) // 2 THEN r.v END)
+                AS BIGINT) AS median,
+           CAST(MAX(CASE WHEN r.rn = r.n + 1 - k.lo_r THEN r.v END)
+                AS BIGINT) AS ci_high
+    FROM ranked r CROSS JOIN ranks k
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation: quantity vs price controlling for discount
+# ---------------------------------------------------------------------------
+
+
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount: r_xy.z = (r_xy - r_xz*r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)) -- the 'is the raw correlation just
+    the confounder' answer that `corr_matrix`'s marginal r cannot
+    give. Reports raw and partial side by side so the confounding
+    share is visible.
+
+    Exactness: all three pairwise correlations derive from one
+    map-combinable pass of exact integer/DECIMAL(38) sufficient
+    statistics (units, floor-cents, discount basis points), each r
+    the identical IEEE expression on both engines; the partial
+    formula is a few more shared ops, `_r6`-bounded. Scale: one fact
+    scan, 1-row output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("z"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(d19("x") * d19("x")).alias("sxx"),
+        F.sum(d19("y") * d19("y")).alias("syy"),
+        F.sum(d19("z") * d19("z")).alias("szz"),
+        F.sum(d19("x") * d19("y")).alias("sxy"),
+        F.sum(d19("x") * d19("z")).alias("sxz"),
+        F.sum(d19("y") * d19("z")).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = n * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        den = F.sqrt(
+            (n * F.col(saa).cast("double")
+             - F.col(sa).cast("double") * F.col(sa).cast("double"))
+            * (n * F.col(sbb).cast("double")
+               - F.col(sb).cast("double") * F.col(sb).cast("double"))
+        )
+        return num / den
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        _r6(rxy).alias("r_qty_price"),
+        _r6(rxz).alias("r_qty_disc"),
+        _r6(ryz).alias("r_price_disc"),
+        _r6(partial).alias("r_partial_qty_price"),
+    )
+
+
+registry.register(
+    "partial_correlation",
+    q_partial_correlation,
+    """
+    WITH li AS (
+      SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+             CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+               AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS syy,
+             SUM(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)))
+               AS szz,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS sxy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)))
+               AS sxz,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)))
+               AS syz
+      FROM li
+    ),
+    cr AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS rxy,
+             (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS rxz,
+             (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS ryz
+      FROM sums
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           FLOOR(rxy * 1000000.0 + 0.5) / 1000000.0 AS r_qty_price,
+           FLOOR(rxz * 1000000.0 + 0.5) / 1000000.0 AS r_qty_disc,
+           FLOOR(ryz * 1000000.0 + 0.5) / 1000000.0 AS r_price_disc,
+           FLOOR((rxy - rxz * ryz)
+                 / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r_partial_qty_price
+    FROM cr
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha over the lineitem numeric "item battery"
+# ---------------------------------------------------------------------------
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha treating each order's lineitem aggregates
+    (total quantity, total discount bps, line count) as a 3-item
+    battery scored per order: alpha = k/(k-1) * (1 - sum(var_i)/
+    var_total) -- the internal-consistency coefficient behind every
+    composite index ('do these three size measures move together
+    enough to average into one order-size score?'). Psychometrics'
+    workhorse, applied to metric design.
+
+    Exactness: per-order item scores are exact BIGINTs; each item's
+    variance and the composite's variance come from exact
+    integer/DECIMAL(38) power sums; the 3-term variance sums combine
+    in FIXED literal order. Scale: one lineitem shuffle on orderkey,
+    then a map-combinable 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("dbp"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("q").cast("long").alias("i1"),
+        F.sum("dbp").cast("long").alias("i2"),
+        F.count("*").cast("long").alias("i3"),
+    ).select(
+        "i1", "i2", "i3", (F.col("i1") + F.col("i2") + F.col("i3")).alias("t")
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = per_order.agg(
+        F.count("*").alias("n"),
+        F.sum("i1").cast("long").alias("s1"),
+        F.sum(d19("i1") * d19("i1")).alias("q1"),
+        F.sum("i2").cast("long").alias("s2"),
+        F.sum(d19("i2") * d19("i2")).alias("q2"),
+        F.sum("i3").cast("long").alias("s3"),
+        F.sum(d19("i3") * d19("i3")).alias("q3"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(d19("t") * d19("t")).alias("qt"),
+    )
+    n = F.col("n").cast("double")
+
+    def var(s, q):
+        sd = F.col(s).cast("double")
+        return (F.col(q).cast("double") - sd * sd / n) / (n - 1)
+
+    vsum = var("s1", "q1") + var("s2", "q2") + var("s3", "q3")
+    vtot = var("st", "qt")
+    alpha = F.lit(1.5) * (F.lit(1.0) - vsum / vtot)
+    return sums.select(
+        F.col("n").cast("long").alias("n_orders"),
+        _r6(var("s1", "q1") / 1.0e6).alias("var_qty_m"),
+        _r6(var("s2", "q2") / 1.0e6).alias("var_disc_m"),
+        _r6(var("s3", "q3") / 1.0e6).alias("var_lines_m"),
+        _r6(alpha).alias("cronbach_alpha"),
+    )
+
+
+registry.register(
+    "cronbach_alpha",
+    q_cronbach_alpha,
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS dbp
+      FROM lineitem
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(q) AS BIGINT) AS i1,
+             CAST(SUM(dbp) AS BIGINT) AS i2,
+             CAST(COUNT(*) AS BIGINT) AS i3
+      FROM li GROUP BY 1
+    ),
+    w AS (
+      SELECT i1, i2, i3, i1 + i2 + i3 AS t FROM per_order
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(i1) AS BIGINT) AS s1,
+             SUM(CAST(i1 AS DECIMAL(19,0)) * CAST(i1 AS DECIMAL(19,0)))
+               AS q1,
+             CAST(SUM(i2) AS BIGINT) AS s2,
+             SUM(CAST(i2 AS DECIMAL(19,0)) * CAST(i2 AS DECIMAL(19,0)))
+               AS q2,
+             CAST(SUM(i3) AS BIGINT) AS s3,
+             SUM(CAST(i3 AS DECIMAL(19,0)) * CAST(i3 AS DECIMAL(19,0)))
+               AS q3,
+             CAST(SUM(t) AS BIGINT) AS st,
+             SUM(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+               AS qt
+      FROM w
+    ),
+    vars AS (
+      SELECT n,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v1,
+             (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v2,
+             (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v3,
+             (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vt
+      FROM sums
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           FLOOR(v1 / 1.0e6 * 1000000.0 + 0.5) / 1000000.0 AS var_qty_m,
+           FLOOR(v2 / 1.0e6 * 1000000.0 + 0.5) / 1000000.0 AS var_disc_m,
+           FLOOR(v3 / 1.0e6 * 1000000.0 + 0.5) / 1000000.0 AS var_lines_m,
+           FLOOR(1.5 * (1.0 - (v1 + v2 + v3) / vt) * 1000000.0 + 0.5)
+             / 1000000.0 AS cronbach_alpha
+    FROM vars
+    """,
+)

@@ -515,3 +515,30 @@ def test_fixed_effect_pooling_bounds(spark):
     assert 0.0 <= r.i_squared < 1.0
     # null A/B split: pooled effect should be near zero
     assert abs(r.pooled_d) < 0.5
+
+
+def test_median_ci_ordering(spark):
+    from airflow_baseball_spark.queries_stats import q_median_ci_orderstat
+
+    r = q_median_ci_orderstat(spark, SF).collect()[0]
+    assert r.ci_low <= r.median <= r.ci_high
+    assert r.n > 0
+
+
+def test_partial_correlation_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_partial_correlation
+
+    r = q_partial_correlation(spark, SF).collect()[0]
+    for v in (r.r_qty_price, r.r_qty_disc, r.r_price_disc,
+              r.r_partial_qty_price):
+        assert -1.0 <= v <= 1.0
+
+
+def test_cronbach_alpha_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_cronbach_alpha
+
+    r = q_cronbach_alpha(spark, SF).collect()[0]
+    assert r.n_orders > 0
+    # alpha <= 1 always; can be negative for inconsistent items
+    assert r.cronbach_alpha <= 1.0
+    assert r.var_qty_m > 0 and r.var_lines_m > 0
