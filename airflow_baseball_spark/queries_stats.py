@@ -6734,3 +6734,202 @@ registry.register(
     FROM vars
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Atkinson inequality index (epsilon = 0.5) of order values
+# ---------------------------------------------------------------------------
+
+
+def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (inequality-aversion epsilon = 0.5)
+    of order values: A = 1 - ((1/n)*sum(sqrt(x)))^2 / mean(x) -- the
+    welfare-theoretic member of the inequality family next to
+    `gini_coefficient` (rank-based) and `theil_index` (entropy): A
+    is the share of total value society would give up to equalize,
+    and unlike Gini it is decomposable and tunable by epsilon.
+
+    Exactness: x is exact floor-cents; sqrt(x) is correctly rounded
+    per row and quantized to micro-units BEFORE the sum
+    (quantize-before-sum -- the raw double sum is partition-
+    ordered); mean(x) comes from the exact BIGINT total. Scale: one
+    map-combinable fact agg, 1-row output."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    sums = o.agg(
+        F.count("*").alias("n"),
+        F.sum("pc").cast("long").alias("s"),
+        F.sum(
+            F.floor(F.sqrt(F.col("pc").cast("double")) * 1000000.0
+                    + F.lit(0.5)).cast("long")
+        ).cast("long").alias("srt6"),
+    )
+    n = F.col("n").cast("double")
+    mean_x = F.col("s").cast("double") / n
+    mean_rt = F.col("srt6").cast("double") / (n * 1000000.0)
+    atk = F.lit(1.0) - mean_rt * mean_rt / mean_x
+    return sums.select(
+        F.col("n").cast("long").alias("n_orders"),
+        _r6(mean_x / 100.0).alias("mean_value"),
+        _r6(atk).alias("atkinson_05"),
+    )
+
+
+registry.register(
+    "atkinson_index",
+    q_atkinson_index,
+    """
+    WITH o AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+      FROM orders
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(pc) AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR(SQRT(CAST(pc AS DOUBLE)) * 1000000.0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS srt6
+      FROM o
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+           FLOOR((1.0 - (CAST(srt6 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1000000.0))
+                        * (CAST(srt6 AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * 1000000.0))
+                        / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS atkinson_05
+    FROM sums
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic dimension estimate of the embedding space
+# ---------------------------------------------------------------------------
+
+
+def q_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding corpus: for each probe vector the ratio mu = d2/d1 of
+    its second- to first-nearest-neighbor distance, and the MLE
+    id = n / sum(ln mu) -- 'how many degrees of freedom do these
+    64-dim vectors actually use', the diagnostic that explains why
+    `matryoshka_recall` barely drops when truncating dims and how
+    aggressively `embedding_quantize`/PQ can compress.
+
+    Determinism: 20 fixed probes (vec_id % 32 = 0, < 640) broadcast
+    against the corpus; squared distances sum the 64 dims IN ARRAY
+    ORDER on both engines (the cosine_topk in-order precedent); the
+    two smallest are found by lexicographic MIN of (d2, id) then a
+    second MIN over the remainder (never a corpus-wide sort); each
+    ln(d2^2/d1^2) is floor-quantized to 1e-9 before the probe sum,
+    id = 2n/(sum/1e9). Zero-distance duplicates are excluded
+    identically. Scale: probe set is O(1); one broadcast pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = emb.filter(
+        (F.col("vec_id") % 32 == 0) & (F.col("vec_id") < 640)
+    ).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    d2_expr = F.expr(
+        "aggregate(zip_with(pv, embedding, (a, b) ->"
+        " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            F.struct(
+                d2_expr.alias("d2"), F.col("vec_id").alias("nid")
+            ).alias("s"),
+        )
+    )
+    first = scored.groupBy("pid").agg(F.min("s").alias("s1"))
+    second = (
+        scored.join(F.broadcast(first), "pid")
+        .filter(F.col("s") != F.col("s1"))
+        .groupBy("pid")
+        .agg(F.min("s").alias("s2"), F.first("s1").alias("s1"))
+    )
+    terms = second.filter(F.col("s1.d2") > 0).select(
+        "pid",
+        F.floor(
+            F.log(F.col("s2.d2") / F.col("s1.d2")) * 1.0e9 + F.lit(0.5)
+        ).cast("long").alias("lr9"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("lr9").cast("long").alias("slr9"),
+    )
+    id_hat = (
+        F.lit(2.0)
+        * F.col("n_probes").cast("double")
+        / (F.col("slr9").cast("double") / 1.0e9)
+    )
+    return agg.select(
+        "n_probes",
+        _r6(F.col("slr9").cast("double") / 1.0e9 / 2.0
+            / F.col("n_probes").cast("double")).alias("mean_ln_mu"),
+        _r6(id_hat).alias("intrinsic_dim"),
+    )
+
+
+registry.register(
+    "intrinsic_dimension",
+    q_intrinsic_dimension,
+    """
+    WITH probes AS (
+      SELECT vec_id AS pid, embedding AS pv
+      FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 640
+    ),
+    scored AS (
+      SELECT p.pid, e.vec_id AS nid,
+             (SELECT SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+              FROM (SELECT unnest(p.pv) x, unnest(e.embedding) y)) AS d2
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.pid
+    ),
+    first AS (
+      SELECT pid, d2 AS d1sq, nid AS nid1 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                                     ORDER BY d2, nid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    second AS (
+      SELECT s.pid, f.d1sq, MIN(struct_pack(d2 := s.d2, nid := s.nid))
+               AS s2
+      FROM scored s JOIN first f ON s.pid = f.pid
+      WHERE NOT (s.d2 = f.d1sq AND s.nid = f.nid1)
+      GROUP BY s.pid, f.d1sq
+    ),
+    terms AS (
+      SELECT pid,
+             CAST(FLOOR(LN(s2.d2 / d1sq) * 1.0e9 + 0.5) AS BIGINT) AS lr9
+      FROM second WHERE d1sq > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(lr9) AS BIGINT) AS slr9
+      FROM terms
+    )
+    SELECT n_probes,
+           FLOOR(CAST(slr9 AS DOUBLE) / 1.0e9 / 2.0
+                 / CAST(n_probes AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_ln_mu,
+           FLOOR(2.0 * CAST(n_probes AS DOUBLE)
+                 / (CAST(slr9 AS DOUBLE) / 1.0e9) * 1000000.0 + 0.5)
+             / 1000000.0 AS intrinsic_dim
+    FROM agg
+    """,
+)

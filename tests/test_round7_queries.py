@@ -542,3 +542,23 @@ def test_cronbach_alpha_bounds(spark):
     # alpha <= 1 always; can be negative for inconsistent items
     assert r.cronbach_alpha <= 1.0
     assert r.var_qty_m > 0 and r.var_lines_m > 0
+
+
+def test_atkinson_bounds(spark):
+    from airflow_baseball_spark.queries_stats import q_atkinson_index
+
+    r = q_atkinson_index(spark, SF).collect()[0]
+    # Atkinson lies in [0, 1); 0 iff perfectly equal
+    assert 0.0 <= r.atkinson_05 < 1.0
+    assert r.mean_value > 0
+
+
+def test_intrinsic_dimension_plausible(spark):
+    from airflow_baseball_spark.queries_stats import q_intrinsic_dimension
+
+    r = q_intrinsic_dimension(spark, SF).collect()[0]
+    assert r.n_probes > 0
+    assert r.mean_ln_mu > 0
+    # id must be positive and cannot exceed the ambient dimension by
+    # much (sampling noise allows small excursions)
+    assert 0.0 < r.intrinsic_dim < 130.0
