@@ -4998,3 +4998,191 @@ registry.register(
     ORDER BY p_partkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-path finance reconciliation: order header vs lineitem roll-up
+# ---------------------------------------------------------------------------
+
+
+def q_finance_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end reconciliation between two independently-derived
+    revenue ledgers: the order-header total vs the lineitem roll-up
+    sum(extendedprice x (1-discount) x (1+tax)) -- the close-process
+    control that catches partial loads, double-posted lines, and
+    drifting derivation logic. Reports, per order month, both ledger
+    totals, the absolute gap, and how many orders disagree by more
+    than one cent (the materiality threshold).
+
+    Exactness: both paths quantize to floor-cents PER ROW before any
+    sum (the lineitem path quantizes the fully-discounted-taxed line
+    amount, one shared IEEE product); the per-order comparison is
+    BIGINT equality with a +/-1-cent band. Scale: one join shuffled
+    on orderkey, month rollup after."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+            * 100
+            + F.lit(0.5)
+        ).cast("long").alias("line_c"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("hdr_c"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("line_c").cast("long").alias("rolled_c")
+    )
+    joined = o.join(
+        per_order, o["o_orderkey"] == per_order["l_orderkey"], "left"
+    ).select(
+        "ym",
+        "hdr_c",
+        F.coalesce(F.col("rolled_c"), F.lit(0)).alias("rolled_c"),
+    )
+    diff = F.abs(F.col("hdr_c") - F.col("rolled_c"))
+    return (
+        joined.groupBy("ym")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("hdr_c").cast("long").alias("header_cents"),
+            F.sum("rolled_c").cast("long").alias("rolled_cents"),
+            F.sum(diff).cast("long").alias("abs_gap_cents"),
+            F.sum((diff > 1).cast("long")).cast("long").alias(
+                "n_mismatched"
+            ),
+        )
+        .orderBy("ym")
+    )
+
+
+registry.register(
+    "finance_reconciliation",
+    q_finance_reconciliation,
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                        * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)
+               AS line_c
+      FROM lineitem
+    ),
+    per_order AS (
+      SELECT l_orderkey, CAST(SUM(line_c) AS BIGINT) AS rolled_c
+      FROM li GROUP BY 1
+    ),
+    o AS (
+      SELECT o_orderkey,
+             CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS INT) AS ym,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS hdr_c
+      FROM orders
+    ),
+    joined AS (
+      SELECT o.ym, o.hdr_c, COALESCE(p.rolled_c, 0) AS rolled_c
+      FROM o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+    )
+    SELECT ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(hdr_c) AS BIGINT) AS header_cents,
+           CAST(SUM(rolled_c) AS BIGINT) AS rolled_cents,
+           CAST(SUM(ABS(hdr_c - rolled_c)) AS BIGINT) AS abs_gap_cents,
+           CAST(SUM(CAST(ABS(hdr_c - rolled_c) > 1 AS BIGINT)) AS BIGINT)
+             AS n_mismatched
+    FROM joined GROUP BY ym ORDER BY ym
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Receivables-style aging buckets at a snapshot date
+# ---------------------------------------------------------------------------
+
+
+def q_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging at the 1997-01-01 snapshot: orders placed but
+    not yet fully shipped (max lineitem ship date after the
+    snapshot), bucketed by days outstanding into the standard
+    0-30 / 31-60 / 61-90 / 90+ bands with counts and value -- the
+    receivables-aging control report every finance close produces,
+    here over the order-to-ship pipeline.
+
+    Exactness: ages are integer day differences against a literal
+    snapshot date; bucket edges are integer comparisons; value is
+    exact floor-cents. The anti-join ('not fully shipped') is a
+    per-order MAX over ship dates -- one orderkey shuffle, no
+    windows. Scale: fact joins keyed on orderkey, 4-row output."""
+    snap = "1997-01-01"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    ).filter(F.col("od") <= F.lit(snap).cast("date"))
+    last_ship = li.groupBy("l_orderkey").agg(F.max("sd").alias("max_sd"))
+    open_orders = o.join(
+        last_ship, o["o_orderkey"] == last_ship["l_orderkey"]
+    ).filter(F.col("max_sd") > F.lit(snap).cast("date"))
+    age = F.datediff(F.lit(snap).cast("date"), F.col("od"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        open_orders.select(bucket.alias("bucket"), "pc")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("pc").cast("long").alias("value_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+registry.register(
+    "aging_buckets",
+    q_aging_buckets,
+    """
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+      FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '1997-01-01'
+    ),
+    last_ship AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS max_sd
+      FROM lineitem GROUP BY 1
+    ),
+    open_orders AS (
+      SELECT o.od, o.pc
+      FROM o JOIN last_ship s ON o.o_orderkey = s.l_orderkey
+      WHERE s.max_sd > DATE '1997-01-01'
+    ),
+    aged AS (
+      SELECT pc,
+             CASE WHEN date_diff('day', od, DATE '1997-01-01') <= 30
+                    THEN '0-30'
+                  WHEN date_diff('day', od, DATE '1997-01-01') <= 60
+                    THEN '31-60'
+                  WHEN date_diff('day', od, DATE '1997-01-01') <= 90
+                    THEN '61-90'
+                  ELSE '90+' END AS bucket
+      FROM open_orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(pc) AS BIGINT) AS value_cents
+    FROM aged GROUP BY bucket ORDER BY bucket
+    """,
+)

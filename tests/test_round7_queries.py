@@ -562,3 +562,26 @@ def test_intrinsic_dimension_plausible(spark):
     # id must be positive and cannot exceed the ambient dimension by
     # much (sampling noise allows small excursions)
     assert 0.0 < r.intrinsic_dim < 130.0
+
+
+def test_finance_reconciliation_consistency(spark):
+    from airflow_baseball_spark.queries_relational2 import (
+        q_finance_reconciliation,
+    )
+
+    rows = q_finance_reconciliation(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_mismatched <= r.n_orders
+        # the gap is bounded by the two ledgers' total magnitude
+        assert r.abs_gap_cents <= r.header_cents + r.rolled_cents
+
+
+def test_aging_buckets_partition(spark):
+    from airflow_baseball_spark.queries_relational2 import q_aging_buckets
+
+    rows = q_aging_buckets(spark, SF).collect()
+    assert rows
+    assert {r.bucket for r in rows} <= {"0-30", "31-60", "61-90", "90+"}
+    for r in rows:
+        assert r.n_orders > 0 and r.value_cents > 0
