@@ -5163,3 +5163,229 @@ registry.register(
     FROM one
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-MSE forecast combination (naive / seasonal-naive / drift)
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast combination over the daily revenue series: three
+    one-step baselines -- naive (yesterday), seasonal-naive (7 days
+    back), drift (yesterday + average historical step) -- weighted
+    by inverse validation-window MSE and evaluated on a held-out
+    test window. 'Combinations beat components' is the most
+    replicated result in forecasting (Bates-Granger 1969 onward);
+    this is the operator form, the ensemble step above
+    `walk_forward_backtest`/`seasonal_naive_eval`'s single-model
+    scores.
+
+    Split by observed-day rank: train = all but the last 84 days,
+    validation = next 56, test = final 28. Exactness: all three
+    forecasts are integer cents (drift's average step is a floored
+    double division, identical on both engines); squared errors quantize to (thousands of dollars)^2
+    integers BEFORE window sums; the three inverse-MSE weights
+    combine in FIXED literal order, and the combined forecast is
+    floor-quantized per day before its error sum. Lags run over the
+    bounded daily aggregate only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("y"))
+    w = Window.orderBy("d")
+    feat = daily.select(
+        "d",
+        "y",
+        F.row_number().over(w).alias("t"),
+        F.lag("y", 1).over(w).alias("l1"),
+        F.lag("y", 7).over(w).alias("l7"),
+        F.first("y").over(w).alias("y1"),
+        F.count("*").over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).filter(F.col("l7").isNotNull())
+    # floor-of-double-division on BOTH engines: Spark's integer div
+    # truncates toward zero while DuckDB's // floors, and (l1 - y1)
+    # can be negative
+    drift = F.col("l1") + F.floor(
+        (F.col("l1") - F.col("y1")).cast("double")
+        / F.greatest(F.col("t") - 2, F.lit(1)).cast("double")
+    ).cast("long")
+    scored = feat.select(
+        "d",
+        "t",
+        "n",
+        "y",
+        F.col("l1").alias("f_naive"),
+        F.col("l7").alias("f_snaive"),
+        drift.cast("long").alias("f_drift"),
+    )
+
+    def se_k(fc):
+        e = (F.col("y") - F.col(fc)).cast("double") / 100000.0
+        return F.floor(e * e + F.lit(0.5)).cast("long")
+
+    split = scored.select(
+        "d",
+        "y",
+        F.when(F.col("t") > F.col("n") - 28, "test")
+        .when(F.col("t") > F.col("n") - 84, "val")
+        .otherwise("train")
+        .alias("split"),
+        "f_naive",
+        "f_snaive",
+        "f_drift",
+        se_k("f_naive").alias("se1"),
+        se_k("f_snaive").alias("se2"),
+        se_k("f_drift").alias("se3"),
+    )
+    val = split.filter(F.col("split") == "val").agg(
+        F.count("*").alias("nv"),
+        F.sum("se1").cast("long").alias("s1"),
+        F.sum("se2").cast("long").alias("s2"),
+        F.sum("se3").cast("long").alias("s3"),
+    )
+    inv = lambda c: F.lit(1.0) / F.col(c).cast("double")  # noqa: E731
+    wsum = inv("s1") + inv("s2") + inv("s3")
+    weights = val.select(
+        "nv",
+        "s1",
+        "s2",
+        "s3",
+        (inv("s1") / wsum).alias("w1"),
+        (inv("s2") / wsum).alias("w2"),
+        (inv("s3") / wsum).alias("w3"),
+    )
+    test = split.filter(F.col("split") == "test").crossJoin(
+        F.broadcast(weights)
+    )
+    comb = F.floor(
+        F.col("w1") * F.col("f_naive").cast("double")
+        + F.col("w2") * F.col("f_snaive").cast("double")
+        + F.col("w3") * F.col("f_drift").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    fin = test.select(
+        "y",
+        "w1",
+        "w2",
+        "w3",
+        F.abs(F.col("y") - comb).alias("ae_comb"),
+        F.abs(F.col("y") - F.col("f_naive")).alias("ae_naive"),
+    ).agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.max("w1").alias("w_naive"),
+        F.max("w2").alias("w_snaive"),
+        F.max("w3").alias("w_drift"),
+        F.sum("ae_comb").cast("long").alias("sae_comb"),
+        F.sum("ae_naive").cast("long").alias("sae_naive"),
+    )
+    return fin.select(
+        "n_test",
+        _r6(F.col("w_naive")).alias("w_naive"),
+        _r6(F.col("w_snaive")).alias("w_snaive"),
+        _r6(F.col("w_drift")).alias("w_drift"),
+        _r6(
+            F.col("sae_comb").cast("double")
+            / F.col("n_test").cast("double")
+            / 100.0
+        ).alias("mae_combined"),
+        _r6(
+            F.col("sae_naive").cast("double")
+            / F.col("n_test").cast("double")
+            / 100.0
+        ).alias("mae_naive"),
+    )
+
+
+registry.register(
+    "forecast_combination",
+    q_forecast_combination,
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    feat AS (
+      SELECT d, y,
+             ROW_NUMBER() OVER (ORDER BY d) AS t,
+             LAG(y, 1) OVER (ORDER BY d) AS l1,
+             LAG(y, 7) OVER (ORDER BY d) AS l7,
+             FIRST_VALUE(y) OVER (ORDER BY d) AS y1,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT d, t, n, y,
+             l1 AS f_naive,
+             l7 AS f_snaive,
+             CAST(l1 + CAST(FLOOR(CAST(l1 - y1 AS DOUBLE)
+                                  / CAST(GREATEST(t - 2, 1) AS DOUBLE))
+                            AS BIGINT) AS BIGINT) AS f_drift
+      FROM feat WHERE l7 IS NOT NULL
+    ),
+    split AS (
+      SELECT d, y, f_naive, f_snaive, f_drift,
+             CASE WHEN t > n - 28 THEN 'test'
+                  WHEN t > n - 84 THEN 'val'
+                  ELSE 'train' END AS split,
+             CAST(FLOOR((CAST(y - f_naive AS DOUBLE) / 100000.0)
+                        * (CAST(y - f_naive AS DOUBLE) / 100000.0)
+                        + 0.5) AS BIGINT) AS se1,
+             CAST(FLOOR((CAST(y - f_snaive AS DOUBLE) / 100000.0)
+                        * (CAST(y - f_snaive AS DOUBLE) / 100000.0)
+                        + 0.5) AS BIGINT) AS se2,
+             CAST(FLOOR((CAST(y - f_drift AS DOUBLE) / 100000.0)
+                        * (CAST(y - f_drift AS DOUBLE) / 100000.0)
+                        + 0.5) AS BIGINT) AS se3
+      FROM scored
+    ),
+    val AS (
+      SELECT COUNT(*) AS nv,
+             CAST(SUM(se1) AS BIGINT) AS s1,
+             CAST(SUM(se2) AS BIGINT) AS s2,
+             CAST(SUM(se3) AS BIGINT) AS s3
+      FROM split WHERE split = 'val'
+    ),
+    weights AS (
+      SELECT nv, s1, s2, s3,
+             (1.0 / CAST(s1 AS DOUBLE))
+               / (1.0 / CAST(s1 AS DOUBLE) + 1.0 / CAST(s2 AS DOUBLE)
+                  + 1.0 / CAST(s3 AS DOUBLE)) AS w1,
+             (1.0 / CAST(s2 AS DOUBLE))
+               / (1.0 / CAST(s1 AS DOUBLE) + 1.0 / CAST(s2 AS DOUBLE)
+                  + 1.0 / CAST(s3 AS DOUBLE)) AS w2,
+             (1.0 / CAST(s3 AS DOUBLE))
+               / (1.0 / CAST(s1 AS DOUBLE) + 1.0 / CAST(s2 AS DOUBLE)
+                  + 1.0 / CAST(s3 AS DOUBLE)) AS w3
+      FROM val
+    ),
+    test AS (
+      SELECT s.y, w.w1, w.w2, w.w3,
+             ABS(s.y - CAST(FLOOR(w.w1 * CAST(s.f_naive AS DOUBLE)
+                                  + w.w2 * CAST(s.f_snaive AS DOUBLE)
+                                  + w.w3 * CAST(s.f_drift AS DOUBLE)
+                                  + 0.5) AS BIGINT)) AS ae_comb,
+             ABS(s.y - s.f_naive) AS ae_naive
+      FROM split s CROSS JOIN weights w
+      WHERE s.split = 'test'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           FLOOR(MAX(w1) * 1000000.0 + 0.5) / 1000000.0 AS w_naive,
+           FLOOR(MAX(w2) * 1000000.0 + 0.5) / 1000000.0 AS w_snaive,
+           FLOOR(MAX(w3) * 1000000.0 + 0.5) / 1000000.0 AS w_drift,
+           FLOOR(CAST(SUM(ae_comb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mae_combined,
+           FLOOR(CAST(SUM(ae_naive) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mae_naive
+    FROM test
+    """,
+)

@@ -585,3 +585,16 @@ def test_aging_buckets_partition(spark):
     assert {r.bucket for r in rows} <= {"0-30", "31-60", "61-90", "90+"}
     for r in rows:
         assert r.n_orders > 0 and r.value_cents > 0
+
+
+def test_forecast_combination_weights(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_forecast_combination,
+    )
+
+    r = q_forecast_combination(spark, SF).collect()[0]
+    assert r.n_test == 28
+    assert abs(r.w_naive + r.w_snaive + r.w_drift - 1.0) < 1e-5
+    for w in (r.w_naive, r.w_snaive, r.w_drift):
+        assert 0.0 < w < 1.0
+    assert r.mae_combined > 0 and r.mae_naive > 0
