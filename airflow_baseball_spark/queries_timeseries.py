@@ -5389,3 +5389,152 @@ registry.register(
     FROM test
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Geometric adstock correlation (marketing carryover)
+# ---------------------------------------------------------------------------
+
+
+def q_adstock_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric adstock analysis: does daily event volume predict
+    daily revenue better after applying the standard marketing
+    carryover transform a_t = sum_k lambda^k x_(t-k) (lambda = 0.5,
+    8-day memory)? Reports the raw and the adstocked correlation
+    side by side -- the media-mix-modeling primitive that decides
+    how much yesterday's impressions still sell today.
+
+    Exactness: lambda = 1/2 makes every weight a dyadic rational, so
+    the adstock is carried as the EXACT BIGINT a128_t =
+    sum_k 2^(7-k) * x_(t-k) (no float until the final correlation);
+    both correlations come from exact BIGINT/DECIMAL(38) sufficient
+    statistics through the standard shared expression. Lags run over
+    the bounded joined daily table; days lacking a full 8-day
+    history are excluded identically. Scale: two daily rollups, one
+    date join, 1-row output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d")
+    )
+    x_daily = ev.groupBy("d").agg(F.count("*").cast("long").alias("x"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    y_daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("y"))
+    joined = x_daily.join(y_daily, "d")
+    w = Window.orderBy("d")
+    lag_terms = [
+        (F.lag("x", k).over(w) * F.lit(2 ** (7 - k))).alias(f"t{k}")
+        for k in range(8)
+    ]
+    lagged = joined.select("d", "x", "y", *lag_terms).filter(
+        F.col("t7").isNotNull()
+    )
+    a128 = sum(
+        (F.col(f"t{k}") for k in range(1, 8)), F.col("t0")
+    ).cast("long")
+    staged = lagged.select("x", "y", a128.alias("a"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = staged.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(d19("x") * d19("x")).alias("sxx"),
+        F.sum(d19("a") * d19("a")).alias("saa"),
+        F.sum(d19("y") * d19("y")).alias("syy"),
+        F.sum(d19("x") * d19("y")).alias("sxy"),
+        F.sum(d19("a") * d19("y")).alias("say"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sab, s1, s2, s11, s22):
+        num = n * F.col(sab).cast("double") - F.col(s1).cast(
+            "double"
+        ) * F.col(s2).cast("double")
+        den = F.sqrt(
+            (n * F.col(s11).cast("double")
+             - F.col(s1).cast("double") * F.col(s1).cast("double"))
+            * (n * F.col(s22).cast("double")
+               - F.col(s2).cast("double") * F.col(s2).cast("double"))
+        )
+        return num / den
+
+    return sums.select(
+        F.col("n").cast("long").alias("n_days"),
+        _r6(corr("sxy", "sx", "sy", "sxx", "syy")).alias("corr_raw"),
+        _r6(corr("say", "sa", "sy", "saa", "syy")).alias("corr_adstock"),
+    )
+
+
+registry.register(
+    "adstock_correlation",
+    q_adstock_correlation,
+    """
+    WITH x_daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    y_daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    joined AS (
+      SELECT x_daily.d, x, y FROM x_daily JOIN y_daily USING (d)
+    ),
+    lagged AS (
+      SELECT d, x, y,
+             LAG(x, 0) OVER (ORDER BY d) * 128 AS t0,
+             LAG(x, 1) OVER (ORDER BY d) * 64 AS t1,
+             LAG(x, 2) OVER (ORDER BY d) * 32 AS t2,
+             LAG(x, 3) OVER (ORDER BY d) * 16 AS t3,
+             LAG(x, 4) OVER (ORDER BY d) * 8 AS t4,
+             LAG(x, 5) OVER (ORDER BY d) * 4 AS t5,
+             LAG(x, 6) OVER (ORDER BY d) * 2 AS t6,
+             LAG(x, 7) OVER (ORDER BY d) * 1 AS t7
+      FROM joined
+    ),
+    staged AS (
+      SELECT x, y,
+             CAST(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7 AS BIGINT) AS a
+      FROM lagged WHERE t7 IS NOT NULL
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(a) AS BIGINT) AS sa,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+               AS sxx,
+             SUM(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0)))
+               AS saa,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS syy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS sxy,
+             SUM(CAST(a AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS say
+      FROM staged
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_raw,
+           FLOOR((CAST(n AS DOUBLE) * CAST(say AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_adstock
+    FROM sums
+    """,
+)

@@ -598,3 +598,63 @@ def test_forecast_combination_weights(spark):
     for w in (r.w_naive, r.w_snaive, r.w_drift):
         assert 0.0 < w < 1.0
     assert r.mae_combined > 0 and r.mae_naive > 0
+
+
+def test_median_polish_reconstruction(spark):
+    """Strong identity: row effects + col effects + residuals must
+    reproduce every cell exactly (all-integer decomposition)."""
+    import duckdb
+
+    from airflow_baseball_spark.queries_stats import q_median_polish
+
+    rows = q_median_polish(spark, SF).collect()
+    row_eff = {r.k: r.effect_cents for r in rows if r.component == "row"}
+    col_eff = {r.k: r.effect_cents for r in rows if r.component == "col"}
+    resid_l1 = next(
+        r.effect_cents for r in rows if r.component == "resid_l1"
+    )
+    cells = duckdb.sql(
+        f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS e
+        FROM '{SF}/orders.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    # replay the two sweeps in pure Python and check the residual sum
+    from collections import defaultdict
+
+    e = {(y, m): v for y, m, v in cells}
+
+    def med(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    reff = defaultdict(int)
+    ceff = defaultdict(int)
+    for _ in range(2):
+        for y in {k[0] for k in e}:
+            m_v = med([v for k, v in e.items() if k[0] == y])
+            reff[y] += m_v
+            for k in [k for k in e if k[0] == y]:
+                e[k] -= m_v
+        for mo in {k[1] for k in e}:
+            m_v = med([v for k, v in e.items() if k[1] == mo])
+            ceff[mo] += m_v
+            for k in [k for k in e if k[1] == mo]:
+                e[k] -= m_v
+    assert dict(reff) == row_eff
+    assert dict(ceff) == col_eff
+    assert sum(abs(v) for v in e.values()) == resid_l1
+
+
+def test_adstock_bounds(spark):
+    from airflow_baseball_spark.queries_timeseries import (
+        q_adstock_correlation,
+    )
+
+    r = q_adstock_correlation(spark, SF).collect()[0]
+    assert r.n_days > 50
+    assert -1.0 <= r.corr_raw <= 1.0
+    assert -1.0 <= r.corr_adstock <= 1.0
