@@ -5397,39 +5397,41 @@ registry.register(
 
 
 def q_adstock_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geometric adstock analysis: does daily event volume predict
-    daily revenue better after applying the standard marketing
-    carryover transform a_t = sum_k lambda^k x_(t-k) (lambda = 0.5,
-    8-day memory)? Reports the raw and the adstocked correlation
-    side by side -- the media-mix-modeling primitive that decides
-    how much yesterday's impressions still sell today.
+    """Geometric adstock analysis on the events stream: does hourly
+    NON-purchase activity (the impression proxy) predict hourly
+    purchase value better after the standard marketing carryover
+    transform a_t = sum_k lambda^k x_(t-k) (lambda = 0.5, 8-hour
+    memory)? Raw vs adstocked correlation side by side -- the
+    media-mix-modeling primitive that decides how much of last
+    hour's traffic still converts now.
 
-    Exactness: lambda = 1/2 makes every weight a dyadic rational, so
-    the adstock is carried as the EXACT BIGINT a128_t =
-    sum_k 2^(7-k) * x_(t-k) (no float until the final correlation);
-    both correlations come from exact BIGINT/DECIMAL(38) sufficient
-    statistics through the standard shared expression. Lags run over
-    the bounded joined daily table; days lacking a full 8-day
-    history are excluded identically. Scale: two daily rollups, one
-    date join, 1-row output."""
+    Exactness: the hour index is epoch-microseconds integer-divided
+    (unix_micros DIV 3.6e9 vs epoch_us // 3.6e9 -- both floor on
+    nonnegative epochs); lambda = 1/2 makes every weight dyadic, so
+    the adstock is the EXACT BIGINT a128_t = sum_k 2^(7-k) x_(t-k)
+    (no float before the final correlation); purchase value is
+    floor-cents per row; both correlations come from exact
+    BIGINT/DECIMAL(38) sufficient statistics. Lags run over the
+    bounded hourly aggregate; hours lacking a full 8-hour history
+    are excluded identically. Scale: one events rollup, 1-row out."""
     ev = load_table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("d")
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        (F.col("event_type") != "purchase").cast("long").alias("is_x"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0)).alias("yc"),
     )
-    x_daily = ev.groupBy("d").agg(F.count("*").cast("long").alias("x"))
-    o = load_table(spark, sf_dir, "orders").select(
-        F.to_date("o_orderdate").alias("d"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("pc"),
+    hourly = ev.groupBy("h").agg(
+        F.sum("is_x").cast("long").alias("x"),
+        F.sum("yc").cast("long").alias("y"),
     )
-    y_daily = o.groupBy("d").agg(F.sum("pc").cast("long").alias("y"))
-    joined = x_daily.join(y_daily, "d")
-    w = Window.orderBy("d")
+    w = Window.orderBy("h")
     lag_terms = [
         (F.lag("x", k).over(w) * F.lit(2 ** (7 - k))).alias(f"t{k}")
         for k in range(8)
     ]
-    lagged = joined.select("d", "x", "y", *lag_terms).filter(
+    lagged = hourly.select("h", "x", "y", *lag_terms).filter(
         F.col("t7").isNotNull()
     )
     a128 = sum(
@@ -5463,7 +5465,7 @@ def q_adstock_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return num / den
 
     return sums.select(
-        F.col("n").cast("long").alias("n_days"),
+        F.col("n").cast("long").alias("n_hours"),
         _r6(corr("sxy", "sx", "sy", "sxx", "syy")).alias("corr_raw"),
         _r6(corr("say", "sa", "sy", "saa", "syy")).alias("corr_adstock"),
     )
@@ -5473,30 +5475,26 @@ registry.register(
     "adstock_correlation",
     q_adstock_correlation,
     """
-    WITH x_daily AS (
-      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(SUM(CAST(event_type <> 'purchase' AS BIGINT))
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
       FROM events GROUP BY 1
     ),
-    y_daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                  AS BIGINT) AS y
-      FROM orders GROUP BY 1
-    ),
-    joined AS (
-      SELECT x_daily.d, x, y FROM x_daily JOIN y_daily USING (d)
-    ),
     lagged AS (
-      SELECT d, x, y,
-             LAG(x, 0) OVER (ORDER BY d) * 128 AS t0,
-             LAG(x, 1) OVER (ORDER BY d) * 64 AS t1,
-             LAG(x, 2) OVER (ORDER BY d) * 32 AS t2,
-             LAG(x, 3) OVER (ORDER BY d) * 16 AS t3,
-             LAG(x, 4) OVER (ORDER BY d) * 8 AS t4,
-             LAG(x, 5) OVER (ORDER BY d) * 4 AS t5,
-             LAG(x, 6) OVER (ORDER BY d) * 2 AS t6,
-             LAG(x, 7) OVER (ORDER BY d) * 1 AS t7
-      FROM joined
+      SELECT h, x, y,
+             LAG(x, 0) OVER (ORDER BY h) * 128 AS t0,
+             LAG(x, 1) OVER (ORDER BY h) * 64 AS t1,
+             LAG(x, 2) OVER (ORDER BY h) * 32 AS t2,
+             LAG(x, 3) OVER (ORDER BY h) * 16 AS t3,
+             LAG(x, 4) OVER (ORDER BY h) * 8 AS t4,
+             LAG(x, 5) OVER (ORDER BY h) * 4 AS t5,
+             LAG(x, 6) OVER (ORDER BY h) * 2 AS t6,
+             LAG(x, 7) OVER (ORDER BY h) * 1 AS t7
+      FROM hourly
     ),
     staged AS (
       SELECT x, y,
@@ -5520,7 +5518,7 @@ registry.register(
                AS say
       FROM staged
     )
-    SELECT CAST(n AS BIGINT) AS n_days,
+    SELECT CAST(n AS BIGINT) AS n_hours,
            FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)

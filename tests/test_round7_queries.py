@@ -655,6 +655,6 @@ def test_adstock_bounds(spark):
     )
 
     r = q_adstock_correlation(spark, SF).collect()[0]
-    assert r.n_days > 50
+    assert r.n_hours > 50
     assert -1.0 <= r.corr_raw <= 1.0
     assert -1.0 <= r.corr_adstock <= 1.0
