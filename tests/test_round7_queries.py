@@ -658,3 +658,119 @@ def test_adstock_bounds(spark):
     assert r.n_hours > 50
     assert -1.0 <= r.corr_raw <= 1.0
     assert -1.0 <= r.corr_adstock <= 1.0
+
+
+def test_spatial_knn_python_replay(spark):
+    """Replays the md5 coordinates and halo-restricted NN search in
+    pure Python and asserts the distributed answer matches key for
+    key (exactness beyond the SQL oracle: a third implementation)."""
+    import duckdb
+    import hashlib
+
+    from airflow_baseball_spark.queries_mining import q_spatial_knn_grid
+
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT c_custkey FROM '{SF}/customer.parquet'"
+        ).fetchall()
+    ]
+
+    def coord(pfx, k):
+        h = hashlib.md5(f"{pfx}{k}".encode()).hexdigest()
+        return int(h[:8], 16) % 10000
+
+    pts = {k: (coord("sx:", k), coord("sy:", k)) for k in keys}
+    cells = {}
+    for k, (x, y) in pts.items():
+        cells.setdefault((x // 500, y // 500), []).append(k)
+    expected = {}
+    for pk in [k for k in keys if k < 50]:
+        px, py = pts[pk]
+        cx, cy = px // 500, py // 500
+        best = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for k in cells.get((cx + dx, cy + dy), []):
+                    if k == pk:
+                        continue
+                    x, y = pts[k]
+                    d2 = (x - px) ** 2 + (y - py) ** 2
+                    if best is None or (d2, k) < best:
+                        best = (d2, k)
+        if best is not None:
+            expected[pk] = (best[1], best[0])
+    rows = {
+        r.probe_key: (r.nn_key, r.d2)
+        for r in q_spatial_knn_grid(spark, SF).collect()
+    }
+    assert rows == expected
+
+
+def test_hits_python_replay(spark):
+    """Replays the exact 2-iteration HITS path counting in Python."""
+    import duckdb
+    from collections import defaultdict
+
+    from airflow_baseball_spark.queries_mining import q_hits_authorities
+
+    edges = duckdb.sql(
+        f"""
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    a1 = defaultdict(int)
+    for c, p in edges:
+        a1[p] += 1
+    h1 = defaultdict(int)
+    for c, p in edges:
+        h1[c] += a1[p]
+    a2 = defaultdict(int)
+    deg = defaultdict(int)
+    for c, p in edges:
+        a2[p] += h1[c]
+        deg[p] += 1
+    top = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expected = [(p, deg[p], s) for p, s in top]
+    rows = [
+        (r.p_partkey, r.n_buyers, r.a2)
+        for r in q_hits_authorities(spark, SF).collect()
+    ]
+    assert rows == expected
+
+
+def test_wavelet_energy_numpy_replay(spark):
+    """Replays the Haar detail energies with plain integer Python."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from airflow_baseball_spark.queries_timeseries import q_wavelet_energy
+
+    daily = duckdb.sql(
+        f"""
+        SELECT date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) AS t,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM '{SF}/orders.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    expected = {}
+    for lvl in range(1, 6):
+        half = 1 << (lvl - 1)
+        det = defaultdict(int)
+        for t, c in daily:
+            sign = 1 if (t // half) % 2 == 0 else -1
+            det[t // (2 * half)] += sign * c
+        energy = sum(v * v for v in det.values())
+        expected[lvl] = (len(det), energy)
+    rows = q_wavelet_energy(spark, SF).collect()
+    for r in rows:
+        n_blocks, energy = expected[r.level]
+        assert r.n_blocks == n_blocks
+        assert r.energy_e18 == math.floor(
+            energy / 1.0e18 * 1000000.0 + 0.5
+        ) / 1000000.0
