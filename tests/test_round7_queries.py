@@ -774,3 +774,78 @@ def test_wavelet_energy_numpy_replay(spark):
         assert r.energy_e18 == math.floor(
             energy / 1.0e18 * 1000000.0 + 0.5
         ) / 1000000.0
+
+
+def test_lcs_rouge_python_replay(spark):
+    """Replays the token LCS DP in pure Python per pair."""
+    import duckdb
+    import math
+
+    from airflow_baseball_spark.queries_text import q_lcs_rouge
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+            " WHERE doc_id < 40"
+        ).fetchall()
+    )
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                else:
+                    cur[j] = max(cur[j - 1], prev[j])
+            prev = cur
+        return prev[len(b)]
+
+    expected = {}
+    for pid in range(20):
+        a = docs[2 * pid].split(" ")[:30]
+        b = docs[2 * pid + 1].split(" ")[:30]
+        ln = lcs(a, b)
+        rf = math.floor(2.0 * ln / (len(a) + len(b)) * 1e6 + 0.5) / 1e6
+        expected[pid] = (len(a), len(b), ln, rf)
+    rows = {
+        r.pair_id: (r.n_a, r.n_b, r.lcs_len, r.rouge_f)
+        for r in q_lcs_rouge(spark, SF).collect()
+    }
+    assert rows == expected
+
+
+def test_bloom_fpr_python_replay(spark):
+    """Replays the Bloom build + probe membership in pure Python."""
+    import duckdb
+    import hashlib
+
+    from airflow_baseball_spark.queries_sketch import q_bloom_fpr_audit
+
+    m = 262144
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT c_custkey FROM '{SF}/customer.parquet'"
+        ).fetchall()
+    ]
+
+    def pos(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[:5], 16) % m, int(h[5:10], 16) % m
+
+    bits = set()
+    for k in keys:
+        p1, p2 = pos(f"c:{k}")
+        bits.add(p1)
+        bits.add(p2)
+    fp = 0
+    for i in range(10000):
+        p1, p2 = pos(f"p:{i}")
+        if p1 in bits and p2 in bits:
+            fp += 1
+    r = q_bloom_fpr_audit(spark, SF).collect()[0]
+    assert r.n_keys == len(keys)
+    assert r.bits_set == len(bits)
+    assert r.false_positives == fp
