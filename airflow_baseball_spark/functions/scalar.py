@@ -102,3 +102,27 @@ def round6_portable(c: Column | str) -> Column:
     the trick."""
     c = F.col(c) if isinstance(c, str) else c
     return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+
+
+def dec_portable(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Portable double→DECIMAL(p,s) (r8 sweep, r7 verdict item #3):
+    floor(x*10^s + 0.5)/10^s as a DOUBLE first — identical IEEE ops on
+    both engines — then the now-safe decimal cast. A bare
+    CAST(double AS DECIMAL(p,s)) is engine-DIVERGENT at (s+1)-decimal
+    ties: Spark casts via the shortest decimal string (0.615d → 0.62)
+    while DuckDB rounds the binary value (→ 0.61); probe_dec_cast
+    measures exactly this, and the r7 driver window proved its
+    generation carries such ties. Quantizing first makes the tie
+    decision in shared IEEE arithmetic, and the quantized double (an
+    exact s-decimal value) casts identically on both engines. Identity
+    on values already at ≤s decimals — every driver-attested green is
+    unchanged.
+
+    SQL oracle twin: ``CAST(FLOOR(x * 10^s + 0.5) / 10^s AS
+    DECIMAL(p,s))``. Enforced by the `driverish` testdata vintage
+    (tests/make_testdata_variant.py), which injects 3-decimal tie
+    values into every stored double so any remaining bare cast fails
+    the local sweep."""
+    c = F.col(c) if isinstance(c, str) else c
+    m = float(10 ** scale)
+    return (F.floor(c * m + 0.5) / m).cast(f"decimal({precision},{scale})")

@@ -108,7 +108,11 @@ def count_triangles_oriented(
 # ---------------------------------------------------------------------------
 
 _EDGE_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
-_EDGE_CACHE_MAX = 16  # (session, sf_dir, key) entries before eviction
+# (session, sf_dir, key) entries before eviction. r8: raised 16 → 64 so
+# the worst realistic live-key count (15 distinct call-site keys × a
+# few sf_dirs in one long pytest session) fits without churn; eviction
+# is now GC-deferred (below), so the cap bounds dict size, not blocks.
+_EDGE_CACHE_MAX = 64
 
 
 def _session_token(spark: SparkSession) -> tuple[str, int]:
@@ -155,11 +159,18 @@ def materialize_edge_list(
     df = _EDGE_CACHE.get(cache_key)
     if df is None:
         while len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
-            old = _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
-            try:
-                old.unpersist()
-            except Exception:  # session may be mid-teardown
-                pass
+            # r8 (r7 ADVICE): cap eviction drops the dict entry but
+            # does NOT unpersist — the evicted entry belongs to the
+            # LIVE session (dead-session entries were already purged
+            # above), so an explicit unpersist would yank checkpoint
+            # blocks out from under any not-yet-executed plan that
+            # still references the DataFrame (reachable when one
+            # session touches > _EDGE_CACHE_MAX (sf_dir, key) pairs,
+            # e.g. a pytest session mixing sf0.001 and sf0.01).
+            # Spark's ContextCleaner reclaims the blocks once the
+            # evicted DataFrame is garbage-collected, which is the
+            # safe point by construction.
+            _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
         df = build(spark, sf_dir).localCheckpoint()
         _EDGE_CACHE[cache_key] = df
     return df

@@ -38,7 +38,16 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("total_value"),
+            # quantize-before-sum (house exactness rule): integer-cent
+            # accumulation is order- and engine-proof, where a float
+            # SUM rounds differently under DuckDB's segment-tree
+            # windowed aggregation vs Spark's sequential add
+            (
+                F.sum(
+                    F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("total_value"),
         )
         .drop("sess")
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_baseball_spark.functions.scalar import dec_portable
 from airflow_baseball_spark.operators.total_minus_self import total_minus_self
 from airflow_baseball_spark.schemas import load_table
 
@@ -47,7 +48,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 places."""
     orders = load_table(spark, sf_dir, "orders")
     per_prio = orders.groupBy("o_orderpriority").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.sum(dec_portable("o_totalprice", 18, 2)).alias("total"),
         F.count("*").alias("cnt"),
     )
     with_others = total_minus_self(per_prio, ["total", "cnt"])
@@ -65,7 +66,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLAGSHIP_ORACLE_SQL = """
 WITH per_prio AS (
   SELECT o_orderpriority,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS total,
          COUNT(*) AS cnt
   FROM orders
   GROUP BY o_orderpriority

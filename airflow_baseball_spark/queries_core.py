@@ -18,7 +18,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
-from airflow_baseball_spark.functions.scalar import ip_to_float, sentinel_to_double
+from airflow_baseball_spark.functions.scalar import (
+    dec_portable,
+    ip_to_float,
+    sentinel_to_double,
+)
 from airflow_baseball_spark.metrics import hitting, pitching
 from airflow_baseball_spark.operators.topk import top_k_per_key
 from airflow_baseball_spark.operators.upsert import upsert_dataframe
@@ -29,7 +33,7 @@ from airflow_baseball_spark.schemas import load_table
 def _dsum(col: str | Column) -> Column:
     """Exact engine-independent sum: DECIMAL(18,2) accumulate → double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(18,2)")).cast("double")
+    return F.sum(dec_portable(c)).cast("double")
 
 
 # --- D4 + F13: flagship total-minus-self ratio (park factor) ---------------
@@ -54,8 +58,8 @@ registry.register(
     q_groupby_agg,
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -118,8 +122,8 @@ def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal × decimal: exact — a double product cast to decimal
             # rounds differently (half-even vs half-up) across engines
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+                dec_portable("l_extendedprice", 18, 2)
+                * dec_portable(F.lit(1) - F.col("l_discount"), 5, 2)
             )
             .cast("double")
             .alias("revenue"),
@@ -133,8 +137,8 @@ registry.register(
     q_join_chain,
     """
     SELECT r_name, n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                    * CAST(FLOOR((1 - l_discount) * 100 + 0.5) / 100 AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -177,7 +181,7 @@ registry.register(
     FROM customer
     LEFT JOIN (
       SELECT o_custkey, COUNT(*) AS cnt,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS spent
       FROM orders GROUP BY o_custkey
     ) ON c_custkey = o_custkey
     """,
@@ -247,12 +251,12 @@ registry.register(
     q_league_scalars,
     """
     WITH league AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS lg_bal,
+      SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS lg_bal,
              COUNT(*) AS lg_cnt
       FROM customer
     ), per_seg AS (
       SELECT c_mktsegment,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS seg_bal,
+             CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS seg_bal,
              COUNT(*) AS seg_cnt
       FROM customer GROUP BY c_mktsegment
     )
@@ -655,7 +659,7 @@ def q_wrc_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum("o_totalprice").alias("wrc"), F.count("*").alias("pa")
     )
     league = per_prio.agg(
-        F.sum(F.col("wrc").cast("decimal(18,2)")).cast("double").alias("lg_wrc"),
+        F.sum(dec_portable("wrc")).cast("double").alias("lg_wrc"),
         F.sum("pa").alias("lg_pa"),
     )
     joined = per_prio.join(pf, "o_orderpriority").crossJoin(F.broadcast(league))
@@ -680,7 +684,7 @@ registry.register(
     """
     WITH per_prio AS (
       SELECT o_orderpriority,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS total,
              COUNT(*) AS cnt
       FROM orders GROUP BY o_orderpriority
     ), with_tot AS (
@@ -739,11 +743,11 @@ def q_ops_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     league = h.agg(
         (
-            F.sum(F.col("obp").cast("decimal(18,6)")).cast("double")
+            F.sum(dec_portable("obp", 18, 6)).cast("double")
             / F.count("obp")
         ).alias("lg_obp"),
         (
-            F.sum(F.col("slg").cast("decimal(18,6)")).cast("double")
+            F.sum(dec_portable("slg", 18, 6)).cast("double")
             / F.count("slg")
         ).alias("lg_slg"),
     )
@@ -786,9 +790,9 @@ registry.register(
       FROM customer WHERE c_mktsegment < 'H'
     ),
     league AS (
-      SELECT CAST(SUM(CAST(obp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(obp)
+      SELECT CAST(SUM(CAST(FLOOR(obp * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(obp)
                AS lg_obp,
-             CAST(SUM(CAST(slg AS DECIMAL(18,6))) AS DOUBLE) / COUNT(slg)
+             CAST(SUM(CAST(FLOOR(slg * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(slg)
                AS lg_slg
       FROM h
     )
@@ -838,7 +842,7 @@ registry.register(
       FROM orders
     )
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -874,7 +878,7 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.csv(out, header=True, inferSchema=True)
     return back.groupBy("bucket").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+        F.sum(dec_portable("o_totalprice", 18, 2)).cast("double").alias(
             "total_price"
         ),
         F.min("o_orderkey").cast("long").alias("min_key"),
@@ -895,7 +899,7 @@ registry.register(
     )
     SELECT o_custkey % 16 AS bucket,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
            MIN(o_orderkey) AS min_key,
            MAX(o_orderkey) AS max_key,
            COUNT(DISTINCT o_custkey) AS n_cust

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
-from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.functions.scalar import dec_portable, round6_portable
 from airflow_baseball_spark.schemas import load_table
 
 _r6 = round6_portable
@@ -56,7 +56,7 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     per_v = (
         ev.select(
             cents.alias("v"),
@@ -101,7 +101,7 @@ registry.register(
     q_auc_roc,
     """
     WITH per_v AS (
-      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      SELECT CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS na_v,
              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nb_v
       FROM events WHERE event_type IN ('purchase', 'click')
@@ -295,7 +295,7 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB that's bounded by price granularity; if it ever isn't,
     the same two-level trick as ks_statistic's argmax applies."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     per_v = orders.select(cents.alias("v")).groupBy("v").agg(
         F.count("*").alias("c")
     )
@@ -327,7 +327,7 @@ registry.register(
     q_theil_index,
     """
     WITH per_v AS (
-      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      SELECT CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              COUNT(*) AS c
       FROM orders GROUP BY 1
     ),
@@ -494,7 +494,7 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one rank window per segment (parallel across segments) +
     one broadcast of the 5-row boundary table back onto the fact."""
     cust = load_table(spark, sf_dir, "customer")
-    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("c_acctbal", 18, 2) * 100).cast("long")
     base = cust.select(F.col("c_mktsegment").alias("seg"), cents.alias("v"))
     # r7 (r6 verdict item #4): percentile boundaries via the two-pass
     # histogram rank-locate (operators/rank_select.py) instead of a
@@ -559,7 +559,7 @@ registry.register(
     """
     WITH base AS (
       SELECT c_mktsegment AS seg,
-             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       FROM customer
     ),
     ranked AS (
@@ -843,7 +843,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments-sized rollup of the class table."""
     cust = load_table(spark, sf_dir, "customer")
     bal_bucket = F.expr(
-        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
+        "CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
     )
     classes = cust.groupBy(
         "c_mktsegment", "c_nationkey", bal_bucket.alias("bal100")
@@ -869,7 +869,7 @@ registry.register(
     f"""
     WITH classes AS (
       SELECT c_mktsegment, c_nationkey,
-             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000
+             CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000
                AS bal100,
              COUNT(*) AS n
       FROM customer GROUP BY 1, 2, 3
@@ -1043,7 +1043,7 @@ def q_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization — each user's ndcg re-quantizes to 1e9)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     top5 = (
         ev.select(
             "user_id",
@@ -1095,7 +1095,7 @@ registry.register(
     """
     WITH top5 AS (
       SELECT user_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS g,
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS g,
              pos
       FROM (
         SELECT user_id, value,
@@ -1156,7 +1156,7 @@ def q_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_day = F.datediff(
         F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     base = ev.select(
         "event_type",
         cents.alias("v"),
@@ -1214,7 +1214,7 @@ registry.register(
     """
     WITH base AS (
       SELECT event_type,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
                AS dow
@@ -1271,7 +1271,7 @@ def q_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     base = ev.select(F.col("event_type").alias("cls"), cents.alias("v"))
     # r7 (r6 verdict item #4): per-class deciles via the two-pass
     # histogram rank-locate (operators/rank_select.py) — the previous
@@ -1310,7 +1310,7 @@ registry.register(
     """
     WITH base AS (
       SELECT event_type AS cls,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       FROM events WHERE event_type IN ('purchase', 'click')
     ),
     ranked AS (
@@ -1356,7 +1356,7 @@ def q_overlap_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     per_v = (
         ev.select(
             cents.alias("v"),
@@ -1395,7 +1395,7 @@ registry.register(
     q_overlap_coefficient,
     """
     WITH per_v AS (
-      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      SELECT CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS na_v,
              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nb_v
       FROM events WHERE event_type IN ('purchase', 'click')
@@ -1608,7 +1608,7 @@ def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user float residual is ever summed: Σ(x−Ry)² =
     Σx² − 2RΣxy + R²Σy², one shared expression."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     per_user = ev.groupBy("user_id").agg(
         F.sum(
             F.when(F.col("event_type") == "purchase", cents).otherwise(0)
@@ -1643,7 +1643,7 @@ registry.register(
     WITH per_user AS (
       SELECT user_id,
              SUM(CASE WHEN event_type = 'purchase'
-                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      THEN CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                                 AS BIGINT)
                       ELSE 0 END) AS x,
              COUNT(*) AS y
@@ -1886,7 +1886,7 @@ def q_mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     base = ev.select(
         cents.alias("v"),
         (F.col("event_type") == "purchase").alias("is_pos"),
@@ -1939,7 +1939,7 @@ registry.register(
     q_mcc_score,
     """
     WITH base AS (
-      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      SELECT CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              event_type = 'purchase' AS is_pos
       FROM events WHERE event_type IN ('purchase', 'click')
     ),
@@ -2197,7 +2197,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderpriority"
     )
     bal_bucket = F.expr(
-        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
+        "CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
     )
     base = cust.select(
         "c_custkey",
@@ -2241,7 +2241,7 @@ registry.register(
     """
     WITH base AS (
       SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
-             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             CAST(CAST(FLOOR(c.c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                // 10000 AS bal100,
              COALESCE(o.o_orderpriority, '<none>') AS s
       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2416,7 +2416,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         F.expr(
-            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents"),
     )
     calib = orders.filter(F.col("o_orderkey") % 5 < 2)
@@ -2475,7 +2475,7 @@ registry.register(
     """
     WITH o AS (
       SELECT o_orderkey, o_orderpriority,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS cents
       FROM orders
     ),
@@ -2891,7 +2891,7 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.expr(
-            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            "CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)"
             " DIV 100000"
         ).alias("bucket"),
     )
@@ -2963,7 +2963,7 @@ registry.register(
     q_decision_stump,
     """
     WITH labeled AS (
-      SELECT CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      SELECT CAST(CAST(FLOOR(c.c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                // 100000 AS bucket,
              CASE WHEN EXISTS (
                SELECT 1 FROM orders o
@@ -3209,7 +3209,7 @@ def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     truth = F.col("event_type") == F.lit("purchase")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     pred_a = cents >= F.lit(3500)
     pred_b = F.hour("ts") >= F.lit(12)
     a_ok = (pred_a == truth).cast("long")
@@ -3249,7 +3249,7 @@ registry.register(
              SUM((1 - a_ok) * b_ok) AS c_cell
       FROM (
         SELECT
-          CASE WHEN (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+          CASE WHEN (CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                      >= 3500) = (event_type = 'purchase')
                THEN 1 ELSE 0 END AS a_ok,
           CASE WHEN (HOUR(ts) >= 12) = (event_type = 'purchase')
@@ -3436,7 +3436,7 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             F.least(
                 F.expr(
-                    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                    "CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)"
                     " DIV 500"
                 ),
                 F.lit(19),
@@ -3504,7 +3504,7 @@ registry.register(
     q_isotonic_calibration,
     """
     WITH bins AS (
-      SELECT LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      SELECT LEAST(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                    // 500, 19) AS b,
              COUNT(*) AS n,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
@@ -3562,7 +3562,7 @@ def q_pr_curve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     per_v = ev.groupBy(cents.alias("v")).agg(
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -3599,7 +3599,7 @@ registry.register(
     q_pr_curve_sweep,
     """
     WITH per_v AS (
-      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      SELECT CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS pos,
              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS neg

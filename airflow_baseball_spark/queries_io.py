@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import dec_portable
 from airflow_baseball_spark.io import readers, writers
 from airflow_baseball_spark.schemas import load_table
 
@@ -39,7 +40,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = readers.read_csv(spark, out, _CSV_BACK_SCHEMA)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.sum(dec_portable("o_totalprice", 18, 2)).cast("double").alias("total_price"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
@@ -51,7 +52,7 @@ registry.register(
     """
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
            MIN(o_orderkey) AS min_key,
            MAX(o_orderkey) AS max_key
     FROM orders GROUP BY o_orderstatus
@@ -76,7 +77,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = readers.read_json(spark, out, schema)
     return back.groupBy("c_nationkey").agg(
         F.count("*").alias("n_cust"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
+        F.sum(dec_portable("c_acctbal", 18, 2)).cast("double").alias("acctbal_sum"),
     )
 
 
@@ -86,7 +87,7 @@ registry.register(
     """
     SELECT c_nationkey,
            COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
     FROM customer GROUP BY c_nationkey
     """,
 )
@@ -104,7 +105,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("s_nationkey").agg(
         F.count("*").alias("n_supp"),
-        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
+        F.sum(dec_portable("s_acctbal", 18, 2)).cast("double").alias("acctbal_sum"),
         F.min("s_suppkey").alias("min_key"),
         F.max("s_suppkey").alias("max_key"),
     )
@@ -116,7 +117,7 @@ registry.register(
     """
     SELECT s_nationkey,
            COUNT(*) AS n_supp,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+           CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
            MIN(s_suppkey) AS min_key,
            MAX(s_suppkey) AS max_key
     FROM supplier GROUP BY s_nationkey
@@ -161,7 +162,7 @@ def q_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(tgt)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("double")
         .alias("total"),
     )
@@ -181,7 +182,7 @@ registry.register(
       FROM orders
     )
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -218,7 +219,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("double")
         .alias("total_price"),
     )
@@ -231,7 +232,7 @@ registry.register(
     SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
                 ELSE o_orderpriority END AS priority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE)
              AS total_price
     FROM orders GROUP BY 1
     """,

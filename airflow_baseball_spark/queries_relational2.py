@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
-from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.functions.scalar import dec_portable, round6_portable
 from airflow_baseball_spark.schemas import load_table
 
 _r6 = round6_portable
@@ -139,14 +139,14 @@ def q_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double quotient while DuckDB's CAST rounds — `//`-semantics on
     # both sides keeps the bin key integer-exact
     qbin = F.floor(
-        F.col("l_quantity").cast("decimal(4,0)").cast("long") / F.lit(5)
+        dec_portable("l_quantity", 4, 0).cast("long") / F.lit(5)
     ).cast("long")
-    dbin = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    dbin = (dec_portable("l_discount", 4, 2) * 100).cast("long")
     return (
         li.select(
             qbin.alias("qty_bin"),
             dbin.alias("disc_cents"),
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+            dec_portable("l_extendedprice", 18, 2).alias("p"),
         )
         .groupBy("qty_bin", "disc_cents")
         .agg(
@@ -160,12 +160,12 @@ registry.register(
     "heatmap_bins",
     q_heatmap_bins,
     """
-    SELECT CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT) // 5
+    SELECT CAST(CAST(FLOOR(l_quantity + 0.5) AS DECIMAL(4,0)) AS BIGINT) // 5
              AS qty_bin,
-           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+           CAST(CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(4,2)) * 100 AS BIGINT)
              AS disc_cents,
            COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                      AS DECIMAL(28,2)) AS DOUBLE) AS revenue
     FROM lineitem
     GROUP BY 1, 2
@@ -188,7 +188,7 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     autocorr)."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("decimal(18,2)")
         .alias("y")
     )
@@ -222,7 +222,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT o_orderdate AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS y,
              date_diff('day', DATE '1992-01-01', o_orderdate) AS x
       FROM orders GROUP BY o_orderdate
@@ -369,7 +369,7 @@ def q_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
-    q = F.col("l_quantity").cast("decimal(18,2)")
+    q = dec_portable("l_quantity", 18, 2)
     a = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -401,7 +401,7 @@ registry.register(
     """
     WITH a AS (
       SELECT n.n_name AS i, p.p_brand AS j,
-             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS a_ij
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
@@ -412,7 +412,7 @@ registry.register(
     ),
     b AS (
       SELECT p.p_brand AS j, l.l_returnflag AS k,
-             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS b_jk
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1, 2
@@ -511,7 +511,7 @@ def q_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     yr = F.year(F.col("l_shipdate"))
-    rev = F.col("l_extendedprice").cast("decimal(18,2)")
+    rev = dec_portable("l_extendedprice", 18, 2)
     per_brand = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
@@ -539,10 +539,10 @@ registry.register(
     WITH per_brand AS (
       SELECT p.p_brand,
              CAST(SUM(CASE WHEN year(l.l_shipdate) = 1997
-                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                      THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                   AS DECIMAL(28,2)) AS r97,
              CAST(SUM(CASE WHEN year(l.l_shipdate) = 1998
-                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                      THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                   AS DECIMAL(28,2)) AS r98
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_brand
@@ -627,7 +627,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            F.sum(dec_portable("l_extendedprice", 18, 2))
             .cast("decimal(28,2)")
             .alias("rev")
         )
@@ -658,7 +658,7 @@ registry.register(
     """
     WITH rev AS (
       SELECT p.p_brand,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(28,2)) AS rev
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_brand
@@ -771,7 +771,7 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum(dec_portable("o_totalprice", 18, 2))
             .cast("decimal(28,2)")
             .alias("rev")
         )
@@ -805,7 +805,7 @@ registry.register(
              + month(DATE '1970-01-01'
                      + CAST(epoch_us(o.o_orderdate) // 86400000000
                             AS INTEGER)) AS ym,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(28,2)) AS rev
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
@@ -1248,7 +1248,7 @@ def q_range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned range sort (documented safe, as autocorr)."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("decimal(18,2)")
         .alias("rev")
     )
@@ -1272,7 +1272,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS rev,
              date_diff('day', DATE '1992-01-01',
                        CAST(o_orderdate AS DATE)) AS di
@@ -1310,7 +1310,7 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", types)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(dec_portable("value", 18, 2))
             .cast("decimal(28,2)")
             .cast("double")
             .alias("v"),
@@ -1330,15 +1330,15 @@ registry.register(
     SELECT user_id % 10 AS user_bucket,
            COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
            CAST(CAST(SUM(CASE WHEN event_type = 'click'
-                    THEN CAST(value AS DECIMAL(18,2)) END)
+                    THEN CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                 AS DECIMAL(28,2)) AS DOUBLE) AS click_v,
            COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
            CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
-                    THEN CAST(value AS DECIMAL(18,2)) END)
+                    THEN CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                 AS DECIMAL(28,2)) AS DOUBLE) AS purchase_v,
            COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
            CAST(CAST(SUM(CASE WHEN event_type = 'view'
-                    THEN CAST(value AS DECIMAL(18,2)) END)
+                    THEN CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                 AS DECIMAL(28,2)) AS DOUBLE) AS view_v
     FROM events
     WHERE event_type IN ('click', 'purchase', 'view')
@@ -1368,7 +1368,7 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_baseball_spark.operators.rank_select import with_global_rank
 
     spend = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("decimal(18,2)")
         .alias("x")
     )
@@ -1400,7 +1400,7 @@ registry.register(
     """
     WITH spend AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS x
       FROM orders GROUP BY o_custkey
     ),
@@ -1436,7 +1436,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            F.sum(dec_portable("l_extendedprice", 18, 2))
             .cast("decimal(28,2)")
             .alias("r")
         )
@@ -1463,7 +1463,7 @@ registry.register(
     """
     WITH rev AS (
       SELECT p.p_brand,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(28,2)) AS r
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_brand
@@ -1500,7 +1500,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_baseball_spark.operators.rank_select import with_global_rank
 
     spend = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("decimal(18,2)")
         .alias("x")
     )
@@ -1545,7 +1545,7 @@ registry.register(
     """
     WITH spend AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS x
       FROM orders GROUP BY o_custkey
     ),
@@ -1578,7 +1578,7 @@ def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned lag/lead window over the days-sized aggregate."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("decimal(18,2)")
         .alias("v")
     )
@@ -1606,7 +1606,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT o_orderdate AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY o_orderdate
     ),
@@ -1657,7 +1657,7 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     yr = F.year(F.col("l_shipdate"))
-    rev = F.col("l_extendedprice").cast("decimal(18,2)")
+    rev = dec_portable("l_extendedprice", 18, 2)
     per_brand = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
@@ -1703,10 +1703,10 @@ registry.register(
     WITH per_brand AS (
       SELECT p.p_brand,
              CAST(SUM(CASE WHEN year(l.l_shipdate) = 1997
-                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                      THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                   AS DECIMAL(28,2)) AS r97,
              CAST(SUM(CASE WHEN year(l.l_shipdate) = 1998
-                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                      THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                   AS DECIMAL(28,2)) AS r98
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_brand
@@ -1749,8 +1749,8 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the only shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     yr = F.year(F.col("l_shipdate"))
-    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-    qty = F.col("l_quantity").cast("decimal(4,0)").cast("long")
+    cents = (dec_portable("l_extendedprice", 18, 2) * 100).cast("long")
+    qty = dec_portable("l_quantity", 4, 0).cast("long")
     per_part = (
         li.filter(yr.isin(1997, 1998))
         .groupBy("l_partkey")
@@ -1793,16 +1793,16 @@ registry.register(
     WITH per_part AS (
       SELECT l_partkey,
              SUM(CASE WHEN year(l_shipdate) = 1997
-                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                 THEN CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                            AS BIGINT) END) AS c0,
              SUM(CASE WHEN year(l_shipdate) = 1997
-                 THEN CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT)
+                 THEN CAST(CAST(FLOOR(l_quantity + 0.5) AS DECIMAL(4,0)) AS BIGINT)
                  END) AS q0,
              SUM(CASE WHEN year(l_shipdate) = 1998
-                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                 THEN CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                            AS BIGINT) END) AS c1,
              SUM(CASE WHEN year(l_shipdate) = 1998
-                 THEN CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT)
+                 THEN CAST(CAST(FLOOR(l_quantity + 0.5) AS DECIMAL(4,0)) AS BIGINT)
                  END) AS q1
       FROM lineitem
       WHERE year(l_shipdate) IN (1997, 1998)
@@ -2156,7 +2156,7 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic; credit = value·w/Σw divides exact integers per pair
     and re-quantizes to micro-cents before the channel rollup."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("pid"),
@@ -2214,7 +2214,7 @@ registry.register(
     """
     WITH p AS (
       SELECT user_id, event_id AS pid, epoch_us(ts) AS pt,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS pv
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS pv
       FROM events WHERE event_type = 'purchase'
     ),
     t AS (
@@ -2260,7 +2260,7 @@ def q_hysteresis_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rising edges. Threshold comparisons are integer cross-products
     (10·v·n vs 12·Σv), so membership can't flip on a ulp."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.sum(cents).alias("v")
     )
@@ -2314,7 +2314,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       FROM events GROUP BY 1, 2
     ),
     staged AS (
@@ -2359,38 +2359,42 @@ registry.register(
 def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The finance bridge over lineitem: gross (extended price),
     discount given, net, tax collected, billed — per return flag, so
-    the returns column reconciles too. Pure decimal arithmetic end to
-    end (the TPC-H revenue expression decomposed instead of
-    collapsed); one combinable aggregate, no floats until the
-    `_r6`-bounded report."""
+    the returns column reconciles too.
+
+    r8 rebuild: EXACT INTEGER UNITS end to end — cents (price ×100)
+    and basis points (discount/tax ×10⁴) via the house floor
+    quantization, per-row integer products summed as DECIMAL(38,0)
+    (exact at any sf; a BIGINT sum of the ×10¹⁰-scaled tax terms would
+    overflow past sf1). The previous decimal-arithmetic form computed
+    ep(18,2)·(1−disc)(18,4)·tax(18,4), whose 10-decimal product
+    overflows precision 38 and forces an engine-specific
+    scale-reduction ROUNDING inside the multiply — Spark (HALF_UP) and
+    DuckDB disagreed by 1e-6 per tie row on tie-carrying generations
+    (caught by the driverish vintage). Integer products have no
+    rounding anywhere; the only floats are the final `_r6`-bounded
+    report divisions, identical IEEE on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    ep = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,4)")
-    tax = F.col("l_tax").cast("decimal(18,4)")
+    c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    d = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    t = F.floor(F.col("l_tax") * 10000 + F.lit(0.5)).cast("long")
+    dec38 = "decimal(38,0)"
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),
-        F.sum(ep).cast("decimal(38,2)").alias("gross"),
-        F.sum((ep * disc).cast("decimal(38,6)"))
-        .cast("decimal(38,6)")
-        .alias("discount_given"),
-        F.sum((ep * (1 - disc)).cast("decimal(38,6)"))
-        .cast("decimal(38,6)")
-        .alias("net"),
-        F.sum((ep * (1 - disc) * tax).cast("decimal(38,6)"))
-        .cast("decimal(38,6)")
-        .alias("tax_collected"),
+        F.sum(c.cast(dec38)).alias("gross_c"),
+        F.sum((c * d).cast(dec38)).alias("disc_s6"),
+        F.sum((c * (10000 - d)).cast(dec38)).alias("net_s6"),
+        F.sum(((c * (10000 - d)) * t).cast(dec38)).alias("tax_s10"),
     )
     return agg.select(
         "l_returnflag",
         F.col("n_lines").cast("long").alias("n_lines"),
-        F.col("gross").cast("double").alias("gross"),
-        _r6(F.col("discount_given").cast("double")).alias(
-            "discount_given"
-        ),
-        _r6(F.col("net").cast("double")).alias("net"),
-        _r6(F.col("tax_collected").cast("double")).alias("tax_collected"),
+        _r6(F.col("gross_c").cast("double") / 100.0).alias("gross"),
+        _r6(F.col("disc_s6").cast("double") / 1e6).alias("discount_given"),
+        _r6(F.col("net_s6").cast("double") / 1e6).alias("net"),
+        _r6(F.col("tax_s10").cast("double") / 1e10).alias("tax_collected"),
         _r6(
-            (F.col("net") + F.col("tax_collected")).cast("double")
+            (F.col("net_s6") * 10000 + F.col("tax_s10")).cast("double")
+            / 1e10
         ).alias("billed"),
     )
 
@@ -2399,42 +2403,35 @@ registry.register(
     "revenue_waterfall",
     q_revenue_waterfall,
     """
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS d,
+             CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS t
+      FROM lineitem
+    ),
+    a AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_lines,
+             SUM(c) AS gross_c,
+             SUM(c * d) AS disc_s6,
+             SUM(c * (10000 - d)) AS net_s6,
+             SUM((c * (10000 - d)) * t) AS tax_s10
+      FROM b GROUP BY 1
+    )
     SELECT l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                     AS DECIMAL(38,2)) AS DOUBLE) AS gross,
-           FLOOR(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                                    * CAST(l_discount AS DECIMAL(18,4))
-                                    AS DECIMAL(38,6)))
-                           AS DECIMAL(38,6)) AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS discount_given,
-           FLOOR(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                                    * (1 - CAST(l_discount
-                                               AS DECIMAL(18,4)))
-                                    AS DECIMAL(38,6)))
-                           AS DECIMAL(38,6)) AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS net,
-           FLOOR(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                                    * (1 - CAST(l_discount
-                                               AS DECIMAL(18,4)))
-                                    * CAST(l_tax AS DECIMAL(18,4))
-                                    AS DECIMAL(38,6)))
-                           AS DECIMAL(38,6)) AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS tax_collected,
-           FLOOR(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                                    * (1 - CAST(l_discount
-                                               AS DECIMAL(18,4)))
-                                    AS DECIMAL(38,6)))
-                           AS DECIMAL(38,6))
-                      + CAST(SUM(CAST(CAST(l_extendedprice
-                                           AS DECIMAL(18,2))
-                                      * (1 - CAST(l_discount
-                                                 AS DECIMAL(18,4)))
-                                      * CAST(l_tax AS DECIMAL(18,4))
-                                      AS DECIMAL(38,6)))
-                             AS DECIMAL(38,6)) AS DOUBLE)
+           CAST(n_lines AS BIGINT) AS n_lines,
+           FLOOR(CAST(gross_c AS DOUBLE) / 100.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS gross,
+           FLOOR(CAST(disc_s6 AS DOUBLE) / 1e6 * 1000000.0 + 0.5)
+             / 1000000.0 AS discount_given,
+           FLOOR(CAST(net_s6 AS DOUBLE) / 1e6 * 1000000.0 + 0.5)
+             / 1000000.0 AS net,
+           FLOOR(CAST(tax_s10 AS DOUBLE) / 1e10 * 1000000.0 + 0.5)
+             / 1000000.0 AS tax_collected,
+           FLOOR(CAST(net_s6 * 10000 + tax_s10 AS DOUBLE) / 1e10
                  * 1000000.0 + 0.5) / 1000000.0 AS billed
-    FROM lineitem GROUP BY 1
+    FROM a
     """,
 )
 
@@ -2454,7 +2451,7 @@ def q_double_charge_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     base = ev.select(
         "user_id", cents.alias("v"), F.unix_micros("ts").alias("us")
     )
@@ -2482,7 +2479,7 @@ registry.register(
     """
     WITH base AS (
       SELECT user_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              epoch_us(ts) AS us
       FROM events WHERE event_type = 'purchase'
     ),
@@ -2597,7 +2594,7 @@ def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_baseball_spark.operators.rank_select import rank_pick
 
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     base = ev.select(F.to_date("ts").alias("d"), cents.alias("v"))
     picked = rank_pick(
         base,
@@ -2629,9 +2626,9 @@ registry.register(
     """
     WITH ranked AS (
       SELECT CAST(ts AS DATE) AS d,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
-                                ORDER BY CAST(CAST(value AS DECIMAL(18,2))
+                                ORDER BY CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))
                                               * 100 AS BIGINT)) AS rn,
              COUNT(*) OVER (PARTITION BY CAST(ts AS DATE)) AS n
       FROM events
@@ -2670,8 +2667,8 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.select(
         F.col("l_partkey").alias("k"),
         (
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (1 - F.col("l_discount").cast("decimal(18,4)"))
+            dec_portable("l_extendedprice", 18, 2)
+            * (1 - dec_portable("l_discount", 18, 4))
         )
         .cast("decimal(38,6)")
         .alias("r"),
@@ -2703,8 +2700,8 @@ registry.register(
     """
     WITH rev AS (
       SELECT l_partkey AS k,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                  * (1 - CAST(FLOOR(l_discount * 10000 + 0.5) / 10000 AS DECIMAL(18,4)))
                   AS DECIMAL(38,6)) AS r
       FROM lineitem
     ),
@@ -2857,7 +2854,7 @@ def q_asof_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     data itself, so the query is deterministic at any sf."""
     orders = load_table(spark, sf_dir, "orders")
     ed = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     base = orders.select(
         ed.alias("d"), F.col("o_orderstatus").alias("st"), cents.alias("v")
     )
@@ -2901,7 +2898,7 @@ registry.register(
       SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                AS d,
              o_orderstatus AS st,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       FROM orders
     ),
     bounds AS (
@@ -3112,7 +3109,7 @@ def q_fd_bin_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; width and suggested bin count are `_r6`-bounded
     doubles derived from those exact parts."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     base = orders.select(cents.alias("v"))
     # r7 (r6 verdict item #4): the IQR ranks come from the two-pass
     # histogram rank-locate (operators/rank_select.py) — pass 2 sorts
@@ -3156,7 +3153,7 @@ registry.register(
       SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
              COUNT(*) OVER () AS n,
              MIN(v) OVER () AS vmin, MAX(v) OVER () AS vmax
-      FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      FROM (SELECT CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                         AS BIGINT) AS v FROM orders)
     ),
     agg AS (
@@ -3198,7 +3195,7 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decomposition reconciles to ΔR by construction."""
     orders = load_table(spark, sf_dir, "orders")
     ed = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     base = orders.select(
         F.col("o_orderstatus").alias("st"), cents.alias("v"), ed.alias("d")
     )
@@ -3243,7 +3240,7 @@ registry.register(
     """
     WITH base AS (
       SELECT o_orderstatus AS st,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                AS d
       FROM orders
@@ -3402,7 +3399,7 @@ def q_two_pass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle computes the same value by plain rank, proving
     the two-pass refinement is lossless."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+    cents = (dec_portable("l_extendedprice", 18, 2) * 100).cast(
         "long"
     )
     base = li.select(cents.alias("v"))
@@ -3458,7 +3455,7 @@ registry.register(
     q_two_pass_median,
     """
     WITH base AS (
-      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      SELECT CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS v
       FROM lineitem
     ),
@@ -3487,7 +3484,7 @@ def q_cell_median_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     each cell's exact lower median comes from a cell-keyed rank —
     28 parallel cell sorts, none global."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     day = F.expr("CAST(unix_micros(ts) div 86400000000 AS LONG)")
     base = ev.select(
         (day % 7).alias("dow"),
@@ -3523,7 +3520,7 @@ registry.register(
     WITH base AS (
       SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
              (epoch_us(ts) // 21600000000) % 4 AS h6,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       FROM events
     ),
     ranked AS (
@@ -3621,8 +3618,8 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the 10 highest-volume brands."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = dec_portable("l_quantity", 18, 2)
+    price = dec_portable("l_extendedprice", 18, 2)
     base = li.join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     ).select(
@@ -3664,10 +3661,10 @@ registry.register(
     """
     WITH base AS (
       SELECT p.p_brand,
-             CAST(FLOOR(LN(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                                / CAST(l.l_quantity AS DECIMAL(18,2))
+             CAST(FLOOR(LN(CAST(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                                / CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))
                                 AS DOUBLE)) * 1e9) AS BIGINT) AS x9,
-             CAST(FLOOR(LN(CAST(CAST(l.l_quantity AS DECIMAL(18,2))
+             CAST(FLOOR(LN(CAST(CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))
                                 AS DOUBLE)) * 1e9) AS BIGINT) AS y9
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
@@ -3705,7 +3702,7 @@ def q_price_ending_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     both a pricing-strategy read and a synthetic-data fingerprint.
     One integer mod, one combinable aggregate."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     ending = cents % 100
     bucket = (
         F.when(ending == 0, "00")
@@ -3732,11 +3729,11 @@ registry.register(
     q_price_ending_profile,
     """
     WITH agg AS (
-      SELECT CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      SELECT CASE WHEN CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                             AS BIGINT) % 100 = 0 THEN '00'
-                  WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  WHEN CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                             AS BIGINT) % 100 = 99 THEN '99'
-                  WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  WHEN CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                             AS BIGINT) % 100 = 50 THEN '50'
                   ELSE 'other' END AS ending,
              COUNT(*) AS n
@@ -3780,7 +3777,7 @@ def q_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket SSE/mean. Scale: one combinable fact pass to 64 cells;
     the DP is resolution-bounded."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast(
         "long"
     )
     vals = orders.select(cents.alias("x"))
@@ -3949,7 +3946,7 @@ def _vopt_sql() -> str:
     stage_sql = ",\n    ".join(stages)
     return f"""
     WITH vals AS (
-      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      SELECT CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS x
       FROM orders
     ),
@@ -4693,7 +4690,7 @@ def q_semi_additive_month_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = F.to_date("ts")
     ym = (F.year(d) * 100 + F.month(d)).alias("ym")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     base = ev.select("user_id", ym, cents.alias("v"), "ts", "event_id")
     w = Window.partitionBy("user_id", "ym").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -4715,7 +4712,7 @@ registry.register(
     WITH base AS (
       SELECT user_id,
              year(CAST(ts AS DATE)) * 100 + month(CAST(ts AS DATE)) AS ym,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              ROW_NUMBER() OVER (
                PARTITION BY user_id,
                             year(CAST(ts AS DATE)) * 100

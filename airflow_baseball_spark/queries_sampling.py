@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import dec_portable
 from airflow_baseball_spark.functions.scalar import round6_portable as _r6
 from airflow_baseball_spark.operators.sampling import (
     hash_sample,
@@ -241,7 +242,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted replicate means (B-sized sort); means are exact integer
     Σw·cents / Σw."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("v"))
     rep = base.select(
         "k",
@@ -341,7 +342,7 @@ def _bootstrap_sql() -> str:
     return f"""
     WITH base AS (
       SELECT o_orderkey AS k,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       FROM orders
     ),
     rep AS (
@@ -426,7 +427,7 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     u = hash_unit(F.col("o_orderkey"), seed="aes")
     base = orders.select(
         F.col("c_mktsegment").alias("seg"),
@@ -458,10 +459,10 @@ def _weighted_reservoir_sql() -> str:
     return f"""
     WITH base AS (
       SELECT c.c_mktsegment AS seg, o.o_orderkey AS k,
-             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             CAST(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS w,
              LN({u})
-               / CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+               / CAST(CAST(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                            AS BIGINT) AS DOUBLE) AS score
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     )
@@ -800,7 +801,7 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     after is stratum-count-sized."""
     budget = 10000
     orders = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast(
         "long"
     )
     g = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
@@ -870,11 +871,11 @@ def _neyman_sql() -> str:
     return f"""
     WITH g AS (
       SELECT o_orderpriority AS stratum, COUNT(*) AS nh,
-             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                       AS BIGINT)) AS sh,
-             SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             SUM(CAST(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                            AS BIGINT) AS HUGEINT)
-                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 * CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                         AS BIGINT)) AS qh
       FROM orders GROUP BY 1
     ),
@@ -962,7 +963,7 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     base = ev.select(
         F.col("event_id").alias("k"),
         (F.col("event_type") == "purchase").cast("long").alias("g"),
@@ -1044,7 +1045,7 @@ registry.register(
     WITH base AS (
       SELECT event_id AS k,
              CAST(event_type = 'purchase' AS BIGINT) AS g,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       FROM events WHERE event_type IN ('purchase', 'click')
     ),
     tot AS (

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
-from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.functions.scalar import dec_portable, round6_portable
 from airflow_baseball_spark.schemas import load_table
 
 _r6 = round6_portable
@@ -43,7 +43,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition count — what you want when the same profile job runs on
     32 and 10,000 cores."""
     li = load_table(spark, sf_dir, "lineitem")
-    d = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    d = {c: dec_portable(c) for c in _CORR_COLS}
     aggs = [F.count("*").alias("n")]
     for c in _CORR_COLS:
         aggs.append(F.sum(d[c]).alias(f"s_{c}"))
@@ -83,13 +83,15 @@ def _corr_oracle() -> str:
     cols = _CORR_COLS
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     sums = ",\n             ".join(
-        f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c},\n             "
-        f"SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2)) "
+        f"SUM(CAST(FLOOR({c} * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS s_{c},\n             "
+        f"SUM(CAST(CAST(FLOOR({c} * 100 + 0.5) / 100 AS DECIMAL(18,2)) "
+        f"* CAST(FLOOR({c} * 100 + 0.5) / 100 AS DECIMAL(18,2)) "
         f"AS DECIMAL(38,4))) AS ss_{c}"
         for c in cols
     )
     sps = ",\n             ".join(
-        f"SUM(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)) "
+        f"SUM(CAST(CAST(FLOOR({a} * 100 + 0.5) / 100 AS DECIMAL(18,2)) "
+        f"* CAST(FLOOR({b} * 100 + 0.5) / 100 AS DECIMAL(18,2)) "
         f"AS DECIMAL(38,4))) AS sp_{a}_{b}"
         for a, b in pairs
     )
@@ -193,7 +195,7 @@ def q_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The agg+broadcast-join form keeps scoring embarrassingly
     parallel."""
     ev = load_table(spark, sf_dir, "events")
-    x = F.col("value").cast("decimal(12,4)")
+    x = dec_portable("value", 12, 4)
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(x).alias("sx"),
@@ -207,7 +209,7 @@ def q_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx / n).alias("g_mean"),
         F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("g_std"),
     )
-    z = (F.col("value").cast("decimal(12,4)").cast("double") - F.col("g_mean")) / F.col(
+    z = (dec_portable("value", 12, 4).cast("double") - F.col("g_mean")) / F.col(
         "g_std"
     )
     return (
@@ -224,8 +226,8 @@ registry.register(
     """
     WITH stats AS (
       SELECT event_type AS g_type, COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(12,4))) AS sx,
-             SUM(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))
+             SUM(CAST(FLOOR(value * 10000 + 0.5) / 10000 AS DECIMAL(12,4))) AS sx,
+             SUM(CAST(CAST(FLOOR(value * 10000 + 0.5) / 10000 AS DECIMAL(12,4)) * CAST(FLOOR(value * 10000 + 0.5) / 10000 AS DECIMAL(12,4))
                  AS DECIMAL(38,8))) AS sxx
       FROM events GROUP BY 1
     ),
@@ -238,10 +240,10 @@ registry.register(
       FROM stats
     )
     SELECT e.event_id, e.event_type,
-           FLOOR((CAST(CAST(e.value AS DECIMAL(12,4)) AS DOUBLE) - g.g_mean)
+           FLOOR((CAST(CAST(FLOOR(e.value * 10000 + 0.5) / 10000 AS DECIMAL(12,4)) AS DOUBLE) - g.g_mean)
                  / g.g_std * 1000000.0 + 0.5) / 1000000.0 AS zscore
     FROM events e JOIN g ON e.event_type = g.g_type
-    WHERE ABS((CAST(CAST(e.value AS DECIMAL(12,4)) AS DOUBLE) - g.g_mean)
+    WHERE ABS((CAST(CAST(FLOOR(e.value * 10000 + 0.5) / 10000 AS DECIMAL(12,4)) AS DOUBLE) - g.g_mean)
               / g.g_std) > 2.5
     """,
 )
@@ -573,7 +575,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    d = F.col("value").cast("decimal(18,2)")
+    d = dec_portable("value", 18, 2)
     is_a = F.col("event_type") == "purchase"
     stats = ev.agg(
         F.count(F.when(is_a, 1)).alias("n1"),
@@ -613,17 +615,17 @@ registry.register(
       SELECT
         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
         SUM(CASE WHEN event_type = 'purchase'
-                 THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+                 THEN CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) END) AS s1,
         SUM(CASE WHEN event_type = 'purchase'
-                 THEN CAST(CAST(value AS DECIMAL(18,2)) *
-                           CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))
+                 THEN CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) *
+                           CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS DECIMAL(38,4))
             END) AS ss1,
         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n2,
         SUM(CASE WHEN event_type = 'click'
-                 THEN CAST(value AS DECIMAL(18,2)) END) AS s2,
+                 THEN CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) END) AS s2,
         SUM(CASE WHEN event_type = 'click'
-                 THEN CAST(CAST(value AS DECIMAL(18,2)) *
-                           CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))
+                 THEN CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) *
+                           CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS DECIMAL(38,4))
             END) AS ss2
       FROM events WHERE event_type IN ('purchase', 'click')
     ),
@@ -670,7 +672,7 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compare the same constants; one digit-keyed 9-row
     aggregate does the rest."""
     o = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = (
         o.select(digit.alias("digit"))
@@ -706,7 +708,7 @@ def _benford_sql() -> str:
     )
     return f"""
     WITH counts AS (
-      SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      SELECT CAST(SUBSTRING(CAST(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
                                   * 100 AS BIGINT) AS VARCHAR), 1, 1)
                   AS INTEGER) AS digit,
              COUNT(*) AS n
@@ -748,7 +750,7 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum(dec_portable("o_totalprice", 18, 2))
             .cast("decimal(28,2)")
             .alias("rev")
         )
@@ -776,7 +778,7 @@ registry.register(
     """
     WITH rev AS (
       SELECT r.r_name, n.n_name,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(28,2)) AS rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -806,7 +808,7 @@ def q_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is the final two divisions."""
     ev = load_table(spark, sf_dir, "events")
     x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
-    y = F.col("value").cast("decimal(18,2)")
+    y = dec_portable("value", 18, 2)
     stats = ev.select(
         "event_type", x.alias("x"), y.alias("y")
     ).groupBy("event_type").agg(
@@ -843,8 +845,8 @@ registry.register(
                            CAST(date_trunc('day', ts) AS DATE)) *
                  date_diff('day', DATE '2024-01-01',
                            CAST(date_trunc('day', ts) AS DATE))) AS sxx,
-             SUM(CAST(value AS DECIMAL(18,2))) AS sy,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+             SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) *
                       date_diff('day', DATE '2024-01-01',
                                 CAST(date_trunc('day', ts) AS DATE))
                       AS DECIMAL(38,4))) AS sxy
@@ -883,7 +885,7 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     per_v = ev.select(
         cents.alias("v"), (F.col("event_type") == "purchase").alias("is_a")
     ).groupBy("v").agg(
@@ -928,7 +930,7 @@ registry.register(
     q_ks_statistic,
     """
     WITH per_v AS (
-      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      SELECT CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS na_v,
              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nb_v
       FROM events WHERE event_type IN ('purchase', 'click')
@@ -978,7 +980,7 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-term sum — order-invariant."""
     k = 200
     orders = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     top = orders.select(cents.alias("v")).orderBy(F.col("v").desc()).limit(
         k + 1
     )
@@ -1012,7 +1014,7 @@ registry.register(
     q_hill_tail_index,
     """
     WITH top AS (
-      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      SELECT CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       FROM orders ORDER BY v DESC LIMIT 201
     ),
     ranked AS (
@@ -1111,7 +1113,7 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from exact integer-cent sufficient sums through one shared
     expression — the corr_matrix convention, per lag."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(F.to_date("ts").alias("d"), "event_type")
@@ -1157,7 +1159,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, event_type,
-             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             CAST(SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT))
                   AS BIGINT) AS v
       FROM events WHERE event_type IN ('click', 'purchase')
       GROUP BY 1, 2
@@ -1285,7 +1287,7 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-term combination sums are group-count-sized."""
     ev = load_table(spark, sf_dir, "events")
     epoch_day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = ev.groupBy(epoch_day.alias("d")).agg(
         F.sum(cents).alias("v")
     )
@@ -1334,7 +1336,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       FROM events GROUP BY 1
     ),
     groups AS (
@@ -1386,7 +1388,7 @@ def q_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only sums of doubles are over ≤35 cells (`_r6`)."""
     ev = load_table(spark, sf_dir, "events")
     epoch_day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     cells = ev.groupBy(
         (epoch_day % 7).alias("a"), F.col("event_type").alias("b")
     ).agg(
@@ -1446,9 +1448,9 @@ registry.register(
       SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS a,
              event_type AS b,
              COUNT(*) AS ng,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sg,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sg,
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT))
                AS qg
       FROM events GROUP BY 1, 2
     ),
@@ -1514,7 +1516,7 @@ def q_cvm_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     per_v = (
         ev.select(
             cents.alias("v"),
@@ -1554,7 +1556,7 @@ registry.register(
     q_cvm_statistic,
     """
     WITH per_v AS (
-      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      SELECT CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS na_v,
              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nb_v
       FROM events WHERE event_type IN ('purchase', 'click')
@@ -1602,8 +1604,8 @@ def q_copula_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-cell count grid plus the uniform-expected count for
     reference. One fact pass, two rank sorts."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = dec_portable("l_quantity", 18, 2)
+    price = dec_portable("l_extendedprice", 18, 2)
     base = li.select(
         F.col("l_orderkey").alias("k"),
         F.col("l_linenumber").alias("ln"),
@@ -1640,9 +1642,9 @@ registry.register(
     """
     WITH base AS (
       SELECT l_orderkey AS k, l_linenumber AS ln,
-             CAST(l_quantity AS DECIMAL(18,2)) AS q,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                  / CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS u
+             CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS q,
+             CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                  / CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS u
       FROM lineitem
     ),
     ranked AS (
@@ -1676,7 +1678,7 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
     return o.groupBy(d.alias("d")).agg(
         (
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum(dec_portable("o_totalprice", 18, 2))
             * F.lit(100)
         )
         .cast("bigint")
@@ -1768,7 +1770,7 @@ def _theil_sen_sql() -> str:
     return f"""
     WITH daily AS (
       SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS v,
              COUNT(*) AS c
       FROM orders GROUP BY 1
@@ -1862,7 +1864,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS v,
              COUNT(*) AS c
       FROM orders GROUP BY 1
@@ -2040,7 +2042,7 @@ def q_emd_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr(
-            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 500"
+            "CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 500"
         ).alias("bin"),
     )
     ha = ev.filter(F.col("event_type") == "click").groupBy("bin").agg(
@@ -2095,7 +2097,7 @@ registry.register(
     """
     WITH ev AS (
       SELECT event_type,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 500
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) // 500
                AS bin
       FROM events
     ),
@@ -2234,7 +2236,7 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.groupBy("user_id").agg(
         F.expr(
             "CAST(SUM(CASE WHEN event_type = 'purchase' THEN"
-            " CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS"
+            " CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) ELSE CAST(0 AS"
             " DECIMAL(18,2)) END) * 100 AS BIGINT)"
         ).alias("v_cents")
     ).select(
@@ -2285,7 +2287,7 @@ registry.register(
     WITH users AS (
       SELECT user_id,
              CAST(SUM(CASE WHEN event_type = 'purchase' THEN
-                  CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS
+                  CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) ELSE CAST(0 AS
                   DECIMAL(18,2)) END) * 100 AS BIGINT) AS v_cents,
              CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
       FROM events GROUP BY user_id
@@ -2339,7 +2341,7 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts)").alias("tm"),
         F.expr(
             "CASE WHEN event_type = 'purchase' THEN"
-            " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)"
             " ELSE 0 END"
         ).alias("cents"),
     )
@@ -2390,7 +2392,7 @@ registry.register(
     WITH ev AS (
       SELECT user_id, epoch_us(ts) AS tm,
              CASE WHEN event_type = 'purchase' THEN
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
              ELSE 0 END AS cents
       FROM events
     ),
@@ -2447,7 +2449,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.groupBy("user_id").agg(
         F.expr(
             "CAST(SUM(CASE WHEN event_type = 'purchase' THEN"
-            " CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS"
+            " CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) ELSE CAST(0 AS"
             " DECIMAL(18,2)) END) * 100 AS BIGINT)"
         ).alias("v")
     ).select(
@@ -2504,7 +2506,7 @@ registry.register(
     """
     WITH users AS (
       SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN
-                  CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS
+                  CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) ELSE CAST(0 AS
                   DECIMAL(18,2)) END) * 100 AS BIGINT) AS v,
              CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
       FROM events GROUP BY user_id
@@ -2567,7 +2569,7 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
         F.expr("unix_micros(ts)").alias("tm"),
         F.expr(
-            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            "CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents"),
     )
     bounds = ev.agg(F.expr("(MIN(tm) + MAX(tm)) DIV 2").alias("mid"))
@@ -2621,7 +2623,7 @@ registry.register(
     WITH ev AS (
       SELECT CAST(user_id % 2 = 1 AS INT) AS treated,
              epoch_us(ts) AS tm,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
     ),
     bounds AS (SELECT (MIN(tm) + MAX(tm)) // 2 AS mid FROM ev),
@@ -2777,7 +2779,7 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table is touched twice, never re-shuffled on a skewed key.
     """
     orders = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     vals = orders.select(
         F.col("o_orderpriority").alias("grp"), cents.alias("x")
     )
@@ -2853,7 +2855,7 @@ registry.register(
     """
     WITH vals AS (
       SELECT o_orderpriority AS grp,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
       FROM orders
     ),
     ranked AS (
@@ -2939,7 +2941,7 @@ def q_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     g = (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -3009,7 +3011,7 @@ registry.register(
     """
     WITH g AS (
       SELECT c.c_nationkey AS nationkey, COUNT(*) AS cnt,
-             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                       AS BIGINT)) AS rev
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1
@@ -3264,7 +3266,7 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     per_v = ev.groupBy(cents.alias("v")).agg(
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -3333,7 +3335,7 @@ registry.register(
     q_energy_distance,
     """
     WITH per_v AS (
-      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      SELECT CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS cx,
              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cy
@@ -3448,7 +3450,7 @@ def q_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = orders.groupBy(day.alias("d")).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y")
     )
@@ -3510,7 +3512,7 @@ def _ols2_sql() -> str:
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01',
                       CAST(o_orderdate AS DATE)) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y
       FROM orders GROUP BY 1
     ),
@@ -3727,7 +3729,7 @@ def q_sample_size_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     the `_MDE_Z` literal; n rounds UP via exact ceil on the one final
     double. Scale: one combinable pass, |types|-row output."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(cents).alias("s"),
@@ -3759,10 +3761,10 @@ registry.register(
     f"""
     WITH g AS (
       SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s,
-             SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s,
+             SUM(CAST(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                       AS HUGEINT)
-                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 * CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT))
                AS q
       FROM events GROUP BY 1
     )
@@ -3816,7 +3818,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     vals = ev.select(F.col("event_type").alias("cls"), cents.alias("x"))
     picked = rank_pick(
         vals.select("cls", F.col("x").alias("v")),
@@ -3859,7 +3861,7 @@ registry.register(
     """
     WITH vals AS (
       SELECT event_type AS cls,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
       FROM events WHERE event_type IN ('purchase', 'click')
     ),
     ranked AS (
@@ -4002,7 +4004,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y")
     )
@@ -4058,7 +4060,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y
       FROM orders GROUP BY 1
     ),
@@ -4136,7 +4138,7 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_day = F.datediff(
         F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = ev.groupBy(epoch_day.alias("d")).agg(
         F.sum(cents).alias("v")
     )
@@ -4202,7 +4204,7 @@ registry.register(
     f"""
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       FROM events GROUP BY 1
     ),
     g AS (
@@ -4270,7 +4272,7 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_day = F.datediff(
         F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = ev.groupBy(epoch_day.alias("d")).agg(
         F.sum(cents).alias("v")
     )
@@ -4330,7 +4332,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       FROM events GROUP BY 1
     ),
     blocked AS (
@@ -4397,7 +4399,7 @@ def q_cohens_d_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_baseball_spark.operators.sampling import hash_unit
 
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     arm_a = hash_unit(F.col("user_id"), seed="ab") < 0.5
     g = ev.groupBy("event_type").agg(
         F.count(F.when(arm_a, 1)).alias("na"),
@@ -4443,22 +4445,22 @@ def _cohens_d_sql() -> str:
       SELECT event_type,
              COUNT(CASE WHEN {u} < 0.5 THEN 1 END) AS na,
              SUM(CASE WHEN {u} < 0.5
-                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 THEN CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                  ELSE 0 END) AS sa,
              SUM(CASE WHEN {u} < 0.5
-                 THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 THEN CAST(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                                 AS BIGINT) AS HUGEINT)
-                      * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      * CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                              AS BIGINT)
                  ELSE 0 END) AS qa,
              COUNT(CASE WHEN {u} >= 0.5 THEN 1 END) AS nb,
              SUM(CASE WHEN {u} >= 0.5
-                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 THEN CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)
                  ELSE 0 END) AS sb,
              SUM(CASE WHEN {u} >= 0.5
-                 THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 THEN CAST(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                                 AS BIGINT) AS HUGEINT)
-                      * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      * CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                              AS BIGINT)
                  ELSE 0 END) AS qb
       FROM events GROUP BY 1
@@ -6238,7 +6240,7 @@ def q_fixed_effect_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_baseball_spark.operators.sampling import hash_unit
 
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     arm_a = hash_unit(F.col("user_id"), seed="ab") < 0.5
     g = ev.groupBy("event_type").agg(
         F.count(F.when(arm_a, 1)).alias("na"),
@@ -6328,7 +6330,7 @@ registry.register(
                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS qb
       FROM (
         SELECT event_type,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
                CAST(list_sum(list_transform(generate_series(1, 8),
                  i -> (strpos('0123456789abcdef',
                        substring(md5(CAST(user_id AS VARCHAR) || ':ab'),

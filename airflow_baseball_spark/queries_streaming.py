@@ -39,7 +39,8 @@ _SESSION_SQL = """
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_value
     FROM s GROUP BY user_id, sess
 """
 
@@ -47,7 +48,7 @@ _WINDOWED_SQL = """
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
 """
 
@@ -112,7 +113,7 @@ registry.register(
     q_stream_static_join,
     """
     SELECT n_name, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events JOIN nation ON user_id % 25 = n_nationkey
     GROUP BY n_name
     """,
@@ -337,7 +338,7 @@ registry.register(
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY 1
     """,
@@ -358,7 +359,7 @@ registry.register(
     WITH agg AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
              event_type,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       FROM events GROUP BY 1, 2
     )
     SELECT window_start, event_type,

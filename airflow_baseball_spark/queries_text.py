@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import dec_portable
 from airflow_baseball_spark.functions.scalar import round6_portable as _r6
 from airflow_baseball_spark.partitioning import spread
 from airflow_baseball_spark.schemas import load_table
@@ -1327,7 +1328,7 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so the sums are bit-equal."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
-    xd = F.col("x").cast("double").cast("decimal(14,6)")
+    xd = dec_portable(F.col("x").cast("double"), 14, 6)
     stats = ex.groupBy("dim").agg(
         F.count("*").alias("n"),
         F.sum(xd).alias("sx"),
@@ -1352,7 +1353,8 @@ registry.register(
     """
     WITH ex AS (
       SELECT s.i AS dim,
-             CAST(CAST(embedding[s.i] AS DOUBLE) AS DECIMAL(14,6)) AS xd
+             CAST(FLOOR(CAST(embedding[s.i] AS DOUBLE) * 1000000 + 0.5) / 1000000
+                  AS DECIMAL(14,6)) AS xd
       FROM embeddings,
            UNNEST(generate_series(1, len(embedding))) AS s(i)
     ),

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
-from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.functions.scalar import dec_portable, round6_portable
 from airflow_baseball_spark.schemas import load_table
 
 _r6 = round6_portable
@@ -121,7 +121,7 @@ def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", _day_int(F.to_date("ts")).alias("di"), "value")
         .groupBy("user_id", "di")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(dec_portable("value", 18, 2))
             .cast("decimal(18,2)")
             .cast("double")
             .alias("v")
@@ -176,7 +176,7 @@ registry.register(
       SELECT user_id,
              CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '{_EPOCH}'
                   AS INTEGER) AS di,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(18,2))
                   AS DOUBLE) AS v
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1, 2
@@ -237,7 +237,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate row."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("decimal(18,2)")
         .alias("v")
     )
@@ -321,7 +321,7 @@ def _autocorr_sql() -> str:
     return f"""
     WITH daily AS (
       SELECT o_orderdate AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY o_orderdate
     ),
@@ -359,7 +359,7 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined by broadcast; the fact is scanned once."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("decimal(18,2)")
         .alias("v")
     )
@@ -394,7 +394,7 @@ registry.register(
     f"""
     WITH daily AS (
       SELECT o_orderdate AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS v,
              CAST((date_diff('day', DATE '{_DOW_EPOCH}', o_orderdate)
                    % 7 + 7) % 7 AS INTEGER) AS dow
@@ -440,7 +440,7 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.to_date("ts").alias("d"), "value")
         .groupBy("event_type", "d")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(dec_portable("value", 18, 2))
             .cast("decimal(18,2)")
             .alias("v")
         )
@@ -480,7 +480,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
-             CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS v
       FROM events GROUP BY 1, 2
     ),
@@ -527,7 +527,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of (n, total); the argmax is a second tiny window."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(dec_portable("o_totalprice", 18, 2))
         .cast("decimal(18,2)")
         .alias("v")
     )
@@ -574,7 +574,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT o_orderdate AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) AS v
       FROM orders GROUP BY o_orderdate
     ),
@@ -710,7 +710,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.to_date("ts").alias("d"), "value")
         .groupBy("event_type", "d")
         .agg(
-            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            (F.sum(dec_portable("value", 18, 2)) * 100)
             .cast("long")
             .alias("v")
         )
@@ -735,7 +735,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
       FROM events GROUP BY 1, 2
     ),
     arrs AS (
@@ -776,7 +776,7 @@ def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
         .groupBy("d")
         .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            (F.sum(dec_portable("o_totalprice", 18, 2)) * 100)
             .cast("long")
             .alias("a")
         )
@@ -813,7 +813,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100 AS BIGINT)
                AS a
       FROM orders GROUP BY 1
     ),
@@ -961,7 +961,7 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a block, so the (ts, event_id) order never straddles the
     stitch)."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     base = ev.select(
         "event_type",
         "event_id",
@@ -1014,7 +1014,7 @@ registry.register(
     """
     WITH gaps AS (
       SELECT event_type,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
              LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
                                       ORDER BY ts, event_id)
                - epoch_us(ts) AS dt
@@ -1062,9 +1062,9 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("d"),
             F.when(
                 F.col("l_returnflag") == "R",
-                -F.col("l_quantity").cast("decimal(18,2)"),
+                -dec_portable("l_quantity", 18, 2),
             )
-            .otherwise(F.col("l_quantity").cast("decimal(18,2)"))
+            .otherwise(dec_portable("l_quantity", 18, 2))
             .alias("q"),
         )
         .groupBy("l_partkey", "d")
@@ -1098,8 +1098,8 @@ registry.register(
     WITH net AS (
       SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
              CAST(SUM(CASE WHEN l_returnflag = 'R'
-                           THEN -CAST(l_quantity AS DECIMAL(18,2))
-                           ELSE CAST(l_quantity AS DECIMAL(18,2)) END)
+                           THEN -CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                           ELSE CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                   * 100 AS BIGINT) AS net100
       FROM lineitem WHERE l_partkey % 500 = 0
       GROUP BY 1, 2
@@ -1151,9 +1151,9 @@ def q_banded_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("d"),
             F.when(
                 F.col("l_returnflag") == "R",
-                -F.col("l_quantity").cast("decimal(18,2)"),
+                -dec_portable("l_quantity", 18, 2),
             )
-            .otherwise(F.col("l_quantity").cast("decimal(18,2)"))
+            .otherwise(dec_portable("l_quantity", 18, 2))
             .alias("q"),
         )
         .groupBy("l_partkey", "d")
@@ -1191,8 +1191,8 @@ registry.register(
     WITH RECURSIVE net AS (
       SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
              CAST(SUM(CASE WHEN l_returnflag = 'R'
-                           THEN -CAST(l_quantity AS DECIMAL(18,2))
-                           ELSE CAST(l_quantity AS DECIMAL(18,2)) END)
+                           THEN -CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                           ELSE CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)) END)
                   * 100 AS BIGINT) AS net100,
              ROW_NUMBER() OVER (PARTITION BY l_partkey
                                 ORDER BY CAST(l_shipdate AS DATE)) AS rn
@@ -1233,7 +1233,7 @@ def q_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     ewma_smooth is the float-weight smoother; this is the
     signal-grade integer variant."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.sum(cents).alias("v")
     )
@@ -1295,7 +1295,7 @@ def _ewma_cross_sql() -> str:
     return f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       FROM events GROUP BY 1, 2
     ),
     staged AS (
@@ -1422,7 +1422,7 @@ def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines, and the median picks rank (p+1) div 2 with an
     (i, j) tie-break."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     ed = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
     daily = ev.groupBy(ed.alias("d")).agg(F.sum(cents).alias("v"))
     a, b = daily.alias("a"), daily.alias("b")
@@ -1478,7 +1478,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       FROM events GROUP BY 1
     ),
     pairs AS (
@@ -1532,7 +1532,7 @@ def q_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     winsorized_mean rule); the tail mean divides exact integer cents.
     One sort of the days-sized series."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(cents).alias("v")
     )
@@ -1560,7 +1560,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       FROM events GROUP BY 1
     ),
     ranked AS (
@@ -1723,7 +1723,7 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = (
         ev.groupBy(F.to_date("ts").alias("d"))
         .pivot("event_type", ["click", "purchase"])
@@ -1759,10 +1759,10 @@ registry.register(
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d,
              SUM(CASE WHEN event_type = 'click'
-                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      THEN CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                                 AS BIGINT) ELSE 0 END) AS x,
              SUM(CASE WHEN event_type = 'purchase'
-                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      THEN CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                                 AS BIGINT) ELSE 0 END) AS y
       FROM events WHERE event_type IN ('click', 'purchase')
       GROUP BY 1
@@ -1806,7 +1806,7 @@ def q_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1). Limits themselves are reported as `_r6` doubles from
     the same exact sums."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(cents).alias("x")
     )
@@ -1847,7 +1847,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+             SUM(CAST(CAST(FLOOR(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
       FROM events GROUP BY 1
     ),
     with_mr AS (
@@ -1916,7 +1916,7 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
                 " AS BIGINT)"
             ).alias("y_cents")
         )
@@ -1965,7 +1965,7 @@ registry.register(
     WITH RECURSIVE daily AS (
       SELECT c.c_nationkey AS nationkey,
              CAST(o.o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y_cents,
              ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
                                 ORDER BY CAST(o.o_orderdate AS DATE))
@@ -2026,7 +2026,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y_cents")
     )
@@ -2068,7 +2068,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y_cents
       FROM orders GROUP BY 1
     ),
@@ -2127,7 +2127,7 @@ def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y_cents")
     )
@@ -2164,7 +2164,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y_cents
       FROM orders GROUP BY 1
     ),
@@ -2240,7 +2240,7 @@ def q_periodogram_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y_cents")
     )
@@ -2296,7 +2296,7 @@ def _periodogram_sql() -> str:
     ),
     daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y_cents
       FROM orders GROUP BY 1
     ),
@@ -2372,7 +2372,7 @@ def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "regionkey",
             "c_nationkey",
             F.expr(
-                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100"
                 " AS BIGINT)"
             ).alias("cents"),
         )
@@ -2455,7 +2455,7 @@ registry.register(
     ),
     fact AS (
       SELECT n.n_regionkey AS regionkey, c.c_nationkey,
-             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+             CAST(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS cents
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2618,7 +2618,7 @@ def q_sse_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y")
     )
@@ -2681,7 +2681,7 @@ registry.register(
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y
       FROM orders GROUP BY 1
     ),
@@ -2766,7 +2766,7 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
                 " AS BIGINT)"
             ).alias("y_cents")
         )
@@ -2827,7 +2827,7 @@ registry.register(
     WITH RECURSIVE daily AS (
       SELECT c.c_nationkey AS nationkey,
              CAST(o.o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y_cents,
              ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
                                 ORDER BY CAST(o.o_orderdate AS DATE))
@@ -2902,7 +2902,7 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
                 " AS BIGINT)"
             ).alias("x_cents")
         )
@@ -2950,7 +2950,7 @@ registry.register(
     WITH daily AS (
       SELECT c.c_nationkey AS nationkey,
              CAST(o.o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS x_cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
@@ -3185,7 +3185,7 @@ def q_ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x")
     ).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y")
     )
@@ -3248,7 +3248,7 @@ registry.register(
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01',
                       CAST(o_orderdate AS DATE)) AS x,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y
       FROM orders GROUP BY 1
     ),
@@ -3421,7 +3421,7 @@ def q_viterbi_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
                 " AS BIGINT)"
             ).alias("y_cents")
         )
@@ -3493,7 +3493,7 @@ def _viterbi_sql() -> str:
     WITH RECURSIVE daily AS MATERIALIZED (
       SELECT c.c_nationkey AS nationkey,
              CAST(o.o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y_cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
@@ -3599,7 +3599,7 @@ def q_dtw_band_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"), wk.alias("wk"))
         .agg(
             F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
                 " AS BIGINT)"
             ).alias("y")
         )
@@ -3713,7 +3713,7 @@ def _dtw_sql() -> str:
       SELECT c.c_nationkey AS nationkey,
              datediff('day', DATE '1970-01-05',
                       CAST(o.o_orderdate AS DATE)) // 7 AS wk,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
@@ -3790,7 +3790,7 @@ def q_walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     ).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y")
     )
@@ -3840,7 +3840,7 @@ registry.register(
     WITH monthly AS (
       SELECT (YEAR(CAST(o_orderdate AS DATE)) * 12
               + MONTH(CAST(o_orderdate AS DATE)) - 1) AS m,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y
       FROM orders GROUP BY 1
     ),
@@ -3901,7 +3901,7 @@ def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weekly = orders.groupBy(wk.alias("wk")).agg(
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100"
             " AS BIGINT)"
         ).alias("y")
     )
@@ -3958,7 +3958,7 @@ registry.register(
     WITH weekly AS (
       SELECT datediff('day', DATE '1970-01-05',
                       CAST(o_orderdate AS DATE)) // 7 AS wk,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS y
       FROM orders GROUP BY 1
     ),

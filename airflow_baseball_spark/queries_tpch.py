@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
+from airflow_baseball_spark.functions.scalar import dec_portable
 from airflow_baseball_spark.operators.salt import replicate_broadcast_join, salted_agg
 from airflow_baseball_spark.schemas import load_table
 
@@ -19,7 +20,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 pricing summary: one scan, map-side-combinable aggregates,
     selective date filter pushed to parquet."""
     li = load_table(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: dec_portable(c, 18, 2)  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -47,13 +48,13 @@ registry.register(
     q_tpch_q1,
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+               * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6)))
              AS DOUBLE) AS sum_disc_price,
-           FLOOR(AVG(CAST(l_quantity AS DECIMAL(18,2))) * 1000000.0 + 0.5)
+           FLOOR(AVG(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 1000000.0 + 0.5)
              / 1000000.0 AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -68,12 +69,12 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushes to parquet (date range, discount band, quantity
     cap), one global agg, no shuffle beyond the 1-row final."""
     li = load_table(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: dec_portable(c, 18, 2)  # noqa: E731
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1994-01-01"))
             & (F.col("l_shipdate") < F.lit("1995-01-01"))
-            & (F.col("l_discount").cast("decimal(18,2)").between(0.05, 0.07))
+            & (dec_portable("l_discount", 18, 2).between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
         .agg(
@@ -91,14 +92,14 @@ registry.register(
     "tpch_q6",
     q_tpch_q6,
     """
-    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(22,6)))
+    SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+               * CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS DECIMAL(22,6)))
              AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01'
       AND l_shipdate < TIMESTAMP '1995-01-01'
-      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
 )
@@ -124,8 +125,8 @@ def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                    dec_portable("l_extendedprice", 18, 2)
+                    * (F.lit(1) - dec_portable("l_discount", 18, 2))
                 ).cast("decimal(22,6)")
             ).cast("double").alias("revenue")
         )
@@ -140,8 +141,8 @@ registry.register(
     q_tpch_q3ish,
     """
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+               * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6)))
              AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -172,8 +173,8 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                    dec_portable("l_extendedprice", 18, 2)
+                    * (F.lit(1) - dec_portable("l_discount", 18, 2))
                 ).cast("decimal(22,6)")
             ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
@@ -186,8 +187,8 @@ registry.register(
     q_tpch_q5ish,
     """
     SELECT r.r_name, n.n_name,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+               * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6)))
              AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
@@ -269,7 +270,7 @@ def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning to (p_partkey, p_type)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: dec_portable(c, 18, 2)  # noqa: E731
     rev = (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("decimal(22,6)")
     return (
         li.filter(
@@ -306,11 +307,11 @@ registry.register(
     q_tpch_q14ish,
     """
     SELECT FLOOR(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6))
+                 THEN CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                      * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6))
                  ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
-           / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+           / CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                      * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6)))
              AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct,
            COUNT(*) AS n_rows
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -331,7 +332,7 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .agg(F.sum(dec_portable("l_quantity", 18, 2)).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -352,9 +353,9 @@ registry.register(
     """
     WITH big AS (
       SELECT l_orderkey,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS total_qty
       FROM lineitem GROUP BY 1
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) > 150
     )
     SELECT c.c_name, o.o_orderkey, o.o_orderdate,
            CAST(b.total_qty AS DOUBLE) AS total_qty
@@ -373,7 +374,7 @@ def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: dec_portable(c, 18, 2)  # noqa: E731
     rev_per_cust = (
         li.filter(F.col("l_returnflag") == "R")
         # orders is a FACT, not a dim: no broadcast hint — a shuffle
@@ -405,8 +406,8 @@ registry.register(
     q_tpch_q10ish,
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+               * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6)))
              AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -489,7 +490,7 @@ def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: dec_portable(c, 18, 2)  # noqa: E731
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
@@ -518,8 +519,8 @@ registry.register(
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            YEAR(l.l_shipdate) AS l_year,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+               * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6)))
              AS DOUBLE) AS volume,
            COUNT(*) AS n_items
     FROM lineitem l
@@ -546,7 +547,7 @@ def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     can satisfy SOME disjunct. One broadcast join, one 1-row agg."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: dec_portable(c, 18, 2)  # noqa: E731
     q = F.col("l_quantity")
     joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
     cond = (
@@ -569,8 +570,8 @@ registry.register(
     "tpch_q19ish",
     q_tpch_q19ish,
     """
-    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+    SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+               * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6)))
              AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -641,7 +642,7 @@ def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact DECIMAL sum — no FP tie ambiguity on either engine."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: dec_portable(c, 18, 2)  # noqa: E731
     rev = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -675,8 +676,8 @@ registry.register(
     """
     WITH rev AS (
       SELECT l_suppkey,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,6)))
+             SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                 * (1 - CAST(FLOOR(l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DECIMAL(22,6)))
                AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -710,7 +711,7 @@ def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
     ).select("p_partkey")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = lambda c: dec_portable(c, 18, 2)  # noqa: E731
     li_q = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -742,14 +743,14 @@ registry.register(
     """
     WITH pa AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE)
                / COUNT(*) * 0.2 AS qty_thresh
       FROM lineitem l
       WHERE l_partkey IN (SELECT p_partkey FROM part
                           WHERE p_brand = 'Brand#23' AND p_size < 15)
       GROUP BY 1
     )
-    SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    SELECT FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE)
              / 7.0 * 1000000.0 + 0.5) / 1000000.0 AS avg_yearly,
            COUNT(*) AS n_rows
     FROM lineitem l
@@ -834,7 +835,7 @@ def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; no correlated re-scan of orders per customer."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    d = F.col("c_acctbal").cast("decimal(18,2)")
+    d = dec_portable("c_acctbal", 18, 2)
     thresh = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .filter(F.col("c_nationkey") <= 10)
@@ -858,12 +859,12 @@ registry.register(
     q_tpch_q22ish,
     """
     WITH thresh AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE)
                / COUNT(*) AS avg_bal
       FROM customer WHERE c_acctbal > 0.0 AND c_nationkey <= 10
     )
     SELECT c.c_nationkey, COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer c, thresh t
     WHERE c.c_nationkey <= 10
       AND c.c_acctbal > t.avg_bal

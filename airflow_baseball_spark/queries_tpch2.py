@@ -15,12 +15,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_baseball_spark import registry
-from airflow_baseball_spark.functions.scalar import round6_portable
+from airflow_baseball_spark.functions.scalar import dec_portable, round6_portable
 from airflow_baseball_spark.schemas import load_table
 
 
 def _d(c: str) -> Column:
-    return F.col(c).cast("decimal(18,2)")
+    return dec_portable(c, 18, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -68,7 +68,7 @@ registry.register(
     """
     WITH offers AS (
       SELECT p.p_partkey, l.l_suppkey,
-             MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS offer
+             MIN(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS offer
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       WHERE p.p_brand = 'Brand#12' AND p.p_size <= 25
@@ -129,11 +129,11 @@ registry.register(
     WITH agg AS (
       SELECT YEAR(o.o_orderdate) AS o_year,
              SUM(CASE WHEN n.n_name = 'NATION_3'
-                 THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                 THEN CAST(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                      * (1 - CAST(FLOOR(l.l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                       AS DECIMAL(22,6)) END) AS nat_vol,
-             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             SUM(CAST(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                 * (1 - CAST(FLOOR(l.l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                  AS DECIMAL(22,6))) AS tot_vol
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -195,11 +195,11 @@ registry.register(
     """
     SELECT n.n_name AS nation, YEAR(l.l_shipdate) AS o_year,
            CAST(SUM(
-             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             CAST(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                  * (1 - CAST(FLOOR(l.l_discount * 100 + 0.5) / 100 AS DECIMAL(18,2)))
                   AS DECIMAL(22,6))
-             - CAST(CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
-                         * CAST(l.l_quantity AS DECIMAL(18,2))
+             - CAST(CAST(CAST(FLOOR(p.p_retailprice * 100 + 0.5) / 100 AS DECIMAL(18,2))
+                         * CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))
                          AS DECIMAL(22,4))
                     * CAST(0.08 AS DECIMAL(4,2)) AS DECIMAL(22,6))
            ) AS DOUBLE) AS profit,
@@ -252,8 +252,8 @@ registry.register(
     """
     WITH per_part AS (
       SELECT l_partkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value_dec,
-             SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER ()
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS part_value_dec,
+             SUM(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))) OVER ()
                AS total_dec
       FROM lineitem GROUP BY 1
     )
@@ -407,14 +407,14 @@ registry.register(
     q_tpch_q20ish,
     """
     WITH heavy AS (
-      SELECT l.l_suppkey, SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty_dec
+      SELECT l.l_suppkey, SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS qty_dec
       FROM lineitem l
       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
         AND l.l_shipdate < TIMESTAMP '1998-01-01'
         AND EXISTS (SELECT 1 FROM part p
                     WHERE p.p_partkey = l.l_partkey AND p.p_type = 'PROMO')
       GROUP BY 1
-      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+      HAVING SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)))
              > CAST(400 AS DECIMAL(18,2))
     )
     SELECT s.s_suppkey, s.s_name, CAST(h.qty_dec AS DOUBLE) AS promo_qty

@@ -5,10 +5,11 @@ Conventions (driver compares row count + schema + order-insensitive
 value hash, sorting columns by name):
 
 * every computed column is aliased identically on both sides;
-* floating-point aggregates are computed over ``DECIMAL(18,2)`` casts
-  (exact, engine-independent) wherever possible, and final
-  double-valued expressions are ``round(x, 6)`` on both sides so
-  summation-order ulp noise cannot flip the hash;
+* floating-point aggregates are computed over exact quantized units
+  (integer cents/micros, or ``functions.scalar.dec_portable`` — the
+  floor-quantized DECIMAL) wherever possible, and final double-valued
+  expressions are ``round(x, 6)`` on both sides so summation-order
+  ulp noise cannot flip the hash;
 * when a rounded value can land on a .xxxxxx5 boundary, use
   ``floor(x*1e6 + 0.5)/1e6`` on BOTH sides instead (see
   ``queries_domain._r6``): Spark's ``round()`` goes through Java's
@@ -17,11 +18,26 @@ value hash, sorting columns by name):
 * never ``CAST(double AS DECIMAL(p,s))`` on a value that can carry
   more decimals than ``s``: Spark casts via the shortest decimal
   string (0.615d -> 0.62) while DuckDB rounds the binary value
-  (0.615d -> 0.61) — quantize with ``floor(x*10^s + 0.5)`` instead;
+  (0.615d -> 0.61). r8 swept every such call site to
+  ``dec_portable`` / ``FLOOR(x*10^s + 0.5)/10^s`` on both sides; the
+  ``driverish`` vintage (tests/make_testdata_variant.py) injects
+  3-decimal ties into every stored double so a reintroduced bare cast
+  fails the local sweep immediately;
+* never SUM raw doubles whose total feeds the hash — quantize BEFORE
+  the sum (integer cents): even at identical frames DuckDB's windowed
+  aggregation combines through a segment tree whose addition order
+  differs from Spark's sequential add, and unordered hash aggs differ
+  anyway;
+* decimal×decimal chains must keep total scale ≤ the result's
+  precision headroom: a product whose precision exceeds 38 triggers
+  engine-specific scale-reduction ROUNDING inside the multiply (see
+  revenue_waterfall's integer-unit rebuild);
 * read timestamps as epoch integers (Spark ``unix_micros`` / DuckDB
-  ``epoch_us``, both returning the stored int64 under every parquet
-  tagging and session timezone), not calendar functions, whenever the
-  result feeds the hash.
+  ``epoch_us``), not calendar functions, whenever the result feeds
+  the hash; the ns→µs convention at every seam is ROUND-HALF-UP
+  ``(ns+500)//1000`` (schemas.load_table, streaming read, and the
+  normalization CTEs below — measured rationale in load_table's
+  docstring).
 
 Diagnostic-probe pattern (r7): positions 2-8 of the driver window are
 reserved for ``queries_probes.py`` — tiny pure-BIGINT queries that each
@@ -49,30 +65,40 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # measured 96/444 oracles flipping under a tz-tagged vintage + non-UTC
 # DuckDB session, and several more under ns-precision jitter): every
 # oracle that references a timestamp-carrying table gets a CTE that
-# SHADOWS the driver's view with `make_timestamp(epoch_ns(col)//1000)`
-# — the naive UTC µs-truncated wall clock, exactly what
-# schemas.load_table hands the Spark side under its UTC pin. For the
-# standard naive-µs generation this is an identity map, so
-# driver-attested greens cannot move; for tz-tagged / ns vintages it
-# makes calendar functions, literal comparisons, and raw timestamp
-# outputs read identically in both engines regardless of the DuckDB
-# session timezone (property-tested in tests/test_vintage_robustness
-# and sweepable over the full surface via
-# tests/run_oracle_check_variant.py). `main.` qualification is
-# required so the CTE body references the view, not itself.
+# SHADOWS the driver's view with
+# `make_timestamp((epoch_ns(col)+500)//1000)` — the naive UTC
+# µs-ROUNDED wall clock, exactly what schemas.load_table hands the
+# Spark side under its UTC pin. For the standard naive-µs generation
+# this is an identity map (epoch_ns is then µs*1000 and +500 never
+# crosses), so driver-attested greens cannot move; for tz-tagged / ns
+# vintages it makes calendar functions, literal comparisons, and raw
+# timestamp outputs read identically in both engines regardless of the
+# DuckDB session timezone (property-tested in
+# tests/test_vintage_robustness and sweepable over the full surface
+# via tests/run_oracle_check_variant.py).
+#
+# r8: the constant inside the choke point moved from truncation
+# (//1000) to round-half-up ((+500)//1000), matching load_table's
+# ns-read convention — the r7 driver window refuted trunc/trunc
+# (probe_events_epoch and interval_union_time red with truncating
+# oracles), and rounding is an identity under every truncating or
+# µs-native DuckDB scan, so nothing locally green can move (full-sweep
+# verified; see schemas.load_table's engine matrix). `main.`
+# qualification is required so the CTE body references the view, not
+# itself.
 _TS_NORM_CTES = {
     "events": (
-        "events AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) "
-        "// 1000) AS ts) FROM main.events)"
+        "events AS (SELECT * REPLACE (make_timestamp((epoch_ns(ts) "
+        "+ 500) // 1000) AS ts) FROM main.events)"
     ),
     "orders": (
-        "orders AS (SELECT * REPLACE (make_timestamp("
-        "epoch_ns(o_orderdate) // 1000) AS o_orderdate) "
+        "orders AS (SELECT * REPLACE (make_timestamp(("
+        "epoch_ns(o_orderdate) + 500) // 1000) AS o_orderdate) "
         "FROM main.orders)"
     ),
     "lineitem": (
-        "lineitem AS (SELECT * REPLACE (make_timestamp("
-        "epoch_ns(l_shipdate) // 1000) AS l_shipdate) "
+        "lineitem AS (SELECT * REPLACE (make_timestamp(("
+        "epoch_ns(l_shipdate) + 500) // 1000) AS l_shipdate) "
         "FROM main.lineitem)"
     ),
 }
@@ -87,7 +113,20 @@ def _tz_normalize_oracle(sql: str) -> str:
     if not needed:
         return sql
     prefix = ",\n         ".join(needed)
+    # r8 (r7 ADVICE): strip leading -- and /* */ comments before the
+    # WITH match — an oracle beginning with a SQL comment would
+    # otherwise be rewritten into `WITH <ctes>, <comment> WITH ...`,
+    # which is invalid SQL that fails at driver time, not here.
     s = sql.lstrip()
+    while True:
+        if s.startswith("--"):
+            nl = s.find("\n")
+            s = "" if nl < 0 else s[nl + 1 :].lstrip()
+        elif s.startswith("/*"):
+            end = s.find("*/")
+            s = "" if end < 0 else s[end + 2 :].lstrip()
+        else:
+            break
     m = re.match(r"(?is)^(WITH\s+RECURSIVE|WITH)\b", s)
     if m:
         return f"    {m.group(1)} {prefix},\n    {s[m.end():].lstrip()}"
@@ -116,82 +155,63 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Registry order is the driver's correctness-check order, and past
-# rounds showed the driver checks the FIRST ~50 entries only. Round-7
-# ordering (per the r6 verdict's window directives):
+# rounds showed the driver checks the FIRST ~50 entries only. Round-8
+# ordering (per the r7 verdict's window directives):
 #   1. the flagship — in-window every round as the regression canary,
-#   2. positions 2-8: the seven DIAGNOSTIC PROBES (r6 verdict item #1
-#      — queries_probes.py documents what each red/green combination
-#      identifies): six r6 queries were hash-red while bit-exact
-#      locally under every perturbation, so the divergence is
-#      environmental (driver testdata vintage or engine builds) and
-#      these probes measure it instead of guessing,
-#   3. positions 9-14: the six r6 driver-reds, all rebuilt per the r6
-#      verdict item #2 — pure-BIGINT hash surfaces (micro-unit
-#      columns, doubles dropped), epoch-integer reads of every
-#      timestamp (tz-tagging/session-TZ-proof), floor-quantized cents
-#      instead of engine-divergent DECIMAL casts, byte-true
-#      octet_length/strlen in the shard planner,
-#   4. positions 15-50: the oldest never-driver-sampled names (r6
-#      verdict item #6), continuing the r5-overflow order promised in
-#      earlier rounds,
-#   5. positions 51+: the remaining never-sampled names in promised
-#      order, then round-6/7 additions, then everything
-#      driver-attested in r2-r6 (module order).
+#   2. positions 2-13: probe ladder v2 — one read primitive per probe
+#      (queries_probes.py holds the decision table). The r7 panel
+#      proved the divergence lives at the data-read layer; this one
+#      names the engine-agreeing primitive per red column,
+#   3. position 14: probe_dec_cast, the panel's positive control
+#      (expected red whenever the generation carries decimal ties),
+#   4. positions 15-20: the six persistent driver-reds, rebased in r8
+#      on the round-half-up ns→µs convention (registry._TS_NORM_CTES
+#      + schemas.load_table), chi2 on the probe-green calendar HOUR,
+#      media_shard_plan on the stored n_chars column,
+#   5. positions 21-50: the oldest never-driver-sampled names (r7
+#      verdict item #5), continuing the promised overflow order,
+#   6. positions 51+: the remaining never-sampled names in promised
+#      order, then prior-round additions, then everything
+#      driver-attested in r2-r7 (module order).
 _PRIORITY = [
     # -- tier 1: regression canary
     "park_factor_flagship",
-    # -- tier 2: diagnostic probes (positions 2-8)
-    "probe_engine_echo",
-    "probe_events_epoch",
-    "probe_events_hour_raw",
-    "probe_lineitem_days_cal",
-    "probe_lineitem_days_epoch",
-    "probe_documents_len",
-    "probe_decimal_cast",
-    # -- tier 3: the six r6 driver-reds, rebuilt (positions 9-14)
+    # -- tier 2: diagnostic probe ladder v2 (positions 2-13) — one
+    #    read primitive per probe; queries_probes.py holds the
+    #    decision table that maps the window's red/green pattern to
+    #    the engine-agreeing primitive per column. The two answered
+    #    r7 probes (engine_echo, events_hour_raw: both green) are
+    #    retired; the five bundled r7 probes are replaced by these
+    #    single-mechanism splits.
+    "probe_ev_us_trunc",
+    "probe_ev_us_round",
+    "probe_ev_ms",
+    "probe_ev_sec",
+    "probe_ev_duck_subus",
+    "probe_ship_day_round",
+    "probe_ship_day_trunc",
+    "probe_ship_day_cal",
+    "probe_doc_bytes",
+    "probe_doc_chars",
+    "probe_doc_content",
+    "probe_dec_floor",
+    # -- tier 2b: panel positive control (position 14) — expected RED
+    #    whenever the generation carries 3+-decimal ties; proves the
+    #    window can detect the divergent primitive at all
+    "probe_dec_cast",
+    # -- tier 3: the six persistent driver-reds, rebased in r8 on the
+    #    round-half-up ns→µs convention (+ chi2 on the probe-green
+    #    calendar HOUR, media_shard_plan on the stored n_chars column)
     "chi2_features",
     "psi_drift",
     "tpch_q12ish",
     "media_shard_plan",
     "interval_union_time",
     "sql_api_pricing",
-    # -- tier 4: oldest never-driver-sampled names (positions 15-50)
-    "zipf_slope",
-    "adamic_adar",
-    "rolling_median",
-    "seasonal_naive_eval",
-    "interval_overlap_join",
-    "bigram_lm",
-    "dbscan_grid",
-    "sliding_distinct_users",
-    "wilson_ci",
-    "matryoshka_recall",
-    "mixture_weights",
-    "text_lines_roundtrip",
-    "markov_stationary",
-    "bootstrap_ci",
-    "k_anonymity",
-    "dp_noisy_counts",
-    "incremental_mv",
-    "stream_session_window",
-    "rle_compress",
-    "weighted_reservoir",
-    "percentile_cont",
-    "label_centroids",
-    "twap",
-    "mrr_metric",
-    "ndcg_at5",
-    "stratified_kfold",
-    "pad_waste_eval",
-    "shard_balance",
-    "hard_negative_mining",
-    "policy_replay_eval",
-    "qq_table",
-    "overlap_coefficient",
-    "dedup_cluster_sizes",
-    "simpson_paradox",
-    "popularity_hitrate",
-    "capped_running_balance",
+    # -- tier 4: oldest never-driver-sampled names (positions 21-50
+    #    after the r8 window layout: flagship + 13 probes + 6 reds).
+    #    The 36 names sampled green in the r7 window (zipf_slope ..
+    #    capped_running_balance) moved to the attested tail below.
     "hill_tail_index",
     "burstiness_index",
     "cross_correlation",
@@ -367,6 +387,44 @@ _PRIORITY = [
     "cohens_d_segments",
     "poisson_dispersion",
     "newsvendor_quantile",
+    # -- tier 7: driver-attested green in the r7 window (sampled as
+    #    tier 4 there); they rotate behind every never-sampled name
+    "zipf_slope",
+    "adamic_adar",
+    "rolling_median",
+    "seasonal_naive_eval",
+    "interval_overlap_join",
+    "bigram_lm",
+    "dbscan_grid",
+    "sliding_distinct_users",
+    "wilson_ci",
+    "matryoshka_recall",
+    "mixture_weights",
+    "text_lines_roundtrip",
+    "markov_stationary",
+    "bootstrap_ci",
+    "k_anonymity",
+    "dp_noisy_counts",
+    "incremental_mv",
+    "stream_session_window",
+    "rle_compress",
+    "weighted_reservoir",
+    "percentile_cont",
+    "label_centroids",
+    "twap",
+    "mrr_metric",
+    "ndcg_at5",
+    "stratified_kfold",
+    "pad_waste_eval",
+    "shard_balance",
+    "hard_negative_mining",
+    "policy_replay_eval",
+    "qq_table",
+    "overlap_coefficient",
+    "dedup_cluster_sizes",
+    "simpson_paradox",
+    "popularity_hitrate",
+    "capped_running_balance",
 ]
 
 

@@ -70,11 +70,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Testdata timestamps have shipped several ways across generations:
     nanosecond-precision (which Spark's vectorized reader rejects
     unless read as longs via the legacy flag, then rebuilt as a µs
-    timestamp — `div 1000` matches DuckDB's ns→µs truncation), native
-    µs TIMESTAMP_NTZ, and potentially tz-tagged. Every column in
-    ``_TS_COLS`` is normalized through the same path for every table
-    (r7 — previously events-only), so any mix of vintages reads
-    identically.
+    timestamp), native µs TIMESTAMP_NTZ, and potentially tz-tagged.
+    Every column in ``_TS_COLS`` is normalized through the same path
+    for every table (r7 — previously events-only), so any mix of
+    vintages reads identically.
+
+    ns→µs convention (r8): ROUND-HALF-UP, ``(ns + 500) div 1000``, not
+    truncation. Measured engine matrix behind the choice: DuckDB 1.0
+    TRUNCATES ns/INT96 parquet to µs at scan (sub-µs destroyed before
+    any SQL runs), so under a truncating-DuckDB the oracle's
+    ``(epoch_ns+500)//1000`` is an identity and rounding-vs-truncating
+    here is only observable for jitter ≥500 ns; newer DuckDB reads ns
+    parquet at full precision or rounds at scan. The r7 driver window
+    proved the trunc/trunc pairing WRONG in the driver environment
+    (probe_events_epoch + interval_union_time red with a forced
+    epoch_ns//1000 oracle), which eliminates every truncating-DuckDB
+    scenario there; round-half-up is the unique convention that agrees
+    with a rounding-scan DuckDB (identity), an exact-ns DuckDB (both
+    sides round), and stays an identity on µs-native vintages. The r8
+    probe ladder (queries_probes.py) carries trunc-vs-round oracle
+    pairs that confirm or refute this from the driver's own window.
     """
     # r7 (r6 ADVICE): the pin is part of this engine's PUBLIC contract
     # — every query in this package assumes UTC-naive calendar
@@ -94,7 +109,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"airflow_baseball_spark pins spark.sql.session.timeZone=UTC "
             f"for the whole session (was {prior_tz!r}); non-framework "
             f"queries in this session now run under UTC calendar "
-            f"semantics",
+            f"semantics. It also pins "
+            f"spark.sql.legacy.parquet.nanosAsLong=true session-wide, so "
+            f"non-framework reads of ns-precision parquet timestamps in "
+            f"this session come back as BIGINT nanoseconds",
             stacklevel=2,
         )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -109,11 +127,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             t = dtypes.get(c)
             if t in ("bigint", "long"):
                 # ns-vintage parquet read as raw longs (the legacy
-                # flag): rebuild the us-truncated timestamp; `div
-                # 1000` floor-truncates exactly like DuckDB's
-                # epoch_ns // 1000
+                # flag): rebuild the µs timestamp by ROUND-HALF-UP —
+                # matches the oracle normalization's
+                # (epoch_ns+500)//1000 and is an identity under a
+                # truncating-DuckDB scan (see docstring's engine
+                # matrix; epochs are positive so `div` == floor)
                 df = df.withColumn(
-                    c, F.expr(f"timestamp_micros({c} div 1000)")
+                    c, F.expr(f"timestamp_micros(({c} + 500) div 1000)")
                 )
             elif name == "events" and t is not None and t.startswith(
                 "timestamp"

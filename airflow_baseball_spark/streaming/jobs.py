@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from airflow_baseball_spark.functions.scalar import dec_portable
+
 # Raw layout of the events parquet as the legacy testdata generations
 # ship it: nanosecond-long ``ts`` that the reader rebuilds into a µs
 # timestamp (mirrors schemas.load_table). This is both the documented
@@ -80,7 +82,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if ts_is_long:
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # ns-vintage: round-half-up to µs, matching schemas.load_table's
+        # r8 convention (and the oracle normalization's
+        # (epoch_ns+500)//1000) — a trunc here would put every stream
+        # job one µs below the batch engine on jittered vintages
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros((ts + 500) div 1000)")
+        )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -135,7 +143,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
             F.count("*").alias("n_events"),
             # decimal accumulate (exact) → double out: raw SUM(DECIMAL)
             # widens differently per engine and breaks the driver hash
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            F.sum(dec_portable("value", 18, 2)).cast("double").alias(
                 "total_value"
             ),
         )
@@ -249,7 +257,10 @@ def sessionize_stream(
                     "session_start": pd.to_datetime([r[0] for r in rows], unit="us"),
                     "session_end": pd.to_datetime([r[1] for r in rows], unit="us"),
                     "n_events": [int(r[2]) for r in rows],
-                    "total_value": [float(r[3]) for r in rows],
+                    # state carries integer CENTS (exact float adds);
+                    # /100 here matches the session oracle's
+                    # SUM(FLOOR(value*100+0.5))/100 bit for bit
+                    "total_value": [float(r[3]) / 100.0 for r in rows],
                 }
             )
 
@@ -269,7 +280,13 @@ def sessionize_stream(
 
         pdf = pdf.sort_values("ts")
         ts_us = pdf["ts"].to_numpy("datetime64[ns]").astype("int64") // 1_000
-        vals = np.nan_to_num(pdf["value"].to_numpy("float64"))
+        # quantize-before-sum (house exactness rule): integer cents as
+        # float64 add EXACTLY under reduceat (|cents| << 2^53), so the
+        # per-session total is order- and engine-proof; raw float sums
+        # tie-diverge against DuckDB's hash-agg summation order
+        vals = np.floor(
+            np.nan_to_num(pdf["value"].to_numpy("float64")) * 100.0 + 0.5
+        )
 
         prev_end = carried[1] if carried else np.iinfo("int64").min // 2
         prev = np.concatenate(([prev_end], ts_us[:-1]))
@@ -362,7 +379,7 @@ def stream_static_enrich(events: DataFrame, nation: DataFrame) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+        F.sum(dec_portable("value", 18, 2)).cast("double").alias(
             "total_value"
         ),
     )
@@ -384,7 +401,9 @@ def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
         "n_events",
-        F.round(F.col("total_value"), 2).alias("total_value"),
+        (F.floor(F.col("total_value") * 100 + F.lit(0.5)) / 100.0).alias(
+            "total_value"
+        ),
     )
 
 
@@ -552,7 +571,12 @@ def native_session_windows(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("total_value"),
         )
         .select(
             "user_id",
@@ -594,7 +618,7 @@ def run_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling)."""
     out = tempfile.mkdtemp(prefix="fbmv_") + "/partials"
     ev = read_events_stream(spark, sf_dir)
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -636,7 +660,7 @@ def run_window_topk_available_now(
     result — the standard split for "top-k per window" (rank
     functions aren't available inside streaming aggregations)."""
     ev = read_events_stream(spark, sf_dir)
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cents = (dec_portable("value", 18, 2) * 100).cast("long")
     agg = (
         ev.groupBy(F.window("ts", "1 day"), F.col("event_type"))
         .agg(F.sum(cents).alias("v"))
