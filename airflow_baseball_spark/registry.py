@@ -443,6 +443,7 @@ def _load() -> None:
         queries_multimodal,
         queries_relational,
         queries_relational2,
+        queries_round8,
         queries_sampling,
         queries_streaming,
         queries_mining,
