@@ -403,3 +403,306 @@ registry.register(
     FROM scored WHERE containment >= {_CONTAIN_MIN}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # words per k-gram
+_WIN_W = 5  # grams per winnowing window
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+    hash every word-{k}-gram, slide a {w}-gram window, keep each
+    window's MINIMUM hash — the guaranteed-coverage local fingerprint
+    that detects shared passages without shipping full shingle sets
+    (any match of ≥ k+w-1 words shares a selected hash). Reported per
+    source: documents, selected fingerprints, distinct fingerprints,
+    and the cross-document duplication ratio 1 − distinct/selected.
+
+    Exactness: the gram hash IS the md5 hex string and the window
+    minimum is LEXICOGRAPHIC string MIN — portable by construction
+    (no hex→int conversion exists in both engines). Scale: one
+    position explode (≈ token count), one frame-bounded window min
+    per doc (partitioned by doc_id — embarrassingly parallel), one
+    distinct-agg; no pairing anywhere."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= _WIN_K + _WIN_W - 1
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_WIN_K - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(_WIN_K)))
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    n_grams = W.partitionBy("doc_id")
+    sel = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .withColumn("ng", F.count("*").over(n_grams))
+        # a window minimum is only defined for FULL windows: the last
+        # w-1 positions see truncated frames and would double-select.
+        # posexplode is 0-based (the oracle's UNNEST(range(...)) is
+        # 1-based), so full-window starts are pos ∈ [0, ng-w]
+        .filter(F.col("pos") <= F.col("ng") - _WIN_W)
+        .select("doc_id", "source", "wmin")
+        .distinct()
+    )
+    return sel.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_selected"),
+        F.countDistinct("wmin").alias("n_distinct"),
+        _r6(
+            1
+            - F.countDistinct("wmin").cast("double")
+            / F.count("*").cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+q_winnowing_fingerprint.__doc__ = q_winnowing_fingerprint.__doc__.format(
+    k=_WIN_K, w=_WIN_W
+)
+
+registry.register(
+    "winnowing_fingerprint",
+    q_winnowing_fingerprint,
+    f"""
+    WITH toked AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, i AS pos,
+             md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 || ' ' || toks[i+3]) AS h
+      FROM toked, UNNEST(range(1, len(toks) - {_WIN_K - 2})) AS t(i)
+      WHERE len(toks) >= {_WIN_K + _WIN_W - 1}
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, source, wmin FROM (
+        SELECT doc_id, source, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS wmin,
+               COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        FROM grams
+      ) WHERE pos <= ng - {_WIN_W - 1}
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_selected,
+           COUNT(DISTINCT wmin) AS n_distinct,
+           FLOOR((1 - CAST(COUNT(DISTINCT wmin) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
+    FROM sel GROUP BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (word-level gear/CDC) + chunk-level dedup
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 16  # expected chunk length in words
+
+
+def q_cdc_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking at word granularity: a chunk boundary
+    falls AFTER any word whose hash ≡ 0 (mod {m}) — the rolling-hash
+    trick (FastCDC/rsync) that keeps chunk boundaries stable under
+    insertions, so chunk-level dedup survives edits that shift byte
+    offsets. Per source: chunk count, mean chunk length, and the CDC
+    dedup ratio (1 − distinct chunk digests / chunks) — the number a
+    storage/dedup layer actually acts on.
+
+    Exactness: the boundary test hashes each word's md5 first two hex
+    chars into an integer (ascii arithmetic — portable); chunk ids
+    are prefix sums of boundary flags over the (doc, pos) order;
+    chunk digests are md5 of the ORDERED word join (Spark rebuilds
+    order with sort_array over (pos, word) structs — collect_list
+    alone is order-nondeterministic). Scale: one explode, one
+    doc-partitioned prefix window, one (doc, chunk) agg, one
+    digest-keyed distinct — all combinable, no pairing."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = (
+        docs.select("doc_id", "source", F.posexplode(toks).alias("pos", "w"))
+        .filter(F.length("w") > 0)
+    )
+    hval = (
+        F.ascii(F.substring(F.md5("w"), 1, 1)) * 256
+        + F.ascii(F.substring(F.md5("w"), 2, 1))
+    ) % _CDC_MOD
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    chunked = tok.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum((hval == 0).cast("long")).over(win), F.lit(0)
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk").agg(
+        F.count("*").alias("chunk_len"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("digest"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").alias("n_tokens"),
+        F.countDistinct("digest").alias("n_distinct_chunks"),
+        _r6(
+            F.sum("chunk_len").cast("double") / F.count("*").cast("double")
+        ).alias("mean_chunk_len"),
+        _r6(
+            1
+            - F.countDistinct("digest").cast("double")
+            / F.count("*").cast("double")
+        ).alias("cdc_dup_ratio"),
+    )
+
+
+q_cdc_word_chunks.__doc__ = q_cdc_word_chunks.__doc__.format(m=_CDC_MOD)
+
+registry.register(
+    "cdc_word_chunks",
+    q_cdc_word_chunks,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, i AS pos, toks[i] AS w
+      FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+           UNNEST(range(1, len(toks) + 1)) AS t(i)
+      WHERE length(toks[i]) > 0
+    ),
+    flagged AS (
+      SELECT doc_id, source, pos, w,
+             CASE WHEN (ascii(substr(md5(w), 1, 1)) * 256
+                        + ascii(substr(md5(w), 2, 1))) % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS brk
+      FROM tok
+    ),
+    chunked AS (
+      SELECT doc_id, source, pos, w,
+             COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS chunk
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk,
+             COUNT(*) AS chunk_len,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS digest
+      FROM chunked GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           SUM(chunk_len) AS n_tokens,
+           COUNT(DISTINCT digest) AS n_distinct_chunks,
+           FLOOR(CAST(SUM(chunk_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_chunk_len,
+           FLOOR((1 - CAST(COUNT(DISTINCT digest) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cdc_dup_ratio
+    FROM chunks GROUP BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# suffix/prefix overlap (shard-boundary duplicate stitching)
+# ---------------------------------------------------------------------------
+
+_OVL_K = 5  # words that must match head-to-tail
+
+
+def q_suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-stitching detector: document pairs where A's LAST {k}
+    words equal B's FIRST {k} words — the signature of one logical
+    document split across scrape shards (full-set Jaccard scores
+    these pairs low, so the dedup family misses them). Each doc emits
+    one head digest and one tail digest; the join is digest-keyed —
+    two tiny md5 tables, no shingle explode, no pairing beyond exact
+    digest equality. Output: overlap pair count, distinct stitched
+    docs on each side, and an order-invariant pair checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2 * _OVL_K  # head and tail must not overlap
+    )
+    head = F.md5(F.concat_ws(" ", F.slice(F.col("toks"), 1, F.lit(_OVL_K))))
+    tail = F.md5(
+        F.concat_ws(" ", F.slice(F.col("toks"), -_OVL_K, F.lit(_OVL_K)))
+    )
+    hd = base.select(F.col("doc_id").alias("b"), head.alias("d"))
+    tl = base.select(F.col("doc_id").alias("a"), tail.alias("d"))
+    pairs = tl.join(hd, "d").filter(F.col("a") != F.col("b"))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("a").alias("n_tail_docs"),
+        F.countDistinct("b").alias("n_head_docs"),
+        F.coalesce(
+            F.sum((F.col("a") * 31 + F.col("b")) % F.lit(1_000_003)),
+            F.lit(0),
+        ).alias("pair_checksum"),
+    )
+
+
+q_suffix_prefix_overlap.__doc__ = q_suffix_prefix_overlap.__doc__.format(
+    k=_OVL_K
+)
+
+registry.register(
+    "suffix_prefix_overlap",
+    q_suffix_prefix_overlap,
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    eligible AS (
+      SELECT doc_id, toks FROM toked WHERE len(toks) >= {2 * _OVL_K}
+    ),
+    hd AS (
+      SELECT doc_id AS b,
+             md5(array_to_string(toks[1:{_OVL_K}], ' ')) AS d
+      FROM eligible
+    ),
+    tl AS (
+      SELECT doc_id AS a,
+             md5(array_to_string(toks[len(toks)-{_OVL_K - 1}:len(toks)], ' '))
+               AS d
+      FROM eligible
+    ),
+    pairs AS (
+      SELECT a, b FROM tl JOIN hd USING (d) WHERE a <> b
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT a) AS n_tail_docs,
+           COUNT(DISTINCT b) AS n_head_docs,
+           COALESCE(SUM((a * 31 + b) % 1000003), 0) AS pair_checksum
+    FROM pairs
+    """,
+)
