@@ -646,8 +646,11 @@ def q_suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     these pairs low, so the dedup family misses them). Each doc emits
     one head digest and one tail digest; the join is digest-keyed —
     two tiny md5 tables, no shingle explode, no pairing beyond exact
-    digest equality. Output: overlap pair count, distinct stitched
-    docs on each side, and an order-invariant pair checksum."""
+    digest equality. The digest frame is computed in ONE text scan and
+    localCheckpoint'ed before branching (house multi-branch rule —
+    without it each join side re-reads the 100 TB text column).
+    Output: overlap pair count, distinct stitched docs on each side,
+    and an order-invariant pair checksum."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select("doc_id", toks.alias("toks")).filter(
@@ -657,8 +660,15 @@ def q_suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = F.md5(
         F.concat_ws(" ", F.slice(F.col("toks"), -_OVL_K, F.lit(_OVL_K)))
     )
-    hd = base.select(F.col("doc_id").alias("b"), head.alias("d"))
-    tl = base.select(F.col("doc_id").alias("a"), tail.alias("d"))
+    digests = base.select(
+        "doc_id", head.alias("head_d"), tail.alias("tail_d")
+    ).localCheckpoint()
+    hd = digests.select(
+        F.col("doc_id").alias("b"), F.col("head_d").alias("d")
+    )
+    tl = digests.select(
+        F.col("doc_id").alias("a"), F.col("tail_d").alias("d")
+    )
     pairs = tl.join(hd, "d").filter(F.col("a") != F.col("b"))
     return pairs.agg(
         F.count("*").alias("n_pairs"),
