@@ -716,3 +716,125 @@ registry.register(
     FROM pairs
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (nominal) — annotation-agreement audit
+# ---------------------------------------------------------------------------
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha for nominal data over a two-rating design:
+    each customer with ≥2 orders is a UNIT, rated by its EARLIEST and
+    LATEST order's priority class — the consistency audit (are first
+    and last impressions the same label?) that doubles as the
+    inter-annotator agreement metric every labeling pipeline reports.
+
+    Exactness: alpha = 1 − D_o/D_e on the standard coincidence-matrix
+    estimator; with two ratings per unit every term is an INTEGER
+    (observed disagreements, marginal products), so the hash surface
+    is BIGINTs plus one `_r6` division at the end. First/last are the
+    rank rule over (o_orderdate, o_orderkey) — engine-deterministic
+    under ties. Scale: one shuffle on custkey for the two
+    row_numbers; the coincidence matrix is |classes|²-sized."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w_asc = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_desc = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    marked = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+        F.count("*").over(W.partitionBy("o_custkey")).alias("m"),
+    ).filter(F.col("m") >= 2)
+    first = marked.filter(F.col("rn_a") == 1).select(
+        "o_custkey", F.col("o_orderpriority").alias("c1")
+    )
+    last = marked.filter(F.col("rn_d") == 1).select(
+        "o_custkey", F.col("o_orderpriority").alias("c2")
+    )
+    units = first.join(last, "o_custkey")
+    # coincidence matrix: each unit contributes the ordered pairs
+    # (c1,c2) and (c2,c1); marginals n_v; with m=2 raters the
+    # weights are integral
+    pairs = units.select(F.col("c1").alias("v"), F.col("c2").alias("k")).unionAll(
+        units.select(F.col("c2").alias("v"), F.col("c1").alias("k"))
+    )
+    o = pairs.groupBy("v", "k").agg(F.count("*").alias("o_vk"))
+    n_v = o.groupBy("v").agg(F.sum("o_vk").alias("n"))
+    tot = n_v.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    dis = o.filter(F.col("v") != F.col("k")).agg(
+        F.coalesce(F.sum("o_vk"), F.lit(0)).alias("d_obs")
+    )
+    # D_o = d_obs / n_tot; D_e = (n_tot² − Σ n_v²) / (n_tot (n_tot−1))
+    # alpha = 1 − D_o/D_e = 1 − d_obs (n_tot−1) / (n_tot² − Σ n_v²)
+    return (
+        dis.crossJoin(tot)
+        .select(
+            F.col("d_obs").cast("long").alias("d_obs"),
+            F.col("n_tot").cast("long").alias("n_tot"),
+            F.col("sum_n2").cast("long").alias("sum_n2"),
+            _r6(
+                1
+                - F.col("d_obs").cast("double")
+                * (F.col("n_tot").cast("double") - 1)
+                / (
+                    F.col("n_tot").cast("double")
+                    * F.col("n_tot").cast("double")
+                    - F.col("sum_n2").cast("double")
+                )
+            ).alias("alpha"),
+        )
+    )
+
+
+registry.register(
+    "krippendorff_alpha",
+    q_krippendorff_alpha,
+    """
+    WITH marked AS (
+      SELECT o_custkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC,
+                                         o_orderkey DESC) AS rn_d,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS m
+      FROM orders
+    ),
+    units AS (
+      SELECT f.o_custkey, f.o_orderpriority AS c1, l.o_orderpriority AS c2
+      FROM (SELECT * FROM marked WHERE rn_a = 1 AND m >= 2) f
+      JOIN (SELECT * FROM marked WHERE rn_d = 1 AND m >= 2) l
+        USING (o_custkey)
+    ),
+    pairs AS (
+      SELECT c1 AS v, c2 AS k FROM units
+      UNION ALL
+      SELECT c2 AS v, c1 AS k FROM units
+    ),
+    o AS (SELECT v, k, COUNT(*) AS o_vk FROM pairs GROUP BY 1, 2),
+    nv AS (SELECT v, SUM(o_vk) AS n FROM o GROUP BY 1),
+    tot AS (SELECT SUM(n) AS n_tot, SUM(n * n) AS sum_n2 FROM nv),
+    dis AS (
+      SELECT COALESCE(SUM(o_vk), 0) AS d_obs FROM o WHERE v <> k
+    )
+    SELECT CAST(d_obs AS BIGINT) AS d_obs,
+           CAST(n_tot AS BIGINT) AS n_tot,
+           CAST(sum_n2 AS BIGINT) AS sum_n2,
+           FLOOR((1 - CAST(d_obs AS DOUBLE) * (CAST(n_tot AS DOUBLE) - 1)
+                      / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                         - CAST(sum_n2 AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS alpha
+    FROM dis CROSS JOIN tot
+    """,
+)

@@ -255,3 +255,39 @@ def test_shingle_containment_detects_planted_subset(spark, tmp_path):
     # 36/235 ≈ 0.15 and C matches nothing — exactly one pair reported
     assert row["n_pairs"] == 1
     assert row["sum_containment_micro"] == 1_000_000
+
+
+def test_krippendorff_alpha_replay(spark):
+    from airflow_baseball_spark.queries_round8 import q_krippendorff_alpha
+
+    orders = sorted(
+        (
+            (r["o_custkey"], r["o_orderdate"], r["o_orderkey"], r["o_orderpriority"])
+            for r in load_table(spark, SF, "orders")
+            .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+            .collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    by_cust = defaultdict(list)
+    for ck, _d, _k, prio in orders:
+        by_cust[ck].append(prio)
+    o = Counter()
+    for prios in by_cust.values():
+        if len(prios) < 2:
+            continue
+        c1, c2 = prios[0], prios[-1]
+        o[(c1, c2)] += 1
+        o[(c2, c1)] += 1
+    n_v = Counter()
+    for (v, _k2), n in o.items():
+        n_v[v] += n
+    n_tot = sum(n_v.values())
+    sum_n2 = sum(n * n for n in n_v.values())
+    d_obs = sum(n for (v, k), n in o.items() if v != k)
+    alpha = _r6(1 - d_obs * (n_tot - 1) / (n_tot * n_tot - sum_n2))
+    row = q_krippendorff_alpha(spark, SF).collect()[0]
+    assert row["d_obs"] == d_obs
+    assert row["n_tot"] == n_tot
+    assert row["sum_n2"] == sum_n2
+    assert row["alpha"] == alpha
