@@ -838,3 +838,238 @@ registry.register(
     FROM dis CROSS JOIN tot
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa (3 fixed raters) — multi-rater agreement
+# ---------------------------------------------------------------------------
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a fixed-m design: every customer with ≥3
+    orders is a unit rated m=3 times — by its FIRST, MIDDLE
+    (⌈m/2⌉-th by the house rank rule), and LAST order's priority
+    class. The multi-rater generalization of the agreement audit
+    (krippendorff_alpha is the 2-rating variant).
+
+    κ = (P̄ − P_e)/(1 − P_e) with P̄ = (S2 − N·m)/(N·m·(m−1)) and
+    P_e = Σ_j (T_j/(N·m))²; S2 = Σ_units Σ_classes n_ij², T_j the
+    class totals — every input is an exact BIGINT aggregate, and κ is
+    one `_r6`-bounded expression tree over them (identical IEEE both
+    engines). Rater picks are row_numbers over (o_orderdate,
+    o_orderkey) — deterministic under ties. One shuffle on custkey;
+    the class matrices are |classes|-sized."""
+    from pyspark.sql import Window as W
+
+    m = 3
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w_asc = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.row_number().over(w_asc).alias("rn"),
+        F.count("*").over(W.partitionBy("o_custkey")).alias("n_ord"),
+    ).filter(F.col("n_ord") >= m)
+    # integer division (`div`) matches the oracle's `//` exactly —
+    # the middle rater is the ⌈m/2⌉-th order by the rank rule
+    picked = marked.filter(
+        (F.col("rn") == 1)
+        | (F.col("rn") == F.expr("(n_ord + 1) div 2"))
+        | (F.col("rn") == F.col("n_ord"))
+    )
+    nij = picked.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("n_ij")
+    )
+    s2 = nij.agg(
+        F.sum(F.col("n_ij") * F.col("n_ij")).alias("s2"),
+        F.countDistinct("o_custkey").alias("n_units"),
+    )
+    tj = nij.groupBy("o_orderpriority").agg(F.sum("n_ij").alias("t_j"))
+    te = tj.agg(
+        F.sum(F.col("t_j") * F.col("t_j")).alias("sum_t2"),
+        F.sum("t_j").alias("t_tot"),
+    )
+    j = s2.crossJoin(te)
+    n_d = F.col("n_units").cast("double")
+    p_bar = (F.col("s2").cast("double") - n_d * m) / (n_d * m * (m - 1))
+    p_e = F.col("sum_t2").cast("double") / ((n_d * m) * (n_d * m))
+    return j.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("s2").cast("long").alias("s2"),
+        F.col("sum_t2").cast("long").alias("sum_t2"),
+        F.col("t_tot").cast("long").alias("t_tot"),
+        _r6((p_bar - p_e) / (1 - p_e)).alias("kappa"),
+    )
+
+
+registry.register(
+    "fleiss_kappa",
+    q_fleiss_kappa,
+    """
+    WITH marked AS (
+      SELECT o_custkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_ord
+      FROM orders
+    ),
+    picked AS (
+      SELECT * FROM marked
+      WHERE n_ord >= 3
+        AND (rn = 1 OR rn = (n_ord + 1) // 2 OR rn = n_ord)
+    ),
+    nij AS (
+      SELECT o_custkey, o_orderpriority, COUNT(*) AS n_ij
+      FROM picked GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT SUM(n_ij * n_ij) AS s2,
+             COUNT(DISTINCT o_custkey) AS n_units
+      FROM nij
+    ),
+    te AS (
+      SELECT SUM(t_j * t_j) AS sum_t2, SUM(t_j) AS t_tot FROM (
+        SELECT o_orderpriority, SUM(n_ij) AS t_j FROM nij GROUP BY 1
+      )
+    )
+    SELECT CAST(n_units AS BIGINT) AS n_units,
+           CAST(s2 AS BIGINT) AS s2,
+           CAST(sum_t2 AS BIGINT) AS sum_t2,
+           CAST(t_tot AS BIGINT) AS t_tot,
+           FLOOR((((CAST(s2 AS DOUBLE) - CAST(n_units AS DOUBLE) * 3)
+                   / (CAST(n_units AS DOUBLE) * 3 * 2)
+                   - CAST(sum_t2 AS DOUBLE)
+                     / ((CAST(n_units AS DOUBLE) * 3)
+                        * (CAST(n_units AS DOUBLE) * 3)))
+                  / (1 - CAST(sum_t2 AS DOUBLE)
+                         / ((CAST(n_units AS DOUBLE) * 3)
+                            * (CAST(n_units AS DOUBLE) * 3))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS kappa
+    FROM s2 CROSS JOIN te
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Gwet's AC1 — prevalence-robust two-rater agreement
+# ---------------------------------------------------------------------------
+
+
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 over the same two-rating design as
+    krippendorff_alpha (first vs last order priority per ≥2-order
+    customer) — the agreement coefficient that stays interpretable
+    when one class dominates (kappa's prevalence paradox). Chance
+    agreement is p_e = Σ_j π_j(1−π_j)/(K−1) with π_j the pooled class
+    share and K the observed class count; AC1 = (p_a − p_e)/(1 − p_e).
+    All inputs exact BIGINTs (agreements, pooled class counts, K);
+    one `_r6` expression at the end."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w_asc = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_desc = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    marked = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+        F.count("*").over(W.partitionBy("o_custkey")).alias("m"),
+    ).filter(F.col("m") >= 2)
+    first = marked.filter(F.col("rn_a") == 1).select(
+        "o_custkey", F.col("o_orderpriority").alias("c1")
+    )
+    last = marked.filter(F.col("rn_d") == 1).select(
+        "o_custkey", F.col("o_orderpriority").alias("c2")
+    )
+    units = first.join(last, "o_custkey")
+    agg = units.agg(
+        F.count("*").alias("n_units"),
+        F.sum((F.col("c1") == F.col("c2")).cast("long")).alias("n_agree"),
+    )
+    pooled = (
+        units.select(F.col("c1").alias("c"))
+        .unionAll(units.select(F.col("c2").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("r_j"))
+    )
+    kstats = pooled.agg(
+        F.count("*").alias("k_classes"),
+        F.sum(F.col("r_j") * F.col("r_j")).alias("sum_r2"),
+        F.sum("r_j").alias("r_tot"),
+    )
+    j = agg.crossJoin(kstats)
+    n_d = F.col("n_units").cast("double")
+    # Σ π(1−π) = 1 − Σπ² with π_j = r_j/(2N)
+    p_e = (
+        (1 - F.col("sum_r2").cast("double") / (4 * n_d * n_d))
+        / (F.col("k_classes").cast("double") - 1)
+    )
+    p_a = F.col("n_agree").cast("double") / n_d
+    return j.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("k_classes").cast("long").alias("k_classes"),
+        F.col("sum_r2").cast("long").alias("sum_r2"),
+        _r6((p_a - p_e) / (1 - p_e)).alias("ac1"),
+    )
+
+
+registry.register(
+    "gwet_ac1",
+    q_gwet_ac1,
+    """
+    WITH marked AS (
+      SELECT o_custkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC,
+                                         o_orderkey DESC) AS rn_d,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS m
+      FROM orders
+    ),
+    units AS (
+      SELECT f.o_custkey, f.o_orderpriority AS c1, l.o_orderpriority AS c2
+      FROM (SELECT * FROM marked WHERE rn_a = 1 AND m >= 2) f
+      JOIN (SELECT * FROM marked WHERE rn_d = 1 AND m >= 2) l
+        USING (o_custkey)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_units,
+             SUM(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS n_agree
+      FROM units
+    ),
+    pooled AS (
+      SELECT c, COUNT(*) AS r_j FROM (
+        SELECT c1 AS c FROM units UNION ALL SELECT c2 FROM units
+      ) GROUP BY 1
+    ),
+    kstats AS (
+      SELECT COUNT(*) AS k_classes, SUM(r_j * r_j) AS sum_r2,
+             SUM(r_j) AS r_tot
+      FROM pooled
+    )
+    SELECT CAST(n_units AS BIGINT) AS n_units,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(k_classes AS BIGINT) AS k_classes,
+           CAST(sum_r2 AS BIGINT) AS sum_r2,
+           FLOOR(((CAST(n_agree AS DOUBLE) / CAST(n_units AS DOUBLE)
+                   - (1 - CAST(sum_r2 AS DOUBLE)
+                          / (4 * CAST(n_units AS DOUBLE)
+                             * CAST(n_units AS DOUBLE)))
+                     / (CAST(k_classes AS DOUBLE) - 1))
+                  / (1 - (1 - CAST(sum_r2 AS DOUBLE)
+                              / (4 * CAST(n_units AS DOUBLE)
+                                 * CAST(n_units AS DOUBLE)))
+                         / (CAST(k_classes AS DOUBLE) - 1)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ac1
+    FROM agg CROSS JOIN kstats
+    """,
+)

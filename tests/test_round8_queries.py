@@ -291,3 +291,77 @@ def test_krippendorff_alpha_replay(spark):
     assert row["n_tot"] == n_tot
     assert row["sum_n2"] == sum_n2
     assert row["alpha"] == alpha
+
+
+def _order_ratings(spark):
+    orders = sorted(
+        (
+            (r["o_custkey"], r["o_orderdate"], r["o_orderkey"], r["o_orderpriority"])
+            for r in load_table(spark, SF, "orders")
+            .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+            .collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    by_cust = defaultdict(list)
+    for ck, _d, _k, prio in orders:
+        by_cust[ck].append(prio)
+    return by_cust
+
+
+def test_fleiss_kappa_replay(spark):
+    from airflow_baseball_spark.queries_round8 import q_fleiss_kappa
+
+    m = 3
+    nij = Counter()
+    units = set()
+    for ck, prios in _order_ratings(spark).items():
+        n = len(prios)
+        if n < m:
+            continue
+        units.add(ck)
+        mid = prios[(n + 1) // 2 - 1]  # 1-based ⌈n/2⌉-th, 0-based index
+        for c in (prios[0], mid, prios[-1]):
+            nij[(ck, c)] += 1
+    n_units = len(units)
+    s2 = sum(v * v for v in nij.values())
+    tj = Counter()
+    for (_ck, c), v in nij.items():
+        tj[c] += v
+    sum_t2 = sum(v * v for v in tj.values())
+    t_tot = sum(tj.values())
+    p_bar = (s2 - n_units * m) / (n_units * m * (m - 1))
+    p_e = sum_t2 / ((n_units * m) * (n_units * m))
+    kappa = _r6((p_bar - p_e) / (1 - p_e))
+    row = q_fleiss_kappa(spark, SF).collect()[0]
+    assert row["n_units"] == n_units
+    assert row["s2"] == s2
+    assert row["sum_t2"] == sum_t2
+    assert row["t_tot"] == t_tot == n_units * m
+    assert row["kappa"] == kappa
+
+
+def test_gwet_ac1_replay(spark):
+    from airflow_baseball_spark.queries_round8 import q_gwet_ac1
+
+    n_units = n_agree = 0
+    pooled = Counter()
+    for _ck, prios in _order_ratings(spark).items():
+        if len(prios) < 2:
+            continue
+        c1, c2 = prios[0], prios[-1]
+        n_units += 1
+        n_agree += c1 == c2
+        pooled[c1] += 1
+        pooled[c2] += 1
+    k = len(pooled)
+    sum_r2 = sum(v * v for v in pooled.values())
+    p_a = n_agree / n_units
+    p_e = (1 - sum_r2 / (4 * n_units * n_units)) / (k - 1)
+    ac1 = _r6((p_a - p_e) / (1 - p_e))
+    row = q_gwet_ac1(spark, SF).collect()[0]
+    assert row["n_units"] == n_units
+    assert row["n_agree"] == n_agree
+    assert row["k_classes"] == k
+    assert row["sum_r2"] == sum_r2
+    assert row["ac1"] == ac1
