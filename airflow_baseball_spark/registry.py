@@ -444,6 +444,11 @@ def _load() -> None:
         queries_relational,
         queries_relational2,
         queries_round8,
+        queries_round8b,
+        queries_round8c,
+        queries_round8d,
+        queries_round8e,
+        queries_round8f,
         queries_sampling,
         queries_streaming,
         queries_mining,

@@ -78,6 +78,28 @@ _ALLOWED = {
     "popularity_hitrate": ('reach',),
     "pr_curve_sweep": ('v',),
     "price_elasticity": ('n',),
+    # r8b additions — every global window below sorts a calendar- or
+    # catalog-bounded frame (docstrings document the bound): the daily
+    # revenue series ('d'), the 25-row brand frame ('rev_h1'/'rev_h2'),
+    # the types x days frame ('cnt'), the <=10-row p-value family
+    # ('p_exact')
+    "permutation_entropy": ('d',),
+    "sample_entropy": ('d',),
+    "pacf_yule_walker": ('d',),
+    "rank_biased_overlap": ('rev_h1', 'rev_h2'),
+    "sign_test_bh": ('cnt', 'p_exact'),
+    # r8c: 'v' = distinct-cents frames (price-granularity bounded),
+    # rev_h1/rev_h2 = the 25-row brand frame
+    "auc_ci_hanley": ('v',),
+    "cliff_delta": ('v',),
+    "mood_median_test": ('v',),
+    "spearman_footrule": ('rev_h1', 'rev_h2'),
+    # r8d: the final Siegel pick sorts the days-sized per-day medians
+    "siegel_slope": ('med_i',),
+    # r8f: GESD's three argmax picks sort the days-sized frame; the
+    # cross-elasticity top-5 ranks the 25-row brand frame
+    "gesd_outliers": ('sc',),
+    "cross_price_elasticity": ('rev',),
     "range_frame_agg": ('di',),
     "ransac_trend": ('n_inliers',),
     "regression_diagnostics": ('d',),
