@@ -449,6 +449,7 @@ def _load() -> None:
         queries_round8d,
         queries_round8e,
         queries_round8f,
+        queries_round8g,
         queries_sampling,
         queries_streaming,
         queries_mining,
