@@ -450,6 +450,7 @@ def _load() -> None:
         queries_round8e,
         queries_round8f,
         queries_round8g,
+        queries_round8h,
         queries_sampling,
         queries_streaming,
         queries_mining,

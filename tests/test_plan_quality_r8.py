@@ -100,6 +100,12 @@ _ALLOWED = {
     # cross-elasticity top-5 ranks the 25-row brand frame
     "gesd_outliers": ('sc',),
     "cross_price_elasticity": ('rev',),
+    # r8h: days-sized series sorts ('d'/'x'), the theil-style slope
+    # sort ('slope_micro'), and the 7-row weekday frame ('m')
+    "turning_point_test": ('d',),
+    "bartels_rank_test": ('d', 'x'),
+    "sen_slope_ci": ('slope_micro',),
+    "dixon_q_test": ('m',),
     "range_frame_agg": ('di',),
     "ransac_trend": ('n_inliers',),
     "regression_diagnostics": ('d',),
