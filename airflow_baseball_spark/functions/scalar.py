@@ -110,9 +110,9 @@ def dec_portable(c: Column | str, precision: int = 18, scale: int = 2) -> Column
     both engines — then the now-safe decimal cast. A bare
     CAST(double AS DECIMAL(p,s)) is engine-DIVERGENT at (s+1)-decimal
     ties: Spark casts via the shortest decimal string (0.615d → 0.62)
-    while DuckDB rounds the binary value (→ 0.61); probe_dec_cast
-    measures exactly this, and the r7 driver window proved its
-    generation carries such ties. Quantizing first makes the tie
+    while DuckDB rounds the binary value (→ 0.61); the retired r8
+    probe_dec_cast measured exactly this divergence on tie-carrying
+    vintages (the local `driverish` vintage still injects such ties). Quantizing first makes the tie
     decision in shared IEEE arithmetic, and the quantized double (an
     exact s-decimal value) casts identically on both engines. Identity
     on values already at ≤s decimals — every driver-attested green is

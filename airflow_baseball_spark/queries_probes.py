@@ -1,86 +1,70 @@
-"""Driver-environment diagnostic probes, ladder v2 (r8 verdict item #1).
+"""Driver-environment diagnostic probes, panel v3 (r9).
 
-The r7 probe panel (v1) DETECTED where the driver divergence lives:
-``probe_engine_echo`` green (engine arithmetic exonerated) and
-``probe_events_hour_raw`` green (calendar HOUR agrees) — both RETIRED —
-while epoch-µs reads of ``events.ts``, day derivations of
-``l_shipdate``, char/byte lengths of ``documents.text``, and
-double→DECIMAL(18,2) tie casts all came back red. v2 upgrades the
-panel from detector to DECIDER: each probe is one read primitive on
-one column, so the r8 window's red/green pattern names the
-engine-agreeing primitive per column instead of another round of
-guessing.
+History: the v1 (r7) and v2 (r8) panels were built on the theory that
+the driver's red/green split lived at the data-READ layer (ns→µs
+conventions, text encodings, decimal-tie casts). The r8 window
+falsified that theory by contradiction — every v2 probe came back red
+while same-column, same-primitive real queries stayed green — and the
+r9 audit found the actual mechanism one layer up, at the oracle FETCH:
+every driver-red ever recorded (19 in r8, 21 samples r5–r8) has a
+DuckDB HUGEINT output column, and no green ever did. DuckDB promotes
+integer SUMs to HUGEINT (int128); the driver's dtype-preserving fetch
+has no int128 container, degrades it to float64, and the value hash
+splits on "6.0" vs "6". The v2 probes — all pure-BIGINT SUM surfaces,
+chosen deliberately so "a red can never be blamed on float hash
+normalization" — were therefore the one shape guaranteed to go red,
+measuring their own fetch path instead of the read layer. Full
+evidence and the fix (registry._debigint_all, the automatic
+CAST-to-BIGINT oracle rewrite) in PERF_NOTES.md r9; local replica in
+tests/driver_sim.py, which reproduces the r8 window 50/50 with raw
+oracles and 0/50 red with wrapped ones.
 
-Local engine matrix measured for r8 (the evidence behind the ladder):
-Spark 4.1.2 reads ns-annotated parquet only as raw BIGINT ns (the
-nanosAsLong flag; the conversion to µs is load_table's choice) and
-truncates INT96 to µs natively; DuckDB 1.0 TRUNCATES ns/INT96 parquet
-to µs at scan (sub-µs destroyed before SQL). Since the local pairing
-trunc/trunc is green while the r7 driver window was red even with a
-truncation-forcing oracle (``interval_union_time``), every
-truncating-DuckDB scenario is eliminated for the driver environment —
-the driver's DuckDB either ROUNDS ns→µs at scan or reads exact ns.
-load_table + the registry's ``_TS_NORM_CTES`` therefore moved to
-round-half-up ``(ns+500)//1000`` in r8; the ladder below verifies that
-choice from the driver's own window.
-
-Decision table (Spark side is always the engine's actual read —
-load_table, round-half-up on the ns branch):
+The v3 panel validates that finding from the driver's own window and
+audits the one data property the r8 reds could not exclude
+(duplicate keys making window orders non-total):
 
 ====================  ===============================================
-pattern                meaning
+probe                  expected / meaning
 ====================  ===============================================
-us_trunc G, us_round G driver DuckDB's scan converts ns→µs itself (or
-                       the vintage is µs-native): both oracles are
-                       identities; the r8 round convention agrees —
-                       the r7 reds were the trunc/round split, fixed
-us_trunc R, us_round G driver DuckDB reads EXACT ns: the round oracle
-                       matches load_table's convention, the trunc one
-                       doesn't — round is proven, keep it
-us_trunc R, us_round R neither convention matches; walk the grain
-                       ladder (ms, then sec): the coarsest green
-                       grain is the only safe events.ts hash surface
-ms/sec R               divergence is above µs grain (value-level, not
-                       precision-level): treat events.ts as unreadable
-                       for hash purposes and swap it out of surfaces
-duck_subus RED         driver DuckDB sees nonzero sub-µs remainders —
-                       direct proof of an exact-ns read (this probe's
-                       Spark side is the constant 0)
-ship_day_round G       l_shipdate days agree under the round-half-up
-                       derivation (the engine's read) — rebased reds
-                       (tpch_q12ish, psi_drift, sql_api_pricing) hold
-ship_day_trunc R only  the midnight-minus-epsilon generation shape:
-                       values just below midnight round up but
-                       truncate down (reproduced locally by the
-                       `driverish` vintage)
-ship_day_cal vs epoch  cal G / epoch R isolates calendar-rule or
-                       session-TZ drift from raw-value drift
-doc_bytes / doc_chars  byte lengths are pure data; codepoint lengths
-                       add semantics. bytes G + chars R → count in
-                       BYTES everywhere; bytes R → engines read
-                       different STRING CONTENT — see doc_content
-doc_content R          md5-of-text checksums differ: the engines
-                       disagree on the bytes themselves (encoding or
-                       scan-level replacement) — text-derived columns
-                       are unreliable in hash surfaces; use stored
-                       columns (n_chars) instead
-dec_floor G            floor(x*100+0.5) cents agree on stored doubles
-                       (IEEE-identical on both engines) — validates
-                       the repo-wide r8 sweep away from
-                       CAST(double AS DECIMAL(18,2))
-dec_floor R            the stored double BITS read differently —
-                       escalate: no numeric surface is safe
-dec_cast R             reconfirms the decimal-tie divergence measured
-                       in r7 (Spark shortest-string vs DuckDB binary
-                       rounding); no registered query depends on the
-                       pattern after the r8 sweep
+probe_const_control    GREEN. Constant row, no table reads, under a
+panel_const_twin       probe_ name and a normal name. A split between
+                       them would prove name-dependent driver
+                       handling; both red would mean the comparison
+                       itself is broken. (r8 verdict directive #1a.)
+probe_hugeint_bare     RED by design (the panel's positive control):
+                       oracle keeps a bare SUM(int) — HUGEINT —
+                       exempted from the registry rewrite
+                       (registry._DEBIGINT_EXEMPT).
+probe_hugeint_cast     GREEN: the same aggregation with the oracle
+                       SUM cast to BIGINT. bare-RED + cast-GREEN in
+                       one window is the HUGEINT mechanism confirmed
+                       from the driver's own readings; bare-GREEN
+                       would falsify it (and demand a new theory).
+probe_dup_keys         count-only duplicate audit on documents,
+                       events, orders, lineitem keys (r8 verdict
+                       directive #2): COUNT(*) − COUNT(DISTINCT key)
+                       per table, value-drift-immune. GREEN means
+                       driver data has the same (zero) duplicate-key
+                       profile as local generation; RED names which
+                       table's keys are non-unique driver-side (the
+                       only remaining non-fetch explanation for the
+                       old media_shard_plan/interval_union_time reds).
+probe_ev_us_round      GREEN (carried from v2, now fetch-fixed):
+                       events.ts epoch-µs fingerprint under the
+                       round-half-up ns→µs convention. With the fetch
+                       layer fixed this finally measures what v2
+                       thought it measured: value-level agreement of
+                       the timestamp read.
+probe_doc_content      GREEN (carried from v2, now fetch-fixed):
+                       md5-of-text checksum — byte-level agreement of
+                       the documents.text read.
 ====================  ===============================================
 
-Every probe's output is pure BIGINT, so a red can never be blamed on
-summation order or float hash normalization. Probes read the RAW
-DuckDB views (registry.register skips oracle normalization for
-``probe_``-prefixed names) — measuring the un-normalized environment
-is their job.
+All other v2 probes are retired: their questions (trunc-vs-round,
+byte-vs-char lengths, grain ladders, decimal-tie casts) were either
+answered by the r9 root cause or are re-askable on demand; keeping 13
+always-red rows in the 50-slot window was costing the never-sampled
+backlog its attestation bandwidth (r8 verdict directive #5).
 """
 
 from __future__ import annotations
@@ -91,47 +75,128 @@ from pyspark.sql import functions as F
 from airflow_baseball_spark import registry
 from airflow_baseball_spark.schemas import load_table
 
-_US_PER_DAY = 86_400_000_000
 _P = 1_000_003  # prime modulus for order-invariant value checksums
 
 
 # ---------------------------------------------------------------------------
-# events.ts — ns→µs convention + grain ladder
+# control pair: constant query under probe_ and normal names
 # ---------------------------------------------------------------------------
 
 
-def _ev_us_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared Spark side for the µs-convention pair: the engine's
-    actual read (load_table, round-half-up ns branch) fingerprinted as
-    count + order-invariant mod-prime checksum of epoch-µs."""
+def _const_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1).select(
+        F.lit(42).cast("long").alias("answer"),
+        F.lit(0.5).cast("double").alias("frac"),
+        F.lit("control").alias("tag"),
+    )
+
+
+_CONST_SQL = """
+    SELECT CAST(42 AS BIGINT) AS answer,
+           CAST(0.5 AS DOUBLE) AS frac,
+           'control' AS tag
+    """
+
+registry.register("probe_const_control", _const_control, _CONST_SQL)
+registry.register("panel_const_twin", _const_control, _CONST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# HUGEINT mechanism pair: bare SUM(int) vs CAST AS BIGINT
+# ---------------------------------------------------------------------------
+
+
+def _linenumber_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.sum("l_linenumber").cast("long").alias("s"),
+    )
+
+
+registry.register(
+    "probe_hugeint_bare",
+    _linenumber_sum,
+    # bare SUM(INTEGER) -> HUGEINT; name is in registry._DEBIGINT_EXEMPT
+    # so the rewrite leaves it. EXPECTED RED in the driver window.
+    """
+    SELECT COUNT(*) AS n, SUM(l_linenumber) AS s
+    FROM lineitem
+    """,
+)
+
+registry.register(
+    "probe_hugeint_cast",
+    _linenumber_sum,
+    """
+    SELECT COUNT(*) AS n, CAST(SUM(l_linenumber) AS BIGINT) AS s
+    FROM lineitem
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-key audit (drift-immune counts)
+# ---------------------------------------------------------------------------
+
+
+def q_probe_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) − COUNT(DISTINCT key) per table — pure counts, immune
+    to any value-level drift, so a red names a table whose keys are
+    non-unique in the driver generation (which would make ORDER BY
+    <key> window frames non-total and nondeterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d1 = docs.agg((F.count("*") - F.countDistinct("doc_id")).alias("dup_doc_id"))
+    d2 = ev.agg((F.count("*") - F.countDistinct("event_id")).alias("dup_event_id"))
+    d3 = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey")
+    )
+    d4 = li.agg(
+        (
+            F.count("*") - F.countDistinct("l_orderkey", "l_linenumber")
+        ).alias("dup_lineitem_key")
+    )
+    return d1.crossJoin(d2).crossJoin(d3).crossJoin(d4)
+
+
+registry.register(
+    "probe_dup_keys",
+    q_probe_dup_keys,
+    """
+    SELECT
+      (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)
+        AS dup_doc_id,
+      (SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events)
+        AS dup_event_id,
+      (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        AS dup_orderkey,
+      (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+         FROM lineitem) AS dup_lineitem_key
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# carried v2 probes (fetch-fixed): timestamp + text content reads
+# ---------------------------------------------------------------------------
+
+
+def q_probe_ev_us_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts fingerprint at µs grain — the engine's actual read
+    (load_table, round-half-up on the ns branch) as count +
+    order-invariant mod-prime checksum. Green attests value-level
+    agreement of the timestamp read under the r8 round-half-up
+    convention; red now genuinely means the engines read different
+    µs values (the fetch layer is fixed)."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     return ev.agg(
         F.count("*").alias("n"),
         F.sum(us % F.lit(_P)).alias("sum_us_modp"),
     )
-
-
-def q_probe_ev_us_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts at µs grain, oracle = TRUNCATION (epoch_ns//1000)."""
-    return _ev_us_fingerprint(spark, sf_dir)
-
-
-registry.register(
-    "probe_ev_us_trunc",
-    q_probe_ev_us_trunc,
-    f"""
-    SELECT COUNT(*) AS n,
-           SUM((epoch_ns(ts) // 1000) % {_P}) AS sum_us_modp
-    FROM events
-    """,
-)
-
-
-def q_probe_ev_us_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts at µs grain, oracle = ROUND-HALF-UP
-    ((epoch_ns+500)//1000) — the engine's r8 convention."""
-    return _ev_us_fingerprint(spark, sf_dir)
 
 
 registry.register(
@@ -145,222 +210,12 @@ registry.register(
 )
 
 
-def q_probe_ev_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts at MILLISECOND grain (grain ladder step 1): if both
-    µs probes are red, a green here bounds the divergence below 1 ms
-    and any events.ts hash surface can quantize to ms."""
-    ev = load_table(spark, sf_dir, "events")
-    ms = F.expr("unix_micros(ts) div 1000")
-    return ev.agg(
-        F.count("*").alias("n"),
-        F.sum(ms % F.lit(_P)).alias("sum_ms_modp"),
-    )
-
-
-registry.register(
-    "probe_ev_ms",
-    q_probe_ev_ms,
-    f"""
-    SELECT COUNT(*) AS n,
-           SUM((epoch_ns(ts) // 1000000) % {_P}) AS sum_ms_modp
-    FROM events
-    """,
-)
-
-
-def q_probe_ev_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts at SECOND grain (grain ladder step 2, the backstop
-    below the already-proven-green calendar HOUR)."""
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("unix_micros(ts) div 1000000")
-    return ev.agg(
-        F.count("*").alias("n"),
-        F.sum(sec % F.lit(_P)).alias("sum_sec_modp"),
-    )
-
-
-registry.register(
-    "probe_ev_sec",
-    q_probe_ev_sec,
-    f"""
-    SELECT COUNT(*) AS n,
-           SUM((epoch_ns(ts) // 1000000000) % {_P}) AS sum_sec_modp
-    FROM events
-    """,
-)
-
-
-def q_probe_ev_duck_subus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Does the DRIVER's DuckDB see sub-µs remainders on events.ts?
-    The Spark side is the constant 0 (one row); the oracle counts rows
-    whose epoch_ns is not µs-aligned. Green under any DuckDB whose
-    scan converts ns→µs (local 1.0 truncates — remainders destroyed)
-    and under µs-native vintages; RED is direct proof of an exact-ns
-    read in the driver environment."""
-    return spark.range(1).select(F.lit(0).cast("long").alias("n_subus"))
-
-
-registry.register(
-    "probe_ev_duck_subus",
-    q_probe_ev_duck_subus,
-    """
-    SELECT SUM(CASE WHEN epoch_ns(ts) % 1000 <> 0 THEN 1 ELSE 0 END)
-           AS n_subus
-    FROM events
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# lineitem.l_shipdate — day-derivation ladder
-# ---------------------------------------------------------------------------
-
-
-def _ship_day_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared Spark side for the day-derivation probes: the engine's
-    actual read (datediff on the load_table-normalized value), as
-    count + min + max + mod-prime checksum — all four columns derive
-    from the same per-row day integer, so the probe stays one
-    mechanism while separating whole-range shifts (min/max move) from
-    scattered rows (only the checksum moves)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
-    return li.agg(
-        F.count("*").alias("n"),
-        F.min(d).alias("min_day"),
-        F.max(d).alias("max_day"),
-        F.sum(d % F.lit(_P)).alias("sum_day_modp"),
-    )
-
-
-def q_probe_ship_day_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l_shipdate days, oracle = round-half-up ns→µs then floor to
-    days — the engine's r8 convention."""
-    return _ship_day_fingerprint(spark, sf_dir)
-
-
-registry.register(
-    "probe_ship_day_round",
-    q_probe_ship_day_round,
-    f"""
-    SELECT COUNT(*) AS n,
-           MIN(((epoch_ns(l_shipdate) + 500) // 1000) // {_US_PER_DAY})
-             AS min_day,
-           MAX(((epoch_ns(l_shipdate) + 500) // 1000) // {_US_PER_DAY})
-             AS max_day,
-           SUM((((epoch_ns(l_shipdate) + 500) // 1000) // {_US_PER_DAY})
-               % {_P}) AS sum_day_modp
-    FROM lineitem
-    """,
-)
-
-
-def q_probe_ship_day_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l_shipdate days, oracle = pure truncation (the r7 convention,
-    red in the r7 driver window). Round-G + trunc-R is the signature
-    of midnight-minus-epsilon values (see the driverish vintage)."""
-    return _ship_day_fingerprint(spark, sf_dir)
-
-
-registry.register(
-    "probe_ship_day_trunc",
-    q_probe_ship_day_trunc,
-    f"""
-    SELECT COUNT(*) AS n,
-           MIN(epoch_ns(l_shipdate) // {_US_PER_DAY * 1000}) AS min_day,
-           MAX(epoch_ns(l_shipdate) // {_US_PER_DAY * 1000}) AS max_day,
-           SUM((epoch_ns(l_shipdate) // {_US_PER_DAY * 1000}) % {_P})
-             AS sum_day_modp
-    FROM lineitem
-    """,
-)
-
-
-def q_probe_ship_day_cal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l_shipdate days, oracle = CALENDAR path (CAST AS DATE +
-    date_diff on the raw view): separates calendar-rule / session-TZ
-    drift from the raw-value drift the epoch probes measure."""
-    return _ship_day_fingerprint(spark, sf_dir)
-
-
-registry.register(
-    "probe_ship_day_cal",
-    q_probe_ship_day_cal,
-    f"""
-    SELECT COUNT(*) AS n,
-           MIN(date_diff('day', DATE '1970-01-01',
-                         CAST(l_shipdate AS DATE))) AS min_day,
-           MAX(date_diff('day', DATE '1970-01-01',
-                         CAST(l_shipdate AS DATE))) AS max_day,
-           SUM(date_diff('day', DATE '1970-01-01',
-                         CAST(l_shipdate AS DATE)) % {_P}) AS sum_day_modp
-    FROM lineitem
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# documents.text — bytes vs codepoints vs content
-# ---------------------------------------------------------------------------
-
-
-def q_probe_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text BYTE lengths only (Spark octet_length == DuckDB
-    strlen). Bytes are pure data — a red here means the engines read
-    different string content, not different length semantics."""
-    docs = load_table(spark, sf_dir, "documents")
-    blen = F.octet_length("text")
-    return docs.agg(
-        F.count("*").alias("n"),
-        F.sum(blen).alias("sum_bytes"),
-        F.sum(blen % F.lit(997)).alias("sum_bytes_mod"),
-    )
-
-
-registry.register(
-    "probe_doc_bytes",
-    q_probe_doc_bytes,
-    """
-    SELECT COUNT(*) AS n,
-           SUM(strlen(text)) AS sum_bytes,
-           SUM(strlen(text) % 997) AS sum_bytes_mod
-    FROM documents
-    """,
-)
-
-
-def q_probe_doc_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text CODEPOINT lengths only (Spark length == DuckDB
-    length). bytes-G + chars-R isolates a length-semantics split
-    (grapheme/UTF-16 counting) — then every text surface should count
-    bytes."""
-    docs = load_table(spark, sf_dir, "documents")
-    clen = F.length("text")
-    return docs.agg(
-        F.count("*").alias("n"),
-        F.sum(clen).alias("sum_chars"),
-        F.sum(clen % F.lit(997)).alias("sum_chars_mod"),
-    )
-
-
-registry.register(
-    "probe_doc_chars",
-    q_probe_doc_chars,
-    """
-    SELECT COUNT(*) AS n,
-           SUM(length(text)) AS sum_chars,
-           SUM(length(text) % 997) AS sum_chars_mod
-    FROM documents
-    """,
-)
-
-
 def q_probe_doc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text CONTENT checksum: md5 is byte-defined and
     engine-portable, so an order-invariant sum of the ascii codes of
     the first 8 hex chars (weighted by 31^j — max term ≈ 3.4e12, sum
-    at sf0.01 ≈ 2e17, inside BIGINT) moves if and only if any
-    document's bytes differ between the engines' reads."""
+    at sf0.01 ≈ 2e17, inside BIGINT) moves iff any document's bytes
+    differ between the engines' reads."""
     docs = load_table(spark, sf_dir, "documents")
     m = F.md5("text")
     chk = sum(
@@ -393,108 +248,5 @@ registry.register(
            + CAST(ascii(substr(md5(text), 8, 1)) AS BIGINT) * 27512614111
            ) AS sum_md5chk
     FROM documents
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# stored doubles — quantization primitives
-# ---------------------------------------------------------------------------
-
-
-def q_probe_dec_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """floor(x*100+0.5) cents over every widely-consumed stored double
-    (lineitem ×3, orders.o_totalprice, events.value) — identical IEEE
-    ops on both engines, so green validates the r8 repo-wide sweep
-    from CAST(double AS DECIMAL(18,2)) to floor-cents; RED means the
-    stored double bits themselves read differently (escalate)."""
-
-    def cents(c: str):
-        return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(
-                cents("l_discount") % F.lit(_P)
-                + cents("l_quantity") % F.lit(_P)
-                + cents("l_extendedprice") % F.lit(_P)
-            ).alias("cents_modp"),
-        )
-        .select(F.lit("lineitem").alias("src"), "n", "cents_modp")
-    )
-    od = (
-        load_table(spark, sf_dir, "orders")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(cents("o_totalprice") % F.lit(_P)).alias("cents_modp"),
-        )
-        .select(F.lit("orders").alias("src"), "n", "cents_modp")
-    )
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(cents("value") % F.lit(_P)).alias("cents_modp"),
-        )
-        .select(F.lit("events").alias("src"), "n", "cents_modp")
-    )
-    return li.unionByName(od).unionByName(ev)
-
-
-registry.register(
-    "probe_dec_floor",
-    q_probe_dec_floor,
-    f"""
-    SELECT 'lineitem' AS src, COUNT(*) AS n,
-           SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) % {_P}
-             + CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) % {_P}
-             + CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) % {_P})
-             AS cents_modp
-    FROM lineitem
-    UNION ALL
-    SELECT 'orders', COUNT(*),
-           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % {_P})
-    FROM orders
-    UNION ALL
-    SELECT 'events', COUNT(*),
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % {_P})
-    FROM events
-    """,
-)
-
-
-def q_probe_dec_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CAST(double AS DECIMAL(18,2)) cents only (the engine-DIVERGENT
-    primitive: Spark rounds the shortest decimal string, DuckDB the
-    binary value — 0.615d → 0.62 vs 0.61). Expected red whenever the
-    generation carries 3+-decimal ties (r7 measured that it does);
-    kept as the panel's positive control. No registered query uses
-    this primitive after the r8 sweep."""
-    li = load_table(spark, sf_dir, "lineitem")
-
-    def cents_cast(c: str):
-        return (F.col(c).cast("decimal(18,2)") * 100).cast("long")
-
-    return li.agg(
-        F.count("*").alias("n"),
-        F.sum(cents_cast("l_discount") % F.lit(_P)).alias("disc_cast_modp"),
-        F.sum(cents_cast("l_extendedprice") % F.lit(_P)).alias(
-            "price_cast_modp"
-        ),
-    )
-
-
-registry.register(
-    "probe_dec_cast",
-    q_probe_dec_cast,
-    f"""
-    SELECT COUNT(*) AS n,
-           SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
-               % {_P}) AS disc_cast_modp,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               % {_P}) AS price_cast_modp
-    FROM lineitem
     """,
 )

@@ -2560,7 +2560,10 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _strength_sql() -> str:
     from airflow_baseball_spark import registry as _reg
 
-    decompose_sql = _reg.oracle_sql()["seasonal_decompose"]
+    # raw=True: this runs at registration time (mid-_load), where the
+    # r9 HUGEINT rewrite must not run against a partial registry; the
+    # composed query's own output is wrapped by the top-level pass
+    decompose_sql = _reg.oracle_sql(raw=True)["seasonal_decompose"]
     return f"""
     WITH dec AS ({decompose_sql}),
     staged AS (

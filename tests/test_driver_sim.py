@@ -1,0 +1,92 @@
+"""Gates for the r9 instrument finding (PERF_NOTES.md r9): the
+driver's oracle fetch is dtype-preserving, DuckDB HUGEINT degrades to
+float64 there, and every driver red ever recorded was exactly that
+split. These tests pin
+
+1. the repo-wide invariant that `oracle_sql()` never ships a HUGEINT
+   output column (the automatic CAST-to-BIGINT rewrite stays on and
+   stays complete),
+2. the dtype-sensitive local replica (`tests/driver_sim.py`)
+   reproducing the split on a bare-HUGEINT oracle and NOT on its cast
+   twin — the pair the driver window attests as red/green,
+3. the nullable-int refinement: declared BIGINT columns survive NULLs
+   (pandas float64) without splitting, pinned driver-side by
+   accumulating_snapshot's r8 green.
+
+Full-window replication artifacts: DRIVER_SIM_r9_prefix.txt (raw
+oracles, 50/50 agreement with CORRECTNESS_r08.json) and
+DRIVER_SIM_r9_postfix.txt (wrapped, 0/50 red).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.driver_sim import compare_driverish
+from tests.oracle_harness import duckdb_connect
+
+from airflow_baseball_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_connect(SF)
+
+
+def test_no_hugeint_in_any_wrapped_oracle(con):
+    """The driver-red mechanism, eliminated surface-wide: DESCRIBE
+    every shipped oracle; only the designed positive control may emit
+    HUGEINT. A failure here means a new registration SUMs integers
+    without the registry rewrite catching it (e.g. registered after
+    the first oracle_sql() call latched the cache)."""
+    sqls = registry.oracle_sql()
+    offenders = []
+    for name, sql in sqls.items():
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+        if any(t in ("HUGEINT", "UHUGEINT") for _, t, *_ in desc):
+            offenders.append(name)
+    assert offenders == ["probe_hugeint_bare"], offenders
+
+
+def test_sim_splits_bare_hugeint_not_cast_twin(spark, con):
+    qs = registry.queries()
+    sqls = registry.oracle_sql()
+    bare = compare_driverish(
+        qs["probe_hugeint_bare"](spark, SF), con, sqls["probe_hugeint_bare"]
+    )
+    cast = compare_driverish(
+        qs["probe_hugeint_cast"](spark, SF), con, sqls["probe_hugeint_cast"]
+    )
+    assert not bare["values_match"], "sim lost its HUGEINT sensitivity"
+    assert bare["rowcount_match"] and bare["columns_match"]
+    assert cast["values_match"], cast.get("first_diffs")
+
+
+def test_sim_agrees_with_fetchall_on_wrapped_ex_red(spark, con):
+    """tpch_q12ish — four rounds driver-red, value-correct all along:
+    with the wrapped oracle both comparators must agree green."""
+    from tests.oracle_harness import compare
+
+    qs = registry.queries()
+    sqls = registry.oracle_sql()
+    df = qs["tpch_q12ish"](spark, SF)
+    sim = compare_driverish(df, con, sqls["tpch_q12ish"])
+    exact = compare(qs["tpch_q12ish"](spark, SF), con, sqls["tpch_q12ish"])
+    assert sim["values_match"], sim.get("first_diffs")
+    assert exact["values_match"], exact.get("first_diffs")
+
+
+def test_sim_nullable_bigint_does_not_split(spark, con):
+    """accumulating_snapshot outputs nullable BIGINTs (pandas
+    float64); the driver kept it green in r8, so the sim must render
+    declared-int64 columns as ints through NULLs."""
+    qs = registry.queries()
+    sqls = registry.oracle_sql()
+    rep = compare_driverish(
+        qs["accumulating_snapshot"](spark, SF),
+        con,
+        sqls["accumulating_snapshot"],
+    )
+    assert rep["values_match"], rep.get("first_diffs")

@@ -20,7 +20,7 @@ Acceptance per the verdict, encoded as regression tests:
 * same pair for l_shipdate day derivations (midnight-eps rows shift a
   day under truncation, none under rounding);
 * CAST(double AS DECIMAL(18,2)) cents DISAGREE on the injected ties
-  (the divergence probe_dec_cast measures) while the house
+  (the divergence the retired r8 probe_dec_cast measured) while the house
   floor(x*100+0.5) cents AGREE — validating the r8 repo-wide sweep.
 """
 
