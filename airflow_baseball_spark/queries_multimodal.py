@@ -154,21 +154,18 @@ def q_media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     size BEFORE the asset, integer-divided by the target — pure
     integer arithmetic, identical on both engines at any parallelism.
 
-    r8 rebase (driver-red r6 AND r7 while bit-exact locally — r7's
-    move from char length to true bytes did NOT fix it, so the driver
-    divergence sits in the text read itself, not the length
-    semantics; the r8 probe trio doc_bytes/doc_chars/doc_content will
-    name the mechanism): the per-asset size is now the STORED
-    ``n_chars`` column — a plain int64 the generator wrote next to the
-    text, which both engines read as the same bits no matter what
-    they disagree on about the string column. A one-early-disagreement
-    here reshuffles every downstream shard boundary, so the planner is
-    the one query that must not consume ANY computed text feature.
-    The payload-size semantics are unchanged (a size column drives
-    contiguous ~64 KB shards); only the size's provenance moved from
-    computed-at-query-time to precomputed-at-ingest — which is also
-    the honest 100 TB design: a shard planner over binary media reads
-    the asset-manifest size column, it does not re-measure payloads.
+    History: driver-red r6-r8 while bit-exact locally. r9 root-caused
+    it (PERF_NOTES.md r9): the oracle's window-SUM-derived ``shard_id``
+    is a DuckDB HUGEINT, which the driver's dtype-preserving fetch
+    degrades to float64 — the VALUES matched all along (the r7/r8
+    rebases onto true bytes and then the stored ``n_chars`` int64 were
+    chasing a read-layer divergence that never existed). The rewrite
+    at registry.oracle_sql() casts it to BIGINT; tests/driver_sim.py
+    reproduces the red with the raw oracle and green with the wrapped
+    one. The r8 provenance move to the stored size column stays — it
+    is the honest 100 TB design regardless: a shard planner over
+    binary media reads the asset-manifest size column, it does not
+    re-measure payloads.
 
     The global running sum stays TWO-LEVEL (r7): per-block cumsum
     (window partitioned by asset_id-range block, fully parallel) plus
@@ -199,9 +196,14 @@ def q_media_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("blk_bytes")
     )
-    # level 2: cumsum within each block (parallel across blocks) + offset
-    in_blk = Window.partitionBy("blk").orderBy("asset_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    # level 2: cumsum within each block (parallel across blocks) + offset.
+    # (asset_id, byte_len) order (r8 verdict #2): provably total even if
+    # a generation ever carries duplicate asset_ids — probe_dup_keys
+    # audits that driver-side, this makes the plan immune regardless
+    in_blk = (
+        Window.partitionBy("blk")
+        .orderBy("asset_id", "byte_len")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     sharded = (
         blk.join(F.broadcast(offsets), "blk")
@@ -229,7 +231,7 @@ registry.register(
     s AS (
       SELECT asset_id, byte_len,
              COALESCE(SUM(byte_len) OVER (
-               ORDER BY asset_id
+               ORDER BY asset_id, byte_len
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                // {64 * 1024} AS shard_id
       FROM a

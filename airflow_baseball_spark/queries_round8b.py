@@ -220,7 +220,11 @@ def q_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a_matches") > 0) & (F.col("b_matches") > 0),
             _r6(-F.log(ratio)),
         ).alias("sampen"),
-    )
+        # shape congruence on degenerate input (r8 ADVICE): <4 days
+        # make the template self-join empty — the oracle's GROUP BY
+        # then emits zero rows, while a bare global agg here would
+        # emit one all-NULL row; drop it so both shapes agree
+    ).where(F.col("b_matches").isNotNull())
 
 
 registry.register(
@@ -794,13 +798,19 @@ def q_sign_test_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     i with p_(i) <= 0.05 * i / m.
 
     Exactness: the p-values are EXACT dyadic rationals — binomial
-    coefficients build by integer recurrence inside an in-row
-    ``aggregate()`` (C(n,j) <= C(30,15) ~ 1.6e8, far inside BIGINT),
-    scaled by the exact power 2^-n — so both engines emit bit-equal
-    doubles with no rounding guard; the BH comparison multiplies the
-    dyadic p by the exact small integer 20*m. Scale: one fact pass to
-    the (type x day) frame (types x calendar days); the ONE global
-    sort orders that bounded frame (allowlisted)."""
+    coefficients build by PURE-INTEGER recurrence inside an in-row
+    ``aggregate()`` (Spark ``div`` / DuckDB ``//``; every step of
+    acc*(n-j+i)/i divides exactly), scaled by the exact power 2^-n —
+    so both engines emit bit-equal doubles with no rounding guard;
+    the BH comparison multiplies the dyadic p by the exact small
+    integer 20*m. Domain guard (r8 ADVICE): both sides filter to
+    n_days <= 60, the bound under which the recurrence's intermediate
+    product C(n,j)*(n-j+i) stays inside BIGINT — beyond it the exact
+    test needs log-space tails, and a silently-imprecise p is worse
+    than an absent row. The testdata generation spans ~30 days; the
+    filter is an identity there. Scale: one fact pass to the
+    (type x day) frame (types x calendar days); the ONE global sort
+    orders that bounded frame (allowlisted)."""
     ev = load_table(spark, sf_dir, "events")
     td = ev.groupBy(
         F.col("event_type"), F.to_date("ts").alias("day")
@@ -828,22 +838,29 @@ def q_sign_test_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "k_above"
             ),
         )
+        # BIGINT-exactness domain of the C(n,j) recurrence (docstring)
+        .filter(F.col("n_days") <= 60)
     )
-    n, k = F.col("n_days"), F.col("k_above")
-    t0 = F.greatest(k, n - k)
+    n = F.col("n_days")
     # tail = sum_{j=t..n} C(n,j); C via the exact integer recurrence
-    # acc_i = acc_{i-1} * (n - j + i) / i  (always divides exactly)
-    tail = F.aggregate(
-        F.sequence(t0, n),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.aggregate(
-            F.when(j > 0, F.sequence(F.lit(1), j)).otherwise(
-                F.array().cast("array<int>")
-            ),
-            F.lit(1).cast("long"),
-            lambda c, i: ((c * (n - j + i)) / i).cast("long"),
-        ),
+    # acc_i = acc_{i-1} * (n - j + i) div i (always divides exactly).
+    # One SQL higher-order expression so the division is the INTEGER
+    # `div` (r8 ADVICE) — `/` on Spark longs routes through a double
+    # and silently loses exactness past 2^53; div matches the
+    # oracle's `//` and stays exact to the documented n_days<=60 cap
+    tail = F.expr(
+        """
+        aggregate(
+          sequence(greatest(k_above, n_days - k_above), n_days),
+          CAST(0 AS BIGINT),
+          (acc, j) -> acc + aggregate(
+            CASE WHEN j > 0 THEN sequence(1, j)
+                 ELSE CAST(array() AS array<int>) END,
+            CAST(1 AS BIGINT),
+            (c, i) -> CAST((c * (n_days - j + i)) div i AS BIGINT)
+          )
+        )
+        """
     )
     scored = per_type.select(
         "event_type",
@@ -910,6 +927,7 @@ registry.register(
              CAST(SUM(CAST(cnt > med AS BIGINT)) AS BIGINT) AS k_above
       FROM td CROSS JOIN med
       GROUP BY 1
+      HAVING COUNT(*) <= 60  -- BIGINT-exactness domain of C(n,j)
     ),
     tails AS (
       SELECT event_type, n_days, k_above, j

@@ -1691,11 +1691,16 @@ def _floor_div(a, b):
     """Exact floor(a/b) for BIGINT a and POSITIVE BIGINT b as pure
     integer arithmetic: both engines' % keeps the dividend's sign, so
     ((a % b) + b) % b is the canonical non-negative remainder and the
-    quotient is exact — no double ratio whose 53-bit mantissa would
-    clip a large numerator (Spark `div` truncates toward zero while
-    DuckDB `//` floors, so neither builtin is portable on negatives)."""
+    quotient is exact (Spark `div` truncates toward zero while DuckDB
+    `//` floors, so neither builtin is portable on negatives — but
+    after subtracting the canonical remainder the division has no
+    fraction, making truncation and floor identical). r9 (r8 ADVICE):
+    the final step is Spark's integer ``div``, not ``/`` — the double
+    ratio was exact only for |a-r| < 2^53 and silently degraded past
+    it (large-SF daily-cent magnitudes); div keeps the whole path in
+    BIGINT to 2^63."""
     r = ((a % b) + b) % b
-    return (a - r) / b
+    return F.call_function("div", a - r, b)
 
 
 def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,7 +1770,7 @@ def _theil_sen_sql() -> str:
     fd = (
         "(((vb - va) * 1000000)"
         " - ((((vb - va) * 1000000) % (db - da)) + (db - da)) % (db - da))"
-        " / (db - da)"
+        " // (db - da)"
     )
     return f"""
     WITH daily AS (
@@ -3222,7 +3227,7 @@ def _gso_sql() -> str:
                       * (1.0 / CAST(n_a AS DOUBLE)
                          + 1.0 / CAST(n_b AS DOUBLE)))
              ELSE 0.0 END AS z,
-             ([{bounds}])[k] AS obf_bound
+             CAST(([{bounds}])[k] AS DOUBLE) AS obf_bound
       FROM cells
     )
     SELECT CAST(k AS BIGINT) AS k, cut_day,
