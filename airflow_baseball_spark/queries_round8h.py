@@ -246,35 +246,50 @@ def q_sen_slope_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_micro")
     )
-    # r9 re-tier (r8 verdict #6): all three order statistics read from
-    # ONE sorted array built by a single aggregation — the prior
-    # global row_number window was a single-partition sort of the
-    # days² pair frame plus a second count-over pass. The array is
-    # days²/2 longs (calendar-bounded, ~23 MB at a 2400-day span), the
-    # same single-node residency the allowlisted global window had,
-    # with one pass and no sorted shuffle. Picks verified identical.
-    arr_tbl = pairs.agg(
-        F.array_sort(F.collect_list("slope_micro")).alias("arr")
+    # r9 re-tier (r8 verdict #6): ONE window pass instead of two —
+    # the pair count is exactly C(n_days, 2), so `p` comes from the
+    # broadcast day count as pure integer arithmetic and the
+    # count-over-() second WindowExec buffer pass disappears; only
+    # the row_number sort over the calendar-bounded days² frame
+    # remains (allowlisted). (A collect_list/array_sort single-task
+    # rewrite was measured SLOWER here — 4.9-5.6 s vs 3.3-3.5 s at
+    # sf0.1 — unlike siegel_slope's per-day groups: one 2.9M-element
+    # array sort in one task loses to the distributed sorted window.)
+    w = Window.orderBy("slope_micro")
+    ranked = pairs.select(
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
     )
     nd_tbl = daily.agg(F.count("*").alias("n_days"))
-    j = arr_tbl.crossJoin(F.broadcast(nd_tbl))
-    p = F.size("arr").cast("long")
+    j = ranked.crossJoin(F.broadcast(nd_tbl))
+    p = F.call_function(
+        "div", F.col("n_days") * (F.col("n_days") - 1), F.lit(2)
+    )
     n = F.col("n_days").cast("double")
     c = F.lit(1.96) * F.sqrt(n * (n - 1) * (2 * n + 5) / F.lit(18.0))
     lo_rank = F.ceil((p.cast("double") - c) / 2).cast("long")
     hi_rank = (F.ceil((p.cast("double") + c) / 2) + 1).cast("long")
     med_rank = ((p + 1) / 2).cast("long")
-    agg = j.select(
-        F.col("n_days"),
-        p.alias("n_pairs"),
-        F.element_at(
-            "arr", F.greatest(med_rank, F.lit(1)).cast("int")
+    agg = j.agg(
+        F.max("n_days").alias("n_days"),
+        F.max(p).alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(med_rank, F.lit(1)),
+                F.col("slope_micro"),
+            )
         ).alias("sen_slope_micro"),
-        F.element_at(
-            "arr", F.greatest(lo_rank, F.lit(1)).cast("int")
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(lo_rank, F.lit(1)),
+                F.col("slope_micro"),
+            )
         ).alias("lo_micro"),
-        F.element_at(
-            "arr", F.least(hi_rank, p).cast("int")
+        F.max(
+            F.when(
+                F.col("rn") == F.least(hi_rank, p),
+                F.col("slope_micro"),
+            )
         ).alias("hi_micro"),
     )
     return agg.select(
@@ -319,12 +334,13 @@ def _sen_ci_sql() -> str:
     ),
     ranked AS (
       SELECT slope_micro,
-             ROW_NUMBER() OVER (ORDER BY slope_micro) AS rn,
-             COUNT(*) OVER () AS p
+             ROW_NUMBER() OVER (ORDER BY slope_micro) AS rn
       FROM pairs
     ),
-    nd AS (SELECT COUNT(*) AS n_days FROM daily),
-    j AS (SELECT r.*, nd.n_days FROM ranked r CROSS JOIN nd)
+    -- p = C(n_days, 2) exactly: no second count-over-() window pass
+    nd AS (SELECT COUNT(*) AS n_days,
+                  (COUNT(*) * (COUNT(*) - 1)) // 2 AS p FROM daily),
+    j AS (SELECT r.*, nd.n_days, nd.p FROM ranked r CROSS JOIN nd)
     SELECT MAX(n_days) AS n_days,
            CAST(MAX(p) AS BIGINT) AS n_pairs,
            MAX(CASE WHEN rn = GREATEST((p + 1) // 2, 1)

@@ -1727,15 +1727,26 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_micro")
     )
+    # r9: the pair count is exactly C(n_days, 2), so the median rank
+    # comes from the broadcast day count as pure integer arithmetic —
+    # the count-over-() second WindowExec buffer pass over the days²
+    # frame disappears; only the row_number sort remains (allowlisted)
     w = Window.orderBy("slope_micro")
-    w_all = Window.partitionBy()
+    npairs_tbl = daily.agg(
+        F.call_function(
+            "div", F.count("*") * (F.count("*") - 1), F.lit(2)
+        ).alias("n_pairs")
+    )
     med = (
         pairs.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(w_all))
-        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .crossJoin(F.broadcast(npairs_tbl))
+        .filter(
+            F.col("rn")
+            == F.call_function("div", F.col("n_pairs") + 1, F.lit(2))
+        )
         .select(
             F.col("slope_micro").alias("median_slope_micro"),
-            F.col("n").alias("n_pairs"),
+            "n_pairs",
         )
     )
     stats = daily.agg(
