@@ -234,20 +234,21 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the Poisson draws invert md5 identity hashes against
     fixed cumulative thresholds — engine-identical weights
-    row-for-row. Cost lever: each md5 yields TWO independent 32-bit
-    coins (hex chars 1-8 and 9-16), so B=40 replicates need 20
-    digests per row, not 40 — measured ~2x on the bench, identical
-    statistics. The digest is computed BEFORE the half-explode, so
-    it prices once per (row, digest). CI = rank 1 and B−1 of the B
-    sorted replicate means (B-sized sort); means are exact integer
-    Σw·cents / Σw."""
+    row-for-row. Cost lever: each md5 yields FOUR independent 32-bit
+    coins (hex chars 1-8, 9-16, 17-24, 25-32), so B=40 replicates
+    need 10 digests per row, not 40 — the digest is the dominant
+    per-row cost (r9: 2 coins -> 4 halved the bench time again,
+    identical construction, equally-valid iid draws). The digest is
+    computed BEFORE the explode, so it prices once per (row, digest).
+    CI = rank 1 and B−1 of the B sorted replicate means (B-sized
+    sort); means are exact integer Σw·cents / Σw."""
     orders = load_table(spark, sf_dir, "orders")
     cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("v"))
     rep = base.select(
         "k",
         "v",
-        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B // 2))).alias("b"),
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B // 4))).alias("b"),
     )
     h = F.md5(
         F.concat(
@@ -268,35 +269,36 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = w.when(u < c, i)
         return w.otherwise(6)
 
-    # both halves fold in ONE groupBy(b) — the 2x explode never
-    # materializes; the 40 replicate means unpack from 20 group rows
+    # all four coins fold in ONE groupBy(b) — the 4x explode never
+    # materializes; the 40 replicate means unpack from 10 group rows
+    aggs = []
+    for q in range(1, 5):
+        aggs += [
+            F.sum(F.col(f"w{q}") * F.col("v")).alias(f"s{q}"),
+            F.sum(f"w{q}").alias(f"c{q}"),
+        ]
     per_b = (
-        withh.select("b", "v", pois(1).alias("w1"), pois(9).alias("w2"))
-        .groupBy("b")
-        .agg(
-            F.sum(F.col("w1") * F.col("v")).alias("s1"),
-            F.sum("w1").alias("c1"),
-            F.sum(F.col("w2") * F.col("v")).alias("s2"),
-            F.sum("w2").alias("c2"),
+        withh.select(
+            "b",
+            "v",
+            *[pois(1 + 8 * (q - 1)).alias(f"w{q}") for q in range(1, 5)],
         )
+        .groupBy("b")
+        .agg(*aggs)
     )
     means = per_b.select(
         F.explode(
             F.array(
-                F.struct(
-                    (F.col("b") * 2 - 1).alias("r"),
-                    (
-                        F.col("s1").cast("double")
-                        / (F.lit(100.0) * F.col("c1").cast("double"))
-                    ).alias("m"),
-                ),
-                F.struct(
-                    (F.col("b") * 2).alias("r"),
-                    (
-                        F.col("s2").cast("double")
-                        / (F.lit(100.0) * F.col("c2").cast("double"))
-                    ).alias("m"),
-                ),
+                *[
+                    F.struct(
+                        (F.col("b") * 4 - (4 - q)).alias("r"),
+                        (
+                            F.col(f"s{q}").cast("double")
+                            / (F.lit(100.0) * F.col(f"c{q}").cast("double"))
+                        ).alias("m"),
+                    )
+                    for q in range(1, 5)
+                ]
             )
         ).alias("x")
     ).select(F.col("x.r").alias("r"), F.col("x.m").alias("m"))
@@ -331,14 +333,29 @@ def _hex8_int_sql(expr: str) -> str:
 
 
 def _bootstrap_sql() -> str:
-    cases1 = " ".join(
-        f"WHEN u1 < {c!r} THEN {i}" for i, c in enumerate(_POIS_CUM)
+    cases = {
+        q: " ".join(
+            f"WHEN u{q} < {c!r} THEN {i}" for i, c in enumerate(_POIS_CUM)
+        )
+        for q in range(1, 5)
+    }
+    us = ", ".join(
+        _hex8_int_sql(f"substring(h, {1 + 8 * (q - 1)}, 8)")
+        + f" / 4294967296.0 AS u{q}"
+        for q in range(1, 5)
     )
-    cases2 = " ".join(
-        f"WHEN u2 < {c!r} THEN {i}" for i, c in enumerate(_POIS_CUM)
+    w_cols = ", ".join(
+        f"CASE {cases[q]} ELSE 6 END AS w{q}" for q in range(1, 5)
     )
-    u1 = _hex8_int_sql("substring(h, 1, 8)") + " / 4294967296.0"
-    u2 = _hex8_int_sql("substring(h, 9, 8)") + " / 4294967296.0"
+    sums = ", ".join(
+        f"SUM(w{q} * v) AS s{q}, SUM(w{q}) AS c{q}" for q in range(1, 5)
+    )
+    mean_rows = "\n      UNION ALL\n".join(
+        f"""      SELECT 4 * b - {4 - q} AS r,
+             CAST(s{q} AS DOUBLE) / (100.0 * CAST(c{q} AS DOUBLE)) AS m
+      FROM per_b"""
+        for q in range(1, 5)
+    )
     return f"""
     WITH base AS (
       SELECT o_orderkey AS k,
@@ -349,27 +366,18 @@ def _bootstrap_sql() -> str:
       SELECT k, v, CAST(b AS INTEGER) AS b,
              md5(CAST(k AS VARCHAR) || '-' || CAST(b AS VARCHAR)
                  || ':boot') AS h
-      FROM base, LATERAL unnest(generate_series(1, {_BOOT_B // 2})) AS g(b)
+      FROM base, LATERAL unnest(generate_series(1, {_BOOT_B // 4})) AS g(b)
     ),
     weighted AS (
-      SELECT b, v,
-             CASE {cases1} ELSE 6 END AS w1,
-             CASE {cases2} ELSE 6 END AS w2
-      FROM (SELECT b, v, {u1} AS u1, {u2} AS u2 FROM rep)
+      SELECT b, v, {w_cols}
+      FROM (SELECT b, v, {us} FROM rep)
     ),
     per_b AS (
-      SELECT b, SUM(w1 * v) AS s1, SUM(w1) AS c1,
-             SUM(w2 * v) AS s2, SUM(w2) AS c2
+      SELECT b, {sums}
       FROM weighted GROUP BY 1
     ),
     means AS (
-      SELECT 2 * b - 1 AS r,
-             CAST(s1 AS DOUBLE) / (100.0 * CAST(c1 AS DOUBLE)) AS m
-      FROM per_b
-      UNION ALL
-      SELECT 2 * b AS r,
-             CAST(s2 AS DOUBLE) / (100.0 * CAST(c2 AS DOUBLE)) AS m
-      FROM per_b
+{mean_rows}
     ),
     ranked AS (
       SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn FROM means

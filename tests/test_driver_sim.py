@@ -90,3 +90,25 @@ def test_sim_nullable_bigint_does_not_split(spark, con):
         sqls["accumulating_snapshot"],
     )
     assert rep["values_match"], rep.get("first_diffs")
+
+
+def test_static_ddl_fallback_detects_hugeint():
+    """The registry's schema-only DESCRIBE environment must work from
+    the embedded static DDL alone (no testdata dir) — the driver could
+    run oracle_sql() from any cwd. Build the fallback tables directly
+    and check a known integer-SUM oracle DESCRIBEs to HUGEINT there
+    (i.e. the wrap decision would be identical without parquet)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t, cols in registry._TESTDATA_DDL.items():
+        con.execute(f"CREATE TABLE {t} ({cols})")
+    desc = con.execute(
+        "DESCRIBE SELECT SUM(l_linenumber) AS s FROM lineitem"
+    ).fetchall()
+    assert [t for _, t, *_ in desc] == ["HUGEINT"]
+    wrapped = registry._debigint_oracle(
+        con, "SELECT SUM(l_linenumber) AS s FROM lineitem"
+    )
+    desc2 = con.execute("DESCRIBE " + wrapped).fetchall()
+    assert [t for _, t, *_ in desc2] == ["BIGINT"]
