@@ -142,9 +142,14 @@ registry.register(
 
 def q_probe_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(*) − COUNT(DISTINCT key) per table — pure counts, immune
-    to any value-level drift, so a red names a table whose keys are
-    non-unique in the driver generation (which would make ORDER BY
-    <key> window frames non-total and nondeterministic)."""
+    to any value-level drift: green means both engines read the same
+    key multiset; a red means they disagree on the data itself. The
+    VALUES also audit the generation: doc_id / event_id / o_orderkey
+    are unique (0), while the lineitem composite (l_orderkey,
+    l_linenumber) is KNOWN non-unique in the standard generation
+    (14,168 duplicate rows at sf0.01 — an r9 discovery by this probe;
+    tests/test_driver_sim.py pins the profile and records the
+    tie-order-insensitivity audit of its two window consumers)."""
     docs = load_table(spark, sf_dir, "documents")
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")

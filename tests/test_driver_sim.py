@@ -112,3 +112,25 @@ def test_static_ddl_fallback_detects_hugeint():
     )
     desc2 = con.execute("DESCRIBE " + wrapped).fetchall()
     assert [t for _, t, *_ in desc2] == ["BIGINT"]
+
+
+def test_dup_keys_probe_pins_generation_key_profile(spark, con):
+    """Pin the standard generation's duplicate-key profile: doc_id,
+    event_id, and o_orderkey are unique; the lineitem composite
+    (l_orderkey, l_linenumber) is KNOWN non-unique (1401 duplicate
+    rows at sf0.001, 14168 at sf0.01 — discovered r9 by this very
+    probe). Window orders must therefore never treat that pair as a
+    total key; the two consumers were audited tie-order-insensitive
+    (weighted_median: tied rows share the sort-keyed price, so the
+    surviving MIN(price) is unchanged; order_line_inversions: join
+    set semantics, no ordering). If the uniqueness of the three
+    single-column keys ever breaks, every row_number over them needs
+    the same audit."""
+    qs = registry.queries()
+    row = qs["probe_dup_keys"](spark, SF).collect()[0]
+    assert (
+        row["dup_doc_id"],
+        row["dup_event_id"],
+        row["dup_orderkey"],
+    ) == (0, 0, 0)
+    assert row["dup_lineitem_key"] > 0  # known, audited non-uniqueness
