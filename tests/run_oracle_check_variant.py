@@ -48,6 +48,13 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--duck-tz", default=None)
     ap.add_argument("--names", nargs="*", default=None)
+    ap.add_argument(
+        "--sim",
+        action="store_true",
+        help="use the dtype-sensitive driver-fetch comparator "
+        "(tests/driver_sim.compare_driverish) instead of fetchall — "
+        "hostile vintage x driver fetch model, the harshest local gate",
+    )
     args = ap.parse_args()
 
     from make_testdata_variant import make_variant
@@ -56,6 +63,7 @@ def main() -> int:
     print(f"variant data: {sf_dir}", flush=True)
 
     from oracle_harness import compare, duckdb_connect
+
 
     import __spark_entry__ as e
     from airflow_baseball_spark.session import get_spark
@@ -73,6 +81,11 @@ def main() -> int:
     if args.duck_tz:
         con.execute(f"SET TimeZone='{args.duck_tz}'")
         print(f"duckdb session TimeZone={args.duck_tz}", flush=True)
+
+    if args.sim:
+        from driver_sim import compare_driverish as compare  # noqa: F811
+
+        print("comparator: dtype-sensitive driver-fetch sim", flush=True)
 
     qs, sqls = e.queries(), e.oracle_sql()
     names = args.names or list(qs)
