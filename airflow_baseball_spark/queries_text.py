@@ -1858,7 +1858,6 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(0.125)] * _PCA_DIM).alias("v")  # 1/√64, exact binary
     )
     for _ in range(_PCA_ITERS):
-        j = emb.crossJoin(F.broadcast(vdf))
         dot = reduce(
             lambda acc, d: acc
             + F.element_at("embedding", d).cast("double")
@@ -1866,12 +1865,20 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             range(2, _PCA_DIM + 1),
             F.element_at("embedding", 1).cast("double") * F.element_at("v", 1),
         )
+        # r9: project the 64-term dot ONCE per row before the
+        # per-element transform — inlining it inside the lambda made
+        # codegen evaluate the full chain per element (64x64
+        # multiply-adds/row); same IEEE value, ~35% off the matvec
+        # stage (the oracle's j{t} CTE always computed it once)
+        j = emb.crossJoin(F.broadcast(vdf)).select(
+            "embedding", dot.alias("dot")
+        )
         q = j.select(
             F.posexplode(
                 F.transform(
                     F.col("embedding"),
                     lambda e: F.floor(
-                        e.cast("double") * dot * 1000000.0
+                        e.cast("double") * F.col("dot") * 1000000.0
                     ).cast("long"),
                 )
             ).alias("pos", "qv")
