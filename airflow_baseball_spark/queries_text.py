@@ -2863,13 +2863,16 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(cos,6) with id tie-break (sub-1e-6 noise can't reorder);
     per-class top-1 needs the class split BEFORE ranking, which is
     why this isn't a post-filter of global top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", similarity._norm(F.col("embedding"))
+    )
     q = emb.filter(
         (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -2878,8 +2881,13 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             F.col("vec_id").alias("cand_id"),
             (F.col("label") == F.col("q_label")).alias("same"),
-            F.round(similarity.cosine(F.col("qv"), F.col("embedding")), 6)
-            .alias("cos"),
+            F.round(
+                similarity.cosine_with_norms(
+                    F.col("qv"), F.col("embedding"),
+                    F.col("qnrm"), F.col("nrm"),
+                ),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id", "same").orderBy(
@@ -4152,9 +4160,20 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-broadcast scan. Recall is integer hit counting (rounded-
     cosine, id-tiebreak top-3 on both engines), micro-quantized at
     the end."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r9: vector norms are single-vector facts — project them ONCE per
+    # corpus row / centroid / query instead of recomputing inside every
+    # pairwise cosine (the per-pair cosine was 3x the flops: dot +
+    # norm_a + norm_b). Same IEEE doubles — a norm depends only on its
+    # own vector — so every rounded cosine is bit-identical.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        similarity._norm(F.col("embedding")).alias("nrm"),
+    )
     cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
     wv = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
@@ -4164,27 +4183,33 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
+            "nrm",
             "cid",
             F.round(
-                similarity.cosine(F.col("embedding"), F.col("cv")), 6
+                similarity._dot(F.col("embedding"), F.col("cv"))
+                / (F.col("nrm") * F.col("cnrm")),
+                6,
             ).alias("ccos"),
         )
         .withColumn("rnk", F.row_number().over(wv))
     )
     assign = (
         ranked.filter(F.col("rnk") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "embedding", "nrm", "cid")
         .localCheckpoint()
     )
     is_query = F.col("vec_id") % 25 == 0
     probes = ranked.filter(is_query & (F.col("rnk") <= max(_NPROBES))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         "cid",
         "rnk",
     )
     qs = emb.filter(is_query).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     nq = qs.agg(F.count("*").alias("n_queries"))
 
@@ -4205,7 +4230,9 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+                similarity._dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
             ).alias("cos"),
         )
     ).localCheckpoint()
@@ -4214,14 +4241,16 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in _NPROBES:
         cand = (
             probes.filter(F.col("rnk") <= p)
-            .select("query_id", "qv", "cid")
+            .select("query_id", "qv", "qnrm", "cid")
             .join(assign, "cid")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
                 F.round(
-                    similarity.cosine(F.col("qv"), F.col("embedding")), 6
+                    similarity._dot(F.col("qv"), F.col("embedding"))
+                    / (F.col("qnrm") * F.col("nrm")),
+                    6,
                 ).alias("cos"),
             )
         )
@@ -4339,9 +4368,13 @@ def q_ann_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine_topk plan), then neighbor-keyed integer aggs; the hub
     top-10 is a 10-row ordered head of the occurrence table. All
     outputs integer or micro-quantized."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", similarity._norm(F.col("embedding"))
+    )
     qs = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -4353,7 +4386,11 @@ def q_ann_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+                similarity.cosine_with_norms(
+                    F.col("qv"), F.col("embedding"),
+                    F.col("qnrm"), F.col("nrm"),
+                ),
+                6,
             ).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(w))
@@ -4573,11 +4610,14 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference of two 6-dp-rounded doubles, so the +0.5 offset keeps
     every value off the floor boundary), and means divide exact
     integer sums once."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", similarity._norm(F.col("embedding"))
+    )
     anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("av"),
         F.col("label").alias("a_label"),
+        F.col("nrm").alias("anrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(anchors))
@@ -4588,7 +4628,11 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cand_id"),
             F.col("label").alias("c_label"),
             F.round(
-                similarity.cosine(F.col("av"), F.col("embedding")), 6
+                similarity.cosine_with_norms(
+                    F.col("av"), F.col("embedding"),
+                    F.col("anrm"), F.col("nrm"),
+                ),
+                6,
             ).alias("cos"),
         )
     )
@@ -4772,9 +4816,13 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual check is a self-join of the top-3 table on reversed ids
     (canonical a < b kills the duplicate); outputs integer ranks and
     the rounded cosine."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", similarity._norm(F.col("embedding"))
+    )
     qs = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(
@@ -4788,7 +4836,11 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+                similarity.cosine_with_norms(
+                    F.col("qv"), F.col("embedding"),
+                    F.col("qnrm"), F.col("nrm"),
+                ),
+                6,
             ).alias("cos"),
         )
     )

@@ -57,6 +57,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the norms PRECOMPUTED per side (r9): a norm depends
+    only on its own vector, so projecting it once per row before a
+    pairwise join yields bit-identical IEEE doubles at a third of the
+    per-pair flops (dot only, instead of dot + both norms). Use this
+    form in every corpus x query cross join."""
+    return _dot(a, b) / (na * nb)
+
+
 MAX_DRIVER_MATRIX_ROWS = 4096
 """Hard cap on driver-collected id+vector matrices.
 
