@@ -1593,16 +1593,25 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the per-feed rollup an ingestion pipeline alerts on — a
     feed whose rate jumps is re-sending boilerplate."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    grams = docs.filter(F.size(toks) >= 5).select(
+    # r9: project the split ONCE per row — inlining `toks` in the
+    # filter, the sequence bound, and the per-shingle slice made
+    # codegen re-split the text per shingle (measured 3.8 s -> 1.2 s
+    # for the gram build at sf0.1 on the identical source_overlap
+    # shape); same tokens, same digests
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= 5)
+    grams = base.select(
         "doc_id",
         "source",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    F.sequence(F.lit(1), F.size("toks") - 4),
                     lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(toks, i, F.lit(5)))
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(5)))
                     ),
                 )
             )
@@ -1974,15 +1983,20 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side); the pair expansion is IN-ROW over each ≤|sources| set
     (the basket trick), so no shingle self-join."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    grams = docs.filter(F.size(toks) >= 5).select(
+    # r9: split projected once per row (see dup_rate_by_source) —
+    # the inline form re-split the text per shingle: 3.8 s -> 1.2 s
+    # for the gram build at sf0.1, identical digests
+    base = docs.select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 5)
+    grams = base.select(
         "source",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    F.sequence(F.lit(1), F.size("toks") - 4),
                     lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(toks, i, F.lit(5)))
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(5)))
                     ),
                 )
             )

@@ -365,22 +365,31 @@ def ngram_decontam(
     with GPT-3/PaLM-style corpus construction."""
 
     def grams(df: DataFrame) -> DataFrame:
-        toks = tokens(F.col(text_col))
+        # r9: tokenize ONCE per row in its own projection — inlining
+        # the split in the two size() uses and the per-gram slice made
+        # codegen re-split the text per gram (same fix as
+        # dup_rate_by_source / source_overlap, ~3x on the gram build)
+        staged = spread(df).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
         # docs shorter than n emit NO grams (a truncated window would
         # let a short doc spuriously "share an n-gram"); explode drops
         # the NULL the when() leaves for them
         windows = F.when(
-            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+            F.size("__toks") >= n,
+            F.sequence(F.lit(0), F.size("__toks") - n),
         )
         g = F.explode(
             F.array_distinct(
                 F.transform(
                     windows,
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))
+                    ),
                 )
             )
         )
-        return spread(df).select(F.col(id_col), g.alias("gram"))
+        return staged.select(F.col(id_col), g.alias("gram"))
 
     bench_grams = grams(benchmark).select("gram").distinct()
     return (
