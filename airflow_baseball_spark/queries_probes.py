@@ -19,52 +19,35 @@ CAST-to-BIGINT oracle rewrite) in PERF_NOTES.md r9; local replica in
 tests/driver_sim.py, which reproduces the r8 window 50/50 with raw
 oracles and 0/50 red with wrapped ones.
 
-The v3 panel validates that finding from the driver's own window and
-audits the one data property the r8 reds could not exclude
-(duplicate keys making window orders non-total):
+The v3 panel ran in the r9 driver window and came back exactly as
+predicted (WINDOW_r9_EXPECTED.md): const pair green, bare-HUGEINT
+probe red / cast twin green (the mechanism confirmed live), dup-key
+audit green, both carried v2 probes green. With the instrument fully
+proven, the r10 panel (v4, per the r9 verdict directive #1) shrinks
+to three recurring in-window probes:
 
 ====================  ===============================================
 probe                  expected / meaning
 ====================  ===============================================
-probe_const_control    GREEN. Constant row, no table reads, under a
-panel_const_twin       probe_ name and a normal name. A split between
-                       them would prove name-dependent driver
-                       handling; both red would mean the comparison
-                       itself is broken. (r8 verdict directive #1a.)
-probe_hugeint_bare     RED by design (the panel's positive control):
-                       oracle keeps a bare SUM(int) — HUGEINT —
-                       exempted from the registry rewrite
-                       (registry._DEBIGINT_EXEMPT).
-probe_hugeint_cast     GREEN: the same aggregation with the oracle
-                       SUM cast to BIGINT. bare-RED + cast-GREEN in
-                       one window is the HUGEINT mechanism confirmed
-                       from the driver's own readings; bare-GREEN
-                       would falsify it (and demand a new theory).
-probe_dup_keys         count-only duplicate audit on documents,
-                       events, orders, lineitem keys (r8 verdict
-                       directive #2): COUNT(*) − COUNT(DISTINCT key)
-                       per table, value-drift-immune. GREEN means
-                       driver data has the same (zero) duplicate-key
-                       profile as local generation; RED names which
-                       table's keys are non-unique driver-side (the
-                       only remaining non-fetch explanation for the
-                       old media_shard_plan/interval_union_time reds).
-probe_ev_us_round      GREEN (carried from v2, now fetch-fixed):
-                       events.ts epoch-µs fingerprint under the
-                       round-half-up ns→µs convention. With the fetch
-                       layer fixed this finally measures what v2
-                       thought it measured: value-level agreement of
-                       the timestamp read.
-probe_doc_content      GREEN (carried from v2, now fetch-fixed):
-                       md5-of-text checksum — byte-level agreement of
-                       the documents.text read.
+probe_const_control    GREEN. Constant row, no table reads — a red
+                       means the comparison itself broke.
+probe_hugeint_cast     GREEN. Integer SUM with the oracle cast to
+                       BIGINT — the sentinel that keeps one
+                       integer-SUM surface in-window, so any future
+                       driver-side fetch change surfaces here first.
+probe_dup_keys         GREEN. COUNT(*) − COUNT(DISTINCT key) per
+                       table, value-drift-immune: audits that driver
+                       data has the local generation's duplicate-key
+                       profile.
 ====================  ===============================================
 
-All other v2 probes are retired: their questions (trunc-vs-round,
-byte-vs-char lengths, grain ladders, decimal-tie casts) were either
-answered by the r9 root cause or are re-askable on demand; keeping 13
-always-red rows in the 50-slot window was costing the never-sampled
-backlog its attestation bandwidth (r8 verdict directive #5).
+probe_hugeint_bare — the v3 designed-red positive control — is
+RETIRED (unregistered): its job is done, the finding is pinned by
+tests/test_driver_sim.py against BARE_HUGEINT_SQL below, and a
+permanent designed red both burned a window slot and kept
+CORRECTNESS from ever reading all-green. panel_const_twin,
+probe_ev_us_round and probe_doc_content stay registered but parked
+below position 50 (green everywhere; re-promotable on demand).
 """
 
 from __future__ import annotations
@@ -114,16 +97,18 @@ def _linenumber_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-registry.register(
-    "probe_hugeint_bare",
-    _linenumber_sum,
-    # bare SUM(INTEGER) -> HUGEINT; name is in registry._DEBIGINT_EXEMPT
-    # so the rewrite leaves it. EXPECTED RED in the driver window.
-    """
+# The bare twin of probe_hugeint_cast: SUM(INTEGER) left un-cast, so
+# DuckDB emits HUGEINT and a dtype-sensitive fetch splits on it. This
+# WAS registered as probe_hugeint_bare through r9 — the designed-red
+# positive control that proved the fetch mechanism from the driver's
+# own window (bare red / cast green in CORRECTNESS_r09.json). Retired
+# from the registry in r10; kept here as a constant so the pytest
+# gate (tests/test_driver_sim.py) can keep reproducing the split
+# against _linenumber_sum without shipping a designed red.
+BARE_HUGEINT_SQL = """
     SELECT COUNT(*) AS n, SUM(l_linenumber) AS s
     FROM lineitem
-    """,
-)
+    """
 
 registry.register(
     "probe_hugeint_cast",

@@ -39,16 +39,18 @@ value hash, sorting columns by name):
   normalization CTEs below — measured rationale in load_table's
   docstring).
 
-Diagnostic-probe pattern (r7-r9): positions 2-8 of the driver window
-are reserved for ``queries_probes.py`` — tiny queries that validate
-the comparison instrument itself. r9 root-caused every driver red
-ever recorded to ONE fetch-layer mechanism (DuckDB HUGEINT from
-integer SUMs degrading to float64 in the driver's dtype-preserving
-oracle fetch — PERF_NOTES.md r9); ``oracle_sql()`` now rewrites any
-HUGEINT output column to an explicit BIGINT cast (``_debigint_all``
-below), and the v3 panel confirms the mechanism from the driver's own
-window (a deliberately-bare-HUGEINT probe expected red beside its
-cast twin expected green) plus audits driver data for duplicate keys.
+Diagnostic-probe pattern (r7-r10): positions 2-4 of the driver window
+hold a small recurring panel from ``queries_probes.py`` — tiny
+queries that validate the comparison instrument itself. r9
+root-caused every driver red ever recorded to ONE fetch-layer
+mechanism (DuckDB HUGEINT from integer SUMs degrading to float64 in
+the driver's dtype-preserving oracle fetch — PERF_NOTES.md r9), and
+the r9 driver window confirmed it live (bare SUM(int) probe red, its
+CAST-AS-BIGINT twin green). ``oracle_sql()`` rewrites any HUGEINT
+output column to an explicit BIGINT cast (``_debigint_all`` below);
+since r10 the designed-red bare probe is retired (mechanism pinned in
+tests/test_driver_sim.py) and the panel keeps only a const control,
+the cast sentinel, and the duplicate-key audit.
 """
 
 from __future__ import annotations
@@ -138,9 +140,17 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
     # diagnostic probes (queries_probes.py) must read the RAW views —
     # measuring the un-normalized driver environment is their entire
     # job, so shadowing their inputs would blind the instrument panel
+    global _DEBIGINT_READY
     if sql and not name.startswith("probe_"):
         sql = _tz_normalize_oracle(sql)
     _REGISTRY[name] = (fn, sql)
+    # registration-time HUGEINT protection (r9 verdict item #5): a
+    # registration arriving AFTER the first oracle_sql() call would
+    # otherwise miss the already-latched rewrite pass and ship a bare
+    # HUGEINT emitter; invalidating the latch makes the next
+    # oracle_sql() re-DESCRIBE the whole surface (idempotent, one
+    # schema-only pass), so no registration order can skip the wrap.
+    _DEBIGINT_READY = False
 
 
 # ---------------------------------------------------------------------------
@@ -185,13 +195,24 @@ _TESTDATA_DDL = {
     "embeddings": "vec_id BIGINT, embedding FLOAT[], label INTEGER",
 }
 
-# deliberate HUGEINT emitters (instrument controls) skip the rewrite:
-# probe_hugeint_bare exists to stay red in the driver window, proving
-# the mechanism from the driver's own readings
-_DEBIGINT_EXEMPT = {"probe_hugeint_bare"}
+# deliberate HUGEINT emitters (instrument controls) skip the rewrite.
+# Empty since r10: probe_hugeint_bare — the designed-red positive
+# control that proved the mechanism from the driver's own r9 window —
+# is retired (the finding is pinned by tests/test_driver_sim.py with
+# an inline bare-SUM oracle, and by the committed r9 artifacts), so
+# every shipped oracle now fetches portably under every fetch path.
+_DEBIGINT_EXEMPT: frozenset[str] = frozenset()
 
 _DEBIGINT_CACHE: dict[str, str] = {}
 _DEBIGINT_READY = False
+
+# oracles whose DESCRIBE failed during _debigint_all — such an oracle
+# would ship unwrapped (HUGEINT intact if it has one), which is
+# exactly the failure mode the rewrite exists to prevent, so the
+# names are surfaced here and asserted empty by the pytest gate
+# (tests/test_driver_sim.py) instead of dying at the driver seam
+# (r9 ADVICE item #2).
+_DEBIGINT_DESCRIBE_FAILURES: list[str] = []
 
 
 def _debigint_connection():
@@ -229,12 +250,26 @@ def _debigint_connection():
 def _debigint_oracle(con, sql: str) -> str:
     """Rewrite one oracle so no output column is HUGEINT/UHUGEINT:
     wrap in `SELECT * REPLACE (CAST(c AS BIGINT) AS c, ...)`. Returns
-    the input unchanged when every column already fetches portably."""
+    the input unchanged when every column already fetches portably.
+
+    Identifiers are double-quoted (embedded quotes doubled) so an
+    alias that is not a plain identifier — auto-generated 'sum(x)',
+    a reserved word, mixed case — still produces valid SQL (r9
+    ADVICE item #1). CAST(HUGEINT AS BIGINT) raises on overflow in
+    DuckDB rather than wrapping; the house style keeps every integer
+    surface < 2^63 by construction (mod-prime checksums, micro/cent
+    quantization), and tests/run_hugeint_overflow_check.py executes
+    every rewritten oracle at the largest local SF to prove the
+    casts cannot overflow (r9 ADVICE item #3)."""
     desc = con.execute("DESCRIBE " + sql).fetchall()
     hug = [c for c, t, *_ in desc if t in ("HUGEINT", "UHUGEINT")]
     if not hug:
         return sql
-    repl = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in hug)
+
+    def _q(c: str) -> str:
+        return '"' + c.replace('"', '""') + '"'
+
+    repl = ", ".join(f"CAST({_q(c)} AS BIGINT) AS {_q(c)}" for c in hug)
     return (
         f"SELECT * REPLACE ({repl})\nFROM (\n{sql}\n) AS __debigint_r9"
     )
@@ -244,6 +279,12 @@ def _debigint_all() -> None:
     global _DEBIGINT_READY
     if _DEBIGINT_READY:
         return
+    # full rebuild: the latch is invalidated by register(), so the
+    # cache may describe a superseded surface — clear both so stale
+    # entries for re-registered or removed names cannot leak through
+    # oracle_sql()'s out.update(_DEBIGINT_CACHE)
+    _DEBIGINT_CACHE.clear()
+    _DEBIGINT_DESCRIBE_FAILURES.clear()
     con = _debigint_connection()
     try:
         for name, (fn, sql) in _REGISTRY.items():
@@ -254,7 +295,10 @@ def _debigint_all() -> None:
             except Exception:
                 # an oracle DESCRIBE can only fail if the schema-only
                 # environment lacks something the driver has; ship the
-                # original text rather than die at the driver seam
+                # original text rather than die at the driver seam —
+                # but record the name so the gate can flag it instead
+                # of the failure staying silent (r9 ADVICE item #2)
+                _DEBIGINT_DESCRIBE_FAILURES.append(name)
                 continue
             if wrapped is not sql:
                 _DEBIGINT_CACHE[name] = wrapped
@@ -291,102 +335,49 @@ _LOADED = False
 _LOADING = False
 
 # Registry order is the driver's correctness-check order, and past
-# rounds showed the driver checks the FIRST ~50 entries only. Round-9
-# ordering (per the r8 verdict's window directives):
+# rounds showed the driver checks the FIRST ~50 entries only. Round-10
+# ordering (per the r9 verdict's window directives #1-2: the
+# instrument is proven, so the window is spent on backlog rotation):
 #   1. the flagship — in-window every round as the regression canary,
-#   2. positions 2-8: instrument-validation panel v3 (queries_probes)
-#      — const control pair, the HUGEINT bare/cast mechanism pair
-#      (bare = the designed positive control, expected RED), the
-#      duplicate-key audit, and two fetch-fixed carried v2 probes,
-#   3. positions 9-14: the six r5-r8 persistent driver-reds —
-#      root-caused in r9 as fetch-layer HUGEINT artifacts and fixed
-#      by the oracle_sql() rewrite; in-window to attest the fix,
-#   4. positions 15-50: the 36 oldest never-driver-sampled names
-#      (r8 verdict item #4 asks ≥28 first-time rows), continuing the
-#      promised overflow order,
-#   5. positions 51+: the remaining never-sampled names in promised
-#      order, then prior-round additions, then everything
-#      driver-attested in r2-r8 (module order).
+#   2. positions 2-4: recurring panel v4, shrunk to three probes
+#      (const control / HUGEINT-cast sentinel / duplicate-key audit).
+#      probe_hugeint_bare — the designed-red positive control — is
+#      RETIRED from the registry entirely: the mechanism it proved is
+#      pinned by tests/test_driver_sim.py (inline bare-SUM oracle)
+#      and the committed r9 window artifact, and a permanent designed
+#      red both burned a rotation slot and kept CORRECTNESS from ever
+#      reading all-green. panel_const_twin / probe_ev_us_round /
+#      probe_doc_content stay registered but parked below 50 (their
+#      questions are answered; re-promotable on demand).
+#   3. positions 5-50: 46 rotation slots — group_sequential_obf first
+#      (the one DECIMAL-literal output shape never driver-sampled,
+#      TYPE_AUDIT_r9.txt), then the oldest never-driver-sampled names
+#      continuing the promised overflow order.
+#   4. positions 51+: the remaining never-sampled names in promised
+#      order, then the parked probes, then everything driver-attested
+#      (r9 window, r7 window, r8 window tiers), then module order.
 _PRIORITY = [
-    # -- tier 1: regression canary
+    # -- tier 1: regression canary (driver-green r5,r6,r7,r8,r9)
     "park_factor_flagship",
-    # -- tier 2: instrument-validation panel v3 (positions 2-8) —
-    #    queries_probes.py holds the expected pattern. The r9 root
-    #    cause (HUGEINT at the oracle fetch; PERF_NOTES.md r9) is
-    #    confirmed from the driver's own window by the hugeint pair:
-    #    bare expected RED (the designed positive control), cast
-    #    expected GREEN. Const pair guards against name-dependent
-    #    handling; dup_keys audits driver data for duplicate keys
-    #    (drift-immune counts); the two carried v2 probes re-measure
-    #    the timestamp and text reads with the fetch layer fixed.
+    # -- tier 2: recurring panel v4 (positions 2-4). const control
+    #    guards the comparison itself; the cast sentinel keeps one
+    #    integer-SUM surface in-window so a driver-side fetch change
+    #    would show up here first; dup_keys audits driver data for
+    #    duplicate keys (drift-immune counts).
     "probe_const_control",
-    "panel_const_twin",
-    "probe_hugeint_bare",
     "probe_hugeint_cast",
     "probe_dup_keys",
-    "probe_ev_us_round",
-    "probe_doc_content",
-    # -- tier 3 (positions 9-14): the six r5-r8 persistent
-    #    driver-reds. Root-caused in r9 as pure fetch-layer HUGEINT
-    #    artifacts (their Spark-vs-oracle VALUES matched all along —
-    #    tests/driver_sim.py reproduces all six red with raw oracles
-    #    and green with the r9 rewrite); in-window to attest the fix.
-    "chi2_features",
-    "psi_drift",
-    "tpch_q12ish",
-    "media_shard_plan",
-    "interval_union_time",
-    "sql_api_pricing",
-    # -- tier 4: oldest never-driver-sampled names (positions 15-50
-    #    after the r9 window layout: flagship + 7 panel + 6 ex-reds =
-    #    14 fixed slots, leaving 36 rotation slots). The 30 names
-    #    sampled green in the r8 window (hill_tail_index ..
-    #    heaps_law_curve) moved to the attested tail below, after the
-    #    r7-attested block.
-    "peak_concurrency",
-    "anova_two_way",
-    "ratio_metric_delta",
-    "logrank_test",
-    "cvm_statistic",
-    "mcc_score",
-    "trend_test",
-    "template_prefix_groups",
-    "churn_baseline_eval",
-    "abc_xyz_matrix",
-    "collocation_pmi",
-    "two_pass_median",
-    "graph_summary",
-    "cell_median_heatmap",
-    "order_line_inversions",
-    "price_elasticity",
-    "copula_grid",
-    "single_source_risk",
-    "dedup_threshold_sweep",
-    "topk_stability",
-    "tokenizer_fidelity",
-    "price_ending_profile",
-    "embedding_split_drift",
-    "cvar_daily",
-    "littles_law_check",
-    "odds_ratio",
-    "burrows_delta",
-    "rolling_correlation",
-    "stream_window_topk",
-    "xmr_control",
-    "activity_streaks",
-    "seasonality_dow",
-    "ship_latency",
-    "mode_per_group",
-    "heatmap_bins",
-    "new_vs_returning",
+    # -- tier 3: rotation (positions 5-50, all never driver-sampled).
+    #    group_sequential_obf pulled forward per the r9 verdict (the
+    #    one unattested DECIMAL-literal output shape; benford_digits
+    #    proved the shape safe in r5 but this name was never sampled);
+    #    the rest continue the promised r5/r6 overflow order exactly.
+    "group_sequential_obf",
     "event_cooccurrence",
     "assoc_rules",
     "string_agg_topn",
     "percent_of_total",
     "share_shift",
-    # -- tier 6: round-6 additions (after the remaining r5 overflow —
-    #    the r5 registry promised that tier first; these follow it
-    #    into future windows in this order)
     "hll_distinct",
     "kmv_distinct",
     "zone_map_prune",
@@ -427,6 +418,9 @@ _PRIORITY = [
     "pass_at_k",
     "emd_1d",
     "vocab_coverage_oov",
+    # -- tier 4 (positions 51+): remaining never-driver-sampled names
+    #    in the promised overflow order; next round's rotation pulls
+    #    from the top of this tier.
     "personalized_pagerank",
     "sprt_abtest",
     "mutual_knn_pairs",
@@ -460,7 +454,6 @@ _PRIORITY = [
     "isotonic_calibration",
     "ransac_trend",
     "bipartite_butterflies",
-    "group_sequential_obf",
     "energy_distance",
     "hilbert_locality",
     "pr_curve_sweep",
@@ -488,6 +481,57 @@ _PRIORITY = [
     "cohens_d_segments",
     "poisson_dispersion",
     "newsvendor_quantile",
+    # -- tier 5: parked panel-v3 probes (green everywhere; their
+    #    questions are answered — kept registered for the local gate
+    #    matrix, re-promotable into the window on demand)
+    "panel_const_twin",
+    "probe_ev_us_round",
+    "probe_doc_content",
+    # -- tier 6: driver-attested green in the r9 window (the six
+    #    ex-reds fixed by the HUGEINT rewrite, then the 36 first-time
+    #    rotations); they rotate behind every never-sampled name
+    "chi2_features",
+    "psi_drift",
+    "tpch_q12ish",
+    "media_shard_plan",
+    "interval_union_time",
+    "sql_api_pricing",
+    "peak_concurrency",
+    "anova_two_way",
+    "ratio_metric_delta",
+    "logrank_test",
+    "cvm_statistic",
+    "mcc_score",
+    "trend_test",
+    "template_prefix_groups",
+    "churn_baseline_eval",
+    "abc_xyz_matrix",
+    "collocation_pmi",
+    "two_pass_median",
+    "graph_summary",
+    "cell_median_heatmap",
+    "order_line_inversions",
+    "price_elasticity",
+    "copula_grid",
+    "single_source_risk",
+    "dedup_threshold_sweep",
+    "topk_stability",
+    "tokenizer_fidelity",
+    "price_ending_profile",
+    "embedding_split_drift",
+    "cvar_daily",
+    "littles_law_check",
+    "odds_ratio",
+    "burrows_delta",
+    "rolling_correlation",
+    "stream_window_topk",
+    "xmr_control",
+    "activity_streaks",
+    "seasonality_dow",
+    "ship_latency",
+    "mode_per_group",
+    "heatmap_bins",
+    "new_vs_returning",
     # -- tier 7: driver-attested green in the r7 window (sampled as
     #    tier 4 there); they rotate behind every never-sampled name
     "zipf_slope",

@@ -37,24 +37,39 @@ def con():
 
 def test_no_hugeint_in_any_wrapped_oracle(con):
     """The driver-red mechanism, eliminated surface-wide: DESCRIBE
-    every shipped oracle; only the designed positive control may emit
-    HUGEINT. A failure here means a new registration SUMs integers
-    without the registry rewrite catching it (e.g. registered after
-    the first oracle_sql() call latched the cache)."""
+    every shipped oracle; NONE may emit HUGEINT (the designed-red
+    control probe_hugeint_bare was retired in r10, so the offender
+    list must be empty). A failure here means a new registration SUMs
+    integers without the registry rewrite catching it (e.g.
+    registered after the first oracle_sql() call latched the cache).
+    Also asserts no DESCRIBE silently failed during the rewrite pass
+    (r9 ADVICE item #2) — a DESCRIBE failure ships the oracle
+    unwrapped, exactly the hole the rewrite exists to close."""
     sqls = registry.oracle_sql()
     offenders = []
     for name, sql in sqls.items():
         desc = con.execute("DESCRIBE " + sql).fetchall()
         if any(t in ("HUGEINT", "UHUGEINT") for _, t, *_ in desc):
             offenders.append(name)
-    assert offenders == ["probe_hugeint_bare"], offenders
+    assert offenders == [], offenders
+    assert registry._DEBIGINT_DESCRIBE_FAILURES == []
 
 
 def test_sim_splits_bare_hugeint_not_cast_twin(spark, con):
+    """The r9 instrument finding, pinned without a registered designed
+    red: the same Spark aggregation against the BARE integer-SUM
+    oracle (kept as queries_probes.BARE_HUGEINT_SQL since the probe's
+    r10 retirement) must still split under the dtype-sensitive sim,
+    while the shipped cast twin stays green — the exact red/green pair
+    the r9 driver window attested live (CORRECTNESS_r09.json)."""
+    from airflow_baseball_spark import queries_probes
+
     qs = registry.queries()
     sqls = registry.oracle_sql()
     bare = compare_driverish(
-        qs["probe_hugeint_bare"](spark, SF), con, sqls["probe_hugeint_bare"]
+        queries_probes._linenumber_sum(spark, SF),
+        con,
+        queries_probes.BARE_HUGEINT_SQL,
     )
     cast = compare_driverish(
         qs["probe_hugeint_cast"](spark, SF), con, sqls["probe_hugeint_cast"]
@@ -112,6 +127,29 @@ def test_static_ddl_fallback_detects_hugeint():
     )
     desc2 = con.execute("DESCRIBE " + wrapped).fetchall()
     assert [t for _, t, *_ in desc2] == ["BIGINT"]
+
+
+def test_late_registration_still_gets_wrapped(con):
+    """Registration-time HUGEINT protection (r9 verdict item #5): a
+    bare SUM(int) oracle registered AFTER oracle_sql() has already
+    latched the rewrite cache must still ship wrapped — register()
+    invalidates the latch, so no registration order can skip the
+    wrap. Quoted-identifier path (r9 ADVICE item #1) is exercised via
+    an alias that needs quoting."""
+    from airflow_baseball_spark import queries_probes
+
+    registry.oracle_sql()  # latch the cache first
+    name = "zz_test_lint_bare_tmp"
+    bare = 'SELECT SUM(l_linenumber) AS "sum(x)" FROM lineitem'
+    try:
+        registry.register(name, queries_probes._linenumber_sum, bare)
+        shipped = registry.oracle_sql()[name]
+        assert shipped != bare, "late registration skipped the rewrite"
+        desc = con.execute("DESCRIBE " + shipped).fetchall()
+        assert [t for _, t, *_ in desc] == ["BIGINT"], desc
+    finally:
+        registry._REGISTRY.pop(name, None)
+        registry._DEBIGINT_CACHE.pop(name, None)
 
 
 def test_dup_keys_probe_pins_generation_key_profile(spark, con):

@@ -5,10 +5,11 @@ nanosecond timestamps WITH sub-half-microsecond jitter AND tz=UTC
 tagging — and the DuckDB side runs under a non-UTC session timezone.
 This is the local reproduction of every environment difference the
 r6 verdict hypothesized for the driver. The probe names track
-queries_probes.py panel v3 (r9); probe_hugeint_bare is excluded
-because it is DESIGNED to split under a dtype-sensitive fetch, which
-the fetchall-based `compare` here cannot see — tests/test_driver_sim
-covers that split."""
+queries_probes.py (v4 in-window panel + the parked v3 probes); the
+retired designed-red bare-HUGEINT oracle is exercised separately
+below because it is DESIGNED to split under a dtype-sensitive fetch,
+which the fetchall-based `compare` here cannot see —
+tests/test_driver_sim covers that split."""
 
 from __future__ import annotations
 
@@ -62,23 +63,22 @@ def test_hardened_query_survives_nstz_hostile_tz(
     assert rep["values_match"], (name, rep.get("first_diffs"))
 
 
-def test_hugeint_bare_probe_keeps_hugeint(spark, nstz_dir, hostile_con):
-    """probe_hugeint_bare must keep its bare HUGEINT SUM — that is
-    the signal the probe exists to produce in the driver window (the
-    panel's designed positive control). If the registry rewrite ever
-    wraps it, the instrument loses its discriminating power. Its
-    VALUES still match under fetchall (the fetch-layer split is
-    invisible to exact Python-int fetches — exactly the r5-r8 local
-    blind spot, now pinned by this pair of asserts)."""
-    sqls = registry.oracle_sql()
+def test_hugeint_bare_sql_keeps_hugeint(spark, nstz_dir, hostile_con):
+    """The bare integer-SUM oracle (queries_probes.BARE_HUGEINT_SQL,
+    unregistered since the probe's r10 retirement) still DESCRIBEs to
+    HUGEINT, and its VALUES still match under fetchall — the
+    fetch-layer split is invisible to exact Python-int fetches,
+    exactly the r5-r8 local blind spot, pinned here so the mechanism
+    record stays executable."""
+    from airflow_baseball_spark import queries_probes
+
     desc = hostile_con.execute(
-        "DESCRIBE " + sqls["probe_hugeint_bare"]
+        "DESCRIBE " + queries_probes.BARE_HUGEINT_SQL
     ).fetchall()
     assert any(t == "HUGEINT" for _, t, *_ in desc)
-    qs = registry.queries()
     rep = compare(
-        qs["probe_hugeint_bare"](spark, nstz_dir),
+        queries_probes._linenumber_sum(spark, nstz_dir),
         hostile_con,
-        sqls["probe_hugeint_bare"],
+        queries_probes.BARE_HUGEINT_SQL,
     )
     assert rep["values_match"], rep.get("first_diffs")
