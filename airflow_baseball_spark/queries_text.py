@@ -1851,8 +1851,10 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays linear in iterations.
 
     Engine-exact iteration (the reason this is oracle-checkable at
-    all): (1) the in-row dot x·v is an EXPLICIT 64-term left-chained
-    add — both engines evaluate the identical IEEE tree, no
+    all): (1) the in-row dot x·v is a LEFT-CHAINED 64-term add — the
+    oracle unrolls it explicitly, the Spark side folds it with
+    aggregate(zip_with(...), 0.0, acc+t), and both evaluate the
+    identical IEEE tree left-to-right (0.0 + t1 == t1 exactly), no
     summation-algorithm freedom; (2) per-row contributions quantize
     to integers (floor(x_d·dot·1e6)) BEFORE the cross-row sum, so the
     only order-sensitive reduction in the algorithm is a sum of
@@ -1860,19 +1862,25 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64); (4) v re-quantizes to the 1e-6 grid after normalizing,
     so every iteration starts from bit-identical inputs. Same
     quantize-before-reduce trick as unigram_perplexity."""
-    from functools import reduce
-
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     vdf = spark.range(1).select(
         F.array(*[F.lit(0.125)] * _PCA_DIM).alias("v")  # 1/√64, exact binary
     )
     for _ in range(_PCA_ITERS):
-        dot = reduce(
-            lambda acc, d: acc
-            + F.element_at("embedding", d).cast("double")
-            * F.element_at("v", d),
-            range(2, _PCA_DIM + 1),
-            F.element_at("embedding", 1).cast("double") * F.element_at("v", 1),
+        # r10: the left-chained dot as a higher-order fold instead of
+        # an unrolled 127-node expression — aggregate(zip_with(x·v),
+        # 0.0, acc+t) adds the identical products in the identical
+        # left-to-right order (0.0 + t1 == t1 exactly), so the IEEE
+        # value is unchanged, but the plan carries a 5-node HOF
+        # instead of three 127-node codegen units whose janino
+        # compile dominated the query's first-run cost (the bench
+        # reading is always a first run; measured in PERF_NOTES r10).
+        dot = F.aggregate(
+            F.zip_with(
+                "embedding", "v", lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         )
         # r9: project the 64-term dot ONCE per row before the
         # per-element transform — inlining it inside the lambda made
@@ -2229,22 +2237,16 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm profile of the embedding corpus: the
     pre-indexing drift check next to embedding_dim_stats (a label
     whose norm band shifts signals a broken encoder). The squared
-    norm is an in-row EXPLICIT 64-term chained add (pca_power's
-    determinism rule — no summation-algorithm freedom), quantized to
-    the 1e-6 grid per row, then min/max/mean aggregate over exact
-    quantized values (sum of grid values is exact in int terms)."""
-    from functools import reduce
-
+    norm is an in-row LEFT-CHAINED 64-term add (pca_power's
+    determinism rule — the oracle unrolls the chain, the Spark side
+    folds it via similarity._norm in the identical left-to-right IEEE
+    order), quantized to the 1e-6 grid per row, then min/max/mean
+    aggregate over exact quantized values (sum of grid values is
+    exact in int terms)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sq = reduce(
-        lambda acc, d: acc
-        + F.element_at("embedding", d).cast("double")
-        * F.element_at("embedding", d).cast("double"),
-        range(2, 65),
-        F.element_at("embedding", 1).cast("double")
-        * F.element_at("embedding", 1).cast("double"),
-    )
-    qnorm = F.floor(F.sqrt(sq) * 1000000.0).cast("long")
+    qnorm = F.floor(
+        similarity._norm(F.col("embedding")) * 1000000.0
+    ).cast("long")
     per = emb.select("label", qnorm.alias("qn"))
     return per.groupBy("label").agg(
         F.count("*").alias("n"),
@@ -2299,13 +2301,18 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes) is invisible.
 
     Exact side: brute force over (probe × corpus) with the cosine as
-    an EXPLICIT 64-term chained dot (pca_power's rule — identical
-    IEEE tree on both engines), argmax on the floor-quantized score
-    with a vec_id tie-break, so the 'true NN' is bit-deterministic.
-    Probes are dimension-bounded and broadcast; brute force is the
-    eval's cost by definition, run on a sample, never the serving
-    path. Approx side: the SAME integer-exact fingerprints the index
-    uses (hyperplane_fingerprints), band-explode, one bucket join
+    a LEFT-CHAINED 64-term dot (pca_power's rule — the oracle unrolls
+    the chain, the Spark side folds it with aggregate(zip_with) in
+    the identical left-to-right IEEE order), argmax on the
+    floor-quantized score with a vec_id tie-break, so the 'true NN'
+    is bit-deterministic. Norms are projected ONCE PER SIDE before
+    the cross join (r9 rule: a norm depends only on its own row, so
+    the per-pair work is the dot alone — a third of the flops,
+    bit-identical values). Probes are dimension-bounded and
+    broadcast; brute force is the eval's cost by definition, run on a
+    sample, never the serving path. Approx side: the SAME
+    integer-exact fingerprints the index uses
+    (hyperplane_fingerprints), band-explode, one bucket join
     restricted to probe rows.
 
     Measured recall@1 ≈ 3/16 at sf0.1 — an honest and EXPECTED
@@ -2314,28 +2321,22 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded for the near-dup regime (cos > 0.7, where recall ≈ 1);
     the eval exists precisely to make that operating envelope, and
     any regression of it, a number instead of a vibe."""
-    from functools import reduce
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") % 125 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        similarity._norm(F.col("embedding")).alias("qn"),
     )
-
-    def _dot(a: str, b: str):
-        return reduce(
-            lambda acc, d: acc
-            + F.element_at(a, d).cast("double")
-            * F.element_at(b, d).cast("double"),
-            range(2, 65),
-            F.element_at(a, 1).cast("double")
-            * F.element_at(b, 1).cast("double"),
-        )
-
-    cos = _dot("qv", "embedding") / (
-        F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("embedding", "embedding"))
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        similarity._norm(F.col("embedding")).alias("en"),
+    )
+    cos = similarity.cosine_with_norms(
+        F.col("qv"), F.col("embedding"), F.col("qn"), F.col("en")
     )
     scored = (
-        emb.crossJoin(F.broadcast(probes))
+        corpus.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
