@@ -259,8 +259,9 @@ def _debigint_oracle(con, sql: str) -> str:
     DuckDB rather than wrapping; the house style keeps every integer
     surface < 2^63 by construction (mod-prime checksums, micro/cent
     quantization), and tests/run_hugeint_overflow_check.py executes
-    every rewritten oracle at the largest local SF to prove the
-    casts cannot overflow (r9 ADVICE item #3)."""
+    every rewritten oracle at the driver's correctness SF, reporting
+    per-column |value|/2^63 headroom, to prove the casts cannot
+    overflow (r9 ADVICE item #3)."""
     desc = con.execute("DESCRIBE " + sql).fetchall()
     hug = [c for c, t, *_ in desc if t in ("HUGEINT", "UHUGEINT")]
     if not hug:

@@ -8,11 +8,18 @@ the oracle would become a runtime ERROR at the driver. The house
 style keeps every integer surface < 2^63 by construction (mod-prime
 checksums, micro/cent quantization), but that invariant was only
 documented — this script ENFORCES it by executing every rewritten
-oracle at the largest local scale factor (sums grow ~linearly in SF,
-so passing at sf0.1 covers the driver's sf0.01 window with 10x
-margin) and additionally reports the worst |value|/2^63 headroom of
-every BIGINT output column so a future emitter trending toward the
-edge is visible before it overflows.
+oracle and reporting the worst |value|/2^63 headroom of every BIGINT
+output column, so a future emitter trending toward the edge is
+visible before it overflows.
+
+Default SF is 0.01 — the scale the driver actually runs correctness
+at, so "no CAST error here" is literally the driver-facing guarantee.
+Measured headroom at sf0.01 is ≥12 orders of magnitude on every
+column (OVERFLOW_r10.txt) and integer-SUM surfaces grow ~linearly in
+SF, so larger SFs add no information; running at sf0.1 is possible
+but gated by ORACLE-side cost (harmonic_centrality's recursive CTE
+spills tens of GB of DuckDB temp at sf0.1 — the Spark side is fine,
+the check just doesn't need that scale).
 
 Usage:
     python tests/run_hugeint_overflow_check.py [sf_dir]
@@ -37,7 +44,7 @@ LIMIT = 2**63
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sqls = registry.oracle_sql()
     raw = registry.oracle_sql(raw=True)
     rewritten = {n: s for n, s in sqls.items() if s != raw.get(n)}
