@@ -152,6 +152,31 @@ def test_late_registration_still_gets_wrapped(con):
         registry._DEBIGINT_CACHE.pop(name, None)
 
 
+def test_reregistration_does_not_leak_stale_wrap(con):
+    """The rewrite cache is cleared and rebuilt whenever the latch is
+    invalidated, so RE-registering a name with new SQL (or removing
+    it) cannot leave a stale wrapped oracle that oracle_sql()'s
+    cache-overlay would resurrect."""
+    from airflow_baseball_spark import queries_probes
+
+    name = "zz_test_lint_rereg_tmp"
+    bare = "SELECT SUM(l_linenumber) AS s FROM lineitem"
+    plain = "SELECT COUNT(*) AS s FROM lineitem"
+    try:
+        registry.register(name, queries_probes._linenumber_sum, bare)
+        first = registry.oracle_sql()[name]
+        assert "BIGINT" in first  # wrapped
+        registry.register(name, queries_probes._linenumber_sum, plain)
+        second = registry.oracle_sql()[name]
+        assert "SUM" not in second, "stale wrapped oracle leaked"
+        desc = con.execute("DESCRIBE " + second).fetchall()
+        assert [t for _, t, *_ in desc] == ["BIGINT"], desc
+    finally:
+        registry._REGISTRY.pop(name, None)
+        registry._DEBIGINT_CACHE.pop(name, None)
+        registry._DEBIGINT_READY = False
+
+
 def test_dup_keys_probe_pins_generation_key_profile(spark, con):
     """Pin the standard generation's duplicate-key profile: doc_id,
     event_id, and o_orderkey are unique; the lineitem composite
