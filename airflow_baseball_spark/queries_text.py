@@ -1854,7 +1854,10 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     all): (1) the in-row dot x·v is a LEFT-CHAINED 64-term add — the
     oracle unrolls it explicitly, the Spark side folds it with
     aggregate(zip_with(...), 0.0, acc+t), and both evaluate the
-    identical IEEE tree left-to-right (0.0 + t1 == t1 exactly), no
+    identical IEEE tree left-to-right (0.0 + t1 == t1 in VALUE; the
+    one IEEE caveat is t1 = -0.0, where 0.0 + (-0.0) = +0.0 flips the
+    zero's sign bit vs the old unrolled chain — value-equal, and the
+    floor/CAST quantizers downstream absorb it; PERF_NOTES r10), no
     summation-algorithm freedom; (2) per-row contributions quantize
     to integers (floor(x_d·dot·1e6)) BEFORE the cross-row sum, so the
     only order-sensitive reduction in the algorithm is a sum of
@@ -1870,8 +1873,10 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r10: the left-chained dot as a higher-order fold instead of
         # an unrolled 127-node expression — aggregate(zip_with(x·v),
         # 0.0, acc+t) adds the identical products in the identical
-        # left-to-right order (0.0 + t1 == t1 exactly), so the IEEE
-        # value is unchanged, but the plan carries a 5-node HOF
+        # left-to-right order (0.0 + t1 == t1 in value — only a
+        # -0.0 first term would flip the zero's sign bit, and the
+        # downstream quantizers absorb that), so the IEEE value is
+        # unchanged, but the plan carries a 5-node HOF
         # instead of three 127-node codegen units whose janino
         # compile dominated the query's first-run cost (the bench
         # reading is always a first run; measured in PERF_NOTES r10).
@@ -2240,7 +2245,10 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm is an in-row LEFT-CHAINED 64-term add (pca_power's
     determinism rule — the oracle unrolls the chain, the Spark side
     folds it via similarity._norm in the identical left-to-right IEEE
-    order), quantized to the 1e-6 grid per row, then min/max/mean
+    order — value-equal even at the -0.0 edge, where the fold's
+    0.0 + (-0.0) = +0.0 only flips a zero sign bit the downstream
+    floor-quantizer absorbs; PERF_NOTES r10), quantized to the 1e-6
+    grid per row, then min/max/mean
     aggregate over exact quantized values (sum of grid values is
     exact in int terms)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2303,7 +2311,10 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact side: brute force over (probe × corpus) with the cosine as
     a LEFT-CHAINED 64-term dot (pca_power's rule — the oracle unrolls
     the chain, the Spark side folds it with aggregate(zip_with) in
-    the identical left-to-right IEEE order), argmax on the
+    the identical left-to-right IEEE order — value-equal even at the
+    -0.0 edge, where the fold's 0.0 + (-0.0) = +0.0 only flips a zero
+    sign bit the floor-quantized score absorbs; PERF_NOTES r10),
+    argmax on the
     floor-quantized score with a vec_id tie-break, so the 'true NN'
     is bit-deterministic. Norms are projected ONCE PER SIDE before
     the cross join (r9 rule: a norm depends only on its own row, so

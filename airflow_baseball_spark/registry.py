@@ -145,12 +145,30 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
         sql = _tz_normalize_oracle(sql)
     _REGISTRY[name] = (fn, sql)
     # registration-time HUGEINT protection (r9 verdict item #5): a
-    # registration arriving AFTER the first oracle_sql() call would
-    # otherwise miss the already-latched rewrite pass and ship a bare
-    # HUGEINT emitter; invalidating the latch makes the next
-    # oracle_sql() re-DESCRIBE the whole surface (idempotent, one
-    # schema-only pass), so no registration order can skip the wrap.
-    _DEBIGINT_READY = False
+    # registration arriving AFTER the first oracle_sql() call must not
+    # miss the already-latched rewrite pass and ship a bare HUGEINT
+    # emitter. While the latch is up, rewrap ONLY the new name (the
+    # cache is keyed by name, so one DESCRIBE suffices — r10 ADVICE
+    # item #2 replaced the unconditional latch-drop that re-DESCRIBEd
+    # all 552 oracles per late registration); popping first keeps a
+    # RE-registration from resurrecting a stale wrap. Any failure
+    # falls back to dropping the latch so the full rebuild — with its
+    # static-DDL retry and failure ledger — handles the name.
+    if _DEBIGINT_READY:
+        _DEBIGINT_CACHE.pop(name, None)
+        if sql is not None and name not in _DEBIGINT_EXEMPT:
+            try:
+                con = _debigint_connection()
+                try:
+                    wrapped = _debigint_oracle(con, sql)
+                finally:
+                    con.close()
+                if wrapped is not sql:
+                    _DEBIGINT_CACHE[name] = wrapped
+            except Exception:
+                _DEBIGINT_READY = False
+    else:
+        _DEBIGINT_READY = False
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +265,19 @@ def _debigint_connection():
     return con
 
 
+def _debigint_static_connection():
+    """Schema-only connection built from the static DDL, bypassing the
+    parquet probe — the retry target when a DESCRIBE fails against the
+    parquet-backed views (r10 ADVICE item #3: a footer/view quirk in
+    one environment must not ship a HUGEINT emitter unwrapped)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t, cols in _TESTDATA_DDL.items():
+        con.execute(f"CREATE TABLE {t} ({cols})")
+    return con
+
+
 def _debigint_oracle(con, sql: str) -> str:
     """Rewrite one oracle so no output column is HUGEINT/UHUGEINT:
     wrap in `SELECT * REPLACE (CAST(c AS BIGINT) AS c, ...)`. Returns
@@ -287,6 +318,7 @@ def _debigint_all() -> None:
     _DEBIGINT_CACHE.clear()
     _DEBIGINT_DESCRIBE_FAILURES.clear()
     con = _debigint_connection()
+    static_con = None
     try:
         for name, (fn, sql) in _REGISTRY.items():
             if sql is None or name in _DEBIGINT_EXEMPT:
@@ -294,17 +326,27 @@ def _debigint_all() -> None:
             try:
                 wrapped = _debigint_oracle(con, sql)
             except Exception:
-                # an oracle DESCRIBE can only fail if the schema-only
-                # environment lacks something the driver has; ship the
-                # original text rather than die at the driver seam —
-                # but record the name so the gate can flag it instead
-                # of the failure staying silent (r9 ADVICE item #2)
-                _DEBIGINT_DESCRIBE_FAILURES.append(name)
-                continue
+                # a DESCRIBE failure against the parquet-backed views
+                # is retried once against the static-DDL fallback (r10
+                # ADVICE item #3 — the types are footer-identical, so
+                # a view/footer quirk in one environment cannot ship a
+                # HUGEINT emitter unwrapped); only if BOTH fail does
+                # the original text ship, with the name recorded so
+                # the pytest gate flags it instead of the failure
+                # staying silent (r9 ADVICE item #2).
+                try:
+                    if static_con is None:
+                        static_con = _debigint_static_connection()
+                    wrapped = _debigint_oracle(static_con, sql)
+                except Exception:
+                    _DEBIGINT_DESCRIBE_FAILURES.append(name)
+                    continue
             if wrapped is not sql:
                 _DEBIGINT_CACHE[name] = wrapped
     finally:
         con.close()
+        if static_con is not None:
+            static_con.close()
     _DEBIGINT_READY = True
 
 
@@ -336,27 +378,24 @@ _LOADED = False
 _LOADING = False
 
 # Registry order is the driver's correctness-check order, and past
-# rounds showed the driver checks the FIRST ~50 entries only. Round-10
-# ordering (per the r9 verdict's window directives #1-2: the
-# instrument is proven, so the window is spent on backlog rotation):
+# rounds showed the driver checks the FIRST ~50 entries only. Round-11
+# ordering (per the r10 verdict's directive #1: keep the 4-slot panel,
+# spend all 46 remaining slots on the never-driver-sampled backlog in
+# the promised overflow order — r10's window validated the local gate
+# matrix 50/50, so rotation is the only path to full attestation):
 #   1. the flagship — in-window every round as the regression canary,
-#   2. positions 2-4: recurring panel v4, shrunk to three probes
-#      (const control / HUGEINT-cast sentinel / duplicate-key audit).
-#      probe_hugeint_bare — the designed-red positive control — is
-#      RETIRED from the registry entirely: the mechanism it proved is
-#      pinned by tests/test_driver_sim.py (inline bare-SUM oracle)
-#      and the committed r9 window artifact, and a permanent designed
-#      red both burned a rotation slot and kept CORRECTNESS from ever
-#      reading all-green. panel_const_twin / probe_ev_us_round /
-#      probe_doc_content stay registered but parked below 50 (their
-#      questions are answered; re-promotable on demand).
-#   3. positions 5-50: 46 rotation slots — group_sequential_obf first
-#      (the one DECIMAL-literal output shape never driver-sampled,
-#      TYPE_AUDIT_r9.txt), then the oldest never-driver-sampled names
-#      continuing the promised overflow order.
-#   4. positions 51+: the remaining never-sampled names in promised
-#      order, then the parked probes, then everything driver-attested
-#      (r9 window, r7 window, r8 window tiers), then module order.
+#   2. positions 2-4: recurring panel v4 (const control / HUGEINT-cast
+#      sentinel / duplicate-key audit). probe_hugeint_bare stays
+#      retired (mechanism pinned in tests/test_driver_sim.py).
+#   3. positions 5-50: 46 rotation slots — the next never-sampled
+#      names, continuing the promised overflow order exactly
+#      (personalized_pagerank .. good_turing_counts, the top of r10's
+#      tier 4).
+#   4. positions 51+: ALL remaining never-sampled names, now listed
+#      explicitly in promised order (r12+ rotations pull from the top
+#      of this tier), then the parked probes, then everything
+#      driver-attested (r10, r9, r7, r8 window tiers), then module
+#      order.
 _PRIORITY = [
     # -- tier 1: regression canary (driver-green r5,r6,r7,r8,r9)
     "park_factor_flagship",
@@ -369,59 +408,9 @@ _PRIORITY = [
     "probe_hugeint_cast",
     "probe_dup_keys",
     # -- tier 3: rotation (positions 5-50, all never driver-sampled).
-    #    group_sequential_obf pulled forward per the r9 verdict (the
-    #    one unattested DECIMAL-literal output shape; benford_digits
-    #    proved the shape safe in r5 but this name was never sampled);
-    #    the rest continue the promised r5/r6 overflow order exactly.
-    "group_sequential_obf",
-    "event_cooccurrence",
-    "assoc_rules",
-    "string_agg_topn",
-    "percent_of_total",
-    "share_shift",
-    "hll_distinct",
-    "kmv_distinct",
-    "zone_map_prune",
-    "ordered_funnel",
-    "kmv_overlap",
-    "embedding_outliers",
-    "sssp_bounded",
-    "minhash_calibration",
-    "hll_daily_merge",
-    "stream_hll_users",
-    "fs_linkage_score",
-    "theil_sen_slope",
-    "kendall_tau",
-    "l_diversity",
-    "label_propagation",
-    "harmonic_centrality",
-    "media_neardup",
-    "rrf_fusion",
-    "cohens_kappa",
-    "conformal_interval",
-    "graph_modularity",
-    "media_dedup_savings",
-    "kneser_ney_bigram",
-    "holt_linear",
-    "cluster_nmi",
-    "seasonal_decompose",
-    "ktruss",
-    "ivf_nprobe_sweep",
-    "ann_hubness",
-    "pinball_loss",
-    "periodogram_probe",
-    "markov_attribution",
-    "rake_keyphrases",
-    "late_arrival_audit",
-    "triplet_mining",
-    "consistent_fk_sample",
-    "uplift_qini",
-    "pass_at_k",
-    "emd_1d",
-    "vocab_coverage_oov",
-    # -- tier 4 (positions 51+): remaining never-driver-sampled names
-    #    in the promised overflow order; next round's rotation pulls
-    #    from the top of this tier.
+    #    The next 46 names in the promised overflow order (r10 tier-4
+    #    top). All 46 are green on all four local vintages and 0-red
+    #    under the full-surface driver-fetch sim at r10 close.
     "personalized_pagerank",
     "sprt_abtest",
     "mutual_knn_pairs",
@@ -468,6 +457,9 @@ _PRIORITY = [
     "sample_size_continuous",
     "chao1_richness",
     "good_turing_counts",
+    # -- tier 4 (positions 51+): ALL remaining never-driver-sampled
+    #    names (166 at r11 open) in the promised overflow order; r12+
+    #    rotations pull 46 at a time from the top of this tier.
     "viterbi_regime",
     "quantile_normalize",
     "voptimal_histogram",
@@ -482,13 +474,214 @@ _PRIORITY = [
     "cohens_d_segments",
     "poisson_dispersion",
     "newsvendor_quantile",
+    "map_at_k",
+    "ipw_ate",
+    "rdd_estimate",
+    "ece_calibration",
+    "macro_f1",
+    "rmst_survival",
+    "schema_evolution",
+    "pit_join",
+    "funnel_windowed",
+    "last_touch_attribution",
+    "feature_hashing",
+    "target_encode_oof",
+    "curriculum_phases",
+    "position_attribution",
+    "dq_report",
+    "pagerank",
+    "bloom_prune_join",
+    "bfs_reachability",
+    "fuzzy_name_join",
+    "table_checksum",
+    "cms_heavy_hitters",
+    "join_size_estimate",
+    "cumulative_distinct_users",
+    "topk_with_ties",
+    "max_drawdown",
+    "weighted_median_global",
+    "skyline_pareto",
+    "brand_percent_rank",
+    "iqr_outlier_rate",
+    "decile_transition_matrix",
+    "not_in_null_trap",
+    "price_dispersion",
+    "semi_additive_month_end",
+    "vwap_deviation",
+    "eoq_stocking",
+    "bitemporal_asof",
+    "finance_reconciliation",
+    "aging_buckets",
+    "distinct_ngrams",
+    "type_token_ratio",
+    "unigram_kl",
+    "shingle_containment",
+    "winnowing_fingerprint",
+    "cdc_word_chunks",
+    "suffix_prefix_overlap",
+    "krippendorff_alpha",
+    "fleiss_kappa",
+    "gwet_ac1",
+    "permutation_entropy",
+    "sample_entropy",
+    "pacf_yule_walker",
+    "page_trend_test",
+    "rank_biased_overlap",
+    "err_at_k",
+    "sign_test_bh",
+    "markov_entropy_rate",
+    "katz_3step",
+    "stratified_ate",
+    "auc_ci_hanley",
+    "erasure_sweep",
+    "trigram_transitions",
+    "spearman_footrule",
+    "cliff_delta",
+    "mood_median_test",
+    "js_divergence",
+    "ngram_entropy_curve",
+    "bleu2_paired",
+    "siegel_slope",
+    "kendall_w",
+    "weighted_kappa",
+    "bounce_rate",
+    "sql_api_exists_anti",
+    "sql_api_window_share",
+    "incremental_dedup",
+    "segment_dedup",
+    "pq_adc_topk",
+    "golden_record",
+    "unigram_perplexity",
+    "skipgram_pairs",
+    "dedup_levenshtein",
+    "lcs_rouge",
+    "simhash_bit_balance",
+    "holiday_lift",
+    "weibull_moments_fit",
+    "cold_start_coverage",
+    "gesd_outliers",
+    "cross_price_elasticity",
+    "seasonal_mann_kendall",
+    "split_stability",
+    "funnel_aa_test",
+    "geometric_gof",
+    "stupid_backoff_score",
+    "lsh_band_profile",
+    "hapax_doc_coverage",
+    "turning_point_test",
+    "bartels_rank_test",
+    "sen_slope_ci",
+    "dixon_q_test",
+    "permutation_test",
+    "stream_hopping_counts",
+    "stream_upsert",
+    "stream_stream_join",
+    "bloom_fpr_audit",
+    "basket_pairs",
+    "rfm_segments",
+    "triangle_count",
+    "weighted_median",
+    "pareto_frontier",
+    "cohort_ltv",
+    "hits_authorities",
+    "spatial_knn_grid",
+    "corr_matrix",
+    "groupwise_zscore",
+    "robust_stats",
+    "bm25_rank",
+    "sequence_match",
+    "kruskal_wallis",
+    "gumbel_return_level",
+    "t_closeness",
+    "jarque_bera",
+    "grubbs_test",
+    "cochran_q",
+    "median_polish",
+    "mahalanobis_outliers",
+    "tail_dependence",
+    "icc_intraclass",
+    "circular_dow_concentration",
+    "term_burstiness",
+    "nb_fit_moments",
+    "fixed_effect_pooling",
+    "median_ci_orderstat",
+    "partial_correlation",
+    "cronbach_alpha",
+    "atkinson_index",
+    "intrinsic_dimension",
+    "tpch_q7ish",
+    "tpch_q15ish",
+    "tpch_q17ish",
+    "tpch_q21ish",
+    "tpch_q2ish",
+    "tpch_q11ish",
+    "acf_lags",
+    "ljung_box",
+    "rsi_indicator",
+    "bollinger_bands",
+    "regression_diagnostics",
+    "stickiness_dau_mau",
+    "wavelet_energy",
+    "demand_classification",
+    "hurst_exponent",
+    "forecast_combination",
+    "adstock_correlation",
     # -- tier 5: parked panel-v3 probes (green everywhere; their
     #    questions are answered — kept registered for the local gate
     #    matrix, re-promotable into the window on demand)
     "panel_const_twin",
     "probe_ev_us_round",
     "probe_doc_content",
-    # -- tier 6: driver-attested green in the r9 window (the six
+    # -- tier 6: driver-attested green in the r10 window (the first
+    #    all-green window; 46 first-time rotations); they rotate
+    #    behind every never-sampled name
+    "group_sequential_obf",
+    "event_cooccurrence",
+    "assoc_rules",
+    "string_agg_topn",
+    "percent_of_total",
+    "share_shift",
+    "hll_distinct",
+    "kmv_distinct",
+    "zone_map_prune",
+    "ordered_funnel",
+    "kmv_overlap",
+    "embedding_outliers",
+    "sssp_bounded",
+    "minhash_calibration",
+    "hll_daily_merge",
+    "stream_hll_users",
+    "fs_linkage_score",
+    "theil_sen_slope",
+    "kendall_tau",
+    "l_diversity",
+    "label_propagation",
+    "harmonic_centrality",
+    "media_neardup",
+    "rrf_fusion",
+    "cohens_kappa",
+    "conformal_interval",
+    "graph_modularity",
+    "media_dedup_savings",
+    "kneser_ney_bigram",
+    "holt_linear",
+    "cluster_nmi",
+    "seasonal_decompose",
+    "ktruss",
+    "ivf_nprobe_sweep",
+    "ann_hubness",
+    "pinball_loss",
+    "periodogram_probe",
+    "markov_attribution",
+    "rake_keyphrases",
+    "late_arrival_audit",
+    "triplet_mining",
+    "consistent_fk_sample",
+    "uplift_qini",
+    "pass_at_k",
+    "emd_1d",
+    "vocab_coverage_oov",
+    # -- tier 7: driver-attested green in the r9 window (the six
     #    ex-reds fixed by the HUGEINT rewrite, then the 36 first-time
     #    rotations); they rotate behind every never-sampled name
     "chi2_features",
@@ -533,7 +726,7 @@ _PRIORITY = [
     "mode_per_group",
     "heatmap_bins",
     "new_vs_returning",
-    # -- tier 7: driver-attested green in the r7 window (sampled as
+    # -- tier 8: driver-attested green in the r7 window (sampled as
     #    tier 4 there); they rotate behind every never-sampled name
     "zipf_slope",
     "adamic_adar",
@@ -571,7 +764,7 @@ _PRIORITY = [
     "simpson_paradox",
     "popularity_hitrate",
     "capped_running_balance",
-    # -- tier 8: driver-attested green in the r8 window (sampled as
+    # -- tier 9: driver-attested green in the r8 window (sampled as
     #    tier 4 there); they rotate behind every never-sampled name
     "hill_tail_index",
     "burstiness_index",

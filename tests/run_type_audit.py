@@ -31,6 +31,19 @@ from airflow_baseball_spark import registry  # noqa: E402
 from airflow_baseball_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import duckdb_connect  # noqa: E402
 
+# Adjudicated (name, column) pairs: flagged shapes proven safe by a
+# live driver window, annotated so the audit reads 0 unadjudicated
+# flags (r10 verdict item #7). benford_p is a DECIMAL(7,6) literal
+# ratio vs spark double — the exact shape driver-attested green twice
+# (benford_digits itself r5, group_sequential_obf r10): DuckDB's
+# dtype-preserving fetch renders the DECIMAL literal as the
+# nearest-float64 of the same decimal string, identical to the Spark
+# double.
+ADJUDICATED: dict[tuple[str, str], str] = {
+    ("benford_digits", "benford_p"): "driver-green r5; same shape "
+    "group_sequential_obf driver-green r10",
+}
+
 
 def spark_kind(dt: str) -> str:
     d = dt.lower()
@@ -109,9 +122,15 @@ def main() -> None:
                 sev = "RED-RISK(int-vs-float: '6' vs '6.0')"
             else:
                 sev = f"review({sk}-vs-{dk})"
+            if (name, c) in ADJUDICATED:
+                print(
+                    f"{name}.{c}: spark={sk} duck={dk} -> "
+                    f"ADJUDICATED({ADJUDICATED[(name, c)]})"
+                )
+                continue
             print(f"{name}.{c}: spark={sk} duck={dk} -> {sev}")
             n_flagged += 1
-    print(f"TOTAL flagged lines: {n_flagged}")
+    print(f"TOTAL unadjudicated flags: {n_flagged}")
 
 
 if __name__ == "__main__":

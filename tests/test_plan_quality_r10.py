@@ -46,20 +46,29 @@ def test_ann_recall_norms_projected_before_cross_join(spark):
     pre-projected norm columns."""
     df = registry.queries()["ann_recall_eval"](spark, SF)
     plan = plan_str(df)
-    m = re.search(
-        r"BroadcastNestedLoopJoin[\s\S]*?(?=\n\(\d+\) \w)", plan
-    )
-    assert m is not None, plan[:2000]
-    # the join node itself carries no condition with sqrt; the qcos
-    # projection right above it must divide by the projected norms
-    # (qn * en), not recompute SQRT(dot) per pair
-    proj = re.findall(r"\(\d+\) Project[\s\S]*?(?=\n\(\d+\))", plan)
-    pair_projs = [p for p in proj if "qcos" in p or "FLOOR" in p]
-    assert pair_projs, plan[:2000]
-    for p in pair_projs:
-        assert "SQRT" not in p.upper() or "zip_with" not in p, (
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    secs = re.split(r"\n(?=\(\d+\) )", plan)
+    # (a) the projection that DEFINES qcos must divide by the two
+    # pre-projected norm columns (qn * en) and contain no sqrt at all
+    # (r10 ADVICE #1: the old pin's `SQRT absent OR zip_with absent`
+    # passed a post-join sqrt(aggregate(transform(...))) recompute)
+    defs = [s for s in secs if re.search(r"AS qcos#\d+", s)]
+    assert defs, plan[:2000]
+    for p in defs:
+        assert "SQRT" not in p.upper(), (
             "per-pair norm recomputation is back:\n" + p
         )
+        assert re.search(r"qn#\d+ \* en#\d+", p), (
+            "qcos no longer divides by the pre-projected norms:\n" + p
+        )
+    # (b) sqrt may appear ONLY in the per-side projections that
+    # define the norm columns themselves — any other section carrying
+    # a sqrt means norm work migrated downstream of the join
+    for s in secs:
+        if "SQRT" in s.upper():
+            assert re.search(r"AS (qn|en)#\d+", s), (
+                "sqrt outside the per-side norm projections:\n" + s
+            )
 
 
 def test_hugeint_overflow_headroom_is_wide(spark):
