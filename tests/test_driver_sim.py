@@ -197,3 +197,56 @@ def test_dup_keys_probe_pins_generation_key_profile(spark, con):
         row["dup_orderkey"],
     ) == (0, 0, 0)
     assert row["dup_lineitem_key"] > 0  # known, audited non-uniqueness
+
+
+def test_late_registration_wraps_incrementally(con):
+    """r10 ADVICE item #2: while the rewrite latch is up, register()
+    must wrap ONLY the new name — one DESCRIBE, latch stays up — not
+    drop the latch and force a full 552-oracle re-DESCRIBE on the
+    next oracle_sql() call."""
+    from airflow_baseball_spark import queries_probes
+
+    registry.oracle_sql()  # latch the cache
+    assert registry._DEBIGINT_READY
+    name = "zz_test_lint_incr_tmp"
+    bare = "SELECT SUM(l_linenumber) AS s FROM lineitem"
+    try:
+        registry.register(name, queries_probes._linenumber_sum, bare)
+        # the incremental path wraps at registration time and keeps
+        # the latch up — oracle_sql() must not need a rebuild
+        assert registry._DEBIGINT_READY, (
+            "register() dropped the latch — incremental rewrap regressed "
+            "to the O(N) full rebuild"
+        )
+        assert name in registry._DEBIGINT_CACHE
+        shipped = registry.oracle_sql()[name]
+        desc = con.execute("DESCRIBE " + shipped).fetchall()
+        assert [t for _, t, *_ in desc] == ["BIGINT"], desc
+    finally:
+        registry._REGISTRY.pop(name, None)
+        registry._DEBIGINT_CACHE.pop(name, None)
+
+
+def test_describe_failure_retries_static_ddl(monkeypatch):
+    """r10 ADVICE item #3: when a DESCRIBE fails against the
+    parquet-backed views, _debigint_all must retry the name against
+    the static-DDL fallback connection before shipping raw text — a
+    view/footer quirk in one environment must not ship a HUGEINT
+    emitter unwrapped. Simulated by pointing the primary connection
+    at an empty database (every DESCRIBE fails there)."""
+    import duckdb
+
+    monkeypatch.setattr(
+        registry, "_debigint_connection", lambda: duckdb.connect()
+    )
+    monkeypatch.setattr(registry, "_DEBIGINT_READY", False)
+    monkeypatch.setattr(registry, "_DEBIGINT_CACHE", {})
+    monkeypatch.setattr(registry, "_DEBIGINT_DESCRIBE_FAILURES", [])
+    registry._debigint_all()
+    # every oracle DESCRIBEs fine against the static DDL, so the
+    # retry must rescue all of them: no recorded failures, and the
+    # HUGEINT emitters are wrapped exactly as on the primary path
+    assert registry._DEBIGINT_DESCRIBE_FAILURES == []
+    assert len(registry._DEBIGINT_CACHE) >= 40  # ~49 HUGEINT rewrites
+    # monkeypatch restores the real globals; relatch on the real path
+    registry._DEBIGINT_READY = False
