@@ -2384,11 +2384,24 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _harmonic_sql(rounds: int = 6) -> str:
+    # r11: each hop CTE is AS MATERIALIZED. Every d{i} references
+    # d{i-1} TWICE (carry-forward branch + expansion branch), and
+    # DuckDB's planner inlines CTE references — so the un-hinted form
+    # duplicates the whole upstream tree per reference, 2^rounds
+    # copies of the lineitem-scanning pairs subtree by hop 6. At
+    # sf0.01 that is merely slow; at sf0.1 it exhausted >79 GB of
+    # temp (OVERFLOW_r10.txt addendum). MATERIALIZED computes each
+    # hop once, restoring the linear cost the unrolled-iteration
+    # oracles are designed for (the PPR/LPA oracles reference their
+    # previous round exactly once per step, which is why only this
+    # one blew up). sym2 is materialized too: it is referenced in
+    # all 6 hop expansions. Row-set semantics are unchanged — the
+    # hint only pins evaluate-once.
     steps = []
     prev = "d0"
     for i in range(1, rounds + 1):
         steps.append(f"""
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT node, MIN(dist) AS dist FROM (
         SELECT node, dist FROM {prev}
         UNION ALL
@@ -2399,7 +2412,7 @@ def _harmonic_sql(rounds: int = 6) -> str:
         prev = f"d{i}"
     return f"""
     WITH {_PAIRS_SQL.strip().removeprefix("WITH")},
-    sym2 AS (
+    sym2 AS MATERIALIZED (
       SELECT brand_a AS s, brand_b AS t FROM edges
       UNION ALL SELECT brand_b, brand_a FROM edges
     ),
