@@ -202,3 +202,41 @@ def test_harmonic_centrality_bounds(spark):
     # each reached vertex contributes at most 1.0 (dist >= 1)
     assert 0 < r.harmonic <= r.n_reached + 1e-9
     assert r.harmonic_micro <= r.n_reached * 1000000
+
+
+def test_harmonic_oracle_materialized_hops_bound_memory():
+    """r11 regression pin: the harmonic oracle's hop CTEs must carry
+    AS MATERIALIZED. Each d{i} references d{i-1} twice (carry-forward
+    + expansion) and DuckDB inlines CTE references, so the un-hinted
+    form duplicates the pairs subtree 2^rounds times -- at sf0.1 that
+    exhausted >79 GB of temp (OVERFLOW_r10.txt addendum). Beyond the
+    text pin, execute the oracle at sf0.1 under a hard 8 GB DuckDB
+    memory limit: with evaluate-once hops it finishes in well under a
+    second; if the hints are ever dropped the limit aborts the query
+    here instead of at a future sweep."""
+    from pathlib import Path
+
+    import duckdb
+    import pytest
+
+    from airflow_baseball_spark.queries_mining import _harmonic_sql
+    from oracle_harness import duckdb_connect
+
+    sql = _harmonic_sql()
+    assert sql.count("AS MATERIALIZED") == 7  # 6 hops + sym2
+
+    sf = "/root/testdata/sf0.1"
+    if not Path(sf).is_dir():
+        pytest.skip("testdata sf0.1 not present")
+    con = duckdb_connect(sf)
+    con.execute("SET memory_limit='8GB'")
+    try:
+        rows = con.execute(sql).fetchall()
+    except duckdb.OutOfMemoryException as exc:  # pragma: no cover
+        raise AssertionError(
+            "harmonic oracle exceeded 8GB at sf0.1 -- exponential "
+            "CTE inlining is back"
+        ) from exc
+    assert len(rows) == 1 and any(
+        isinstance(v, int) and v >= 1 for v in rows[0]
+    )
