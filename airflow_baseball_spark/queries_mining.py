@@ -125,7 +125,7 @@ registry.register(
     "basket_pairs",
     q_basket_pairs,
     """
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey, p.p_brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
@@ -426,7 +426,7 @@ registry.register(
     "triangle_count",
     q_triangle_count,
     """
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey, p.p_brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
@@ -753,7 +753,7 @@ registry.register(
     "degree_distribution",
     q_degree_distribution,
     """
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey, p.p_brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
@@ -780,7 +780,7 @@ registry.register(
 # ---------------------------------------------------------------------------
 
 _PAIRS_SQL = """
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey, p.p_brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
@@ -1157,7 +1157,7 @@ registry.register(
     "assoc_rules",
     q_assoc_rules,
     """
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey, p.p_brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
@@ -2229,7 +2229,7 @@ def _sssp_sql(rounds: int = 6) -> str:
     )""")
         prev = f"d{i}"
     return f"""
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey, p.p_brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
@@ -2615,16 +2615,26 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ktruss_sql(rounds: int = _TRUSS_ROUNDS) -> str:
+    # r11: every per-round CTE is AS MATERIALIZED. The un-hinted form
+    # is the worst inlining multiplier in the suite: s{i} reads e{i}
+    # twice, sup{i} reads e{i} once and s{i} twice, so each peeling
+    # round inlines FIVE copies of the previous round's whole tree --
+    # 5^rounds copies of the lineitem-scanning pairs subtree by the
+    # final support pass. Third instance of the pathology fixed this
+    # round (harmonic_centrality, bradley_terry); at sf0.1 this one
+    # filled 74 GB of DuckDB temp before being killed
+    # (ORACLE_SF01_r11.txt / PERF_NOTES r11 addendum #2).
+    # MATERIALIZED pins evaluate-once; row-set semantics unchanged.
     def sym(i: int) -> str:
         return f"""
-    s{i} AS (
+    s{i} AS MATERIALIZED (
       SELECT brand_a AS src, brand_b AS dst FROM e{i}
       UNION ALL SELECT brand_b, brand_a FROM e{i}
     )"""
 
     def sup(i: int) -> str:
         return f"""
-    sup{i} AS (
+    sup{i} AS MATERIALIZED (
       SELECT e.brand_a, e.brand_b, COUNT(*) AS support
       FROM e{i} e
       JOIN s{i} x ON e.brand_a = x.src
@@ -2638,7 +2648,7 @@ def _ktruss_sql(rounds: int = _TRUSS_ROUNDS) -> str:
         steps.append(sup(i))
         steps.append(
             f"""
-    e{i + 1} AS (
+    e{i + 1} AS MATERIALIZED (
       SELECT brand_a, brand_b FROM sup{i} WHERE support >= 2
     )"""
         )
@@ -2646,7 +2656,7 @@ def _ktruss_sql(rounds: int = _TRUSS_ROUNDS) -> str:
     steps.append(sup(rounds))
     return f"""
     WITH {_PAIRS_SQL.strip().removeprefix("WITH")},
-    e0 AS (SELECT brand_a, brand_b FROM edges),
+    e0 AS MATERIALIZED (SELECT brand_a, brand_b FROM edges),
     {",".join(steps)}
     SELECT brand_a, brand_b, CAST(support AS BIGINT) AS support
     FROM sup{rounds}
@@ -2907,11 +2917,21 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bt_sql(rounds: int = _BT_ROUNDS) -> str:
+    # r11: every multi-referenced CTE is AS MATERIALIZED. DuckDB
+    # inlines CTE references, and this oracle is dense with double
+    # references -- t{r} joins the previous round TWICE (pi_i / pi_j),
+    # p{r} reads r{r} twice (FROM + scalar SUM subquery), dirs reads
+    # pair twice (the UNION ALL symmetrization), matches self-joins
+    # ob, and dirs/wtab are re-read every round -- so the un-hinted
+    # tree doubles per MM round on top of an already-squared base:
+    # at sf0.1 it exhausted >79 GB of DuckDB temp (the same pathology
+    # fixed for _harmonic_sql this round; see ORACLE_SF01_r11.txt).
+    # MATERIALIZED pins evaluate-once; row-set semantics unchanged.
     steps = []
     prev = "p0"
     for r in range(1, rounds + 1):
         steps.append(f"""
-    t{r} AS (
+    t{r} AS MATERIALIZED (
       SELECT d.i,
              SUM((d.n_games * 1000000000000)
                  // (pi_i.pi + pi_j.pi)) AS d6
@@ -2920,11 +2940,11 @@ def _bt_sql(rounds: int = _BT_ROUNDS) -> str:
       JOIN {prev} pi_j ON d.j = pi_j.i
       GROUP BY 1
     ),
-    r{r} AS (
+    r{r} AS MATERIALIZED (
       SELECT w.i, (w.w * 1000000000000) // t.d6 AS pi_raw
       FROM wtab w JOIN t{r} t ON w.i = t.i
     ),
-    p{r} AS (
+    p{r} AS MATERIALIZED (
       SELECT i,
              (pi_raw * (SELECT COUNT(*) FROM wtab) * 1000000)
                // (SELECT SUM(pi_raw) FROM r{r}) AS pi
@@ -2932,7 +2952,7 @@ def _bt_sql(rounds: int = _BT_ROUNDS) -> str:
     )""")
         prev = f"p{r}"
     return f"""
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT l.l_orderkey AS ok, p.p_brand,
              CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS qty
@@ -2945,22 +2965,22 @@ def _bt_sql(rounds: int = _BT_ROUNDS) -> str:
       FROM ob a JOIN ob b
         ON a.ok = b.ok AND a.p_brand < b.p_brand
     ),
-    pair AS (
+    pair AS MATERIALIZED (
       SELECT brand_a, brand_b, COUNT(*) AS n_games,
              SUM(a_wins) AS wins_a
       FROM matches GROUP BY 1, 2
     ),
-    dirs AS (
+    dirs AS MATERIALIZED (
       SELECT brand_a AS i, brand_b AS j, n_games, wins_a AS wins_i
       FROM pair
       UNION ALL
       SELECT brand_b, brand_a, n_games, n_games - wins_a FROM pair
     ),
-    wtab AS (
+    wtab AS MATERIALIZED (
       SELECT i, SUM(wins_i) AS w, SUM(n_games) AS games
       FROM dirs GROUP BY 1
     ),
-    p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS pi FROM wtab),
+    p0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS pi FROM wtab),
     {",".join(steps)}
     SELECT w.i AS brand, CAST(w.games AS BIGINT) AS games,
            CAST(w.w AS BIGINT) AS wins,
@@ -3047,7 +3067,7 @@ registry.register(
     "path3_motifs",
     q_path3_motifs,
     """
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey, p.p_brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
@@ -3352,7 +3372,7 @@ registry.register(
     "rich_club",
     q_rich_club,
     """
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey, p.p_brand
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),

@@ -338,11 +338,21 @@ def _pacf_sql() -> str:
     parts = []
     for k in (1, 2, 3):
         parts.append(
+            # r11: the products are widened BEFORE multiplying --
+            # DuckDB's DECIMAL(18,2)xDECIMAL(18,2) multiply yields
+            # DECIMAL(18,4) on the int64 fast path and overflowed at
+            # sf0.1 (daily cents ~1.8e9, product ~3e18 > 1e18); a
+            # DECIMAL(38,2) left operand takes the int128 path and
+            # the outer cast keeps the original DECIMAL(38,4) shape.
+            # Exact decimal arithmetic, value-identical.
             f"COUNT(x{k}) AS n{k}, SUM(x{k}) AS sx{k},\n"
             f"      SUM(CASE WHEN x{k} IS NOT NULL THEN v END) AS sy{k},\n"
-            f"      SUM(CAST(x{k} * v AS DECIMAL(38,4))) AS sxy{k},\n"
-            f"      SUM(CAST(x{k} * x{k} AS DECIMAL(38,4))) AS sxx{k},\n"
-            f"      SUM(CAST(CASE WHEN x{k} IS NOT NULL THEN v END\n"
+            f"      SUM(CAST(CAST(x{k} AS DECIMAL(38,2)) * v\n"
+            f"           AS DECIMAL(38,4))) AS sxy{k},\n"
+            f"      SUM(CAST(CAST(x{k} AS DECIMAL(38,2)) * x{k}\n"
+            f"           AS DECIMAL(38,4))) AS sxx{k},\n"
+            f"      SUM(CAST(CAST(CASE WHEN x{k} IS NOT NULL THEN v END\n"
+            f"                AS DECIMAL(38,2))\n"
             f"           * CASE WHEN x{k} IS NOT NULL THEN v END\n"
             f"           AS DECIMAL(38,4))) AS syy{k}"
         )

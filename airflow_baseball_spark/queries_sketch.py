@@ -37,7 +37,20 @@ _HLL_POW = [1 << (40 - r) for r in range(1, 34)]
 _HLL_ZERO_TERM = 1 << 40  # absent register: rho = 0
 # alpha_256 * m^2 * 2^40, written as the same literal expression tree
 # on both engines (all constants are exact doubles)
-_HLL_NUM = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 1099511627776.0"
+# alpha_256 * m^2 * 2^40, evaluated ONCE in Python and inlined as the
+# same literal into BOTH engines' expression texts (the LCG-literal
+# house rule, cf. _GUMBEL_LNLN_52). The spelled-out arithmetic form
+# "(0.7213 / (1.0 + 1.079 / 256.0)) * ..." is NOT engine-portable:
+# Spark parses the plain decimal literals as DecimalType and evaluates
+# the division in decimal arithmetic (Decimal('51756995126219627.007'))
+# while DuckDB/Python produce the IEEE double 5.175699493294551e16 —
+# a 3.7e-9 relative gap that flips the 6th-decimal floor once the
+# estimate magnitude reaches ~1.4e3 (first seen at sf0.1:
+# hll_distinct read 1397.598050 vs 1397.598045, ORACLE_SF01_r11.txt;
+# invisible at driver sf because the small-range linear-counting
+# branch bypasses this constant). An exponent literal parses as
+# DOUBLE on both engines, so the trees are IEEE-identical again.
+_HLL_NUM = repr((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 1099511627776.0)
 
 
 def hll_register_exprs(key_col: str = "user_id"):

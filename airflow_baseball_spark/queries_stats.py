@@ -4840,7 +4840,12 @@ registry.register(
     sums AS (
       SELECT COUNT(*) AS n,
              CAST(SUM(m) AS BIGINT) AS sm,
-             SUM(CAST(m AS DECIMAL(18,0)) * CAST(m AS DECIMAL(18,0))) AS sm2
+             -- r11: operands widened to DECIMAL(38,0) -- DuckDB's
+             -- DECIMAL(18)xDECIMAL(18) multiply stays on the int64
+             -- DECIMAL(18,0) fast path and overflows at sf0.1
+             -- (cents^2 ~ 3e18 > 1e18); 38 takes the int128 path.
+             -- Exact integer arithmetic, value-identical.
+             SUM(CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) AS sm2
       FROM weekly
     ),
     calc AS (
@@ -5229,8 +5234,11 @@ registry.register(
     stats AS (
       SELECT COUNT(*) AS n,
              CAST(SUM(cents) AS BIGINT) AS s1,
-             SUM(CAST(cents AS DECIMAL(18,0))
-                 * CAST(cents AS DECIMAL(18,0))) AS s2
+             -- r11: DECIMAL(38,0) operands (int128 path) -- the
+             -- DECIMAL(18) multiply overflowed at sf0.1; exact,
+             -- value-identical
+             SUM(CAST(cents AS DECIMAL(38,0))
+                 * CAST(cents AS DECIMAL(38,0))) AS s2
       FROM daily
     ),
     calc AS (

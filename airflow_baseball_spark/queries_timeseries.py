@@ -4405,8 +4405,12 @@ registry.register(
     rolled AS (
       SELECT d, cents,
              SUM(cents) OVER w AS s1,
-             SUM(CAST(cents AS DECIMAL(18,0))
-                 * CAST(cents AS DECIMAL(18,0))) OVER w AS s2,
+             -- r11: DECIMAL(38,0) operands (int128 path) -- DuckDB's
+             -- DECIMAL(18)xDECIMAL(18) multiply stays int64 and
+             -- overflowed at sf0.1 (the docstring's DECIMAL(38)
+             -- intent now actually holds); value-identical
+             SUM(CAST(cents AS DECIMAL(38,0))
+                 * CAST(cents AS DECIMAL(38,0))) OVER w AS s2,
              COUNT(*) OVER w AS nw
       FROM daily
       WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)

@@ -136,6 +136,240 @@ def _tz_normalize_oracle(sql: str) -> str:
     return f"    WITH {prefix}\n    {s}"
 
 
+# ---------------------------------------------------------------------------
+# r11: evaluate-once protection for multi-referenced oracle CTEs.
+#
+# DuckDB's planner INLINES every CTE reference. An oracle whose CTE is
+# referenced k times therefore evaluates that CTE's whole upstream
+# tree k times — and when unrolled-iteration oracles reference the
+# previous round more than once per step, the copies COMPOUND
+# geometrically: the first full sf0.1 sweep (ORACLE_SF01_r11.txt)
+# found harmonic_centrality (2 refs/hop → 2^6) and bradley_terry
+# (5 refs/round) exhausting >79 GB of DuckDB temp, and ktruss
+# (5 refs/round → ~5^3 on a squared base) filling 74 GB before being
+# killed; a static audit then measured kcore at 1,992 inlined copies
+# of its lineitem-scanning base CTE, sssp_bounded at 508, katz_3step
+# at 400 (PERF_NOTES r11 addendum #2). Rather than hand-hinting 80+
+# texts, the fix lives at this seam (the same architecture as
+# _tz_normalize_oracle and _debigint_all): parse the WITH list,
+# propagate inline-copy counts through the CTE dependency DAG
+# (already-MATERIALIZED CTEs are evaluate-once barriers), and insert
+# `AS MATERIALIZED` on every CTE whose copy count reaches
+# _MATERIALIZE_THRESHOLD. Semantics are unchanged — the hint only
+# pins evaluate-once — and hand-written hints in the registered texts
+# are respected as barriers. Spark-side plans are untouched.
+#
+# Threshold 4: a plain double reference stays inlined (it can still
+# benefit from predicate pushdown into the CTE body and has never
+# been a problem at any SF); 4+ copies only arise from compounding
+# chains or hub CTEs, which is exactly the pathological class.
+_MATERIALIZE_THRESHOLD = 4
+
+
+def _sql_code_spans(sql: str):
+    """Yield (start, end) spans of sql that are CODE — i.e. outside
+    '...' string literals (with '' escapes), "..." quoted
+    identifiers, -- line comments, and /* */ block comments."""
+    i, n = 0, len(sql)
+    start = 0
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            yield (start, i)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            start = i
+        elif ch == '"':
+            yield (start, i)
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+            i += 1
+            start = i
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            yield (start, i)
+            while i < n and sql[i] != "\n":
+                i += 1
+            start = i
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            yield (start, i)
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            start = i
+        else:
+            i += 1
+    yield (start, n)
+
+
+def _parse_ctes(sql: str):
+    """Locate the top-level WITH list. Returns (ctes, final_start)
+    where ctes is a list of dicts {name, materialized, body_span,
+    as_end} in definition order — as_end is the code offset right
+    after the AS keyword (where a MATERIALIZED hint inserts).
+    Returns ([], 0) when there is no top-level WITH."""
+    spans = list(_sql_code_spans(sql))
+
+    def code(idx):
+        return any(a <= idx < b for a, b in spans)
+
+    # only a STATEMENT-LEADING WITH counts (after leading whitespace /
+    # comments): a WITH inside a subquery must not be parsed as the
+    # top-level CTE list. Leading comments are stripped the same way
+    # _tz_normalize_oracle does.
+    lead = 0
+    while True:
+        ws = re.match(r"\s*", sql[lead:])
+        lead += ws.end()
+        if sql.startswith("--", lead):
+            nl = sql.find("\n", lead)
+            lead = len(sql) if nl < 0 else nl + 1
+        elif sql.startswith("/*", lead):
+            end = sql.find("*/", lead)
+            lead = len(sql) if end < 0 else end + 2
+        else:
+            break
+    m = re.match(r"(?is)WITH\s+(?:RECURSIVE\s+)?", sql[lead:])
+    if not m:
+        return [], 0
+    i = lead + m.end()
+    ctes = []
+    n = len(sql)
+    while True:
+        mm = re.match(
+            r"(?s)\s*([A-Za-z_][A-Za-z0-9_]*)\s+(AS)\s+(MATERIALIZED\s+)?\(",
+            sql[i:],
+        )
+        if not mm:
+            break
+        as_end = i + mm.end(2)
+        body_open = i + mm.end()  # position just after '('
+        depth = 1
+        k = body_open
+        while k < n and depth:
+            if not code(k):
+                k += 1
+                continue
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        ctes.append(
+            {
+                "name": mm.group(1),
+                "materialized": bool(mm.group(3)),
+                "body_span": (body_open, k - 1),
+                "as_end": as_end,
+            }
+        )
+        i = k
+        mm2 = re.match(r"(?s)\s*,", sql[i:])
+        if not mm2:
+            break
+        i += mm2.end()
+    return ctes, i
+
+
+def _cte_copy_counts(sql: str):
+    """Inline-copy count per CTE under DuckDB's inline-per-reference
+    model, treating MATERIALIZED CTEs (and recursive self-references,
+    which are excluded from counting) as evaluate-once barriers.
+    Returns (ctes, copies) from _parse_ctes / {name: count}."""
+    ctes, final_start = _parse_ctes(sql)
+    if not ctes:
+        return ctes, {}
+    names = [c["name"] for c in ctes]
+
+    def refs_in(text, producers):
+        out = {}
+        for p in producers:
+            # table references only: FROM/JOIN-prefixed, plus
+            # comma-list members (FROM a, b / , LATERAL peers). A bare
+            # word count would misread column aliases named after the
+            # CTE (ordered_funnel's `MIN(us) AS t1` / `t1.t1`) as
+            # references; a comma prefix can still over-match a column
+            # list, which only errs toward an extra hint (safe). The
+            # (?<![.\w]) lookbehind keeps schema-qualified base-table
+            # references (main.events) from counting -- DuckDB
+            # resolves those to the base schema, not the CTE.
+            k = len(
+                re.findall(
+                    rf"(?is)(?:\bFROM|\bJOIN|,)\s*(?<![.\w]){re.escape(p)}\b",
+                    text,
+                )
+            )
+            if k:
+                out[p] = k
+        return out
+
+    refs = {}
+    for idx, c in enumerate(ctes):
+        a, b = c["body_span"]
+        refs[c["name"]] = refs_in(sql[a:b], names[:idx])
+    final_refs = refs_in(sql[final_start:], names)
+    copies = {nm: 0 for nm in names}
+    for p, k in final_refs.items():
+        copies[p] += k
+    for c in reversed(ctes):
+        nm = c["name"]
+        mult = 1 if c["materialized"] else copies[nm]
+        for p, k in refs[nm].items():
+            copies[p] += mult * k
+    return ctes, copies
+
+
+def _materialize_hot_ctes(sql: str) -> str:
+    """Insert `MATERIALIZED` after AS for every CTE whose inline-copy
+    count reaches _MATERIALIZE_THRESHOLD. Idempotent (existing hints
+    are barriers and are never duplicated); recursive CTE members
+    (body references its own name) are left untouched."""
+    # scope guard: the copy-count model is FLAT -- an oracle whose
+    # body contains nested WITH clauses (sub-scoped CTE lists, often
+    # shadowing outer names, e.g. minhash_calibration's inlined
+    # sigs/sh_rows copies) is skipped entirely. Hinting across
+    # shadowed scopes is both unsound for the counts and a DuckDB
+    # trap: a MATERIALIZED outer CTE shadowed by a nested WITH of the
+    # same name trips "INTERNAL Error: Recursive CTE scan found
+    # without recursive CTE node" and poisons the connection
+    # (reproduced at r11; pinned in tests/test_materialize_pass.py).
+    spans = list(_sql_code_spans(sql))
+    code_text = "".join(sql[a:b] for a, b in spans)
+    if len(re.findall(r"(?i)\bWITH\b", code_text)) > 1:
+        return sql
+    ctes, copies = _cte_copy_counts(sql)
+    if not ctes:
+        return sql
+    inserts = []
+    for c in ctes:
+        if c["materialized"]:
+            continue
+        a, b = c["body_span"]
+        if re.search(
+            rf"(?is)(?:\bFROM|\bJOIN)\s+(?<![.\w]){re.escape(c['name'])}\b",
+            sql[a:b],
+        ):
+            continue  # recursive member — hint unsupported there
+        if copies.get(c["name"], 0) >= _MATERIALIZE_THRESHOLD:
+            inserts.append(c["as_end"])
+    if not inserts:
+        return sql
+    out = []
+    prev = 0
+    for pos in sorted(inserts):
+        out.append(sql[prev:pos])
+        out.append(" MATERIALIZED")
+        prev = pos
+    out.append(sql[prev:])
+    return "".join(out)
+
+
 def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
     # diagnostic probes (queries_probes.py) must read the RAW views —
     # measuring the un-normalized driver environment is their entire
@@ -143,6 +377,7 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
     global _DEBIGINT_READY
     if sql and not name.startswith("probe_"):
         sql = _tz_normalize_oracle(sql)
+        sql = _materialize_hot_ctes(sql)
     _REGISTRY[name] = (fn, sql)
     # registration-time HUGEINT protection (r9 verdict item #5): a
     # registration arriving AFTER the first oracle_sql() call must not
@@ -156,9 +391,21 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
     # static-DDL retry and failure ledger — handles the name.
     if _DEBIGINT_READY:
         _DEBIGINT_CACHE.pop(name, None)
+        # a RE-registration that fixes a previously DESCRIBE-failing
+        # oracle must also clear its stale entry on the failure
+        # ledger, or the pytest gate asserting the ledger empty reds
+        # on a name that is now wrapped correctly
+        while name in _DEBIGINT_DESCRIBE_FAILURES:
+            _DEBIGINT_DESCRIBE_FAILURES.remove(name)
         if sql is not None and name not in _DEBIGINT_EXEMPT:
             try:
-                con = _debigint_connection()
+                # static DDL, not the parquet probe: one late
+                # registration needs one DESCRIBE, and the static
+                # types are footer-identical (pinned by
+                # test_static_ddl_types_match_parquet_footers) —
+                # any mismatch still drops the latch below and the
+                # full rebuild re-covers the name
+                con = _debigint_static_connection()
                 try:
                     wrapped = _debigint_oracle(con, sql)
                 finally:
@@ -239,7 +486,6 @@ def _debigint_connection():
 
     import duckdb
 
-    con = duckdb.connect()
     for cand in (
         os.environ.get("SPARK_GRAFT_SF_DIR"),
         "/root/testdata/sf0.001",
@@ -254,15 +500,17 @@ def _debigint_connection():
                     ok = False
                     break
             if ok:
+                con = duckdb.connect()
                 for t in _TESTDATA_DDL:
                     p = Path(cand) / f"{t}.parquet"
                     con.execute(
                         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
                     )
                 return con
-    for t, cols in _TESTDATA_DDL.items():
-        con.execute(f"CREATE TABLE {t} ({cols})")
-    return con
+    # no testdata dir: the schema-only fallback IS the static-DDL
+    # connection — one definition, so the DDL cannot silently diverge
+    # from the retry target (r11 review)
+    return _debigint_static_connection()
 
 
 def _debigint_static_connection():

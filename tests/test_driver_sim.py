@@ -129,6 +129,39 @@ def test_static_ddl_fallback_detects_hugeint():
     assert [t for _, t, *_ in desc2] == ["BIGINT"]
 
 
+def test_static_ddl_types_match_parquet_footers():
+    """The premise behind both the DESCRIBE-failure retry and the
+    incremental late-registration wrap (which DESCRIBEs against the
+    static DDL only, r11): the embedded static DDL and the parquet
+    footers must agree on every column name and type, or the two
+    DESCRIBE environments could disagree on a wrap decision. Compare
+    DESCRIBE per table across the two connection builders."""
+    from pathlib import Path
+
+    import pytest
+
+    sf = Path("/root/testdata/sf0.001")
+    if not sf.is_dir():
+        pytest.skip("testdata sf0.001 not present")
+    import duckdb
+
+    pq = duckdb.connect()
+    for t in registry._TESTDATA_DDL:
+        pq.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf / (t + '.parquet')}')"
+        )
+    st = registry._debigint_static_connection()
+    try:
+        for t in registry._TESTDATA_DDL:
+            a = [(c, ty) for c, ty, *_ in pq.execute(f"DESCRIBE {t}").fetchall()]
+            b = [(c, ty) for c, ty, *_ in st.execute(f"DESCRIBE {t}").fetchall()]
+            assert a == b, f"{t}: parquet footers {a} != static DDL {b}"
+    finally:
+        pq.close()
+        st.close()
+
+
 def test_late_registration_still_gets_wrapped(con):
     """Registration-time HUGEINT protection (r9 verdict item #5): a
     bare SUM(int) oracle registered AFTER oracle_sql() has already
@@ -248,5 +281,8 @@ def test_describe_failure_retries_static_ddl(monkeypatch):
     # HUGEINT emitters are wrapped exactly as on the primary path
     assert registry._DEBIGINT_DESCRIBE_FAILURES == []
     assert len(registry._DEBIGINT_CACHE) >= 40  # ~49 HUGEINT rewrites
-    # monkeypatch restores the real globals; relatch on the real path
-    registry._DEBIGINT_READY = False
+    # no manual relatch: monkeypatch teardown runs AFTER the test
+    # body and restores the pre-test (ready, cache, failures) triple
+    # wholesale, so the real path resumes exactly where it was — an
+    # in-body `_DEBIGINT_READY = False` would be overwritten by that
+    # restore (r11 review)

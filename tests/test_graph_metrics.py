@@ -240,3 +240,38 @@ def test_harmonic_oracle_materialized_hops_bound_memory():
     assert len(rows) == 1 and any(
         isinstance(v, int) and v >= 1 for v in rows[0]
     )
+
+
+def test_bradley_terry_oracle_materialized_bound_memory():
+    """r11 regression pin, same mechanism as the harmonic pin above
+    but denser: _bt_sql's t{r} joins the previous round TWICE
+    (pi_i / pi_j), p{r} reads r{r} twice (FROM + scalar subquery),
+    dirs reads pair twice, matches self-joins ob -- so the un-hinted
+    inlined tree doubles per MM round on an already-squared base and
+    exhausted >79 GB of DuckDB temp at sf0.1 (ORACLE_SF01_r11.txt).
+    Pin the 17 MATERIALIZED hints and execute at sf0.1 under a hard
+    8 GB limit (post-fix: ~0.8 s)."""
+    from pathlib import Path
+
+    import duckdb
+    import pytest
+
+    from airflow_baseball_spark.queries_mining import _bt_sql
+    from oracle_harness import duckdb_connect
+
+    sql = _bt_sql()
+    assert sql.count("AS MATERIALIZED") == 17
+
+    sf = "/root/testdata/sf0.1"
+    if not Path(sf).is_dir():
+        pytest.skip("testdata sf0.1 not present")
+    con = duckdb_connect(sf)
+    con.execute("SET memory_limit='8GB'")
+    try:
+        rows = con.execute(sql).fetchall()
+    except duckdb.OutOfMemoryException as exc:  # pragma: no cover
+        raise AssertionError(
+            "bradley_terry oracle exceeded 8GB at sf0.1 -- exponential "
+            "CTE inlining is back"
+        ) from exc
+    assert len(rows) >= 1

@@ -156,3 +156,27 @@ def test_stream_hll_matches_batch_sketch(spark):
             b.v_zero,
             b.hll_est,
         )
+
+
+def test_hll_num_constant_is_engine_portable(spark):
+    """r11 regression pin for the LCG-literal rule on _HLL_NUM: the
+    constant must parse to the SAME IEEE double on Spark, DuckDB,
+    and Python. The old spelled-out arithmetic form parsed as
+    DecimalType on Spark (Decimal('...627.007') vs double ...493e16,
+    3.7e-9 relative) which flipped hll_est's 6th-decimal floor once
+    the estimate reached ~1.4e3 -- first visible at sf0.1
+    (hll_distinct / stream_hll_users, ORACLE_SF01_r11.txt), invisible
+    at driver sf because the linear-counting branch bypasses the
+    constant."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from airflow_baseball_spark.queries_sketch import _HLL_NUM
+
+    py = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 1099511627776.0
+    sv = spark.range(1).select(F.expr(_HLL_NUM).alias("c")).collect()[0].c
+    assert isinstance(sv, float), f"Spark parsed _HLL_NUM as {type(sv)}"
+    assert sv == py
+    dv = duckdb.connect().execute(f"SELECT {_HLL_NUM}").fetchall()[0][0]
+    assert dv == py
