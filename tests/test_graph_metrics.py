@@ -223,7 +223,9 @@ def test_harmonic_oracle_materialized_hops_bound_memory():
     from oracle_harness import duckdb_connect
 
     sql = _harmonic_sql()
-    assert sql.count("AS MATERIALIZED") == 7  # 6 hops + sym2
+    # 6 hops + sym2 + the shared _PAIRS_SQL ob (hinted when the
+    # CTE-inlining blowup class was closed repo-wide)
+    assert sql.count("AS MATERIALIZED") == 8
 
     sf = "/root/testdata/sf0.1"
     if not Path(sf).is_dir():
