@@ -47,11 +47,22 @@ def bfs_distances(
     frontier = visited
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     for hop in range(1, max_hops + 1):
+        # r11 (optimization): broadcast the frontier and the visited
+        # set — both are node-scale (bounded by |V|, orders of
+        # magnitude under the edge list this walks), so the planner's
+        # sort-merge choice re-shuffled and re-sorted the WHOLE edge
+        # list every hop (4 edge exchanges per walk; the hint removes
+        # all of them — the edge list now never moves). For node sets
+        # beyond broadcast range, pre-partition `edges` by src once
+        # and let the rounds reuse that exchange instead.
         nxt = (
-            frontier.join(e, frontier["node"] == e["e_src"])
+            F.broadcast(frontier)
+            .join(e, frontier["node"] == e["e_src"])
             .select(F.col("e_dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                F.broadcast(visited.select("node")), "node", "left_anti"
+            )
             .withColumn("dist", F.lit(hop))
             .localCheckpoint()
         )

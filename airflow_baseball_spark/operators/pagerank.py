@@ -71,7 +71,16 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+        # r11 (optimization): contribs is node-scale (one row per
+        # in-linked node); without the hint the planner ran this
+        # left join as a sort-merge — two exchanges + two sorts per
+        # round (plans/r11/pagerank_{before,after}.txt). Broadcasting
+        # the build side leaves `nodes` unmoved. Join strategy cannot
+        # change the float sums — they are fixed upstream in the
+        # groupBy.
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
+        ).select(
             "node",
             (
                 F.lit(teleport)

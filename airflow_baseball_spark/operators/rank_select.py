@@ -73,7 +73,15 @@ def rank_pick(
         "n",
         "lo",
         "hi",
-        F.expr(f"((v - lo) * {n_buckets}) div (hi - lo + 1)").alias("b"),
+        # r11: width-based bucketing — ((v-lo)*n_buckets) overflows
+        # BIGINT once the value range nears 2^63/n_buckets (ANSI mode
+        # errors; legacy mode silently mis-buckets), and large-SF
+        # micro-unit magnitudes get there. (v-lo) div ceil-width is
+        # overflow-free for any range that itself fits in BIGINT, is
+        # monotone in v, and keeps ties in one bucket — the three
+        # properties the rank arithmetic relies on; the picked values
+        # are invariant to bucket layout.
+        F.expr(f"(v - lo) div ((hi - lo) div {n_buckets} + 1)").alias("b"),
     )
 
     hist = binned.groupBy(*g, "b").agg(F.count("*").alias("c"))
@@ -174,10 +182,31 @@ def with_global_rank(
         if g
         else df.crossJoin(F.broadcast(rng))
     )
-    binned = joined.withColumn(
-        "_b",
-        F.expr(f"(({key_col} - _lo) * {n_buckets}) div (_hi - _lo + 1)"),
-    )
+    key_type = dict(df.dtypes).get(key_col, "bigint")
+    if key_type in ("double", "float"):
+        # r11: double keys (ratios, scores) bucket through double
+        # arithmetic — floor of a monotone affine map, so bucket id
+        # stays monotone in the key and key-ties share a bucket; the
+        # degenerate all-equal range collapses to bucket 0. Ranks are
+        # identical to the naive window because (key, *tiebreaks)
+        # ordering is resolved entirely inside one bucket's window.
+        bucket = F.when(
+            F.col("_hi") == F.col("_lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.floor(
+                    (F.col(key_col) - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / F.lit(n_buckets))
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+    else:
+        # overflow-free width form — see rank_pick's bucket note
+        bucket = F.expr(
+            f"({key_col} - _lo) div ((_hi - _lo) div {n_buckets} + 1)"
+        )
+    binned = joined.withColumn("_b", bucket)
     w_off = (
         Window.partitionBy(*g).orderBy("_b")
         if g
@@ -214,7 +243,8 @@ def with_global_cumsum(
     rng = df.agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
     binned = df.crossJoin(F.broadcast(rng)).withColumn(
         "_b",
-        F.expr(f"(({key_col} - _lo) * {n_buckets}) div (_hi - _lo + 1)"),
+        # overflow-free width form -- see rank_pick's bucket note
+        F.expr(f"({key_col} - _lo) div ((_hi - _lo) div {n_buckets} + 1)"),
     )
     offsets = (
         binned.groupBy("_b")
@@ -262,7 +292,8 @@ def with_global_running_max(
     rng = df.agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
     binned = df.crossJoin(F.broadcast(rng)).withColumn(
         "_b",
-        F.expr(f"(({key_col} - _lo) * {n_buckets}) div (_hi - _lo + 1)"),
+        # overflow-free width form -- see rank_pick's bucket note
+        F.expr(f"({key_col} - _lo) div ((_hi - _lo) div {n_buckets} + 1)"),
     )
     order_b = F.col("_b").desc() if descending else F.col("_b").asc()
     order_k = F.col(key_col).desc() if descending else F.col(key_col).asc()

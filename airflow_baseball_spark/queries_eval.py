@@ -3973,18 +3973,30 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, 10):
         kcol = kcol + (F.col("pc") > F.col(f"q{i}")).cast("int")
     binned = o.crossJoin(F.broadcast(qs)).withColumn("k", kcol)
-    rates = (
-        binned.filter(F.col("is_train") == 1)
-        .groupBy("k")
-        .agg(F.sum("y").alias("num"), F.count("*").alias("den"))
-    )
-    test = (
-        binned.filter(F.col("is_train") == 0)
-        .join(F.broadcast(rates), "k")
-        .select("y", "num", "den")
-    )
+    # r11 (optimization): train rates and test tallies used to come
+    # from two separate `binned` branches — and binned has no exchange
+    # below it, so each branch re-scanned orders and re-evaluated the
+    # 9-comparison bin expression (two full fact passes where one
+    # suffices at any scale). One grouped pass now collects both
+    # sides' sufficient statistics per decile (exact integer counts);
+    # everything after is algebra on the ≤10-row cells table. Per-bin
+    # confidence Σp_micro == n_te·p_micro(k) exactly, because every
+    # test row of decile k carries the SAME train ratio — the
+    # per-row-sum and count·value forms are identical integers.
+    cells = binned.groupBy("k").agg(
+        F.sum(F.when(F.col("is_train") == 1, F.col("y")).otherwise(0)).alias(
+            "num"
+        ),
+        F.sum(F.when(F.col("is_train") == 1, 1).otherwise(0)).alias("den"),
+        F.sum(F.when(F.col("is_train") == 0, 1).otherwise(0)).alias("n_te"),
+        F.sum(F.when(F.col("is_train") == 0, F.col("y")).otherwise(0)).alias(
+            "s_te"
+        ),
+    ).filter((F.col("n_te") > 0) & (F.col("den") > 0))
+    # (den > 0 replicates the old inner join against train rates — a
+    # decile with test rows but no train rows contributed nothing)
     # integer confidence bin: least((10*num) div den, 9)
-    test = test.withColumn(
+    scored = cells.withColumn(
         "cb",
         F.least(
             F.expr("(10 * num) div den").cast("int"), F.lit(9)
@@ -3997,10 +4009,12 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long"),
     )
-    per_bin = test.groupBy("cb").agg(
-        F.count("*").alias("n_b"),
-        F.sum("y").cast("long").alias("pos_b"),
-        F.sum("p_micro").cast("long").alias("sp_micro"),
+    per_bin = scored.groupBy("cb").agg(
+        F.sum("n_te").cast("long").alias("n_b"),
+        F.sum("s_te").cast("long").alias("pos_b"),
+        F.sum(F.col("n_te") * F.col("p_micro")).cast("long").alias(
+            "sp_micro"
+        ),
     )
     n_total = per_bin.groupBy().agg(
         F.sum("n_b").cast("long").alias("n_test")
@@ -4154,10 +4168,20 @@ def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, 10):
         kcol = kcol + (F.col("pc") > F.col(f"q{i}")).cast("int")
     binned = o.crossJoin(F.broadcast(qs)).withColumn("k", kcol)
-    maj = (
-        binned.filter(F.col("is_train") == 1)
-        .groupBy("k", "klass")
-        .agg(F.count("*").alias("c"))
+    # r11 (optimization): the train majority table and the test
+    # scoring used to be two separate `binned` branches — two full
+    # fact passes (binned has no exchange below it, so nothing is
+    # reused). One grouped pass now collects BOTH sides' counts per
+    # (decile, class); the majority election and the confusion matrix
+    # are algebra over that ≤50-row table (c_tr>0 / c_te>0 filters
+    # replicate the old branch filters and inner joins exactly — all
+    # integers, identical confusion counts).
+    pb = binned.groupBy("k", "klass").agg(
+        F.sum(F.when(F.col("is_train") == 1, 1).otherwise(0)).alias("c_tr"),
+        F.sum(F.when(F.col("is_train") == 0, 1).otherwise(0)).alias("c_te"),
+    )
+    maj = pb.filter(F.col("c_tr") > 0).select(
+        "k", "klass", F.col("c_tr").alias("c")
     )
     w = Window.partitionBy("k").orderBy(F.col("c").desc(), F.col("klass"))
     pred_map = (
@@ -4165,12 +4189,12 @@ def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("k", F.col("klass").alias("pred"))
     )
-    scored = (
-        binned.filter(F.col("is_train") == 0)
+    conf = (
+        pb.filter(F.col("c_te") > 0)
         .join(F.broadcast(pred_map), "k")
-        .select("klass", "pred")
+        .groupBy("klass", "pred")
+        .agg(F.sum("c_te").alias("c"))
     )
-    conf = scored.groupBy("klass", "pred").agg(F.count("*").alias("c"))
     stats = conf.groupBy().agg(
         F.sum("c").cast("long").alias("n_test"),
         *[

@@ -2687,9 +2687,23 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists at all. The floor leaks ≤ deg·1ulp of mass per node per
     round (documented, deterministic on both engines).
 
-    Shapes: the brand²-bounded edge table carries (src, dst,
-    p_micro); each round is one keyed join + integer agg,
-    localCheckpoint'ed."""
+    Shapes (r11 optimization): the walk state is brand-vocabulary-
+    bounded (24 nodes / 272 directed transitions at sf0.1 — constant
+    in fact volume), so after the one fact-scale derivation the whole
+    iteration packs into a single row of arrays and each round is ONE
+    in-row higher-order-function projection over ≤|brands|² elements,
+    localCheckpoint'ed on that 1-row frame (the per-round boundary
+    keeps CollapseProject from inlining round k's masses into round
+    k+1's lambdas, where codegen would re-evaluate them per element).
+    The previous form ran each round as two brand-keyed joins + an
+    aggregation + a multi-partition checkpoint — 6× the full
+    stage-scheduling cost for a 24-node graph (6.3 s at sf0.1, ~95%
+    orchestration; plans/r11/personalized_pagerank_{before,after}.txt).
+    The arithmetic is UNCHANGED: per-dst inflow = Σ mass·p_micro DIV
+    1e6 (empty in-neighborhood → 0, as the old COALESCE), then
+    (inflow·keep) DIV 1e6 + restart at the lexicographically smallest
+    node — all BIGINT, so the fold order cannot move a single ulp and
+    the rows match the old output exactly."""
     edges = _above_avg_edges(spark, sf_dir)
     sym = edges.select(
         F.col("brand_a").alias("src"), F.col("brand_b").alias("dst")
@@ -2699,51 +2713,66 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     trans = sym.join(deg, "src").select(
         "src", "dst", F.expr("1000000 DIV deg").alias("p_micro")
-    ).localCheckpoint()
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    source = nodes.agg(F.min("node").alias("src_node"))
-    v = (
-        nodes.crossJoin(F.broadcast(source))
-        .select(
-            "node",
-            F.when(
-                F.col("node") == F.col("src_node"),
-                F.lit(1_000_000_000),
+    )
+    packed = trans.agg(
+        F.sort_array(
+            F.collect_list(F.struct("src", "dst", "p_micro"))
+        ).alias("es")
+    ).select(
+        "es",
+        F.array_sort(
+            F.array_distinct(F.transform("es", lambda e: e["src"]))
+        ).alias("ns"),
+    )
+    state = packed.select(
+        "es",
+        "ns",
+        F.transform(
+            "ns",
+            lambda n: F.when(
+                n == F.element_at("ns", 1), F.lit(1_000_000_000)
             )
             .otherwise(F.lit(0))
-            .cast("long")
-            .alias("mass"),
-        )
-        .localCheckpoint()
-    )
+            .cast("long"),
+        ).alias("ms"),
+    ).localCheckpoint()
     keep = 1_000_000 - _PPR_ALPHA_MICRO
+    restart = _PPR_ALPHA_MICRO * 1000
     for _ in range(_PPR_ROUNDS):
-        inflow = (
-            v.join(trans, v["node"] == trans["src"])
-            .select("dst", (F.col("mass") * F.col("p_micro")).alias("flow"))
-            .groupBy("dst")
-            .agg(F.expr("SUM(flow) DIV 1000000").alias("inflow"))
+        inflow = lambda n: F.call_function(  # noqa: E731
+            "div",
+            F.aggregate(
+                F.filter(F.col("es"), lambda e: e["dst"] == n),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc
+                + F.element_at(
+                    F.col("ms"),
+                    F.array_position(F.col("ns"), e["src"]).cast("int"),
+                )
+                * e["p_micro"],
+            ),
+            F.lit(1_000_000),
         )
-        v = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
-            .crossJoin(F.broadcast(source))
-            .select(
-                "node",
-                (
-                    F.expr(
-                        f"(COALESCE(inflow, 0) * {keep}) DIV 1000000"
+        state = state.select(
+            "es",
+            "ns",
+            F.transform(
+                "ns",
+                lambda n: (
+                    F.call_function(
+                        "div", inflow(n) * F.lit(keep), F.lit(1_000_000)
                     )
                     + F.when(
-                        F.col("node") == F.col("src_node"),
-                        F.lit(_PPR_ALPHA_MICRO * 1000),
+                        n == F.element_at("ns", 1), F.lit(restart)
                     ).otherwise(F.lit(0))
-                )
-                .cast("long")
-                .alias("mass"),
-            )
-            .localCheckpoint()
-        )
-    return v.withColumnRenamed("mass", "ppr_nano")
+                ).cast("long"),
+            ).alias("ms"),
+        ).localCheckpoint()
+    return state.select(
+        F.explode(F.arrays_zip("ns", "ms")).alias("z")
+    ).select(
+        F.col("z.ns").alias("node"), F.col("z.ms").alias("ppr_nano")
+    )
 
 
 def _ppr_sql(rounds: int = _PPR_ROUNDS) -> str:
@@ -2858,6 +2887,23 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = matches.groupBy("brand_a", "brand_b").agg(
         F.count("*").alias("n_games"), F.sum("a_wins").alias("wins_a")
     )
+    # r11 (optimization): everything downstream of `pair` is
+    # brand-vocabulary-bounded (≤ |brands|² directed rows — constant
+    # in fact volume), so the 4 MM rounds pack into one row of arrays
+    # and each round is ONE in-row HOF projection, localCheckpoint'ed
+    # on that 1-row frame (the boundary stops CollapseProject from
+    # inlining round k's strengths into round k+1's lambdas, where
+    # codegen would re-evaluate them per element). The previous form
+    # ran each round as two brand-keyed joins + two aggregations + a
+    # broadcast + a multi-partition checkpoint (4.7 s at sf0.1,
+    # mostly stage orchestration for a ≤25-item table;
+    # plans/r11/bradley_terry_{before,after}.txt). Arithmetic is
+    # UNCHANGED and all-BIGINT — per-pair (n_ij·1e12) DIV (π_i+π_j),
+    # per-item (W_i·1e12) DIV D, renormalization
+    # (π_raw·n_items·1e6) DIV Σπ_raw — so the fold order cannot move
+    # a value and rows match the join form exactly (n_items comes
+    # from size(items) instead of a driver-side count — same value,
+    # one fewer job).
     dirs = pair.select(
         F.col("brand_a").alias("i"),
         F.col("brand_b").alias("j"),
@@ -2870,49 +2916,80 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_games",
             (F.col("n_games") - F.col("wins_a")).alias("wins_i"),
         )
+    )
+    packed = dirs.agg(
+        F.sort_array(
+            F.collect_list(F.struct("i", "j", "n_games", "wins_i"))
+        ).alias("ds")
+    ).select(
+        "ds",
+        F.array_sort(
+            F.array_distinct(F.transform("ds", lambda d: d["i"]))
+        ).alias("its"),
+    )
+
+    def _sum_over(field):
+        return lambda n: F.aggregate(
+            F.filter(F.col("ds"), lambda d: d["i"] == n),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d[field],
+        )
+
+    state = packed.select(
+        "ds",
+        "its",
+        F.transform("its", _sum_over("wins_i")).alias("ws"),
+        F.transform("its", _sum_over("n_games")).alias("gs"),
+        F.transform(
+            "its", lambda _: F.lit(1_000_000).cast("long")
+        ).alias("pis"),
     ).localCheckpoint()
-    wtab = dirs.groupBy("i").agg(
-        F.sum("wins_i").alias("w"), F.sum("n_games").alias("games")
-    ).localCheckpoint()
-    n_items = wtab.count()
-    pi = wtab.select("i", F.lit(1_000_000).cast("long").alias("pi"))
+    t12 = F.lit(10**12)
     for _ in range(_BT_ROUNDS):
-        pij = (
-            dirs.join(pi.select(F.col("i"), F.col("pi").alias("pi_i")), "i")
-            .join(
-                pi.select(F.col("i").alias("j"), F.col("pi").alias("pi_j")),
-                "j",
-            )
-            .select(
-                "i",
-                F.expr(
-                    "(n_games * 1000000000000) DIV (pi_i + pi_j)"
-                ).alias("t"),
-            )
+        pos = lambda n: F.array_position(  # noqa: E731
+            F.col("its"), n
+        ).cast("int")
+        d6 = F.transform(
+            "its",
+            lambda n: F.aggregate(
+                F.filter(F.col("ds"), lambda d: d["i"] == n),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc
+                + F.call_function(
+                    "div",
+                    d["n_games"] * t12,
+                    F.element_at(F.col("pis"), pos(n))
+                    + F.element_at(F.col("pis"), pos(d["j"])),
+                ),
+            ),
         )
-        d = pij.groupBy("i").agg(F.sum("t").alias("d6"))
-        raw = wtab.join(d, "i").select(
-            "i", F.expr("(w * 1000000000000) DIV d6").alias("pi_raw")
+        praw = F.zip_with(
+            F.col("ws"), d6, lambda w, d: F.call_function("div", w * t12, d)
         )
-        tot = raw.agg(F.sum("pi_raw").alias("s"))
-        pi = (
-            raw.crossJoin(F.broadcast(tot))
-            .select(
-                "i",
-                F.expr(
-                    f"(pi_raw * {n_items} * 1000000) DIV s"
-                ).alias("pi"),
-            )
-            .localCheckpoint()
+        s = F.aggregate(
+            praw, F.lit(0).cast("long"), lambda acc, x: acc + x
         )
-    return (
-        wtab.join(pi, "i")
-        .select(
-            F.col("i").alias("brand"),
-            F.col("games"),
-            F.col("w").alias("wins"),
-            F.col("pi").alias("bt_micro"),
-        )
+        state = state.select(
+            "ds",
+            "its",
+            "ws",
+            "gs",
+            F.transform(
+                praw,
+                lambda p: F.call_function(
+                    "div",
+                    p * F.size("its").cast("long") * F.lit(1_000_000),
+                    s,
+                ),
+            ).alias("pis"),
+        ).localCheckpoint()
+    return state.select(
+        F.explode(F.arrays_zip("its", "gs", "ws", "pis")).alias("z")
+    ).select(
+        F.col("z.its").alias("brand"),
+        F.col("z.gs").alias("games"),
+        F.col("z.ws").alias("wins"),
+        F.col("z.pis").alias("bt_micro"),
     )
 
 
@@ -3236,8 +3313,8 @@ def q_bipartite_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select("o_custkey", "p_brand")
-        .distinct()
     )
+    inc = inc.distinct()
     a = inc.select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("brand_a"))
     b = inc.select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("brand_b"))
     pairs = (

@@ -251,10 +251,13 @@ def q_sen_slope_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast day count as pure integer arithmetic and the
     # count-over-() second WindowExec buffer pass disappears; only
     # the row_number sort over the calendar-bounded days² frame
-    # remains (allowlisted). (A collect_list/array_sort single-task
-    # rewrite was measured SLOWER here — 4.9-5.6 s vs 3.3-3.5 s at
-    # sf0.1 — unlike siegel_slope's per-day groups: one 2.9M-element
-    # array sort in one task loses to the distributed sorted window.)
+    # remains (allowlisted — days² is constant in fact volume). (A
+    # collect_list/array_sort single-task rewrite was measured SLOWER
+    # here — 4.9-5.6 s vs 3.3-3.5 s at sf0.1; r11 also measured the
+    # rank_select.with_global_rank two-level rank and rejected it:
+    # heavy-tailed slopes collapse range buckets to one, so it
+    # degenerates to the same single-task sort plus overhead,
+    # 6.7-8.1 s isolated.)
     w = Window.orderBy("slope_micro")
     ranked = pairs.select(
         "slope_micro",

@@ -1612,15 +1612,33 @@ def q_copula_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         qty.alias("q"),
         (price / qty).cast("double").alias("u"),
     )
-    wq = Window.orderBy("q", "k", "ln")
-    wu = Window.orderBy("u", "k", "ln")
-    wn = Window.partitionBy()
-    ranked = base.select(
-        F.row_number().over(wq).alias("rq"),
-        F.row_number().over(wu).alias("ru"),
-        F.count("*").over(wn).alias("n"),
+    # r11 (optimization): the two global row_numbers and the
+    # count-over-() each funneled the whole fact through ONE partition
+    # (three single-task passes over lineitem). The ranks now come
+    # from two chained rank_select.with_global_rank passes (two-level
+    # prefix-sum, parallel; row-for-row identical because (key, k, ln)
+    # is a total order — q ranks via its exact cents image, u via the
+    # operator's double-key bucketing) and the count from a 1-row
+    # broadcast aggregate. plans/r11/copula_grid_{before,after}.txt.
+    from airflow_baseball_spark.operators.rank_select import with_global_rank
+
+    # each repartition puts one exchange above the rank input so the
+    # operator's three consumers ReusedExchange it instead of
+    # re-evaluating (for r1 that would re-run the whole FIRST rank
+    # pass three times)
+    r1 = with_global_rank(
+        base.withColumn("qc", (F.col("q") * 100).cast("long")).repartition(
+            "qc"
+        ),
+        "qc",
+        tiebreak_cols=["k", "ln"],
+        rank_col="rq",
     )
-    cells = ranked.select(
+    r2 = with_global_rank(
+        r1.repartition("u"), "u", tiebreak_cols=["k", "ln"], rank_col="ru"
+    )
+    ntab = base.agg(F.count("*").alias("n"))
+    cells = r2.crossJoin(F.broadcast(ntab)).select(
         F.expr("(rq * 10 - 1) div n").alias("q_dec"),
         F.expr("(ru * 10 - 1) div n").alias("u_dec"),
         "n",
@@ -1730,7 +1748,16 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: the pair count is exactly C(n_days, 2), so the median rank
     # comes from the broadcast day count as pure integer arithmetic —
     # the count-over-() second WindowExec buffer pass over the days²
-    # frame disappears; only the row_number sort remains (allowlisted)
+    # frame disappears; only the row_number sort remains (allowlisted:
+    # the pair table is calendar-bounded — days² is CONSTANT in fact
+    # volume, so the single-partition window is scale-invariant, not a
+    # 100 TB funnel). r11 (optimization) measured the
+    # rank_select.with_global_rank alternative and REJECTED it here:
+    # pairwise slopes are heavy-tailed, so range bucketing collapses
+    # ~all rows into one bucket and the two-level rank degenerates to
+    # the same single-task sort plus its own machinery (7.8-9.0 s vs
+    # 3.7 s isolated at sf0.1; profile: rank pass alone 8.0 s vs 2.9 s
+    # for this window).
     w = Window.orderBy("slope_micro")
     npairs_tbl = daily.agg(
         F.call_function(

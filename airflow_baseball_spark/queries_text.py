@@ -2088,6 +2088,18 @@ def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("s")
     )
+    # r11 (optimization): checkpoint the 1-ROW winner per round, not
+    # the rewritten corpus. The old form materialized the full corpus
+    # each round and — because the tops stayed lazy — the final union
+    # re-ran every round's pair extraction+count a SECOND time at
+    # action time (2× the explode work, plus a corpus write/read per
+    # round). Now each round's count executes exactly once (inside
+    # the tiny top checkpoint), the corpus rewrite stays a lazy
+    # in-row replace chain over the parquet scan (round r pays r
+    # cheap replaces in-stream), and the final union reads 1-row
+    # checkpoints. Same counts, same argmax, same rows — only the
+    # materialization points moved (isolated 6.2 s → see
+    # OPTIMIZATION_r11.md; plans/r11/bpe_merge_steps_{before,after}).
     out_rows = []
     for r in range(_BPE_ROUNDS):
         pairs = docs.select(
@@ -2111,6 +2123,7 @@ def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("pair").alias("top_pair"), F.col("n").alias("top_n")
             )
+            .localCheckpoint()
         )
         out_rows.append(
             top.select(
@@ -2119,16 +2132,13 @@ def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("top_n").alias("pair_count"),
             )
         )
-        docs = (
-            docs.crossJoin(F.broadcast(top))
-            .select(
+        if r + 1 < _BPE_ROUNDS:
+            docs = docs.crossJoin(F.broadcast(top)).select(
                 "doc_id",
                 F.replace(
                     F.col("s"), F.col("top_pair"), F.lit(_BPE_MARKS[r])
                 ).alias("s"),
             )
-            .localCheckpoint()
-        )
     out = out_rows[0]
     for extra in out_rows[1:]:
         out = out.unionAll(extra)
@@ -3428,14 +3438,24 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.lit(9))).alias("t"),
     )
     kept = lv.filter(F.col("n_inter") * 10 > F.col("t") * F.col("n_union"))
-    n_pairs = pairs.count()
+    # r11 (optimization): the candidate-pair total used to be a
+    # DRIVER-SIDE pairs.count() — a second job recomputing the whole
+    # grams-explode + self-join + three-join subtree from scratch
+    # (cross-job SQL plans share no stages). Folding it in as a 1-row
+    # broadcast keeps ONE plan in which both consumers sit above the
+    # same exchanges, so ReusedExchange computes the expensive subtree
+    # once (isolated 3-rep at sf0.1: [4.20, 3.13, 3.10] →
+    # [2.97, 2.16, 2.13] s; plan diff in
+    # plans/r11/dedup_threshold_sweep_{before,after}.txt).
+    tot = pairs.agg(F.count("*").cast("long").alias("n_candidate_pairs"))
     return (
         kept.groupBy("t")
         .agg(F.count("*").alias("n_kept"))
+        .crossJoin(F.broadcast(tot))
         .select(
             _r6(F.col("t").cast("double") / 10.0).alias("threshold"),
             F.col("n_kept").cast("long").alias("n_pairs_over"),
-            F.lit(n_pairs).cast("long").alias("n_candidate_pairs"),
+            "n_candidate_pairs",
         )
     )
 

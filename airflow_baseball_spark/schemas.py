@@ -41,6 +41,19 @@ TESTDATA_TABLES = (
 
 _TZ_WARNED: dict[str, bool] = {}
 
+# r11 (optimization): session-keyed memo of the ANALYZED lazy reader
+# plan per (applicationId, startTime, sf_dir, table). Creating a
+# parquet DataFrame is not free — `spark.read.parquet` runs a
+# driver-side file listing plus a schema-inference job over the
+# footers on EVERY call (measured 150-280 ms per call on this box),
+# and the 552-query bench issues ~1,300 load_table calls. The memo
+# holds only the unexecuted plan (DataFrames are immutable): every
+# action still scans the parquet files, so no data or results are
+# cached across queries, and the session token (same scheme as
+# operators/graph._session_token) guarantees a fresh session — and
+# therefore every fresh bench/oracle invocation — rebuilds from disk.
+_READER_MEMO: dict[tuple, DataFrame] = {}
+
 # Timestamp columns per testdata table. r7 (r6 verdict "What's
 # missing" / variant-harness finding): the ns-vintage handling used to
 # cover events.ts only, but with the session-global nanosAsLong flag a
@@ -117,6 +130,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # conf pins above run on EVERY call (the documented load-seam
+    # contract — a caller may have flipped the session TZ since the
+    # last load); only the reader-plan construction below is memoized.
+    sc = spark.sparkContext
+    token = (sc.applicationId, sc.startTime, sf_dir, name)
+    memo = _READER_MEMO.get(token)
+    if memo is not None:
+        return memo
+    # evict plans whose session died with their JVM
+    for k in [k for k in _READER_MEMO if k[:2] != token[:2]]:
+        _READER_MEMO.pop(k, None)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     ts_cols = _TS_COLS.get(name, ())
     if ts_cols:
@@ -147,6 +171,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # that behave identically for NTZ and LTZ under the
                 # UTC pin.
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _READER_MEMO[token] = df
     return df
 
 
