@@ -1307,23 +1307,28 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", "ts"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.withColumn("idx", F.row_number().over(w))
-    first_p = (
-        seq.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("idx").alias("pidx"))
+    # r11 (optimization): pidx used to come from a groupBy over a
+    # SECOND evaluation of the windowed seq plus a user-keyed join
+    # back. The whole-partition min window rides the SAME exchange and
+    # sort as the row_number (one extra Window node, zero extra
+    # passes/joins); the filter below is row-for-row the old
+    # left-join + filter (non-converters keep pidx NULL).
+    wp = Window.partitionBy("user_id")
+    seq = ev.withColumn("idx", F.row_number().over(w)).withColumn(
+        "pidx",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("idx"))
+        ).over(wp),
     )
-    trunc = (
-        seq.join(first_p, "user_id", "left")
-        .filter(F.col("pidx").isNull() | (F.col("idx") <= F.col("pidx")))
-        .select(
-            "user_id",
-            "idx",
-            "pidx",
-            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
-            .otherwise(F.col("event_type"))
-            .alias("state"),
-        )
+    trunc = seq.filter(
+        F.col("pidx").isNull() | (F.col("idx") <= F.col("pidx"))
+    ).select(
+        "user_id",
+        "idx",
+        "pidx",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("state"),
     )
     wi = Window.partitionBy("user_id").orderBy("idx")
     steps = trunc.select(
@@ -1539,11 +1544,17 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", "ts"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.withColumn("idx", F.row_number().over(w))
-    first_p = (
-        seq.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("idx").alias("pidx"))
+    # r11 (optimization): same one-pass pidx as markov_attribution —
+    # the whole-partition min window replaces a second evaluation of
+    # the windowed seq plus the user-keyed join back (the idx < pidx
+    # filter drops non-converters exactly as the old inner join did:
+    # NULL pidx never satisfies <).
+    wp = Window.partitionBy("user_id")
+    seq = ev.withColumn("idx", F.row_number().over(w)).withColumn(
+        "pidx",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("idx"))
+        ).over(wp),
     )
     bit = (
         F.when(F.col("event_type") == "view", 1)
@@ -1552,8 +1563,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     masks = (
-        seq.join(first_p, "user_id")
-        .filter(F.col("idx") < F.col("pidx"))
+        seq.filter(F.col("idx") < F.col("pidx"))
         .groupBy("user_id")
         .agg(F.bit_or(bit).alias("t"))
     )

@@ -17,6 +17,7 @@ SQL over the same events.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 from typing import Iterator
@@ -92,6 +93,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _ckpt_dir() -> str:
+    """Fresh checkpoint dir for an AvailableNow drain. r11
+    (optimization): prefer tmpfs (/dev/shm) when present — the drain's
+    commit log is fsync-bound on disk-backed /tmp, and these
+    checkpoints are deliberately ephemeral (mkdtemp per run, same
+    durability class as before; a production stream puts its
+    checkpoint on reliable shared storage regardless of this default).
+    ``SPARK_GRAFT_STREAM_CKPT_DIR`` overrides the parent."""
+    parent = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if parent is None and os.path.isdir("/dev/shm"):
+        parent = "/dev/shm"
+    return tempfile.mkdtemp(prefix="ckpt_", dir=parent)
+
+
 def _drain_to_memory(
     sdf: DataFrame, output_mode: str, state_partitions: int | None = 8
 ) -> DataFrame:
@@ -116,7 +131,7 @@ def _drain_to_memory(
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", _ckpt_dir())
             .trigger(availableNow=True)
             .start()
         )
@@ -441,7 +456,7 @@ def run_stream_upsert_available_now(
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _ckpt_dir())
         .trigger(availableNow=True)
         .start()
     )
@@ -632,7 +647,7 @@ def run_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         ev.writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _ckpt_dir())
         .trigger(availableNow=True)
         .start()
     )
