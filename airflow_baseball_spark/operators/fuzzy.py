@@ -52,7 +52,15 @@ def fuzzy_self_join(
     exactly distance-1 edits) Levenshtein distance, id_a < id_b."""
     if max_distance != 1:
         raise ValueError("deletion-neighborhood blocking covers distance 1 only")
-    keyed = df.select(
+    from airflow_baseball_spark.partitioning import spread
+
+    # r11 (optimization): a small dictionary scans as ONE split, and the
+    # broadcast hash join keeps the neighborhood explode AND the whole
+    # candidate verify (tens of levenshteins per input row) on that
+    # single task — spread() BEFORE the explode buys full-cluster
+    # parallelism for both join sides and is a no-op once the scan
+    # itself yields >= defaultParallelism splits.
+    keyed = spread(df).select(
         F.col(id_col).alias("_fid"),
         F.col(text_col).alias("_ftxt"),
         F.explode(deletion_neighborhood(text_col)).alias("_fkey"),

@@ -245,7 +245,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = (dec_portable("o_totalprice", 18, 2) * 100).cast("long")
     base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("v"))
-    rep = base.select(
+    # r11 (optimization): the replicate digests (10 md5 + 40 conv per
+    # order row) are the dominant cost and sit BELOW the first exchange,
+    # so a single-file scan ran them all on one task — spread() buys
+    # full parallelism and is a no-op once the scan yields enough splits.
+    from airflow_baseball_spark.partitioning import spread
+
+    rep = spread(base).select(
         "k",
         "v",
         F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B // 4))).alias("b"),
@@ -983,7 +989,12 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").alias("n1"),
         F.sum(F.col("g") * F.col("v")).alias("s1"),
     )
-    rep = base.select(
+    # r11 (optimization): 32 md5 digests per event row below the first
+    # exchange — single-task on a one-split scan without spread() (same
+    # fix as bootstrap_ci; no-op at scale).
+    from airflow_baseball_spark.partitioning import spread
+
+    rep = spread(base).select(
         "k",
         "v",
         F.explode(F.sequence(F.lit(1), F.lit(_PERM_R // 2))).alias("b"),

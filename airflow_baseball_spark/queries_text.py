@@ -1706,7 +1706,13 @@ def q_data_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = flagged.withColumn(
         "is_rep", F.row_number().over(w) == 1
     )
-    corpus = flagged.filter(F.col("doc_id") % 50 != 0)
+    # r11 (optimization): decontam reads only (doc_id, text), so feed it
+    # the raw corpus split instead of `flagged` — hanging it off flagged
+    # re-evaluated the whole gopher-bigram + md5-window subtree a second
+    # time under the decontam branch (profiled: the funnel's two
+    # heaviest 32-task stages were that subtree, twice). Same
+    # contaminated set: the dropped flag columns never filtered it.
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     contaminated = dedup.ngram_decontam(corpus, bench).select(
         "doc_id", F.lit(True).alias("is_contam")
