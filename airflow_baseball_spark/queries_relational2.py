@@ -1179,33 +1179,66 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     r7 (low-cardinality-window sweep): ranks come from the grouped
     two-pass histogram (rank_select.rank_pick) — the previous
     per-priority row_number sorted each of the 5 priorities' raw
-    latencies through one partition."""
-    from airflow_baseball_spark.operators.rank_select import rank_pick
+    latencies through one partition.
 
+    r11 (optimization): the latency DOMAIN is calendar-bounded — a
+    datediff of two in-generator-window dates, ≤ the calendar span in
+    days regardless of fact volume — so the fact collapses to a
+    weighted (priority, lat, count) table in ONE combinable pass, and
+    the rank-k pick is an exclusive cumsum over that tiny table.
+    rank_pick re-evaluated the lineitem⋈orders join once per pass
+    (stats + histogram + located-bin sort); the weighted form scans
+    the fact exactly once. The picked value — the k-th smallest with
+    k = ceil(p·n) — is identical by definition: it is the unique v
+    with cum_before(v) < k ≤ cum_before(v) + count(v)."""
+    picked = _latency_weighted_cum(spark, sf_dir)
+    k50 = F.expr("(n + 1) div 2")  # ceil(0.5 n)
+    k90 = F.expr("(9 * n + 9) div 10")  # ceil(0.9 n)
+    pick = lambda k: F.max(  # noqa: E731
+        F.when(
+            (F.col("cum_before") < k) & (k <= F.col("cum_before") + F.col("c")),
+            F.col("lat"),
+        )
+    ).cast("int")
+    return picked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(k50).alias("p50_disc"),
+        pick(k90).alias("p90_disc"),
+    )
+
+
+def _latency_weighted_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared build for percentile_disc / percentile_cont: per
+    (priority, latency-day) counts with the exclusive cumulative
+    count and per-priority total attached. The windows run over the
+    weighted table (priorities × distinct latency days — calendar-
+    bounded, constant in fact volume), never the fact."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+    wt = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lat"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lat")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy("o_orderpriority")
+    return wt.select(
         "o_orderpriority",
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
-    )
-    picked = rank_pick(
-        lat.select("o_orderpriority", F.col("lat").cast("long").alias("v")),
-        "v",
-        [
-            ("p50", lambda n: F.ceil(F.lit(0.5) * n).cast("long")),
-            ("p90", lambda n: F.ceil(F.lit(0.9) * n).cast("long")),
-        ],
-        group_cols=["o_orderpriority"],
-    )
-    pick = lambda lbl: F.max(  # noqa: E731
-        F.when(F.col("rank_label") == lbl, F.col("v"))
-    ).cast("int")
-    return picked.groupBy("o_orderpriority").agg(
-        F.max("n").cast("long").alias("n"),
-        pick("p50").alias("p50_disc"),
-        pick("p90").alias("p90_disc"),
+        "lat",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(w_n).alias("n"),
     )
 
 
@@ -2054,38 +2087,29 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     r7 (low-cardinality-window sweep): the four bracket ranks come
     from the grouped two-pass histogram (rank_select.rank_pick) —
     the previous per-priority row_number sorted each priority's raw
-    latencies through one partition."""
-    from airflow_baseball_spark.operators.rank_select import rank_pick
+    latencies through one partition.
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
-    )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        "o_orderpriority",
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
-    )
-    picked = rank_pick(
-        lat.select("o_orderpriority", F.col("lat").cast("long").alias("v")),
-        "v",
-        [
-            ("p50_lo", lambda n: F.expr("((n - 1) * 1 + 2) div 2")),
-            ("p50_hi", lambda n: F.expr("((n - 1) * 1 + 2) div 2 + 1")),
-            ("p90_lo", lambda n: F.expr("((n - 1) * 9 + 10) div 10")),
-            ("p90_hi", lambda n: F.expr("((n - 1) * 9 + 10) div 10 + 1")),
-        ],
-        group_cols=["o_orderpriority"],
-    )
-    vof = lambda lbl: F.max(  # noqa: E731
-        F.when(F.col("rank_label") == lbl, F.col("v"))
+    r11 (optimization): same weighted-domain collapse as
+    percentile_disc (see _latency_weighted_cum) — the fact is scanned
+    ONCE into calendar-bounded (priority, lat, count) rows and all
+    four bracket ranks are cumsum lookups on that tiny table; the
+    bracket values and the integer interpolation weight are unchanged
+    by construction (k-th smallest is the unique v with
+    cum_before < k ≤ cum_before + count)."""
+    picked = _latency_weighted_cum(spark, sf_dir)
+    vof = lambda k: F.max(  # noqa: E731
+        F.when(
+            (F.col("cum_before") < k) & (k <= F.col("cum_before") + F.col("c")),
+            F.col("lat"),
+        )
     )
 
-    def cont(pfx: str, num: int, den: int, alias: str):
+    def cont(num: int, den: int, alias: str):
         # scaled position h·den = (n-1)·num + den; f = hd % den
-        f = F.max((F.col("n") - 1) * num + den) % den
-        v_lo, v_hi = vof(f"{pfx}_lo"), vof(f"{pfx}_hi")
+        hd = (F.col("n") - 1) * num + den
+        f = F.max(hd) % den
+        k_lo = F.expr(f"((n - 1) * {num} + {den}) div {den}")
+        v_lo, v_hi = vof(k_lo), vof(k_lo + 1)
         blended = (
             v_lo.cast("double") * (F.lit(float(den)) - f.cast("double"))
             + F.coalesce(v_hi, v_lo).cast("double") * f.cast("double")
@@ -2094,8 +2118,8 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return picked.groupBy("o_orderpriority").agg(
         F.max("n").cast("long").alias("n"),
-        cont("p50", 1, 2, "p50_cont"),
-        cont("p90", 9, 10, "p90_cont"),
+        cont(1, 2, "p50_cont"),
+        cont(9, 10, "p90_cont"),
     )
 
 

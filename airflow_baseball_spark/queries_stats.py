@@ -4921,16 +4921,24 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound (output per class so the auditor sees which class leaks).
 
     Exactness: decile boundaries are rank-rule k-th-smallest cents
-    from the two-pass histogram (never interpolated); bin membership
-    is an integer comparison against nine broadcast boundaries; the
-    EMD numerator sum_j |cum_s(j)*N - cum_g(j)*N_s| is PURE BIGINT
-    (common denominator N_s*N factored out; one division at the end,
+    (never interpolated); bin membership is an integer comparison
+    against nine broadcast boundaries; the EMD numerator
+    sum_j |cum_s(j)*N - cum_g(j)*N_s| is PURE BIGINT (common
+    denominator N_s*N factored out; one division at the end,
     /(N_s*N*(m-1))). Bins are densified by an explicit 1..10
     cross-join so zero-count bins still contribute their |r_j| term.
-    Scale: one fact scan for boundaries (histogram), one for counts;
-    everything downstream is a <=50-row table."""
-    from airflow_baseball_spark.operators.rank_select import rank_pick
 
+    Scale (r11 optimization): the cents DOMAIN is generator-bounded
+    (c_acctbal spans a fixed [-999.99, 9999.99] band regardless of
+    fact volume → ≤ 1.1M distinct cents), so the fact collapses to a
+    weighted (segment, cents, count) table in ONE combinable scan;
+    the decile boundaries are an exclusive cumsum over the cents
+    marginal of THAT table (k-th smallest = the unique v with
+    cum_before < k ≤ cum_before + count — identical to the previous
+    two-pass histogram pick by definition), and bin counts reuse the
+    same weighted table instead of a second fact scan. The previous
+    form paid two rank_pick passes + a third scan for the driver-side
+    total (124 Exchange refs → see plans/r11/t_closeness_*)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment",
         # floor-cents, not cast: Spark's double->long cast truncates
@@ -4940,62 +4948,103 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    bounds = rank_pick(
-        cust.select(F.col("cents").alias("v")),
-        "v",
-        [(f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 9) div 10"))
-         for i in range(1, 10)],
+    seg_cent = cust.groupBy("c_mktsegment", "cents").agg(
+        F.count("*").alias("c")
     )
-    qs = bounds.groupBy().pivot(
-        "rank_label", [f"q{i}" for i in range(1, 10)]
-    ).agg(F.min("v"))
+    marg = seg_cent.groupBy("cents").agg(F.sum("c").alias("cg"))
+    w_mc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum_m = marg.select(
+        "cents",
+        "cg",
+        F.coalesce(F.sum("cg").over(w_mc), F.lit(0)).alias("cb"),
+        F.sum("cg").over(
+            Window.orderBy("cents").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = cum_m.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("cb") < F.expr(f"({i} * n + 9) div 10"))
+                    & (
+                        F.expr(f"({i} * n + 9) div 10")
+                        <= F.col("cb") + F.col("cg")
+                    ),
+                    F.col("cents"),
+                )
+            ).alias(f"q{i}")
+            for i in range(1, 10)
+        ],
+        F.max("n").alias("n_total"),
+    )
     kcol = F.lit(1)
     for i in range(1, 10):
         kcol = kcol + (F.col("cents") > F.col(f"q{i}")).cast("int")
-    binned = cust.crossJoin(F.broadcast(qs)).select(
-        "c_mktsegment", kcol.alias("bin")
-    )
-    seg_bin = binned.groupBy("c_mktsegment", "bin").agg(
-        F.count("*").alias("c_sb")
-    )
-    segs = seg_bin.groupBy("c_mktsegment").agg(F.sum("c_sb").alias("n_s"))
-    dense = (
-        segs.select("c_mktsegment", "n_s")
-        .crossJoin(F.broadcast(
-            spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
-        ))
-        .join(seg_bin, ["c_mktsegment", "bin"], "left")
-        .fillna({"c_sb": 0})
-    )
-    glob = dense.groupBy("bin").agg(F.sum("c_sb").alias("c_gb"))
-    total = cust.count()  # driver scalar: one exact count, reused as literal
-    w_s = (
-        Window.partitionBy("c_mktsegment")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_g = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        dense.join(
-            glob.withColumn("cum_g", F.sum("c_gb").over(w_g)).select(
-                "bin", "cum_g"
-            ),
-            "bin",
+    # r11: the per-segment distribution lands as a DENSE 10-element
+    # count vector via conditional sums in ONE grouped pass — the
+    # previous densify chain (segs × range(1,11) crossJoin, left join
+    # back, per-bin window cumsums, global-bin join) was ~7 tiny
+    # joins/windows = ~15 sequential driver jobs on a ≤50-row table.
+    # Zero-count bins are explicit zeros in the vector, the cumsums
+    # and the |cum_s·N − cum_g·n_s| EMD fold are in-row BIGINT higher-
+    # order functions, and the global vector is one 5-row re-agg that
+    # rides back as a 1-row broadcast. Same exact integers throughout.
+    seg_vec = (
+        seg_cent.crossJoin(F.broadcast(qs.drop("n_total")))
+        .select("c_mktsegment", kcol.alias("bin"), "c")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("bin") == j, F.col("c"))),
+                        F.lit(0).cast("long"),
+                    )
+                    for j in range(1, 11)
+                ]
+            ).alias("cnts"),
+            F.sum("c").alias("n_s"),
         )
-        .withColumn("cum_s", F.sum("c_sb").over(w_s))
     )
-    num = cum.groupBy("c_mktsegment").agg(
-        F.max("n_s").alias("n_s"),
-        F.sum(
-            F.abs(
-                F.col("cum_s") * F.lit(total) - F.col("cum_g") * F.col("n_s")
-            )
-        ).cast("long").alias("emd_num"),
+    glob_vec = seg_vec.agg(
+        F.array(
+            *[F.sum(F.element_at("cnts", j)) for j in range(1, 11)]
+        ).alias("gcnts"),
+        F.sum("n_s").alias("n_total"),
+    )
+    # inclusive cumsum of a 10-element vector, in-row
+    cumvec = lambda col: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.lit(10)),
+        lambda j: F.aggregate(
+            F.slice(col, F.lit(1), j),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    scored = seg_vec.crossJoin(F.broadcast(glob_vec)).select(
+        "c_mktsegment",
+        "n_s",
+        "n_total",
+        F.aggregate(
+            F.zip_with(
+                cumvec(F.col("cnts")),
+                cumvec(F.col("gcnts")),
+                lambda s, g: F.abs(
+                    s * F.col("n_total") - g * F.col("n_s")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("emd_num"),
     )
     t = F.col("emd_num").cast("double") / (
-        F.col("n_s").cast("double") * F.lit(float(total)) * F.lit(9.0)
+        F.col("n_s").cast("double")
+        * F.col("n_total").cast("double")
+        * F.lit(9.0)
     )
-    return num.select(
+    return scored.select(
         "c_mktsegment",
         F.col("n_s").cast("long").alias("n_class"),
         _r6(t).alias("t_closeness"),
@@ -5724,25 +5773,54 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchanges in the unmaterialized plan)
         .localCheckpoint()
     )
-    qp = rank_pick(
-        per_order.select(F.col("pc").alias("v")),
+    # r11 (optimization): ONE grouped rank_pick over the stacked
+    # (metric, v) table instead of two independent rank_picks — the
+    # histogram/locate/pick machinery (and its ~6 broadcast jobs) runs
+    # once for both metrics; each metric's picked values are identical
+    # because rank_pick is per-group exact (group_cols=["metric"]).
+    stacked = per_order.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("pc").alias("metric"), F.col("pc").alias("v")),
+                F.struct(F.lit("lat").alias("metric"), F.col("lat").alias("v")),
+            )
+        ).alias("mv")
+    ).select("mv.metric", "mv.v")
+    picked = rank_pick(
+        stacked,
         "v",
         [
             ("q05", lambda n: F.expr("(5 * n + 99) div 100")),
             ("q95", lambda n: F.expr("(95 * n + 99) div 100")),
         ],
-    ).groupBy().pivot("rank_label", ["q05", "q95"]).agg(F.min("v"))
-    ql = rank_pick(
-        per_order.select(F.col("lat").alias("v")),
-        "v",
-        [
-            ("q05", lambda n: F.expr("(5 * n + 99) div 100")),
-            ("q95", lambda n: F.expr("(95 * n + 99) div 100")),
-        ],
-    ).groupBy().pivot("rank_label", ["q05", "q95"]).agg(F.min("v"))
-    thr = qp.select(
-        F.col("q05").alias("p05"), F.col("q95").alias("p95")
-    ).crossJoin(ql.select(F.col("q05").alias("l05"), F.col("q95").alias("l95")))
+        group_cols=["metric"],
+    )
+    thr = picked.agg(
+        F.max(
+            F.when(
+                (F.col("metric") == "pc") & (F.col("rank_label") == "q05"),
+                F.col("v"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                (F.col("metric") == "pc") & (F.col("rank_label") == "q95"),
+                F.col("v"),
+            )
+        ).alias("p95"),
+        F.max(
+            F.when(
+                (F.col("metric") == "lat") & (F.col("rank_label") == "q05"),
+                F.col("v"),
+            )
+        ).alias("l05"),
+        F.max(
+            F.when(
+                (F.col("metric") == "lat") & (F.col("rank_label") == "q95"),
+                F.col("v"),
+            )
+        ).alias("l95"),
+    )
     scored = per_order.crossJoin(F.broadcast(thr))
     return scored.agg(
         F.count("*").cast("long").alias("n_orders"),

@@ -4289,23 +4289,33 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()
 
+    # r11 (optimization): the nprobe sweeps are NESTED — candidates at
+    # nprobe=1 ⊂ 2 ⊂ 4 — so the pairwise cosines are scored ONCE at
+    # max(_NPROBES) with the probe rank attached (each corpus vector
+    # lives in exactly one cell, so (query, neighbor) is unique and
+    # carries its cell's rank), checkpointed at candidate size, and
+    # every sweep point is a filter + top-3 over that table. The
+    # previous per-p loop re-scored 1+2+4 = 7 cells' worth of dot
+    # products; this scores 4. Same rounded cosines, same top-3.
+    scored_all = (
+        probes.select("query_id", "qv", "qnrm", "cid", "rnk")
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                similarity._dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+            "rnk",
+        )
+        .localCheckpoint()
+    )
     parts = []
     for p in _NPROBES:
-        cand = (
-            probes.filter(F.col("rnk") <= p)
-            .select("query_id", "qv", "qnrm", "cid")
-            .join(assign, "cid")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                F.round(
-                    similarity._dot(F.col("qv"), F.col("embedding"))
-                    / (F.col("qnrm") * F.col("nrm")),
-                    6,
-                ).alias("cos"),
-            )
-        )
+        cand = scored_all.filter(F.col("rnk") <= p)
         hits = top3(cand).join(exact3, ["query_id", "neighbor_id"], "left_semi")
         parts.append(
             hits.agg(F.count("*").alias("n_hits"))

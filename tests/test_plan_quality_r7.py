@@ -257,29 +257,30 @@ def test_pareto_frontier_two_level_runmax(spark):
 
 
 def test_percentile_disc_two_pass(spark):
-    """percentile_disc must locate ranks via the grouped two-pass
-    histogram — the old form row_numbered every priority's raw
-    latencies through one partition each (5 partitions total)."""
-    import re as _re
-
+    """percentile_disc must pick ranks from the weighted
+    (priority, latency-day) table — ONE combinable pass over the fact
+    (r11: replaced the grouped two-pass histogram, which re-evaluated
+    the lineitem⋈orders join once per pass). The windows may only run
+    over the calendar-bounded weighted table: the plan must aggregate
+    by (priority, lat) BELOW every window, and lineitem is scanned
+    exactly once."""
     from airflow_baseball_spark.queries_relational2 import q_percentile_disc
 
     plan = _plan(q_percentile_disc(spark, SF))
     _assert_only_bucket_global_windows(plan)
-    assert "rank_label" in plan
-    # no window sorts the raw latency column
-    assert not _re.search(r"windowspecdefinition\([^)]*lat#", plan)
+    # the cumsum window rides above the weighted pre-aggregation
+    assert "cum_before" in plan
+    # one-pass property: a single lineitem scan feeds everything
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_percentile_cont_two_pass(spark):
-    import re as _re
-
     from airflow_baseball_spark.queries_relational2 import q_percentile_cont
 
     plan = _plan(q_percentile_cont(spark, SF))
     _assert_only_bucket_global_windows(plan)
-    assert "rank_label" in plan
-    assert not _re.search(r"windowspecdefinition\([^)]*lat#", plan)
+    assert "cum_before" in plan
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_topk_with_ties_threshold_prefilter(spark):

@@ -122,7 +122,10 @@ _ALLOWED = {
     "slo_burn_alert": ('h',),
     "spearman_rank_corr": ('r97', 'r98'),
     "sse_changepoint": ('d', 'sse2'),
-    "t_closeness": ('bin',),
+    # r11: deciles come from the cents MARGINAL of the weighted
+    # (segment, cents) table — cents is generator-bounded (fixed
+    # c_acctbal band → ≤1.1M distinct values at any fact volume)
+    "t_closeness": ('cents',),
     "term_burstiness": ('cf',),
     "theil_index": ('v',),
     "theil_sen_slope": ('slope_micro',),
