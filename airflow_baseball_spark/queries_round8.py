@@ -325,11 +325,18 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _CONTAIN_DF_CAP)
         .select("s")
     )
-    pruned = ds.join(df_ok, "s")
+    # df_ok is also a few-hundred-k-key table: keep it partitioned on s
+    # (it rides its own groupBy exchange) instead of broadcast-building
+    # the whole key set in every probe task
+    pruned = ds.join(df_ok.hint("shuffle_hash"), "s")
     a = pruned.select(F.col("doc_id").alias("a"), "s")
     b = pruned.select(F.col("doc_id").alias("b"), "s")
+    # r11: the planner broadcast the whole pruned shingle table for
+    # this self-join, so EVERY task rebuilt the full multi-hundred-k
+    # row hash relation before emitting its pairs; shuffle_hash keeps
+    # the join partitioned on s — each task builds only its shard
     inter = (
-        a.join(b, "s")
+        a.join(b.hint("shuffle_hash"), "s")
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
