@@ -70,6 +70,100 @@ def _brand_pair_counts(
     return baskets, support
 
 
+def _brand_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole brand co-purchase statistics family — pair supports,
+    per-brand basket counts, and the total basket count — from ONE
+    pass over the fact, materialized once per (session, sf_dir).
+
+    r11: five separate consumers (basket_pairs, assoc_rules, and the
+    support5_edges / above_avg_edges / support5_weighted seam builds)
+    each re-derived the fact scan + orderkey shuffle behind
+    _brand_pair_counts, and basket_pairs/assoc_rules referenced the
+    basket table 3× more inside their own plans. One tagged explode —
+    each basket emits its in-row brand pairs, its single brands
+    (brand_b NULL), and one '__ALL__' sentinel — rides a single
+    orderkey shuffle and one brand²-bounded groupBy, so every
+    downstream fact (support, n_brand, n_orders) is a filter over
+    this ≤(brand²/2 + brands + 1)-row materialized table. Counts are
+    identical by construction: the pair expansion is byte-for-byte
+    the one in _brand_pair_counts, the singles count = baskets
+    containing the brand (brand sets are distinct per order), and the
+    sentinel count = basket count."""
+    from airflow_baseball_spark.operators.graph import materialize_edge_list
+
+    return materialize_edge_list(
+        spark, sf_dir, "brand_pair_stats", _brand_pair_stats_build
+    )
+
+
+def _brand_pair_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized _brand_pair_stats plan — module-level so
+    plan tests can pin the in-row expansion shape (the materialized
+    seam hides it behind a checkpoint scan)."""
+    baskets, _ = _brand_pair_counts(spark, sf_dir)
+    pairs = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("brands"),
+                    lambda b: F.struct(
+                        a.alias("brand_a"), b.alias("brand_b")
+                    ),
+                ),
+                lambda s: s["brand_a"] < s["brand_b"],
+            ),
+        )
+    )
+    singles = F.transform(
+        F.col("brands"),
+        lambda a: F.struct(
+            a.alias("brand_a"),
+            F.lit(None).cast("string").alias("brand_b"),
+        ),
+    )
+    sentinel = F.array(
+        F.struct(
+            F.lit("__ALL__").alias("brand_a"),
+            F.lit(None).cast("string").alias("brand_b"),
+        )
+    )
+    return (
+        baskets.select(
+            F.explode(F.concat(pairs, singles, sentinel)).alias("p")
+        )
+        .groupBy(
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _brand_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(brand_a, brand_b, support) derived from _brand_pair_stats."""
+    t = _brand_pair_stats(spark, sf_dir)
+    return t.filter(F.col("brand_b").isNotNull()).select(
+        "brand_a", "brand_b", F.col("n").alias("support")
+    )
+
+
+def _brand_basket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_brand, n_brand) basket counts per brand, from the stats seam."""
+    t = _brand_pair_stats(spark, sf_dir)
+    return t.filter(
+        F.col("brand_b").isNull() & (F.col("brand_a") != "__ALL__")
+    ).select(F.col("brand_a").alias("p_brand"), F.col("n").alias("n_brand"))
+
+
+def _n_orders_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (n_orders) total basket count, from the stats seam."""
+    t = _brand_pair_stats(spark, sf_dir)
+    return t.filter(F.col("brand_a") == "__ALL__").select(
+        F.col("n").alias("n_orders")
+    )
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support + lift for brand pairs co-purchased in one order.
 
@@ -84,19 +178,15 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically ACROSS rows; this form keeps the quadratic work
     inside a row where Tungsten iterates an array.
 
-    Brand totals and the order count both derive from `baskets`, NOT
-    from another pass over the fact — the orderkey shuffle is paid
-    once and the fact is scanned once (Spark recomputes baskets per
-    consumer at this size, each recompute from the same single-scan
-    plan; at 100 TB you'd .persist() baskets, which is
-    order-count-sized, not fact-sized)."""
-    baskets, support = _brand_pair_counts(spark, sf_dir)
-    brand_n = (
-        baskets.select(F.explode("brands").alias("p_brand"))
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_brand"))
-    )
-    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    Brand totals and the order count both derive from the SAME single
+    fact pass as the supports — r11: all three now read the
+    materialized _brand_pair_stats table (one orderkey shuffle per
+    session, shared with assoc_rules and the graph edge seams),
+    where the previous form re-evaluated the basket subtree once per
+    consumer inside this one plan."""
+    support = _brand_support(spark, sf_dir)
+    brand_n = _brand_basket_counts(spark, sf_dir)
+    n_orders = _n_orders_frame(spark, sf_dir)
     na = brand_n.select(
         F.col("p_brand").alias("ba"), F.col("n_brand").alias("n_a")
     )
@@ -367,9 +457,10 @@ def _support5_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_baseball_spark.operators.graph import materialize_edge_list
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _, support = _brand_pair_counts(spark, sf_dir)
-        return support.filter(F.col("support") >= 5).select(
-            "brand_a", "brand_b"
+        return (
+            _brand_support(spark, sf_dir)
+            .filter(F.col("support") >= 5)
+            .select("brand_a", "brand_b")
         )
 
     return materialize_edge_list(spark, sf_dir, "support5_edges", build)
@@ -818,7 +909,7 @@ def _above_avg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_baseball_spark.operators.graph import materialize_edge_list
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _, support = _brand_pair_counts(spark, sf_dir)
+        support = _brand_support(spark, sf_dir)
         stats = support.agg(
             F.count("*").alias("n_pairs"), F.sum("support").alias("tot")
         )
@@ -1103,14 +1194,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both directions of each unordered pair are emitted by an IN-ROW
     union (no second shuffle); per-brand basket counts and the basket
     total join in by broadcast, so the fact is still scanned once and
-    shuffled once on orderkey."""
-    baskets, support = _brand_pair_counts(spark, sf_dir)
-    brand_n = (
-        baskets.select(F.explode("brands").alias("p_brand"))
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_brand"))
-    )
-    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    shuffled once on orderkey (r11: once per SESSION — supports,
+    brand counts, and the basket total all read the materialized
+    _brand_pair_stats table)."""
+    support = _brand_support(spark, sf_dir)
+    brand_n = _brand_basket_counts(spark, sf_dir)
+    n_orders = _n_orders_frame(spark, sf_dir)
     rules = support.filter(F.col("support") >= 5).select(
         F.explode(
             F.array(
@@ -2194,13 +2283,16 @@ def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _, support = _brand_pair_counts(spark, sf_dir)
-        return support.filter(F.col("support") >= 5).select(
-            "brand_a",
-            "brand_b",
-            F.floor(F.lit(1000000000) / F.col("support"))
-            .cast("long")
-            .alias("w"),
+        return (
+            _brand_support(spark, sf_dir)
+            .filter(F.col("support") >= 5)
+            .select(
+                "brand_a",
+                "brand_b",
+                F.floor(F.lit(1000000000) / F.col("support"))
+                .cast("long")
+                .alias("w"),
+            )
         )
 
     edges_w = materialize_edge_list(

@@ -19,10 +19,18 @@ from tests.oracle_harness import plan_str as _plan  # noqa: E402
 
 
 def test_basket_pairs_no_fact_self_join(spark):
-    plan = _plan(q_basket_pairs(spark, SF))
     # pair expansion is in-row (Generate/explode), never a fact⋈fact
-    # self-join on orderkey
-    assert "Generate" in plan and "explode(" in plan
+    # self-join on orderkey. r11: the expansion lives in the
+    # _brand_pair_stats seam build (materialized once per session), so
+    # the shape is pinned on the build plan; the query plan itself
+    # must stay join-clean.
+    from airflow_baseball_spark.queries_mining import _brand_pair_stats_build
+
+    build_plan = _plan(_brand_pair_stats_build(spark, SF))
+    assert "Generate" in build_plan and "explode(" in build_plan
+    assert "SortMergeJoin" not in build_plan
+    assert "CartesianProduct" not in build_plan
+    plan = _plan(q_basket_pairs(spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     rows = q_basket_pairs(spark, SF).collect()
