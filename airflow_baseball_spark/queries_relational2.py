@@ -3790,11 +3790,17 @@ def q_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed columns; v-optimal minimizes total within-bucket SSE, the
     provably best piecewise-constant summary).
 
-    The classic DP D(i,k) = min_j D(j,k−1) + SSE(j+1..i) runs as
-    k−1 CHAINED JOINS over the 64-cell prefix table — no recursion,
-    no driver loop beyond plan construction: each stage is a
-    cells²-row join (bounded by the summary resolution, not the fact
-    table), and the winning boundary list rides along as an array.
+    The classic DP D(i,k) = min_j D(j,k−1) + SSE(j+1..i) runs
+    entirely IN-ROW (r11): the 64 cells pack into ONE row of arrays
+    and the k−1 DP stages are higher-order ``transform``/``aggregate``
+    projections over the precomputed cost matrix — the previous
+    k−1-chained-join form planned 7 window rounds + 2 checkpoints
+    (25-job cascade, 3.8 s wall for ~1.3 s of tiny stages; same
+    re-tiering as pca_power/personalized_pagerank). Arithmetic is
+    bit-identical: the same double SSE expression, the same
+    floor(+0.5) DECIMAL(38,0) quantization, and the ascending-j fold
+    with a strict ``<`` reproduces the window's (total ASC, j ASC)
+    tie-break exactly.
 
     Exactness: cells carry exact integer (n, Σ, Σ² as DECIMAL)
     sufficient statistics; every segment SSE is quantized to
@@ -3824,126 +3830,129 @@ def q_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    pref = cells.select(
-        "c",
-        F.row_number().over(Window.orderBy("c")).alias("rn"),
-        F.sum("n").over(wc).alias("cn"),
-        F.sum("s").over(wc).alias("cs"),
-        F.sum("q").over(wc).alias("cq"),
-    ).localCheckpoint()
-    lo = pref.select(
-        F.col("rn").alias("j"),
-        F.col("cn").alias("cn_lo"),
-        F.col("cs").alias("cs_lo"),
-        F.col("cq").alias("cq_lo"),
-    )
-    zero = spark.range(1).select(
-        F.lit(0).alias("j"),
-        F.lit(0).cast("long").alias("cn_lo"),
-        F.lit(0).cast("long").alias("cs_lo"),
-        F.lit(0).cast("decimal(38,0)").alias("cq_lo"),
-    )
-    lo = lo.unionByName(zero)
-    hi = pref.select(
-        F.col("rn").alias("i"),
-        F.col("cn").alias("cn_hi"),
-        F.col("cs").alias("cs_hi"),
-        F.col("cq").alias("cq_hi"),
-    )
-    nseg = (F.col("cn_hi") - F.col("cn_lo")).cast("double")
-    sseg = (F.col("cs_hi") - F.col("cs_lo")).cast("double")
-    qseg = (F.col("cq_hi") - F.col("cq_lo")).cast("double")
-    sse = qseg - sseg * sseg / nseg
-    seg = (
-        hi.join(F.broadcast(lo), F.col("i") > F.col("j"))
-        .select(
-            "j",
-            "i",
-            F.floor(sse + F.lit(0.5))
-            .cast("decimal(38,0)")
-            .alias("cost_q"),
+    # pack the ≤_VOPT_CELLS cells into ONE row; 1-based 0-prefixed
+    # cumulative arrays replace the window prefix table (element_at(
+    # CN, j+1) = Σ of the first j cells, so segment (j, i] stats are
+    # pure array-diff lookups)
+    pk = cells.agg(
+        F.array_sort(F.collect_list(F.struct("c", "n", "s", "q"))).alias(
+            "cl"
         )
-        .localCheckpoint()
+    ).select(
+        "cl",
+        F.expr(
+            "concat(array(CAST(0 AS BIGINT)), transform(sequence(1,"
+            " size(cl)), i -> aggregate(slice(cl, 1, i), CAST(0 AS"
+            " BIGINT), (a, x) -> a + x.n)))"
+        ).alias("CN"),
+        F.expr(
+            "concat(array(CAST(0 AS BIGINT)), transform(sequence(1,"
+            " size(cl)), i -> aggregate(slice(cl, 1, i), CAST(0 AS"
+            " BIGINT), (a, x) -> a + x.s)))"
+        ).alias("CS"),
+        F.expr(
+            "concat(array(CAST(0 AS DECIMAL(38,0))), transform("
+            "sequence(1, size(cl)), i -> aggregate(slice(cl, 1, i),"
+            " CAST(0 AS DECIMAL(38,0)), (a, x) -> CAST(a + x.q AS"
+            " DECIMAL(38,0)))))"
+        ).alias("CQ"),
     )
-    # stage 1: D(i, 1) = cost(1..i)
-    d = seg.filter(F.col("j") == 0).select(
-        "i",
-        F.col("cost_q").alias("total_q"),
-        F.array().cast("array<int>").alias("bounds"),
+    # COST[i][j+1] = quantized SSE of segment (j, i] — the same double
+    # expression and floor(+0.5) DECIMAL quantization as the old seg
+    # table, so every DP comparison sees identical integers
+    pk = pk.withColumn(
+        "COST",
+        F.expr(
+            "transform(sequence(1, size(cl)), i -> transform("
+            "sequence(0, i - 1), j -> CAST(FLOOR("
+            "CAST(element_at(CQ, i + 1) - element_at(CQ, j + 1) AS DOUBLE)"
+            " - CAST(element_at(CS, i + 1) - element_at(CS, j + 1) AS"
+            " DOUBLE) * CAST(element_at(CS, i + 1) - element_at(CS, j +"
+            " 1) AS DOUBLE) / CAST(element_at(CN, i + 1) - element_at("
+            "CN, j + 1) AS DOUBLE) + 0.5) AS DECIMAL(38,0))))"
+        ),
+    )
+    # stage 1: D(i, 1) = cost(1..i); stages 2..k: ascending-j fold
+    # with strict < == the window's (total ASC, j ASC) argmin. NULL
+    # entries mark D(i, k) undefined (i < k), exactly the rows the
+    # join form never produced.
+    _NULL_D = (
+        "CAST(NULL AS STRUCT<total_q: DECIMAL(38,0), bounds: ARRAY<INT>>)"
+    )
+    pk = pk.withColumn(
+        "d",
+        F.expr(
+            "transform(sequence(1, size(cl)), i -> named_struct("
+            "'total_q', element_at(element_at(COST, i), 1),"
+            " 'bounds', CAST(array() AS ARRAY<INT>)))"
+        ),
     )
     for _k in range(2, _VOPT_BUCKETS + 1):
-        cand = d.select(
-            F.col("i").alias("j"),
-            F.col("total_q").alias("prev_q"),
-            "bounds",
-        ).join(seg, "j")
-        wmin = Window.partitionBy("i").orderBy(
-            (F.col("prev_q") + F.col("cost_q")).asc(), F.col("j").asc()
+        pk = pk.withColumn(
+            "d",
+            F.expr(
+                "transform(sequence(1, size(cl)), i -> IF(i < 2, "
+                + _NULL_D
+                + ", aggregate(sequence(1, i - 1), "
+                + _NULL_D
+                + ", (best, j) -> CASE"
+                " WHEN element_at(d, j) IS NULL THEN best"
+                " WHEN best IS NULL OR element_at(d, j).total_q +"
+                " element_at(element_at(COST, i), j + 1) < best.total_q"
+                " THEN named_struct('total_q', CAST(element_at(d,"
+                " j).total_q + element_at(element_at(COST, i), j + 1) AS"
+                " DECIMAL(38,0)), 'bounds', array_append(element_at(d,"
+                " j).bounds, CAST(j AS INT)))"
+                " ELSE best END)))"
+            ),
         )
-        d = (
-            cand.withColumn("rk", F.row_number().over(wmin))
-            .filter(F.col("rk") == 1)
-            .select(
-                "i",
-                (F.col("prev_q") + F.col("cost_q")).alias("total_q"),
-                F.array_append("bounds", F.col("j").cast("int")).alias(
-                    "bounds"
-                ),
+    res = pk.select(
+        "cl",
+        "CN",
+        "CS",
+        "CQ",
+        F.expr("element_at(d, size(cl)).total_q").alias("total_q"),
+        F.expr(
+            "concat(element_at(d, size(cl)).bounds,"
+            " array(CAST(size(cl) AS INT)))"
+        ).alias("ends"),
+        F.expr("element_at(CN, size(cl) + 1)").alias("mx_cn"),
+    )
+    brows = res.select(
+        "cl",
+        "CN",
+        "CS",
+        "CQ",
+        "total_q",
+        "mx_cn",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ends) - 1), k0 ->"
+                " named_struct('bucket', k0 + 1,"
+                " 'end_rn', element_at(ends, k0 + 1),"
+                " 'start_rn0', IF(k0 = 0, 0, CAST(element_at(ends, k0)"
+                " AS INT))))"
             )
-        )
-    n_cells = pref.agg(
-        F.max("rn").alias("mx_rn"), F.max("cn").alias("mx_cn")
+        ).alias("b"),
     )
-    final = d.join(
-        F.broadcast(n_cells), d["i"] == F.col("mx_rn")
-    ).select("total_q", "bounds", "mx_rn", "mx_cn")
-    buckets = final.select(
-        "total_q",
-        "mx_rn",
-        "mx_cn",
-        F.posexplode(
-            F.concat("bounds", F.array(F.col("mx_rn").cast("int")))
-        ).alias("k0", "end_rn"),
-    ).select(
-        (F.col("k0") + 1).alias("bucket"),
-        "end_rn",
-        F.lag("end_rn", 1, 0)
-        .over(Window.orderBy("k0"))
-        .alias("start_rn0"),
-        "total_q",
-        "mx_cn",
+    nb_l = F.expr(
+        "element_at(CN, b.end_rn + 1) - element_at(CN, b.start_rn0 + 1)"
     )
-    out = (
-        buckets.join(
-            pref.select(
-                F.col("rn").alias("end_rn"),
-                F.col("cn").alias("cn_hi"),
-                F.col("cs").alias("cs_hi"),
-                F.col("cq").alias("cq_hi"),
-                F.col("c").alias("cell_hi"),
-            ),
-            "end_rn",
-        )
-        .join(
-            F.broadcast(
-                lo.select(
-                    F.col("j").alias("start_rn0"),
-                    "cn_lo",
-                    "cs_lo",
-                    "cq_lo",
-                )
-            ),
-            "start_rn0",
-        )
+    nb = nb_l.cast("double")
+    sb = F.expr(
+        "CAST(element_at(CS, b.end_rn + 1) - element_at(CS,"
+        " b.start_rn0 + 1) AS DOUBLE)"
     )
-    nb = (F.col("cn_hi") - F.col("cn_lo")).cast("double")
-    sb = (F.col("cs_hi") - F.col("cs_lo")).cast("double")
-    qb = (F.col("cq_hi") - F.col("cq_lo")).cast("double")
-    return out.select(
-        F.col("bucket").cast("long").alias("bucket"),
-        F.col("cell_hi").cast("long").alias("cell_hi"),
-        (F.col("cn_hi") - F.col("cn_lo")).cast("long").alias("n_rows"),
+    qb = F.expr(
+        "CAST(element_at(CQ, b.end_rn + 1) - element_at(CQ,"
+        " b.start_rn0 + 1) AS DOUBLE)"
+    )
+    return brows.select(
+        F.col("b.bucket").cast("long").alias("bucket"),
+        F.expr("element_at(cl, b.end_rn).c").cast("long").alias(
+            "cell_hi"
+        ),
+        nb_l.cast("long").alias("n_rows"),
         _r6(sb / nb).alias("bucket_mean_cents"),
         _r6(F.sqrt((qb - sb * sb / nb) / nb)).alias("bucket_sd_cents"),
         _r6(

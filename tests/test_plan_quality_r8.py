@@ -134,7 +134,8 @@ _ALLOWED = {
     "two_pass_median": ('v',),
     "uplift_qini": ('score',),
     "vocab_topk": ('n',),
-    "voptimal_histogram": ('k0',),
+    # voptimal_histogram's k0 lag window removed r11 — the DP is now a
+    # packed-array single-row projection with no window at all
     "walk_forward_backtest": ('m',),
     "xmr_control": ('d',),
     "zipf_slope": ('n', 'rank'),
