@@ -3610,12 +3610,18 @@ def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
+    # r11: the three iteration consumers (a1, h1, a2) join/group the
+    # edge list on DIFFERENT keys, so no exchange is reusable and the
+    # fact join + distinct re-ran 3× (three 6.1 MB shuffle writes in
+    # the profile); materialize the distinct edge list once (same
+    # lineage-truncation disposition as triangle_count's seam)
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
             F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
         )
         .distinct()
+        .localCheckpoint()
     )
     a1 = edges.groupBy("p").agg(F.count("*").cast("long").alias("a1"))
     h1 = (

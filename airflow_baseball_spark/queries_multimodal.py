@@ -301,9 +301,17 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard as ngram_jaccard); (3) the pair agg shuffles (id_a, id_b)
     integer keys only. Exactness: counts are integers; the overlap
     ratio is micro-quantized by integer division."""
-    frames = mm.frame_sample(_assets(spark, sf_dir)).select(
-        "asset_id", "frame_md5"
-    ).distinct()
+    # r11: four consumers (hot digests, both self-join sides, per-
+    # asset sizes) partition this table three different ways, so the
+    # frame-sample md5 explode over the asset payloads re-ran per
+    # consumer (two 1.8 s single-task map stages in the profile);
+    # materialize the ~0.5 MB (asset_id, frame_md5) table once
+    frames = (
+        mm.frame_sample(_assets(spark, sf_dir))
+        .select("asset_id", "frame_md5")
+        .distinct()
+        .localCheckpoint()
+    )
     hot = frames.groupBy("frame_md5").agg(
         F.count("*").alias("n_assets")
     ).filter(F.col("n_assets") > 32)

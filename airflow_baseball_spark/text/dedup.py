@@ -323,6 +323,22 @@ def simhash_pairs(
     )
     l = bl.alias("l")
     r = bl.alias("r")
+    # first-agreeing-block wins (r11): a qualifying pair agrees on up
+    # to n_blocks buckets, so the old form generated it up to n_blocks
+    # times and deduped with a candidate-volume DISTINCT (a second
+    # full shuffle + hash of ~15M rows at sf0.1). Emitting a pair ONLY
+    # from its minimal agreeing block — every earlier block of the
+    # xor must be non-zero — makes each pair unique by construction
+    # and the distinct disappears. The xor is computed once and feeds
+    # both the earlier-block check and the hamming verify.
+    x = F.col(f"l.{fp_col}").bitwiseXOR(F.col(f"r.{fp_col}"))
+    min_agree = F.lit(-1)
+    for b in range(n_blocks - 1, -1, -1):
+        min_agree = F.when(
+            F.shiftright(x, b * bits_per).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(b),
+        ).otherwise(min_agree)
+    first_block = F.col("l.block_id") == min_agree
     return (
         l.join(
             r,
@@ -330,15 +346,13 @@ def simhash_pairs(
             & (F.col("l.block_val") == F.col("r.block_val"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .filter(first_block)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col(f"l.{fp_col}").bitwiseXOR(F.col(f"r.{fp_col}"))
-            ).cast("int").alias("hamming"),
+            F.bit_count(x).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
