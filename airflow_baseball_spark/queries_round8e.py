@@ -172,9 +172,10 @@ def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing one-pass SimHash (token explode + in-row bit votes); the
     audit explodes SIMHASH_BITS bits per DOC-SIGNATURE row (docs ×
     bits, not tokens × bits) and aggregates to a bits-sized frame."""
+    from airflow_baseball_spark.queries_text import _simhash_fps
     from airflow_baseball_spark.text import dedup
 
-    sigs = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    sigs = _simhash_fps(spark, sf_dir)
     bits = sigs.select(
         F.explode(
             F.sequence(F.lit(0), F.lit(dedup.SIMHASH_BITS - 1))

@@ -297,8 +297,21 @@ def _dedup_clusters_sql() -> str:
 registry.register("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql())
 
 
+def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) fingerprints, session-memoized (r11): the
+    token explode + bit-vote aggregation is the shared base of
+    simhash, simhash_pairs, and simhash_bit_balance; the materialized
+    table is doc-count-sized — same disposition as _corpus_sigs."""
+    from airflow_baseball_spark.operators.graph import materialize_edge_list
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+    return materialize_edge_list(spark, sf_dir, "simhash_fps", build)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return _simhash_fps(spark, sf_dir)
 
 
 def _simhash_sql() -> str:
@@ -602,8 +615,7 @@ registry.register("kmeans_assign", q_kmeans_assign, _KMEANS_ASSIGN_SQL)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fps = dedup.simhash(load_table(spark, sf_dir, "documents"))
-    return dedup.simhash_pairs(fps)
+    return dedup.simhash_pairs(_simhash_fps(spark, sf_dir))
 
 
 def _simhash_pairs_sql() -> str:
