@@ -2568,6 +2568,34 @@ registry.register(
 # ---------------------------------------------------------------------------
 
 
+def _doc_bigram_rows(docs: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., w1, w2) consecutive-token bigram rows computed
+    IN-ROW from the split array (r11): the previous posexplode +
+    per-doc LEAD window shuffled and sorted every (doc, pos) token
+    row once per plan reference — and the bigram base is referenced
+    2-4× per LM plan. transform(sequence(...)) emits the identical
+    (arr[i], arr[i+1]) pairs straight out of the scan with no
+    exchange at all (same tokenizer: split(text, ' '), empties
+    kept; docs with < 2 tokens produce no pair in either form)."""
+    base = docs.select(*keep, F.split(F.col("text"), " ").alias("arr"))
+    return (
+        base.filter(F.size("arr") >= 2)
+        .select(
+            *keep,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1), i ->"
+                    " struct(element_at(arr, i) AS w1,"
+                    " element_at(arr, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(
+            *keep, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source cross-entropy under the corpus's own add-one
     bigram LM — unigram_perplexity's order-sensitive sibling (a
@@ -2580,32 +2608,24 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram_perplexity trick — so all aggregates are order-invariant
     integer arithmetic and perplexity = exp of one exact ratio.
 
-    Scale: bigrams come from a per-doc LEAD window (doc-partitioned,
-    parallel); pair stats re-aggregate the (doc,pair) table; the
+    Scale: bigrams come from the in-row array transform
+    (_doc_bigram_rows — no window, no token shuffle); pair stats
+    re-aggregate the (doc,pair) table; the
     pair-LM table joins back by pair key (keyed shuffle, never
     broadcast — pair vocab grows with corpus); the source rollup is
     sources-sized."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.select(
-        "doc_id",
-        "source",
-        F.col("tok").alias("w1"),
-        F.lead("tok").over(w).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
+    big = _doc_bigram_rows(docs, "doc_id", "source")
     doc_pairs = big.groupBy("doc_id", "source", "w1", "w2").agg(
         F.count("*").alias("tf")
     )
     c12 = doc_pairs.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    vocab = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
     lp = (
         c12.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -3080,14 +3100,7 @@ def q_nucleus_set_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     nucleus size is ulp-proof; per-context windows order by (count
     desc, w2) for a total order. The w1 cap keeps output O(1)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.select(
-        F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
-    ).filter(F.col("w2").isNotNull())
+    big = _doc_bigram_rows(docs).select("w1", "w2")
     c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     w1_tot = c12.groupBy("w1").agg(F.sum("c").alias("tot"))
     w_rank = Window.orderBy(F.col("tot").desc(), "w1")
@@ -3316,16 +3329,11 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (w1, w2) tie-break so rank membership can't flip inside the
     rounding quantum."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.select(
-        F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
-    ).filter(F.col("w2").isNotNull())
+    big = _doc_bigram_rows(docs).select("w1", "w2")
     c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    uni = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).groupBy("tok").agg(F.count("*").alias("cu"))
     n_tot = big.agg(F.count("*").alias("n"))
     scored = (
         c12.filter(F.col("c") >= 20)
@@ -3955,18 +3963,7 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.select(
-        "doc_id",
-        "source",
-        F.col("tok").alias("w1"),
-        F.lead("tok").over(w).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
+    big = _doc_bigram_rows(docs, "doc_id", "source")
     doc_pairs = big.groupBy("doc_id", "source", "w1", "w2").agg(
         F.count("*").alias("tf")
     )
