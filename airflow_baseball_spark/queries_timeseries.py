@@ -3476,9 +3476,22 @@ def q_viterbi_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["regime"] = path
         return out
 
-    return obs_df.groupBy("nationkey").applyInPandas(
-        viterbi_group,
-        "nationkey long, d date, y_cents long, obs int, regime int",
+    # r11: AQE coalesced the KB-scale nation exchange to ONE
+    # partition, so all 25 per-nation decodes (plus their Arrow
+    # conversions) ran serially in a single Python worker (2.25 s
+    # single-task stage). An explicit nationkey hash repartition
+    # SATISFIES applyInPandas' ClusteredDistribution requirement, so
+    # no further exchange is planned and the groups decode in
+    # parallel. Scale-adaptive: partition count follows the session's
+    # default parallelism, and the decode itself is unchanged.
+    par = spark.sparkContext.defaultParallelism
+    return (
+        obs_df.repartition(par, "nationkey")
+        .groupBy("nationkey")
+        .applyInPandas(
+            viterbi_group,
+            "nationkey long, d date, y_cents long, obs int, regime int",
+        )
     )
 
 

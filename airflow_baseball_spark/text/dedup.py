@@ -496,6 +496,7 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = N_BANDS,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a NEW batch of documents against an EXISTING corpus using
     only the corpus's precomputed artifacts — its minhash signature
@@ -511,8 +512,18 @@ def incremental_dedup(
     broadcast semi-join of the batch digests.
 
     Returns one row per batch doc: ``n_candidates`` (distinct store
-    docs sharing >= 1 LSH band) and ``exact_dup`` (0/1)."""
-    b_sigs = minhash_signatures(batch, text_col, id_col)
+    docs sharing >= 1 LSH band) and ``exact_dup`` (0/1).
+
+    ``batch_sigs`` (r11): callers that already hold a signature table
+    covering the batch rows (e.g. the session-materialized corpus
+    signatures) can pass it and skip the in-row re-hash — signatures
+    depend only on the text, so a filtered corpus table is
+    identical."""
+    b_sigs = (
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signatures(batch, text_col, id_col)
+    )
     bb = _banded(b_sigs, id_col, n_bands).alias("b")
     sb = _banded(store_sigs, id_col, n_bands).alias("s")
     cand = (
