@@ -656,58 +656,10 @@ _PRIORITY = [
     "probe_hugeint_cast",
     "probe_dup_keys",
     # -- tier 3: rotation (positions 5-50, all never driver-sampled).
-    #    The next 46 names in the promised overflow order (r10 tier-4
-    #    top). All 46 are green on all four local vintages and 0-red
-    #    under the full-surface driver-fetch sim at r10 close.
-    "personalized_pagerank",
-    "sprt_abtest",
-    "mutual_knn_pairs",
-    "eb_shrinkage",
-    "quantile_treatment_effect",
-    "rare_term_cosine_pairs",
-    "forecast_reconciliation",
-    "decision_stump",
-    "cuped_adjustment",
-    "mann_whitney_u",
-    "bradley_terry",
-    "seasonality_strength",
-    "sse_changepoint",
-    "diff_in_diff",
-    "bitmap_day_index",
-    "shapley_attribution",
-    "negative_sampling_table",
-    "brier_decomposition",
-    "knn_label_accuracy",
-    "mde_power",
-    "holt_winters",
-    "levene_bf",
-    "jackknife_ratio_se",
-    "mcnemar_paired",
-    "path3_motifs",
-    "seq_gap_patterns",
-    "page_hinkley",
-    "croston_intermittent",
-    "jl_distortion",
-    "nelson_aalen",
-    "isotonic_calibration",
-    "ransac_trend",
-    "bipartite_butterflies",
-    "energy_distance",
-    "hilbert_locality",
-    "pr_curve_sweep",
-    "ols_two_factor",
-    "neyman_allocation",
-    "lsh_param_tuner",
-    "slo_burn_alert",
-    "rich_club",
-    "readability_ari",
-    "post_stratification",
-    "sample_size_continuous",
-    "chao1_richness",
-    "good_turing_counts",
-    # -- tier 4 (positions 51+): ALL remaining never-driver-sampled
-    #    names (166 at r11 open) in the promised overflow order; r12+
-    #    rotations pull 46 at a time from the top of this tier.
+    #    r12 window: the next 46 names in the promised overflow order
+    #    (r11 tier-4 top, pre-staged in ROTATION_r12_PREP.md). All 46
+    #    are green on all four local vintages and 0-red under the
+    #    full-surface driver-fetch sim at r11 close.
     "viterbi_regime",
     "quantile_normalize",
     "voptimal_histogram",
@@ -754,6 +706,9 @@ _PRIORITY = [
     "decile_transition_matrix",
     "not_in_null_trap",
     "price_dispersion",
+    # -- tier 4 (positions 51+): ALL remaining never-driver-sampled
+    #    names (120 at r12 open) in the promised overflow order; r13+
+    #    rotations pull 46 at a time from the top of this tier.
     "semi_additive_month_end",
     "vwap_deviation",
     "eoq_stocking",
@@ -880,6 +835,55 @@ _PRIORITY = [
     "panel_const_twin",
     "probe_ev_us_round",
     "probe_doc_content",
+    # -- tier 6a: driver-attested green in the r11 window (50/50;
+    #    45 first-time rotations); they rotate behind every
+    #    never-sampled name
+    "personalized_pagerank",
+    "sprt_abtest",
+    "mutual_knn_pairs",
+    "eb_shrinkage",
+    "quantile_treatment_effect",
+    "rare_term_cosine_pairs",
+    "forecast_reconciliation",
+    "decision_stump",
+    "cuped_adjustment",
+    "mann_whitney_u",
+    "bradley_terry",
+    "seasonality_strength",
+    "sse_changepoint",
+    "diff_in_diff",
+    "bitmap_day_index",
+    "shapley_attribution",
+    "negative_sampling_table",
+    "brier_decomposition",
+    "knn_label_accuracy",
+    "mde_power",
+    "holt_winters",
+    "levene_bf",
+    "jackknife_ratio_se",
+    "mcnemar_paired",
+    "path3_motifs",
+    "seq_gap_patterns",
+    "page_hinkley",
+    "croston_intermittent",
+    "jl_distortion",
+    "nelson_aalen",
+    "isotonic_calibration",
+    "ransac_trend",
+    "bipartite_butterflies",
+    "energy_distance",
+    "hilbert_locality",
+    "pr_curve_sweep",
+    "ols_two_factor",
+    "neyman_allocation",
+    "lsh_param_tuner",
+    "slo_burn_alert",
+    "rich_club",
+    "readability_ari",
+    "post_stratification",
+    "sample_size_continuous",
+    "chao1_richness",
+    "good_turing_counts",
     # -- tier 6: driver-attested green in the r10 window (the first
     #    all-green window; 46 first-time rotations); they rotate
     #    behind every never-sampled name
