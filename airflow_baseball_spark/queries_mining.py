@@ -574,31 +574,36 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r7 (low-cardinality-window sweep): the previous form sorted raw
     lineitem through a 3-partition per-returnflag cumulative window —
-    the qq_table flag shape. Now: per-(flag, price) weight totals
-    (combinable), a 1024-bucket weighted histogram per flag locates
-    the crossing bucket (bucket-table windows only), and pass 2
-    cumulates just that bucket's prices — the weighted sibling of
-    rank_select.rank_pick."""
+    the qq_table flag shape. r12 (§2.3 shuffle fewer bytes): the r7
+    form still shuffled a ~590k-row (flag, cents) table — cents of
+    l_extendedprice are nearly unique per row, so that groupBy was a
+    full-fact shuffle with no combine. Now every fact-scale
+    aggregation is BUCKET-grain (flags × 1024 — map-side combinable
+    to KBs): per-flag stats and the weighted histogram come straight
+    off raw rows, and only the located bucket's rows (~1/1024 of the
+    fact) are ever grouped per-cent for the pass-2 cumulate. Bucket
+    sums equal the old per-price-then-bucket sums by BIGINT/DECIMAL
+    associativity; the bucket expression, the crossing rule and the
+    pass-2 window are unchanged, so the picked row is identical
+    (oracle-verified sf0.01 + sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         dec_portable("l_extendedprice", 18, 2).alias("price"),
         dec_portable("l_quantity", 18, 2).alias("wt"),
-    )
-    per_price = li.groupBy(
+    ).select(
         "l_returnflag",
+        "price",
         (F.col("price") * 100).cast("long").alias("pc"),
-    ).agg(
-        F.min("price").alias("price"),
-        F.sum((F.col("wt") * 100).cast("long")).alias("w"),
-        F.sum("wt").alias("wt_dec"),
+        (F.col("wt") * 100).cast("long").alias("w"),
+        F.col("wt").alias("wt_dec"),
     )
-    stats = per_price.groupBy("l_returnflag").agg(
+    stats = li.groupBy("l_returnflag").agg(
         F.sum("w").alias("tw"),
         F.sum("wt_dec").alias("tot_wt"),
         F.min("pc").alias("lo"),
         F.max("pc").alias("hi"),
     )
-    binned = per_price.join(F.broadcast(stats), "l_returnflag").withColumn(
+    binned = li.join(F.broadcast(stats), "l_returnflag").withColumn(
         "b", F.expr("((pc - lo) * 1024) div (hi - lo + 1)")
     )
     w_off = Window.partitionBy("l_returnflag").orderBy("b").rowsBetween(
@@ -621,7 +626,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select(
-            "l_returnflag",
+            F.col("l_returnflag").alias("_g"),
             F.col("b").alias("target_b"),
             (F.expr("(tw + 1) div 2") - F.col("cum_before")).alias("resid"),
         )
@@ -631,9 +636,16 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pass2 = (
         binned.join(
-            F.broadcast(located.withColumnRenamed("l_returnflag", "_g")),
+            F.broadcast(located),
             (F.col("l_returnflag") == F.col("_g"))
             & (F.col("b") == F.col("target_b")),
+        )
+        .groupBy("l_returnflag", "pc")
+        .agg(
+            F.min("price").alias("price"),
+            F.sum("w").alias("w"),
+            F.max("resid").alias("resid"),
+            F.max("tot_wt").alias("tot_wt"),
         )
         .withColumn("cum_in", F.sum("w").over(w_in))
         .filter(F.col("cum_in") >= F.col("resid"))

@@ -1,6 +1,7 @@
 """Capture .explain("formatted") output for named queries into
-plans/r11/<query>_<tag>.txt — the optimization round's evidence trail
-(the judge reads these files against the code's plan claims).
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (default r12) — the
+optimization round's evidence trail (the judge reads these files
+against the code's plan claims).
 
 Usage:
     python tests/run_capture_plans.py before name [name ...]
@@ -28,7 +29,7 @@ def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = REPO / "plans" / "r11"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     qs = registry.queries()
