@@ -431,41 +431,49 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the gram hash IS the md5 hex string and the window
     minimum is LEXICOGRAPHIC string MIN — portable by construction
-    (no hex→int conversion exists in both engines). Scale: one
-    position explode (≈ token count), one frame-bounded window min
-    per doc (partitioned by doc_id — embarrassingly parallel), one
-    distinct-agg; no pairing anywhere."""
-    from pyspark.sql import Window as W
-
+    (no hex→int conversion exists in both engines; array_min on
+    strings is the same lexicographic MIN as the window aggregate).
+    Scale (r12, §2.1 remove shuffles outright): the window minimum and
+    the per-doc distinct both run IN-ROW — the gram-hash array is
+    projected once per doc, each full window's min is an
+    array_min(slice(...)) over that array, and array_distinct replaces
+    the (doc, wmin) DISTINCT exactly because doc_id is unique per row.
+    The old form exploded one row per gram position and shuffled+sorted
+    the whole gram table for a per-doc window (token-count-scale
+    exchange — grows with the corpus at 100 TB); the in-row form emits
+    identical wmins with NO exchange before the final source rollup
+    (plans/r12/winnowing_fingerprint_before/after.txt: 3 Exchange →
+    1 + countDistinct expansion; oracle-verified sf0.01 + sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select("doc_id", "source", toks.alias("toks")).filter(
         F.size("toks") >= _WIN_K + _WIN_W - 1
     )
-    grams = base.select(
+    hs = base.select(
         "doc_id",
         "source",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (_WIN_K - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(_WIN_K)))
-                ),
-            )
-        ).alias("pos", "h"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_WIN_K - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(_WIN_K)))
+            ),
+        ).alias("hs"),
     )
-    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    n_grams = W.partitionBy("doc_id")
-    sel = (
-        grams.withColumn("wmin", F.min("h").over(win))
-        .withColumn("ng", F.count("*").over(n_grams))
-        # a window minimum is only defined for FULL windows: the last
-        # w-1 positions see truncated frames and would double-select.
-        # posexplode is 0-based (the oracle's UNNEST(range(...)) is
-        # 1-based), so full-window starts are pos ∈ [0, ng-w]
-        .filter(F.col("pos") <= F.col("ng") - _WIN_W)
-        .select("doc_id", "source", "wmin")
-        .distinct()
+    # full windows only: starts j ∈ [1, ng-w+1] (1-based) — the same
+    # set as the old pos ∈ [0, ng-w] under 0-based posexplode
+    sel = hs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
+                    lambda j: F.array_min(
+                        F.slice(F.col("hs"), j, F.lit(_WIN_W))
+                    ),
+                )
+            )
+        ).alias("wmin"),
     )
     return sel.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
