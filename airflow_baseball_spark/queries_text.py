@@ -3823,15 +3823,25 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    coded = dedup.shingle_code_arrays(
-        docs.join(cand_ids, "doc_id", "left_semi")
-    ).select("doc_id", F.array_distinct("__codes").alias("codes"))
+    # r12: (a) the coded table was evaluated once per join branch
+    # (the full char->shingle coding pass ran twice); checkpoint it
+    # once at candidate size. (b) the planner BROADCAST both
+    # code-array branches — a single-task build of a hash relation
+    # holding every candidate's ~1k-element array, and corpus-scale
+    # at 100 TB (the shingle_containment r11 class); shuffle_hash
+    # keeps both joins partitioned on the id (§3.2 pick the strategy
+    # deliberately). Values unchanged — plan-only.
+    coded = (
+        dedup.shingle_code_arrays(docs.join(cand_ids, "doc_id", "left_semi"))
+        .select("doc_id", F.array_distinct("__codes").alias("codes"))
+        .localCheckpoint()
+    )
     ca = coded.select(
         F.col("doc_id").alias("id_a"), F.col("codes").alias("codes_a")
-    )
+    ).hint("shuffle_hash")
     cb = coded.select(
         F.col("doc_id").alias("id_b"), F.col("codes").alias("codes_b")
-    )
+    ).hint("shuffle_hash")
     match_expr = sum(
         [
             F.when(
