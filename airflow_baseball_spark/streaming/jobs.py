@@ -46,6 +46,14 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+# r12 (optimization): session-keyed memo of the probe SCHEMA per
+# (applicationId, startTime, sf_dir) — the footer probe in
+# read_events_stream runs a schema-inference job per call (~0.1-0.3 s)
+# and all 13 drains call it. Same disposition as schemas._READER_MEMO:
+# metadata only, no data cached; a fresh session re-probes from disk.
+_PROBE_SCHEMA_MEMO: dict[tuple, T.StructType] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (new files would be
     picked up incrementally on a live directory).
@@ -67,12 +75,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = f"{sf_dir}/events.parquet"
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(probe)  # noqa: SLF001
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    if fs.exists(jvm_path):
-        schema = spark.read.parquet(probe).schema
-    else:  # stream not yet fed
-        schema = EVENTS_RAW_SCHEMA
+    sc = spark.sparkContext
+    token = (sc.applicationId, sc.startTime, sf_dir)
+    schema = _PROBE_SCHEMA_MEMO.get(token)
+    if schema is None:
+        for k in [k for k in _PROBE_SCHEMA_MEMO if k[:2] != token[:2]]:
+            _PROBE_SCHEMA_MEMO.pop(k, None)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(probe)  # noqa: SLF001
+        fs = jvm_path.getFileSystem(  # noqa: SLF001
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
+            schema = spark.read.parquet(probe).schema
+            # memoize only a real probe: a not-yet-fed directory must
+            # re-probe on the next call (files may have landed since)
+            _PROBE_SCHEMA_MEMO[token] = schema
+        else:  # stream not yet fed
+            schema = EVENTS_RAW_SCHEMA
     ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
     # file-source streams take a directory; pathGlobFilter scopes it to
     # the events table (new matching files would stream in incrementally)
@@ -107,6 +126,18 @@ def _ckpt_dir() -> str:
     return tempfile.mkdtemp(prefix="ckpt_", dir=parent)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Ephemeral per-run sink/partials dir for the foreachBatch drains
+    (r12): same parent policy as :func:`_ckpt_dir` — these outputs are
+    read back within the same run and discarded, so they share the
+    checkpoint's durability class; a production stream points its sink
+    at real storage regardless of this default."""
+    parent = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if parent is None and os.path.isdir("/dev/shm"):
+        parent = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=parent)
+
+
 def _drain_to_memory(
     sdf: DataFrame, output_mode: str, state_partitions: int | None = 8
 ) -> DataFrame:
@@ -126,6 +157,12 @@ def _drain_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # r12 NOTE (measured, rejected): raising
+    # spark.sql.streaming.stateStore.maintenanceInterval to outlive
+    # the drain regressed the 13-drain family ~15% in-session — the
+    # maintenance task is also what UNLOADS dead providers, so each
+    # drain leaked its loaded state stores into the session. Default
+    # kept.
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -441,7 +478,7 @@ def run_stream_upsert_available_now(
     batch size, not table size."""
     from airflow_baseball_spark.operators.upsert import merge_upsert
 
-    target = target_path or tempfile.mkdtemp(prefix="stream_upsert_") + "/t"
+    target = target_path or _scratch_dir("stream_upsert_") + "/t"
     stream = read_events_stream(spark, sf_dir)
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
@@ -631,7 +668,7 @@ def run_foreachbatch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the foreachBatch + object-store path a production
     incremental MV actually takes (incremental_mv is the CDC batch
     sibling)."""
-    out = tempfile.mkdtemp(prefix="fbmv_") + "/partials"
+    out = _scratch_dir("fbmv_") + "/partials"
     ev = read_events_stream(spark, sf_dir)
     cents = (dec_portable("value", 18, 2) * 100).cast("long")
 
