@@ -3930,6 +3930,42 @@ registry.register(
 # ---------------------------------------------------------------------------
 
 
+def _train_price_decile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row (q1..q9) rank-rule decile-boundary frame of
+    o_totalprice cents over TRAIN orders (odd orderkeys),
+    session-materialized (r12): ece_calibration and macro_f1 derive
+    the IDENTICAL boundary frame — each ran its own two-pass
+    rank_pick over orders (~8 stages of the per-query cascade). The
+    checkpointed frame is 1 row × 9 BIGINTs; same build expression as
+    before, so both consumers' bins are unchanged."""
+    from airflow_baseball_spark.operators.graph import materialize_edge_list
+    from airflow_baseball_spark.operators.rank_select import rank_pick
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("pc"),
+            (F.col("o_orderkey") % 2 == 1).cast("int").alias("is_train"),
+        )
+        train = o.filter(F.col("is_train") == 1)
+        picked = rank_pick(
+            train.select(F.col("pc").alias("v")),
+            "v",
+            [
+                (f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 9) div 10"))
+                for i in range(1, 10)
+            ],
+        )
+        return picked.groupBy().pivot(
+            "rank_label", [f"q{i}" for i in range(1, 10)]
+        ).agg(F.min("v"))
+
+    return materialize_edge_list(
+        spark, sf_dir, "train_price_decile_bounds", build
+    )
+
+
 def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected Calibration Error of the same train-on-odd /
     score-on-even urgent-rate forecaster as `brier_decomposition`:
@@ -3945,10 +3981,9 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantize-before-sum); each bin's ECE term is quantized to
     pico-units before the <=10-term sum, so no engine-ordered float
     sum exists on the checked path. Decile boundaries are rank-rule
-    cents from the two-pass histogram. Scale: two fact scans
+    cents from the two-pass histogram (session-shared with macro_f1
+    via _train_price_decile_bounds, r12). Scale: two fact scans
     (boundaries, scoring), bounded tables after."""
-    from airflow_baseball_spark.operators.rank_select import rank_pick
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
@@ -3957,18 +3992,7 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
         (F.col("o_orderkey") % 2 == 1).cast("int").alias("is_train"),
     )
-    train = o.filter(F.col("is_train") == 1)
-    picked = rank_pick(
-        train.select(F.col("pc").alias("v")),
-        "v",
-        [
-            (f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 9) div 10"))
-            for i in range(1, 10)
-        ],
-    )
-    qs = picked.groupBy().pivot(
-        "rank_label", [f"q{i}" for i in range(1, 10)]
-    ).agg(F.min("v"))
+    qs = _train_price_decile_bounds(spark, sf_dir)
     kcol = F.lit(1)
     for i in range(1, 10):
         kcol = kcol + (F.col("pc") > F.col(f"q{i}")).cast("int")
@@ -4140,9 +4164,8 @@ def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantize-before-sum -- order-invariant) before one division by
     5. Majority tie-break is (count desc, class asc) over the
     50-row decile x class table. Scale: boundaries + one scoring
-    scan; windows only over bounded tables."""
-    from airflow_baseball_spark.operators.rank_select import rank_pick
-
+    scan; windows only over bounded tables. Boundaries session-shared
+    with ece_calibration via _train_price_decile_bounds (r12)."""
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -4152,18 +4175,7 @@ def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("klass"),
         (F.col("o_orderkey") % 2 == 1).cast("int").alias("is_train"),
     )
-    train = o.filter(F.col("is_train") == 1)
-    picked = rank_pick(
-        train.select(F.col("pc").alias("v")),
-        "v",
-        [
-            (f"q{i}", lambda n, i=i: F.expr(f"({i} * n + 9) div 10"))
-            for i in range(1, 10)
-        ],
-    )
-    qs = picked.groupBy().pivot(
-        "rank_label", [f"q{i}" for i in range(1, 10)]
-    ).agg(F.min("v"))
+    qs = _train_price_decile_bounds(spark, sf_dir)
     kcol = F.lit(1)
     for i in range(1, 10):
         kcol = kcol + (F.col("pc") > F.col(f"q{i}")).cast("int")

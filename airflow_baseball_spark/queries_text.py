@@ -4244,6 +4244,13 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise cosine (the per-pair cosine was 3x the flops: dot +
     # norm_a + norm_b). Same IEEE doubles — a norm depends only on its
     # own vector — so every rounded cosine is bit-identical.
+    # r12 NOTE (measured, rejected): spread() of the (id, vec) rows to
+    # parallelize the single-split scoring stages measured 4.0 →
+    # 7-13 s isolated — the round-robin exchange under every broadcast
+    # branch (cent/qs/probes) serializes the array payload repeatedly
+    # and round-robin repartition local-sorts its input
+    # (sortBeforeRepartition); consistent with the r11
+    # ngram_entropy_curve rejection: array payloads don't spread.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
